@@ -1,0 +1,181 @@
+package graft.model
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Port of the reference's sampling-based type inference.
+  *
+  * Semantics (core/dbio/iop/dataset.go:422-609 `InferColumnTypes` +
+  * datatype.go:923-1008 `InferFromStats`):
+  *   - buffer the first `SampleSize` (900) rows;
+  *   - per column, tally per-type parse counts (`ParseString`,
+  *     stream_processor.go:1413-1483);
+  *   - a column gets type T iff `TCnt + nullCnt == totalCnt`; ints count
+  *     toward decimal; date+datetime mix → datetime; anything mixed → string;
+  *   - integers beyond int32 promote to bigint (datatype.go:958-964);
+  *   - decimal precision/scale from observed digit stats (datatype.go:971-975);
+  *   - strings with maxLen > 255 are "text" (same Spark type, flagged in
+  *     field metadata, datatype.go:937-944).
+  *
+  * Spark's CSV `inferSchema` is NOT equivalent (no decimal-vs-double split, no
+  * string/text threshold, different date handling), hence this port.
+  */
+object TypeInference {
+
+  val SampleSize = 900
+
+  /** Subset of the reference's 60-layout cascade (stream_processor.go:216-277)
+    * as java.time patterns, tried in order.
+    */
+  val dateTimeLayouts: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss.SSSSSSSSS", "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+    "dd-MM-yyyy HH:mm:ss")
+
+  val dateLayouts: Seq[String] = Seq(
+    "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "dd-MM-yyyy", "yyyyMMdd")
+
+  /** Zone-carrying layouts (reference maps these to `timestampz`). */
+  val zonedLayouts: Seq[String] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX", "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd HH:mm:ss.SSSXXX", "yyyy-MM-dd HH:mm:ssXXX")
+
+  private val dtFormatters = dateTimeLayouts.map(DateTimeFormatter.ofPattern)
+  private val dFormatters = dateLayouts.map(DateTimeFormatter.ofPattern)
+  private val zFormatters = zonedLayouts.map(DateTimeFormatter.ofPattern)
+
+  sealed trait Kind
+  case object KNull extends Kind
+  case object KInt extends Kind
+  case object KDec extends Kind
+  case object KBool extends Kind
+  case object KDate extends Kind
+  case object KDateTime extends Kind
+  case object KJson extends Kind
+  case object KString extends Kind
+
+  /** Best-effort string classification — `ParseString` port. */
+  def parseKind(raw: String): Kind = {
+    if (raw == null) return KNull
+    val s = raw.trim
+    if (s.isEmpty) return KNull
+    val lower = s.toLowerCase
+    if (lower == "true" || lower == "false") return KBool
+    if (s.length <= 19 && s.matches("[+-]?\\d+")) {
+      return try { s.toLong; KInt } catch { case _: NumberFormatException => KDec }
+    }
+    if (s.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") || s.matches("[+-]?\\d+\\.\\d*")) return KDec
+    if ((s.startsWith("{") && s.endsWith("}")) || (s.startsWith("[") && s.endsWith("]"))) return KJson
+    if (s.length >= 8 && s.length <= 10 && s.exists(c => c == '-' || c == '/')) {
+      if (dFormatters.exists(f => try { LocalDate.parse(s, f); true } catch { case _: Exception => false }))
+        return KDate
+    }
+    if (s.length >= 19 && s.length <= 35 && Character.isDigit(s.charAt(0))) {
+      if (dtFormatters.exists(f => try { LocalDateTime.parse(s, f); true } catch { case _: Exception => false }))
+        return KDateTime
+      if (zFormatters.exists(f => try { java.time.OffsetDateTime.parse(s, f); true } catch { case _: Exception => false }))
+        return KDateTime
+    }
+    KString
+  }
+
+  final case class ColStats(
+      var totalCnt: Long = 0, var nullCnt: Long = 0, var intCnt: Long = 0,
+      var decCnt: Long = 0, var boolCnt: Long = 0, var dateCnt: Long = 0,
+      var datetimeCnt: Long = 0, var jsonCnt: Long = 0, var stringCnt: Long = 0,
+      var maxLen: Int = 0, var maxIntDigits: Int = 0, var maxDecDigits: Int = 0,
+      var minVal: Long = Long.MaxValue, var maxVal: Long = Long.MinValue)
+
+  def collectStats(sample: Seq[Row], nCols: Int): Array[ColStats] = {
+    val stats = Array.fill(nCols)(ColStats())
+    sample.foreach { row =>
+      var i = 0
+      while (i < nCols) {
+        val st = stats(i)
+        val v = if (row.isNullAt(i)) null else row.get(i).toString
+        st.totalCnt += 1
+        parseKind(v) match {
+          case KNull => st.nullCnt += 1
+          case KInt =>
+            st.intCnt += 1
+            val l = v.trim.toLong
+            st.minVal = math.min(st.minVal, l); st.maxVal = math.max(st.maxVal, l)
+            st.maxIntDigits = math.max(st.maxIntDigits, v.trim.stripPrefix("-").length)
+          case KDec =>
+            st.decCnt += 1
+            val t = v.trim.stripPrefix("-")
+            val dot = t.indexOf('.')
+            val (ip, dp) = if (dot < 0) (t.length, 0) else (dot, t.length - dot - 1)
+            st.maxIntDigits = math.max(st.maxIntDigits, ip)
+            st.maxDecDigits = math.max(st.maxDecDigits, dp)
+          case KBool => st.boolCnt += 1
+          case KDate => st.dateCnt += 1
+          case KDateTime => st.datetimeCnt += 1
+          case KJson => st.jsonCnt += 1
+          case KString => st.stringCnt += 1
+        }
+        if (v != null) st.maxLen = math.max(st.maxLen, v.length)
+        i += 1
+      }
+    }
+    stats
+  }
+
+  /** The InferFromStats decision function. */
+  def decide(st: ColStats): DataType = {
+    def all(cnt: Long) = cnt > 0 && cnt + st.nullCnt == st.totalCnt
+    if (st.totalCnt == 0 || st.nullCnt == st.totalCnt) StringType
+    else if (all(st.boolCnt)) BooleanType
+    else if (all(st.intCnt)) {
+      if (st.minVal >= Int.MinValue && st.maxVal <= Int.MaxValue) IntegerType else LongType
+    }
+    else if (st.decCnt > 0 && st.intCnt + st.decCnt + st.nullCnt == st.totalCnt) {
+      val scale = math.min(st.maxDecDigits, 18)
+      val precision = math.min(math.max(st.maxIntDigits + scale + 4, scale + 1), 38)
+      DecimalType(precision, scale)
+    }
+    else if (all(st.dateCnt)) DateType
+    else if (st.datetimeCnt > 0 && st.dateCnt + st.datetimeCnt + st.nullCnt == st.totalCnt) TimestampType
+    else StringType // json + mixed + long strings all land on string
+  }
+
+  def infer(sample: Seq[Row], columns: Seq[String],
+      overrides: Map[String, DataType] = Map.empty): StructType = {
+    val stats = collectStats(sample, columns.size)
+    StructType(columns.zipWithIndex.map { case (name, i) =>
+      val dt = overrides.getOrElse(name, decide(stats(i)))
+      val meta = if (dt == StringType && stats(i).maxLen > 255)
+        new MetadataBuilder().putString("sling_type", "text").build()
+      else Metadata.empty
+      StructField(name, dt, nullable = true, meta)
+    })
+  }
+
+  /** Cast an all-string frame to the target schema; timestamps go through the
+    * layout cascade (`try_to_timestamp` chain — codegen'd, no UDF).
+    */
+  def castTo(df: DataFrame, schema: StructType): DataFrame = {
+    val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val cast = f.dataType match {
+        case TimestampType =>
+          coalesce(((dateTimeLayouts ++ zonedLayouts).map(l => try_to_timestamp(c, lit(l))) :+
+            try_to_timestamp(c)): _*)
+        case DateType =>
+          coalesce(dateLayouts.map(l => try_to_timestamp(c, lit(l)).cast(DateType)): _*)
+        case BooleanType => lower(trim(c)) === "true"
+        case dt => c.cast(dt)
+      }
+      when(c.isNull || trim(c) === "", lit(null).cast(f.dataType))
+        .otherwise(cast).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+}

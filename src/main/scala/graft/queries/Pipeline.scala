@@ -1,5 +1,174 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{FileSources, Tables}
+import graft.transform.{Casing, Constraints, Flatten, Meta, Select, Transforms}
+
+/** The row-pipeline surface: select expressions, named transforms, expression
+  * transforms, flatten, casing, constraints, metadata columns, and the
+  * sampling type-inference engine via CSV/JSONL round-trips.
+  */
 object Pipeline {
-  def queries: Seq[Q] = Seq()
+  import scala.jdk.CollectionConverters._
+
+  private def scratch(name: String, sfDir: String): String =
+    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("op_select_exprs",
+      (s, dir) => Select(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity as qty", "l_ship*"))
+        .orderBy("l_orderkey", "qty", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_quantity AS qty, l_shipdate FROM lineitem
+        ORDER BY l_orderkey, qty, l_shipdate""")),
+
+    Q("op_select_exclude",
+      (s, dir) => Select(Tables(s, dir, "customer"), Seq("-c_acctbal", "-c_nation*"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        ORDER BY c_custkey""")),
+
+    Q("op_transforms_named",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        c.select(
+          col("c_custkey"),
+          Transforms("upper", col("c_name")).as("name_upper"),
+          Transforms("lower", col("c_mktsegment")).as("seg_lower"),
+          Transforms("hash_md5", col("c_name")).as("name_md5"),
+          Transforms("hash_sha256", col("c_name")).as("name_sha256"),
+          Transforms("replace_accents", col("c_name")).as("name_ascii"),
+          Transforms("length", col("c_name")).as("name_len"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+        lower(c_mktsegment) AS seg_lower, md5(c_name) AS name_md5,
+        sha256(c_name) AS name_sha256, strip_accents(c_name) AS name_ascii,
+        CAST(length(c_name) AS INT) AS name_len
+        FROM customer ORDER BY c_custkey""")),
+
+    // expression transforms: the reference's goval interpreter is
+    // closed-source (transforms.go:122-128); Spark SQL `expr` is our engine
+    Q("op_expr_transform",
+      (s, dir) => Tables(s, dir, "events")
+        .withColumn("value_bucket", expr("cast(floor(value / 100) as bigint)"))
+        .withColumn("etype_user", expr("concat(event_type, '_', cast(user_id % 10 as string))"))
+        .select("event_id", "value_bucket", "etype_user")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+        concat(event_type, '_', CAST(user_id % 10 AS VARCHAR)) AS etype_user
+        FROM events ORDER BY event_id""")),
+
+    Q("op_flatten_json",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"),
+            from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("props"))
+        Flatten(e).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS props__k
+        FROM events ORDER BY event_id""")),
+
+    Q("op_casing_upper",
+      (s, dir) => Casing(Tables(s, dir, "customer"), "upper").orderBy("C_CUSTKEY"),
+      Some("""SELECT c_custkey AS C_CUSTKEY, c_name AS C_NAME,
+        c_nationkey AS C_NATIONKEY, c_acctbal AS C_ACCTBAL,
+        c_mktsegment AS C_MKTSEGMENT FROM customer ORDER BY C_CUSTKEY""")),
+
+    Q("op_constraints",
+      (s, dir) => Constraints.failCounts(Tables(s, dir, "lineitem"), Seq(
+        Constraints.Check("l_quantity", "l_quantity > 0"),
+        Constraints.Check("l_discount", "l_discount <= 0.05"),
+        Constraints.Check("l_extendedprice", "l_extendedprice > 0"),
+        Constraints.Check("l_tax", "l_tax >= 0 and l_tax <= 0.08")))
+        .orderBy("expression"),
+      Some("""SELECT * FROM (
+        SELECT 'l_quantity' AS "column", 'l_quantity > 0' AS expression,
+          SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS fail_count FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', 'l_discount <= 0.05',
+          SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_extendedprice > 0',
+          SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', 'l_tax >= 0 and l_tax <= 0.08',
+          SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) FROM lineitem)
+        ORDER BY expression""")),
+
+    Q("op_metadata_cols",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val base = Meta.loadedAt(
+          Meta.rowId(Meta.streamUrl(li), Seq("l_orderkey", "l_linenumber")),
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+        Meta.rowNum(base.select("l_orderkey", "l_linenumber", "_sling_stream_url",
+            "_sling_row_id", "_sling_loaded_at"),
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .orderBy("_sling_row_num")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, 'lineitem.parquet' AS _sling_stream_url,
+        md5(concat(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS _sling_row_id,
+        TIMESTAMP '2026-01-01 00:00:00' AS _sling_loaded_at,
+        CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT) AS _sling_row_num
+        FROM lineitem ORDER BY _sling_row_num""")),
+
+    // CSV round-trip through the sampling inference engine; declared columns
+    // override inferred types (Columns.Coerce semantics)
+    Q("op_csv_infer_roundtrip",
+      (s, dir) => {
+        val path = scratch("csv_rt", dir)
+        Tables(s, dir, "customer").write.mode("overwrite")
+          .option("header", "true").csv(path)
+        FileSources.csv(s, path, overrides = Map(
+          "c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    Q("op_jsonl_infer_roundtrip",
+      (s, dir) => {
+        val path = scratch("jsonl_rt", dir)
+        Tables(s, dir, "orders").write.mode("overwrite").json(path)
+        FileSources.jsonl(s, path, overrides = Map(
+          "o_orderkey" -> LongType, "o_custkey" -> LongType,
+          "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey""")),
+
+    // the inference decision table itself, on a crafted fixture: expected
+    // results are constants, expressed as a VALUES oracle
+    Q("op_inference_decisions",
+      (s, dir) => {
+        import s.implicits._
+        val path = scratch("infer_fixture", dir)
+        val rows = Seq(
+          ("1", "9999999999", "1.50", "true", "2024-01-02", "2024-01-02 10:20:30", "plain", """{"a":1}"""),
+          ("2", "8888888888", "2.25", "false", "2024-02-03", "2024-02-03 11:21:31", "text", """{"b":2}"""),
+          ("", "", "", "", "", "", "", ""))
+        rows.toDF("int_col", "bigint_col", "dec_col", "bool_col", "date_col",
+            "ts_col", "str_col", "json_col")
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        val inferred = FileSources.csv(s, path)
+        val schema = inferred.schema
+        s.createDataFrame(
+          schema.fields.map(f => org.apache.spark.sql.Row(f.name, f.dataType.simpleString)).toSeq.asJava,
+          StructType(Seq(StructField("column_name", StringType), StructField("inferred", StringType))))
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('int_col', 'int'), ('bigint_col', 'bigint'), ('dec_col', 'decimal(7,2)'),
+        ('bool_col', 'boolean'), ('date_col', 'date'), ('ts_col', 'timestamp'),
+        ('str_col', 'string'), ('json_col', 'string'))
+        t(column_name, inferred) ORDER BY column_name"""))
+  )
 }

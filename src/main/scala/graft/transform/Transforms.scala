@@ -1,0 +1,47 @@
+package graft.transform
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's named row-transform registry
+  * (core/dbio/iop/transforms.go:52-89) re-expressed as `Column → Column`
+  * functions. Wherever Spark has a codegen'd built-in we use it; only
+  * accent-stripping and non-printable-replacement need Scala UDFs (they stay
+  * off the hot path — the common transforms are all whole-stage codegen).
+  */
+object Transforms {
+
+  private val stripAccentsUdf = udf { (s: String) =>
+    if (s == null) null
+    else Normalizer.normalize(s, Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "")
+  }
+
+  private val nonPrintableUdf = udf { (s: String) =>
+    if (s == null) null
+    else s.filter(ch => !Character.isISOControl(ch) || ch == '\n' || ch == '\t')
+  }
+
+  /** name → implementation; mirrors transforms.go registry keys. */
+  val registry: Map[String, Column => Column] = Map(
+    "upper" -> (c => upper(c)),
+    "lower" -> (c => lower(c)),
+    "trim_space" -> (c => trim(c)),
+    "hash_md5" -> (c => md5(c.cast("string"))),
+    "hash_sha256" -> (c => sha2(c.cast("string"), 256)),
+    "hash_sha512" -> (c => sha2(c.cast("string"), 512)),
+    "replace_accents" -> (c => stripAccentsUdf(c)),
+    "replace_non_printable" -> (c => nonPrintableUdf(c)),
+    "replace_0x00" -> (c => regexp_replace(c, "\u0000", "")),
+    "binary_to_hex" -> (c => hex(c)),
+    "length" -> (c => length(c)),
+    "parse_uuid" -> (c => lower(trim(c))),
+    "duckdb_list_to_text" -> (c => c.cast("string"))
+  )
+
+  def apply(name: String, c: Column): Column =
+    registry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown transform: $name"))(c)
+}
