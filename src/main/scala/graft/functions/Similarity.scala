@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Brute-force top-k is the exactness baseline: queries × corpus with the
+  * query side broadcast (corpus is never re-shuffled), dot products computed
+  * in whole-stage codegen via `zip_with`/`aggregate` — no UDF. The LSH
+  * variant (random signed hyperplanes, deterministic seeds) buckets the
+  * corpus so each query probes one bucket set: the 100 TB path.
+  */
+object Similarity {
+
+  /** Sequential-fold double dot product of two float vectors — bit-identical
+    * across engines that fold left-to-right.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each row of `queries` against `corpus`.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim). */
+  private def planeComponent(bit: Int, dim: Column): Column = {
+    // xxhash64 → uniform in [-1, 1): enough for sign-random-projection LSH
+    (xxhash64(lit(bit), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Sign-random-projection bucket id (`bits`-bit code) per vector.
+    * Vectors in the same bucket are ANN candidates; probing cost is
+    * O(bucket), not O(corpus).
+    */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val code = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(b, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    code.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: LSH-bucketed search with exact re-scoring inside candidate
+    * buckets (multi-probe = same-bucket only here; recall measured in tests).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), lshBucket(col(vecCol), bits).as("__bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), lshBucket(col(vecCol), bits).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Range-chunked scan — the reference's chunking engine
+  * (replication.go:688-930): compute min/max of the chunk key on the source,
+  * split into N contiguous ranges, read each range as an independent stream.
+  * This is the exact analogue of a JDBC partitioned read
+  * (partitionColumn/lowerBound/upperBound/numPartitions); on files Spark
+  * already parallelizes scans, so the operator's value is (a) JDBC sources
+  * and (b) per-chunk transactional loads.
+  */
+object ChunkedRead {
+
+  /** Split [min(key), max(key)] into `n` ranges and return one filtered
+    * DataFrame per range (last range inclusive of max).
+    */
+  def ranges(df: DataFrame, key: String, n: Int): Seq[DataFrame] = {
+    val row = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val step = math.max((hi - lo) / n + 1, 1L)
+    (0 until n).map { i =>
+      val a = lo + i * step
+      val b = math.min(a + step, hi + 1)
+      df.filter(col(key) >= a && col(key) < b)
+    }
+  }
+
+  /** Chunked read reassembled — proves range completeness/disjointness. */
+  def unionAll(df: DataFrame, key: String, n: Int): DataFrame =
+    ranges(df, key, n).reduce(_.unionByName(_))
+}

@@ -1,5 +1,147 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Beyond-reference operators for LLM training-data pipelines: text analysis,
+  * dedup (exact, MinHash-LSH near-dup, SimHash), embedding similarity search,
+  * multimodal binary plumbing. See graft.functions.* for the engine pieces.
+  */
 object TrainingData {
-  def queries: Seq[Q] = Seq()
+
+  private val stops = Seq("the", "a", "of", "and", "is")
+  private val stopsSql = "('the','a','of','and','is')"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("td_text_stats",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        length(col("text")).as("n_chars_calc"),
+        size(filter(TA.tokens(col("text")),
+          t => array_contains(array(stops.map(lit): _*), t))).as("stop_cnt"),
+        (TA.distinctTokenCount(col("text")).cast("double") /
+          TA.tokenCount(col("text"))).as("ttr"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+        CAST(length(text) AS INT) AS n_chars_calc,
+        CAST(len(list_filter(string_split(text,' '), t -> t IN $stopsSql)) AS INT) AS stop_cnt,
+        CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+          len(string_split(text,' ')) AS ttr
+        FROM documents ORDER BY doc_id""")),
+
+    Q("td_quality_langid",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("pred_lang"),
+        TA.qualityScore(col("text"), stops).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') tk, text FROM documents),
+        sc AS (SELECT doc_id, lang,
+          len(list_filter(tk, x -> x IN $stopsSql)) s_en,
+          len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) s_fr,
+          len(list_filter(tk, x -> x IN ('el','los','las','una','y'))) s_es,
+          len(list_filter(tk, x -> x IN ('der','die','das','und','ein'))) s_de,
+          len(list_filter(tk, x -> x IN ('的','是','了','在','和'))) s_zh,
+          CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ttr,
+          CAST(len(list_filter(tk, x -> x IN $stopsSql)) AS DOUBLE) / len(tk) stopr,
+          CAST(length(text) - (len(tk) - 1) AS DOUBLE) / len(tk) meanlen
+        FROM t)
+        SELECT doc_id, lang,
+          CASE WHEN s_zh > greatest(s_en,s_fr,s_es,s_de) THEN 'zh'
+               WHEN s_de > greatest(s_en,s_fr,s_es) THEN 'de'
+               WHEN s_es > greatest(s_en,s_fr) THEN 'es'
+               WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS pred_lang,
+          (ttr * 0.4) + (stopr * 0.3) +
+            (CASE WHEN meanlen >= 3.0 AND meanlen <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3) AS quality
+        FROM sc ORDER BY doc_id""")),
+
+    Q("td_fingerprint",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    Q("td_dedup_exact",
+      (s, dir) => Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        count(*) AS n_copies FROM documents GROUP BY md5(text)
+        ORDER BY content_hash""")),
+
+    // MinHash-LSH candidates, exact-Jaccard verified — oracle is the full
+    // O(n^2) exact computation, so this checks LSH recall too
+    Q("td_dedup_near",
+      (s, dir) => Dedup.nearDupPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) sh
+          FROM toks)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    Q("td_dedup_simhash",
+      (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      None),
+
+    Q("td_sim_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH p AS (
+        SELECT a.vec_id query_id, b.vec_id neighbor_id,
+          list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, len(a.embedding)+1)]) /
+          (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                    for i in range(1, len(a.embedding)+1)])) *
+           sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, len(b.embedding)+1)]))) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        rk AS (SELECT query_id, neighbor_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM p)
+        SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    Q("td_sim_ann",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.annTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "embedding", k = 5, bits = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("td_multimodal",
+      (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.extractFeatures(bin, "payload")
+          .select("doc_id", "byte_len", "content_md5", "head_hex")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_md5, hex(substring(text, 1, 8)) AS head_hex
+        FROM documents ORDER BY doc_id"""))
+  )
 }

@@ -28,7 +28,9 @@ object Tables {
     */
   private def normalizeEvents(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      // integer `div`, not `/`: double division loses precision at 2^63 and
+      // rounds the microsecond up for half the rows
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
 
   /** Register every table as a temp view so `spark.sql` queries (the custom-SQL

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface: windowed aggregation over a file-backed
+  * micro-batch source, and batch sessionization (the stateful-processing
+  * pattern that maps to flatMapGroupsWithState in continuous mode).
+  *
+  * The reference is batch micro-pipeline only (SURVEY.md §2.5); these are the
+  * Spark-native streaming equivalents of its batching knobs.
+  */
+object EventStream {
+
+  /** Tumbling-window count/sum per event_type, run as a real streaming query
+    * (file source → complete-mode memory sink, drained synchronously).
+    * Sums go through decimal so streaming-state accumulation order can't
+    * change the result.
+    */
+  def windowedAgg(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
+    val batch = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(eventsDir)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_dec"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_dec").cast("double").as("total"))
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * user inactivity. lag + cumulative sum over (user, time) — one shuffle.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    val newSession = when(gap.isNull || gap > gapMinutes * 60L * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_num", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+}
