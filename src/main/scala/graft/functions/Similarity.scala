@@ -47,33 +47,43 @@ object Similarity {
     (xxhash64(lit(bit), dim).cast("double") / lit(Long.MaxValue.toDouble))
   }
 
-  /** Sign-random-projection bucket id (`bits`-bit code) per vector.
-    * Vectors in the same bucket are ANN candidates; probing cost is
-    * O(bucket), not O(corpus).
+  /** Sign-random-projection bucket id (`bits`-bit code) for LSH table
+    * `table`. Vectors in the same bucket of any table are ANN candidates;
+    * probing cost is O(bucket), not O(corpus).
     */
-  def lshBucket(vec: Column, bits: Int): Column = {
+  def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
     val code = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(b, i)),
+          (x, i) => x.cast("double") * planeComponent(table * bits + b, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     code.reduce(_.bitwiseOR(_))
   }
 
-  /** ANN top-k: LSH-bucketed search with exact re-scoring inside candidate
-    * buckets (multi-probe = same-bucket only here; recall measured in tests).
+  /** All LSH (table, bucket) postings for a vector — `tables` independent
+    * hash tables; recall grows as 1-(1-p^bits)^tables.
+    */
+  private def lshPostings(vec: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
+
+  /** ANN top-k: multi-table LSH candidate generation with exact re-scoring.
+    * Candidates = pairs sharing a bucket in >= 1 of `tables` hash tables.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), lshBucket(col(vecCol), bits).as("__bucket")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), lshBucket(col(vecCol), bits).as("__bucket"))
-    val scored = q.join(c, Seq("__bucket"))
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 4, tables: Int = 16): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(lshPostings(col(vecCol), bits, tables)).as("__p")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      explode(lshPostings(col(vecCol), bits, tables)).as("__p"))
+    val cand = q.join(c, Seq("__p"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "__qv", "neighbor_id", "__cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -127,7 +127,7 @@ object TrainingData {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         Similarity.annTopK(e.filter(col("vec_id") < 20), e,
-            "vec_id", "embedding", k = 5, bits = 4)
+            "vec_id", "embedding", k = 5, bits = 4, tables = 16)
           .orderBy("query_id", "rank")
       },
       None),

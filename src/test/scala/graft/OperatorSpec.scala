@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, ChunkedRead}
+import graft.streaming.EventStream
+import graft.write.{ChangeCapture, Modes, ParquetTarget}
+
+/** Operator-level correctness tests on crafted micro-data (the DuckDB oracle
+  * covers the full-table scenarios; these pin the edge semantics).
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest right row <= left time, inclusive, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "r1"),   // equal ts → included
+      (1L, ts("2024-01-01 11:30:00"), "r2"),
+      (3L, ts("2024-01-01 00:00:00"), "r3")).toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt")
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "r1"), (1L, "r2"), (2L, null)))
+  }
+
+  test("chunked read covers every row exactly once") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("k")
+    val chunks = ChunkedRead.ranges(df, "k", 7)
+    assert(chunks.map(_.count()).sum == 1000L)
+    assert(ChunkedRead.unionAll(df, "k", 7).distinct.count() == 1000L)
+  }
+
+  test("upsert keeps unmatched target rows and overwrites matched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
+    val t = ParquetTarget(spark, s"$dir/t")
+    Modes.fullRefresh(t, Seq((1, "old"), (2, "keep")).toDF("id", "v"))
+    Modes.upsert(t, Seq((1, "new"), (3, "ins")).toDF("id", "v"), Seq("id"))
+    val out = t.read.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("cdc apply: latest-per-pk wins; D deletes; I inserts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
+    val t = ParquetTarget(spark, s"$dir/t")
+    Modes.fullRefresh(t, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val cdc = Seq(
+      (1, "decoy", "U", 1L), (1, "final", "U", 2L),
+      (2, "b", "D", 1L),
+      (9, "new", "I", 1L))
+      .toDF("id", "v", "_sling_synced_op", "_sling_cdc_seq")
+    ChangeCapture(t, cdc, Seq("id"))
+    val out = t.read.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "final"), (9, "new")))
+  }
+
+  test("near-dup pairs finds crafted near-duplicates and skips distinct docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash of identical texts is identical, near texts are close") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 60).map(i => if (i == 60) "x" else s"tok$i").mkString(" ")
+    val out = Dedup.simhash(Seq((1L, a), (2L, a), (3L, b)).toDF("id", "t"), "id", "t")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))
+    assert(java.lang.Long.bitCount(out(0) ^ out(2)) <= 12)
+  }
+
+  test("ann recall@5 vs brute force on real embeddings") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(q, e, "vec_id", "embedding", 5, bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall") // 16 tables x 4-bit buckets
+  }
+
+  test("langId prefers the language with more marker hits") {
+    import spark.implicits._
+    val out = Seq(
+      ("the cat and the dog is a pet", "en"),
+      ("le chat et la mer et les gens", "fr"),
+      ("der hund und die katze und ein haus", "de"))
+      .toDF("text", "expected")
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+      .collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1), r.toString))
+  }
+
+  test("sessionize splits on gaps > threshold only") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),  // same session
+      (3L, 10L, ts("2024-01-01 11:00:00")),  // 50 min gap → new session
+      (4L, 11L, ts("2024-01-01 10:00:00"))). // other user
+      toDF("event_id", "user_id", "ts")
+    val out = EventStream.sessionize(ev, gapMinutes = 30)
+      .orderBy("event_id").collect().map(_.getAs[Long]("session_num")).toSeq
+    assert(out == Seq(1L, 1L, 2L, 1L))
+  }
+}
