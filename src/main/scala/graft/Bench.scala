@@ -1,27 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Queries are materialized through the noop sink so a
+  * metadata-only count can't fake the work.
+  */
 object Bench {
+
+  /** Representative slice of the operator inventory: scan/agg, pushdown
+    * filter, multi-join, window, top-k, SQL surface, merge + CDC writers,
+    * as-of join, sessionization, streaming window, text stats, LSH dedup,
+    * similarity top-k.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q2_filter_project", "q3_join_agg", "q4_window_topn", "q5_topk",
+    "q13_custom_sql", "mode_upsert", "mode_cdc_apply", "t_asof_join",
+    "t_sessionize", "t_stream_window", "td_text_stats", "td_dedup_near",
+    "td_sim_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    runOnce("q1_agg") // JVM/codegen warm-up, unmeasured
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
