@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+import graft.operators.SaltedAgg
+import graft.repl.Replication
+import graft.sources.{FileSources, Tables}
+import graft.write.{PartitionedWriter, Validation}
+
+/** File-layout, validation, orchestration, and skew operators. */
+object FileOps {
+
+  private def scratch(name: String, sfDir: String): String =
+    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+
+  def queries: Seq[Q] = Seq(
+
+    // {part_year}/{part_month} masked write → Hive partitions; read back with
+    // a partition filter (pruned scan) — partition columns come back typed
+    Q("op_partitioned_write",
+      (s, dir) => {
+        val path = scratch("part_write", dir)
+        PartitionedWriter.write(Tables(s, dir, "orders"), path,
+          "o_orderdate", Seq("part_year", "part_month"))
+        s.read.option("basePath", path).parquet(path)
+          .filter(col("part_year") === 1995)
+          .select(col("o_orderkey"), col("part_year").cast(LongType),
+            col("part_month").cast(LongType), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, year(o_orderdate) AS part_year,
+        month(o_orderdate) AS part_month, o_totalprice
+        FROM orders WHERE year(o_orderdate) = 1995 ORDER BY o_orderkey""")),
+
+    // file_max_rows splitting (fs.go:875-902): 100-row files; count files by
+    // distinct input_file_name on read-back
+    Q("op_file_split",
+      (s, dir) => {
+        val path = scratch("file_split", dir)
+        Tables(s, dir, "orders").repartition(1).write.mode("overwrite")
+          .option("maxRecordsPerFile", 100).parquet(path)
+        s.read.parquet(path)
+          .withColumn("__file", input_file_name())
+          .agg(countDistinct(col("__file")).cast(LongType).as("n_files"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_files,
+        COUNT(*) AS n_rows FROM orders""")),
+
+    Q("op_csv_gzip_roundtrip",
+      (s, dir) => {
+        val path = scratch("csv_gz", dir)
+        Tables(s, dir, "customer").write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip").csv(path)
+        FileSources.csv(s, path, overrides = Map(
+          "c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // Spark 4 native XML source round-trip through the inference engine
+    Q("op_xml_roundtrip",
+      (s, dir) => {
+        val path = scratch("xml_rt", dir)
+        Tables(s, dir, "customer").write.mode("overwrite")
+          .format("xml").option("rootTag", "rows").option("rowTag", "row")
+          .save(path)
+        val raw = s.read.format("xml").option("rowTag", "row")
+          .option("inferSchema", "false").load(path)
+        graft.model.TypeInference.castTo(
+          raw.select(raw.columns.sorted.map(col).toSeq: _*),
+          graft.model.TypeInference.infer(
+            raw.limit(900).collect().toSeq, raw.columns.sorted.toSeq,
+            Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType)))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // post-load row-count + per-column checksum validation
+    Q("op_checksum_validate",
+      (s, dir) => {
+        val path = scratch("checksum", dir)
+        val src = Tables(s, dir, "orders")
+        src.write.mode("overwrite").parquet(path)
+        Validation.compare(src, s.read.parquet(path)).orderBy("metric")
+      },
+      Some("""WITH c AS (SELECT
+          CAST(COUNT(*) AS DOUBLE) AS row_count,
+          CAST(SUM(CAST(o_orderkey AS DECIMAL(38,0))) AS DOUBLE) AS o_orderkey,
+          CAST(SUM(CAST(o_custkey AS DECIMAL(38,0))) AS DOUBLE) AS o_custkey,
+          CAST(SUM(length(o_orderstatus)) AS DOUBLE) AS o_orderstatus,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS o_totalprice,
+          CAST(SUM(CAST(epoch_us(o_orderdate) AS DECIMAL(38,0))) AS DOUBLE) AS o_orderdate,
+          CAST(SUM(length(o_orderpriority)) AS DOUBLE) AS o_orderpriority
+        FROM orders)
+        SELECT t.metric, t.v AS source_checksum, t.v AS target_checksum,
+          true AS is_match
+        FROM c, LATERAL (VALUES
+          ('row_count', c.row_count), ('o_orderkey', c.o_orderkey),
+          ('o_custkey', c.o_custkey), ('o_orderstatus', c.o_orderstatus),
+          ('o_totalprice', c.o_totalprice), ('o_orderdate', c.o_orderdate),
+          ('o_orderpriority', c.o_orderpriority)) t(metric, v)
+        ORDER BY metric""")),
+
+    // skew-resistant two-phase aggregation == plain group-by result
+    Q("op_salted_agg",
+      (s, dir) => SaltedAgg.sumCount(Tables(s, dir, "events"),
+          Seq("event_type"),
+          col("value").cast("decimal(18,2)"), saltFactor = 8)
+        .select(col("event_type"), col("total").cast("double"), col("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // replication YAML: defaults inheritance + wildcard expansion + parallel
+    // streams; result = per-stream loaded row counts
+    Q("op_replication",
+      (s, dir) => {
+        val yaml =
+          """defaults:
+            |  mode: full-refresh
+            |streams:
+            |  region:
+            |  nation:
+            |  "s*":
+            |  orders:
+            |    mode: incremental
+            |    update_key: o_orderdate
+            |""".stripMargin
+        val compiled = Replication.parse(yaml, Tables.names)
+        val out = Replication.run(s, dir, compiled,
+          scratch("replication", dir), threads = 4)
+        import s.implicits._
+        out.toDF("stream", "mode", "rows_loaded").orderBy("stream")
+      },
+      Some("""SELECT * FROM (
+        SELECT 'region' AS stream, 'full-refresh' AS mode, COUNT(*) AS rows_loaded FROM region
+        UNION ALL SELECT 'nation', 'full-refresh', COUNT(*) FROM nation
+        UNION ALL SELECT 'supplier', 'full-refresh', COUNT(*) FROM supplier
+        UNION ALL SELECT 'orders', 'incremental', COUNT(*) FROM orders)
+        ORDER BY stream""")),
+
+    // approximate distinct (HLL) — rows-only (approximation differs by
+    // engine); exactness bound asserted in OperatorSpec
+    Q("q15_approx_distinct",
+      (s, dir) => Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")),
+      None)
+  )
+}

@@ -23,7 +23,8 @@ object Registry {
       Modes.queries ++
       Pipeline.queries ++
       TrainingData.queries ++
-      Temporal.queries
+      Temporal.queries ++
+      FileOps.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
