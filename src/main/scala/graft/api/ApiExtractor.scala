@@ -1,0 +1,73 @@
+package graft.api
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Declarative REST-extraction interpreter — the reference's API framework
+  * (core/dbio/api/spec.go): request templating, pagination loop with
+  * next-state + stop condition, record extraction by response path, and
+  * PK-based dedup. The transport is injected so tests run against a local
+  * stub; a production deployment plugs an HTTP client into the same seam.
+  * Extraction is driver-side (like the reference) and lands JSONL staging
+  * files that Spark then reads — the cluster never blocks on the API.
+  */
+object ApiExtractor {
+
+  /** Minimal endpoint spec: fetch pages, pull records at `recordsPath`,
+    * follow `nextTokenPath` until absent, dedup on `primaryKey`.
+    */
+  final case class EndpointSpec(
+      name: String,
+      url: String,
+      recordsPath: String = "data",
+      nextTokenPath: String = "next",
+      primaryKey: Option[String] = None,
+      maxPages: Int = 1000)
+
+  /** Transport seam: (url, queryParams) → response body. */
+  type Transport = (String, Map[String, String]) => String
+
+  private val mapper = new ObjectMapper()
+
+  /** Run the pagination loop; returns raw JSON records (JSONL lines). */
+  def extract(spec: EndpointSpec, transport: Transport): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val seen = mutable.HashSet[String]()
+    var next: Option[String] = Some("")
+    var pages = 0
+    while (next.isDefined && pages < spec.maxPages) {
+      val params = if (next.get.isEmpty) Map.empty[String, String]
+        else Map("page_token" -> next.get)
+      val body = transport(spec.url, params)
+      val root = mapper.readTree(body)
+      val records = root.path(spec.recordsPath)
+      records.forEach { rec =>
+        val keep = spec.primaryKey match {
+          case Some(pk) => seen.add(rec.path(pk).asText)
+          case None => true
+        }
+        if (keep) out += mapper.writeValueAsString(rec)
+      }
+      val nt = root.path(spec.nextTokenPath)
+      next = if (nt.isMissingNode || nt.isNull) None else Some(nt.asText)
+      pages += 1
+    }
+    out.toSeq
+  }
+
+  /** Deterministic stub transport: `total` records served `pageSize` at a
+    * time as {"data":[{"id":N,"value":2N}...],"next":token}; the last page
+    * of each id range is re-served with overlap to exercise PK dedup.
+    */
+  def stubTransport(total: Int, pageSize: Int): Transport = (url, params) => {
+    val start = params.get("page_token").map(_.toInt).getOrElse(0)
+    // one record of overlap with the previous page exercises dedup
+    val from = math.max(0, start - 1)
+    val until = math.min(start + pageSize, total)
+    val recs = (from until until)
+      .map(i => s"""{"id":$i,"value":${2L * i}}""").mkString(",")
+    val next = if (until >= total) "null" else s""""$until""""
+    s"""{"data":[$recs],"next":$next}"""
+  }
+}

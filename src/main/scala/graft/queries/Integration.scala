@@ -1,0 +1,130 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.ApiExtractor
+import graft.sources.{Jdbc, Tables}
+import graft.state.StateStore
+import graft.write.{ChangeCapture, Modes => M, ParquetTarget}
+
+/** Integration surface: JDBC source/sink (embedded Derby), the API
+  * extraction framework, schema evolution, state-store incrementals, and
+  * streaming CDC apply.
+  */
+object Integration {
+
+  private def scratch(name: String, sfDir: String): String =
+    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def queries: Seq[Q] = Seq(
+
+    // JDBC write + partitioned read (4 range queries on the PK)
+    Q("op_jdbc_roundtrip",
+      (s, dir) => {
+        val url = s"jdbc:derby:memory:graft${math.abs(dir.hashCode)};create=true"
+        val c = Tables(s, dir, "customer")
+        Jdbc.write(c, url, "CUSTOMER_RT")
+        val hi = c.agg(max(col("c_custkey"))).head.getLong(0)
+        Jdbc.readPartitioned(s, url, "CUSTOMER_RT", "c_custkey", 0, hi + 1, 4)
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // temp-table + ANSI MERGE executed inside the target DB
+    Q("op_jdbc_merge",
+      (s, dir) => {
+        val url = s"jdbc:derby:memory:graftm${math.abs(dir.hashCode)};create=true"
+        val c = Tables(s, dir, "customer")
+        val stale = c.withColumn("c_acctbal",
+          when(col("c_custkey") % 2 === 0, lit(-1.0)).otherwise(col("c_acctbal")))
+        Jdbc.write(stale, url, "CUSTOMER_M")
+        Jdbc.merge(c.filter(col("c_custkey") % 2 === 0), url, "CUSTOMER_M",
+          Seq("c_custkey"))
+        Jdbc.read(s, url, "CUSTOMER_M").orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // declarative API extraction: pagination + next-token + PK dedup →
+    // JSONL staging → DataFrame
+    Q("op_api_extract",
+      (s, dir) => {
+        val spec = ApiExtractor.EndpointSpec(
+          name = "items", url = "stub://items", primaryKey = Some("id"))
+        val lines = ApiExtractor.extract(spec,
+          ApiExtractor.stubTransport(total = 120, pageSize = 40))
+        val staging = scratch("api_stage", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/items.jsonl"),
+          lines.mkString("\n"))
+        s.read.json(s"$staging/items.jsonl")
+          .select(col("id").cast("long"), col("value").cast("long"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS value
+        FROM range(0, 120) ORDER BY id""")),
+
+    // add_new_columns schema evolution during a PK merge
+    Q("op_schema_evolution",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val t = ParquetTarget(s, scratch("schema_evo", dir))
+        M.fullRefresh(t, o.filter(col("o_orderkey") % 2 =!= 0).drop("o_orderpriority"))
+        M.upsertEvolve(t, o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"))
+        t.read.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 2 <> 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM orders ORDER BY o_orderkey""")),
+
+    // incremental driven by the file-backed state store (two runs)
+    Q("op_incremental_state",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val root = scratch("incr_state", dir)
+        val store = new StateStore(s"$root/state.json")
+        val t = ParquetTarget(s, s"$root/t")
+        val cutoff = lit("1995-07-01").cast("timestamp")
+        // run 1: initial load below the cutoff, record the watermark
+        val first = o.filter(col("o_orderdate") < cutoff)
+        M.fullRefresh(t, first)
+        store.put("orders", first.agg(max(col("o_orderdate"))).head.get(0).toString)
+        // run 2: strictly-above-watermark delta from the state file
+        // (watermark serialized as ISO-8601 LocalDateTime by toString)
+        val wm = java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(store.get("orders").get))
+        t.append(o.filter(col("o_orderdate") > lit(wm)))
+        store.put("orders", o.agg(max(col("o_orderdate"))).head.get(0).toString)
+        t.read.orderBy("o_orderkey")
+      },
+      Some(s"SELECT ${orderCols.mkString(", ")} FROM orders ORDER BY o_orderkey")),
+
+    // CDC applied from a real streaming query (foreachBatch merge)
+    Q("t_stream_cdc",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val root = scratch("stream_cdc", dir)
+        val cdcDir = s"$root/cdc"
+        Modes.cdcStream(o).write.mode("overwrite").parquet(cdcDir)
+        val t = ParquetTarget(s, s"$root/t")
+        M.fullRefresh(t, o)
+        val schema = s.read.parquet(cdcDir).schema
+        val q = s.readStream.schema(schema).parquet(cdcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            ChangeCapture(t, batch, Seq("o_orderkey"))
+          }
+          .queryName("t_stream_cdc_sink")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        t.read.orderBy("o_orderkey")
+      },
+      Some(s"SELECT * FROM (${Modes.cdcFinalSql}) ORDER BY o_orderkey"))
+  )
+}

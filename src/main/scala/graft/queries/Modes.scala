@@ -32,7 +32,7 @@ object Modes {
     * final negated price) for keys %7=0; inserts of key+10000000 for keys
     * %11=0 — exercising latest-per-PK collapse and all three ops.
     */
-  private def cdcStream(o: DataFrame): DataFrame = {
+  private[queries] def cdcStream(o: DataFrame): DataFrame = {
     val deletes = o.filter(col("o_orderkey") % 5 === 0)
       .withColumn("_sling_synced_op", lit("D")).withColumn("_sling_cdc_seq", lit(2L))
     val updDecoy = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
@@ -49,7 +49,7 @@ object Modes {
   }
 
   /** Expected CDC final state in DuckDB SQL (shared by hard/soft variants). */
-  private val cdcFinalSql =
+  private[queries] val cdcFinalSql =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
          CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
          o_orderdate, o_orderpriority

@@ -24,7 +24,8 @@ object Registry {
       Pipeline.queries ++
       TrainingData.queries ++
       Temporal.queries ++
-      FileOps.queries
+      FileOps.queries ++
+      Integration.queries
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -76,6 +76,26 @@ object Modes {
   def deleteInsert(target: ParquetTarget, source: DataFrame, pk: Seq[String]): Unit =
     upsert(target, source, pk)
 
+  /** [[upsert]] with schema evolution (`add_new_columns`,
+    * task_run_write.go:951-991): columns present on only one side are added
+    * as nulls on the other, so a widened source alters the target instead of
+    * failing. The reference pauses the stream and ALTERs the DB table; with
+    * a full-input batch this collapses into a pre-write schema union.
+    */
+  def upsertEvolve(target: ParquetTarget, source: DataFrame, pk: Seq[String]): Unit = {
+    if (!target.exists) { target.overwrite(source); return }
+    val tgt = target.read
+    val newCols = source.columns.filterNot(tgt.columns.contains)
+    val widened = newCols.foldLeft(tgt)((d, c) =>
+      d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+    val missingInSrc = tgt.columns.filterNot(source.columns.contains)
+    val srcAligned = missingInSrc.foldLeft(source)((d, c) =>
+      d.withColumn(c, lit(null).cast(tgt.schema(c).dataType)))
+    val kept = widened.join(source.select(pk.map(col).toSeq: _*), pk, "left_anti")
+    target.replaceWith(kept.unionByName(
+      srcAligned.select(widened.columns.map(col).toSeq: _*)))
+  }
+
   /** `merge_insert` only (left-anti append, templates/base.yaml:52-58):
     * insert source rows whose PK is NOT already in the target; never update.
     */
