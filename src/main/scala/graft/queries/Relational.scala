@@ -252,6 +252,123 @@ object Relational {
         FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- q16: TPC-H Q3-style shipping priority (join + agg + top-k)
+    Q("q16_ship_priority",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING")
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp") &&
+            col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(discPrice).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, CAST(SUM($oDisc) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- q17: TPC-H Q10-style returned-item ranking
+    Q("q17_returned_items",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        li.filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(discPrice).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, CAST(SUM($oDisc) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- q9b: cube (all grouping-set combinations)
+    Q("q9_cube",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        COALESCE(l_linestatus,'ALL') AS linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---- q18: max_by / min_by (argmax aggregates)
+    Q("q18_arg_minmax",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), -col("o_orderkey"))).as("bottom_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH rk AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey DESC) rmax,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey DESC) rmin
+        FROM orders)
+        SELECT o_orderpriority,
+          MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+          MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+          MAX(o_totalprice) AS max_price
+        FROM rk GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q19: scalar string-function parity
+    Q("q19_string_funcs",
+      (s, dir) => Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+        reverse(col("c_mktsegment")).as("rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlat"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, substring(c_name, 1, 8) AS name8,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        concat_ws('-', c_mktsegment, c_name) AS joined,
+        lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+        reverse(c_mktsegment) AS rev,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---- q20: conditional expressions
+    Q("q20_conditional",
+      (s, dir) => Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+        (col("o_orderkey") % 2 === 0).cast("int").as("is_even"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 150000 THEN 'high'
+             WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS bucket,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+        CAST(o_orderkey % 2 = 0 AS INT) AS is_even
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- q14: column profiling / analysis (reference analyzer.go:151)
     Q("q14_profile",
       (s, dir) => Tables(s, dir, "lineitem").agg(
