@@ -68,7 +68,9 @@ object TypeInference {
     if (s.isEmpty) return KNull
     val lower = s.toLowerCase
     if (lower == "true" || lower == "false") return KBool
-    if (s.length <= 19 && s.matches("[+-]?\\d+")) {
+    if (s.matches("[+-]?\\d{1,19}")) {
+      // digit-count bound, not raw length: a sign must not push a valid
+      // long into the string bucket
       return try { s.toLong; KInt } catch { case _: NumberFormatException => KDec }
     }
     if (s.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") || s.matches("[+-]?\\d+\\.\\d*")) return KDec

@@ -142,6 +142,41 @@ object FileOps {
         UNION ALL SELECT 'orders', 'incremental', COUNT(*) FROM orders)
         ORDER BY stream""")),
 
+    // bucketed co-located join: both sides bucketed+sorted on the join key
+    // at write time → the join needs NO shuffle of the fact table (the 100 TB
+    // pattern for repeated joins on the same key); plan asserted in tests
+    Q("op_bucketed_join",
+      (s, dir) => {
+        val sfx = math.abs(dir.hashCode).toString
+        val (ot, lt) = (s"b_orders_$sfx", s"b_lineitem_$sfx")
+        // a fresh session's in-memory catalog doesn't know about table dirs
+        // left by a previous run — drop and clear the location first
+        Seq(ot, lt).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(loc, true)
+        }
+        Tables(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        Tables(s, dir, "lineitem").write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(5,2)")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // approximate distinct (HLL) — rows-only (approximation differs by
     // engine); exactness bound asserted in OperatorSpec
     Q("q15_approx_distinct",

@@ -13,16 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Transforms {
 
-  private val stripAccentsUdf = udf { (s: String) =>
-    if (s == null) null
-    else Normalizer.normalize(s, Normalizer.Form.NFD)
-      .replaceAll("\\p{M}", "")
-  }
-
-  private val nonPrintableUdf = udf { (s: String) =>
-    if (s == null) null
-    else s.filter(ch => !Character.isISOControl(ch) || ch == '\n' || ch == '\t')
-  }
+  import graft.functions.expressions.StringClean
 
   /** name → implementation; mirrors transforms.go registry keys. */
   val registry: Map[String, Column => Column] = Map(
@@ -32,8 +23,9 @@ object Transforms {
     "hash_md5" -> (c => md5(c.cast("string"))),
     "hash_sha256" -> (c => sha2(c.cast("string"), 256)),
     "hash_sha512" -> (c => sha2(c.cast("string"), 512)),
-    "replace_accents" -> (c => stripAccentsUdf(c)),
-    "replace_non_printable" -> (c => nonPrintableUdf(c)),
+    // native codegen'd Catalyst expressions (no UDF boundary)
+    "replace_accents" -> (c => StringClean.strip_accents(c)),
+    "replace_non_printable" -> (c => StringClean.strip_non_printable(c)),
     "replace_0x00" -> (c => regexp_replace(c, "\u0000", "")),
     "binary_to_hex" -> (c => hex(c)),
     "length" -> (c => length(c)),
