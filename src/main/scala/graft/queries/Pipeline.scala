@@ -118,6 +118,30 @@ object Pipeline {
         CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT) AS _sling_row_num
         FROM lineitem ORDER BY _sling_row_num""")),
 
+    // column typing rules applied pre-write (string caps, bool→int)
+    Q("op_typing_rules",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .withColumn("is_even", col("c_custkey") % 2 === 0)
+        graft.transform.Typing(c,
+          graft.transform.Typing.Rules(stringMaxLength = Some(10), booleanAsInt = true))
+          .select("c_custkey", "c_name", "c_mktsegment", "is_even")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, substring(c_name, 1, 10) AS c_name,
+        substring(c_mktsegment, 1, 10) AS c_mktsegment,
+        CAST(c_custkey % 2 = 0 AS INT) AS is_even
+        FROM customer ORDER BY c_custkey""")),
+
+    // Spark 4 VariantType path for semi-structured payloads
+    Q("op_variant_json",
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id""")),
+
     // CSV round-trip through the sampling inference engine; declared columns
     // override inferred types (Columns.Coerce semantics)
     Q("op_csv_infer_roundtrip",

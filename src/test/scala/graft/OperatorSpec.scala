@@ -118,6 +118,31 @@ class OperatorSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getString(2) == r.getString(1), r.toString))
   }
 
+  test("hooks: query/check/log with on_failure policies") {
+    import graft.repl.Hooks
+    import graft.repl.Hooks.Hook
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "region")
+      .createOrReplaceTempView("hooks_region")
+    val results = Hooks.run(spark, Seq(
+      Hook("query", "SELECT count(*) FROM hooks_region"),
+      Hook("check", "(SELECT count(*) FROM hooks_region) = 5"),
+      Hook("check", "(SELECT count(*) FROM hooks_region) = 999", onFailure = "warn"),
+      Hook("log", "loaded region")))
+    assert(results.map(_.ok) == Seq(true, true, false, true))
+    intercept[IllegalStateException] {
+      Hooks.run(spark, Seq(Hook("check", "1 = 2", onFailure = "abort")))
+    }
+  }
+
+  test("typing rules cap strings and int-ify booleans") {
+    import spark.implicits._
+    import graft.transform.Typing
+    val df = Seq(("abcdefghij", true)).toDF("s", "b")
+    val out = Typing(df, Typing.Rules(stringMaxLength = Some(4), booleanAsInt = true)).head
+    assert(out.getString(0) == "abcd")
+    assert(out.getInt(1) == 1)
+  }
+
   test("sessionize splits on gaps > threshold only") {
     import spark.implicits._
     val ev = Seq(

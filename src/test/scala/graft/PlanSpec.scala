@@ -38,10 +38,24 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed join reads bucketed scans without a join-side shuffle") {
     import org.apache.spark.sql.functions._
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    // suites share one session via getOrCreate, so the warehouse dir may
+    // hold last run's table dirs the in-memory catalog doesn't know about
+    Seq("plan_o", "plan_o2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
     o.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("plan_o")
     o.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("plan_o2")
+    // force a non-broadcast join so the bucketed sort-merge path is planned
+    // (runtime conf: the session is shared across suites)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val j = spark.table("plan_o").join(spark.table("plan_o2"), "o_orderkey")
     val plan = formatted(j)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert(plan.contains("Bucketed: true"), plan)
     assert(!plan.contains("Exchange"), s"join over co-bucketed tables must not shuffle:\n$plan")
   }
