@@ -26,13 +26,20 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).as("total_dec"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // streaming state cost scales with shuffle partitions (one state store
+    // each); the keyed cardinality here is tiny, so run the stateful stage
+    // narrow and restore the session setting after
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_dec").cast("double").as("total"))
