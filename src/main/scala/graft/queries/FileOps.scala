@@ -142,6 +142,22 @@ object FileOps {
         UNION ALL SELECT 'orders', 'incremental', COUNT(*) FROM orders)
         ORDER BY stream""")),
 
+    // full per-column profile in one aggregate pass (AnalyzeColumns port)
+    Q("op_column_stats",
+      (s, dir) => graft.operators.Profile.columnStats(Tables(s, dir, "orders"))
+        .orderBy("column"),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map { c =>
+          s"""SELECT '$c' AS "column", COUNT(*) AS total_cnt,
+             COUNT(*) - COUNT($c) AS null_cnt,
+             COUNT(DISTINCT $c) AS uniq_cnt,
+             CAST(MIN($c) AS VARCHAR) AS min_val,
+             CAST(MAX($c) AS VARCHAR) AS max_val FROM orders"""
+        }.mkString("SELECT * FROM (", " UNION ALL ", """) ORDER BY "column"""")
+      }),
+
     // bucketed co-located join: both sides bucketed+sorted on the join key
     // at write time → the join needs NO shuffle of the fact table (the 100 TB
     // pattern for repeated joins on the same key); plan asserted in tests

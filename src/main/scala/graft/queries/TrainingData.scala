@@ -36,6 +36,21 @@ object TrainingData {
           len(string_split(text,' ')) AS ttr
         FROM documents ORDER BY doc_id""")),
 
+    // whitespace + BPE-ish regex token counting
+    Q("td_token_regex",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))))
+          .as("re_vocab"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+        CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS INT) AS re_vocab
+        FROM documents ORDER BY doc_id""")),
+
     Q("td_quality_langid",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
