@@ -205,6 +205,42 @@ object Modes {
         FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
         ORDER BY o_orderkey""")),
 
+    // SCD2 history: load 1 at t0 (all current), load 2 at t1 negates even
+    // keys' prices → evens get a closed row (t0,t1) and a current (t1,null)
+    Q("mode_history_insert",
+      (s, dir) => {
+        val o = orders(s, dir)
+        val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val t1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+        // history mode accumulates — clear any previous run's target first
+        val path = scratch("history_run", dir)
+        val loc = new org.apache.hadoop.fs.Path(path)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        val t2 = ParquetTarget(s, path)
+        M.historyInsert(t2, o, Seq("o_orderkey"), t0)
+        // also exercises the brand-new-PK path: key+20000000 appears in load 2
+        val load2 = o.withColumn("o_totalprice",
+            when(col("o_orderkey") % 2 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        M.historyInsert(t2, load2, Seq("o_orderkey"), t1)
+        t2.read.orderBy("o_orderkey", "_sling_valid_from")
+      },
+      Some(s"""SELECT * FROM (
+        SELECT $oOrderCols, TIMESTAMP '2026-01-01 00:00:00' AS _sling_valid_from,
+          CASE WHEN o_orderkey % 2 = 0 THEN TIMESTAMP '2026-02-01 00:00:00' END AS _sling_valid_to
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, -o_totalprice,
+          o_orderdate, o_orderpriority, TIMESTAMP '2026-02-01 00:00:00', NULL
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, o_orderpriority, TIMESTAMP '2026-02-01 00:00:00', NULL
+        FROM orders WHERE o_orderkey % 97 = 0)
+        ORDER BY o_orderkey, _sling_valid_from""")),
+
     // definition-only: create the table from the inferred schema with a
     // WHERE 1=0 read (task_run_read.go:288-291); result = the created schema
     Q("mode_definition_only",

@@ -106,6 +106,49 @@ object Modes {
     target.append(fresh.select(tgt.columns.map(col).toSeq: _*))
   }
 
+  /** `history_insert` (SCD2-style append, strategy constant
+    * database.go:2927): rows carry `_sling_valid_from` / `_sling_valid_to`
+    * (null = current). A load at `loadTs` closes current rows whose non-PK
+    * content changed and appends the new versions; unchanged and absent PKs
+    * are left as-is. Change detection = hash over non-PK columns.
+    */
+  def historyInsert(target: ParquetTarget, source: DataFrame, pk: Seq[String],
+      loadTs: java.sql.Timestamp): Unit = {
+    val vf = "_sling_valid_from"
+    val vt = "_sling_valid_to"
+    if (!target.exists) {
+      target.overwrite(source
+        .withColumn(vf, lit(loadTs))
+        .withColumn(vt, lit(null).cast("timestamp")))
+      return
+    }
+    val tgt = target.read
+    val dataCols = source.columns.toSeq.filterNot(pk.contains)
+    def rowHash(df: DataFrame): Column =
+      md5(concat_ws("|", dataCols.map(c => col(c).cast("string")): _*))
+    val src = source.withColumn("__h", rowHash(source))
+    val cur = tgt.filter(col(vt).isNull).withColumn("__h", rowHash(tgt))
+    // current rows whose content changed for a PK present in the source
+    val changedKeys = cur.alias("t")
+      .join(src.alias("s"), pk)
+      .filter(col("t.__h") =!= col("s.__h"))
+      .select(pk.map(k => col(s"t.$k")): _*)
+    val closed = tgt.filter(col(vt).isNull)
+      .join(changedKeys, pk, "left_semi")
+      .withColumn(vt, lit(loadTs))
+    val untouched = tgt.filter(col(vt).isNotNull)
+      .unionByName(tgt.filter(col(vt).isNull).join(changedKeys, pk, "left_anti"))
+    // new versions: changed PKs plus PKs never seen before
+    val brandNew = src.join(cur.select(pk.map(col).toSeq: _*), pk, "left_anti")
+    val newVersions = src.join(changedKeys, pk, "left_semi")
+      .unionByName(brandNew)
+      .drop("__h")
+      .withColumn(vf, lit(loadTs))
+      .withColumn(vt, lit(null).cast("timestamp"))
+      .select(tgt.columns.map(col).toSeq: _*)
+    target.replaceWith(untouched.unionByName(closed).unionByName(newVersions))
+  }
+
   /** `delete_missing` (hard): remove target rows whose PK is absent from the
     * source (closed-source in the reference, semantics from
     * templates/base.yaml:13-27 `delete_where_not_exist`).
