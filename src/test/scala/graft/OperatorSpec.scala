@@ -134,6 +134,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline file runs ordered steps with policies") {
+    graft.sources.Tables(spark, "/root/testdata/sf0.001", "nation")
+      .createOrReplaceTempView("pipe_nation")
+    val yaml =
+      """steps:
+        |  - type: log
+        |    message: starting
+        |  - type: query
+        |    sql: SELECT count(*) FROM pipe_nation
+        |  - type: check
+        |    expression: (SELECT count(*) FROM pipe_nation) = 25
+        |  - type: check
+        |    expression: 1 = 2
+        |    on_failure: warn
+        |""".stripMargin
+    val results = graft.repl.Pipeline.run(spark, yaml)
+    assert(results.map(_.ok) == Seq(true, true, true, false))
+  }
+
   test("typing rules cap strings and int-ify booleans") {
     import spark.implicits._
     import graft.transform.Typing
