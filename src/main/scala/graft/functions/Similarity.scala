@@ -69,6 +69,53 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
 
+  /** IVF-flat ANN: a coarse quantizer of `nlist` sampled centroids cells the
+    * corpus once (argmax-cosine assignment); each query probes its `nprobe`
+    * nearest cells and re-scores exactly inside them. Probing cost is
+    * O(corpus * nprobe / nlist) instead of O(corpus); the inverted index is
+    * the (cell → vectors) co-partitioning, i.e. one shuffle at build time.
+    * Centroids here are sampled rows (deterministic); swapping in k-means
+    * centroids changes only `centroids()`.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    def cosineToCent(v: Column, ct: Seq[Double]): Column = {
+      val ctNorm = math.sqrt(ct.map(x => x * x).sum)
+      dot(v, typedLit(ct)) / (norm(v) * lit(ctNorm))
+    }
+    def cellSims(v: Column): Column = array(cents.map(ct => cosineToCent(v, ct)): _*)
+    def bestCell(v: Column): Column = {
+      val sims = cellSims(v)
+      array_position(sims, array_max(sims)).cast("int")
+    }
+    // top-nprobe cell ids per query: sort (sim desc, cell) structs, take n
+    def probeCells(v: Column): Column = {
+      val sims = cellSims(v)
+      slice(transform(
+        array_sort(zip_with(sims, sequence(lit(1), lit(cents.size)),
+          (s, i) => struct((-s).as("negs"), i.as("cell")))),
+        x => x.getField("cell")), 1, nprobe)
+    }
+    val indexed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), bestCell(col(vecCol)).as("__cell"))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        explode(probeCells(col(vecCol))).as("__cell")))
+    val scored = probes.join(indexed, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN top-k: multi-table LSH candidate generation with exact re-scoring.
     * Candidates = pairs sharing a bucket in >= 1 of `tables` hash tables.
     */

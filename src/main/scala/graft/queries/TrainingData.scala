@@ -147,6 +147,15 @@ object TrainingData {
       },
       None),
 
+    Q("td_sim_ivf",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     Q("td_multimodal",
       (s, dir) => {
         val bin = Tables(s, dir, "documents")

@@ -106,6 +106,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall") // 16 tables x 4-bit buckets
   }
 
+  test("ivf recall@5 vs brute force on real embeddings") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall") // probing 4/16 cells
+  }
+
   test("langId prefers the language with more marker hits") {
     import spark.implicits._
     val out = Seq(
