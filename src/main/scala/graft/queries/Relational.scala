@@ -369,6 +369,52 @@ object Relational {
         CAST(o_orderkey % 2 = 0 AS INT) AS is_even
         FROM orders ORDER BY o_orderkey""")),
 
+    // ---- q21: explicit grouping sets (SQL surface)
+    Q("q21_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+          COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+          ORDER BY returnflag, ship_year""")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+        COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+        ORDER BY returnflag, ship_year""")),
+
+    // ---- q22: variance/stddev/correlation from exact decimal moments —
+    //      engine-portable (no Welford-order sensitivity)
+    Q("q22_exact_moments",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val g = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(dec2("l_quantity")).cast("double").as("s1"),
+          sum(dec2("l_quantity", 18) * dec2("l_quantity", 18)).cast("double").as("s2"),
+          sum(dec2("l_extendedprice")).cast("double").as("p1"),
+          sum(dec2("l_quantity", 18) * dec2("l_extendedprice")).cast("double").as("qp"))
+        g.select(col("l_returnflag"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("var_qty"),
+          ((col("qp") - col("s1") * col("p1") / col("n")) / col("n")).as("cov_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p1,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS qp
+        FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          (s2 - s1 * s1 / n) / n AS var_qty,
+          (qp - s1 * p1 / n) / n AS cov_qty_price
+        FROM g ORDER BY l_returnflag""")),
+
     // ---- q14: column profiling / analysis (reference analyzer.go:151)
     Q("q14_profile",
       (s, dir) => Tables(s, dir, "lineitem").agg(
