@@ -50,7 +50,10 @@ object ApiExtractor {
         if (keep) out += mapper.writeValueAsString(rec)
       }
       val nt = root.path(spec.nextTokenPath)
-      next = if (nt.isMissingNode || nt.isNull) None else Some(nt.asText)
+      // an empty-string token means "no more pages" too — Some("") would map
+      // back to no page_token param and re-fetch page 0 until maxPages
+      next = if (nt.isMissingNode || nt.isNull || nt.asText.isEmpty) None
+        else Some(nt.asText)
       pages += 1
     }
     out.toSeq

@@ -24,15 +24,23 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(c => c == rightKey || c == rightTime)
 
+    // Carry the whole right payload as ONE struct so every field comes from
+    // the same matched right row (per-column fill would leak older values
+    // into a matched row's NULL fields — a composite row that never existed).
+    val payloadStruct = struct((rightPayload.map(col) :+
+      col(rightTime).as("__rt")): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        rightPayload.map(c => right.schema(c).copy(name = c)) :+
+          right.schema(rightTime).copy(name = "__rt")))
+
     val l = left.select(
       (col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        leftCols.map(col)) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-        lit(null).cast(right.schema(rightTime).dataType).as(s"__rt"): _*)
+        leftCols.map(col)) :+ nullStruct.as("__p"): _*)
     val r = right.select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightPayload.map(col) :+ col(rightTime).as("__rt"): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
+        payloadStruct.as("__p"): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
@@ -40,11 +48,12 @@ object AsOfJoin {
 
     val filled = l.unionByName(r)
       .select(
-        (Seq(col("__side")) ++ leftCols.map(col) ++
-          (rightPayload :+ "__rt").map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        (Seq(col("__side")) ++ leftCols.map(col)) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p"): _*)
 
     filled.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightPayload.map(col)) :+
-        col("__rt").as(s"asof_$rightTime"): _*)
+      .select((leftCols.map(col) ++
+        rightPayload.map(c => col(s"__p.$c").as(c))) :+
+        col("__p.__rt").as(s"asof_$rightTime"): _*)
   }
 }

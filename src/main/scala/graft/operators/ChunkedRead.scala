@@ -17,7 +17,11 @@ object ChunkedRead {
     * DataFrame per range (last range inclusive of max).
     */
   def ranges(df: DataFrame, key: String, n: Int): Seq[DataFrame] = {
-    val row = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head
+    // floor/ceil before the long cast: a bare cast truncates toward zero, so
+    // a negative fractional min (e.g. -2.5 -> -2) would drop rows below the
+    // first range boundary.
+    val row = df.agg(floor(min(col(key))).cast("long"),
+      ceil(max(col(key))).cast("long")).head
     val (lo, hi) = (row.getLong(0), row.getLong(1))
     val step = math.max((hi - lo) / n + 1, 1L)
     (0 until n).map { i =>

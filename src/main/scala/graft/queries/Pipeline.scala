@@ -89,16 +89,16 @@ object Pipeline {
         .orderBy("expression"),
       Some("""SELECT * FROM (
         SELECT 'l_quantity' AS "column", 'l_quantity > 0' AS expression,
-          SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS fail_count FROM lineitem
+          CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS fail_count FROM lineitem
         UNION ALL
         SELECT 'l_discount', 'l_discount <= 0.05',
-          SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) FROM lineitem
+          CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         UNION ALL
         SELECT 'l_extendedprice', 'l_extendedprice > 0',
-          SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) FROM lineitem
+          CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         UNION ALL
         SELECT 'l_tax', 'l_tax >= 0 and l_tax <= 0.08',
-          SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) FROM lineitem)
+          CAST(SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
         ORDER BY expression""")),
 
     Q("op_metadata_cols",

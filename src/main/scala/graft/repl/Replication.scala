@@ -34,7 +34,7 @@ import graft.write.{Modes, ParquetTarget}
 object Replication {
 
   final case class Stream(name: String, mode: String, updateKey: Option[String],
-      pk: Seq[String])
+      pk: Seq[String], sourcePattern: String = "")
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -64,12 +64,14 @@ object Replication {
           merged.get("primary_key").map {
             case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
             case s => Seq(s.toString)
-          }.getOrElse(Seq.empty))
+          }.getOrElse(Seq.empty),
+          sourcePattern = pattern)
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
+    // (the explicit candidate is the one whose originating pattern IS the name)
     val byName = compiled.groupBy(_.name).map { case (_, ss) =>
-      ss.find(s => streams.exists(_._1 == s.name)).getOrElse(ss.head)
+      ss.find(s => s.sourcePattern == s.name).getOrElse(ss.head)
     }
     Compiled(byName.toSeq.sortBy(_.name))
   }

@@ -40,7 +40,9 @@ final case class ParquetTarget(spark: SparkSession, path: String) {
     val p = new Path(path)
     val s = new Path(staging)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(s, p)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"failed to delete $p before swap")
+    if (!fs.rename(s, p))
+      throw new java.io.IOException(s"failed to rename $s to $p — data left in staging")
   }
 }
