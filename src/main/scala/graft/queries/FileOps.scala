@@ -59,6 +59,25 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // Avro container files: per-partition distributed write, block-split
+    // AvroKeyInputFormat read — no spark-avro connector involved
+    Q("op_avro_roundtrip",
+      (s, dir) => {
+        val path = scratch("avro_rt", dir)
+        graft.sources.AvroIO.write(Tables(s, dir, "orders"), path)
+        graft.sources.AvroIO.read(s, path).orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // Arrow IPC files: 4096-row record batches, one task per file on read
+    Q("op_arrow_roundtrip",
+      (s, dir) => {
+        val path = scratch("arrow_rt", dir)
+        graft.sources.ArrowIO.write(Tables(s, dir, "orders"), path)
+        graft.sources.ArrowIO.read(s, path).orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
     // Spark 4 native XML source round-trip through the inference engine
     Q("op_xml_roundtrip",
       (s, dir) => {

@@ -41,12 +41,33 @@ class OperatorSpec extends AnyFunSuite {
       Seq((1L, "r1"), (1L, "r2"), (2L, null)))
   }
 
+  test("asof join keeps NULL payload fields from the matched row intact") {
+    import spark.implicits._
+    // r2 (the matched row) has a NULL in `a` — the joined output must NOT
+    // leak r1's `a` into it (payload must be row-atomic)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option("a1"), Option("b1")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String], Option("b2")))
+      .toDF("rk", "rt", "a", "b")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("a") == null)
+    assert(out(0).getAs[String]("b") == "b2")
+  }
+
   test("chunked read covers every row exactly once") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("k")
     val chunks = ChunkedRead.ranges(df, "k", 7)
     assert(chunks.map(_.count()).sum == 1000L)
     assert(ChunkedRead.unionAll(df, "k", 7).distinct.count() == 1000L)
+  }
+
+  test("chunked read handles negative fractional keys") {
+    import spark.implicits._
+    val df = Seq(-2.5, -2.1, -0.5, 0.0, 3.7).toDF("k")
+    assert(ChunkedRead.unionAll(df, "k", 3).count() == 5)
   }
 
   test("upsert keeps unmatched target rows and overwrites matched") {
