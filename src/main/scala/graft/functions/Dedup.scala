@@ -85,6 +85,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH candidate buckets
+    * (pairs must share a (table, bucket) posting) + exact cosine verify.
+    * The bucket self-join is the only pairwise work — O(candidates), not
+    * O(n²); identical vectors always share every posting, so recall on
+    * true duplicates is 1. Output: (id_a, id_b, cosine), id_a < id_b.
+    */
+  def embedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4, tables: Int = 8): DataFrame = {
+    val posts = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(Similarity.lshPostings(col(vecCol), bits, tables)).as("__p"))
+    posts.as("a").join(posts.as("b"),
+        col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Implemented as explode → bit-position aggregation (2 shuffles, both
     * keyed on doc id — no pairwise work).

@@ -65,7 +65,7 @@ object Similarity {
   /** All LSH (table, bucket) postings for a vector — `tables` independent
     * hash tables; recall grows as 1-(1-p^bits)^tables.
     */
-  private def lshPostings(vec: Column, bits: Int, tables: Int): Column =
+  def lshPostings(vec: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
 

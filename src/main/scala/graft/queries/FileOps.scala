@@ -212,6 +212,23 @@ object FileOps {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // geometry: WKB build → parse → GeoJSON render (reference geometry
+    // column conversion); coords picked to stay in exact binary fractions
+    Q("op_geojson",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .withColumn("lon", col("c_custkey") % 360 - lit(179.5))
+          .withColumn("lat", col("c_custkey") % 170 - lit(84.5))
+        c.select(col("c_custkey"),
+          graft.functions.Geo.geomToGeoJson(
+            graft.functions.Geo.mkPointWkb(col("lon"), col("lat"))).as("geojson"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, concat('{"type":"Point","coordinates":[',
+        CAST(c_custkey % 360 - 179.5 AS VARCHAR), ',',
+        CAST(c_custkey % 170 - 84.5 AS VARCHAR), ']}') AS geojson
+        FROM customer ORDER BY c_custkey""")),
+
     // approximate distinct (HLL) — rows-only (approximation differs by
     // engine); exactness bound asserted in OperatorSpec
     Q("q15_approx_distinct",

@@ -68,6 +68,46 @@ object Integration {
       Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS value
         FROM range(0, 120) ORDER BY id""")),
 
+    // queue bridge between stages (queue.go FIFO + .done sentinel): produce
+    // JSONL, close, distributed consume + cast back to typed columns
+    Q("op_queue_bridge",
+      (s, dir) => {
+        val qdir = scratch("queue_bridge", dir)
+        val fs = new org.apache.hadoop.fs.Path(qdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(qdir), true)
+        val queue = graft.api.Queue(s, qdir)
+        val recs = Tables(s, dir, "nation")
+          .select(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .collect().map(_.getString(0)).toSeq
+        queue.publish(recs)
+        queue.markDone()
+        queue.awaitAndRead()
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        ORDER BY n_nationkey""")),
+
+    // stdin scan: byte stream → staging file → inference read
+    Q("op_stdin_scan",
+      (s, dir) => {
+        val csvText = ("n_nationkey,n_name,n_regionkey" +:
+          Tables(s, dir, "nation").orderBy("n_nationkey")
+            .collect().map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}").toSeq)
+          .mkString("\n")
+        graft.sources.FileSources.stdin(s,
+            new java.io.ByteArrayInputStream(
+              csvText.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            format = "csv", stagingDir = scratch("stdin_scan", dir))
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        ORDER BY n_nationkey""")),
+
     // add_new_columns schema evolution during a PK merge
     Q("op_schema_evolution",
       (s, dir) => {

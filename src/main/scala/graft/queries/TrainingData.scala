@@ -110,6 +110,37 @@ object TrainingData {
             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // embedding-cosine near-dup: the corpus has no natural near-dups (max
+    // background cosine 0.51), so plant copies of the first 100 vectors and
+    // find pairs >= 0.95. Copies collide in every LSH bucket (recall 1);
+    // the oracle checks ALL pairs exactly — a missed true pair would
+    // hash-mismatch. cosine = dot/(sqrt*sqrt) folds identically in both
+    // engines (see graft-determinism rules).
+    Q("td_dedup_embed",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        Dedup.embedNearDupPairs(
+            e.select("vec_id", "embedding").unionByName(planted),
+            "vec_id", "embedding", threshold = 0.95)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH av AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+           sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+            i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cosine
+          FROM av a JOIN av b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        ORDER BY id_a, id_b""")),
+
     Q("td_dedup_simhash",
       (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("id"),

@@ -38,6 +38,26 @@ object FileSources {
     inferAndCast(raw, overrides, sampleSize)
   }
 
+  /** stdin scan (`cat f.csv | sling run`, fs.go:1537 MakeDatastream): drain
+    * the stream to a staging file, then run the normal distributed read +
+    * inference path. Stdin is inherently a single driver-side stream; the
+    * staging hop is what makes the rest of the plan parallel.
+    */
+  def stdin(spark: SparkSession, in: java.io.InputStream,
+      format: String = "csv", stagingDir: String = "/tmp/graft-stdin",
+      overrides: Map[String, DataType] = Map.empty): DataFrame = {
+    val dir = new java.io.File(stagingDir)
+    dir.mkdirs()
+    val f = java.io.File.createTempFile("stdin-", s".$format", dir)
+    val out = new java.io.FileOutputStream(f)
+    try in.transferTo(out) finally out.close()
+    format match {
+      case "csv" => csv(spark, f.getAbsolutePath, overrides = overrides)
+      case "jsonl" | "json" => jsonl(spark, f.getAbsolutePath, overrides = overrides)
+      case other => throw new IllegalArgumentException(s"stdin format $other")
+    }
+  }
+
   private def inferAndCast(raw: DataFrame,
       overrides: Map[String, DataType], sampleSize: Int): DataFrame = {
     val sample = raw.limit(sampleSize).collect().toSeq

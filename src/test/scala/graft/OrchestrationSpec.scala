@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Queue
+import graft.repl.Hooks
+import graft.sources.FileSources
+
+/** Hook executor, queue FIFO, and stdin source semantics. */
+class OrchestrationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("command hook captures output; non-zero exit honors on_failure") {
+    val ok = Hooks.run(spark, Seq(Hooks.Hook("command", "echo hi")))
+    assert(ok.head.ok && ok.head.detail == "hi")
+    val warn = Hooks.run(spark,
+      Seq(Hooks.Hook("command", "exit 3", onFailure = "warn")))
+    assert(!warn.head.ok)
+    intercept[IllegalStateException] {
+      Hooks.run(spark, Seq(Hooks.Hook("command", "exit 3")))
+    }
+  }
+
+  test("copy hook copies a file") {
+    val src = java.io.File.createTempFile("hook", ".txt")
+    java.nio.file.Files.writeString(src.toPath, "payload")
+    val dst = src.getAbsolutePath + ".copy"
+    val r = Hooks.run(spark,
+      Seq(Hooks.Hook("copy", s"${src.getAbsolutePath} > $dst")))
+    assert(r.head.ok)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dst)) == "payload")
+  }
+
+  test("http hook against a local server; bad status honors on_failure") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ok", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.createContext("/boom", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      assert(Hooks.run(spark, Seq(Hooks.Hook("http", s"$base/ok"))).head.ok)
+      val warn = Hooks.run(spark,
+        Seq(Hooks.Hook("http", s"$base/boom", onFailure = "warn")))
+      assert(!warn.head.ok)
+    } finally server.stop(0)
+  }
+
+  test("queue: publish -> done -> distributed read; publish after done fails") {
+    val dir = "/tmp/graft-test/queue1"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val q = Queue(spark, dir)
+    q.publish(Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""), "part-0")
+    q.publish(Seq("""{"id":3,"v":"c"}"""), "part-1")
+    q.markDone()
+    val rows = q.awaitAndRead().orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { q.publish(Seq("{}"), "part-2") }
+  }
+
+  test("queue awaitAndRead times out when never closed") {
+    val dir = "/tmp/graft-test/queue2"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val q = Queue(spark, dir)
+    q.publish(Seq("""{"id":1}"""))
+    intercept[java.util.concurrent.TimeoutException] { q.awaitAndRead(200) }
+  }
+
+  test("stdin csv goes through the inference engine") {
+    val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val df = FileSources.stdin(spark, new java.io.ByteArrayInputStream(bytes))
+    assert(df.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(df.count() == 2)
+  }
+}
