@@ -31,6 +31,9 @@ object EventStream {
     // narrow and restore the session setting after
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // skip the trailing empty micro-batch (complete-mode results are already
+    // final after the data batch; the no-data batch just re-cycles state)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = agg.writeStream
         .outputMode("complete")
