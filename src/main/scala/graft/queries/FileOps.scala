@@ -59,6 +59,21 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // Delta table via transaction-log replay (no connector jar): overwrite
+    // then append commits, snapshot read = both commits' rows
+    Q("op_delta_roundtrip",
+      (s, dir) => {
+        val t = scratch("delta_rt", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val c = Tables(s, dir, "customer")
+        graft.sources.DeltaLite.overwrite(c.filter(col("c_custkey") % 2 === 0), t)
+        graft.sources.DeltaLite.append(c.filter(col("c_custkey") % 2 =!= 0), t)
+        graft.sources.DeltaLite.read(s, t).orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
     // Avro container files: per-partition distributed write, block-split
     // AvroKeyInputFormat read — no spark-avro connector involved
     Q("op_avro_roundtrip",

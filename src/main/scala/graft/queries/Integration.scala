@@ -68,6 +68,37 @@ object Integration {
       Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS value
         FROM range(0, 120) ORDER BY id""")),
 
+    // endpoint DAG: producer endpoint's collected ids drive a dependent
+    // per-id iteration endpoint; both stages through retrying transport
+    Q("op_api_dag",
+      (s, dir) => {
+        val transport: ApiExtractor.Transport = (url, params) =>
+          if (url == "stub://users") {
+            val recs = (0 until 50).map(i => s"""{"id":$i}""").mkString(",")
+            s"""{"data":[$recs],"next":null}"""
+          } else {
+            val id = url.stripPrefix("stub://details/").toLong
+            s"""{"data":[{"user_id":$id,"score":${id * 10}}],"next":null}"""
+          }
+        val out = graft.api.ApiSpec.run(Seq(
+          graft.api.ApiSpec.Endpoint(
+            ApiExtractor.EndpointSpec(name = "users", url = "stub://users"),
+            processors = Seq(graft.api.ApiSpec.Processor("id", "collect", "user_ids"))),
+          graft.api.ApiSpec.Endpoint(
+            ApiExtractor.EndpointSpec(name = "details", url = "stub://details/{value}"),
+            dependsOn = Seq("users"), iterateOver = Some("user_ids"))),
+          transport)
+        val staging = scratch("api_dag", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/details.jsonl"),
+          out("details").mkString("\n"))
+        s.read.json(s"$staging/details.jsonl")
+          .select(col("user_id").cast("long"), col("score").cast("long"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS user_id,
+        CAST(range * 10 AS BIGINT) AS score FROM range(0, 50) ORDER BY user_id""")),
+
     // queue bridge between stages (queue.go FIFO + .done sentinel): produce
     // JSONL, close, distributed consume + cast back to typed columns
     Q("op_queue_bridge",
