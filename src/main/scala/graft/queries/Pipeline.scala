@@ -101,6 +101,32 @@ object Pipeline {
           CAST(SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
         ORDER BY expression""")),
 
+    // columns: modifier DSL → typed schema + DDL metadata
+    Q("op_ddl_modifiers",
+      (s, dir) => {
+        val schema = graft.model.ColumnModifiers.parseAll(Seq(
+          "c_custkey" -> "bigint not_null primary_key",
+          "c_name" -> "string description('customer name')",
+          "c_acctbal" -> "decimal(12,2) not_null",
+          "c_mktsegment" -> "string unique_index(uix_seg)"))
+        import s.implicits._
+        schema.fields.toSeq.map { f =>
+          (f.name, f.dataType.sql, f.nullable,
+            f.metadata.contains("primary_key") &&
+              f.metadata.getBoolean("primary_key"),
+            if (f.metadata.contains("description"))
+              f.metadata.getString("description") else "")
+        }.toDF("column", "type_sql", "nullable", "is_pk", "description")
+          .orderBy("column")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('c_custkey', 'BIGINT', false, true, ''),
+        ('c_name', 'STRING', true, false, 'customer name'),
+        ('c_acctbal', 'DECIMAL(12,2)', false, false, ''),
+        ('c_mktsegment', 'STRING', true, false, ''))
+        t("column", type_sql, nullable, is_pk, description)
+        ORDER BY "column"""")),
+
     Q("op_metadata_cols",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")

@@ -53,6 +53,18 @@ object Temporal {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // streaming dedup with watermark-bounded state over an at-least-once
+    // (self-unioned) stream; output = each event exactly once
+    Q("t_stream_dedup",
+      (s, dir) => {
+        val path = scratch("stream_dedup_events", dir)
+        Tables(s, dir, "events").write.mode("overwrite").parquet(path)
+        EventStream.streamingDedup(s, path, "t_stream_dedup_sink")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+        FROM events ORDER BY event_id""")),
+
     Q("t_sessionize",
       (s, dir) => EventStream.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
         .select("event_id", "user_id", "ts", "session_num")

@@ -48,6 +48,38 @@ object EventStream {
         col("n"), col("total_dec").cast("double").as("total"))
   }
 
+  /** Streaming deduplication with bounded state: duplicates are dropped
+    * inside the watermark horizon (`dropDuplicatesWithinWatermark`), so
+    * state is evicted as event time advances — the unbounded-state
+    * `dropDuplicates` alternative doesn't survive an infinite stream.
+    * The input is the events stream unioned with itself (every row arrives
+    * twice), modelling at-least-once delivery upstream.
+    */
+  def streamingDedup(spark: SparkSession, eventsDir: String,
+      queryName: String): DataFrame = {
+    val batch = spark.read.parquet(eventsDir)
+    def src = spark.readStream.schema(batch.schema).parquet(eventsDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").as("event_ts"))
+    val atLeastOnce = src.unionByName(src)
+    val dedup = atLeastOnce
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = dedup.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
   /** Gap-based sessionization: a new session starts after `gapMinutes` of
     * user inactivity. lag + cumulative sum over (user, time) — one shuffle.
     */
