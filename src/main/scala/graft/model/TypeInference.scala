@@ -28,8 +28,11 @@ object TypeInference {
 
   val SampleSize = 900
 
-  /** Subset of the reference's 60-layout cascade (stream_processor.go:216-277)
-    * as java.time patterns, tried in order.
+  /** The reference's layout cascade (stream_processor.go:216-277) as
+    * java.time patterns, tried in order. Go's "2006-01-02 15:04:05.999"
+    * fractional layouts parse ANY shorter fraction, so each Go entry with
+    * `.999…` maps to one pattern per fraction width here; duplicate-shape
+    * layouts collapse (first match wins either way).
     */
   val dateTimeLayouts: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss.SSSSSSSSS", "yyyy-MM-dd HH:mm:ss.SSSSSS",
@@ -37,19 +40,41 @@ object TypeInference {
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy/MM/dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
-    "dd-MM-yyyy HH:mm:ss")
+    "dd-MM-yyyy HH:mm:ss",
+    // 02-Jan-06 family
+    "dd-MMM-yy", "dd-MMM-yy HH:mm:ss", "dd-MMM-yy hh:mm:ss a",
+    "dd-MMM-yy hh.mm.ss.SSSSSS a",
+    "dd MMM yyyy",
+    // US slash forms
+    "M/d/yy", "MM/dd/yy", "M/d/yyyy", "MM/dd/yyyy",
+    "MM/dd/yyyy HH:mm", "MM/dd/yyyy hh:mm:ss a",
+    // minute-resolution ISO
+    "yyyy-MM-dd HH:mm", "yyyy-MM-dd'T'HH:mm",
+    "dd-MM-yyyy")
 
   val dateLayouts: Seq[String] = Seq(
     "yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "dd-MM-yyyy", "yyyyMMdd")
 
-  /** Zone-carrying layouts (reference maps these to `timestampz`). */
+  /** Zone-carrying layouts (reference maps these to `timestampz`):
+    * RFC3339/RFC1123/RFC822 and the duckdb/snowflake export shapes.
+    */
   val zonedLayouts: Seq[String] = Seq(
     "yyyy-MM-dd'T'HH:mm:ss.SSSXXX", "yyyy-MM-dd'T'HH:mm:ssXXX",
-    "yyyy-MM-dd HH:mm:ss.SSSXXX", "yyyy-MM-dd HH:mm:ssXXX")
+    "yyyy-MM-dd HH:mm:ss.SSSXXX", "yyyy-MM-dd HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ssZ", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ",
+    "yyyy-MM-dd HH:mm:ssx", "yyyy-MM-dd HH:mm:ss.SSSx",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSx",
+    "yyyy-MM-dd HH:mm:ss Z", "yyyy-MM-dd HH:mm:ss XXX",
+    "EEE, dd MMM yyyy HH:mm:ss Z", "EEE, dd MMM yyyy HH:mm:ss zzz",
+    "dd MMM yy HH:mm Z", "dd MMM yy HH:mm zzz")
 
-  private val dtFormatters = dateTimeLayouts.map(DateTimeFormatter.ofPattern)
-  private val dFormatters = dateLayouts.map(DateTimeFormatter.ofPattern)
-  private val zFormatters = zonedLayouts.map(DateTimeFormatter.ofPattern)
+  // Locale pinned: MMM/EEE/am-pm tokens must not drift with the JVM default
+  private val dtFormatters = dateTimeLayouts.map(
+    DateTimeFormatter.ofPattern(_, java.util.Locale.US))
+  private val dFormatters = dateLayouts.map(
+    DateTimeFormatter.ofPattern(_, java.util.Locale.US))
+  private val zFormatters = zonedLayouts.map(
+    DateTimeFormatter.ofPattern(_, java.util.Locale.US))
 
   sealed trait Kind
   case object KNull extends Kind
@@ -75,13 +100,23 @@ object TypeInference {
     }
     if (s.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") || s.matches("[+-]?\\d+\\.\\d*")) return KDec
     if ((s.startsWith("{") && s.endsWith("}")) || (s.startsWith("[") && s.endsWith("]"))) return KJson
-    if (s.length >= 8 && s.length <= 10 && s.exists(c => c == '-' || c == '/')) {
+    if (s.length >= 6 && s.length <= 11 &&
+        s.exists(c => c == '-' || c == '/' || c == ' ')) {
       if (dFormatters.exists(f => try { LocalDate.parse(s, f); true } catch { case _: Exception => false }))
         return KDate
+      // date-only layouts living in the datetime cascade (dd-MMM-yy, M/d/yy,
+      // dd MMM yyyy) classify as date, like the reference's zero-time check
+      if (dtFormatters.exists(f => try { LocalDate.parse(s, f); true } catch { case _: Exception => false }))
+        return KDate
     }
-    if (s.length >= 19 && s.length <= 35 && Character.isDigit(s.charAt(0))) {
+    if (s.length >= 14 && s.length <= 40 && Character.isDigit(s.charAt(0))) {
       if (dtFormatters.exists(f => try { LocalDateTime.parse(s, f); true } catch { case _: Exception => false }))
         return KDateTime
+      if (zFormatters.exists(f => try { java.time.OffsetDateTime.parse(s, f); true } catch { case _: Exception => false }))
+        return KDateTime
+    }
+    // zone-carrying layouts that open with a weekday name (RFC1123/822)
+    if (s.length >= 20 && s.length <= 40 && Character.isLetter(s.charAt(0))) {
       if (zFormatters.exists(f => try { java.time.OffsetDateTime.parse(s, f); true } catch { case _: Exception => false }))
         return KDateTime
     }
@@ -168,7 +203,12 @@ object TypeInference {
       val c = col(f.name)
       val cast = f.dataType match {
         case TimestampType =>
-          coalesce(((dateTimeLayouts ++ zonedLayouts).map(l => try_to_timestamp(c, lit(l))) :+
+          // Spark datetime patterns reject week-day (EEE), zone-name (zzz)
+          // and lowercase-x tokens at compile time — those layouts classify
+          // via java.time in parseKind but cast through the default parser
+          val sparkSafe = (dateTimeLayouts ++ zonedLayouts)
+            .filterNot(l => l.contains("EEE") || l.contains("zzz") || l.contains("x"))
+          coalesce((sparkSafe.map(l => try_to_timestamp(c, lit(l))) :+
             try_to_timestamp(c)): _*)
         case DateType =>
           coalesce(dateLayouts.map(l => try_to_timestamp(c, lit(l)).cast(DateType)): _*)

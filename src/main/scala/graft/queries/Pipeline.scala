@@ -101,6 +101,31 @@ object Pipeline {
           CAST(SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
         ORDER BY expression""")),
 
+    // binary/protocol transforms on md5-derived bytes: RFC vs MS-GUID byte
+    // order, bit parse — oracle reorders hex slices the same way
+    Q("op_transforms_binary",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val bytes = unhex(md5(col("c_name")))
+        c.select(col("c_custkey"),
+          graft.transform.BinaryTransforms.parse_uuid_bin(bytes).as("uuid"),
+          graft.transform.BinaryTransforms.parse_ms_uuid(bytes).as("ms_uuid"),
+          graft.transform.BinaryTransforms.parse_bit(
+            unhex(lpad((col("c_custkey") % 2).cast("string"), 2, "0"))).as("bit"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        substr(md5(c_name),1,8)||'-'||substr(md5(c_name),9,4)||'-'||
+          substr(md5(c_name),13,4)||'-'||substr(md5(c_name),17,4)||'-'||
+          substr(md5(c_name),21,12) AS uuid,
+        substr(md5(c_name),7,2)||substr(md5(c_name),5,2)||
+          substr(md5(c_name),3,2)||substr(md5(c_name),1,2)||'-'||
+          substr(md5(c_name),11,2)||substr(md5(c_name),9,2)||'-'||
+          substr(md5(c_name),15,2)||substr(md5(c_name),13,2)||'-'||
+          substr(md5(c_name),17,4)||'-'||substr(md5(c_name),21,12) AS ms_uuid,
+        CAST(c_custkey % 2 AS VARCHAR) AS bit
+        FROM customer ORDER BY c_custkey""")),
+
     // columns: modifier DSL → typed schema + DDL metadata
     Q("op_ddl_modifiers",
       (s, dir) => {

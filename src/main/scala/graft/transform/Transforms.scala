@@ -30,7 +30,18 @@ object Transforms {
     "binary_to_hex" -> (c => hex(c)),
     "length" -> (c => length(c)),
     "parse_uuid" -> (c => lower(trim(c))),
-    "duckdb_list_to_text" -> (c => c.cast("string"))
+    "duckdb_list_to_text" -> (c => c.cast("string")),
+    // binary/protocol transforms (BinaryTransforms; scalar UDFs by nature)
+    "parse_uuid_bin" -> (c => BinaryTransforms.parse_uuid_bin(c)),
+    "parse_ms_uuid" -> (c => BinaryTransforms.parse_ms_uuid(c)),
+    "parse_bit" -> (c => BinaryTransforms.parse_bit(c)),
+    "binary_to_decimal" -> (c => BinaryTransforms.binary_to_decimal(c)),
+    "parse_fix" -> (c => BinaryTransforms.parse_fix(c)),
+    "decode_latin1" -> (c => BinaryTransforms.decode(c, "latin1")),
+    "decode_windows1252" -> (c => BinaryTransforms.decode(c, "windows1252")),
+    "decode_utf16" -> (c => BinaryTransforms.decode(c, "utf16")),
+    "decode_utf8_bom" -> (c => BinaryTransforms.decode(c, "utf8_bom")),
+    "encode_latin1" -> (c => BinaryTransforms.encode(c, "latin1"))
   )
 
   def apply(name: String, c: Column): Column =

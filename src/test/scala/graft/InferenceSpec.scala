@@ -66,4 +66,24 @@ class InferenceSpec extends AnyFunSuite {
     st.maxIntDigits = 5; st.maxDecDigits = 2
     assert(decide(st) == DecimalType(11, 2))
   }
+
+  test("parseKind: extended layout cascade (stream_processor.go:216-277)") {
+    import graft.model.TypeInference._
+    // date-only layouts, incl. month-name and US slash forms
+    assert(parseKind("02-Jan-06") == KDate)
+    assert(parseKind("02 Jan 2006") == KDate)
+    assert(parseKind("1/2/06") == KDate)
+    assert(parseKind("01/02/2006") == KDate)
+    // datetime incl. 12-hour, minute resolution, month-name
+    assert(parseKind("01/02/2006 03:04:05 PM") == KDateTime)
+    assert(parseKind("2006-01-02 15:04") == KDateTime)
+    assert(parseKind("02-Jan-06 15:04:05") == KDateTime)
+    // zone-carrying: RFC1123 and duckdb export shapes
+    assert(parseKind("Mon, 02 Jan 2006 15:04:05 -0700") == KDateTime)
+    assert(parseKind("2006-01-02 15:04:05-07") == KDateTime)
+    assert(parseKind("2006-01-02 15:04:05.999999-07") == KDateTime)
+    // non-dates stay strings
+    assert(parseKind("Customer#000000001") == KString)
+    assert(parseKind("123-456-7890") == KString)
+  }
 }
