@@ -59,6 +59,16 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // Iceberg snapshot scan via metadata walk (no runtime jar): bootstrap
+    // snapshot write → manifest-list → manifests → distributed parquet read
+    Q("op_iceberg_scan",
+      (s, dir) => {
+        val t = scratch("iceberg_scan", dir)
+        graft.sources.IcebergLite.writeSnapshot(Tables(s, dir, "supplier"), t)
+        graft.sources.IcebergLite.read(s, t).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     // Delta table via transaction-log replay (no connector jar): overwrite
     // then append commits, snapshot read = both commits' rows
     Q("op_delta_roundtrip",

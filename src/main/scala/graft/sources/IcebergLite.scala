@@ -1,0 +1,168 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Iceberg table scan over the public table-format spec — no
+  * iceberg-spark runtime jar. The reference scans Iceberg through an
+  * embedded engine (core/dbio/iop/iceberg.go:1-50, duckdb `iceberg_scan`);
+  * here the metadata walk is driver-side (it is pure metadata, a few KB):
+  *
+  *   metadata/vN.metadata.json (newest N, or version-hint.text)
+  *     → current-snapshot-id → snapshot.manifest-list (avro)
+  *     → manifest_path entries (avro manifests)
+  *     → data_file entries (status ADDED/EXISTING kept, DELETED dropped)
+  *
+  * and the data read is a normal distributed parquet scan of the live
+  * files. v2 delete files (position/equality) are detected and rejected
+  * rather than silently mis-read.
+  */
+object IcebergLite {
+
+  private val mapper = new ObjectMapper()
+
+  /** Read every record of a (small, driver-side) avro metadata file. */
+  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val p = new Path(stripScheme(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    try {
+      val out = mutable.ArrayBuffer[GenericRecord]()
+      while (stream.hasNext) out += stream.next()
+      out.toSeq
+    } finally stream.close()
+  }
+
+  private def stripScheme(uri: String): String =
+    uri.stripPrefix("file://").stripPrefix("file:")
+
+  /** Locate the newest metadata json: version-hint.text if present, else
+    * max vN.metadata.json.
+    */
+  private def currentMetadata(spark: SparkSession, table: String): String = {
+    val dir = new Path(table, "metadata")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"not an iceberg table: $table (no metadata dir)")
+    val hint = new Path(dir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try new String(in.readAllBytes()).trim finally in.close()
+      s"$table/metadata/v$v.metadata.json"
+    } else {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap { n =>
+          "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n).map(_.group(1).toLong)
+        }
+      require(versions.nonEmpty, s"no vN.metadata.json under $dir")
+      s"$table/metadata/v${versions.max}.metadata.json"
+    }
+  }
+
+  /** Resolve the current snapshot's live data files. */
+  def activeFiles(spark: SparkSession, table: String): Seq[String] = {
+    val metaPath = new Path(currentMetadata(spark, table))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val meta = try mapper.readTree(in) finally in.close()
+
+    val snapId = meta.path("current-snapshot-id").asLong
+    require(snapId != 0 && !meta.path("current-snapshot-id").isMissingNode,
+      s"no current snapshot in $metaPath")
+    val snapshots = meta.path("snapshots")
+    var manifestList: String = null
+    snapshots.forEach { s =>
+      if (s.path("snapshot-id").asLong == snapId)
+        manifestList = s.path("manifest-list").asText
+    }
+    require(manifestList != null, s"snapshot $snapId not found in $metaPath")
+
+    val files = mutable.LinkedHashSet[String]()
+    readAvro(spark, manifestList).foreach { mf =>
+      val content = Option(mf.get("content")).map(_.toString.toInt).getOrElse(0)
+      require(content == 0,
+        "iceberg delete manifests (v2 row-level deletes) not supported")
+      val manifestPath = mf.get("manifest_path").toString
+      readAvro(spark, manifestPath).foreach { entry =>
+        val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val fileContent = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
+        require(fileContent == 0,
+          "iceberg delete files (position/equality) not supported")
+        val path = df.get("file_path").toString
+        if (status == 2) files -= path else files += path
+      }
+    }
+    files.toSeq
+  }
+
+  /** Distributed read of the current snapshot. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val files = activeFiles(spark, table)
+    require(files.nonEmpty, s"iceberg table $table has no live data files")
+    spark.read.option("basePath", table).parquet(files.map(stripScheme): _*)
+  }
+
+  // ---- minimal snapshot writer (bootstrap/fixture, not full Iceberg) -----
+
+  private val manifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":["null","int"],"default":null},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"}]}}]}""".stripMargin)
+
+  private val manifestFileSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":["null","int"],"default":null}]}""".stripMargin)
+
+  private def writeAvroFile(spark: SparkSession, path: String,
+      schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, fs.create(p, true))
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** Write `df` as a fresh single-snapshot Iceberg table: data parquet +
+    * one manifest + manifest list + v1.metadata.json. Enough for any
+    * spec-compliant reader (including this one) to scan the snapshot; NOT
+    * a transactional committer — bootstrap and fixtures only.
+    */
+  def writeSnapshot(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    df.write.parquet(s"$table/data")
+    val dataFiles = fs.listStatus(new Path(table, "data"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    val entries = dataFiles.map { f =>
+      val d = new org.apache.avro.generic.GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0); d.put("file_path", f); d.put("file_format", "PARQUET")
+      val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
+      e.put("status", 1); e.put("data_file", d)
+      e: GenericRecord
+    }.toSeq
+    writeAvroFile(spark, s"$table/metadata/m-0.avro", manifestEntrySchema, entries)
+    val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", s"$table/metadata/m-0.avro"); mf.put("content", 0)
+    writeAvroFile(spark, s"$table/metadata/snap-1.avro", manifestFileSchema, Seq(mf))
+    val meta = s"""{"format-version":1,"current-snapshot-id":1,
+      |"snapshots":[{"snapshot-id":1,"manifest-list":"$table/metadata/snap-1.avro"}]}"""
+      .stripMargin
+    val out = fs.create(new Path(table, "metadata/v1.metadata.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

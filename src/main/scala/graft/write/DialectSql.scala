@@ -1,0 +1,113 @@
+package graft.write
+
+/** Dialect merge-SQL template renderer — the port of the reference's
+  * `templates/base.yaml:52-80` merge strategies (merge_insert, merge_update,
+  * merge_update_insert, merge_delete_insert, merge_change_capture) and the
+  * per-dialect overrides (postgres ON CONFLICT / CTE variant
+  * `postgres.yaml:55-96`, mysql ON DUPLICATE KEY). On a Spark deployment the
+  * merges against *file* targets run as Delta-style rewrites (write/Modes);
+  * these rendered statements are what a JDBC target executes in-database —
+  * the reference's boundary #4 (SURVEY §3.1) — so the row movement never
+  * leaves the target DB.
+  *
+  * `Jdbc.merge` executes the ANSI variant against embedded Derby in the
+  * oracle suite; the rendering itself is dialect-complete and unit-tested.
+  */
+object DialectSql {
+
+  final case class MergeSpec(
+      tgtTable: String,
+      srcTable: String,
+      pk: Seq[String],
+      columns: Seq[String])
+
+  private def pkEqual(s: MergeSpec, src: String = "src", tgt: String = "tgt") =
+    s.pk.map(k => s"$src.$k = $tgt.$k").mkString(" AND ")
+
+  private def setFields(s: MergeSpec, src: String = "src") =
+    s.columns.filterNot(s.pk.contains)
+      .map(c => s"$c = $src.$c").mkString(", ")
+
+  private def fields(s: MergeSpec) = s.columns.mkString(", ")
+  private def srcFields(s: MergeSpec, a: String = "src") =
+    s.columns.map(c => s"$a.$c").mkString(", ")
+
+  /** INSERT … WHERE NOT EXISTS (left-anti insert, base.yaml merge_insert). */
+  def mergeInsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM ${s.tgtTable} tgt WHERE ${pkEqual(s)}
+       |)""".stripMargin
+
+  /** UPDATE … FROM (equi-join update, base.yaml merge_update). */
+  def mergeUpdate(s: MergeSpec): String =
+    s"""UPDATE ${s.tgtTable} tgt
+       |SET ${setFields(s)}
+       |FROM ${s.srcTable} src
+       |WHERE ${pkEqual(s)}""".stripMargin
+
+  /** ANSI MERGE (base.yaml merge_update_insert — the default strategy). */
+  def mergeUpdateInsert(s: MergeSpec): String =
+    s"""MERGE INTO ${s.tgtTable} tgt
+       |USING (SELECT ${fields(s)} FROM ${s.srcTable}) src
+       |ON (${pkEqual(s)})
+       |WHEN MATCHED THEN UPDATE SET ${setFields(s)}
+       |WHEN NOT MATCHED THEN INSERT (${fields(s)}) VALUES (${srcFields(s)})""".stripMargin
+
+  /** DELETE matching PKs then INSERT all (base.yaml merge_delete_insert). */
+  def mergeDeleteInsert(s: MergeSpec): Seq[String] = Seq(
+    s"""DELETE FROM ${s.tgtTable} tgt
+       |WHERE EXISTS (
+       |  SELECT 1 FROM ${s.srcTable} src
+       |  WHERE ${pkEqual(s)}
+       |)""".stripMargin,
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
+
+  /** CDC apply: latest-per-PK via ROW_NUMBER, D deletes, U/I upserts
+    * (postgres.yaml:104-130 merge_change_capture shape).
+    */
+  def mergeChangeCapture(s: MergeSpec): Seq[String] = {
+    val pkList = s.pk.mkString(", ")
+    val latest =
+      s"""SELECT *, ROW_NUMBER() OVER (
+         |  PARTITION BY $pkList ORDER BY _sling_cdc_seq DESC) AS _rn
+         |FROM ${s.srcTable}""".stripMargin
+    Seq(
+      s"""DELETE FROM ${s.tgtTable} tgt
+         |WHERE EXISTS (
+         |  SELECT 1 FROM ($latest) src
+         |  WHERE src._rn = 1 AND src._sling_synced_op = 'D'
+         |  AND ${pkEqual(s)}
+         |)""".stripMargin,
+      s"""MERGE INTO ${s.tgtTable} tgt
+         |USING (SELECT ${fields(s)} FROM ($latest) f
+         |       WHERE f._rn = 1 AND f._sling_synced_op <> 'D') src
+         |ON (${pkEqual(s)})
+         |WHEN MATCHED THEN UPDATE SET ${setFields(s)}
+         |WHEN NOT MATCHED THEN INSERT (${fields(s)}) VALUES (${srcFields(s)})""".stripMargin)
+  }
+
+  /** postgres upsert: INSERT … ON CONFLICT (pk) DO UPDATE. */
+  def postgresUpsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${fields(s)} FROM ${s.srcTable}
+       |ON CONFLICT (${s.pk.mkString(", ")}) DO UPDATE
+       |SET ${s.columns.filterNot(s.pk.contains)
+             .map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin
+
+  /** mysql upsert: INSERT … ON DUPLICATE KEY UPDATE. */
+  def mysqlUpsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${fields(s)} FROM ${s.srcTable}
+       |ON DUPLICATE KEY UPDATE ${s.columns.filterNot(s.pk.contains)
+             .map(c => s"$c = VALUES($c)").mkString(", ")}""".stripMargin
+
+  /** Dialect dispatch for the default update_insert strategy. */
+  def upsertFor(dialect: String, s: MergeSpec): Seq[String] = dialect match {
+    case "postgres" => Seq(postgresUpsert(s))
+    case "mysql" => Seq(mysqlUpsert(s))
+    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/derby/...
+  }
+}

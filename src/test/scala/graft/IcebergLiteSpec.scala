@@ -1,0 +1,130 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IcebergLite
+
+/** Iceberg metadata walk against a spec-shaped fixture table. */
+class IcebergLiteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":["null","int"],"default":null},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"}]}}]}""".stripMargin)
+
+  private val manifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":["null","int"],"default":null}]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def entry(status: Int, filePath: String): GenericRecord = {
+    val df = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+    df.put("content", 0)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    val e = new GenericData.Record(manifestEntrySchema)
+    e.put("status", status)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestFile(path: String): GenericRecord = {
+    val m = new GenericData.Record(manifestFileSchema)
+    m.put("manifest_path", path)
+    m.put("content", 0)
+    m
+  }
+
+  test("metadata walk: added files read, deleted files dropped") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg1"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+
+    // two single-file parquet data sets
+    Seq((1, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$t/data/d1")
+    Seq((2, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$t/data/d2")
+    def firstParquet(dir: String): String =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    val (f1, f2) = (firstParquet(s"$t/data/d1"), firstParquet(s"$t/data/d2"))
+
+    // manifest 1 adds both; manifest 2 deletes f1
+    writeAvro(s"$t/metadata/m1.avro", manifestEntrySchema,
+      Seq(entry(1, f1), entry(1, f2)))
+    writeAvro(s"$t/metadata/m2.avro", manifestEntrySchema,
+      Seq(entry(2, f1)))
+    writeAvro(s"$t/metadata/snap-1.avro", manifestFileSchema,
+      Seq(manifestFile(s"$t/metadata/m1.avro"),
+        manifestFile(s"$t/metadata/m2.avro")))
+
+    val meta = s"""{"format-version":1,"current-snapshot-id":99,
+      "snapshots":[{"snapshot-id":99,"manifest-list":"$t/metadata/snap-1.avro"}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"), meta)
+
+    val out = IcebergLite.read(spark, t).orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2)) // f1 deleted, only f2 lives
+  }
+
+  test("newest vN.metadata.json wins; delete files rejected") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg2"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+    Seq((7, "x")).toDF("id", "v").coalesce(1).write.parquet(s"$t/data/d1")
+    val f1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data/d1"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+
+    writeAvro(s"$t/metadata/m1.avro", manifestEntrySchema, Seq(entry(1, f1)))
+    writeAvro(s"$t/metadata/snap-1.avro", manifestFileSchema,
+      Seq(manifestFile(s"$t/metadata/m1.avro")))
+    // v1 points at a bogus snapshot; v2 is the good one — v2 must win
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/metadata/v1.metadata.json"),
+      s"""{"current-snapshot-id":1,"snapshots":[]}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/metadata/v2.metadata.json"),
+      s"""{"current-snapshot-id":5,
+        "snapshots":[{"snapshot-id":5,"manifest-list":"$t/metadata/snap-1.avro"}]}""")
+    assert(IcebergLite.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(7))
+
+    // a manifest entry whose data_file is a delete file (content=1) → reject
+    val del = entry(1, f1)
+    del.get("data_file").asInstanceOf[GenericRecord].put("content", 1)
+    writeAvro(s"$t/metadata/m2.avro", manifestEntrySchema, Seq(del))
+    writeAvro(s"$t/metadata/snap-2.avro", manifestFileSchema,
+      Seq(manifestFile(s"$t/metadata/m2.avro")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t/metadata/v3.metadata.json"),
+      s"""{"current-snapshot-id":6,
+        "snapshots":[{"snapshot-id":6,"manifest-list":"$t/metadata/snap-2.avro"}]}""")
+    intercept[IllegalArgumentException] { IcebergLite.read(spark, t) }
+  }
+}
