@@ -80,6 +80,20 @@ class OrchestrationSpec extends AnyFunSuite {
     intercept[java.util.concurrent.TimeoutException] { q.awaitAndRead(200) }
   }
 
+  test("progress tracker folds task metrics into totals and window rates") {
+    val p = graft.state.Progress.attach(spark, windowSeconds = 10)
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+      // listener bus is async — poll until the task-end events drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (p.snapshot().rowsRead == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val snap = p.snapshot()
+      assert(snap.rowsRead > 0)
+      assert(snap.readPerSec > 0.0)
+    } finally p.detach(spark)
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -60,6 +60,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"join over co-bucketed tables must not shuffle:\n$plan")
   }
 
+  test("q3 pre-aggregated join plans with no Expand and a broadcast dim") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val plan = formatted(
+      graft.SparkEntry.queries("q3_join_agg")(spark, "/root/testdata/sf0.001"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // countDistinct would plan an Expand over the joined fact rows — the
+    // rewrite must not have one, and the dim side must broadcast
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("as-of join shuffles exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "t")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "p"))
+      .toDF("rk", "rt", "payload")
+    // simple mode inlines partitioning args with the Exchange node
+    val plan = graft.operators.AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // union-sort formulation: one hash-partitioning exchange on the key
+    // feeds the window; a range/join exchange would mean a second shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$plan")
+  }
+
   test("native string-clean expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = Tables(spark, "/root/testdata/sf0.001", "customer")
