@@ -59,6 +59,15 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // XLSX round-trip (zip+OOXML, no POI) through the inference engine
+    Q("op_excel_roundtrip",
+      (s, dir) => {
+        val path = scratch("excel_rt", dir) + "/nation.xlsx"
+        graft.sources.ExcelIO.write(Tables(s, dir, "nation"), path)
+        graft.sources.ExcelIO.read(s, path).orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // Iceberg snapshot scan via metadata walk (no runtime jar): bootstrap
     // snapshot write → manifest-list → manifests → distributed parquet read
     Q("op_iceberg_scan",
@@ -254,12 +263,17 @@ object FileOps {
         CAST(c_custkey % 170 - 84.5 AS VARCHAR), ']}') AS geojson
         FROM customer ORDER BY c_custkey""")),
 
-    // approximate distinct (HLL) — rows-only (approximation differs by
-    // engine); exactness bound asserted in OperatorSpec
+    // approximate distinct (HLL): the sketch value itself is
+    // engine-specific, so the oracle checks the exact count plus the HLL
+    // error bound — a drifting sketch fails the hash compare via the flag
     Q("q15_approx_distinct",
       (s, dir) => Tables(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")),
-      None)
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("within_5pct")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        true AS within_5pct FROM lineitem"""))
   )
 }
