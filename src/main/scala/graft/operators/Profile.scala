@@ -42,4 +42,31 @@ object Profile {
         StructField("min_val", StringType),
         StructField("max_val", StringType))))
   }
+
+  /** Relation discovery between a candidate FK column and a candidate key
+    * column — the reference's analyzer classifies column pairs as
+    * one_to_one / one_to_many / many_to_one / many_to_many from uniqueness
+    * plus value overlap (database/analyzer.go:260-560). Three aggregates:
+    * per-side uniqueness and a distinct-value semi-join overlap; the join is
+    * on distinct values (small after dedup) so the full tables never
+    * cross-shuffle.
+    */
+  def relation(dfA: DataFrame, colA: String, dfB: DataFrame,
+      colB: String): (String, Double) = {
+    val a = dfA.select(col(colA)).na.drop()
+    val b = dfB.select(col(colB)).na.drop()
+    val Row(aCnt: Long, aUniq: Long) =
+      a.agg(count(lit(1)), countDistinct(col(colA))).head
+    val Row(bCnt: Long, bUniq: Long) =
+      b.agg(count(lit(1)), countDistinct(col(colB))).head
+    val matched = a.distinct()
+      .join(b.distinct(), col(colA) === col(colB), "left_semi").count()
+    val kind = (aCnt == aUniq, bCnt == bUniq) match {
+      case (true, true) => "one_to_one"
+      case (true, false) => "one_to_many"
+      case (false, true) => "many_to_one"
+      case (false, false) => "many_to_many"
+    }
+    (kind, if (aUniq == 0) 0.0 else matched.toDouble / aUniq)
+  }
 }

@@ -246,6 +246,55 @@ object FileOps {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // relation discovery: classify FK→key pairs from uniqueness + overlap
+    Q("op_relation_discovery",
+      (s, dir) => {
+        import s.implicits._
+        def rel(pair: String, ta: String, ca: String, tb: String, cb: String) = {
+          val (k, m) = graft.operators.Profile.relation(
+            Tables(s, dir, ta), ca, Tables(s, dir, tb), cb)
+          (pair, k, m)
+        }
+        Seq(
+          rel("customer.c_custkey->orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey"),
+          rel("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          rel("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          rel("region.r_regionkey->nation.n_regionkey",
+            "region", "r_regionkey", "nation", "n_regionkey"))
+          .toDF("pair", "relation", "match_ratio")
+          .orderBy("pair")
+      },
+      Some {
+        def relSql(pair: String, ta: String, ca: String, tb: String, cb: String) =
+          s"""SELECT '$pair' AS pair,
+             |  CASE WHEN au AND bu THEN 'one_to_one'
+             |       WHEN au THEN 'one_to_many'
+             |       WHEN bu THEN 'many_to_one'
+             |       ELSE 'many_to_many' END AS relation,
+             |  mr AS match_ratio
+             |FROM (SELECT
+             |  (SELECT COUNT($ca) = COUNT(DISTINCT $ca) FROM $ta
+             |     WHERE $ca IS NOT NULL) AS au,
+             |  (SELECT COUNT($cb) = COUNT(DISTINCT $cb) FROM $tb
+             |     WHERE $cb IS NOT NULL) AS bu,
+             |  (SELECT CAST(COUNT(DISTINCT a.$ca) AS DOUBLE) /
+             |       (SELECT COUNT(DISTINCT $ca) FROM $ta)
+             |     FROM $ta a JOIN $tb b ON a.$ca = b.$cb) AS mr)""".stripMargin
+        Seq(
+          relSql("customer.c_custkey->orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey"),
+          relSql("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          relSql("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          relSql("region.r_regionkey->nation.n_regionkey",
+            "region", "r_regionkey", "nation", "n_regionkey"))
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair")
+      }),
+
     // geometry: WKB build → parse → GeoJSON render (reference geometry
     // column conversion); coords picked to stay in exact binary fractions
     Q("op_geojson",

@@ -28,6 +28,18 @@ object GeoJsonWriter {
       lit("}")).as("feature"))
   }
 
+  /** Read FeatureCollection documents back: one row per Feature, properties
+    * flattened to columns, the geometry kept as a GeoJSON string column.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val exploded = raw.select(explode(col("features")).as("f"))
+    exploded.select(
+      to_json(col("f.geometry")).as("geometry_geojson") +:
+        exploded.select(col("f.properties.*")).columns.toSeq
+          .map(c => col(s"f.properties.$c").as(c)): _*)
+  }
+
   def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit =
     features(df, geometryCol).rdd.map(_.getString(0))
       .mapPartitions { it =>

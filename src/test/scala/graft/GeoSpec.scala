@@ -84,5 +84,13 @@ class GeoSpec extends AnyFunSuite {
       root.get("features").size()
     }.sum
     assert(total == 3)
+
+    // read back: properties become columns, geometry returns as GeoJSON
+    val back = GeoJsonWriter.read(spark, path)
+    assert(back.count() == 3)
+    assert(back.columns.contains("geometry_geojson"))
+    assert(back.columns.contains("id") && back.columns.contains("name"))
+    val g1 = back.filter(back("id") === 1).head.getAs[String]("geometry_geojson")
+    assert(g1.contains("\"Point\"") && g1.contains("1.5"))
   }
 }
