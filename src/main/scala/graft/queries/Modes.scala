@@ -257,6 +257,10 @@ object Modes {
             org.apache.spark.sql.types.StructField("data_type", org.apache.spark.sql.types.StringType))))
           .orderBy("column_name")
       },
-      None)
+      Some("""SELECT * FROM (VALUES
+        ('o_custkey', 'BIGINT'), ('o_orderdate', 'TIMESTAMP_NTZ'),
+        ('o_orderkey', 'BIGINT'), ('o_orderpriority', 'STRING'),
+        ('o_orderstatus', 'STRING'), ('o_totalprice', 'DOUBLE'))
+        t(column_name, data_type) ORDER BY column_name"""))
   )
 }
