@@ -68,6 +68,28 @@ object Integration {
       Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 2 AS BIGINT) AS value
         FROM range(0, 120) ORDER BY id""")),
 
+    // single-task YAML end-to-end: source → select/where → expression
+    // transform → full-refresh target (the reference's primary interface)
+    Q("op_task_yaml",
+      (s, dir) => {
+        val out = scratch("task_yaml", dir)
+        val yaml =
+          s"""source:
+             |  stream: customer
+             |  select: [c_custkey, c_name, c_acctbal]
+             |  where: "c_acctbal > 0"
+             |transforms:
+             |  c_name: "upper(c_name)"
+             |target:
+             |  object: $out
+             |  mode: full-refresh
+             |""".stripMargin
+        graft.repl.TaskConfig.run(s, yaml, dir)
+        s.read.parquet(out).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
+        FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""")),
+
     // endpoint DAG: producer endpoint's collected ids drive a dependent
     // per-id iteration endpoint; both stages through retrying transport
     Q("op_api_dag",

@@ -33,6 +33,9 @@ object Pipeline {
         case "log" => m("message").toString
         case "query" => m("sql").toString
         case "check" => m("expression").toString
+        case "command" => m("command").toString
+        case "copy" => s"${m("from")} > ${m("to")}"
+        case "http" => m("url").toString
         case other => throw new IllegalArgumentException(s"unknown step type: $other")
       }
       Hooks.Hook(kind, value, m.getOrElse("on_failure", "abort").toString)

@@ -1,0 +1,147 @@
+package graft.repl
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.yaml.snakeyaml.Yaml
+
+import graft.sources.{ArrowIO, AvroIO, DeltaLite, ExcelIO, FileSources, IcebergLite, Tables}
+import graft.transform.{Select, Transforms}
+import graft.write.{Modes, ParquetTarget}
+
+/** Single-task YAML interpreter — the reference's primary surface
+  * (`sling run` flags / config → one stream through the pipeline,
+  * config.go:65-261, task_run.go:37-220):
+  *
+  * {{{
+  * source:
+  *   stream: customer            # table name, or a path for file formats
+  *   format: table               # table|csv|jsonl|xlsx|avro|arrow|delta|iceberg
+  *   select: [c_custkey, c_name, -c_comment]   # include/exclude/globs
+  *   where: "c_acctbal > 0"
+  *   limit: 1000
+  * transforms:
+  *   c_name: "upper(c_name)"     # expression transforms, keyed by column
+  * target:
+  *   object: /path/out           # table dir
+  *   format: parquet             # parquet|csv|jsonl|delta
+  *   mode: full-refresh          # full-refresh|truncate|snapshot|
+  *                               # incremental|upsert|delete-missing
+  *   primary_key: [c_custkey]
+  *   update_key: c_acctbal
+  * }}}
+  *
+  * Compiles to: source reader → select/where/limit → expression transforms
+  * → mode writer. Every stage is the same engine code the individual
+  * operators expose; this file only routes.
+  */
+object TaskConfig {
+
+  final case class Source(stream: String, format: String = "table",
+      select: Seq[String] = Nil, where: Option[String] = None,
+      limit: Option[Int] = None)
+
+  final case class Target(obj: String, format: String = "parquet",
+      mode: String = "full-refresh", primaryKey: Seq[String] = Nil,
+      updateKey: Option[String] = None)
+
+  final case class Task(source: Source, transforms: Map[String, String],
+      target: Target)
+
+  // ---- parse -------------------------------------------------------------
+
+  def parse(yamlText: String): Task = {
+    val root = new Yaml().load[java.util.Map[String, Object]](yamlText)
+      .asScala.toMap
+    def section(name: String): Map[String, Object] =
+      Option(root.getOrElse(name, null))
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap)
+        .getOrElse(Map.empty)
+    def strList(m: Map[String, Object], k: String): Seq[String] =
+      m.get(k).map {
+        case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+        case s => Seq(s.toString)
+      }.getOrElse(Nil)
+
+    val s = section("source")
+    val t = section("target")
+    Task(
+      Source(
+        stream = s("stream").toString,
+        format = s.getOrElse("format", "table").toString,
+        select = strList(s, "select"),
+        where = s.get("where").map(_.toString),
+        limit = s.get("limit").map(_.toString.toInt)),
+      section("transforms").map { case (k, v) => k -> v.toString },
+      Target(
+        obj = t("object").toString,
+        format = t.getOrElse("format", "parquet").toString,
+        mode = t.getOrElse("mode", "full-refresh").toString,
+        primaryKey = strList(t, "primary_key"),
+        updateKey = t.get("update_key").map(_.toString)))
+  }
+
+  // ---- compile + run -----------------------------------------------------
+
+  def readSource(spark: SparkSession, src: Source, sfDir: String): DataFrame =
+    src.format match {
+      case "table" => Tables(spark, sfDir, src.stream)
+      case "csv" => FileSources.csv(spark, src.stream)
+      case "jsonl" => FileSources.jsonl(spark, src.stream)
+      case "xlsx" => ExcelIO.read(spark, src.stream)
+      case "avro" => AvroIO.read(spark, src.stream)
+      case "arrow" => ArrowIO.read(spark, src.stream)
+      case "delta" => DeltaLite.read(spark, src.stream)
+      case "iceberg" => IcebergLite.read(spark, src.stream)
+      case "parquet" => spark.read.parquet(src.stream)
+      case other => throw new IllegalArgumentException(s"source format $other")
+    }
+
+  def applyPipeline(df: DataFrame, task: Task): DataFrame = {
+    val selected =
+      if (task.source.select.nonEmpty) Select(df, task.source.select) else df
+    val filtered = task.source.where.fold(selected)(w => selected.filter(expr(w)))
+    val limited = task.source.limit.fold(filtered)(filtered.limit)
+    task.transforms.foldLeft(limited) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e))
+    }
+  }
+
+  /** Execute the task; returns rows now present in the target. */
+  def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
+    val task = parse(yamlText)
+    val df = applyPipeline(readSource(spark, task.source, sfDir), task)
+    val tgt = task.target
+    tgt.format match {
+      case "parquet" | "delta" =>
+        val writeDelta = tgt.format == "delta"
+        val pt = ParquetTarget(spark, tgt.obj)
+        tgt.mode match {
+          case "full-refresh" | "truncate" =>
+            if (writeDelta) DeltaLite.overwrite(df, tgt.obj)
+            else Modes.fullRefresh(pt, df)
+          case "snapshot" =>
+            if (writeDelta) DeltaLite.append(df, tgt.obj)
+            else Modes.snapshot(pt, df,
+              java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+          case "incremental" if tgt.primaryKey.nonEmpty =>
+            Modes.upsert(pt, df, tgt.primaryKey)
+          case "incremental" =>
+            Modes.incrementalAppend(pt, df, tgt.updateKey.getOrElse(
+              throw new IllegalArgumentException("incremental needs update_key")))
+          case "upsert" => Modes.upsert(pt, df, tgt.primaryKey)
+          case other => throw new IllegalArgumentException(s"mode $other")
+        }
+        if (writeDelta) DeltaLite.read(spark, tgt.obj).count()
+        else pt.read.count()
+      case "csv" =>
+        df.write.mode("overwrite").option("header", "true").csv(tgt.obj)
+        spark.read.option("header", "true").csv(tgt.obj).count()
+      case "jsonl" =>
+        df.write.mode("overwrite").json(tgt.obj)
+        spark.read.json(tgt.obj).count()
+      case other => throw new IllegalArgumentException(s"target format $other")
+    }
+  }
+}

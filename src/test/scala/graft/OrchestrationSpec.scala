@@ -94,6 +94,34 @@ class OrchestrationSpec extends AnyFunSuite {
     } finally p.detach(spark)
   }
 
+  test("task yaml: delta target, upsert mode, limit") {
+    val base = "/tmp/graft-test/task_delta"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val yaml =
+      s"""source:
+         |  stream: nation
+         |  limit: 10
+         |target:
+         |  object: $base/t
+         |  format: delta
+         |  mode: full-refresh
+         |""".stripMargin
+    val n = graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+    assert(n == 10)
+    // delta source readable back through a second task
+    val yaml2 =
+      s"""source:
+         |  stream: $base/t
+         |  format: delta
+         |target:
+         |  object: $base/t2
+         |  mode: full-refresh
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml2, "/root/testdata/sf0.001") == 10)
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
