@@ -101,6 +101,28 @@ object Pipeline {
           CAST(SUM(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
         ORDER BY expression""")),
 
+    // exact sling checksums: per-type uint64 value checksums wrap-summed by
+    // a native Aggregator (ANSI-safe); no wrap occurs at these sums so the
+    // oracle reproduces them with plain arithmetic
+    Q("op_exact_checksum",
+      (s, dir) => {
+        import graft.functions.expressions.ExactChecksum._
+        val c = Tables(s, dir, "customer")
+        c.agg(
+          asUnsigned(checksum(col("c_custkey"), org.apache.spark.sql.types.LongType)).as("ck_custkey"),
+          asUnsigned(checksum(col("c_name"), org.apache.spark.sql.types.StringType)).as("ck_name"),
+          asUnsigned(checksum(col("c_nationkey"), org.apache.spark.sql.types.IntegerType)).as("ck_nationkey"),
+          asUnsigned(checksum(col("c_acctbal"), org.apache.spark.sql.types.DoubleType)).as("ck_acctbal"),
+          asUnsigned(checksum(col("c_mktsegment"), org.apache.spark.sql.types.StringType)).as("ck_mktsegment"))
+      },
+      Some("""SELECT
+        CAST(SUM(abs(c_custkey)) AS DECIMAL(20,0)) AS ck_custkey,
+        CAST(SUM(length(c_name)) AS DECIMAL(20,0)) AS ck_name,
+        CAST(SUM(abs(c_nationkey)) AS DECIMAL(20,0)) AS ck_nationkey,
+        CAST(SUM(CAST(trunc(abs(c_acctbal)) AS BIGINT)) AS DECIMAL(20,0)) AS ck_acctbal,
+        CAST(SUM(length(c_mktsegment)) AS DECIMAL(20,0)) AS ck_mktsegment
+        FROM customer""")),
+
     // binary/protocol transforms on md5-derived bytes: RFC vs MS-GUID byte
     // order, bit parse — oracle reorders hex slices the same way
     Q("op_transforms_binary",

@@ -56,6 +56,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("b") == "b2")
   }
 
+  test("exact checksum aggregator wraps like uint64 addition") {
+    import spark.implicits._
+    import graft.functions.expressions.ExactChecksum
+    // two near-max values force a 64-bit wrap; compare against BigInt mod 2^64
+    val vals = Seq(Long.MaxValue - 3, Long.MaxValue - 5, 42L)
+    val expected = (vals.map(BigInt(_)).sum.mod(BigInt(2).pow(64))).toString
+    val out = vals.toDF("v")
+      .agg(ExactChecksum.asUnsigned(
+        org.apache.spark.sql.functions.udaf(ExactChecksum.wrapSum).apply($"v")).as("ck"))
+      .head.getDecimal(0).toBigInteger.toString
+    assert(out == expected)
+    // per-type value checksums: bool=len(true/false), double truncates
+    val r = Seq((true, -2.7, "ab cd"))
+      .toDF("b", "x", "s")
+      .select(
+        ExactChecksum.valueChecksum($"b", org.apache.spark.sql.types.BooleanType),
+        ExactChecksum.valueChecksum($"x", org.apache.spark.sql.types.DoubleType),
+        ExactChecksum.valueChecksum($"s", org.apache.spark.sql.types.StringType))
+      .head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 5L)
+  }
+
   test("chunked read covers every row exactly once") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("k")
