@@ -69,20 +69,57 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
 
-  /** IVF-flat ANN: a coarse quantizer of `nlist` sampled centroids cells the
-    * corpus once (argmax-cosine assignment); each query probes its `nprobe`
-    * nearest cells and re-scores exactly inside them. Probing cost is
-    * O(corpus * nprobe / nlist) instead of O(corpus); the inverted index is
-    * the (cell → vectors) co-partitioning, i.e. one shuffle at build time.
-    * Centroids here are sampled rows (deterministic); swapping in k-means
-    * centroids changes only `centroids()`.
+  /** Deterministic Lloyd k-means coarse quantizer: init = first `k` corpus
+    * rows by id, then `iters` assign-update rounds. The update is an
+    * element-wise mean via posexplode → groupBy(cell, dim) in exact DECIMAL
+    * (so partial-agg order cannot perturb centroids between runs); per
+    * iteration the shuffle is |corpus|·dim value rows — the standard
+    * distributed-k-means cost, linear in data size.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (0 until iters).foreach { _ =>
+      def cosineToCent(v: Column, ct: Seq[Double]): Column = {
+        val ctNorm = math.sqrt(ct.map(x => x * x).sum)
+        dot(v, typedLit(ct)) / (norm(v) * lit(ctNorm))
+      }
+      val sims = array(cents.map(ct => cosineToCent(col(vecCol), ct)): _*)
+      val assigned = corpus
+        .withColumn("__cell", array_position(sims, array_max(sims)).cast("int"))
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      val means = assigned.groupBy("__cell", "__dim")
+        .agg((sum(col("__x").cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty cells keep their previous centroid (standard Lloyd handling)
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i + 1, old) }
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: a coarse quantizer of `nlist` centroids (k-means, or the
+    * first rows when `kmeansIters` = 0) cells the corpus once (argmax-cosine
+    * assignment); each query probes its `nprobe` nearest cells and re-scores
+    * exactly inside them. Probing cost is O(corpus * nprobe / nlist) instead
+    * of O(corpus); the inverted index is the (cell → vectors)
+    * co-partitioning, i.e. one shuffle at build time.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     def cosineToCent(v: Column, ct: Seq[Double]): Column = {
       val ctNorm = math.sqrt(ct.map(x => x * x).sum)
       dot(v, typedLit(ct)) / (norm(v) * lit(ctNorm))

@@ -182,7 +182,8 @@ object TrainingData {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
-            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+            kmeansIters = 2)
           .orderBy("query_id", "rank")
       },
       None),

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
@@ -163,6 +163,96 @@ object ArrowIO {
         w.end()
       } finally { w.close(); root.close(); alloc.close(); os.close() }
     }
+  }
+
+  /** Arrow STREAM format (.arrows): same record batches without the footer
+    * index — the wire form for pipes/sockets. One file per partition.
+    */
+  def writeStream(df: DataFrame, path: String): Unit = {
+    val sparkSchema = df.schema
+    val spark = df.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    df.rdd.foreachPartition { rows =>
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val out = new Path(path, f"part-$part%05d.arrows")
+      val pfs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val arrowSchema = new ArrowSchema(
+        sparkSchema.fields.map(toArrowField).toList.asJava)
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(arrowSchema, alloc)
+      val os = pfs.create(out, true)
+      val w = new ArrowStreamWriter(root, null, Channels.newChannel(os))
+      try {
+        w.start()
+        val vecs = root.getFieldVectors.asScala.toArray
+        var n = 0
+        rows.foreach { row =>
+          var c = 0
+          while (c < vecs.length) {
+            setCell(vecs(c), n, row.get(c), sparkSchema(c).dataType); c += 1
+          }
+          n += 1
+          if (n == BatchRows) {
+            root.setRowCount(n); w.writeBatch(); root.allocateNew(); n = 0
+          }
+        }
+        if (n > 0) { root.setRowCount(n); w.writeBatch() }
+        w.end()
+      } finally { w.close(); root.close(); alloc.close(); os.close() }
+    }
+  }
+
+  /** Distributed stream-format read: one task per .arrows file. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".arrows")).map(_.toString).sorted
+    require(files.nonEmpty, s"no .arrows files in $path")
+
+    val sparkSchema = {
+      val alloc = new RootAllocator()
+      val r = new ArrowStreamReader(fs.open(new Path(files.head)), alloc)
+      try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+        .map(f => StructField(f.getName, toSparkType(f), nullable = true)))
+      finally { r.close(); alloc.close() }
+    }
+
+    val rows = spark.sparkContext
+      .parallelize(files.toSeq, files.length)
+      .mapPartitions { paths =>
+        paths.flatMap { fp =>
+          val fpath = new Path(fp)
+          val pfs = fpath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val alloc = new RootAllocator()
+          val reader = new ArrowStreamReader(pfs.open(fpath), alloc)
+          val root = reader.getVectorSchemaRoot
+          new Iterator[Row] {
+            private var inBatch = 0
+            private var batchRows = 0
+            private var done = false
+            private def advance(): Unit =
+              while (!done && inBatch >= batchRows) {
+                if (reader.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
+                else { done = true; reader.close(); alloc.close() }
+              }
+            override def hasNext: Boolean = { advance(); !done }
+            override def next(): Row = {
+              advance()
+              val vecs = root.getFieldVectors
+              val vals = new Array[Any](vecs.size())
+              var c = 0
+              while (c < vals.length) { vals(c) = getCell(vecs.get(c), inBatch); c += 1 }
+              inBatch += 1
+              Row.fromSeq(vals.toSeq)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
   }
 
   // ---- read --------------------------------------------------------------

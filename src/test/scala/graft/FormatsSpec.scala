@@ -68,6 +68,15 @@ class FormatsSpec extends AnyFunSuite {
     assert(collectSorted(back) == collectSorted(sample))
   }
 
+  test("arrow stream-format roundtrip") {
+    val path = "/tmp/graft-test/arrows_rt"
+    ArrowIO.writeStream(sample, path)
+    val back = ArrowIO.readStream(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(collectSorted(back) == collectSorted(sample))
+  }
+
   test("arrow roundtrip spans record-batch boundaries") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")

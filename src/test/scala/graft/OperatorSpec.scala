@@ -56,6 +56,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("b") == "b2")
   }
 
+  test("ivf with k-means centroids keeps decent recall vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, kmeansIters = 2))
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("exact checksum aggregator wraps like uint64 addition") {
     import spark.implicits._
     import graft.functions.expressions.ExactChecksum
