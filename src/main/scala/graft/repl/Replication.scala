@@ -34,7 +34,9 @@ import graft.write.{Modes, ParquetTarget}
 object Replication {
 
   final case class Stream(name: String, mode: String, updateKey: Option[String],
-      pk: Seq[String], sourcePattern: String = "")
+      pk: Seq[String], sourcePattern: String = "",
+      select: Seq[String] = Nil, where: Option[String] = None,
+      transforms: Map[String, String] = Map.empty)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -65,7 +67,16 @@ object Replication {
             case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
             case s => Seq(s.toString)
           }.getOrElse(Seq.empty),
-          sourcePattern = pattern)
+          sourcePattern = pattern,
+          select = merged.get("select").map {
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case s => Seq(s.toString)
+          }.getOrElse(Nil),
+          where = merged.get("where").map(_.toString),
+          transforms = merged.get("transforms").map(
+            _.asInstanceOf[java.util.Map[String, Object]].asScala
+              .map { case (k, v) => k -> v.toString }.toMap)
+            .getOrElse(Map.empty))
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -89,7 +100,13 @@ object Replication {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = compiled.streams.map { st =>
       Future {
-        val src = Tables(spark, sfDir, st.name)
+        // per-stream select/where/transforms run through the same pipeline
+        // stage the single-task interpreter uses
+        val raw = Tables(spark, sfDir, st.name)
+        val src = TaskConfig.applyPipeline(raw, TaskConfig.Task(
+          TaskConfig.Source(st.name, select = st.select, where = st.where),
+          st.transforms,
+          TaskConfig.Target(s"$targetRoot/${st.name}", mode = st.mode)))
         val tgt = ParquetTarget(spark, s"$targetRoot/${st.name}")
         st.mode match {
           case "full-refresh" | "truncate" => Modes.fullRefresh(tgt, src)

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Modes {
 
+  /** Empty-stream guard (task_run_write.go:414-416, `SLING_ALLOW_EMPTY`):
+    * a destructive mode fed zero rows usually means an upstream fault, not
+    * an intentionally empty load — abort unless explicitly allowed. Uses
+    * `isEmpty` (a limit-1 probe), not a full count.
+    */
+  def guardEmpty(source: DataFrame, allowEmpty: Boolean = false): DataFrame = {
+    if (!allowEmpty && source.isEmpty)
+      throw new IllegalStateException(
+        "source stream is empty; pass allowEmpty=true (SLING_ALLOW_EMPTY) to proceed")
+    source
+  }
+
   /** `full-refresh`: drop + recreate (task_run_write.go:923-929). */
   def fullRefresh(target: ParquetTarget, source: DataFrame): Unit =
     target.overwrite(source)

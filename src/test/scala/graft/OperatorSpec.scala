@@ -106,6 +106,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(ChunkedRead.unionAll(df, "k", 3).count() == 5)
   }
 
+  test("empty-stream guard aborts destructive loads unless allowed") {
+    import spark.implicits._
+    val empty = Seq.empty[(Int, String)].toDF("id", "v")
+    intercept[IllegalStateException] { Modes.guardEmpty(empty) }
+    assert(Modes.guardEmpty(empty, allowEmpty = true).count() == 0)
+    assert(Modes.guardEmpty(Seq((1, "a")).toDF("id", "v")).count() == 1)
+  }
+
+  test("replication streams honor per-stream select/where/transforms") {
+    val yaml =
+      """defaults:
+        |  mode: full-refresh
+        |streams:
+        |  nation:
+        |    select: [n_nationkey, n_name]
+        |    where: "n_nationkey < 10"
+        |    transforms:
+        |      n_name: "lower(n_name)"
+        |""".stripMargin
+    val compiled = graft.repl.Replication.parse(yaml, Seq("nation"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val out = graft.repl.Replication.run(spark, "/root/testdata/sf0.001",
+      compiled, dir)
+    assert(out.head._3 == 10)
+    val t = spark.read.parquet(s"$dir/nation")
+    assert(t.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(t.collect().forall(r => r.getString(1) == r.getString(1).toLowerCase))
+  }
+
   test("upsert keeps unmatched target rows and overwrites matched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
