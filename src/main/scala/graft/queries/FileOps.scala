@@ -246,6 +246,19 @@ object FileOps {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // stream discovery: wildcard catalog listing with 1-based column
+    // positions (type names differ by engine, so the oracle checks
+    // stream/position/name)
+    Q("op_discover",
+      (s, dir) => graft.sources.Discover.columns(s, dir, Seq("n*", "r*"))
+        .select("stream", "position", "column_name")
+        .orderBy("stream", "position"),
+      Some("""SELECT table_name AS stream,
+        CAST(ordinal_position AS BIGINT) AS position, column_name
+        FROM information_schema.columns
+        WHERE table_name LIKE 'n%' OR table_name LIKE 'r%'
+        ORDER BY stream, position""")),
+
     // relation discovery: classify FK→key pairs from uniqueness + overlap
     Q("op_relation_discovery",
       (s, dir) => {
