@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI front-end mirroring the reference's `sling run` verbs:
+  *
+  *   runMain graft.Cli task <task.yaml> [sfDir]          one stream
+  *   runMain graft.Cli replication <repl.yaml> <targetRoot> [sfDir]
+  *   runMain graft.Cli pipeline <pipeline.yaml> [sfDir]  ordered steps
+  *   runMain graft.Cli discover <pattern> [sfDir]        list streams
+  *
+  * Each verb routes to the same engine modules the library exposes —
+  * the CLI is only argument parsing plus a session.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Cli <task|replication|pipeline|discover> ...")
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = {
+    def readFile(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    args.head match {
+      case "task" =>
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+        val rows = repl.TaskConfig.run(spark, readFile(args(1)), sfDir)
+        println(s"""{"verb":"task","rows_in_target":$rows}""")
+      case "replication" =>
+        val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.001")
+        val compiled = repl.Replication.parse(readFile(args(1)),
+          sources.Tables.names)
+        val out = repl.Replication.run(spark, sfDir, compiled, args(2))
+        out.foreach { case (st, mode, n) =>
+          println(s"""{"stream":"$st","mode":"$mode","rows":$n}""")
+        }
+      case "pipeline" =>
+        val results = repl.Pipeline.run(spark, readFile(args(1)))
+        results.foreach(r =>
+          println(s"""{"step":"${r.hook.kind}","ok":${r.ok}}"""))
+      case "discover" =>
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+        sources.Discover.columns(spark, sfDir, Seq(args(1)))
+          .collect().foreach { r =>
+            println(s"""{"stream":"${r.getString(0)}","position":${r.getLong(1)},""" +
+              s""""column":"${r.getString(2)}","type":"${r.getString(3)}"}""")
+          }
+      case other =>
+        throw new IllegalArgumentException(s"unknown verb $other")
+    }
+  }
+}

@@ -53,6 +53,27 @@ object Temporal {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // true-streaming sessionization: flatMapGroupsWithState carries
+    // per-user (last ts, session count) across batches; per-user summary
+    // must equal the batch window-function sessionization
+    Q("t_stream_sessionize",
+      (s, dir) => {
+        val path = scratch("stream_sess_events", dir)
+        Tables(s, dir, "events").write.mode("overwrite").parquet(path)
+        EventStream.streamingSessionize(s, path, "t_stream_sess_sink",
+            gapMinutes = 30)
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          THEN 1 ELSE 0 END AS new_s
+          FROM events)
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+          COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
     // streaming dedup with watermark-bounded state over an at-least-once
     // (self-unioned) stream; output = each event exactly once
     Q("t_stream_dedup",

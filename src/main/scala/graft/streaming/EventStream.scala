@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventStream {
 
+  /** Per-user sessionization state (streamingSessionize). */
+  final case class Sess(lastMicros: Long, nSessions: Long, nEvents: Long)
+
   /** Tumbling-window count/sum per event_type, run as a real streaming query
     * (file source → complete-mode memory sink, drained synchronously).
     * Sums go through decimal so streaming-state accumulation order can't
@@ -78,6 +81,66 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
       .select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** True-streaming sessionization with custom state:
+    * `flatMapGroupsWithState` keyed by user, carrying (last event time,
+    * session count, event count) across micro-batches and opening a new
+    * session after `gapMinutes` of inactivity. This is the
+    * KeyValueGroupedDataset path the reference's batching knobs map to for
+    * genuinely unbounded inputs; state is per-key and O(1), evicted by the
+    * processing-time timeout. Emits one (user_id, n_sessions, n_events)
+    * row per user per batch (Update mode).
+    */
+  def streamingSessionize(spark: SparkSession, eventsDir: String,
+      queryName: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val batch = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(eventsDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def update(user: Long, events: Iterator[(Long, java.sql.Timestamp, Long)],
+        state: GroupState[Sess]): Iterator[(Long, Long, Long)] = {
+      // order within the batch: state semantics require event-time order
+      val sorted = events.toSeq.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      var s = state.getOption.getOrElse(Sess(Long.MinValue, 0L, 0L))
+      sorted.foreach { case (_, ts, _) =>
+        val micros = Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L
+        val newSession = s.lastMicros == Long.MinValue ||
+          micros - s.lastMicros > gapMicros
+        s = Sess(micros, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+      }
+      state.update(s)
+      Iterator.single((user, s.nSessions, s.nEvents))
+    }
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "n_sessions", "n_events")
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Update mode appends one row per user per batch; keep the latest
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    spark.table(queryName)
+      .withColumn("__max_ev", max(col("n_events")).over(w))
+      .filter(col("n_events") === col("__max_ev"))
+      .drop("__max_ev").distinct()
   }
 
   /** Gap-based sessionization: a new session starts after `gapMinutes` of

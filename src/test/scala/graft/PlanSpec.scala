@@ -60,6 +60,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"join over co-bucketed tables must not shuffle:\n$plan")
   }
 
+  test("{part_*} masked writes prune partitions at read time") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.write.PartitionedWriter.write(
+      Tables(spark, "/root/testdata/sf0.001", "orders"), path,
+      "o_orderdate", Seq("part_year"))
+    val df = spark.read.option("basePath", path).parquet(path)
+      .filter(col("part_year") === 1995)
+    val plan = formatted(df)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_year"), plan)
+    // the pruned scan must not list every year's directory
+    assert(df.count() > 0)
+  }
+
   test("q3 pre-aggregated join plans with no Expand and a broadcast dim") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
