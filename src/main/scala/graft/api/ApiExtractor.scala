@@ -14,7 +14,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object ApiExtractor {
 
-  /** Minimal endpoint spec: fetch pages, pull records at `recordsPath`,
+  /** Minimal endpoint spec: fetch pages, pull records at `recordsPath`
+    * (a jmespath-style path — nested fields, `[N]`, `[]`/`[*]` flatten,
+    * evaluated by [[graft.transform.JsonPathX]]; spec.go:1331-1341),
     * follow `nextTokenPath` until absent, dedup on `primaryKey`.
     */
   final case class EndpointSpec(
@@ -41,15 +43,26 @@ object ApiExtractor {
         else Map("page_token" -> next.get)
       val body = transport(spec.url, params)
       val root = mapper.readTree(body)
-      val records = root.path(spec.recordsPath)
-      records.forEach { rec =>
+      // a path match that is itself an array contributes its elements (the
+      // plain-field case, e.g. "data"); a flattened match contributes itself
+      val records = graft.transform.JsonPathX.eval(root, spec.recordsPath)
+        .flatMap { m =>
+          if (m.isArray) {
+            val b = mutable.ArrayBuffer[JsonNode]()
+            m.forEach(n => b += n)
+            b.toSeq
+          } else Seq(m)
+        }
+      records.foreach { rec =>
         val keep = spec.primaryKey match {
           case Some(pk) => seen.add(rec.path(pk).asText)
           case None => true
         }
         if (keep) out += mapper.writeValueAsString(rec)
       }
-      val nt = root.path(spec.nextTokenPath)
+      val nt = graft.transform.JsonPathX.eval(root, spec.nextTokenPath)
+        .headOption.getOrElse(
+          com.fasterxml.jackson.databind.node.MissingNode.getInstance())
       // an empty-string token means "no more pages" too — Some("") would map
       // back to no page_token param and re-fetch page 0 until maxPages
       next = if (nt.isMissingNode || nt.isNull || nt.asText.isEmpty) None

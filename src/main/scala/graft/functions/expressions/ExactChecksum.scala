@@ -17,15 +17,17 @@ import org.apache.spark.sql.types._
 object ExactChecksum {
 
   /** Per-value checksum by type:
-    * string→length, json→length without spaces, int→|v|, float/decimal→
+    * string→UTF-8 byte length (the reference computes uint64(len(sVal)) over
+    * Go's UTF-8 bytes, stream_processor.go:771 — octet_length, not character
+    * count), json→byte length without spaces (:795), int→|v|, float/decimal→
     * trunc|v|, bool→len("true"/"false"), timestamp→unix micros,
     * date→midnight micros, binary→byte length.
     */
   def valueChecksum(c: Column, dt: DataType, isJson: Boolean = false): Column =
     dt match {
       case StringType =>
-        if (isJson) length(regexp_replace(c, " ", "")).cast(LongType)
-        else length(c).cast(LongType)
+        if (isJson) octet_length(regexp_replace(c, " ", "")).cast(LongType)
+        else octet_length(c).cast(LongType)
       case ByteType | ShortType | IntegerType | LongType => abs(c).cast(LongType)
       case FloatType | DoubleType => abs(c).cast(LongType) // trunc toward zero
       case d: DecimalType => abs(c).cast(LongType)

@@ -53,14 +53,16 @@ object Profile {
     */
   def relation(dfA: DataFrame, colA: String, dfB: DataFrame,
       colB: String): (String, Double) = {
-    val a = dfA.select(col(colA)).na.drop()
-    val b = dfB.select(col(colB)).na.drop()
+    // alias both sides: when colA and colB share a name (the common FK
+    // convention) unqualified references in the join condition are ambiguous
+    val a = dfA.select(col(colA).as("__rel_a")).na.drop()
+    val b = dfB.select(col(colB).as("__rel_b")).na.drop()
     val Row(aCnt: Long, aUniq: Long) =
-      a.agg(count(lit(1)), countDistinct(col(colA))).head
+      a.agg(count(lit(1)), countDistinct(col("__rel_a"))).head
     val Row(bCnt: Long, bUniq: Long) =
-      b.agg(count(lit(1)), countDistinct(col(colB))).head
+      b.agg(count(lit(1)), countDistinct(col("__rel_b"))).head
     val matched = a.distinct()
-      .join(b.distinct(), col(colA) === col(colB), "left_semi").count()
+      .join(b.distinct(), col("__rel_a") === col("__rel_b"), "left_semi").count()
     val kind = (aCnt == aUniq, bCnt == bUniq) match {
       case (true, true) => "one_to_one"
       case (true, false) => "one_to_many"

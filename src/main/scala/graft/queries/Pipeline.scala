@@ -103,24 +103,28 @@ object Pipeline {
 
     // exact sling checksums: per-type uint64 value checksums wrap-summed by
     // a native Aggregator (ANSI-safe); no wrap occurs at these sums so the
-    // oracle reproduces them with plain arithmetic
+    // oracle reproduces them with plain arithmetic. Both sides render the
+    // uint64 as VARCHAR: DECIMAL(20,0) goes through pandas as float64 on the
+    // oracle side ("1124250.0" vs "1124250" — the round-1 HUGEINT trap).
+    // String checksums are UTF-8 BYTE lengths (stream_processor.go:771) —
+    // DuckDB strlen(), not length().
     Q("op_exact_checksum",
       (s, dir) => {
         import graft.functions.expressions.ExactChecksum._
         val c = Tables(s, dir, "customer")
         c.agg(
-          asUnsigned(checksum(col("c_custkey"), org.apache.spark.sql.types.LongType)).as("ck_custkey"),
-          asUnsigned(checksum(col("c_name"), org.apache.spark.sql.types.StringType)).as("ck_name"),
-          asUnsigned(checksum(col("c_nationkey"), org.apache.spark.sql.types.IntegerType)).as("ck_nationkey"),
-          asUnsigned(checksum(col("c_acctbal"), org.apache.spark.sql.types.DoubleType)).as("ck_acctbal"),
-          asUnsigned(checksum(col("c_mktsegment"), org.apache.spark.sql.types.StringType)).as("ck_mktsegment"))
+          asUnsigned(checksum(col("c_custkey"), org.apache.spark.sql.types.LongType)).cast("string").as("ck_custkey"),
+          asUnsigned(checksum(col("c_name"), org.apache.spark.sql.types.StringType)).cast("string").as("ck_name"),
+          asUnsigned(checksum(col("c_nationkey"), org.apache.spark.sql.types.IntegerType)).cast("string").as("ck_nationkey"),
+          asUnsigned(checksum(col("c_acctbal"), org.apache.spark.sql.types.DoubleType)).cast("string").as("ck_acctbal"),
+          asUnsigned(checksum(col("c_mktsegment"), org.apache.spark.sql.types.StringType)).cast("string").as("ck_mktsegment"))
       },
       Some("""SELECT
-        CAST(SUM(abs(c_custkey)) AS DECIMAL(20,0)) AS ck_custkey,
-        CAST(SUM(length(c_name)) AS DECIMAL(20,0)) AS ck_name,
-        CAST(SUM(abs(c_nationkey)) AS DECIMAL(20,0)) AS ck_nationkey,
-        CAST(SUM(CAST(trunc(abs(c_acctbal)) AS BIGINT)) AS DECIMAL(20,0)) AS ck_acctbal,
-        CAST(SUM(length(c_mktsegment)) AS DECIMAL(20,0)) AS ck_mktsegment
+        CAST(CAST(SUM(abs(c_custkey)) AS DECIMAL(20,0)) AS VARCHAR) AS ck_custkey,
+        CAST(CAST(SUM(strlen(c_name)) AS DECIMAL(20,0)) AS VARCHAR) AS ck_name,
+        CAST(CAST(SUM(abs(c_nationkey)) AS DECIMAL(20,0)) AS VARCHAR) AS ck_nationkey,
+        CAST(CAST(SUM(CAST(trunc(abs(c_acctbal)) AS BIGINT)) AS DECIMAL(20,0)) AS VARCHAR) AS ck_acctbal,
+        CAST(CAST(SUM(strlen(c_mktsegment)) AS DECIMAL(20,0)) AS VARCHAR) AS ck_mktsegment
         FROM customer""")),
 
     // binary/protocol transforms on md5-derived bytes: RFC vs MS-GUID byte

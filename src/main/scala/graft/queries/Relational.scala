@@ -90,9 +90,12 @@ object Relational {
         // 600k and `n_orders` needs no countDistinct Expand — decimal sums
         // are exact, so regrouping cannot change the result
         val liAgg = li.groupBy(col("l_orderkey")).agg(sum(discPrice).as("__ord_rev"))
+        // broadcast only the fixed-size nation dim (25 rows); customer scales
+        // with SF (billions of rows at 100 TB) so AQE decides that join's
+        // strategy from runtime stats instead of a forced broadcast
         liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c.join(broadcast(n),
-            c("c_nationkey") === n("n_nationkey"))),
+          .join(c.join(broadcast(n),
+            c("c_nationkey") === n("n_nationkey")),
             o("o_custkey") === c("c_custkey"))
           .groupBy(col("n_name"))
           .agg(

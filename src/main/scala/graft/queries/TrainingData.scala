@@ -141,10 +141,54 @@ object TrainingData {
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
         ORDER BY id_a, id_b""")),
 
+    // SimHash, oracle-gated via derived deterministic properties on planted
+    // pairs (the 64-bit hash family itself is engine-specific, so the gate
+    // checks behavior, not values). The id-shift pairing used first was a
+    // trap: the synthetic corpus has planted near-dup families (94/500
+    // id-shift pairs had hamming < 10, some with identical token SETS), so
+    // the "unrelated" doc is instead DERIVED per doc by rewriting every
+    // token (t -> t+"zzz": a fully disjoint token set, hamming ~ Bin(64,.5)).
+    //  - dup_invariant: duplicating an existing token leaves the signature
+    //    unchanged (SimHash is a function of the distinct token set);
+    //  - near_ok: hamming to a 1-token-append neighbor <= 30 (measured max
+    //    15 across sf0.001-0.1; ~4 sigma above);
+    //  - far_ok: hamming to the token-rewritten doc >= 5 (mean 32, sigma 4);
+    //  - sep_ok: >= 95% of docs rank the 1-token neighbor strictly closer
+    //    than the rewritten doc.
     Q("td_dedup_simhash",
-      (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id"),
-      None),
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val near = d.select(col("doc_id"),
+          concat(col("text"), lit(" zzznearzzz")).as("text"))
+        val dup = d.select(col("doc_id"),
+          concat(col("text"), lit(" "), split(col("text"), " ").getItem(0)).as("text"))
+        val far = d.select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("zzz"))), " ").as("text"))
+        val sig = Dedup.simhash(d, "doc_id", "text")
+        val sigNear = Dedup.simhash(near, "doc_id", "text")
+          .withColumnRenamed("simhash", "sig_near")
+        val sigDup = Dedup.simhash(dup, "doc_id", "text")
+          .withColumnRenamed("simhash", "sig_dup")
+        val sigFar = Dedup.simhash(far, "doc_id", "text")
+          .withColumnRenamed("simhash", "sig_far")
+        val j = sig.join(sigNear, "id").join(sigDup, "id").join(sigFar, "id")
+          .withColumn("near_ham",
+            bit_count(col("simhash").bitwiseXOR(col("sig_near"))))
+          .withColumn("far_ham",
+            bit_count(col("simhash").bitwiseXOR(col("sig_far"))))
+        val sepFrac = j.agg(
+          avg(when(col("near_ham") < col("far_ham"), 1.0).otherwise(0.0)))
+          .head.getDouble(0)
+        j.select(col("id"),
+            (col("sig_dup") === col("simhash")).as("dup_invariant"),
+            (col("near_ham") <= 30).as("near_ok"),
+            (col("far_ham") >= 5).as("far_ok"),
+            lit(sepFrac >= 0.95).as("sep_ok"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, true AS dup_invariant, true AS near_ok,
+        true AS far_ok, true AS sep_ok FROM documents ORDER BY id""")),
 
     Q("td_sim_topk",
       (s, dir) => {
@@ -169,24 +213,61 @@ object TrainingData {
         SELECT query_id, neighbor_id, cosine, rank FROM rk WHERE rank <= 5
         ORDER BY query_id, rank""")),
 
+    // LSH ANN, oracle-gated via derived deterministic properties (the bucket
+    // family is engine-specific; the gate checks retrieval behavior):
+    //  - planted_hit: an exact copy of each query vector planted in the
+    //    corpus shares every LSH bucket, so it MUST come back at rank 1
+    //    (background max cosine is 0.51 — no tie is possible);
+    //  - recall_ok: recall@5 vs brute force over the same corpus stays above
+    //    a floor (measured 0.88-0.90 across sf0.001-0.1; floor 0.7 leaves
+    //    >= 18pp margin).
     Q("td_sim_ann",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        Similarity.annTopK(e.filter(col("vec_id") < 20), e,
-            "vec_id", "embedding", k = 5, bits = 4, tables = 16)
-          .orderBy("query_id", "rank")
+        val qs = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        val planted = qs.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        val corpus = e.select("vec_id", "embedding").unionByName(planted)
+        val ann = Similarity.annTopK(qs, corpus, "vec_id", "embedding",
+          k = 5, bits = 4, tables = 16)
+        val bf = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", k = 5)
+        val recall = ann.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi").count().toDouble /
+          bf.count()
+        ann.filter(col("rank") === 1)
+          .select(col("query_id"),
+            (col("neighbor_id") === col("query_id") + 10000).as("planted_hit"),
+            lit(recall >= 0.7).as("recall_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
+    // IVF ANN, same derived gate: the planted exact copy lands in the same
+    // coarse cell as its query (identical vector => identical argmax cell),
+    // the query always probes its own best cell, so rank 1 is guaranteed.
+    // Recall measured 0.91-0.96 across sf0.001-0.1; floor 0.7.
     Q("td_sim_ivf",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
-            "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
-            kmeansIters = 2)
-          .orderBy("query_id", "rank")
+        val qs = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        val planted = qs.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        val corpus = e.select("vec_id", "embedding").unionByName(planted)
+        val ivf = Similarity.ivfTopK(qs, corpus, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4, kmeansIters = 2)
+        val bf = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", k = 5)
+        val recall = ivf.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi").count().toDouble /
+          bf.count()
+        ivf.filter(col("rank") === 1)
+          .select(col("query_id"),
+            (col("neighbor_id") === col("query_id") + 10000).as("planted_hit"),
+            lit(recall >= 0.7).as("recall_ok"))
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
     Q("td_multimodal",
       (s, dir) => {

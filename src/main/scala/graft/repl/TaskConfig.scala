@@ -44,7 +44,7 @@ object TaskConfig {
 
   final case class Target(obj: String, format: String = "parquet",
       mode: String = "full-refresh", primaryKey: Seq[String] = Nil,
-      updateKey: Option[String] = None)
+      updateKey: Option[String] = None, loadedAt: Option[String] = None)
 
   final case class Task(source: Source, transforms: Map[String, String],
       target: Target)
@@ -79,7 +79,8 @@ object TaskConfig {
         format = t.getOrElse("format", "parquet").toString,
         mode = t.getOrElse("mode", "full-refresh").toString,
         primaryKey = strList(t, "primary_key"),
-        updateKey = t.get("update_key").map(_.toString)))
+        updateKey = t.get("update_key").map(_.toString),
+        loadedAt = t.get("loaded_at").map(_.toString)))
   }
 
   // ---- compile + run -----------------------------------------------------
@@ -122,9 +123,13 @@ object TaskConfig {
             if (writeDelta) DeltaLite.overwrite(df, tgt.obj)
             else Modes.fullRefresh(pt, df)
           case "snapshot" =>
+            // stamp the actual load time (task_run_write.go:1003 uses the run
+            // timestamp); `loaded_at:` in the YAML pins it for deterministic
+            // replay / the oracle path
+            val ts = tgt.loadedAt.map(java.sql.Timestamp.valueOf)
+              .getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
             if (writeDelta) DeltaLite.append(df, tgt.obj)
-            else Modes.snapshot(pt, df,
-              java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            else Modes.snapshot(pt, df, ts)
           case "incremental" if tgt.primaryKey.nonEmpty =>
             Modes.upsert(pt, df, tgt.primaryKey)
           case "incremental" =>

@@ -230,6 +230,14 @@ object ArrowIO {
           val alloc = new RootAllocator()
           val reader = new ArrowStreamReader(pfs.open(fpath), alloc)
           val root = reader.getVectorSchemaRoot
+          // a partially consumed iterator (limit/take, task abort) would
+          // otherwise leak Arrow direct memory — close on task end too
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true; reader.close(); alloc.close()
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
           new Iterator[Row] {
             private var inBatch = 0
             private var batchRows = 0
@@ -237,7 +245,7 @@ object ArrowIO {
             private def advance(): Unit =
               while (!done && inBatch >= batchRows) {
                 if (reader.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
-                else { done = true; reader.close(); alloc.close() }
+                else { done = true; closeAll() }
               }
             override def hasNext: Boolean = { advance(); !done }
             override def next(): Row = {
@@ -310,6 +318,14 @@ object ArrowIO {
           val reader = new ArrowFileReader(
             new HadoopChannel(pfs.open(fpath), pfs.getFileStatus(fpath).getLen), alloc)
           val root = reader.getVectorSchemaRoot
+          // close on task end as well as exhaustion — limit/take or an
+          // aborted task must not leak Arrow direct memory
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true; reader.close(); alloc.close()
+          }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeAll()))
           new Iterator[Row] {
             private var inBatch = 0
             private var batchRows = 0
@@ -317,7 +333,7 @@ object ArrowIO {
             private def advance(): Unit =
               while (!done && inBatch >= batchRows) {
                 if (reader.loadNextBatch()) { batchRows = root.getRowCount; inBatch = 0 }
-                else { done = true; reader.close(); alloc.close() }
+                else { done = true; closeAll() }
               }
             override def hasNext: Boolean = { advance(); !done }
             override def next(): Row = {

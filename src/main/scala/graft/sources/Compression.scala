@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.io.{BufferedReader, ByteArrayInputStream, InputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** zstd compression for CSV/JSONL text files — the reference sniffs and
+  * wraps compression streams itself (core/dbio/iop/compression.go:38-40,
+  * 145,261: gzip/zstd/snappy by extension). Spark's text writers cover
+  * gzip/snappy/lz4/bzip2 through Hadoop codecs, but the Hadoop zstd codec
+  * needs native libhadoop; this wraps zstd-jni (already on the classpath
+  * for parquet) the same way the reference wraps klauspost/zstd.
+  *
+  * Layout matches Spark's own text compression: one whole-file stream per
+  * part file, non-splittable (exactly like .gz) — parallelism comes from
+  * the file count, which the writer takes from the input partitioning. At
+  * 100 TB the writer upstream splits by `file_max_bytes`, so per-file
+  * memory stays bounded.
+  */
+object Compression {
+
+  def isZstd(path: String): Boolean = path.endsWith(".zst") || path.endsWith(".zstd")
+
+  /** Distributed line read of a directory of .zst text files: one task per
+    * file (same granularity Spark gives non-splittable .gz), decompression
+    * streamed per task. Files are bounded by the writer's split size.
+    */
+  def readZstdLines(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).map(_.getPath)
+       else fs.globStatus(p).map(_.getPath))
+        .filter(f => isZstd(f.getName)).map(_.toString).sorted
+    require(files.nonEmpty, s"no .zst files under $path")
+    spark.sparkContext.parallelize(files.toSeq, files.length)
+      .flatMap { f =>
+        val fp = new Path(f)
+        val pfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in: InputStream = new ZstdInputStream(pfs.open(fp))
+        val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      }.toDS()
+  }
+
+  /** Write a single-string-column DataFrame as .zst part files, one per
+    * partition, each optionally led by a header line (Spark's per-file
+    * header semantics).
+    */
+  def writeZstdLines(lines: DataFrame, dir: String, header: Option[String],
+      suffix: String = ".csv.zst"): Unit = {
+    require(lines.schema.fields.length == 1 &&
+      lines.schema.fields.head.dataType == org.apache.spark.sql.types.StringType,
+      "writeZstdLines expects exactly one string column")
+    val spark = lines.sparkSession
+    val outDir = new Path(dir)
+    val fs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outDir, true)
+    fs.mkdirs(outDir)
+    val hdr = header
+    lines.rdd.map(_.getString(0)).mapPartitionsWithIndex { (i, it) =>
+      if (it.hasNext || i == 0) {
+        val part = new Path(dir, f"part-$i%05d$suffix")
+        val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new ZstdOutputStream(pfs.create(part, true))
+        try {
+          def writeLine(s: String): Unit = {
+            out.write(s.getBytes(UTF_8)); out.write('\n')
+          }
+          hdr.foreach(writeLine)
+          it.foreach(writeLine)
+        } finally out.close()
+      }
+      Iterator.single(0)
+    }.count(): Unit
+  }
+
+  /** CSV rows → .zst files via codegen'd `to_csv` (no UDFs). */
+  def writeCsvZstd(df: DataFrame, dir: String, header: Boolean = true): Unit = {
+    val rendered = df.select(to_csv(struct(df.columns.map(col): _*)).as("line"))
+    writeZstdLines(rendered, dir,
+      if (header) Some(df.columns.mkString(",")) else None)
+  }
+
+  /** JSONL rows → .zst files via codegen'd `to_json`. */
+  def writeJsonlZstd(df: DataFrame, dir: String): Unit = {
+    val rendered = df.select(to_json(struct(df.columns.map(col): _*)).as("line"))
+    writeZstdLines(rendered, dir, None, suffix = ".jsonl.zst")
+  }
+
+  /** In-memory helpers for unit tests / stdin staging. */
+  def zstdCompress(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZstdOutputStream(bos)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  def zstdDecompress(data: Array[Byte]): Array[Byte] = {
+    val in = new ZstdInputStream(new ByteArrayInputStream(data))
+    try in.readAllBytes() finally in.close()
+  }
+}

@@ -19,11 +19,15 @@ object FileSources {
       header: Boolean = true, delimiter: String = ",",
       overrides: Map[String, DataType] = Map.empty,
       sampleSize: Int = TypeInference.SampleSize): DataFrame = {
-    val raw = spark.read
+    val reader = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("inferSchema", "false")
-      .csv(path)
+    // gzip/snappy/lz4/bzip2 go through Hadoop codecs natively; .zst routes
+    // through the zstd-jni line reader (compression.go extension sniffing)
+    val raw =
+      if (hasZstd(spark, path)) reader.csv(Compression.readZstdLines(spark, path))
+      else reader.csv(path)
     inferAndCast(raw, overrides, sampleSize)
   }
 
@@ -32,10 +36,23 @@ object FileSources {
       sampleSize: Int = TypeInference.SampleSize): DataFrame = {
     // primitivesAsString routes JSON scalars through the same inference
     // engine as CSV, for identical type decisions across formats
-    val raw = spark.read
+    val reader = spark.read
       .option("primitivesAsString", "true")
-      .json(path)
+    val raw =
+      if (hasZstd(spark, path)) reader.json(Compression.readZstdLines(spark, path))
+      else reader.json(path)
     inferAndCast(raw, overrides, sampleSize)
+  }
+
+  private def hasZstd(spark: SparkSession, path: String): Boolean = {
+    if (Compression.isZstd(path)) true
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).exists(f => Compression.isZstd(f.getPath.getName))
+      catch { case _: java.io.FileNotFoundException => false }
+    }
   }
 
   /** stdin scan (`cat f.csv | sling run`, fs.go:1537 MakeDatastream): drain

@@ -106,8 +106,8 @@ object BinaryTransforms {
     else {
       val (cs, bytes) = charset.toLowerCase match {
         case "latin1" => ("ISO-8859-1", b)
-        case "latin5" => ("ISO-8859-5", b)
-        case "latin9" => ("ISO-8859-9", b)
+        case "latin5" => ("ISO-8859-5", b) // reference maps latin5→8859-5 (transforms.go:185)
+        case "latin9" => ("ISO-8859-15", b) // reference maps latin9→8859-15 (transforms.go:186)
         case "windows1250" => ("windows-1250", b)
         case "windows1252" => ("windows-1252", b)
         case "utf16" => ("UTF-16", b)
@@ -123,6 +123,9 @@ object BinaryTransforms {
     if (s == null) null
     else s.getBytes(java.nio.charset.Charset.forName(charset match {
       case "latin1" => "ISO-8859-1"
+      case "latin5" => "ISO-8859-5"
+      case "latin9" => "ISO-8859-15"
+      case "windows1250" => "windows-1250"
       case "windows1252" => "windows-1252"
       case other => other
     }))

@@ -90,6 +90,12 @@ class OperatorSpec extends AnyFunSuite {
         ExactChecksum.valueChecksum($"s", org.apache.spark.sql.types.StringType))
       .head
     assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 5L)
+    // string checksums are UTF-8 BYTE lengths (Go len(), stream_processor
+    // .go:771): 2-byte é must count as 2, not 1
+    val nb = Seq("héllo").toDF("s")
+      .select(ExactChecksum.valueChecksum($"s", org.apache.spark.sql.types.StringType))
+      .head.getLong(0)
+    assert(nb == 6L, s"expected UTF-8 byte length 6, got $nb")
   }
 
   test("chunked read covers every row exactly once") {
