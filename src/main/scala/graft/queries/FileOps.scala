@@ -59,6 +59,85 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // zstd CSV round-trip: graft's zstd-jni stream writer/reader (Spark's
+    // text path lacks a JVM-only zstd codec; compression.go:38-40)
+    Q("op_csv_zstd_roundtrip",
+      (s, dir) => {
+        val path = scratch("csv_zst", dir)
+        graft.sources.Compression.writeCsvZstd(
+          Tables(s, dir, "customer"), path)
+        FileSources.csv(s, path, overrides = Map(
+          "c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // snappy CSV round-trip through the native Hadoop codec path
+    Q("op_csv_snappy_roundtrip",
+      (s, dir) => {
+        val path = scratch("csv_snappy", dir)
+        Tables(s, dir, "customer").write.mode("overwrite")
+          .option("header", "true").option("compression", "snappy").csv(path)
+        FileSources.csv(s, path, overrides = Map(
+          "c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // HTTP fetch-to-staging (fs_http.go): a local fixture server serves the
+    // nation table as CSV over real HTTP; the source stages and inference-
+    // reads it — no egress, loopback only
+    Q("op_http_source",
+      (s, dir) => {
+        val csvDir = scratch("http_fixture", dir)
+        Tables(s, dir, "nation").repartition(1).write.mode("overwrite")
+          .option("header", "true").csv(csvDir)
+        val csvFile = new java.io.File(csvDir).listFiles()
+          .filter(_.getName.endsWith(".csv")).head
+        val bytes = java.nio.file.Files.readAllBytes(csvFile.toPath)
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/nation.csv",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val port = server.getAddress.getPort
+          val staged = scratch("http_staged", dir)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+          graft.sources.HttpSource.csv(s,
+            Seq(s"http://127.0.0.1:$port/nation.csv"), staged)
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // jmespath-style record extraction, distributed: nested JSON built from
+    // events, scalar path + [] flatten compiled to get_json_object /
+    // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
+    Q("op_json_jq",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select(col("event_id"),
+          to_json(struct(
+            struct(col("user_id").as("id"),
+              array(col("event_id"), col("event_id") * 2, col("event_id") * 3)
+                .as("vals")).as("user"))).as("js"))
+        val flat = graft.transform.JsonPathX.flatten(
+          e, col("js"), "user.vals[]", "v")
+        flat.select(col("event_id"),
+            graft.transform.JsonPathX.scalar(col("js"), "$.user.id")
+              .cast(LongType).as("uid"),
+            graft.transform.JsonPathX.scalar(col("js"), "user.vals[1]")
+              .cast(LongType).as("second_val"),
+            col("v").cast(LongType).as("val"))
+          .orderBy("event_id", "val")
+      },
+      Some("""SELECT event_id, user_id AS uid, event_id * 2 AS second_val, v.val
+        FROM events, LATERAL (VALUES (event_id), (event_id * 2), (event_id * 3)) v(val)
+        ORDER BY event_id, val""")),
+
     // XLSX round-trip (zip+OOXML, no POI) through the inference engine
     Q("op_excel_roundtrip",
       (s, dir) => {
@@ -194,6 +273,36 @@ object FileOps {
         UNION ALL SELECT 'supplier', 'full-refresh', COUNT(*) FROM supplier
         UNION ALL SELECT 'orders', 'incremental', COUNT(*) FROM orders)
         ORDER BY stream""")),
+
+    // replication depends_on DAG + runtime-state templating
+    // (replication.go:2101-2175, task_state.go:27-140): lineitem waits for
+    // orders, its where-clause renders `{state.orders.rows}` published by
+    // the completed upstream, and a transform renders `{stream_table}`
+    Q("op_replication_dag",
+      (s, dir) => {
+        val root = scratch("replication_dag", dir)
+        val yaml =
+          """defaults:
+            |  mode: full-refresh
+            |streams:
+            |  orders:
+            |  lineitem:
+            |    depends_on: [orders]
+            |    select: [l_orderkey, l_linenumber, l_quantity]
+            |    where: "l_orderkey < {state.orders.rows}"
+            |    transforms:
+            |      src: "'{stream_table}'"
+            |""".stripMargin
+        val compiled = Replication.parse(yaml, Tables.names)
+        Replication.run(s, dir, compiled, root, threads = 4)
+        s.read.parquet(s"$root/lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("src"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "src")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, 'lineitem' AS src
+        FROM lineitem WHERE l_orderkey < (SELECT COUNT(*) FROM orders)
+        ORDER BY l_orderkey, l_linenumber, l_quantity, src""")),
 
     // full per-column profile in one aggregate pass (AnalyzeColumns port)
     Q("op_column_stats",

@@ -121,6 +121,90 @@ object Integration {
       Some("""SELECT CAST(range AS BIGINT) AS user_id,
         CAST(range * 10 AS BIGINT) AS score FROM range(0, 50) ORDER BY user_id""")),
 
+    // OAuth2 client-credentials (auth.go:83): token endpoint validates the
+    // client id/secret and issues a bearer token; the data endpoint rejects
+    // requests without it; pagination runs through the authed transport
+    Q("op_api_oauth2",
+      (s, dir) => {
+        import graft.api.Auth
+        val ht: Auth.HeaderTransport = (url, params, headers) =>
+          if (url == "stub://token") {
+            require(params.get("grant_type").contains("client_credentials") &&
+              params.get("client_id").contains("cid") &&
+              params.get("client_secret").contains("sec"),
+              s"bad token request: $params")
+            """{"access_token":"tok-xyz","token_type":"bearer","expires_in":3600}"""
+          } else {
+            require(headers.get("Authorization").contains("Bearer tok-xyz"),
+              s"unauthorized: $headers")
+            val start = params.get("page_token").map(_.toInt).getOrElse(0)
+            val until = math.min(start + 25, 60)
+            val recs = (start until until)
+              .map(i => s"""{"id":$i,"value":${3L * i}}""").mkString(",")
+            val next = if (until >= 60) "null" else s""""$until""""
+            s"""{"data":[$recs],"next":$next}"""
+          }
+        val auth = Auth.oauth2ClientCredentials("stub://token", "cid", "sec",
+          Seq("read"), (url, params) => ht(url, params, Map.empty))
+        val lines = ApiExtractor.extract(
+          ApiExtractor.EndpointSpec(name = "secure", url = "stub://secure"),
+          Auth.applied(ht, auth))
+        val staging = scratch("api_oauth2", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/secure.jsonl"), lines.mkString("\n"))
+        s.read.json(s"$staging/secure.jsonl")
+          .select(col("id").cast("long"), col("value").cast("long"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 3 AS BIGINT) AS value
+        FROM range(0, 60) ORDER BY id""")),
+
+    // HMAC request signing (auth.go:817-1000): the server recomputes the
+    // HMAC-SHA256 over the templated signing string (method + path + epoch)
+    // and rejects bad signatures; clock pinned for determinism
+    Q("op_api_hmac",
+      (s, dir) => {
+        import graft.api.Auth
+        val secret = "graft-hmac-secret"
+        val fixedMs = 1767225600000L // 2026-01-01T00:00:00Z
+        val signer = Auth.hmac(Auth.HmacConfig(
+          secret = secret,
+          signingString = "{http_method}\n{http_path}\n{unix_time}",
+          requestHeaders = Map(
+            "X-Signature" -> "{signature}",
+            "X-Timestamp" -> "{unix_time}"),
+          clock = () => fixedMs))
+        val ht: Auth.HeaderTransport = (url, params, headers) => {
+          val ts = headers("X-Timestamp")
+          // the server recomputes the canonical path (request-uri incl.
+          // sorted query) independently of the signer's implementation
+          val q = Auth.canonicalQuery(params)
+          val path = if (q.isEmpty) "/signed" else s"/signed?$q"
+          val expect = Auth.hmacHex("sha256",
+            secret.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"GET\n$path\n$ts")
+          require(headers.get("X-Signature").contains(expect),
+            s"bad signature for $path")
+          val start = params.get("page_token").map(_.toInt).getOrElse(0)
+          val until = math.min(start + 20, 40)
+          val recs = (start until until)
+            .map(i => s"""{"id":$i,"value":${7L * i}}""").mkString(",")
+          val next = if (until >= 40) "null" else s""""$until""""
+          s"""{"data":[$recs],"next":$next}"""
+        }
+        val lines = ApiExtractor.extract(
+          ApiExtractor.EndpointSpec(name = "signed", url = "stub://api/signed"),
+          Auth.applied(ht, signer))
+        val staging = scratch("api_hmac", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/signed.jsonl"), lines.mkString("\n"))
+        s.read.json(s"$staging/signed.jsonl")
+          .select(col("id").cast("long"), col("value").cast("long"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 7 AS BIGINT) AS value
+        FROM range(0, 40) ORDER BY id""")),
+
     // queue bridge between stages (queue.go FIFO + .done sentinel): produce
     // JSONL, close, distributed consume + cast back to typed columns
     Q("op_queue_bridge",

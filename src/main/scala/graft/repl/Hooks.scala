@@ -25,7 +25,9 @@ object Hooks {
     try {
       h.kind match {
         case "query" =>
-          spark.sql(h.value).collect()
+          // hook results are status signals, not data movement — cap the
+          // materialization so a SELECT * hook cannot OOM the driver
+          spark.sql(h.value).limit(10000).collect()
           Result(h, ok = true, "query ok")
         case "check" =>
           val passed = spark.sql(s"SELECT (${h.value}) AS ok").head.getBoolean(0)

@@ -36,7 +36,8 @@ object Replication {
   final case class Stream(name: String, mode: String, updateKey: Option[String],
       pk: Seq[String], sourcePattern: String = "",
       select: Seq[String] = Nil, where: Option[String] = None,
-      transforms: Map[String, String] = Map.empty)
+      transforms: Map[String, String] = Map.empty,
+      dependsOn: Seq[String] = Nil)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -76,7 +77,11 @@ object Replication {
           transforms = merged.get("transforms").map(
             _.asInstanceOf[java.util.Map[String, Object]].asScala
               .map { case (k, v) => k -> v.toString }.toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          dependsOn = merged.get("depends_on").map {
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case s => Seq(s.toString)
+          }.getOrElse(Nil))
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -87,8 +92,49 @@ object Replication {
     Compiled(byName.toSeq.sortBy(_.name))
   }
 
+  // ---- runtime-state templating (task_state.go:27-140) -------------------
+
+  /** Render `{stream_table}` / `{target_object}` / `{state.*}` variables in
+    * a config string. State keys publish after each upstream stream
+    * completes: `state.<stream>.rows` (rows loaded) and, when the stream has
+    * an update key, `state.<stream>.max` (its post-load high watermark).
+    */
+  def render(tpl: String, streamName: String, targetObject: String,
+      state: collection.Map[String, Any]): String = {
+    val base = tpl
+      .replace("{stream_table}", streamName)
+      .replace("{target_object}", targetObject)
+    state.foldLeft(base) { case (acc, (k, v)) =>
+      acc.replace(s"{state.$k}", v.toString)
+    }
+  }
+
+  /** Kahn topological sort of streams into parallel levels
+    * (replication.go:2101-2175 `depends_on` scheduling); cycles error.
+    */
+  def topoLevels(streams: Seq[Stream]): Seq[Seq[Stream]] = {
+    val names = streams.map(_.name).toSet
+    streams.foreach(s => s.dependsOn.foreach { d =>
+      require(names.contains(d), s"unknown depends_on $d of ${s.name}")
+    })
+    val done = scala.collection.mutable.Set[String]()
+    val remaining = scala.collection.mutable.LinkedHashSet(streams.map(_.name): _*)
+    val byName = streams.map(s => s.name -> s).toMap
+    val levels = scala.collection.mutable.ArrayBuffer[Seq[Stream]]()
+    while (remaining.nonEmpty) {
+      val ready = remaining.toSeq.filter(n => byName(n).dependsOn.forall(done))
+      require(ready.nonEmpty, s"depends_on cycle among: ${remaining.mkString(", ")}")
+      levels += ready.map(byName)
+      ready.foreach { n => done += n; remaining -= n }
+    }
+    levels.toSeq
+  }
+
   /** Run every stream (source table → mode → parquet target under
-    * `targetRoot`) with at most `threads` concurrent streams.
+    * `targetRoot`) with at most `threads` concurrent streams. `depends_on`
+    * streams wait for their upstreams (topo levels: levels sequential,
+    * streams within a level concurrent), and their select/where/transforms
+    * render runtime state published by completed upstreams.
     * Returns (stream, mode, rows_loaded) sorted by stream.
     */
   def run(spark: SparkSession, sfDir: String, compiled: Compiled,
@@ -98,29 +144,47 @@ object Replication {
     import scala.concurrent.duration._
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = compiled.streams.map { st =>
-      Future {
-        // per-stream select/where/transforms run through the same pipeline
-        // stage the single-task interpreter uses
-        val raw = Tables(spark, sfDir, st.name)
-        val src = TaskConfig.applyPipeline(raw, TaskConfig.Task(
-          TaskConfig.Source(st.name, select = st.select, where = st.where),
-          st.transforms,
-          TaskConfig.Target(s"$targetRoot/${st.name}", mode = st.mode)))
-        val tgt = ParquetTarget(spark, s"$targetRoot/${st.name}")
-        st.mode match {
-          case "full-refresh" | "truncate" => Modes.fullRefresh(tgt, src)
-          case "incremental" if st.pk.nonEmpty => Modes.upsert(tgt, src, st.pk)
-          case "incremental" => Modes.incrementalAppend(tgt, src, st.updateKey.get)
-          case "snapshot" => Modes.snapshot(tgt, src,
-            java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-          case other => throw new IllegalArgumentException(s"mode $other")
+    val state = scala.collection.concurrent.TrieMap[String, Any]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    topoLevels(compiled.streams).foreach { level =>
+      val futures = level.map { st =>
+        Future {
+          // per-stream select/where/transforms run through the same pipeline
+          // stage the single-task interpreter uses, after state templating
+          val tgtObj = s"$targetRoot/${st.name}"
+          val r = (tpl: String) => render(tpl, st.name, tgtObj, state)
+          val raw = Tables(spark, sfDir, st.name)
+          val src = TaskConfig.applyPipeline(raw, TaskConfig.Task(
+            TaskConfig.Source(st.name, select = st.select.map(r),
+              where = st.where.map(r)),
+            st.transforms.map { case (k, v) => k -> r(v) },
+            TaskConfig.Target(tgtObj, mode = st.mode)))
+          val tgt = ParquetTarget(spark, tgtObj)
+          st.mode match {
+            case "full-refresh" | "truncate" => Modes.fullRefresh(tgt, src)
+            case "incremental" if st.pk.nonEmpty => Modes.upsert(tgt, src, st.pk)
+            case "incremental" => Modes.incrementalAppend(tgt, src, st.updateKey.get)
+            case "snapshot" => Modes.snapshot(tgt, src,
+              java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+            case other => throw new IllegalArgumentException(s"mode $other")
+          }
+          (st, tgt.read.count())
         }
-        (st.name, st.mode, tgt.read.count())
+      }
+      // state publication stays on the driver thread, after the level barrier
+      Await.result(Future.sequence(futures), 10.minutes).foreach {
+        case (st, rows) =>
+          state(s"${st.name}.rows") = rows
+          st.updateKey.foreach { k =>
+            val mx = ParquetTarget(spark, s"$targetRoot/${st.name}").read
+              .agg(org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col(k))).head.get(0)
+            if (mx != null) state(s"${st.name}.max") = mx
+          }
+          out += ((st.name, st.mode, rows))
       }
     }
-    val out = Await.result(Future.sequence(futures), 10.minutes)
     pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS)
-    out.sortBy(_._1)
+    out.toSeq.sortBy(_._1)
   }
 }

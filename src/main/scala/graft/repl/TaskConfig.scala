@@ -140,6 +140,9 @@ object TaskConfig {
         }
         if (writeDelta) DeltaLite.read(spark, tgt.obj).count()
         else pt.read.count()
+      case "stdout" =>
+        // data stream to the console (task_run_write.go:71-148)
+        graft.write.StdoutWriter.csv(df)
       case "csv" =>
         df.write.mode("overwrite").option("header", "true").csv(tgt.obj)
         spark.read.option("header", "true").csv(tgt.obj).count()

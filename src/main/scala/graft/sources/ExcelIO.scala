@@ -50,11 +50,16 @@ object ExcelIO {
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Write `df` (collected driver-side) to one xlsx worksheet. */
+  /** Write `df` (collected driver-side — xlsx is inherently a single file)
+    * to one worksheet. The cap is probed BEFORE collecting (limit+count, a
+    * cheap bounded scan) so a misrouted huge stream fails fast instead of
+    * OOMing the driver; the reference caps sheet writes the same way.
+    */
   def write(df: DataFrame, path: String, sheet: String = "Sheet1",
       maxRows: Int = 1048575): Unit = {
+    val probed = df.limit(maxRows + 1).count()
+    require(probed <= maxRows, s"xlsx cap: > $maxRows rows; route to a splittable format")
     val rows = df.collect()
-    require(rows.length <= maxRows, s"xlsx cap: ${rows.length} > $maxRows rows")
     val header = df.columns
 
     val sb = new StringBuilder

@@ -121,14 +121,23 @@ object BinaryTransforms {
 
   def encodeCharset(s: String, charset: String): Array[Byte] =
     if (s == null) null
-    else s.getBytes(java.nio.charset.Charset.forName(charset match {
-      case "latin1" => "ISO-8859-1"
-      case "latin5" => "ISO-8859-5"
-      case "latin9" => "ISO-8859-15"
-      case "windows1250" => "windows-1250"
-      case "windows1252" => "windows-1252"
-      case other => other
-    }))
+    else charset match {
+      case "utf8_bom" =>
+        // BOM-prefixed UTF-8 (transforms.go encode_utf8_bom)
+        Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case other =>
+        s.getBytes(java.nio.charset.Charset.forName(other match {
+          case "latin1" => "ISO-8859-1"
+          case "latin5" => "ISO-8859-5"
+          case "latin9" => "ISO-8859-15"
+          case "windows1250" => "windows-1250"
+          case "windows1252" => "windows-1252"
+          case "utf8" => "UTF-8"
+          case "utf16" => "UTF-16"
+          case o => o
+        }))
+    }
 
   // ---- column functions --------------------------------------------------
 

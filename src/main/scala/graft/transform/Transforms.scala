@@ -37,11 +37,23 @@ object Transforms {
     "parse_bit" -> (c => BinaryTransforms.parse_bit(c)),
     "binary_to_decimal" -> (c => BinaryTransforms.binary_to_decimal(c)),
     "parse_fix" -> (c => BinaryTransforms.parse_fix(c)),
+    // charset decode/encode — the reference's full set (transforms.go:52-89)
     "decode_latin1" -> (c => BinaryTransforms.decode(c, "latin1")),
-    "decode_windows1252" -> (c => BinaryTransforms.decode(c, "windows1252")),
-    "decode_utf16" -> (c => BinaryTransforms.decode(c, "utf16")),
+    "decode_latin5" -> (c => BinaryTransforms.decode(c, "latin5")),
+    "decode_latin9" -> (c => BinaryTransforms.decode(c, "latin9")),
+    "decode_utf8" -> (c => BinaryTransforms.decode(c, "utf8")),
     "decode_utf8_bom" -> (c => BinaryTransforms.decode(c, "utf8_bom")),
-    "encode_latin1" -> (c => BinaryTransforms.encode(c, "latin1"))
+    "decode_utf16" -> (c => BinaryTransforms.decode(c, "utf16")),
+    "decode_windows1250" -> (c => BinaryTransforms.decode(c, "windows1250")),
+    "decode_windows1252" -> (c => BinaryTransforms.decode(c, "windows1252")),
+    "encode_latin1" -> (c => BinaryTransforms.encode(c, "latin1")),
+    "encode_latin5" -> (c => BinaryTransforms.encode(c, "latin5")),
+    "encode_latin9" -> (c => BinaryTransforms.encode(c, "latin9")),
+    "encode_utf8" -> (c => BinaryTransforms.encode(c, "utf8")),
+    "encode_utf8_bom" -> (c => BinaryTransforms.encode(c, "utf8_bom")),
+    "encode_utf16" -> (c => BinaryTransforms.encode(c, "utf16")),
+    "encode_windows1250" -> (c => BinaryTransforms.encode(c, "windows1250")),
+    "encode_windows1252" -> (c => BinaryTransforms.encode(c, "windows1252"))
   )
 
   def apply(name: String, c: Column): Column =
