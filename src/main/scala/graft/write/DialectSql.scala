@@ -47,13 +47,26 @@ object DialectSql {
        |FROM ${s.srcTable} src
        |WHERE ${pkEqual(s)}""".stripMargin
 
-  /** ANSI MERGE (base.yaml merge_update_insert — the default strategy). */
-  def mergeUpdateInsert(s: MergeSpec): String =
+  /** ANSI MERGE (base.yaml merge_update_insert — the default strategy).
+    *
+    * `srcAsTable` is the per-dialect override the reference allows
+    * (`templates/base.yaml:51` "database-specific implementations may
+    * override"): engines like Derby require the MERGE source to be a base
+    * table or table function, not a subquery — and the staged-load path
+    * always merges from a staged base table anyway (`Jdbc.merge`,
+    * `sources/Jdbc.scala:59`), so the table form is both the portable and
+    * the production shape.
+    */
+  def mergeUpdateInsert(s: MergeSpec, srcAsTable: Boolean = false): String = {
+    val using =
+      if (srcAsTable) s"USING ${s.srcTable} src"
+      else s"USING (SELECT ${fields(s)} FROM ${s.srcTable}) src"
     s"""MERGE INTO ${s.tgtTable} tgt
-       |USING (SELECT ${fields(s)} FROM ${s.srcTable}) src
+       |$using
        |ON (${pkEqual(s)})
        |WHEN MATCHED THEN UPDATE SET ${setFields(s)}
        |WHEN NOT MATCHED THEN INSERT (${fields(s)}) VALUES (${srcFields(s)})""".stripMargin
+  }
 
   /** DELETE matching PKs then INSERT all (base.yaml merge_delete_insert). */
   def mergeDeleteInsert(s: MergeSpec): Seq[String] = Seq(
@@ -108,6 +121,8 @@ object DialectSql {
   def upsertFor(dialect: String, s: MergeSpec): Seq[String] = dialect match {
     case "postgres" => Seq(postgresUpsert(s))
     case "mysql" => Seq(mysqlUpsert(s))
-    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/derby/...
+    // Derby rejects a subquery MERGE source (must be base table / table fn)
+    case "derby" => Seq(mergeUpdateInsert(s, srcAsTable = true))
+    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/...
   }
 }

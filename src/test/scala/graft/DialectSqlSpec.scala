@@ -96,7 +96,10 @@ class DialectSqlSpec extends AnyFunSuite {
       st.executeUpdate("CREATE TABLE src_t (id INT, v VARCHAR(10), n INT)")
       st.executeUpdate("INSERT INTO tgt_t VALUES (1,'old',1),(2,'keep',2)")
       st.executeUpdate("INSERT INTO src_t VALUES (1,'new',10),(3,'ins',30)")
-      st.executeUpdate(DialectSql.mergeUpdateInsert(spec))
+      // Derby's MERGE source must be a base table (not a subquery) — the
+      // dialect dispatch renders the table form, as the staged-load
+      // production path (Jdbc.merge) always does.
+      DialectSql.upsertFor("derby", spec).foreach(st.executeUpdate)
       val rs = st.executeQuery("SELECT id, v, n FROM tgt_t ORDER BY id")
       val out = Iterator.continually(rs)
         .takeWhile(_.next())
