@@ -114,6 +114,60 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // object-store seam (fs_s3.go / fs.go:76-134): conf wiring + s3://→s3a://
+    // rewrite + a full write/read cycle over a non-file: scheme via the
+    // loopback s3a FileSystem — committer rename/list protocol and Spark's
+    // distributed split planning all run for real; only the byte transport
+    // is local. A real bucket differs by conf values only.
+    Q("op_fs_object_store",
+      (s, dir) => {
+        import graft.sources.FileBackends
+        val root = scratch("mock_s3_root", dir)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.s3a.impl", classOf[graft.sources.LoopbackObjectStore].getName)
+        hc.set("fs.s3a.impl.disable.cache", "true")
+        hc.set("graft.mock.fs.root", root)
+        val conn = FileBackends.Conn(Map(
+          "AWS_ACCESS_KEY_ID" -> "AKIATEST", "SECRET_ACCESS_KEY" -> "secret",
+          "ENDPOINT" -> "http://127.0.0.1:9000"))
+        val uri = FileBackends.configure(s, "s3://graft-bucket/nation", conn)
+        Tables(s, dir, "nation").write.mode("overwrite").parquet(uri)
+        s.read.parquet(uri)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // sftp/ftp fetch-to-staging through the RemoteTransport seam
+    // (fs_sftp.go; non-seekable remotes stage first, fs.go): a loopback
+    // transport serves a "remote" directory listing + files from local
+    // fixtures; stage() pulls them into staging and the normal distributed
+    // inference read takes over. The sftp:// default transport delegates to
+    // Hadoop's SFTPFileSystem when jsch is on the deployment classpath.
+    Q("op_fs_staging",
+      (s, dir) => {
+        import graft.sources.FileBackends
+        val fixtureDir = scratch("sftp_fixture", dir)
+        Tables(s, dir, "region").repartition(1).write.mode("overwrite")
+          .option("header", "true").csv(fixtureDir)
+        val base = new java.io.File(fixtureDir)
+        val loopback = new FileBackends.RemoteTransport {
+          def list(dirUrl: String): Seq[String] =
+            base.listFiles().filter(_.getName.endsWith(".csv"))
+              .map(f => s"sftp://127.0.0.1/${f.getName}").toSeq.sorted
+          def fetch(url: String): Array[Byte] =
+            java.nio.file.Files.readAllBytes(
+              new java.io.File(base, url.split('/').last).toPath)
+        }
+        val staged = scratch("sftp_staged", dir)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+        FileBackends.stage("sftp://127.0.0.1/", staged, loopback)
+        FileSources.csv(s, staged, overrides = Map(
+          "r_regionkey" -> LongType))
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
