@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Cli replication <repl.yaml> <targetRoot> [sfDir]
   *   runMain graft.Cli pipeline <pipeline.yaml> [sfDir]  ordered steps
   *   runMain graft.Cli discover <pattern> [sfDir]        list streams
+  *   runMain graft.Cli conns list|test|discover <env.yaml> [NAME] [pattern]
   *
   * Each verb routes to the same engine modules the library exposes —
   * the CLI is only argument parsing plus a session.
@@ -50,6 +51,28 @@ object Cli {
             println(s"""{"stream":"${r.getString(0)}","position":${r.getLong(1)},""" +
               s""""column":"${r.getString(2)}","type":"${r.getString(3)}"}""")
           }
+      case "conns" =>
+        // conns list <env.yaml> | conns test <env.yaml> <NAME>
+        // | conns discover <env.yaml> <NAME> [pattern]
+        // (ref cmd/sling/sling_cli.go conns verbs; connection.go registry)
+        val registry = repl.Connections.parse(readFile(args(2)))
+        args(1) match {
+          case "list" =>
+            registry.values.toSeq.sortBy(_.name).foreach { c =>
+              println(s"""{"name":"${c.name}","type":"${c.kind}"}""")
+            }
+          case "test" =>
+            val (ok, msg) = repl.Connections.test(
+              repl.Connections.resolve(registry, args(3)))
+            println(s"""{"name":"${args(3).toUpperCase}","ok":$ok,"detail":"$msg"}""")
+          case "discover" =>
+            val streams = repl.Connections.discover(
+              repl.Connections.resolve(registry, args(3)),
+              args.lift(4).getOrElse("*"))
+            streams.foreach(t => println(s"""{"stream":"$t"}"""))
+          case other =>
+            throw new IllegalArgumentException(s"unknown conns verb $other")
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown verb $other")
     }

@@ -90,6 +90,77 @@ object Integration {
       Some("""SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""")),
 
+    // AWS SigV4 request signing (auth.go:742-815): the client signs each
+    // page request; the stub server independently recomputes the expected
+    // signature from the received x-amz-date + its own credential copy and
+    // refuses unsigned/mis-signed requests — same pattern as op_api_hmac
+    Q("op_api_sigv4",
+      (s, dir) => {
+        import graft.api.Auth
+        val conf = Auth.SigV4Config(
+          service = "execute-api", region = "us-east-1",
+          accessKeyId = "AKIDGRAFT", secretAccessKey = "graft-sigv4-secret",
+          clock = () => java.time.Instant.parse("2026-01-01T00:00:00Z"))
+        val emptySha = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934" +
+          "ca495991b7852b855"
+        val ht: Auth.HeaderTransport = (url, params, headers) => {
+          val amzDate = headers("x-amz-date")
+          val (expect, _) = Auth.sigV4Signature(conf, "GET",
+            "api.example.internal", "/items", params, Map.empty,
+            emptySha, amzDate)
+          require(headers("Authorization").endsWith(s"Signature=$expect"),
+            s"bad sigv4 signature for $params")
+          val start = params.get("page_token").map(_.toInt).getOrElse(0)
+          val until = math.min(start + 25, 75)
+          val recs = (start until until)
+            .map(i => s"""{"id":$i,"value":${3L * i}}""").mkString(",")
+          val next = if (until >= 75) "null" else s""""$until""""
+          s"""{"data":[$recs],"next":$next}"""
+        }
+        val lines = ApiExtractor.extract(
+          ApiExtractor.EndpointSpec(name = "items",
+            url = "https://api.example.internal/items"),
+          Auth.applied(ht, Auth.sigV4(conf)))
+        val staging = scratch("api_sigv4", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/items.jsonl"),
+          lines.mkString("\n"))
+        s.read.json(s"$staging/items.jsonl")
+          .select(col("id").cast("long"), col("value").cast("long"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 3 AS BIGINT) AS value
+        FROM range(0, 75) ORDER BY id""")),
+
+    // connection registry end-to-end (connection.go; env.yaml shape):
+    // supplier preloaded into embedded Derby; the task resolves
+    // `source.conn: WAREHOUSE` from an inline connections block ($VAR
+    // password indirection exercised via parse's env map in unit tests),
+    // reads over JDBC, and lands a parquet target — then `conns
+    // list/test/discover` surface the same registry in CliSpec
+    Q("op_conns_resolve",
+      (s, dir) => {
+        val db = s"connres${math.abs(dir.hashCode)}"
+        val url = s"jdbc:derby:memory:$db;create=true"
+        graft.sources.Jdbc.write(Tables(s, dir, "supplier"), url, "SUPPLIER_C")
+        val out = scratch("conns_resolve", dir)
+        val yaml =
+          s"""connections:
+             |  WAREHOUSE:
+             |    type: derby
+             |    instance: "memory:$db"
+             |source:
+             |  conn: warehouse
+             |  stream: SUPPLIER_C
+             |target:
+             |  object: $out
+             |  mode: full-refresh
+             |""".stripMargin
+        graft.repl.TaskConfig.run(s, yaml, dir)
+        s.read.parquet(out).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     // endpoint DAG: producer endpoint's collected ids drive a dependent
     // per-id iteration endpoint; both stages through retrying transport
     Q("op_api_dag",

@@ -1,0 +1,159 @@
+package graft.repl
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+/** Connection registry — the reference's `env.yaml` connection map
+  * (`core/dbio/connection/connection.go`; env file shape
+  * `core/env/env.go`):
+  *
+  * {{{
+  * connections:
+  *   MY_PG:
+  *     type: postgres
+  *     host: db.internal
+  *     port: 5432
+  *     database: prod
+  *     username: app
+  *     password: $PG_PASSWORD        # env-var indirection
+  *   MY_S3:
+  *     type: s3
+  *     bucket: data-lake
+  *     access_key_id: AKIA…
+  *   WAREHOUSE:
+  *     url: duckdb:///path/wh.db     # url shorthand — type from scheme
+  * }}}
+  *
+  * Names resolve case-insensitively (the reference upper-cases env keys).
+  * `$VAR` values resolve from the process environment at parse time
+  * (`connection.go:484-489`); a JDBC URL is rendered from the same
+  * per-type templates the reference carries (`connection.go:686+`,
+  * postgres `sslmode=disable` default included).
+  */
+object Connections {
+
+  final case class ConnSpec(
+      name: String,
+      kind: String,
+      props: Map[String, String]) {
+
+    def get(k: String): Option[String] = props.get(k).filter(_.nonEmpty)
+
+    /** JDBC URL for database kinds (template per type, connection.go:686+).
+      * An explicit `url:` prop wins; otherwise host/port/database compose.
+      */
+    def jdbcUrl: String = get("url").map(stripJdbcPrefix).getOrElse {
+      val host = get("host").getOrElse("localhost")
+      val db = get("database").orElse(get("dbname")).getOrElse("")
+      def port(d: Int) = get("port").getOrElse(d.toString)
+      kind match {
+        case "postgres" =>
+          val user = get("username").orElse(get("user")).getOrElse("")
+          val ssl = get("sslmode").getOrElse("disable")
+          s"jdbc:postgresql://$host:${port(5432)}/$db?user=$user" +
+            get("password").map(p => s"&password=$p").getOrElse("") +
+            s"&sslmode=$ssl"
+        case "mysql" =>
+          val user = get("username").orElse(get("user")).getOrElse("")
+          s"jdbc:mysql://$host:${port(3306)}/$db?user=$user" +
+            get("password").map(p => s"&password=$p").getOrElse("")
+        case "duckdb" | "sqlite" =>
+          s"jdbc:$kind:${get("instance").orElse(get("path")).getOrElse(db)}"
+        case "derby" =>
+          s"jdbc:derby:${get("instance").getOrElse(db)};create=true"
+        case other =>
+          throw new IllegalArgumentException(s"no JDBC template for '$other'")
+      }
+    }
+
+    private def stripJdbcPrefix(u: String): String =
+      if (u.startsWith("jdbc:")) u
+      else "jdbc:" + (if (u.startsWith("postgresql")) u
+        else u.replaceFirst("^postgres", "postgresql"))
+
+    /** FileBackends connection for object-store kinds. */
+    def fileConn: graft.sources.FileBackends.Conn =
+      graft.sources.FileBackends.Conn(props.map { case (k, v) =>
+        k.toUpperCase -> v
+      })
+
+    def isDatabase: Boolean =
+      Set("postgres", "mysql", "duckdb", "sqlite", "derby", "snowflake",
+        "bigquery", "oracle", "clickhouse").contains(kind)
+    def isFileSystem: Boolean =
+      Set("s3", "gs", "azure", "abfs", "sftp", "ftp", "http", "local",
+        "file").contains(kind)
+  }
+
+  /** Parse the `connections:` section of an env.yaml. `env` is injectable
+    * for tests; defaults to the process environment.
+    */
+  def parse(envYaml: String,
+      env: Map[String, String] = sys.env): Map[String, ConnSpec] = {
+    val root = new Yaml().load[java.util.Map[String, Object]](envYaml)
+      .asScala.toMap
+    val conns = Option(root.getOrElse("connections", null))
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap)
+      .getOrElse(Map.empty)
+    conns.map { case (name, raw) =>
+      val m = raw.asInstanceOf[java.util.Map[String, Object]].asScala.map {
+        case (k, v) =>
+          val s = String.valueOf(v)
+          // $VAR indirection, connection.go:484-489
+          val resolved =
+            if (s.startsWith("$")) env.getOrElse(s.stripPrefix("$"), s) else s
+          k.toString.toLowerCase -> resolved
+      }.toMap
+      val kind = m.getOrElse("type",
+        m.get("url").map(u => u.takeWhile(_ != ':').stripPrefix("jdbc:"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"connection $name needs 'type' or 'url'")))
+      val norm = if (kind == "postgresql") "postgres" else kind
+      name.toUpperCase -> ConnSpec(name.toUpperCase, norm, m - "type")
+    }
+  }
+
+  def resolve(registry: Map[String, ConnSpec], name: String): ConnSpec =
+    registry.getOrElse(name.toUpperCase,
+      throw new IllegalArgumentException(
+        s"unknown connection '$name' (have: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** `conns test` — can the connection be opened? Database kinds open a
+    * JDBC connection; filesystem kinds check the path/bucket is reachable
+    * (local only in this sandbox); anything else is config-validated only.
+    */
+  def test(spec: ConnSpec): (Boolean, String) =
+    try {
+      if (spec.isDatabase) {
+        val c = java.sql.DriverManager.getConnection(spec.jdbcUrl)
+        c.close()
+        (true, "jdbc connection opened")
+      } else if (spec.kind == "local" || spec.kind == "file") {
+        val p = spec.get("path").getOrElse("/")
+        if (new java.io.File(p).exists()) (true, s"path $p exists")
+        else (false, s"path $p missing")
+      } else (true, "config validated (no egress in sandbox)")
+    } catch { case e: Exception => (false, e.getMessage) }
+
+  /** `conns discover` — list streams behind a connection. Database kinds
+    * read JDBC metadata; local kinds glob the catalog dir.
+    */
+  def discover(spec: ConnSpec, pattern: String = "*"): Seq[String] = {
+    val re = ("(?i)^" + pattern.replace(".", "\\.").replace("*", ".*") + "$").r
+    if (spec.isDatabase) {
+      val c = java.sql.DriverManager.getConnection(spec.jdbcUrl)
+      try {
+        val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getString("TABLE_NAME")).toList
+          .filter(t => re.matches(t)).sorted
+      } finally c.close()
+    } else {
+      val p = spec.get("path").getOrElse(".")
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .map(_.getName.replaceAll("\\.parquet$|\\.csv$|\\.jsonl?$", ""))
+        .filter(n => re.matches(n)).toSeq.distinct.sorted
+    }
+  }
+}

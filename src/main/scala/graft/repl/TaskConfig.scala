@@ -40,14 +40,16 @@ object TaskConfig {
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None, conn: Option[String] = None)
 
   final case class Target(obj: String, format: String = "parquet",
       mode: String = "full-refresh", primaryKey: Seq[String] = Nil,
-      updateKey: Option[String] = None, loadedAt: Option[String] = None)
+      updateKey: Option[String] = None, loadedAt: Option[String] = None,
+      conn: Option[String] = None)
 
   final case class Task(source: Source, transforms: Map[String, String],
-      target: Target)
+      target: Target,
+      connections: Map[String, Connections.ConnSpec] = Map.empty)
 
   // ---- parse -------------------------------------------------------------
 
@@ -66,13 +68,26 @@ object TaskConfig {
 
     val s = section("source")
     val t = section("target")
+    // connection registry: inline `connections:` block (env.yaml shape) or
+    // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
+    val conns: Map[String, Connections.ConnSpec] = {
+      val inline =
+        if (root.contains("connections")) Connections.parse(yamlText)
+        else Map.empty[String, Connections.ConnSpec]
+      val fromFile = root.get("env_file").map { p =>
+        Connections.parse(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p.toString)))
+      }.getOrElse(Map.empty)
+      fromFile ++ inline
+    }
     Task(
       Source(
         stream = s("stream").toString,
         format = s.getOrElse("format", "table").toString,
         select = strList(s, "select"),
         where = s.get("where").map(_.toString),
-        limit = s.get("limit").map(_.toString.toInt)),
+        limit = s.get("limit").map(_.toString.toInt),
+        conn = s.get("conn").map(_.toString)),
       section("transforms").map { case (k, v) => k -> v.toString },
       Target(
         obj = t("object").toString,
@@ -80,12 +95,34 @@ object TaskConfig {
         mode = t.getOrElse("mode", "full-refresh").toString,
         primaryKey = strList(t, "primary_key"),
         updateKey = t.get("update_key").map(_.toString),
-        loadedAt = t.get("loaded_at").map(_.toString)))
+        loadedAt = t.get("loaded_at").map(_.toString),
+        conn = t.get("conn").map(_.toString)),
+      conns)
   }
 
   // ---- compile + run -----------------------------------------------------
 
-  def readSource(spark: SparkSession, src: Source, sfDir: String): DataFrame =
+  def readSource(spark: SparkSession, src: Source, sfDir: String,
+      conns: Map[String, Connections.ConnSpec] = Map.empty): DataFrame =
+    src.conn match {
+      case Some(name) =>
+        val spec = Connections.resolve(conns, name)
+        if (spec.isDatabase)
+          graft.sources.Jdbc.read(spark, spec.jdbcUrl, src.stream)
+        else {
+          // object-store / remote conn: wire Hadoop conf, then the normal
+          // distributed read of the rewritten URI
+          val uri = graft.sources.FileBackends.configure(
+            spark, src.stream, spec.fileConn)
+          readSource(spark, src.copy(conn = None, stream = uri,
+            format = if (src.format == "table") "parquet" else src.format),
+            sfDir)
+        }
+      case None => readPlain(spark, src, sfDir)
+    }
+
+  private def readPlain(spark: SparkSession, src: Source,
+      sfDir: String): DataFrame =
     src.format match {
       case "table" => Tables(spark, sfDir, src.stream)
       case "csv" => FileSources.csv(spark, src.stream)
@@ -112,8 +149,22 @@ object TaskConfig {
   /** Execute the task; returns rows now present in the target. */
   def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
     val task = parse(yamlText)
-    val df = applyPipeline(readSource(spark, task.source, sfDir), task)
+    val df = applyPipeline(
+      readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target
+    // a database target conn routes through the staged-load + in-DB merge
+    // path regardless of declared file format (task_run_write.go:163-498)
+    tgt.conn.map(Connections.resolve(task.connections, _)) match {
+      case Some(spec) if spec.isDatabase =>
+        tgt.mode match {
+          case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
+            graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey)
+          case _ =>
+            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj)
+        }
+        return graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj).count()
+      case _ => ()
+    }
     tgt.format match {
       case "parquet" | "delta" =>
         val writeDelta = tgt.format == "delta"

@@ -31,6 +31,32 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("conns verbs: list, test, discover against embedded Derby") {
+    val env =
+      """connections:
+        |  CLI_DB:
+        |    type: derby
+        |    instance: "memory:clidb"
+        |  LOCAL_CAT:
+        |    type: local
+        |    path: /root/testdata/sf0.001
+        |""".stripMargin
+    val envFile = tempFile(env, ".yaml")
+    // seed a table so discover finds it
+    val c = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:clidb;create=true")
+    try c.createStatement()
+      .executeUpdate("CREATE TABLE SEEDED (id INT)")
+    catch { case _: java.sql.SQLException => () } finally c.close()
+    Cli.run(spark, Seq("conns", "list", envFile))
+    Cli.run(spark, Seq("conns", "test", envFile, "cli_db"))
+    Cli.run(spark, Seq("conns", "discover", envFile, "CLI_DB", "SEED*"))
+    Cli.run(spark, Seq("conns", "discover", envFile, "LOCAL_CAT", "reg*"))
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Seq("conns", "test", envFile, "NOPE"))
+    }
+  }
+
   test("pipeline verb executes steps; discover lists columns") {
     val yaml =
       """steps:

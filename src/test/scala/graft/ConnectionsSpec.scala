@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.repl.Connections
+
+/** Connection registry parsing + URL templates (connection.go:484-489
+  * env indirection, :686+ per-type URL templates, :603-616 env.yaml map).
+  */
+class ConnectionsSpec extends AnyFunSuite {
+
+  test("parse: names upper-cased, $VAR resolves from env map") {
+    val reg = Connections.parse(
+      """connections:
+        |  my_pg:
+        |    type: postgres
+        |    host: db1
+        |    database: prod
+        |    username: app
+        |    password: $PG_PW
+        |""".stripMargin,
+      env = Map("PG_PW" -> "s3cret"))
+    val pg = Connections.resolve(reg, "MY_PG")
+    assert(pg.kind == "postgres")
+    assert(pg.get("password").contains("s3cret"))
+    // case-insensitive resolve
+    assert(Connections.resolve(reg, "my_pg") == pg)
+  }
+
+  test("parse: unresolvable $VAR left verbatim; unknown name throws") {
+    val reg = Connections.parse(
+      """connections:
+        |  A:
+        |    type: postgres
+        |    password: $MISSING
+        |""".stripMargin, env = Map.empty)
+    assert(Connections.resolve(reg, "A").get("password").contains("$MISSING"))
+    intercept[IllegalArgumentException] { Connections.resolve(reg, "B") }
+  }
+
+  test("url shorthand infers type from scheme") {
+    val reg = Connections.parse(
+      """connections:
+        |  WH:
+        |    url: "duckdb:/data/wh.db"
+        |""".stripMargin)
+    assert(Connections.resolve(reg, "WH").kind == "duckdb")
+  }
+
+  test("jdbc url templates: postgres defaults sslmode=disable, mysql, derby") {
+    def spec(kind: String, props: (String, String)*) =
+      Connections.ConnSpec("X", kind, props.toMap)
+    assert(spec("postgres", "host" -> "h", "database" -> "d",
+      "username" -> "u", "password" -> "p").jdbcUrl
+      == "jdbc:postgresql://h:5432/d?user=u&password=p&sslmode=disable")
+    assert(spec("mysql", "host" -> "h", "database" -> "d",
+      "username" -> "u").jdbcUrl == "jdbc:mysql://h:3306/d?user=u")
+    assert(spec("derby", "instance" -> "memory:t").jdbcUrl
+      == "jdbc:derby:memory:t;create=true")
+    intercept[IllegalArgumentException] { spec("voltdb").jdbcUrl }
+  }
+
+  test("test + discover against embedded Derby metadata") {
+    val spec = Connections.ConnSpec("D", "derby",
+      Map("instance" -> "memory:connspec"))
+    val (ok, _) = Connections.test(spec)
+    assert(ok)
+    val c = java.sql.DriverManager.getConnection(spec.jdbcUrl)
+    try c.createStatement().executeUpdate("CREATE TABLE T_ONE (id INT)")
+    catch { case _: java.sql.SQLException => () } finally c.close()
+    assert(Connections.discover(spec, "T_*").contains("T_ONE"))
+    assert(Connections.discover(spec, "ZZZ*").isEmpty)
+  }
+
+  test("filesystem conn maps to FileBackends props (upper-cased keys)") {
+    val s3 = Connections.ConnSpec("S", "s3", Map(
+      "access_key_id" -> "AK", "secret_access_key" -> "SK"))
+    assert(s3.isFileSystem && !s3.isDatabase)
+    val m = graft.sources.FileBackends.renderS3a(s3.fileConn)
+    assert(m("fs.s3a.access.key") == "AK")
+  }
+}
