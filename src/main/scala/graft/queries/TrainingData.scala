@@ -269,16 +269,49 @@ object TrainingData {
       Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
+    // binary decode plumbing with a REAL pure-JVM header decoder: each doc
+    // gets a planted PNG/JPEG/GIF header whose dimensions derive from
+    // doc_id; the partition-wise decoder must sniff the format and recover
+    // width×height from the IHDR/SOFn/logical-screen headers, and the
+    // oracle recomputes the expected values arithmetically — so a decoder
+    // that ignores the bytes cannot pass
     Q("td_multimodal",
       (s, dir) => {
+        def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def be32(v: Int) = Array((v >> 24).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        val mkPayload = udf { (d: Long) =>
+          val w = 16 + (d % 1024).toInt
+          val h = 16 + (d % 768).toInt
+          (d % 3) match {
+            case 0 => // PNG: sig + IHDR(len 13) + bitdepth/color/... = 29 B
+              Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+                0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+                be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+                Array[Byte](8, 2, 0, 0, 0)
+            case 1 => // JPEG: SOI + APP0 + SOF0(1 component) + EOI = 23 B
+              Array(0xff.toByte, 0xd8.toByte,
+                0xff.toByte, 0xe0.toByte) ++ be16(4) ++ Array[Byte](0, 0) ++
+                Array(0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+                Array[Byte](8) ++ be16(h) ++ be16(w) ++
+                Array[Byte](1, 1, 0x11, 0) ++ Array(0xff.toByte, 0xd9.toByte)
+            case _ => // GIF89a logical screen = 13 B
+              "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+          }
+        }
         val bin = Tables(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .select(col("doc_id"), mkPayload(col("doc_id")).as("payload"))
         Multimodal.extractFeatures(bin, "payload")
-          .select("doc_id", "byte_len", "content_md5", "head_hex")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("byte_len"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        md5(text) AS content_md5, hex(substring(text, 1, 8)) AS head_hex
+      Some("""SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CAST(16 + doc_id % 1024 AS INT) AS width,
+        CAST(16 + doc_id % 768 AS INT) AS height,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id"""))
   )
 }

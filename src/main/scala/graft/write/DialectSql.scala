@@ -117,6 +117,15 @@ object DialectSql {
        |ON DUPLICATE KEY UPDATE ${s.columns.filterNot(s.pk.contains)
              .map(c => s"$c = VALUES($c)").mkString(", ")}""".stripMargin
 
+  /** Temp-table DDL for staged loads, rendered with the dialect's native
+    * type map (templates/<dialect>.yaml general_type_map via
+    * model.NativeTypes) — the `create_temporary_table` shape the reference
+    * fills per dialect before merging.
+    */
+  def stageTableDdl(dialect: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): String =
+    graft.model.NativeTypes.createTable(dialect, table, schema)
+
   /** Dialect dispatch for the default update_insert strategy. */
   def upsertFor(dialect: String, s: MergeSpec): Seq[String] = dialect match {
     case "postgres" => Seq(postgresUpsert(s))

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.NativeTypes
+import graft.write.DialectSql
+
+/** Per-dialect native-type DDL (templates/<dialect>.yaml general_type_map;
+  * datatype.go:1493-1692 placeholder filling). Golden strings per dialect +
+  * a Derby-executed CREATE/INSERT/SELECT round-trip.
+  */
+class NativeTypesSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("qty", IntegerType),
+    StructField("price", DecimalType(12, 2)),
+    StructField("ratio", DoubleType),
+    StructField("name", StringType),
+    StructField("note", StringType,
+      metadata = new MetadataBuilder().putLong("maxLength", 4000).build()),
+    StructField("huge", StringType,
+      metadata = new MetadataBuilder().putLong("maxLength", 100000).build()),
+    StructField("flag", BooleanType),
+    StructField("born", DateType),
+    StructField("seen", TimestampType),
+    StructField("blob", BinaryType)))
+
+  private def render(d: String) =
+    schema.fields.map(f => f.name -> NativeTypes.render(d, f)).toMap
+
+  test("postgres: varchar() filled, over-max falls to max_string_type") {
+    val m = render("postgres")
+    assert(m("id") == "bigint")
+    assert(m("price") == "numeric")
+    assert(m("ratio") == "double precision")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(4000)")
+    assert(m("huge") == "varchar(65500)") // >= 65500 → max_string_type
+    assert(m("blob") == "bytea")
+    assert(m("seen") == "timestamptz")
+  }
+
+  test("mysql: decimal(,) filled, strings over 16383 become mediumtext") {
+    val m = render("mysql")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("flag") == "tinyint(1)")
+    assert(m("huge") == "mediumtext")
+    assert(m("seen") == "datetime(6)")
+    assert(m("blob") == "longblob")
+  }
+
+  test("snowflake: variant-free scalar map, timestamp_tz for zoned") {
+    val m = render("snowflake")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "varchar(255)")
+    assert(m("seen") == "timestamp_tz")
+    assert(m("ratio") == "float")
+  }
+
+  test("bigquery: int64 family, unparameterized string, bignumeric rule") {
+    val m = render("bigquery")
+    assert(m("id") == "int64")
+    assert(m("qty") == "int64")
+    assert(m("name") == "string")
+    assert(m("price") == "numeric")
+    assert(NativeTypes.render("bigquery",
+      StructField("d", DecimalType(38, 12))) == "bignumeric")
+  }
+
+  test("duckdb: decimal(,) filled, uuid native") {
+    val m = render("duckdb")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("ratio") == "double")
+    assert(m("name") == "varchar(255)")
+  }
+
+  test("nested types map to the dialect json type") {
+    val f = StructField("j", StructType(Seq(StructField("a", LongType))))
+    assert(NativeTypes.render("postgres", f) == "jsonb")
+    assert(NativeTypes.render("snowflake", f) == "variant")
+    assert(NativeTypes.render("bigquery", f) == "json")
+  }
+
+  test("derby-rendered DDL executes: create, insert, read back") {
+    val small = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2)),
+      StructField("name", StringType),
+      StructField("seen", TimestampType)))
+    val ddl = DialectSql.stageTableDdl("derby", "NT_STAGE", small)
+    assert(ddl ==
+      "create table NT_STAGE (id bigint not null, price decimal(10,2), " +
+        "name varchar(255), seen timestamp)")
+    val conn = DriverManager
+      .getConnection("jdbc:derby:memory:nativetypes;create=true")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(ddl)
+      st.executeUpdate("INSERT INTO NT_STAGE VALUES " +
+        "(1, 12.34, 'a', TIMESTAMP('2026-01-01 00:00:00'))")
+      val rs = st.executeQuery("SELECT id, price, name FROM NT_STAGE")
+      assert(rs.next())
+      assert(rs.getLong(1) == 1L)
+      assert(rs.getBigDecimal(2) == new java.math.BigDecimal("12.34"))
+    } finally conn.close()
+  }
+}
