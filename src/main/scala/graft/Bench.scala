@@ -43,13 +43,16 @@ object Bench {
     // distinguish an 8% regression from machine noise (r3's driver total
     // was 30.9 s vs a 27.2 s re-run of identical code).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // optional comma-separated subset for targeted profiling
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq).getOrElse(headline)
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try runOnce(name)
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val samples = Seq.fill(iters)(time(name)).sorted
       (name, samples(samples.length / 2), samples.head)
     }
