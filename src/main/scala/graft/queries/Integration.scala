@@ -90,6 +90,75 @@ object Integration {
       Some("""SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""")),
 
+    // mTLS API extraction (spec.go:280): a loopback HTTPS server requires
+    // a client certificate (needClientAuth); fresh openssl identities per
+    // run; pagination runs through the mTLS transport — a client without
+    // the cert cannot even complete the handshake (TlsSpec pins that)
+    Q("op_api_mtls",
+      (s, dir) => {
+        import graft.api.Tls
+        def sh(cmd: String): Unit = {
+          val p = new ProcessBuilder("sh", "-c", cmd)
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes())
+          require(p.waitFor() == 0, s"command failed: $cmd\n$out")
+        }
+        val certDir = java.nio.file.Files.createTempDirectory("mtlsq")
+        def identity(name: String, cn: String) = {
+          val crt = certDir.resolve(s"$name.crt")
+          val key = certDir.resolve(s"$name.key")
+          sh(s"openssl req -x509 -newkey rsa:2048 -nodes -keyout $key " +
+            s"-out $crt -days 1 -subj '/CN=$cn' " +
+            "-addext 'subjectAltName=IP:127.0.0.1'")
+          (java.nio.file.Files.readString(crt),
+            java.nio.file.Files.readString(key))
+        }
+        val (serverCert, serverKey) = identity("server", "localhost")
+        val (clientCert, clientKey) = identity("client", "graft")
+        val serverCtx = Tls.sslContext(serverCert, serverKey, Some(clientCert))
+        val server = com.sun.net.httpserver.HttpsServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.setHttpsConfigurator(
+          new com.sun.net.httpserver.HttpsConfigurator(serverCtx) {
+            override def configure(
+                p: com.sun.net.httpserver.HttpsParameters): Unit = {
+              val ssl = serverCtx.getDefaultSSLParameters
+              ssl.setNeedClientAuth(true)
+              p.setSSLParameters(ssl)
+            }
+          })
+        server.createContext("/items", ex => {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val start = q.split('&').collectFirst {
+            case kv if kv.startsWith("page_token=") =>
+              kv.stripPrefix("page_token=").toInt
+          }.getOrElse(0)
+          val until = math.min(start + 20, 60)
+          val recs = (start until until)
+            .map(i => s"""{"id":$i,"value":${5L * i}}""").mkString(",")
+          val next = if (until >= 60) "null" else s""""$until""""
+          val body = s"""{"data":[$recs],"next":$next}""".getBytes
+          ex.sendResponseHeaders(200, body.length.toLong)
+          try ex.getResponseBody.write(body) finally ex.close()
+        })
+        server.start()
+        val lines =
+          try ApiExtractor.extract(
+            ApiExtractor.EndpointSpec(name = "items",
+              url = s"https://127.0.0.1:${server.getAddress.getPort}/items"),
+            Tls.mtlsTransport(clientCert, clientKey, Some(serverCert)))
+          finally server.stop(0)
+        val staging = scratch("api_mtls", dir)
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(s"$staging/items.jsonl"),
+          lines.mkString("\n"))
+        s.read.json(s"$staging/items.jsonl")
+          .select(col("id").cast("long"), col("value").cast("long"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS id, CAST(range * 5 AS BIGINT) AS value
+        FROM range(0, 60) ORDER BY id""")),
+
     // AWS SigV4 request signing (auth.go:742-815): the client signs each
     // page request; the stub server independently recomputes the expected
     // signature from the received x-amz-date + its own credential copy and
