@@ -78,6 +78,47 @@ object NativeTypes {
       "smallint" -> "smallint", "string" -> "varchar()", "text" -> "text",
       "time" -> "time", "timestamp" -> "timestamp",
       "timestampz" -> "timestamptz", "uuid" -> "uuid"),
+    "sqlserver" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary()", "bool" -> "bit",
+      "date" -> "date", "datetime" -> "datetime2", "decimal" -> "decimal(,)",
+      "float" -> "float", "integer" -> "integer", "json" -> "nvarchar(max)",
+      "smallint" -> "smallint", "string" -> "nvarchar()",
+      "text" -> "nvarchar(max)", "time" -> "varchar()",
+      "timestamp" -> "datetime2", "timestampz" -> "datetimeoffset",
+      "uuid" -> "uniqueidentifier"),
+    // oracle.yaml:497-514; the template's `binary: varbinary()` is not
+    // valid Oracle DDL — BLOB is Oracle's LOB type, and the dialect's own
+    // native_type_map reads blob back as binary (oracle.yaml:474), so the
+    // round-trippable rendering is blob.
+    "oracle" -> Map(
+      "bigint" -> "number(19)", "binary" -> "blob", "bool" -> "varchar(5)",
+      "date" -> "date", "datetime" -> "timestamp(9)", "decimal" -> "number(,)",
+      "float" -> "number", "integer" -> "number(10)", "json" -> "clob",
+      "smallint" -> "number(5)", "string" -> "varchar()", "text" -> "clob",
+      "time" -> "varchar()", "timestamp" -> "timestamp(9)",
+      "timestampz" -> "timestamp(9) with time zone", "uuid" -> "varchar(36)"),
+    // clickhouse.yaml:441-458 — every column Nullable(...) because
+    // ClickHouse columns are NOT NULL by default
+    "clickhouse" -> Map(
+      "bigint" -> "Nullable(Int64)", "binary" -> "Nullable(String)",
+      "bool" -> "Nullable(Bool)", "date" -> "Nullable(Date)",
+      "datetime" -> "Nullable(DateTime64(6))",
+      "decimal" -> "Nullable(Decimal(,))", "float" -> "Nullable(Float64)",
+      "integer" -> "Nullable(Int64)", "json" -> "Nullable(String)",
+      "smallint" -> "Nullable(Int32)", "string" -> "Nullable(String)",
+      "text" -> "Nullable(String)", "time" -> "Nullable(String)",
+      "timestamp" -> "Nullable(DateTime64(6))",
+      "timestampz" -> "Nullable(DateTime64(6))", "uuid" -> "Nullable(UUID)"),
+    // redshift.yaml:745-762 — no native json/binary types; both land in
+    // the 65535-byte varchar ceiling
+    "redshift" -> Map(
+      "bigint" -> "bigint", "binary" -> "varchar(65535)", "bool" -> "bool",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double precision", "integer" -> "integer",
+      "json" -> "varchar(65535)", "smallint" -> "smallint",
+      "string" -> "varchar()", "text" -> "varchar(65535)",
+      "time" -> "varchar(65535)", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamptz", "uuid" -> "varchar(36)"),
     // executable in the oracle suite (not a reference dialect)
     "derby" -> Map(
       "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
@@ -92,7 +133,18 @@ object NativeTypes {
     "postgres" -> (65500, "varchar(65500)"),
     "mysql" -> (16383, "mediumtext"),
     "snowflake" -> (16777216, "varchar"),
+    "sqlserver" -> (4000, "nvarchar(max)"),   // sqlserver.yaml:532-533
+    "oracle" -> (4000, "varchar(4000)"),      // oracle.yaml:468-469
+    "redshift" -> (65535, "varchar(65535)"),  // redshift.yaml:711-712
     "derby" -> (32672, "clob"))
+
+  /** variable.max_binary_type / max_binary_length — binary columns with an
+    * unknown length use the unbounded type rather than a small sized
+    * default that would truncate LOBs (datatype.go:1594-1614).
+    */
+  private val maxBinary: Map[String, String] = Map(
+    "sqlserver" -> "varbinary(max)",      // sqlserver.yaml:534-535
+    "snowflake" -> "binary(67108864)")    // snowflake.yaml:651 (no max type)
 
   /** Render one column's native type. `length` fills `varchar()` (string
     * metadata `maxLength` wins; the reference floors unknown lengths at
@@ -103,7 +155,13 @@ object NativeTypes {
       throw new IllegalArgumentException(s"no type map for dialect '$dialect'"))
     val general = generalOf(field.dataType)
     val tpl = m(general)
-    if (tpl.endsWith("()")) {
+    if (tpl.endsWith("()") && field.dataType == BinaryType) {
+      // binary length is unknown at DDL time → unbounded/max-sized type
+      maxBinary.get(dialect) match {
+        case Some(t) => t
+        case None => tpl.replace("()", "(255)")
+      }
+    } else if (tpl.endsWith("()")) {
       val declared =
         if (field.metadata.contains("maxLength"))
           Some(field.metadata.getLong("maxLength").toInt)

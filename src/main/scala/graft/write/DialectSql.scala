@@ -117,6 +117,94 @@ object DialectSql {
        |ON DUPLICATE KEY UPDATE ${s.columns.filterNot(s.pk.contains)
              .map(c => s"$c = VALUES($c)").mkString(", ")}""".stripMargin
 
+  /** SQL Server MERGE (sqlserver.yaml:65-70): T-SQL requires MERGE to be
+    * the statement terminated with `;`, and concurrent upserts need the
+    * HOLDLOCK hint to serialize the match/insert window (documented SQL
+    * Server behavior — without it two sessions can both miss the match and
+    * double-insert the same key).
+    */
+  def sqlserverUpsert(s: MergeSpec): String =
+    s"""MERGE INTO ${s.tgtTable} WITH (HOLDLOCK) tgt
+       |USING (SELECT ${fields(s)} FROM ${s.srcTable}) src
+       |ON (${pkEqual(s)})
+       |WHEN MATCHED THEN UPDATE SET ${setFields(s)}
+       |WHEN NOT MATCHED THEN INSERT (${fields(s)}) VALUES (${srcFields(s)});""".stripMargin
+
+  /** SQL Server delete+insert (sqlserver.yaml:72-79) — T-SQL's
+    * `DELETE <alias> FROM … <alias>` form.
+    */
+  def sqlserverDeleteInsert(s: MergeSpec): Seq[String] = Seq(
+    s"""DELETE tgt FROM ${s.tgtTable} tgt
+       |WHERE EXISTS (
+       |  SELECT 1 FROM ${s.srcTable} src
+       |  WHERE ${pkEqual(s)}
+       |)""".stripMargin,
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
+
+  /** Oracle MERGE (oracle.yaml:102-107) — ANSI shape, no terminator (the
+    * driver executes one statement per call; a trailing `;` is a
+    * PL/SQL-only convention and ORA-00911 in plain SQL).
+    */
+  def oracleUpsert(s: MergeSpec): String = mergeUpdateInsert(s)
+
+  /** Oracle single-row replace: MERGE … USING (SELECT literals FROM dual)
+    * (oracle.yaml:56-63) — Oracle requires a FROM clause on every SELECT,
+    * so literal sources select from the one-row dual table.
+    */
+  def oracleReplace(table: String, pk: Seq[String],
+      nameValues: Seq[(String, String)]): String = {
+    val sel = nameValues.map { case (n, v) => s"$v AS $n" }.mkString(", ")
+    val names = nameValues.map(_._1)
+    val on = pk.map(k => s"src.$k = tgt.$k").mkString(" AND ")
+    val sets = names.filterNot(pk.contains).map(c => s"tgt.$c = src.$c")
+    s"""MERGE INTO $table tgt
+       |USING (SELECT $sel FROM dual) src
+       |ON ($on)
+       |WHEN MATCHED THEN UPDATE SET ${sets.mkString(", ")}
+       |WHEN NOT MATCHED THEN INSERT (${names.mkString(", ")})
+       |VALUES (${names.map(n => s"src.$n").mkString(", ")})""".stripMargin
+  }
+
+  /** ClickHouse left-anti insert (clickhouse.yaml:29-34) — tuple NOT IN
+    * instead of NOT EXISTS (correlated subqueries are not supported).
+    */
+  def clickhouseInsertMissing(s: MergeSpec): String = {
+    val pkList = s.pk.mkString(", ")
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src
+       |WHERE ($pkList) NOT IN (
+       |  SELECT $pkList FROM ${s.tgtTable}
+       |)""".stripMargin
+  }
+
+  /** ClickHouse delete+insert (clickhouse.yaml:36-43): no MERGE / UPDATE
+    * on MergeTree — a mutation (`ALTER TABLE … DELETE`) with
+    * `mutations_sync = 1` so the insert doesn't race the async mutation,
+    * then a plain INSERT SELECT.
+    */
+  def clickhouseDeleteInsert(s: MergeSpec): Seq[String] = {
+    val pkList = s.pk.mkString(", ")
+    Seq(
+      s"""ALTER TABLE ${s.tgtTable} DELETE
+         |WHERE ($pkList) IN (
+         |  SELECT $pkList FROM ${s.srcTable}
+         |) SETTINGS mutations_sync = 1""".stripMargin,
+      s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+         |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
+  }
+
+  /** Redshift delete+insert (redshift.yaml:57-62): DELETE does not accept
+    * a target alias — the join condition names the target table directly
+    * (`{src_tgt_pk_equal_tbl}`).
+    */
+  def redshiftDeleteInsert(s: MergeSpec): Seq[String] = Seq(
+    s"""DELETE FROM ${s.tgtTable}
+       |USING ${s.srcTable} src
+       |WHERE ${s.pk.map(k => s"src.$k = ${s.tgtTable}.$k").mkString(" AND ")}""".stripMargin,
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
+
   /** Temp-table DDL for staged loads, rendered with the dialect's native
     * type map (templates/<dialect>.yaml general_type_map via
     * model.NativeTypes) — the `create_temporary_table` shape the reference
@@ -126,10 +214,25 @@ object DialectSql {
       schema: org.apache.spark.sql.types.StructType): String =
     graft.model.NativeTypes.createTable(dialect, table, schema)
 
-  /** Dialect dispatch for the default update_insert strategy. */
+  /** Per-dialect default merge strategy — engines without a native MERGE
+    * or correlated UPDATE fall back to delete_insert
+    * (redshift.yaml:709-710 `default_merge_strategy: delete_insert`;
+    * clickhouse.yaml:44-46 `merge_update_insert: null`).
+    */
+  def defaultMergeStrategy(dialect: String): String = dialect match {
+    case "clickhouse" | "redshift" => "delete_insert"
+    case _ => "update_insert" // base.yaml:473
+  }
+
+  /** Dialect dispatch for the default merge strategy. */
   def upsertFor(dialect: String, s: MergeSpec): Seq[String] = dialect match {
     case "postgres" => Seq(postgresUpsert(s))
     case "mysql" => Seq(mysqlUpsert(s))
+    case "sqlserver" => Seq(sqlserverUpsert(s))
+    case "oracle" => Seq(oracleUpsert(s))
+    // no native MERGE → the dialect's delete_insert strategy
+    case "clickhouse" => clickhouseDeleteInsert(s)
+    case "redshift" => redshiftDeleteInsert(s)
     // Derby rejects a subquery MERGE source (must be base table / table fn)
     case "derby" => Seq(mergeUpdateInsert(s, srcAsTable = true))
     case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/...

@@ -50,6 +50,69 @@ class DialectSqlSpec extends AnyFunSuite {
       .contains("MERGE INTO"))
   }
 
+  test("sqlserver upsert: MERGE with HOLDLOCK hint and `;` terminator") {
+    val sql = DialectSql.upsertFor("sqlserver", spec).head
+    assert(sql ==
+      """MERGE INTO tgt_t WITH (HOLDLOCK) tgt
+        |USING (SELECT id, v, n FROM src_t) src
+        |ON (src.id = tgt.id)
+        |WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n
+        |WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (src.id, src.v, src.n);""".stripMargin)
+  }
+
+  test("sqlserver delete_insert uses T-SQL DELETE-alias form") {
+    val stmts = DialectSql.sqlserverDeleteInsert(spec)
+    assert(stmts.head.startsWith("DELETE tgt FROM tgt_t tgt"))
+    assert(stmts(1).contains("INSERT INTO tgt_t (id, v, n)"))
+  }
+
+  test("oracle upsert: ANSI MERGE without terminator") {
+    val sql = DialectSql.upsertFor("oracle", spec).head
+    assert(sql.startsWith("MERGE INTO tgt_t tgt"))
+    assert(!sql.endsWith(";")) // ORA-00911 if terminated in plain SQL
+  }
+
+  test("oracle replace: literal source selects FROM dual") {
+    val sql = DialectSql.oracleReplace("tgt_t", Seq("id"),
+      Seq("id" -> "1", "v" -> "'x'"))
+    assert(sql ==
+      """MERGE INTO tgt_t tgt
+        |USING (SELECT 1 AS id, 'x' AS v FROM dual) src
+        |ON (src.id = tgt.id)
+        |WHEN MATCHED THEN UPDATE SET tgt.v = src.v
+        |WHEN NOT MATCHED THEN INSERT (id, v)
+        |VALUES (src.id, src.v)""".stripMargin)
+  }
+
+  test("clickhouse: no MERGE — mutation delete with mutations_sync, insert") {
+    val stmts = DialectSql.upsertFor("clickhouse", spec)
+    assert(stmts.length == 2)
+    assert(stmts.head ==
+      """ALTER TABLE tgt_t DELETE
+        |WHERE (id) IN (
+        |  SELECT id FROM src_t
+        |) SETTINGS mutations_sync = 1""".stripMargin)
+    assert(stmts(1).startsWith("INSERT INTO tgt_t (id, v, n)"))
+    assert(DialectSql.defaultMergeStrategy("clickhouse") == "delete_insert")
+  }
+
+  test("clickhouse insert-missing uses tuple NOT IN, not NOT EXISTS") {
+    val sql = DialectSql.clickhouseInsertMissing(spec)
+    assert(sql.contains("WHERE (id) NOT IN ("))
+    assert(!sql.contains("EXISTS"))
+  }
+
+  test("redshift: delete_insert without target alias in DELETE") {
+    val stmts = DialectSql.upsertFor("redshift", spec)
+    assert(stmts.head ==
+      """DELETE FROM tgt_t
+        |USING src_t src
+        |WHERE src.id = tgt_t.id""".stripMargin)
+    assert(stmts(1).startsWith("INSERT INTO tgt_t (id, v, n)"))
+    assert(DialectSql.defaultMergeStrategy("redshift") == "delete_insert")
+    assert(DialectSql.defaultMergeStrategy("postgres") == "update_insert")
+  }
+
   test("delete_insert executes on embedded Derby") {
     val url = "jdbc:derby:memory:dialecttest;create=true"
     val conn = DriverManager.getConnection(url)

@@ -78,6 +78,54 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("name") == "varchar(255)")
   }
 
+  test("sqlserver: nvarchar() filled, over-4000 to nvarchar(max), bit bool") {
+    val m = render("sqlserver")
+    assert(m("id") == "bigint")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "nvarchar(255)")
+    assert(m("note") == "nvarchar(max)")   // 4000 >= max_string_length 4000
+    assert(m("huge") == "nvarchar(max)")
+    assert(m("flag") == "bit")
+    assert(m("seen") == "datetimeoffset")
+    assert(m("blob") == "varbinary(max)")  // unknown length → max_binary_type
+  }
+
+  test("oracle: number family, varchar2 ceiling at 4000, blob binary") {
+    val m = render("oracle")
+    assert(m("id") == "number(19)")
+    assert(m("qty") == "number(10)")
+    assert(m("price") == "number(12,2)")
+    assert(m("ratio") == "number")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(4000)")   // 4000 hits the ceiling
+    assert(m("huge") == "varchar(4000)")
+    assert(m("flag") == "varchar(5)")      // oracle has no boolean column type
+    assert(m("seen") == "timestamp(9) with time zone")
+    assert(m("blob") == "blob")
+  }
+
+  test("clickhouse: everything Nullable, Decimal(,) filled inside wrapper") {
+    val m = render("clickhouse")
+    assert(m("id") == "Nullable(Int64)")
+    assert(m("qty") == "Nullable(Int64)")
+    assert(m("price") == "Nullable(Decimal(12,2))")
+    assert(m("name") == "Nullable(String)")
+    assert(m("huge") == "Nullable(String)")
+    assert(m("seen") == "Nullable(DateTime64(6))")
+    assert(m("flag") == "Nullable(Bool)")
+  }
+
+  test("redshift: varchar(65535) ceiling for text/binary/json") {
+    val m = render("redshift")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("ratio") == "double precision")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(4000)")
+    assert(m("huge") == "varchar(65535)")
+    assert(m("blob") == "varchar(65535)")
+    assert(m("seen") == "timestamptz")
+  }
+
   test("nested types map to the dialect json type") {
     val f = StructField("j", StructType(Seq(StructField("a", LongType))))
     assert(NativeTypes.render("postgres", f) == "jsonb")
