@@ -488,6 +488,37 @@ object FileOps {
         CAST(c_custkey % 170 - 84.5 AS VARCHAR), ']}') AS geojson
         FROM customer ORDER BY c_custkey""")),
 
+    // PG COPY text-format encoder (bulk-load fast path,
+    // database_postgres.go:380-480): the same escaping rendered
+    // independently by DuckDB's replace/chr chain must hash-match.
+    // Payload injects every character COPY escapes (tab, newline, CR,
+    // backslash) and a NULL every 5th row for the \N path.
+    Q("op_pg_copy_encode",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val payload = when(col("n_nationkey") % 5 === 0, lit(null))
+          .otherwise(concat(col("n_name"), lit("\t"), col("n_name"),
+            lit("\n\r\\x")))
+        graft.write.PgCopy.encodedLines(
+          n.select(col("n_nationkey").as("id"), payload.as("payload"),
+            (col("n_nationkey") % 2 === 0).as("flag")))
+          .orderBy("line")
+      },
+      Some("""SELECT
+        |  CAST(n_nationkey AS VARCHAR) || chr(9) ||
+        |  COALESCE(
+        |    replace(replace(replace(replace(
+        |      CASE WHEN n_nationkey % 5 = 0 THEN NULL
+        |           ELSE n_name || chr(9) || n_name ||
+        |                chr(10) || chr(13) || chr(92) || 'x' END,
+        |      chr(92), chr(92) || chr(92)),
+        |      chr(9), chr(92) || 't'),
+        |      chr(10), chr(92) || 'n'),
+        |      chr(13), chr(92) || 'r'),
+        |    chr(92) || 'N') || chr(9) ||
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 't' ELSE 'f' END AS line
+        |FROM nation ORDER BY line""".stripMargin)),
+
     // approximate distinct (HLL): the sketch value itself is
     // engine-specific, so the oracle checks the exact count plus the HLL
     // error bound — a drifting sketch fails the hash compare via the flag

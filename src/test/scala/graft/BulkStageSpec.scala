@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.write.BulkStage
+
+/** Golden renders for the staged bulk-load statements (Snowflake PUT/COPY
+  * INTO, BigQuery load job) — offline-testable exactly like NativeTypes.
+  */
+class BulkStageSpec extends AnyFunSuite {
+
+  test("snowflake PUT: parallel upload, no recompression of staged parts") {
+    assert(BulkStage.snowflakePut("file:///tmp/part-0001.parquet",
+      "@DB.SCH.SLING_STAGING/t1", parallel = 4) ==
+      "PUT 'file:///tmp/part-0001.parquet' @DB.SCH.SLING_STAGING/t1 " +
+        "PARALLEL=4 AUTO_COMPRESS=FALSE")
+  }
+
+  test("snowflake COPY INTO parquet: abort-on-error, match by column name") {
+    val sql = BulkStage.snowflakeCopyFromStageParquet("SCH.T1", "@SCH.STG/T1")
+    assert(sql.startsWith("COPY INTO SCH.T1\nFROM @SCH.STG/T1"))
+    assert(sql.contains("TYPE = PARQUET"))
+    assert(sql.contains("ON_ERROR = ABORT_STATEMENT"))
+    assert(sql.contains("MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE"))
+  }
+
+  test("snowflake COPY INTO csv: positional select, \\N null sentinel") {
+    val sql = BulkStage.snowflakeCopyFromStageCsv("T1", Seq("a", "b", "c"),
+      "@STG/T1")
+    assert(sql.contains("COPY INTO T1 (a, b, c)"))
+    assert(sql.contains("SELECT T.$1, T.$2, T.$3"))
+    assert(sql.contains("NULL_IF = '\\N'"))
+    assert(sql.contains("FIELD_OPTIONALLY_ENCLOSED_BY = '0x22'"))
+  }
+
+  test("snowflake staged load: create stage, one PUT per part, one COPY") {
+    val stmts = BulkStage.snowflakeStagedLoad("T1", "DB.SCH.SLING_STAGING",
+      Seq("/tmp/p0.parquet", "/tmp/p1.parquet"))
+    assert(stmts.length == 4)
+    assert(stmts.head == "CREATE STAGE IF NOT EXISTS DB.SCH.SLING_STAGING")
+    assert(stmts(1).startsWith("PUT 'file:///tmp/p0.parquet' @DB.SCH.SLING_STAGING/T1"))
+    assert(stmts(2).startsWith("PUT 'file:///tmp/p1.parquet' @DB.SCH.SLING_STAGING/T1"))
+    assert(stmts(3).startsWith("COPY INTO T1"))
+  }
+
+  test("bigquery load job: golden JSON request body") {
+    val json = BulkStage.bigqueryLoadJob("proj", "ds", "t",
+      Seq("gs://bkt/stage/t/part-0000.parquet", "gs://bkt/stage/t/part-0001.parquet"))
+    assert(json ==
+      """{"configuration":{"load":{"destinationTable":{"projectId":"proj","datasetId":"ds","tableId":"t"},""" +
+        """"sourceUris":["gs://bkt/stage/t/part-0000.parquet","gs://bkt/stage/t/part-0001.parquet"],""" +
+        """"sourceFormat":"PARQUET","writeDisposition":"WRITE_APPEND"}}}""")
+  }
+
+  test("bigquery load job rejects unknown formats and dispositions") {
+    intercept[IllegalArgumentException] {
+      BulkStage.bigqueryLoadJob("p", "d", "t", Seq("gs://x"), sourceFormat = "XLSX")
+    }
+    intercept[IllegalArgumentException] {
+      BulkStage.bigqueryLoadJob("p", "d", "t", Seq("gs://x"),
+        writeDisposition = "WRITE_MAYBE")
+    }
+  }
+
+  test("fast-path dispatch per dialect") {
+    assert(BulkStage.fastPathFor("postgres") == "copy_stdin")
+    assert(BulkStage.fastPathFor("snowflake") == "stage_put_copy")
+    assert(BulkStage.fastPathFor("bigquery") == "load_job")
+    assert(BulkStage.fastPathFor("mysql") == "jdbc_batch")
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.write.PgCopy
+
+/** PG COPY text-format encoder: golden lines, escape/decode round-trip,
+  * and the partition-streamed bulkLoad seam (database_postgres.go:380-480).
+  */
+class PgCopySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("s", StringType),
+    StructField("ok", BooleanType),
+    StructField("b", BinaryType),
+    StructField("x", DoubleType)))
+
+  private def encode(rows: Row*): Seq[String] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+    PgCopy.encodedLines(df).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  test("renderCopySql matches the pq.CopyInSchema statement shape") {
+    assert(PgCopy.renderCopySql("public.t", Seq("a", "b")) ==
+      "COPY public.t (a, b) FROM STDIN WITH (FORMAT text)")
+  }
+
+  test("golden: plain row, nulls, and every escaped character") {
+    val lines = encode(
+      Row(1L, "plain", true, Array[Byte](0x0a, 0x7f), 1.5),
+      Row(2L, null, false, null, null),
+      Row(3L, "tab\there\nand\rand\\slash", true, null, 0.25))
+    assert(lines == Seq(
+      "1\tplain\tt\t\\\\x0a7f\t1.5",
+      "2\t\\N\tf\t\\N\t\\N",
+      "3\ttab\\there\\nand\\rand\\\\slash\tt\t\\N\t0.25"))
+  }
+
+  test("escape order: a literal backslash-t in data survives decode") {
+    // data "\t" (two chars: backslash, t) must encode as "\\t" — distinct
+    // from a real tab which encodes "\t"
+    val lines = encode(Row(1L, "\\t", true, null, null))
+    assert(lines.head == "1\t\\\\t\tt\t\\N\t\\N")
+  }
+
+  test("decode round-trip: escaping is lossless for adversarial strings") {
+    def decode(line: String): Seq[Option[String]] = {
+      // split on unescaped tabs, then unescape — a PG-side reader
+      val fields = collection.mutable.ArrayBuffer.empty[Option[String]]
+      val cur = new StringBuilder
+      var i = 0
+      def unescape(v: String): String = {
+        val sb = new StringBuilder; var j = 0
+        while (j < v.length) {
+          if (v.charAt(j) == '\\' && j + 1 < v.length) {
+            v.charAt(j + 1) match {
+              case 't' => sb.append('\t')
+              case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r')
+              case '\\' => sb.append('\\')
+              case c => sb.append('\\').append(c)
+            }
+            j += 2
+          } else { sb.append(v.charAt(j)); j += 1 }
+        }
+        sb.toString
+      }
+      def flush(): Unit = {
+        val v = cur.toString; cur.clear()
+        fields += (if (v == "\\N") None else Some(unescape(v)))
+      }
+      while (i < line.length) {
+        line.charAt(i) match {
+          case '\t' => flush()
+          case '\\' if i + 1 < line.length => cur.append(line.charAt(i)).append(line.charAt(i + 1)); i += 1
+          case c => cur.append(c)
+        }
+        i += 1
+      }
+      flush()
+      fields.toSeq
+    }
+    val nasty = Seq("a\tb", "x\\n", "\\", "\\\\", "line1\nline2", "\r\n", "\\N", "")
+    nasty.zipWithIndex.foreach { case (s, i) =>
+      val line = encode(Row(i.toLong, s, true, null, null)).head
+      val decoded = decode(line)
+      assert(decoded(1) == Some(s), s"round-trip failed for ${s.toList}")
+    }
+    // a true NULL decodes as None, distinct from the literal string "\\N"
+    val nullLine = encode(Row(9L, null, true, null, null)).head
+    assert(decode(nullLine)(1).isEmpty)
+  }
+
+  test("bulkLoad streams every partition through the transport") {
+    val rows = (1L to 100L).map(i => Row(i, s"row$i", i % 2 == 0, null, i / 4.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    PgCopySpec.sent.clear()
+    val n = PgCopy.bulkLoad(df, "public.tgt", PgCopySpec.recordingTransport)
+    assert(n == 100L)
+    val got = PgCopySpec.sent.toArray(Array.empty[(String, String)])
+    assert(got.length == 100)
+    // every partition used the same rendered COPY statement
+    assert(got.map(_._1).distinct.toSeq ==
+      Seq("COPY public.tgt (id, s, ok, b, x) FROM STDIN WITH (FORMAT text)"))
+    assert(got.map(_._2).exists(_.startsWith("1\trow1\tf\t\\N\t0.25")))
+  }
+}
+
+object PgCopySpec {
+  // executor-side collector (same JVM under local[*])
+  val sent = new ConcurrentLinkedQueue[(String, String)]()
+  val recordingTransport: PgCopy.CopyTransport = new PgCopy.CopyTransport {
+    def copyPartition(copySql: String, lines: Iterator[String]): Long = {
+      var n = 0L
+      lines.foreach { l => sent.add((copySql, l)); n += 1 }
+      n
+    }
+  }
+}
