@@ -39,10 +39,15 @@ object Bench {
 
     runOnce("q1_agg") // JVM/codegen warm-up, unmeasured
 
-    // Median-of-3 warm iterations per query: a single-shot run can't
+    // Median-of-N warm iterations per query: a single-shot run can't
     // distinguish an 8% regression from machine noise (r3's driver total
-    // was 30.9 s vs a 27.2 s re-run of identical code).
+    // was 30.9 s vs a 27.2 s re-run of identical code). Sub-2s queries get
+    // extra iterations: at that scale per-query noise on this box is ±0.6 s
+    // (r4 vs r5 ran byte-identical code yet td_sim_topk moved +49%), so
+    // median-of-3 is not enough to tell a real regression from jitter.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val fastIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ITERS", "7").toInt
+    val fastCutoffSec = 2.0
     // optional comma-separated subset for targeted profiling
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq).getOrElse(headline)
@@ -52,16 +57,23 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val results = selected.map { name =>
-      val samples = Seq.fill(iters)(time(name)).sorted
-      (name, samples(samples.length / 2), samples.head)
+      val base = Seq.fill(iters)(time(name))
+      val samples =
+        if (median(base) < fastCutoffSec && fastIters > iters)
+          base ++ Seq.fill(fastIters - iters)(time(name))
+        else base
+      (name, median(samples), samples.min, samples.length)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn) => "\"" + k + f"\":$mn%.3f" }
+    val mins = results.map { case (k, _, mn, _) => "\"" + k + f"\":$mn%.3f" }
+      .mkString("{", ",", "}")
+    val ns = results.map { case (k, _, _, n) => "\"" + k + s"""\":$n""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$iters%d","queries":$qs,"queries_min":$mins,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$iters%d (fast<${fastCutoffSec}%.0fs: $fastIters%d)","queries":$qs,"queries_min":$mins,"iters":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,12 +17,56 @@ object EventStream {
   /** Per-user sessionization state (streamingSessionize). */
   final case class Sess(lastMicros: Long, nSessions: Long, nEvents: Long)
 
+  /** State-store provider seam. Spark's default HDFS-backed provider keeps
+    * every live state-store version on the executor heap — fine for the
+    * small keyed cardinalities here, a heap bomb at real state sizes
+    * (100s of GB of session keys across a cluster). The RocksDB provider
+    * bundled with Spark keeps state off-heap with incremental snapshot
+    * upload, so state capacity scales with disk instead of heap. Results
+    * must be identical under either provider (pinned by
+    * `StreamingStateStoreSpec`).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val DefaultProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def resolveProvider(p: String): String = p.toLowerCase match {
+    case "rocksdb"          => RocksDbProvider
+    case "hdfs" | "default" => DefaultProvider
+    case _                  => p // fully-qualified custom provider class
+  }
+
+  /** Run `body` with the given state-store provider ("rocksdb", "hdfs", or a
+    * fully-qualified class name), restoring the prior session setting after.
+    * The provider conf is read once at stream start, so wrapping the query
+    * launch is sufficient — no per-query plumbing.
+    */
+  def withStateStore[T](spark: SparkSession, provider: String)(body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, resolveProvider(provider))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** Env seam: `SPARK_GRAFT_STATE_STORE=rocksdb` flips every stateful query
+    * started by this object without touching call sites.
+    */
+  private def configureFromEnv(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(p => spark.conf.set(ProviderKey, resolveProvider(p)))
+
   /** Tumbling-window count/sum per event_type, run as a real streaming query
     * (file source → complete-mode memory sink, drained synchronously).
     * Sums go through decimal so streaming-state accumulation order can't
     * change the result.
     */
   def windowedAgg(spark: SparkSession, eventsDir: String, queryName: String): DataFrame = {
+    configureFromEnv(spark)
     val batch = spark.read.parquet(eventsDir)
     val stream = spark.readStream.schema(batch.schema).parquet(eventsDir)
     val agg = stream
@@ -60,6 +104,7 @@ object EventStream {
     */
   def streamingDedup(spark: SparkSession, eventsDir: String,
       queryName: String): DataFrame = {
+    configureFromEnv(spark)
     val batch = spark.read.parquet(eventsDir)
     def src = spark.readStream.schema(batch.schema).parquet(eventsDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -94,6 +139,7 @@ object EventStream {
     */
   def streamingSessionize(spark: SparkSession, eventsDir: String,
       queryName: String, gapMinutes: Int = 30): DataFrame = {
+    configureFromEnv(spark)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val batch = spark.read.parquet(eventsDir)
