@@ -119,6 +119,69 @@ object NativeTypes {
       "string" -> "varchar()", "text" -> "varchar(65535)",
       "time" -> "varchar(65535)", "timestamp" -> "timestamp",
       "timestampz" -> "timestamptz", "uuid" -> "varchar(36)"),
+    // trino.yaml:355-372 — unbounded varchar for all strings (no length
+    // ceiling worth declaring under a 1M-char max_string_length)
+    "trino" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "integer", "json" -> "json",
+      "smallint" -> "smallint", "string" -> "varchar", "text" -> "varchar",
+      "time" -> "varchar", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp with time zone", "uuid" -> "uuid"),
+    // databricks.yaml:723-740 — Spark-typed target, so the mapping is
+    // nearly the identity; json lands in string (no variant in the map)
+    "databricks" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "int", "json" -> "string",
+      "smallint" -> "smallint", "string" -> "string", "text" -> "string",
+      "time" -> "string", "timestamp" -> "timestamp_ntz",
+      "timestampz" -> "timestamp", "uuid" -> "string"),
+    // db2.yaml:445-462 — varbinary/varchar both capped at DB2's 32672-byte
+    // page-row ceiling; overflow strings land in clob
+    "db2" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary(32672)",
+      "bool" -> "boolean", "date" -> "date", "datetime" -> "timestamp",
+      "decimal" -> "decimal(,)", "float" -> "double", "integer" -> "integer",
+      "json" -> "clob", "smallint" -> "smallint", "string" -> "varchar()",
+      "text" -> "clob", "time" -> "time", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp", "uuid" -> "char(36)"),
+    // starrocks.yaml:555-572 — integer widens to bigint; 65533 is the
+    // varchar ceiling
+    "starrocks" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "datetime", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "bigint", "json" -> "json",
+      "smallint" -> "smallint", "string" -> "varchar()",
+      "text" -> "varchar(65533)", "time" -> "varchar()",
+      "timestamp" -> "datetime", "timestampz" -> "datetime",
+      "uuid" -> "varchar(36)"),
+    // sqlite.yaml:279-296 — type-affinity engine: temporal types are TEXT,
+    // decimal degrades to REAL (the reference accepts the precision loss)
+    "sqlite" -> Map(
+      "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
+      "date" -> "text", "datetime" -> "text", "decimal" -> "real",
+      "float" -> "real", "integer" -> "integer", "json" -> "json",
+      "smallint" -> "integer", "string" -> "text", "text" -> "text",
+      "time" -> "text", "timestamp" -> "text", "timestampz" -> "text",
+      "uuid" -> "text"),
+    // mariadb.yaml:594-611 — same map as mysql
+    "mariadb" -> Map(
+      "bigint" -> "bigint", "binary" -> "longblob", "bool" -> "tinyint(1)",
+      "date" -> "date", "datetime" -> "datetime(6)", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "integer", "json" -> "json",
+      "smallint" -> "smallint", "string" -> "varchar()",
+      "text" -> "mediumtext", "time" -> "varchar()",
+      "timestamp" -> "datetime(6)", "timestampz" -> "datetime(6)",
+      "uuid" -> "varchar(36)"),
+    // athena.yaml:369-386 — Glue/Presto types; strings unbounded
+    "athena" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "int", "json" -> "string",
+      "smallint" -> "smallint", "string" -> "string", "text" -> "string",
+      "time" -> "string", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp", "uuid" -> "string"),
     // executable in the oracle suite (not a reference dialect)
     "derby" -> Map(
       "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
@@ -136,6 +199,9 @@ object NativeTypes {
     "sqlserver" -> (4000, "nvarchar(max)"),   // sqlserver.yaml:532-533
     "oracle" -> (4000, "varchar(4000)"),      // oracle.yaml:468-469
     "redshift" -> (65535, "varchar(65535)"),  // redshift.yaml:711-712
+    "db2" -> (32672, "varchar(32672)"),       // db2.yaml:410-411
+    "starrocks" -> (65533, "varchar(65533)"), // starrocks.yaml:501-502
+    "mariadb" -> (16777215, "mediumtext"),    // mariadb.yaml:540-541
     "derby" -> (32672, "clob"))
 
   /** variable.max_binary_type / max_binary_length — binary columns with an

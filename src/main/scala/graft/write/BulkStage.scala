@@ -105,6 +105,92 @@ object BulkStage {
       s""""writeDisposition":"$writeDisposition"}}}"""
   }
 
+  // ---------------- SQL Server BCP ----------------
+
+  /** SQL Server's bulk path is the `bcp` utility over unquoted CSV
+    * (database_sqlserver.go:698-855 BcpImportFileParrallel). BCP has no
+    * escaping: delimiter/quote/CR/LF characters inside string values are
+    * replaced by sentinel placeholders before the CSV is written, loaded
+    * verbatim, then restored in-database with one UPDATE of nested
+    * REPLACEs (database_sqlserver.go:708-712, 860-920). Empty string gets
+    * its own sentinel because bcp reads empty field as NULL.
+    */
+  val BcpDelimRep = "$~d$~"
+  val BcpQuoteRep = "$~q$~"
+  val BcpNewlRep = "$~n$~"
+  val BcpCarrRep = "$~r$~"
+  val BcpEmptyRep = "$~e$~"
+
+  /** Sentinel-encode one string field for the unquoted BCP CSV. */
+  def bcpEncode(value: String): String = {
+    if (value.isEmpty) BcpEmptyRep
+    else value
+      .replace(",", BcpDelimRep)
+      .replace("\"", BcpQuoteRep)
+      .replace("\r", BcpCarrRep)
+      .replace("\n", BcpNewlRep)
+  }
+
+  /** Distributed encode: the same sentinel substitution as a codegen column
+    * chain, so every Spark partition writes its own BCP-ready part file —
+    * the per-partition shape `BcpImportFileParrallel` loads concurrently.
+    */
+  def bcpEncodeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(c.isNull, lit(null)).otherwise(
+      when(c === "", lit(BcpEmptyRep)).otherwise(
+        translateSeq(c)))
+  }
+
+  private def translateSeq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // replace() (literal, codegen) — NOT regexp_replace, the sentinels and
+    // targets are fixed strings
+    val steps = Seq(
+      ("," , BcpDelimRep), ("\"", BcpQuoteRep),
+      ("\r", BcpCarrRep), ("\n", BcpNewlRep))
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** Post-load restore: one UPDATE with nested REPLACEs per affected
+    * column (database_sqlserver.go:867-916). Only columns whose values
+    * were actually rewritten need restoring — the caller passes that set,
+    * keeping the UPDATE narrow.
+    */
+  def bcpRestoreSql(table: String, columns: Seq[String]): String = {
+    val sets = columns.map { c =>
+      val r1 = s"REPLACE(CONVERT(NVARCHAR(MAX), $c), '$BcpDelimRep', ',')"
+      val r2 = s"REPLACE($r1, '$BcpQuoteRep', '\"')"
+      val r3 = s"REPLACE($r2, '$BcpCarrRep', CHAR(13))"
+      val r4 = s"REPLACE($r3, '$BcpNewlRep', CHAR(10))"
+      val r5 = s"REPLACE($r4, '$BcpEmptyRep', '')"
+      s"$c = $r5"
+    }
+    s"UPDATE $table SET ${sets.mkString(", ")}"
+  }
+
+  /** The bcp invocation argv (database_sqlserver.go:1060-1075): UTF-16
+    * chars (-w, which also hex-decodes binary columns), comma delimiter,
+    * abort on first error (-m 1), quoted-identifier (-q), 50k-row batches,
+    * skip the header row (-F 2). Credentials are NOT rendered — the caller
+    * supplies them out-of-band (-U/-P or -G for Entra tokens).
+    */
+  def sqlserverBcpArgs(table: String, csvPath: String, host: String,
+      port: Int, database: String, batchSize: Int = 50000,
+      errPath: String = "/dev/stderr"): Seq[String] = Seq(
+    table.replace("\"", ""), "in", csvPath,
+    "-S", s"tcp:$host,$port",
+    "-d", database,
+    "-t", ",",
+    "-m", "1",
+    "-w",
+    "-q",
+    "-b", batchSize.toString,
+    "-F", "2",
+    "-e", errPath)
+
   /** Per-dialect bulk-load capability — which fast path a staged load
     * takes instead of batched JDBC inserts (the reference's per-dialect
     * BulkImportFlow dispatch).
@@ -113,6 +199,7 @@ object BulkStage {
     case "postgres" => "copy_stdin"        // PgCopy, database_postgres.go:380
     case "snowflake" => "stage_put_copy"   // database_snowflake.go:818
     case "bigquery" => "load_job"          // database_bigquery.go:826
+    case "sqlserver" => "bcp"              // database_sqlserver.go:698
     case _ => "jdbc_batch"                 // generic Jdbc.write
   }
 }

@@ -205,6 +205,78 @@ object DialectSql {
     s"""INSERT INTO ${s.tgtTable} (${fields(s)})
        |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
 
+  /** DB2 MERGE (db2.yaml:37-44) — ANSI shape but the source must be the
+    * staged base table directly (`USING {src_table} src`, no subquery
+    * wrapper), same constraint Derby has.
+    */
+  def db2Upsert(s: MergeSpec): String = mergeUpdateInsert(s, srcAsTable = true)
+
+  /** SQLite upsert (sqlite.yaml:27-31): INSERT … ON CONFLICT DO UPDATE.
+    * The `WHERE true` is load-bearing — without it SQLite's parser sees
+    * `ON` as a join keyword of the SELECT, not the conflict clause.
+    * Requires a unique index on the PK (the reference creates one first).
+    */
+  def sqliteUpsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src WHERE true
+       |ON CONFLICT (${s.pk.mkString(", ")})
+       |DO UPDATE SET ${s.columns.filterNot(s.pk.contains)
+             .map(c => s"$c = excluded.$c").mkString(", ")}""".stripMargin
+
+  /** StarRocks upsert (starrocks.yaml:10-14,26-29): primary-key tables
+    * replace rows on plain INSERT — the insert IS the upsert. A
+    * skip-existing guard would defeat the update half, so none is added.
+    */
+  def starrocksUpsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin
+
+  /** StarRocks delete+insert (starrocks.yaml:40-54): no MERGE and no
+    * correlated EXISTS in DELETE — tuple IN, then plain INSERT.
+    */
+  def starrocksDeleteInsert(s: MergeSpec): Seq[String] = {
+    val pkList = s.pk.mkString(", ")
+    Seq(
+      s"""DELETE FROM ${s.tgtTable}
+         |WHERE ($pkList) IN (
+         |  SELECT $pkList FROM ${s.srcTable}
+         |)""".stripMargin,
+      starrocksUpsert(s))
+  }
+
+  /** StarRocks staged-table DDL (starrocks.yaml create_table): PRIMARY KEY
+    * table — the thing that makes INSERT an upsert — plus hash distribution
+    * on the PK so merge traffic is co-located per tablet at scale.
+    */
+  def starrocksCreateTable(table: String,
+      schema: org.apache.spark.sql.types.StructType, pk: Seq[String]): String = {
+    val cols = schema.fields.map(f =>
+      s"${f.name} ${graft.model.NativeTypes.render("starrocks", f)}")
+    val pkList = pk.mkString(", ")
+    s"create table if not exists $table (${cols.mkString(", ")}) " +
+      s"primary key ($pkList) distributed by hash($pkList)"
+  }
+
+  /** MariaDB delete+insert (mariadb.yaml:22-31): error 1093 forbids
+    * referencing the insert target inside INSERT … SELECT subqueries, so
+    * no NOT-EXISTS guard exists and delete_insert is the default strategy;
+    * the DELETE names the target table directly (no alias).
+    */
+  def mariadbDeleteInsert(s: MergeSpec): Seq[String] = Seq(
+    s"""DELETE FROM ${s.tgtTable}
+       |WHERE EXISTS (
+       |  SELECT 1 FROM ${s.srcTable} src
+       |  WHERE ${s.pk.map(k => s"src.$k = ${s.tgtTable}.$k").mkString(" AND ")}
+       |)""".stripMargin,
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin)
+
+  /** Athena left-anti insert (athena.yaml:65-71): DELETE/UPDATE/MERGE only
+    * work on Iceberg tables, so standard tables get insert-missing only
+    * (every other strategy is nulled, athena.yaml:74-78).
+    */
+  def athenaInsertMissing(s: MergeSpec): String = mergeInsert(s)
+
   /** Temp-table DDL for staged loads, rendered with the dialect's native
     * type map (templates/<dialect>.yaml general_type_map via
     * model.NativeTypes) — the `create_temporary_table` shape the reference
@@ -220,7 +292,12 @@ object DialectSql {
     * clickhouse.yaml:44-46 `merge_update_insert: null`).
     */
   def defaultMergeStrategy(dialect: String): String = dialect match {
-    case "clickhouse" | "redshift" => "delete_insert"
+    case "clickhouse" | "redshift" | "mariadb" => "delete_insert"
+    // starrocks.yaml:506 — PK tables make plain insert the upsert
+    case "starrocks" => "insert"
+    // athena.yaml nulls every strategy but merge_insert (athena.yaml:74-78);
+    // insert-missing is the only executable strategy on standard tables
+    case "athena" => "insert"
     case _ => "update_insert" // base.yaml:473
   }
 
@@ -230,11 +307,17 @@ object DialectSql {
     case "mysql" => Seq(mysqlUpsert(s))
     case "sqlserver" => Seq(sqlserverUpsert(s))
     case "oracle" => Seq(oracleUpsert(s))
+    case "sqlite" => Seq(sqliteUpsert(s))
     // no native MERGE → the dialect's delete_insert strategy
     case "clickhouse" => clickhouseDeleteInsert(s)
     case "redshift" => redshiftDeleteInsert(s)
-    // Derby rejects a subquery MERGE source (must be base table / table fn)
+    case "mariadb" => mariadbDeleteInsert(s)
+    // PK-table native upsert / insert-only engines
+    case "starrocks" => Seq(starrocksUpsert(s))
+    case "athena" => Seq(athenaInsertMissing(s))
+    // MERGE source must be a base table, not a subquery
+    case "db2" => Seq(db2Upsert(s))
     case "derby" => Seq(mergeUpdateInsert(s, srcAsTable = true))
-    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/...
+    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/trino/databricks
   }
 }

@@ -66,6 +66,50 @@ class BulkStageSpec extends AnyFunSuite {
     assert(BulkStage.fastPathFor("postgres") == "copy_stdin")
     assert(BulkStage.fastPathFor("snowflake") == "stage_put_copy")
     assert(BulkStage.fastPathFor("bigquery") == "load_job")
+    assert(BulkStage.fastPathFor("sqlserver") == "bcp")
     assert(BulkStage.fastPathFor("mysql") == "jdbc_batch")
+  }
+
+  test("bcp sentinel encode: delimiter/quote/CR/LF/empty round-trip") {
+    val raw = "a,b\"c\r\nd"
+    val enc = BulkStage.bcpEncode(raw)
+    assert(enc == "a$~d$~b$~q$~c$~r$~$~n$~d")
+    assert(!enc.contains(",") && !enc.contains("\"") &&
+      !enc.contains("\n") && !enc.contains("\r"))
+    assert(BulkStage.bcpEncode("") == "$~e$~") // bcp reads empty as NULL
+    // decode = the REPLACE chain bcpRestoreSql performs in-database
+    val dec = enc
+      .replace(BulkStage.BcpDelimRep, ",").replace(BulkStage.BcpQuoteRep, "\"")
+      .replace(BulkStage.BcpCarrRep, "\r").replace(BulkStage.BcpNewlRep, "\n")
+    assert(dec == raw)
+  }
+
+  test("bcp distributed encode matches the scalar encoder") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val vals = Seq("a,b", "q\"x", "line1\nline2", "cr\rhere", "", "plain", null)
+    val out = vals.toDF("s")
+      .select(BulkStage.bcpEncodeCol(org.apache.spark.sql.functions.col("s")))
+      .collect().map(r => Option(r.getString(0)))
+    val expected = vals.map(v => Option(v).map(BulkStage.bcpEncode))
+    assert(out.toSeq == expected)
+  }
+
+  test("bcp restore UPDATE: nested REPLACEs in sentinel order") {
+    val sql = BulkStage.bcpRestoreSql("SCH.T1", Seq("v"))
+    assert(sql.startsWith("UPDATE SCH.T1 SET v = "))
+    assert(sql.contains("REPLACE(CONVERT(NVARCHAR(MAX), v), '$~d$~', ',')"))
+    assert(sql.contains("'$~r$~', CHAR(13)"))
+    assert(sql.contains("'$~n$~', CHAR(10)"))
+    assert(sql.contains("'$~e$~', ''"))
+  }
+
+  test("bcp argv: golden flags — utf16, abort-on-first-error, skip header") {
+    assert(BulkStage.sqlserverBcpArgs("SCH.T1", "/tmp/part0.csv",
+      "db.host", 1433, "mydb") == Seq(
+      "SCH.T1", "in", "/tmp/part0.csv",
+      "-S", "tcp:db.host,1433", "-d", "mydb", "-t", ",", "-m", "1",
+      "-w", "-q", "-b", "50000", "-F", "2", "-e", "/dev/stderr"))
   }
 }

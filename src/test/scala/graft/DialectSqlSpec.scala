@@ -113,6 +113,76 @@ class DialectSqlSpec extends AnyFunSuite {
     assert(DialectSql.defaultMergeStrategy("postgres") == "update_insert")
   }
 
+  test("db2 upsert: MERGE sources the staged base table, not a subquery") {
+    val sql = DialectSql.upsertFor("db2", spec).head
+    assert(sql.contains("USING src_t src"))
+    assert(!sql.contains("USING (SELECT"))
+    assert(sql.contains("WHEN MATCHED THEN UPDATE SET v = src.v, n = src.n"))
+  }
+
+  test("trino and databricks take the ANSI MERGE default") {
+    assert(DialectSql.upsertFor("trino", spec).head.startsWith("MERGE INTO"))
+    assert(DialectSql.upsertFor("databricks", spec).head.startsWith("MERGE INTO"))
+    assert(DialectSql.defaultMergeStrategy("trino") == "update_insert")
+    assert(DialectSql.defaultMergeStrategy("databricks") == "update_insert")
+  }
+
+  test("sqlite upsert: ON CONFLICT with the load-bearing WHERE true") {
+    val sql = DialectSql.upsertFor("sqlite", spec).head
+    assert(sql ==
+      """INSERT INTO tgt_t (id, v, n)
+        |SELECT src.id, src.v, src.n FROM src_t src WHERE true
+        |ON CONFLICT (id)
+        |DO UPDATE SET v = excluded.v, n = excluded.n""".stripMargin)
+  }
+
+  test("starrocks: plain INSERT is the upsert on PK tables; no guard") {
+    val sql = DialectSql.upsertFor("starrocks", spec).head
+    assert(sql ==
+      """INSERT INTO tgt_t (id, v, n)
+        |SELECT src.id, src.v, src.n FROM src_t src""".stripMargin)
+    assert(!sql.contains("NOT EXISTS") && !sql.contains("NOT IN"))
+    assert(DialectSql.defaultMergeStrategy("starrocks") == "insert")
+  }
+
+  test("starrocks delete_insert: tuple IN delete, then insert") {
+    val stmts = DialectSql.starrocksDeleteInsert(spec)
+    assert(stmts.head ==
+      """DELETE FROM tgt_t
+        |WHERE (id) IN (
+        |  SELECT id FROM src_t
+        |)""".stripMargin)
+    assert(stmts(1).startsWith("INSERT INTO tgt_t (id, v, n)"))
+  }
+
+  test("starrocks staged DDL: primary-key table with hash distribution") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    assert(DialectSql.starrocksCreateTable("st_t", schema, Seq("id")) ==
+      "create table if not exists st_t (id bigint, v varchar(255)) " +
+        "primary key (id) distributed by hash(id)")
+  }
+
+  test("mariadb: delete_insert default, DELETE names target directly") {
+    val stmts = DialectSql.upsertFor("mariadb", spec)
+    assert(stmts.head ==
+      """DELETE FROM tgt_t
+        |WHERE EXISTS (
+        |  SELECT 1 FROM src_t src
+        |  WHERE src.id = tgt_t.id
+        |)""".stripMargin)
+    assert(stmts(1).startsWith("INSERT INTO tgt_t (id, v, n)"))
+    assert(DialectSql.defaultMergeStrategy("mariadb") == "delete_insert")
+  }
+
+  test("athena: insert-missing is the only strategy on standard tables") {
+    val stmts = DialectSql.upsertFor("athena", spec)
+    assert(stmts.length == 1)
+    assert(stmts.head.contains("WHERE NOT EXISTS"))
+    assert(DialectSql.defaultMergeStrategy("athena") == "insert")
+  }
+
   test("delete_insert executes on embedded Derby") {
     val url = "jdbc:derby:memory:dialecttest;create=true"
     val conn = DriverManager.getConnection(url)

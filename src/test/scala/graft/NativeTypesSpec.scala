@@ -126,6 +126,88 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("seen") == "timestamptz")
   }
 
+  test("trino: unbounded varchar, timestamp with time zone, varbinary") {
+    val m = render("trino")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "integer")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("ratio") == "double")
+    assert(m("name") == "varchar")       // no () template → no length fill
+    assert(m("huge") == "varchar")
+    assert(m("seen") == "timestamp with time zone")
+    assert(m("blob") == "varbinary")
+  }
+
+  test("databricks: near-identity Spark map, timestamp_ntz for datetime") {
+    val m = render("databricks")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "int")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "string")
+    assert(m("seen") == "timestamp")     // zoned → timestamp
+    assert(m("blob") == "binary")
+    // datetime (Spark NTZ) renders timestamp; the template's own
+    // timestamp → timestamp_ntz row is carried for map fidelity
+    assert(NativeTypes.render("databricks",
+      StructField("d", TimestampNTZType)) == "timestamp")
+    assert(NativeTypes.generalTypeMap("databricks")("timestamp") == "timestamp_ntz")
+  }
+
+  test("db2: varchar ceiling at 32672, fixed varbinary, char(36) uuid") {
+    val m = render("db2")
+    assert(m("id") == "bigint")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(4000)")
+    assert(m("huge") == "varchar(32672)") // 100000 >= 32672 → max_string_type
+    assert(m("blob") == "varbinary(32672)")
+    assert(m("seen") == "timestamp")
+  }
+
+  test("starrocks: integer widens to bigint, varchar(65533) ceiling") {
+    val m = render("starrocks")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "bigint")          // integer → bigint per template
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "varchar(255)")
+    assert(m("huge") == "varchar(65533)")
+    assert(m("seen") == "datetime")
+    assert(m("blob") == "varbinary")
+  }
+
+  test("sqlite: affinity types — temporal as text, decimal degrades to real") {
+    val m = render("sqlite")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "integer")
+    assert(m("price") == "real")
+    assert(m("name") == "text")
+    assert(m("born") == "text")
+    assert(m("seen") == "text")
+    assert(m("blob") == "blob")
+  }
+
+  test("mariadb: mysql-shaped map, mediumtext over 16M ceiling") {
+    val m = render("mariadb")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("flag") == "tinyint(1)")
+    assert(m("name") == "varchar(255)")
+    assert(m("seen") == "datetime(6)")
+    assert(m("blob") == "longblob")
+    assert(NativeTypes.render("mariadb",
+      StructField("x", StringType, metadata = new MetadataBuilder()
+        .putLong("maxLength", 20000000).build())) == "mediumtext")
+  }
+
+  test("athena: glue types — int, unparameterized string, binary") {
+    val m = render("athena")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "int")
+    assert(m("price") == "decimal(12,2)")
+    assert(m("name") == "string")
+    assert(m("seen") == "timestamp")
+    assert(m("blob") == "binary")
+  }
+
   test("nested types map to the dialect json type") {
     val f = StructField("j", StructType(Seq(StructField("a", LongType))))
     assert(NativeTypes.render("postgres", f) == "jsonb")
