@@ -519,6 +519,29 @@ object FileOps {
         |  CASE WHEN n_nationkey % 2 = 0 THEN 't' ELSE 'f' END AS line
         |FROM nation ORDER BY line""".stripMargin)),
 
+    // SQL Server BCP sentinel encoder (bulk-load fast path,
+    // database_sqlserver.go:708-790): codegen column chain vs DuckDB
+    // rendering the same sentinel substitution. Payload injects the
+    // delimiter, quote, CR, LF, and an empty string every 5th row (bcp
+    // reads empty as NULL, so empty gets its own sentinel).
+    Q("op_bcp_encode",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val payload = when(col("n_nationkey") % 5 === 0, lit(""))
+          .otherwise(concat(col("n_name"), lit(",\""), col("n_name"),
+            lit("\r\n")))
+        n.select(col("n_nationkey").as("id"),
+            graft.write.BulkStage.bcpEncodeCol(payload).as("encoded"))
+          .orderBy("id")
+      },
+      Some("""SELECT n_nationkey AS id,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN '$~e$~'
+        |       ELSE replace(replace(replace(replace(
+        |         n_name || ',"' || n_name || chr(13) || chr(10),
+        |         ',', '$~d$~'), '"', '$~q$~'),
+        |         chr(13), '$~r$~'), chr(10), '$~n$~') END AS encoded
+        |FROM nation ORDER BY id""".stripMargin)),
+
     // approximate distinct (HLL): the sketch value itself is
     // engine-specific, so the oracle checks the exact count plus the HLL
     // error bound — a drifting sketch fails the hash compare via the flag
