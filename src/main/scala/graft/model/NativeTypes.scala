@@ -182,6 +182,92 @@ object NativeTypes {
       "smallint" -> "smallint", "string" -> "string", "text" -> "string",
       "time" -> "string", "timestamp" -> "timestamp",
       "timestampz" -> "timestamp", "uuid" -> "string"),
+    // azuresql.yaml:405-422 / azuredwh.yaml:381-398 — identical T-SQL maps
+    // (unbounded varbinary; nvarchar ceiling at 4000 like sqlserver)
+    "azuresql" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "date" -> "date", "datetime" -> "datetime2", "decimal" -> "decimal(,)",
+      "float" -> "float", "integer" -> "integer", "json" -> "nvarchar(max)",
+      "smallint" -> "smallint", "string" -> "nvarchar()",
+      "text" -> "nvarchar(max)", "time" -> "varchar()",
+      "timestamp" -> "datetime2", "timestampz" -> "datetimeoffset",
+      "uuid" -> "uniqueidentifier"),
+    "azuredwh" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "date" -> "date", "datetime" -> "datetime2", "decimal" -> "decimal(,)",
+      "float" -> "float", "integer" -> "integer", "json" -> "nvarchar(max)",
+      "smallint" -> "smallint", "string" -> "nvarchar()",
+      "text" -> "nvarchar(max)", "time" -> "varchar()",
+      "timestamp" -> "datetime2", "timestampz" -> "datetimeoffset",
+      "uuid" -> "uniqueidentifier"),
+    // fabric.yaml:459-476 — Fabric warehouse: varchar (not nvarchar),
+    // datetime2(6), no datetimeoffset (zoned collapses to datetime2(6))
+    "fabric" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "date" -> "date", "datetime" -> "datetime2(6)",
+      "decimal" -> "decimal(,)", "float" -> "float", "integer" -> "integer",
+      "json" -> "varchar(max)", "smallint" -> "smallint",
+      "string" -> "varchar()", "text" -> "varchar(max)",
+      "time" -> "varchar()", "timestamp" -> "datetime2(6)",
+      "timestampz" -> "datetime2(6)", "uuid" -> "uniqueidentifier"),
+    // exasol.yaml:311-328 — everything stringy is varchar(2000000), the
+    // engine's column-store handles wide varchars natively
+    "exasol" -> Map(
+      "bigint" -> "bigint", "binary" -> "varchar(2000000)",
+      "bool" -> "boolean", "date" -> "date", "datetime" -> "timestamp",
+      "decimal" -> "decimal(,)", "float" -> "double precision",
+      "integer" -> "integer", "json" -> "varchar(2000000)",
+      "smallint" -> "smallint", "string" -> "varchar(2000000)",
+      "text" -> "varchar(2000000)", "time" -> "varchar(100)",
+      "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp with local time zone",
+      "uuid" -> "varchar(36)"),
+    // firebird.yaml:418-435 — varchar ceiling 8000, blob binary
+    "firebird" -> Map(
+      "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double precision", "integer" -> "integer",
+      "json" -> "varchar(8000)", "smallint" -> "smallint",
+      "string" -> "varchar()", "text" -> "varchar(8000)", "time" -> "time",
+      "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp with local time zone",
+      "uuid" -> "varchar(36)"),
+    // d1.yaml:249-266 — Cloudflare D1, sqlite-family affinity types
+    "d1" -> Map(
+      "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
+      "date" -> "text", "datetime" -> "text", "decimal" -> "real",
+      "float" -> "real", "integer" -> "integer", "json" -> "json",
+      "smallint" -> "integer", "string" -> "text", "text" -> "text",
+      "time" -> "text", "timestamp" -> "text", "timestampz" -> "text",
+      "uuid" -> "text"),
+    // motherduck.yaml:204-221 / ducklake.yaml:357-374 — duckdb family;
+    // ducklake maps json to text (lake format has no json column type)
+    "motherduck" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "bool",
+      "date" -> "date", "datetime" -> "datetime", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "integer", "json" -> "json",
+      "smallint" -> "smallint", "string" -> "varchar()", "text" -> "text",
+      "time" -> "time", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamptz", "uuid" -> "uuid"),
+    "ducklake" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "bool",
+      "date" -> "date", "datetime" -> "datetime", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "integer", "json" -> "text",
+      "smallint" -> "smallint", "string" -> "varchar()", "text" -> "text",
+      "time" -> "time", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamptz", "uuid" -> "uuid"),
+    // proton.yaml:309-326 — Timeplus Proton, clickhouse-family but
+    // lowercase nullable(...) wrappers and string bools
+    "proton" -> Map(
+      "bigint" -> "nullable(int64)", "binary" -> "nullable(string)",
+      "bool" -> "nullable(string)", "date" -> "nullable(date)",
+      "datetime" -> "nullable(datetime64(6))",
+      "decimal" -> "nullable(decimal(,))", "float" -> "nullable(float64)",
+      "integer" -> "nullable(int64)", "json" -> "nullable(string)",
+      "smallint" -> "nullable(int32)", "string" -> "nullable(string)",
+      "text" -> "nullable(string)", "time" -> "nullable(string)",
+      "timestamp" -> "nullable(datetime64(6))",
+      "timestampz" -> "nullable(datetime64(6))", "uuid" -> "nullable(string)"),
     // executable in the oracle suite (not a reference dialect)
     "derby" -> Map(
       "bigint" -> "bigint", "binary" -> "blob", "bool" -> "boolean",
@@ -202,6 +288,10 @@ object NativeTypes {
     "db2" -> (32672, "varchar(32672)"),       // db2.yaml:410-411
     "starrocks" -> (65533, "varchar(65533)"), // starrocks.yaml:501-502
     "mariadb" -> (16777215, "mediumtext"),    // mariadb.yaml:540-541
+    "azuresql" -> (4000, "nvarchar(max)"),    // azuresql.yaml:370-371
+    "azuredwh" -> (4000, "nvarchar(max)"),    // azuredwh.yaml:347-348
+    "fabric" -> (4000, "varchar(max)"),       // fabric.yaml:425-426
+    "firebird" -> (8000, "varchar(8000)"),    // firebird.yaml:395-396
     "derby" -> (32672, "clob"))
 
   /** variable.max_binary_type / max_binary_length — binary columns with an

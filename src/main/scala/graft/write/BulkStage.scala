@@ -199,7 +199,14 @@ object BulkStage {
     case "postgres" => "copy_stdin"        // PgCopy, database_postgres.go:380
     case "snowflake" => "stage_put_copy"   // database_snowflake.go:818
     case "bigquery" => "load_job"          // database_bigquery.go:826
-    case "sqlserver" => "bcp"              // database_sqlserver.go:698
+    // azure/fabric conns embed MsSQLServerConn (database.go:389) and
+    // inherit its bcp import
+    case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+      "bcp"                                // database_sqlserver.go:698
+    // duckdb family loads staged files through its in-process HTTP
+    // loader instead of row-wise inserts
+    case "duckdb" | "motherduck" | "ducklake" =>
+      "http_load"                          // database_duckdb.go:273
     case _ => "jdbc_batch"                 // generic Jdbc.write
   }
 }

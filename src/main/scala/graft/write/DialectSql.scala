@@ -277,6 +277,27 @@ object DialectSql {
     */
   def athenaInsertMissing(s: MergeSpec): String = mergeInsert(s)
 
+  /** Azure SQL / Fabric MERGE (azuresql.yaml:65-70, fabric.yaml:82-87):
+    * T-SQL shape with the `;` terminator but WITHOUT the HOLDLOCK hint the
+    * on-prem sqlserver template carries — the cloud templates omit it.
+    */
+  def tsqlCloudUpsert(s: MergeSpec): String =
+    s"""MERGE INTO ${s.tgtTable} tgt
+       |USING (SELECT ${fields(s)} FROM ${s.srcTable}) src
+       |ON (${pkEqual(s)})
+       |WHEN MATCHED THEN UPDATE SET ${setFields(s)}
+       |WHEN NOT MATCHED THEN INSERT (${fields(s)}) VALUES (${srcFields(s)});""".stripMargin
+
+  /** Exasol MERGE (exasol.yaml:68-73) — table-form USING like DB2. */
+  def exasolUpsert(s: MergeSpec): String = mergeUpdateInsert(s, srcAsTable = true)
+
+  /** Proton insert (proton.yaml:24, default_merge_strategy: insert,
+    * :269) — streaming engine, append-only: every other strategy is null.
+    */
+  def protonInsert(s: MergeSpec): String =
+    s"""INSERT INTO ${s.tgtTable} (${fields(s)})
+       |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin
+
   /** Temp-table DDL for staged loads, rendered with the dialect's native
     * type map (templates/<dialect>.yaml general_type_map via
     * model.NativeTypes) — the `create_temporary_table` shape the reference
@@ -293,11 +314,17 @@ object DialectSql {
     */
   def defaultMergeStrategy(dialect: String): String = dialect match {
     case "clickhouse" | "redshift" | "mariadb" => "delete_insert"
+    // duckdb.yaml:325 + :53-55 — update_insert is null (sling-created
+    // tables carry no PK constraint, so INSERT OR REPLACE can't be used);
+    // motherduck/ducklake are duckdb-family
+    case "duckdb" | "motherduck" | "ducklake" => "delete_insert"
     // starrocks.yaml:506 — PK tables make plain insert the upsert
     case "starrocks" => "insert"
     // athena.yaml nulls every strategy but merge_insert (athena.yaml:74-78);
     // insert-missing is the only executable strategy on standard tables
     case "athena" => "insert"
+    // proton.yaml:269 — append-only streaming engine
+    case "proton" => "insert"
     case _ => "update_insert" // base.yaml:473
   }
 
@@ -307,17 +334,22 @@ object DialectSql {
     case "mysql" => Seq(mysqlUpsert(s))
     case "sqlserver" => Seq(sqlserverUpsert(s))
     case "oracle" => Seq(oracleUpsert(s))
-    case "sqlite" => Seq(sqliteUpsert(s))
+    case "sqlite" | "d1" => Seq(sqliteUpsert(s)) // d1.yaml:38-42 same shape
+    case "azuresql" | "fabric" => Seq(tsqlCloudUpsert(s))
     // no native MERGE → the dialect's delete_insert strategy
     case "clickhouse" => clickhouseDeleteInsert(s)
     case "redshift" => redshiftDeleteInsert(s)
     case "mariadb" => mariadbDeleteInsert(s)
+    case "duckdb" | "motherduck" | "ducklake" => mergeDeleteInsert(s)
     // PK-table native upsert / insert-only engines
     case "starrocks" => Seq(starrocksUpsert(s))
     case "athena" => Seq(athenaInsertMissing(s))
+    case "proton" => Seq(protonInsert(s))
     // MERGE source must be a base table, not a subquery
     case "db2" => Seq(db2Upsert(s))
+    case "exasol" => Seq(exasolUpsert(s))
     case "derby" => Seq(mergeUpdateInsert(s, srcAsTable = true))
-    case _ => Seq(mergeUpdateInsert(s)) // ansi: snowflake/bigquery/trino/databricks
+    // ansi: snowflake/bigquery/trino/databricks/azuredwh/firebird
+    case _ => Seq(mergeUpdateInsert(s))
   }
 }

@@ -67,6 +67,10 @@ class BulkStageSpec extends AnyFunSuite {
     assert(BulkStage.fastPathFor("snowflake") == "stage_put_copy")
     assert(BulkStage.fastPathFor("bigquery") == "load_job")
     assert(BulkStage.fastPathFor("sqlserver") == "bcp")
+    assert(BulkStage.fastPathFor("azuresql") == "bcp")   // embeds MsSQLServerConn
+    assert(BulkStage.fastPathFor("fabric") == "bcp")
+    assert(BulkStage.fastPathFor("duckdb") == "http_load")
+    assert(BulkStage.fastPathFor("motherduck") == "http_load")
     assert(BulkStage.fastPathFor("mysql") == "jdbc_batch")
   }
 

@@ -183,6 +183,53 @@ class DialectSqlSpec extends AnyFunSuite {
     assert(DialectSql.defaultMergeStrategy("athena") == "insert")
   }
 
+  test("azuresql/fabric: T-SQL MERGE with terminator, without HOLDLOCK") {
+    for (d <- Seq("azuresql", "fabric")) {
+      val sql = DialectSql.upsertFor(d, spec).head
+      assert(sql.startsWith("MERGE INTO tgt_t tgt"), d)
+      assert(sql.endsWith(";"), d)
+      assert(!sql.contains("HOLDLOCK"), d)
+    }
+  }
+
+  test("azuredwh and firebird inherit the base ANSI MERGE") {
+    for (d <- Seq("azuredwh", "firebird")) {
+      val sql = DialectSql.upsertFor(d, spec).head
+      assert(sql.startsWith("MERGE INTO tgt_t tgt"), d)
+      assert(!sql.endsWith(";"), d)
+      assert(DialectSql.defaultMergeStrategy(d) == "update_insert", d)
+    }
+  }
+
+  test("exasol MERGE sources the staged base table like db2") {
+    val sql = DialectSql.upsertFor("exasol", spec).head
+    assert(sql.contains("USING src_t src"))
+    assert(!sql.contains("USING (SELECT"))
+  }
+
+  test("d1 takes the sqlite ON CONFLICT shape") {
+    assert(DialectSql.upsertFor("d1", spec) ==
+      DialectSql.upsertFor("sqlite", spec))
+  }
+
+  test("duckdb family: update_insert is null, default is delete_insert") {
+    for (d <- Seq("duckdb", "motherduck", "ducklake")) {
+      val stmts = DialectSql.upsertFor(d, spec)
+      assert(stmts.length == 2, d)
+      assert(stmts.head.startsWith("DELETE FROM tgt_t tgt"), d)
+      assert(stmts(1).startsWith("INSERT INTO tgt_t (id, v, n)"), d)
+      assert(DialectSql.defaultMergeStrategy(d) == "delete_insert", d)
+    }
+  }
+
+  test("proton: append-only — plain insert is the only strategy") {
+    val stmts = DialectSql.upsertFor("proton", spec)
+    assert(stmts == Seq(
+      """INSERT INTO tgt_t (id, v, n)
+        |SELECT src.id, src.v, src.n FROM src_t src""".stripMargin))
+    assert(DialectSql.defaultMergeStrategy("proton") == "insert")
+  }
+
   test("delete_insert executes on embedded Derby") {
     val url = "jdbc:derby:memory:dialecttest;create=true"
     val conn = DriverManager.getConnection(url)

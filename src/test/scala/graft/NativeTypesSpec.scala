@@ -208,6 +208,62 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("blob") == "binary")
   }
 
+  test("azuresql/azuredwh: T-SQL cloud maps, nvarchar ceiling at 4000") {
+    for (d <- Seq("azuresql", "azuredwh")) {
+      val m = render(d)
+      assert(m("name") == "nvarchar(255)", d)
+      assert(m("note") == "nvarchar(max)", d)   // 4000 hits the ceiling
+      assert(m("flag") == "bit", d)
+      assert(m("seen") == "datetimeoffset", d)
+      assert(m("blob") == "varbinary", d)       // unbounded, no () fill
+    }
+  }
+
+  test("fabric: varchar not nvarchar, datetime2(6), zoned collapses") {
+    val m = render("fabric")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(max)")
+    assert(m("seen") == "datetime2(6)")
+    assert(m("flag") == "bit")
+  }
+
+  test("exasol: varchar(2000000) for all stringy types, local time zone") {
+    val m = render("exasol")
+    assert(m("name") == "varchar(2000000)")
+    assert(m("blob") == "varchar(2000000)")
+    assert(m("ratio") == "double precision")
+    assert(m("seen") == "timestamp with local time zone")
+  }
+
+  test("firebird: varchar ceiling 8000, blob binary") {
+    val m = render("firebird")
+    assert(m("name") == "varchar(255)")
+    assert(m("note") == "varchar(4000)")
+    assert(m("huge") == "varchar(8000)")
+    assert(m("blob") == "blob")
+    assert(m("seen") == "timestamp with local time zone")
+  }
+
+  test("d1 matches the sqlite affinity family") {
+    assert(render("d1") == render("sqlite").updated("id", "bigint"))
+  }
+
+  test("motherduck/ducklake: duckdb family, ducklake json degrades to text") {
+    val f = StructField("j", StructType(Seq(StructField("a", LongType))))
+    assert(NativeTypes.render("motherduck", f) == "json")
+    assert(NativeTypes.render("ducklake", f) == "text")
+    assert(render("motherduck")("name") == "varchar(255)")
+    assert(render("ducklake")("seen") == "timestamptz")
+  }
+
+  test("proton: lowercase nullable wrappers, string bools") {
+    val m = render("proton")
+    assert(m("id") == "nullable(int64)")
+    assert(m("price") == "nullable(decimal(12,2))")
+    assert(m("flag") == "nullable(string)")
+    assert(m("seen") == "nullable(datetime64(6))")
+  }
+
   test("nested types map to the dialect json type") {
     val f = StructField("j", StructType(Seq(StructField("a", LongType))))
     assert(NativeTypes.render("postgres", f) == "jsonb")
