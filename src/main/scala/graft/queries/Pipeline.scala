@@ -152,6 +152,178 @@ object Pipeline {
         CAST(c_custkey % 2 AS VARCHAR) AS bit
         FROM customer ORDER BY c_custkey""")),
 
+
+    // Per-dialect native-type DDL for the orders schema across every
+    // reference dialect with a real general_type_map (25 dialects x 6
+    // columns). The oracle VALUES literal was generated directly from the
+    // reference template YAMLs (core/dbio/templates/*.yaml), independent
+    // of the Scala maps in NativeTypes -- a transcription error in either
+    // direction hash-mismatches here.
+    Q("op_dialect_ddl",
+      (s, dir) => {
+        import s.implicits._
+        val dialects = Seq("athena", "azuredwh", "azuresql", "bigquery", "clickhouse", "d1", "databricks", "db2", "duckdb", "ducklake", "exasol", "fabric", "firebird", "mariadb", "motherduck", "mysql", "oracle", "postgres", "proton", "redshift", "snowflake", "sqlite", "sqlserver", "starrocks", "trino")
+        val schema = Tables(s, dir, "orders").schema
+        dialects.flatMap { d =>
+          schema.fields.toSeq.map(f =>
+            (d, f.name, graft.model.NativeTypes.render(d, f)))
+        }.toDF("dialect", "column", "native_type")
+          .orderBy("dialect", "column")
+      },
+      Some("""SELECT * FROM (VALUES
+        |('athena', 'o_custkey', 'bigint'),
+        |('athena', 'o_orderdate', 'timestamp'),
+        |('athena', 'o_orderkey', 'bigint'),
+        |('athena', 'o_orderpriority', 'string'),
+        |('athena', 'o_orderstatus', 'string'),
+        |('athena', 'o_totalprice', 'double'),
+        |('azuredwh', 'o_custkey', 'bigint'),
+        |('azuredwh', 'o_orderdate', 'datetime2'),
+        |('azuredwh', 'o_orderkey', 'bigint'),
+        |('azuredwh', 'o_orderpriority', 'nvarchar(255)'),
+        |('azuredwh', 'o_orderstatus', 'nvarchar(255)'),
+        |('azuredwh', 'o_totalprice', 'float'),
+        |('azuresql', 'o_custkey', 'bigint'),
+        |('azuresql', 'o_orderdate', 'datetime2'),
+        |('azuresql', 'o_orderkey', 'bigint'),
+        |('azuresql', 'o_orderpriority', 'nvarchar(255)'),
+        |('azuresql', 'o_orderstatus', 'nvarchar(255)'),
+        |('azuresql', 'o_totalprice', 'float'),
+        |('bigquery', 'o_custkey', 'int64'),
+        |('bigquery', 'o_orderdate', 'timestamp'),
+        |('bigquery', 'o_orderkey', 'int64'),
+        |('bigquery', 'o_orderpriority', 'string'),
+        |('bigquery', 'o_orderstatus', 'string'),
+        |('bigquery', 'o_totalprice', 'float64'),
+        |('clickhouse', 'o_custkey', 'Nullable(Int64)'),
+        |('clickhouse', 'o_orderdate', 'Nullable(DateTime64(6))'),
+        |('clickhouse', 'o_orderkey', 'Nullable(Int64)'),
+        |('clickhouse', 'o_orderpriority', 'Nullable(String)'),
+        |('clickhouse', 'o_orderstatus', 'Nullable(String)'),
+        |('clickhouse', 'o_totalprice', 'Nullable(Float64)'),
+        |('d1', 'o_custkey', 'bigint'),
+        |('d1', 'o_orderdate', 'text'),
+        |('d1', 'o_orderkey', 'bigint'),
+        |('d1', 'o_orderpriority', 'text'),
+        |('d1', 'o_orderstatus', 'text'),
+        |('d1', 'o_totalprice', 'real'),
+        |('databricks', 'o_custkey', 'bigint'),
+        |('databricks', 'o_orderdate', 'timestamp'),
+        |('databricks', 'o_orderkey', 'bigint'),
+        |('databricks', 'o_orderpriority', 'string'),
+        |('databricks', 'o_orderstatus', 'string'),
+        |('databricks', 'o_totalprice', 'double'),
+        |('db2', 'o_custkey', 'bigint'),
+        |('db2', 'o_orderdate', 'timestamp'),
+        |('db2', 'o_orderkey', 'bigint'),
+        |('db2', 'o_orderpriority', 'varchar(255)'),
+        |('db2', 'o_orderstatus', 'varchar(255)'),
+        |('db2', 'o_totalprice', 'double'),
+        |('duckdb', 'o_custkey', 'bigint'),
+        |('duckdb', 'o_orderdate', 'datetime'),
+        |('duckdb', 'o_orderkey', 'bigint'),
+        |('duckdb', 'o_orderpriority', 'varchar(255)'),
+        |('duckdb', 'o_orderstatus', 'varchar(255)'),
+        |('duckdb', 'o_totalprice', 'double'),
+        |('ducklake', 'o_custkey', 'bigint'),
+        |('ducklake', 'o_orderdate', 'datetime'),
+        |('ducklake', 'o_orderkey', 'bigint'),
+        |('ducklake', 'o_orderpriority', 'varchar(255)'),
+        |('ducklake', 'o_orderstatus', 'varchar(255)'),
+        |('ducklake', 'o_totalprice', 'double'),
+        |('exasol', 'o_custkey', 'bigint'),
+        |('exasol', 'o_orderdate', 'timestamp'),
+        |('exasol', 'o_orderkey', 'bigint'),
+        |('exasol', 'o_orderpriority', 'varchar(2000000)'),
+        |('exasol', 'o_orderstatus', 'varchar(2000000)'),
+        |('exasol', 'o_totalprice', 'double precision'),
+        |('fabric', 'o_custkey', 'bigint'),
+        |('fabric', 'o_orderdate', 'datetime2(6)'),
+        |('fabric', 'o_orderkey', 'bigint'),
+        |('fabric', 'o_orderpriority', 'varchar(255)'),
+        |('fabric', 'o_orderstatus', 'varchar(255)'),
+        |('fabric', 'o_totalprice', 'float'),
+        |('firebird', 'o_custkey', 'bigint'),
+        |('firebird', 'o_orderdate', 'timestamp'),
+        |('firebird', 'o_orderkey', 'bigint'),
+        |('firebird', 'o_orderpriority', 'varchar(255)'),
+        |('firebird', 'o_orderstatus', 'varchar(255)'),
+        |('firebird', 'o_totalprice', 'double precision'),
+        |('mariadb', 'o_custkey', 'bigint'),
+        |('mariadb', 'o_orderdate', 'datetime(6)'),
+        |('mariadb', 'o_orderkey', 'bigint'),
+        |('mariadb', 'o_orderpriority', 'varchar(255)'),
+        |('mariadb', 'o_orderstatus', 'varchar(255)'),
+        |('mariadb', 'o_totalprice', 'double'),
+        |('motherduck', 'o_custkey', 'bigint'),
+        |('motherduck', 'o_orderdate', 'datetime'),
+        |('motherduck', 'o_orderkey', 'bigint'),
+        |('motherduck', 'o_orderpriority', 'varchar(255)'),
+        |('motherduck', 'o_orderstatus', 'varchar(255)'),
+        |('motherduck', 'o_totalprice', 'double'),
+        |('mysql', 'o_custkey', 'bigint'),
+        |('mysql', 'o_orderdate', 'datetime(6)'),
+        |('mysql', 'o_orderkey', 'bigint'),
+        |('mysql', 'o_orderpriority', 'varchar(255)'),
+        |('mysql', 'o_orderstatus', 'varchar(255)'),
+        |('mysql', 'o_totalprice', 'double'),
+        |('oracle', 'o_custkey', 'number(19)'),
+        |('oracle', 'o_orderdate', 'timestamp(9)'),
+        |('oracle', 'o_orderkey', 'number(19)'),
+        |('oracle', 'o_orderpriority', 'varchar(255)'),
+        |('oracle', 'o_orderstatus', 'varchar(255)'),
+        |('oracle', 'o_totalprice', 'number'),
+        |('postgres', 'o_custkey', 'bigint'),
+        |('postgres', 'o_orderdate', 'timestamp'),
+        |('postgres', 'o_orderkey', 'bigint'),
+        |('postgres', 'o_orderpriority', 'varchar(255)'),
+        |('postgres', 'o_orderstatus', 'varchar(255)'),
+        |('postgres', 'o_totalprice', 'double precision'),
+        |('proton', 'o_custkey', 'nullable(int64)'),
+        |('proton', 'o_orderdate', 'nullable(datetime64(6))'),
+        |('proton', 'o_orderkey', 'nullable(int64)'),
+        |('proton', 'o_orderpriority', 'nullable(string)'),
+        |('proton', 'o_orderstatus', 'nullable(string)'),
+        |('proton', 'o_totalprice', 'nullable(float64)'),
+        |('redshift', 'o_custkey', 'bigint'),
+        |('redshift', 'o_orderdate', 'timestamp'),
+        |('redshift', 'o_orderkey', 'bigint'),
+        |('redshift', 'o_orderpriority', 'varchar(255)'),
+        |('redshift', 'o_orderstatus', 'varchar(255)'),
+        |('redshift', 'o_totalprice', 'double precision'),
+        |('snowflake', 'o_custkey', 'bigint'),
+        |('snowflake', 'o_orderdate', 'timestamp'),
+        |('snowflake', 'o_orderkey', 'bigint'),
+        |('snowflake', 'o_orderpriority', 'varchar(255)'),
+        |('snowflake', 'o_orderstatus', 'varchar(255)'),
+        |('snowflake', 'o_totalprice', 'float'),
+        |('sqlite', 'o_custkey', 'bigint'),
+        |('sqlite', 'o_orderdate', 'text'),
+        |('sqlite', 'o_orderkey', 'bigint'),
+        |('sqlite', 'o_orderpriority', 'text'),
+        |('sqlite', 'o_orderstatus', 'text'),
+        |('sqlite', 'o_totalprice', 'real'),
+        |('sqlserver', 'o_custkey', 'bigint'),
+        |('sqlserver', 'o_orderdate', 'datetime2'),
+        |('sqlserver', 'o_orderkey', 'bigint'),
+        |('sqlserver', 'o_orderpriority', 'nvarchar(255)'),
+        |('sqlserver', 'o_orderstatus', 'nvarchar(255)'),
+        |('sqlserver', 'o_totalprice', 'float'),
+        |('starrocks', 'o_custkey', 'bigint'),
+        |('starrocks', 'o_orderdate', 'datetime'),
+        |('starrocks', 'o_orderkey', 'bigint'),
+        |('starrocks', 'o_orderpriority', 'varchar(255)'),
+        |('starrocks', 'o_orderstatus', 'varchar(255)'),
+        |('starrocks', 'o_totalprice', 'double'),
+        |('trino', 'o_custkey', 'bigint'),
+        |('trino', 'o_orderdate', 'timestamp'),
+        |('trino', 'o_orderkey', 'bigint'),
+        |('trino', 'o_orderpriority', 'varchar'),
+        |('trino', 'o_orderstatus', 'varchar'),
+        |('trino', 'o_totalprice', 'double'))
+        |t(dialect, "column", native_type)
+        |ORDER BY dialect, "column"""".stripMargin)),
+
     // columns: modifier DSL → typed schema + DDL metadata
     Q("op_ddl_modifiers",
       (s, dir) => {
