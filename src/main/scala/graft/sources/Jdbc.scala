@@ -25,6 +25,25 @@ object Jdbc {
       .option("url", url).option("dbtable", table)
       .mode(mode).save()
 
+  /** Capability-dispatched bulk write (the reference's BulkImportFlow):
+    * dialects with a streaming fast path take it — postgres COPY through
+    * the injected transport (`PgCopy.bulkLoad`, one channel per Spark
+    * partition, no driver row movement) — everything else falls back to
+    * Spark's batched JDBC inserts. The transport is injectable because
+    * the COPY wire protocol needs the PG driver's CopyManager, absent in
+    * this offline build; `PgCopySpec` drives the seam with a recording
+    * transport and the encoder is oracle-gated (`op_pg_copy_encode`).
+    * Returns the rows sent on the fast path, -1 when batched JDBC ran.
+    */
+  def bulkWrite(df: DataFrame, url: String, table: String, dialect: String,
+      copyTransport: Option[graft.write.PgCopy.CopyTransport] = None): Long =
+    (graft.write.BulkStage.fastPathFor(dialect), copyTransport) match {
+      case ("copy_stdin", Some(t)) =>
+        graft.write.PgCopy.bulkLoad(df, table, t)
+      case _ =>
+        write(df, url, table); -1L
+    }
+
   def read(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()

@@ -298,6 +298,37 @@ object DialectSql {
     s"""INSERT INTO ${s.tgtTable} (${fields(s)})
        |SELECT ${srcFields(s)} FROM ${s.srcTable} src""".stripMargin
 
+  /** Per-dialect identifier quote character (`variable.quote_char` in the
+    * templates; base.yaml:458 default `"`). Backtick engines:
+    * mysql.yaml:539, mariadb, bigquery.yaml:559, clickhouse, proton,
+    * starrocks, databricks, athena.
+    */
+  def quoteChar(dialect: String): String = dialect match {
+    case "mysql" | "mariadb" | "bigquery" | "clickhouse" | "proton" |
+         "starrocks" | "databricks" | "athena" => "`"
+    case _ => "\""
+  }
+
+  /** Dialects whose catalog stores unquoted names upper-case
+    * (dbio_types.go:218-224 DBNameUpperCase + `variable.column_upper`:
+    * oracle, snowflake, exasol, db2.yaml:413).
+    */
+  def nameUpperCase(dialect: String): Boolean = dialect match {
+    case "oracle" | "snowflake" | "exasol" | "db2" => true
+    case _ => false
+  }
+
+  /** Quote one identifier with the dialect's quote char, stripping any
+    * existing quoting first (dbio_types.go:603-622 Template.Quote — no
+    * case normalization; casing is decided upstream at configuration).
+    */
+  def quoteIdent(dialect: String, name: String): String = {
+    val q = quoteChar(dialect)
+    val bare = name.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`")
+    s"$q$bare$q"
+  }
+
   /** Temp-table DDL for staged loads, rendered with the dialect's native
     * type map (templates/<dialect>.yaml general_type_map via
     * model.NativeTypes) — the `create_temporary_table` shape the reference

@@ -230,6 +230,23 @@ class DialectSqlSpec extends AnyFunSuite {
     assert(DialectSql.defaultMergeStrategy("proton") == "insert")
   }
 
+  test("identifier quoting: backtick engines vs ANSI double quote") {
+    assert(DialectSql.quoteIdent("mysql", "order key") == "`order key`")
+    assert(DialectSql.quoteIdent("bigquery", "sel") == "`sel`")
+    assert(DialectSql.quoteIdent("postgres", "order key") == "\"order key\"")
+    assert(DialectSql.quoteIdent("sqlserver", "x") == "\"x\"")
+    // re-quoting swaps the quote style instead of nesting
+    assert(DialectSql.quoteIdent("mysql", "\"q\"") == "`q`")
+    assert(DialectSql.quoteIdent("postgres", "`q`") == "\"q\"")
+  }
+
+  test("upper-case-catalog dialects per DBNameUpperCase + column_upper") {
+    assert(Seq("oracle", "snowflake", "exasol", "db2")
+      .forall(DialectSql.nameUpperCase))
+    assert(Seq("postgres", "mysql", "databricks", "duckdb")
+      .forall(d => !DialectSql.nameUpperCase(d)))
+  }
+
   test("delete_insert executes on embedded Derby") {
     val url = "jdbc:derby:memory:dialecttest;create=true"
     val conn = DriverManager.getConnection(url)

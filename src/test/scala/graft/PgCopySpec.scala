@@ -118,6 +118,24 @@ class PgCopySpec extends AnyFunSuite {
       Seq("COPY public.tgt (id, s, ok, b, x) FROM STDIN WITH (FORMAT text)"))
     assert(got.map(_._2).exists(_.startsWith("1\trow1\tf\t\\N\t0.25")))
   }
+
+  test("bulkWrite dispatches postgres to COPY, others to batched JDBC") {
+    import graft.sources.Jdbc
+    val rows = (1L to 10L).map(i => Row(i, s"r$i", true, null, 1.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // postgres + transport → fast path, rows counted
+    PgCopySpec.sent.clear()
+    val n = Jdbc.bulkWrite(df, "jdbc:ignored", "public.tgt", "postgres",
+      Some(PgCopySpec.recordingTransport))
+    assert(n == 10L)
+    assert(PgCopySpec.sent.size() == 10)
+    // derby (no fast path) → Spark JDBC writer, readable back
+    val url = "jdbc:derby:memory:bulkwrite;create=true"
+    val m = Jdbc.bulkWrite(df.select("id", "s"), url, "BW_T", "derby")
+    assert(m == -1L)
+    assert(Jdbc.read(spark, url, "BW_T").count() == 10L)
+  }
 }
 
 object PgCopySpec {
