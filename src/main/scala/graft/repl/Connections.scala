@@ -60,8 +60,51 @@ object Connections {
             get("password").map(p => s"&password=$p").getOrElse("")
         case "duckdb" | "sqlite" =>
           s"jdbc:$kind:${get("instance").orElse(get("path")).getOrElse(db)}"
+        case "motherduck" =>
+          // motherduck://{token}@{database} (_properties.yaml) rides the
+          // duckdb driver's md: scheme; token passes via env/prop
+          s"jdbc:duckdb:md:$db"
         case "derby" =>
           s"jdbc:derby:${get("instance").getOrElse(db)};create=true"
+        case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+          // sqlserver://{user}:{pass}@{host}:{port}/{database}, port 1433
+          val user = get("username").orElse(get("user")).getOrElse("")
+          s"jdbc:sqlserver://$host:${port(1433)};databaseName=$db" +
+            (if (user.nonEmpty) s";user=$user" else "") +
+            get("password").map(p => s";password=$p").getOrElse("")
+        case "oracle" =>
+          // oracle://{user}:{pass}@{host}:{port}/{sid}, port 1521
+          val sid = get("sid").orElse(get("instance")).getOrElse(db)
+          s"jdbc:oracle:thin:@//$host:${port(1521)}/$sid"
+        case "clickhouse" =>
+          s"jdbc:clickhouse://$host:${port(8123)}/$db"
+        case "redshift" =>
+          // redshift://{user}:{pass}@{host}:{port}/{db}?sslmode, port 5439
+          val user = get("username").orElse(get("user")).getOrElse("")
+          s"jdbc:redshift://$host:${port(5439)}/$db?user=$user" +
+            get("password").map(p => s"&password=$p").getOrElse("")
+        case "mariadb" =>
+          val user = get("username").orElse(get("user")).getOrElse("")
+          s"jdbc:mariadb://$host:${port(3306)}/$db?user=$user" +
+            get("password").map(p => s"&password=$p").getOrElse("")
+        case "starrocks" =>
+          // mysql wire protocol; FE query port 9030
+          s"jdbc:mysql://$host:${port(9030)}/$db"
+        case "trino" =>
+          val catalog = get("catalog").getOrElse(db)
+          s"jdbc:trino://$host:${port(8080)}/$catalog"
+        case "db2" =>
+          s"jdbc:db2://$host:${port(50000)}/$db"
+        case "exasol" =>
+          s"jdbc:exa:$host:${port(8563)}"
+        case "snowflake" =>
+          // snowflake://{user}:{pass}@{host}.snowflakecomputing.com:443/...
+          val wh = get("warehouse").map(w => s"&warehouse=$w").getOrElse("")
+          val sc = get("schema").map(sc => s"&schema=$sc").getOrElse("")
+          s"jdbc:snowflake://$host.snowflakecomputing.com:443/?db=$db$sc$wh"
+        case "databricks" =>
+          val httpPath = get("http_path").getOrElse("")
+          s"jdbc:databricks://$host:${port(443)};httpPath=$httpPath"
         case other =>
           throw new IllegalArgumentException(s"no JDBC template for '$other'")
       }
@@ -79,8 +122,11 @@ object Connections {
       })
 
     def isDatabase: Boolean =
-      Set("postgres", "mysql", "duckdb", "sqlite", "derby", "snowflake",
-        "bigquery", "oracle", "clickhouse").contains(kind)
+      Set("postgres", "mysql", "mariadb", "duckdb", "motherduck", "ducklake",
+        "sqlite", "d1", "derby", "snowflake", "bigquery", "oracle",
+        "clickhouse", "proton", "sqlserver", "azuresql", "azuredwh",
+        "fabric", "redshift", "starrocks", "trino", "databricks", "db2",
+        "exasol", "firebird", "athena").contains(kind)
     def isFileSystem: Boolean =
       Set("s3", "gs", "azure", "abfs", "sftp", "ftp", "http", "local",
         "file").contains(kind)

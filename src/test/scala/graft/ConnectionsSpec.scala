@@ -60,6 +60,40 @@ class ConnectionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { spec("voltdb").jdbcUrl }
   }
 
+  test("jdbc url templates: full dialect family with reference ports") {
+    def spec(kind: String, props: (String, String)*) =
+      Connections.ConnSpec("X", kind, props.toMap)
+    assert(spec("sqlserver", "host" -> "h", "database" -> "d",
+      "username" -> "u", "password" -> "p").jdbcUrl
+      == "jdbc:sqlserver://h:1433;databaseName=d;user=u;password=p")
+    assert(spec("azuredwh", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:sqlserver://h:1433;databaseName=d") // embeds sqlserver conn
+    assert(spec("oracle", "host" -> "h", "sid" -> "ORCL").jdbcUrl
+      == "jdbc:oracle:thin:@//h:1521/ORCL")
+    assert(spec("clickhouse", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:clickhouse://h:8123/d")
+    assert(spec("redshift", "host" -> "h", "database" -> "d",
+      "username" -> "u").jdbcUrl == "jdbc:redshift://h:5439/d?user=u")
+    assert(spec("mariadb", "host" -> "h", "database" -> "d",
+      "username" -> "u").jdbcUrl == "jdbc:mariadb://h:3306/d?user=u")
+    assert(spec("starrocks", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:mysql://h:9030/d") // mysql wire, FE query port
+    assert(spec("trino", "host" -> "h", "catalog" -> "hive").jdbcUrl
+      == "jdbc:trino://h:8080/hive")
+    assert(spec("db2", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:db2://h:50000/d")
+    assert(spec("exasol", "host" -> "h").jdbcUrl == "jdbc:exa:h:8563")
+    assert(spec("snowflake", "host" -> "acct", "database" -> "d",
+      "schema" -> "s", "warehouse" -> "w").jdbcUrl
+      == "jdbc:snowflake://acct.snowflakecomputing.com:443/?db=d&schema=s&warehouse=w")
+    assert(spec("databricks", "host" -> "h",
+      "http_path" -> "/sql/1.0/wh/x").jdbcUrl
+      == "jdbc:databricks://h:443;httpPath=/sql/1.0/wh/x")
+    assert(spec("motherduck", "database" -> "md_db").jdbcUrl
+      == "jdbc:duckdb:md:md_db")
+    assert(spec("exasol").isDatabase && spec("athena").isDatabase)
+  }
+
   test("test + discover against embedded Derby metadata") {
     val spec = Connections.ConnSpec("D", "derby",
       Map("instance" -> "memory:connspec"))
