@@ -329,6 +329,49 @@ object DialectSql {
     s"$q$bare$q"
   }
 
+  /** Schema-evolution ADD COLUMN (base.yaml `add_column`; Oracle and the
+    * T-SQL family drop the COLUMN keyword — oracle.yaml/sqlserver.yaml/
+    * azuresql/azuredwh/fabric `add_column` overrides). Types render
+    * through the dialect's native map, so an evolved column gets the same
+    * DDL the initial staged create would.
+    */
+  def addColumnSql(dialect: String, table: String,
+      field: org.apache.spark.sql.types.StructField): String = {
+    val t = graft.model.NativeTypes.render(dialect, field)
+    dialect match {
+      case "oracle" | "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        s"alter table $table add ${field.name} $t"
+      case _ => s"alter table $table add column ${field.name} $t"
+    }
+  }
+
+  /** Schema-evolution type widen (`alter_columns` + `modify_column`
+    * composed per dialect): postgres `alter column … type …`,
+    * mysql/mariadb/starrocks `modify`, oracle `modify (…)`, T-SQL
+    * `alter column`, snowflake `alter … set data type`, clickhouse
+    * `modify column`, duckdb `alter … type`. Engines whose template is a
+    * table-recreate workaround (bigquery, redshift) are not rendered here.
+    */
+  def alterColumnSql(dialect: String, table: String,
+      field: org.apache.spark.sql.types.StructField): String = {
+    val c = field.name
+    val t = graft.model.NativeTypes.render(dialect, field)
+    dialect match {
+      case "postgres" => s"alter table $table alter column $c type $t"
+      case "mysql" | "mariadb" | "starrocks" =>
+        s"alter table $table modify $c $t"
+      case "oracle" => s"alter table $table modify ($c $t)"
+      case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        s"alter table $table alter column $c $t"
+      case "snowflake" => s"alter table $table alter $c set data type $t"
+      case "clickhouse" | "proton" =>
+        s"alter table $table modify column $c $t"
+      case "duckdb" | "motherduck" | "ducklake" =>
+        s"alter table $table alter $c type $t"
+      case _ => s"alter table $table $c $t" // base.yaml composition
+    }
+  }
+
   /** Temp-table DDL for staged loads, rendered with the dialect's native
     * type map (templates/<dialect>.yaml general_type_map via
     * model.NativeTypes) — the `create_temporary_table` shape the reference

@@ -247,6 +247,58 @@ class DialectSqlSpec extends AnyFunSuite {
       .forall(d => !DialectSql.nameUpperCase(d)))
   }
 
+  test("schema evolution: add_column with per-dialect COLUMN keyword") {
+    import org.apache.spark.sql.types._
+    val f = StructField("extra", DecimalType(10, 2))
+    assert(DialectSql.addColumnSql("postgres", "t", f) ==
+      "alter table t add column extra numeric")
+    assert(DialectSql.addColumnSql("mysql", "t", f) ==
+      "alter table t add column extra decimal(10,2)")
+    // oracle + T-SQL family: no COLUMN keyword
+    assert(DialectSql.addColumnSql("oracle", "t", f) ==
+      "alter table t add extra number(10,2)")
+    assert(DialectSql.addColumnSql("sqlserver", "t", f) ==
+      "alter table t add extra decimal(10,2)")
+    assert(DialectSql.addColumnSql("fabric", "t", f) ==
+      "alter table t add extra decimal(10,2)")
+  }
+
+  test("schema evolution: alter_columns composition per dialect") {
+    import org.apache.spark.sql.types._
+    val f = StructField("v", StringType,
+      metadata = new MetadataBuilder().putLong("maxLength", 500).build())
+    assert(DialectSql.alterColumnSql("postgres", "t", f) ==
+      "alter table t alter column v type varchar(500)")
+    assert(DialectSql.alterColumnSql("mysql", "t", f) ==
+      "alter table t modify v varchar(500)")
+    assert(DialectSql.alterColumnSql("oracle", "t", f) ==
+      "alter table t modify (v varchar(500))")
+    assert(DialectSql.alterColumnSql("sqlserver", "t", f) ==
+      "alter table t alter column v nvarchar(500)")
+    assert(DialectSql.alterColumnSql("snowflake", "t", f) ==
+      "alter table t alter v set data type varchar(500)")
+    assert(DialectSql.alterColumnSql("clickhouse", "t", f) ==
+      "alter table t modify column v Nullable(String)")
+    assert(DialectSql.alterColumnSql("duckdb", "t", f) ==
+      "alter table t alter v type varchar(500)")
+  }
+
+  test("add_column executes on embedded Derby") {
+    import org.apache.spark.sql.types._
+    val url = "jdbc:derby:memory:dialectaddcol;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE AC_T (id INT)")
+      st.executeUpdate(DialectSql.addColumnSql("derby", "AC_T",
+        StructField("extra", DecimalType(10, 2))))
+      st.executeUpdate("INSERT INTO AC_T VALUES (1, 9.99)")
+      val rs = st.executeQuery("SELECT extra FROM AC_T")
+      assert(rs.next())
+      assert(rs.getBigDecimal(1) == new java.math.BigDecimal("9.99"))
+    } finally conn.close()
+  }
+
   test("delete_insert executes on embedded Derby") {
     val url = "jdbc:derby:memory:dialecttest;create=true"
     val conn = DriverManager.getConnection(url)
