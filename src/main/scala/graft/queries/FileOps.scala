@@ -192,6 +192,41 @@ object FileOps {
         FROM events, LATERAL (VALUES (event_id), (event_id * 2), (event_id * 3)) v(val)
         ORDER BY event_id, val""")),
 
+    // SAS7BDAT round-trip: native binary writer -> distributed page reader.
+    // The SAS surface is numeric(double)/char(string) (reference maps SAS
+    // numerics to float, sas7bdat.go:55-58), so keys cast to double on both
+    // sides.
+    Q("op_sas7bdat_roundtrip",
+      (s, dir) => {
+        val path = scratch("sas_rt", dir) + "/customer.sas7bdat"
+        val c = Tables(s, dir, "customer").select(
+          col("c_custkey").cast(DoubleType).as("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+        graft.sources.SasIO.write(c, path)
+        graft.sources.SasIO.read(s, path).orderBy("c_custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+        c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_custkey""")),
+
+    // Same path with SAS char compression (SASYZCRL): every row an RLE
+    // subheader, decompressed page-locally on the executors
+    Q("op_sas7bdat_rle",
+      (s, dir) => {
+        val path = scratch("sas_rle", dir) + "/supplier.sas7bdat"
+        val sup = Tables(s, dir, "supplier").select(
+          col("s_suppkey").cast(DoubleType).as("s_suppkey"),
+          col("s_name"), col("s_nationkey").cast(DoubleType).as("s_nationkey"),
+          col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+        graft.sources.SasIO.write(sup, path, compress = true)
+        graft.sources.SasIO.read(s, path).orderBy("s_suppkey")
+      },
+      Some("""SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey, s_name,
+        CAST(s_nationkey AS DOUBLE) AS s_nationkey,
+        CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier ORDER BY s_suppkey""")),
+
     // XLSX round-trip (zip+OOXML, no POI) through the inference engine
     Q("op_excel_roundtrip",
       (s, dir) => {
