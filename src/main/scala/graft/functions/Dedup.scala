@@ -93,6 +93,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * All-Pairs / PPJoin principle: under any global token order, two sets
+    * with J >= t must share a token within their first
+    * |S| - ceil(t*|S|) + 1 tokens — so indexing only those prefixes is a
+    * complete candidate generator). Unlike [[nearDupPairs]] (MinHash-LSH,
+    * probabilistic recall) this finds EVERY qualifying pair.
+    *
+    * Scale shape: tokens are ordered rarest-first by global document
+    * frequency, so prefixes hold the most selective grams and the
+    * prefix-token self-join touches few candidates; the only O(pairs) work
+    * is candidate verification. No all-pairs product anywhere. Skewed
+    * prefix tokens (a gram shared by many docs) are AQE-split like any
+    * skewed join key.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+        shingleCol(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+    val ex = sets.select(col("__id"), size(col("__sh")).as("__sz"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // rare-first global order; (__df, __g) ties broken lexically => total
+    val ranked = ex.join(dfreq, "__g")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__id").orderBy(col("__df"), col("__g"))))
+    val prefixes = ranked
+      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__g"), col("__id"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH candidate buckets
     * (pairs must share a (table, bucket) posting) + exact cosine verify.
     * The bucket self-join is the only pairwise work — O(candidates), not

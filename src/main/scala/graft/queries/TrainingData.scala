@@ -110,6 +110,26 @@ object TrainingData {
             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // n-gram Jaccard dedup, EXACT: prefix-filtered set-similarity join
+    // (All-Pairs/PPJoin principle) — complete recall by construction, so
+    // the O(n²) oracle must match pair-for-pair. Lower threshold than
+    // td_dedup_near to exercise a different candidate frontier.
+    Q("td_dedup_ngram",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) sh
+          FROM toks)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        ORDER BY id_a, id_b""")),
+
     // embedding-cosine near-dup: the corpus has no natural near-dups (max
     // background cosine 0.51), so plant copies of the first 100 vectors and
     // find pairs >= 0.95. Copies collide in every LSH bucket (recall 1);

@@ -177,6 +177,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("ngram Jaccard join is exact: finds every pair a brute-force scan finds") {
+    import spark.implicits._
+    // base doc + variants mutated at increasing depth: Jaccard spans both
+    // sides of the threshold, so the prefix filter's frontier is exercised
+    val base = (1 to 30).map(i => s"tok$i")
+    val docs = ((1L to 10L).map { d =>
+      val words = base.zipWithIndex.map { case (w, i) =>
+        if (i % 10 < d - 1) s"mut${d}_$i" else w }
+      (d, words.mkString(" "))
+    } :+ (99L, (100 to 130).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same shingle definition
+    val sets = docs.select(col("doc_id"),
+        Dedup.shingleCol(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.3
+    } yield (a, b, j)).toSet
+    assert(want.nonEmpty, "test corpus produced no similar pairs; lower the threshold")
+    assert(got == want)
+  }
+
   test("simhash of identical texts is identical, near texts are close") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i").mkString(" ")
