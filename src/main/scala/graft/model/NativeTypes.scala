@@ -128,6 +128,40 @@ object NativeTypes {
       "smallint" -> "smallint", "string" -> "varchar", "text" -> "varchar",
       "time" -> "varchar", "timestamp" -> "timestamp",
       "timestampz" -> "timestamp with time zone", "uuid" -> "uuid"),
+    // vertica.yaml / hive.yaml / spark.yaml / iceberg.yaml define no
+    // general_type_map of their own — the reference falls back to
+    // base.yaml's postgres-shaped map, which renders types those engines
+    // reject (jsonb, bytea). Rendering here uses each engine's real DDL
+    // vocabulary instead (public docs); the reference citation is the
+    // template file itself, which names the dialect as a supported target.
+    "vertica" -> Map(
+      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "numeric(,)",
+      "float" -> "float", "integer" -> "int", "json" -> "long varchar",
+      "smallint" -> "int", "string" -> "varchar()", "text" -> "long varchar",
+      "time" -> "time", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamptz", "uuid" -> "uuid"),
+    "hive" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "int", "json" -> "string",
+      "smallint" -> "smallint", "string" -> "varchar()", "text" -> "string",
+      "time" -> "string", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp", "uuid" -> "string"),
+    "spark" -> Map(
+      "bigint" -> "bigint", "binary" -> "binary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp_ntz", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "int", "json" -> "string",
+      "smallint" -> "smallint", "string" -> "string", "text" -> "string",
+      "time" -> "string", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamp", "uuid" -> "string"),
+    "iceberg" -> Map(
+      "bigint" -> "long", "binary" -> "binary", "bool" -> "boolean",
+      "date" -> "date", "datetime" -> "timestamp", "decimal" -> "decimal(,)",
+      "float" -> "double", "integer" -> "int", "json" -> "string",
+      "smallint" -> "int", "string" -> "string", "text" -> "string",
+      "time" -> "time", "timestamp" -> "timestamp",
+      "timestampz" -> "timestamptz", "uuid" -> "uuid"),
     // databricks.yaml:723-740 — Spark-typed target, so the mapping is
     // nearly the identity; json lands in string (no variant in the map)
     "databricks" -> Map(

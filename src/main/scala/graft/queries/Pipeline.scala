@@ -162,7 +162,7 @@ object Pipeline {
     Q("op_dialect_ddl",
       (s, dir) => {
         import s.implicits._
-        val dialects = Seq("athena", "azuredwh", "azuresql", "bigquery", "clickhouse", "d1", "databricks", "db2", "duckdb", "ducklake", "exasol", "fabric", "firebird", "mariadb", "motherduck", "mysql", "oracle", "postgres", "proton", "redshift", "snowflake", "sqlite", "sqlserver", "starrocks", "trino")
+        val dialects = Seq("athena", "azuredwh", "azuresql", "bigquery", "clickhouse", "d1", "databricks", "db2", "duckdb", "ducklake", "exasol", "fabric", "firebird", "hive", "iceberg", "mariadb", "motherduck", "mysql", "oracle", "postgres", "proton", "redshift", "snowflake", "spark", "sqlite", "sqlserver", "starrocks", "trino", "vertica")
         val schema = Tables(s, dir, "orders").schema
         dialects.flatMap { d =>
           schema.fields.toSeq.map(f =>
@@ -320,7 +320,31 @@ object Pipeline {
         |('trino', 'o_orderkey', 'bigint'),
         |('trino', 'o_orderpriority', 'varchar'),
         |('trino', 'o_orderstatus', 'varchar'),
-        |('trino', 'o_totalprice', 'double'))
+        |('trino', 'o_totalprice', 'double'),
+        |('hive', 'o_custkey', 'bigint'),
+        |('hive', 'o_orderdate', 'timestamp'),
+        |('hive', 'o_orderkey', 'bigint'),
+        |('hive', 'o_orderpriority', 'varchar(255)'),
+        |('hive', 'o_orderstatus', 'varchar(255)'),
+        |('hive', 'o_totalprice', 'double'),
+        |('iceberg', 'o_custkey', 'long'),
+        |('iceberg', 'o_orderdate', 'timestamp'),
+        |('iceberg', 'o_orderkey', 'long'),
+        |('iceberg', 'o_orderpriority', 'string'),
+        |('iceberg', 'o_orderstatus', 'string'),
+        |('iceberg', 'o_totalprice', 'double'),
+        |('spark', 'o_custkey', 'bigint'),
+        |('spark', 'o_orderdate', 'timestamp_ntz'),
+        |('spark', 'o_orderkey', 'bigint'),
+        |('spark', 'o_orderpriority', 'string'),
+        |('spark', 'o_orderstatus', 'string'),
+        |('spark', 'o_totalprice', 'double'),
+        |('vertica', 'o_custkey', 'bigint'),
+        |('vertica', 'o_orderdate', 'timestamp'),
+        |('vertica', 'o_orderkey', 'bigint'),
+        |('vertica', 'o_orderpriority', 'varchar(255)'),
+        |('vertica', 'o_orderstatus', 'varchar(255)'),
+        |('vertica', 'o_totalprice', 'float'))
         |t(dialect, "column", native_type)
         |ORDER BY dialect, "column"""".stripMargin)),
 

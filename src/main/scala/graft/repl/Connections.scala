@@ -95,6 +95,11 @@ object Connections {
           s"jdbc:trino://$host:${port(8080)}/$catalog"
         case "db2" =>
           s"jdbc:db2://$host:${port(50000)}/$db"
+        case "vertica" =>
+          s"jdbc:vertica://$host:${port(5433)}/$db"
+        case "hive" =>
+          // HiveServer2 / beeline URL shape (hive.yaml beeline_cmd {url})
+          s"jdbc:hive2://$host:${port(10000)}/$db"
         case "exasol" =>
           s"jdbc:exa:$host:${port(8563)}"
         case "snowflake" =>
@@ -126,7 +131,7 @@ object Connections {
         "sqlite", "d1", "derby", "snowflake", "bigquery", "oracle",
         "clickhouse", "proton", "sqlserver", "azuresql", "azuredwh",
         "fabric", "redshift", "starrocks", "trino", "databricks", "db2",
-        "exasol", "firebird", "athena").contains(kind)
+        "exasol", "firebird", "athena", "vertica", "hive").contains(kind)
     def isFileSystem: Boolean =
       Set("s3", "gs", "azure", "abfs", "sftp", "ftp", "http", "local",
         "file").contains(kind)

@@ -82,6 +82,11 @@ class ConnectionsSpec extends AnyFunSuite {
       == "jdbc:trino://h:8080/hive")
     assert(spec("db2", "host" -> "h", "database" -> "d").jdbcUrl
       == "jdbc:db2://h:50000/d")
+    assert(spec("vertica", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:vertica://h:5433/d")
+    assert(spec("hive", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:hive2://h:10000/d") // HiveServer2
+    assert(spec("vertica").isDatabase && spec("hive").isDatabase)
     assert(spec("exasol", "host" -> "h").jdbcUrl == "jdbc:exa:h:8563")
     assert(spec("snowflake", "host" -> "acct", "database" -> "d",
       "schema" -> "s", "warehouse" -> "w").jdbcUrl

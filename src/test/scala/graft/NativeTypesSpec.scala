@@ -138,6 +138,40 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("blob") == "varbinary")
   }
 
+  test("vertica: varbinary blobs, long varchar text, float doubles") {
+    val m = render("vertica")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "int")
+    assert(m("price") == "numeric(12,2)")
+    assert(m("ratio") == "float")        // Vertica FLOAT is 8-byte
+    assert(m("name") == "varchar(255)")
+    assert(m("seen") == "timestamptz")
+    assert(m("blob") == "varbinary")
+  }
+
+  test("hive: varchar lengths kept, everything zoneless lands in timestamp") {
+    val m = render("hive")
+    assert(m("id") == "bigint")
+    assert(m("qty") == "int")
+    assert(m("ratio") == "double")
+    assert(m("name") == "varchar(255)")
+    assert(m("seen") == "timestamp")     // no tz type pre-Hive-3
+    assert(m("blob") == "binary")
+  }
+
+  test("spark/iceberg: engine-native names; iceberg longs and timestamptz") {
+    val sp = render("spark")
+    assert(sp("id") == "bigint" && sp("name") == "string" && sp("seen") == "timestamp")
+    assert(NativeTypes.render("spark",
+      StructField("d", TimestampNTZType)) == "timestamp_ntz")
+    val ib = render("iceberg")
+    assert(ib("id") == "long")
+    assert(ib("qty") == "int")
+    assert(ib("name") == "string")
+    assert(ib("seen") == "timestamptz")
+    assert(ib("price") == "decimal(12,2)")
+  }
+
   test("databricks: near-identity Spark map, timestamp_ntz for datetime") {
     val m = render("databricks")
     assert(m("id") == "bigint")
