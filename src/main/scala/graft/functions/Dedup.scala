@@ -124,9 +124,19 @@ object Dedup {
           .partitionBy("__id").orderBy(col("__df"), col("__g"))))
     val prefixes = ranked
       .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__g"), col("__id"))
+      .select(col("__g"), col("__id"), col("__sz"), col("__rk"))
+    // PPJoin pruning, both exactness-preserving:
+    //   length filter — J >= t forces t*|A| <= |B| <= |A|/t;
+    //   position filter — overlap can't exceed 1 + min(remaining grams),
+    //   and J >= t needs alpha = ceil(t/(1+t)*(|A|+|B|)) shared grams.
+    //   A true pair's first shared prefix token always passes (ubound >=
+    //   actual overlap there), so no qualifying pair is lost.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.__sz") + col("b.__sz")))
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          col("b.__sz") >= ceil(lit(threshold) * col("a.__sz")) &&
+          col("a.__sz") >= ceil(lit(threshold) * col("b.__sz")) &&
+          (least(col("a.__sz") - col("a.__rk"), col("b.__sz") - col("b.__rk")) + 1) >= alpha)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     cands
