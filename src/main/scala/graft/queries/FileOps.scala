@@ -246,6 +246,27 @@ object FileOps {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // Iceberg v2 row-level deletes: position deletes (file_path/pos vs the
+    // scan's _metadata file position) + equality deletes (anti-join on the
+    // delete file's columns), both applied distributedly on read
+    Q("op_iceberg_v2_deletes",
+      (s, dir) => {
+        val t = scratch("iceberg_v2", dir)
+        graft.sources.IcebergLite.writeSnapshot(Tables(s, dir, "orders"), t)
+        val pos = s.read.parquet(t + "/data")
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("o_orderkey"))
+          .filter(col("o_orderkey") % 7 === 0)
+          .select("file_path", "pos")
+        val eq = Tables(s, dir, "orders").select("o_orderstatus")
+          .filter(col("o_orderstatus") === "P").distinct()
+        graft.sources.IcebergLite.appendDeletes(t, Some(pos), Some(eq))
+        graft.sources.IcebergLite.read(s, t).orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
+        ORDER BY o_orderkey""")),
+
     // Delta table via transaction-log replay (no connector jar): overwrite
     // then append commits, snapshot read = both commits' rows
     Q("op_delta_roundtrip",

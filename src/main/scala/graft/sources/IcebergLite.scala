@@ -19,8 +19,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     → data_file entries (status ADDED/EXISTING kept, DELETED dropped)
   *
   * and the data read is a normal distributed parquet scan of the live
-  * files. v2 delete files (position/equality) are detected and rejected
-  * rather than silently mis-read.
+  * files.
+  *
+  * v2 row-level deletes are applied distributedly: position-delete files
+  * (spec columns `file_path`, `pos`) anti-join against the data scan's
+  * `_metadata.file_path`/`_metadata.row_index` — Spark's file-position
+  * metadata IS the Iceberg position semantics, so no per-file numbering
+  * pass is needed; equality-delete files anti-join on their own column
+  * set. Both joins are O(rows), shuffle on the join keys, and broadcast
+  * when the delete set is small (the usual case). Simplification vs the
+  * full spec, documented for the bootstrap reader: sequence-number
+  * scoping is not applied — every live delete file applies to every live
+  * data file (true for single-writer fixture tables; a table where a
+  * data file was added AFTER a delete file would need the sequence
+  * check).
   */
 object IcebergLite {
 
@@ -64,8 +76,13 @@ object IcebergLite {
     }
   }
 
-  /** Resolve the current snapshot's live data files. */
-  def activeFiles(spark: SparkSession, table: String): Seq[String] = {
+  /** The current snapshot's live files, routed by content:
+    * (data, position deletes, equality deletes). */
+  final case class SnapshotFiles(data: Seq[String], posDeletes: Seq[String],
+      eqDeletes: Seq[String])
+
+  /** Resolve the current snapshot's live files. */
+  def activeFiles(spark: SparkSession, table: String): SnapshotFiles = {
     val metaPath = new Path(currentMetadata(spark, table))
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(metaPath)
@@ -82,30 +99,65 @@ object IcebergLite {
     }
     require(manifestList != null, s"snapshot $snapId not found in $metaPath")
 
-    val files = mutable.LinkedHashSet[String]()
+    // content: manifest_file 0=data 1=deletes; data_file 0=data
+    // 1=position deletes 2=equality deletes
+    val data = mutable.LinkedHashSet[String]()
+    val posDel = mutable.LinkedHashSet[String]()
+    val eqDel = mutable.LinkedHashSet[String]()
     readAvro(spark, manifestList).foreach { mf =>
-      val content = Option(mf.get("content")).map(_.toString.toInt).getOrElse(0)
-      require(content == 0,
-        "iceberg delete manifests (v2 row-level deletes) not supported")
       val manifestPath = mf.get("manifest_path").toString
       readAvro(spark, manifestPath).foreach { entry =>
         val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val fileContent = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-        require(fileContent == 0,
-          "iceberg delete files (position/equality) not supported")
         val path = df.get("file_path").toString
-        if (status == 2) files -= path else files += path
+        val target = fileContent match {
+          case 0 => data
+          case 1 => posDel
+          case 2 => eqDel
+          case other => throw new IllegalArgumentException(
+            s"unknown iceberg data_file content $other in $manifestPath")
+        }
+        if (status == 2) target -= path else target += path
       }
     }
-    files.toSeq
+    SnapshotFiles(data.toSeq, posDel.toSeq, eqDel.toSeq)
   }
 
-  /** Distributed read of the current snapshot. */
+  /** Normalize file URIs so manifest paths ("file:/x"), delete-file paths,
+    * and Spark `_metadata.file_path` ("file:///x") all compare equal. */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
+  /** Distributed read of the current snapshot, v2 deletes applied. */
   def read(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val files = activeFiles(spark, table)
-    require(files.nonEmpty, s"iceberg table $table has no live data files")
-    spark.read.option("basePath", table).parquet(files.map(stripScheme): _*)
+    require(files.data.nonEmpty, s"iceberg table $table has no live data files")
+    val base = spark.read.option("basePath", table)
+      .parquet(files.data.map(stripScheme): _*)
+    if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
+    else {
+      var d = base
+        .withColumn("__fp", normPath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (files.posDeletes.nonEmpty) {
+        val pd = spark.read.parquet(files.posDeletes.map(stripScheme): _*)
+          .select(normPath(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+          .distinct()
+        d = d.join(pd,
+          d("__fp") === pd("__dfp") && d("__pos") === pd("__dpos"), "left_anti")
+      }
+      if (files.eqDeletes.nonEmpty) {
+        // equality columns = the delete parquet's own columns (the spec's
+        // equality_ids resolved at write time); null keys never match,
+        // matching SQL anti-join semantics
+        val ed = spark.read.parquet(files.eqDeletes.map(stripScheme): _*)
+          .dropDuplicates()
+        d = d.join(ed, ed.columns.toSeq, "left_anti")
+      }
+      d.drop("__fp", "__pos")
+    }
   }
 
   // ---- minimal snapshot writer (bootstrap/fixture, not full Iceberg) -----
@@ -162,6 +214,58 @@ object IcebergLite {
       |"snapshots":[{"snapshot-id":1,"manifest-list":"$table/metadata/snap-1.avro"}]}"""
       .stripMargin
     val out = fs.create(new Path(table, "metadata/v1.metadata.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Append a v2 delete snapshot to a [[writeSnapshot]] table: position
+    * deletes (spec columns `file_path` string, `pos` long) and/or
+    * equality deletes (any column subset of the data schema). Writes the
+    * delete parquet, a delete manifest, a new manifest list referencing
+    * both manifests, and v2.metadata.json — which [[read]] then resolves
+    * as the newest version. Fixture/bootstrap quality like writeSnapshot.
+    */
+  def appendDeletes(table: String, posDeletes: Option[DataFrame],
+      eqDeletes: Option[DataFrame]): Unit = {
+    require(posDeletes.nonEmpty || eqDeletes.nonEmpty, "no deletes given")
+    val spark = posDeletes.orElse(eqDeletes).get.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def writeDeleteFiles(df: DataFrame, dir: String): Seq[String] = {
+      df.write.mode("overwrite").parquet(s"$table/$dir")
+      fs.listStatus(new Path(table, dir))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val posFiles = posDeletes.toSeq.flatMap { pd =>
+      require(pd.columns.toSet == Set("file_path", "pos"),
+        "position deletes need exactly (file_path, pos)")
+      writeDeleteFiles(pd, "deletes/pos")
+    }
+    val eqFiles = eqDeletes.toSeq.flatMap(writeDeleteFiles(_, "deletes/eq"))
+
+    def deleteEntry(path: String, content: Int): GenericRecord = {
+      val d = new org.apache.avro.generic.GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("content", content); d.put("file_path", path); d.put("file_format", "PARQUET")
+      val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
+      e.put("status", 1); e.put("data_file", d)
+      e
+    }
+    val entries = posFiles.map(deleteEntry(_, 1)) ++ eqFiles.map(deleteEntry(_, 2))
+    writeAvroFile(spark, s"$table/metadata/m-1.avro", manifestEntrySchema, entries)
+
+    def manifestRef(path: String, content: Int): GenericRecord = {
+      val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", path); mf.put("content", content)
+      mf
+    }
+    writeAvroFile(spark, s"$table/metadata/snap-2.avro", manifestFileSchema, Seq(
+      manifestRef(s"$table/metadata/m-0.avro", 0),
+      manifestRef(s"$table/metadata/m-1.avro", 1)))
+    val meta = s"""{"format-version":2,"current-snapshot-id":2,
+      |"snapshots":[{"snapshot-id":2,"manifest-list":"$table/metadata/snap-2.avro"}]}"""
+      .stripMargin
+    val out = fs.create(new Path(table, "metadata/v2.metadata.json"), true)
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

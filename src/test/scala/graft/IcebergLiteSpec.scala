@@ -115,16 +115,47 @@ class IcebergLiteSpec extends AnyFunSuite {
         "snapshots":[{"snapshot-id":5,"manifest-list":"$t/metadata/snap-1.avro"}]}""")
     assert(IcebergLite.read(spark, t).collect().map(_.getInt(0)).toSeq == Seq(7))
 
-    // a manifest entry whose data_file is a delete file (content=1) → reject
-    val del = entry(1, f1)
+    // hand-built v2 snapshot: a position-delete parquet (file_path, pos)
+    // referencing f1 row 0 — the row must disappear from the read
+    Seq((f1, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.parquet(s"$t/deletes/pos")
+    val pf = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/deletes/pos"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    val del = entry(1, pf)
     del.get("data_file").asInstanceOf[GenericRecord].put("content", 1)
-    writeAvro(s"$t/metadata/m2.avro", manifestEntrySchema, Seq(del))
+    writeAvro(s"$t/metadata/m2.avro", manifestEntrySchema, Seq(entry(1, f1), del))
     writeAvro(s"$t/metadata/snap-2.avro", manifestFileSchema,
       Seq(manifestFile(s"$t/metadata/m2.avro")))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$t/metadata/v3.metadata.json"),
       s"""{"current-snapshot-id":6,
         "snapshots":[{"snapshot-id":6,"manifest-list":"$t/metadata/snap-2.avro"}]}""")
-    intercept[IllegalArgumentException] { IcebergLite.read(spark, t) }
+    assert(IcebergLite.read(spark, t).count() == 0)
+  }
+
+  test("v2 delete snapshot: position and equality deletes apply on read") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg3"
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, t)
+    // sanity: v1 read sees everything
+    assert(IcebergLite.read(spark, t).count() == 100)
+    // position-delete ids 1..10 (resolved to real file/pos pairs),
+    // equality-delete every tag='even' row
+    val pos = spark.read.parquet(s"$t/data")
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("file_path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+        org.apache.spark.sql.functions.col("id"))
+      .filter("id <= 10").select("file_path", "pos")
+    val eq = Seq("even").toDF("tag")
+    IcebergLite.appendDeletes(t, Some(pos), Some(eq))
+    val got = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (11L to 100L).filter(_ % 2 == 1))
+    // equality-only table: no __pos plumbing needed
+    val t2 = "/tmp/graft-test/iceberg4"
+    IcebergLite.writeSnapshot(df, t2)
+    IcebergLite.appendDeletes(t2, None, Some(Seq("odd").toDF("tag")))
+    assert(IcebergLite.read(spark, t2).count() == 50)
   }
 }
