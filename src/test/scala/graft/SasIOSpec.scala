@@ -154,6 +154,67 @@ class SasIOSpec extends AnyFunSuite {
     assert(new String(dec(0x60, 0x03), 0, 20, "ASCII") == " " * 20)
   }
 
+  test("mix page hand-built from the spec: rows follow subheaders, 8-aligned") {
+    // The writer never emits mix pages, so lay one out byte-by-byte —
+    // this pins the reader to the public layout, not to writer reciprocity.
+    val pageLen = 2048
+    val file = new Array[Byte](1024 + pageLen)
+    System.arraycopy(SasIO.Magic, 0, file, 0, 32)
+    file(32) = 0x22; file(35) = 0x22; file(37) = 0x01; file(39) = '1'
+    val hb = ByteBuffer.wrap(file).order(ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(196, 1024); hb.putInt(200, pageLen); hb.putInt(204, 1)
+
+    val pg = ByteBuffer.wrap(file, 1024, pageLen).slice().order(ByteOrder.LITTLE_ENDIAN)
+    // two columns: n double (offset 0 w8 type1), s char (offset 8 w4 type2)
+    val rowLen = 12
+    // subheader contents packed from the page tail
+    val rowSize = new Array[Byte](480)
+    val rsb = ByteBuffer.wrap(rowSize).order(ByteOrder.LITTLE_ENDIAN)
+    rsb.putInt(0, 0xf7f7f7f7); rsb.putInt(20, rowLen); rsb.putInt(24, 2); rsb.putInt(60, 2)
+    val colSize = new Array[Byte](12)
+    val csb = ByteBuffer.wrap(colSize).order(ByteOrder.LITTLE_ENDIAN)
+    csb.putInt(0, 0xf6f6f6f6); csb.putInt(4, 2)
+    val text = new Array[Byte](4 + 20)
+    val tb = ByteBuffer.wrap(text).order(ByteOrder.LITTLE_ENDIAN)
+    tb.putInt(0, 0xfffffffd); tb.putShort(4, 20.toShort)
+    java.util.Arrays.fill(text, 8, 16, ' '.toByte) // 8-byte literal slot
+    text(16) = 'n'; text(20) = 's'
+    val names = new Array[Byte](36)
+    val nb = ByteBuffer.wrap(names).order(ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(0, 0xffffffff)
+    nb.putShort(12, 0.toShort); nb.putShort(14, 12.toShort); nb.putShort(16, 1.toShort)
+    nb.putShort(20, 0.toShort); nb.putShort(22, 16.toShort); nb.putShort(24, 1.toShort)
+    val attrs = new Array[Byte](44)
+    val ab = ByteBuffer.wrap(attrs).order(ByteOrder.LITTLE_ENDIAN)
+    ab.putInt(0, 0xfffffffc)
+    ab.putInt(12, 0); ab.putInt(16, 8); attrs(22) = 1  // n: off 0, w 8, numeric
+    ab.putInt(24, 8); ab.putInt(28, 4); attrs(34) = 2  // s: off 8, w 4, char
+    val subs = Seq(rowSize, colSize, text, names, attrs)
+
+    pg.putShort(16, 0x0200.toShort)          // mix page
+    pg.putShort(18, (subs.length + 2).toShort) // block count = subs + rows
+    pg.putShort(20, subs.length.toShort)
+    var tail = pageLen
+    subs.zipWithIndex.foreach { case (content, i) =>
+      tail -= content.length
+      for (j <- content.indices) pg.put(tail + j, content(j))
+      pg.putInt(24 + i * 12, tail); pg.putInt(24 + i * 12 + 4, content.length)
+    }
+    // rows 8-aligned after the 5 pointers: base = 24+60 = 84 -> 88
+    val base = 88
+    pg.putDouble(base, 1.5); pg.put(base + 8, Array[Byte]('a', 'b', ' ', ' '))
+    pg.putDouble(base + 12, 2.5); pg.put(base + 20, Array[Byte]('c', 'd', 'e', 'f'))
+
+    val path = scratch("mixpage") + "/t.sas7bdat"
+    val fsp = new org.apache.hadoop.fs.Path(path)
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsp, true); out.write(file); out.close()
+    val got = SasIO.read(spark, path).orderBy("n").collect()
+    assert(got.length == 2)
+    assert(got(0) == Row(1.5, "ab"))
+    assert(got(1) == Row(2.5, "cdef"))
+  }
+
   test("reader rejects non-sas and RDC-compressed input") {
     val bad = scratch("bad") + "/t.sas7bdat"
     val fs = new org.apache.hadoop.fs.Path(bad)
