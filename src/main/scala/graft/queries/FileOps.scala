@@ -282,6 +282,27 @@ object FileOps {
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),
 
+    // Delta deletion vectors: roaring-bitmap row-level deletes decoded
+    // distributedly and anti-joined on file/position metadata
+    Q("op_delta_dv",
+      (s, dir) => {
+        val t = scratch("delta_dv", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        graft.sources.DeltaLite.overwrite(Tables(s, dir, "customer"), t)
+        val rel = regexp_replace(regexp_replace(col("_metadata.file_path"),
+          "^file:/+", "/"), java.util.regex.Pattern.quote(t + "/"), "")
+        val deletes = graft.sources.DeltaLite.read(s, t)
+          .select(rel.as("path"), col("_metadata.row_index").as("pos"),
+            col("c_custkey"))
+          .filter(col("c_custkey") % 3 === 0)
+          .select("path", "pos")
+        graft.sources.DeltaLite.addDeletionVectors(t, deletes)
+        graft.sources.DeltaLite.read(s, t).orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey")),
+
     // Avro container files: per-partition distributed write, block-split
     // AvroKeyInputFormat read — no spark-avro connector involved
     Q("op_avro_roundtrip",

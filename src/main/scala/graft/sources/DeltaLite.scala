@@ -15,9 +15,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * column pruning apply as usual.
   *
   * Supported: JSON commits, parquet checkpoints via _last_checkpoint,
-  * append/overwrite writes with single-writer commits. Not supported (and
-  * rejected via protocol check): deletion vectors, column mapping
-  * (minReaderVersion > 1).
+  * append/overwrite writes with single-writer commits, and (r6b) the
+  * `deletionVectors` reader feature: each DV is decoded distributedly
+  * (one task per vector, RoaringBitmapArray portable format via
+  * [[DeletionVectors]]) into (file, position) rows that anti-join the
+  * scan's `_metadata.file_path`/`row_index` — the same O(rows) shape as
+  * the Iceberg v2 position deletes. Still rejected via protocol check:
+  * column mapping and any other v3 reader feature.
   */
 object DeltaLite {
 
@@ -27,32 +31,59 @@ object DeltaLite {
   private def commitFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
+  /** One active file: path relative to the table root + optional DV. */
+  final case class FileEntry(path: String,
+      dv: Option[DeletionVectors.Descriptor])
+
   // ---- log replay --------------------------------------------------------
 
-  /** Replay the log; return (active file paths relative to table root,
-    * latest version). */
-  def activeFiles(spark: SparkSession, table: String): (Seq[String], Long) = {
+  /** Replay the log; return (active files, latest version). */
+  def activeEntries(spark: SparkSession, table: String): (Seq[FileEntry], Long) = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     require(fs.exists(dir), s"not a delta table: $table (no _delta_log)")
 
+    val active = mutable.LinkedHashMap[String, Option[DeletionVectors.Descriptor]]()
+
     // start from the newest parquet checkpoint if one is advertised
     val lastCp = new Path(dir, "_last_checkpoint")
-    val (startVersion, initial: mutable.LinkedHashSet[String]) =
+    val startVersion =
       if (fs.exists(lastCp)) {
         val in = fs.open(lastCp)
         val cpVer = try mapper.readTree(in).path("version").asLong finally in.close()
         val cpPath = new Path(dir, f"$cpVer%020d.checkpoint.parquet")
         val cp = spark.read.parquet(cpPath.toString)
-        if (cp.columns.contains("protocol"))
-          checkProtocol(cp.select("protocol.minReaderVersion").na.drop().collect()
-            .headOption.map(_.getInt(0)))
-        val files =
-          if (cp.columns.contains("add"))
-            cp.select("add.path").na.drop().collect().map(_.getString(0))
-          else Array.empty[String]
-        (cpVer + 1, mutable.LinkedHashSet[String](files.toIndexedSeq: _*))
-      } else (0L, mutable.LinkedHashSet[String]())
+        if (cp.columns.contains("protocol")) {
+          import org.apache.spark.sql.types.StructType
+          val protoType = cp.schema("protocol").dataType.asInstanceOf[StructType]
+          val feats =
+            if (protoType.fieldNames.contains("readerFeatures"))
+              cp.select("protocol.minReaderVersion", "protocol.readerFeatures")
+                .na.drop(Seq("minReaderVersion")).collect().headOption
+                .map(r => (r.getInt(0), Option(r.getSeq[String](1))
+                  .map(_.toSet).getOrElse(Set.empty[String])))
+            else cp.select("protocol.minReaderVersion").na.drop().collect()
+              .headOption.map(r => (r.getInt(0), Set.empty[String]))
+          feats.foreach { case (v, f) => checkProtocol(v, f) }
+        }
+        if (cp.columns.contains("add")) {
+          import org.apache.spark.sql.types.StructType
+          val addType = cp.schema("add").dataType.asInstanceOf[StructType]
+          if (addType.fieldNames.contains("deletionVector")) {
+            cp.select("add.path", "add.deletionVector.storageType",
+              "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
+              "add.deletionVector.sizeInBytes")
+              .na.drop(Seq("path")).collect().foreach { r =>
+                val dv = if (r.isNullAt(1)) None
+                  else Some(DeletionVectors.Descriptor(r.getString(1),
+                    r.getString(2), if (r.isNullAt(3)) 1 else r.getInt(3), r.getInt(4)))
+                active += r.getString(0) -> dv
+              }
+          } else cp.select("add.path").na.drop().collect()
+            .foreach(r => active += r.getString(0) -> None)
+        }
+        cpVer + 1
+      } else 0L
 
     val commits = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json"))
@@ -66,31 +97,77 @@ object DeltaLite {
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         val proto = node.path("protocol")
-        if (!proto.isMissingNode)
-          checkProtocol(Some(proto.path("minReaderVersion").asInt))
+        if (!proto.isMissingNode) {
+          val feats = mutable.Set[String]()
+          proto.path("readerFeatures").forEach(f => feats += f.asText)
+          checkProtocol(proto.path("minReaderVersion").asInt, feats.toSet)
+        }
         val add = node.path("add")
-        if (!add.isMissingNode) initial += add.path("path").asText
+        if (!add.isMissingNode) {
+          val dvNode = add.path("deletionVector")
+          val dv = if (dvNode.isMissingNode) None
+            else Some(DeletionVectors.Descriptor(
+              dvNode.path("storageType").asText,
+              dvNode.path("pathOrInlineDv").asText,
+              if (dvNode.path("offset").isMissingNode) 1
+              else dvNode.path("offset").asInt,
+              dvNode.path("sizeInBytes").asInt))
+          active += add.path("path").asText -> dv
+        }
         val remove = node.path("remove")
-        if (!remove.isMissingNode) initial -= remove.path("path").asText
+        if (!remove.isMissingNode) active -= remove.path("path").asText
       }
       version = v
     }
-    (initial.toSeq, version)
+    (active.map { case (p, dv) => FileEntry(p, dv) }.toSeq, version)
   }
 
-  private def checkProtocol(minReader: Option[Int]): Unit =
-    minReader.foreach { v =>
-      require(v <= 1, s"unsupported delta minReaderVersion $v " +
-        "(deletion vectors / column mapping not implemented)")
-    }
+  /** Back-compat shape: active paths only (DVs dropped). */
+  def activeFiles(spark: SparkSession, table: String): (Seq[String], Long) = {
+    val (entries, v) = activeEntries(spark, table)
+    (entries.map(_.path), v)
+  }
 
-  /** Distributed read of the table's current snapshot. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  private def checkProtocol(minReader: Int, readerFeatures: Set[String]): Unit =
+    if (minReader >= 3) {
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"unsupported delta reader features $unsupported")
+    } else require(minReader <= 1,
+      s"unsupported delta minReaderVersion $minReader (column mapping not implemented)")
+
+  /** Distributed read of the table's current snapshot, DVs applied. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val (files, _) = activeFiles(spark, table)
-    require(files.nonEmpty, s"delta table $table has no active files")
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (entries, _) = activeEntries(spark, table)
+    require(entries.nonEmpty, s"delta table $table has no active files")
     // basePath keeps hive-style partition dirs resolving to partition columns
-    spark.read.option("basePath", table)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    val base = spark.read.option("basePath", table)
+      .parquet(entries.map(e => s"$table/${e.path}"): _*)
+    val withDv = entries.filter(_.dv.nonEmpty)
+    if (withDv.isEmpty) base
+    else {
+      def norm(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/+", "/")
+      // one task per vector: decode positions on the executors
+      val tableAbs = table
+      val deleted = spark.sparkContext
+        .parallelize(withDv.map(e => (e.path, e.dv.get)), withDv.size)
+        .flatMap { case (path, d) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          DeletionVectors.readPositions(tableAbs, d, conf)
+            .iterator.map(pos => (s"$tableAbs/$path", pos))
+        }
+      val delDf = spark.createDataFrame(deleted).toDF("__dfp", "__dpos")
+        .select(norm(col("__dfp")).as("__dfp"), col("__dpos"))
+      val d = base
+        .withColumn("__fp", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      d.join(delDf, d("__fp") === delDf("__dfp") && d("__pos") === delDf("__dpos"),
+          "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   // ---- writes (single-writer) -------------------------------------------
@@ -157,5 +234,31 @@ object DeltaLite {
       s"""{"remove":{"path":"$p","dataChange":true}}""")
     writeCommit(spark, table, v,
       proto ++ removes ++ stageData(df, table).map(addAction))
+  }
+
+  /** Attach deletion vectors: `deletes` carries (path, pos) rows — path
+    * relative to the table root, pos = row index within that file. Writes
+    * one DV file, upgrades the protocol to readerVersion 3 with the
+    * deletionVectors feature, and commits a re-add per affected file.
+    * Fixture/bootstrap quality like writeSnapshot (driver-side grouping).
+    */
+  def addDeletionVectors(table: String, deletes: DataFrame): Unit = {
+    val spark = deletes.sparkSession
+    val byFile: Seq[(String, Array[Long])] = deletes
+      .select("path", "pos").collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
+    require(byFile.nonEmpty, "no delete positions given")
+    val descriptors = DeletionVectors.writeFile(spark, table, byFile.map(_._2))
+    val adds = byFile.zip(descriptors).map { case ((path, positions), d) =>
+      s"""{"add":{"path":"$path","partitionValues":{},"size":0,""" +
+        s""""modificationTime":0,"dataChange":false,"deletionVector":{""" +
+        s""""storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
+        s""""cardinality":${positions.length}}}}"""
+    }
+    val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    writeCommit(spark, table, nextVersion(spark, table), proto +: adds)
   }
 }

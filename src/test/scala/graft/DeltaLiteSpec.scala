@@ -71,17 +71,76 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
-  test("protocol v2 tables are rejected") {
+  test("protocol gate: v2 and unknown v3 features rejected, DV feature ok") {
     import spark.implicits._
     val t = freshDir("delta4")
     DeltaLite.append(Seq((1, "a")).toDF("id", "v"), t)
     val fs = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      t, "_delta_log/00000000000000000001.json"), true)
-    out.write("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""
-      .getBytes)
-    out.close()
+    def protoCommit(v: Long, json: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        t, f"_delta_log/$v%020d.json"), true)
+      out.write(json.getBytes); out.close()
+    }
+    protoCommit(1, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
     intercept[IllegalArgumentException] { DeltaLite.read(spark, t) }
+    protoCommit(1, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+      "readerFeatures":["columnMapping"]}}""".replaceAll("\n\\s*", ""))
+    intercept[IllegalArgumentException] { DeltaLite.read(spark, t) }
+    protoCommit(1, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+      "readerFeatures":["deletionVectors"]}}""".replaceAll("\n\\s*", ""))
+    assert(DeltaLite.read(spark, t).count() == 1)
+  }
+
+  test("deletion vectors: positions vanish from the read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = freshDir("delta_dv")
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaLite.overwrite(df, t)
+    val rel = regexp_replace(regexp_replace(col("_metadata.file_path"),
+      "^file:/+", "/"), java.util.regex.Pattern.quote(t + "/"), "")
+    val deletes = DeltaLite.read(spark, t)
+      .select(rel.as("path"), col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 5 === 0).select("path", "pos")
+    DeltaLite.addDeletionVectors(t, deletes)
+    val got = DeltaLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.length == 400)
+    assert(got.forall(_ % 5 != 0))
+    // a second DV commit replaces the first (re-add same path)
+    val more = DeltaLite.read(spark, t)
+      .select(rel.as("path"), col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 2 === 0).select("path", "pos")
+    DeltaLite.addDeletionVectors(t, more)
+    val got2 = DeltaLite.read(spark, t).select("id").as[Long].collect().sorted
+    // latest add wins per file: only the second DV is in force. It was
+    // computed from the already-filtered read, so even multiples of 5
+    // (absent there) are not in it and reappear.
+    assert(got2.length == 250 + 50)
+    assert(got2.filter(_ % 2 == 0).forall(_ % 5 == 0))
+  }
+
+  test("roaring codec: array, bitset, multi-bitmap, run-container decode") {
+    import graft.sources.DeletionVectors
+    // array containers + second 32-bit bitmap
+    val a = Array[Long](0L, 1L, 65536L, (1L << 32) + 7L)
+    assert(DeletionVectors.decode(DeletionVectors.encode(a)).toSeq == a.toSeq)
+    // bitset container: > 4096 values in one 16-bit key space
+    val dense = (0L until 5000L).toArray
+    assert(DeletionVectors.decode(DeletionVectors.encode(dense)).toSeq == dense.toSeq)
+    // z85 roundtrip
+    val bytes = Array.tabulate[Byte](16)(_.toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes)).toSeq == bytes.toSeq)
+    // hand-built run container (cookie 12347): values 10..13 in key 0
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DeletionVectors.Magic); bb.putLong(1L)
+    bb.putInt(12347 | (0 << 16)) // 1 container
+    bb.put(1.toByte)             // run flag for container 0
+    bb.putShort(0.toShort); bb.putShort(3.toShort) // key 0, card-1 = 3
+    bb.putShort(1.toShort)       // one run
+    bb.putShort(10.toShort); bb.putShort(3.toShort) // start 10, len 3
+    val run = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(DeletionVectors.decode(run).toSeq == Seq(10L, 11L, 12L, 13L))
   }
 }
