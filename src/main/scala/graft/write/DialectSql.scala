@@ -301,11 +301,14 @@ object DialectSql {
   /** Per-dialect identifier quote character (`variable.quote_char` in the
     * templates; base.yaml:458 default `"`). Backtick engines:
     * mysql.yaml:539, mariadb, bigquery.yaml:559, clickhouse, proton,
-    * starrocks, databricks, athena.
+    * starrocks, databricks, athena. hive/spark define no quote_char in
+    * their templates (base fallback `"`), but a double-quoted identifier
+    * is a string literal to those engines outside ANSI mode — render the
+    * engine-correct backtick instead, like the NativeTypes fallback maps.
     */
   def quoteChar(dialect: String): String = dialect match {
     case "mysql" | "mariadb" | "bigquery" | "clickhouse" | "proton" |
-         "starrocks" | "databricks" | "athena" => "`"
+         "starrocks" | "databricks" | "athena" | "hive" | "spark" => "`"
     case _ => "\""
   }
 

@@ -238,6 +238,12 @@ class DialectSqlSpec extends AnyFunSuite {
     // re-quoting swaps the quote style instead of nesting
     assert(DialectSql.quoteIdent("mysql", "\"q\"") == "`q`")
     assert(DialectSql.quoteIdent("postgres", "`q`") == "\"q\"")
+    // hive/spark backtick (engine-correct despite the base-yaml fallback);
+    // vertica/iceberg keep the ANSI double quote
+    assert(DialectSql.quoteIdent("hive", "x") == "`x`")
+    assert(DialectSql.quoteIdent("spark", "x") == "`x`")
+    assert(DialectSql.quoteIdent("vertica", "x") == "\"x\"")
+    assert(DialectSql.quoteIdent("iceberg", "x") == "\"x\"")
   }
 
   test("upper-case-catalog dialects per DBNameUpperCase + column_upper") {
