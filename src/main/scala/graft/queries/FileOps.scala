@@ -192,6 +192,28 @@ object FileOps {
         FROM events, LATERAL (VALUES (event_id), (event_id * 2), (event_id * 3)) v(val)
         ORDER BY event_id, val""")),
 
+    // Non-UTF-8 source encodings (source_options.encoding, reference
+    // encoding tests r.32-34): latin1 bytes written raw, decoded by the
+    // distributed CSV read; expected strings pinned as a VALUES oracle
+    Q("op_csv_encoding",
+      (s, dir) => {
+        val path = scratch("csv_latin1", dir) + "/accents.csv"
+        val content = "id,name,role\n1,José,Café manager\n" +
+          "2,François,Naïve résumé writer\n3,María,Piñata designer\n"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+        out.write(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        out.close()
+        FileSources.csv(s, path, encoding = Some("ISO-8859-1"))
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES
+        (1, 'José', 'Café manager'),
+        (2, 'François', 'Naïve résumé writer'),
+        (3, 'María', 'Piñata designer')) t(id, name, role)
+        ORDER BY id""")),
+
     // SAS7BDAT round-trip: native binary writer -> distributed page reader.
     // The SAS surface is numeric(double)/char(string) (reference maps SAS
     // numerics to float, sas7bdat.go:55-58), so keys cast to double on both

@@ -159,6 +159,25 @@ object Modes {
       Some(s"""SELECT $oOrderCols, o_custkey % 2 <> 0 AS _sling_deleted
         FROM orders ORDER BY o_orderkey""")),
 
+    // scoped delete_missing (r.104): deletes detected only inside the 1995+
+    // window (target_where); source presence scoped the same way — older
+    // rows missing from the source survive untouched
+    Q("mode_delete_missing_scoped",
+      (s, dir) => {
+        val o = orders(s, dir)
+        val t = ParquetTarget(s, scratch("delete_missing_scoped", dir))
+        M.fullRefresh(t, o)
+        M.deleteMissingScoped(t, o.filter(col("o_custkey") % 2 === 0),
+          Seq("o_orderkey"),
+          sourceWhere = Some("o_orderdate >= '1995-01-01'"),
+          targetWhere = Some("o_orderdate >= '1995-01-01'"),
+          soft = true)
+        t.read.orderBy("o_orderkey")
+      },
+      Some(s"""SELECT $oOrderCols,
+        (o_orderdate >= '1995-01-01' AND o_custkey % 2 <> 0) AS _sling_deleted
+        FROM orders ORDER BY o_orderkey""")),
+
     Q("mode_backfill",
       (s, dir) => {
         val o = orders(s, dir)

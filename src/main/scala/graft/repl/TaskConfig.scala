@@ -40,7 +40,8 @@ object TaskConfig {
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
-      limit: Option[Int] = None, conn: Option[String] = None)
+      limit: Option[Int] = None, conn: Option[String] = None,
+      encoding: Option[String] = None)
 
   final case class Target(obj: String, format: String = "parquet",
       mode: String = "full-refresh", primaryKey: Seq[String] = Nil,
@@ -87,7 +88,8 @@ object TaskConfig {
         select = strList(s, "select"),
         where = s.get("where").map(_.toString),
         limit = s.get("limit").map(_.toString.toInt),
-        conn = s.get("conn").map(_.toString)),
+        conn = s.get("conn").map(_.toString),
+        encoding = s.get("encoding").map(_.toString)),
       section("transforms").map { case (k, v) => k -> v.toString },
       Target(
         obj = t("object").toString,
@@ -125,7 +127,7 @@ object TaskConfig {
       sfDir: String): DataFrame =
     src.format match {
       case "table" => Tables(spark, sfDir, src.stream)
-      case "csv" => FileSources.csv(spark, src.stream)
+      case "csv" => FileSources.csv(spark, src.stream, encoding = src.encoding)
       case "jsonl" => FileSources.jsonl(spark, src.stream)
       case "xlsx" => ExcelIO.read(spark, src.stream)
       case "avro" => AvroIO.read(spark, src.stream)

@@ -15,14 +15,21 @@ import graft.model.TypeInference
   */
 object FileSources {
 
+  /** `encoding`: source charset per the reference's
+    * `source_options.encoding` (tests/replications/r.32-34 encoding tests;
+    * latin1/windows-1252/utf-16 and friends). Spark's text datasource
+    * decodes non-UTF-8 charsets natively, so the read stays distributed.
+    */
   def csv(spark: SparkSession, path: String,
       header: Boolean = true, delimiter: String = ",",
       overrides: Map[String, DataType] = Map.empty,
-      sampleSize: Int = TypeInference.SampleSize): DataFrame = {
+      sampleSize: Int = TypeInference.SampleSize,
+      encoding: Option[String] = None): DataFrame = {
     val reader = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("inferSchema", "false")
+    encoding.foreach(e => reader.option("encoding", e))
     // gzip/snappy/lz4/bzip2 go through Hadoop codecs natively; .zst routes
     // through the zstd-jni line reader (compression.go extension sniffing)
     val raw =

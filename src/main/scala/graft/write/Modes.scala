@@ -181,6 +181,30 @@ object Modes {
     target.replaceWith(flagged)
   }
 
+  /** Scoped `delete_missing` (`target_options.delete_missing.source_where/
+    * target_where`, tests/replications/r.104.delete_missing_where.yaml):
+    * only target rows matching `targetWhere` are deletion-eligible, and
+    * only source rows matching `sourceWhere` count as present — the
+    * years-of-history table where deletes are detected in a recent window
+    * only. Rows outside the target scope are never touched; a NULL-valued
+    * predicate means not-eligible (SQL WHERE semantics).
+    */
+  def deleteMissingScoped(target: ParquetTarget, source: DataFrame,
+      pk: Seq[String], sourceWhere: Option[String], targetWhere: Option[String],
+      soft: Boolean): Unit = {
+    val tgt = target.read
+    val srcKeys = sourceWhere.fold(source)(source.filter(_))
+      .select(pk.map(col).toSeq: _*).distinct
+      .withColumn("__present", lit(1))
+    val eligible = coalesce(
+      targetWhere.map(expr).getOrElse(lit(true)).cast("boolean"), lit(false))
+    val joined = tgt.join(srcKeys, pk, "left")
+    val missing = eligible && col("__present").isNull
+    target.replaceWith(
+      if (soft) joined.withColumn("_sling_deleted", missing).drop("__present")
+      else joined.filter(!missing).drop("__present"))
+  }
+
   /** `backfill`: re-load an explicit `[lo, hi]` range of the update key
     * (task_run_read.go:173-204, range filter base.yaml:49): target rows inside
     * the range are replaced by source rows inside the range.

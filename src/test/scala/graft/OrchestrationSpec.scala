@@ -122,6 +122,30 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(graft.repl.TaskConfig.run(spark, yaml2, "/root/testdata/sf0.001") == 10)
   }
 
+  test("task yaml: source encoding decodes latin1 csv") {
+    val base = "/tmp/graft-test/task_enc"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/in.csv"), true)
+    out.write("id,name\n1,José\n2,Zoë\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.close()
+    val yaml =
+      s"""source:
+         |  stream: $base/in.csv
+         |  format: csv
+         |  encoding: ISO-8859-1
+         |target:
+         |  object: $base/out
+         |  mode: full-refresh
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 2)
+    val names = spark.read.parquet(s"$base/out").orderBy("id")
+      .collect().map(_.getAs[String]("name")).toSeq
+    assert(names == Seq("José", "Zoë"))
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
