@@ -83,6 +83,13 @@ object Dedup {
       .distinct()
     val sets = df.select(col(idCol).as("__id"),
       shingleCol(col(textCol), n).as("__shingles"))
+    verifyPairs(cands, sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * full shingle sets — shared by the LSH and prefix-filter generators. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(sets.select(col("__id").as("id_a"), col("__shingles").as("__sh_a")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__shingles").as("__sh_b")), "id_b")
@@ -91,7 +98,6 @@ object Dedup {
           size(array_union(col("__sh_a"), col("__sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * All-Pairs / PPJoin principle: under any global token order, two sets
@@ -117,13 +123,20 @@ object Dedup {
     val ex = sets.select(col("__id"), size(col("__sh")).as("__sz"),
       explode(col("__sh")).as("__g"))
     val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
-    // rare-first global order; (__df, __g) ties broken lexically => total
+    // rare-first global order; (__df, __g) ties broken lexically => total.
+    // FP guard: t*|S| can land one ulp ABOVE its exact integral value
+    // (0.07*100 = 7.000...001), and an over-estimated ceil would shrink the
+    // prefix / tighten a bound and silently lose qualifying pairs. Every
+    // rounding below is therefore nudged down by eps — erring toward MORE
+    // candidates, which the exact verification then filters.
+    val eps = 1e-9
     val ranked = ex.join(dfreq, "__g")
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("__id").orderBy(col("__df"), col("__g"))))
     val prefixes = ranked
-      .filter(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .filter(col("__rk") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - eps) + 1)
       .select(col("__g"), col("__id"), col("__sz"), col("__rk"))
     // PPJoin pruning, both exactness-preserving:
     //   length filter — J >= t forces t*|A| <= |B| <= |A|/t;
@@ -131,22 +144,16 @@ object Dedup {
     //   and J >= t needs alpha = ceil(t/(1+t)*(|A|+|B|)) shared grams.
     //   A true pair's first shared prefix token always passes (ubound >=
     //   actual overlap there), so no qualifying pair is lost.
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.__sz") + col("b.__sz")))
+    val alpha =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.__sz") + col("b.__sz")) - eps)
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-          col("b.__sz") >= ceil(lit(threshold) * col("a.__sz")) &&
-          col("a.__sz") >= ceil(lit(threshold) * col("b.__sz")) &&
+          col("b.__sz") >= lit(threshold) * col("a.__sz") - eps &&
+          col("a.__sz") >= lit(threshold) * col("b.__sz") - eps &&
           (least(col("a.__sz") - col("a.__rk"), col("b.__sz") - col("b.__rk")) + 1) >= alpha)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    cands
-      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(cands, sets.withColumnRenamed("__sh", "__shingles"), threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH candidate buckets

@@ -313,8 +313,9 @@ object FileOps {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(t), true)
         graft.sources.DeltaLite.overwrite(Tables(s, dir, "customer"), t)
-        val rel = regexp_replace(regexp_replace(col("_metadata.file_path"),
-          "^file:/+", "/"), java.util.regex.Pattern.quote(t + "/"), "")
+        val rel = regexp_replace(
+          graft.sources.PathNorm.normUri(col("_metadata.file_path")),
+          java.util.regex.Pattern.quote(t + "/"), "")
         val deletes = graft.sources.DeltaLite.read(s, t)
           .select(rel.as("path"), col("_metadata.row_index").as("pos"),
             col("c_custkey"))

@@ -29,7 +29,8 @@ object Compression {
     * file (same granularity Spark gives non-splittable .gz), decompression
     * streamed per task. Files are bounded by the writer's split size.
     */
-  def readZstdLines(spark: SparkSession, path: String): Dataset[String] = {
+  def readZstdLines(spark: SparkSession, path: String,
+      encoding: Option[String] = None): Dataset[String] = {
     import spark.implicits._
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -38,12 +39,14 @@ object Compression {
        else fs.globStatus(p).map(_.getPath))
         .filter(f => isZstd(f.getName)).map(_.toString).sorted
     require(files.nonEmpty, s"no .zst files under $path")
+    val charsetName = encoding.getOrElse(UTF_8.name())
     spark.sparkContext.parallelize(files.toSeq, files.length)
       .flatMap { f =>
         val fp = new Path(f)
         val pfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in: InputStream = new ZstdInputStream(pfs.open(fp))
-        val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
+        val reader = new BufferedReader(new InputStreamReader(in,
+          java.nio.charset.Charset.forName(charsetName)))
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => reader.close()))
         Iterator.continually(reader.readLine()).takeWhile(_ != null)

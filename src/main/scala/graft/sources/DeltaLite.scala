@@ -149,7 +149,7 @@ object DeltaLite {
     val withDv = entries.filter(_.dv.nonEmpty)
     if (withDv.isEmpty) base
     else {
-      def norm(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/+", "/")
+      val norm = PathNorm.normUri _
       // one task per vector: decode positions on the executors
       val tableAbs = table
       val deleted = spark.sparkContext

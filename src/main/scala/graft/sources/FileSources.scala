@@ -31,9 +31,12 @@ object FileSources {
       .option("inferSchema", "false")
     encoding.foreach(e => reader.option("encoding", e))
     // gzip/snappy/lz4/bzip2 go through Hadoop codecs natively; .zst routes
-    // through the zstd-jni line reader (compression.go extension sniffing)
+    // through the zstd-jni line reader (compression.go extension sniffing),
+    // which must apply the charset itself — csv(Dataset[String]) never
+    // sees the raw bytes, so the reader's encoding option can't
     val raw =
-      if (hasZstd(spark, path)) reader.csv(Compression.readZstdLines(spark, path))
+      if (hasZstd(spark, path))
+        reader.csv(Compression.readZstdLines(spark, path, encoding))
       else reader.csv(path)
     inferAndCast(raw, overrides, sampleSize)
   }

@@ -124,10 +124,8 @@ object IcebergLite {
     SnapshotFiles(data.toSeq, posDel.toSeq, eqDel.toSeq)
   }
 
-  /** Normalize file URIs so manifest paths ("file:/x"), delete-file paths,
-    * and Spark `_metadata.file_path` ("file:///x") all compare equal. */
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    PathNorm.normUri(c)
 
   /** Distributed read of the current snapshot, v2 deletes applied. */
   def read(spark: SparkSession, table: String): DataFrame = {
@@ -150,11 +148,14 @@ object IcebergLite {
       }
       if (files.eqDeletes.nonEmpty) {
         // equality columns = the delete parquet's own columns (the spec's
-        // equality_ids resolved at write time); null keys never match,
-        // matching SQL anti-join semantics
+        // equality_ids resolved at write time). The spec defines NULL as
+        // equal to NULL here — unlike SQL join equality — so the anti-join
+        // uses null-safe <=> on every key.
         val ed = spark.read.parquet(files.eqDeletes.map(stripScheme): _*)
           .dropDuplicates()
-        d = d.join(ed, ed.columns.toSeq, "left_anti")
+        val edAliased = ed.select(ed.columns.map(c => col(c).as(s"__eq_$c")).toSeq: _*)
+        val cond = ed.columns.map(c => d(c) <=> edAliased(s"__eq_$c")).reduce(_ && _)
+        d = d.join(edAliased, cond, "left_anti")
       }
       d.drop("__fp", "__pos")
     }

@@ -147,7 +147,13 @@ object SasIO {
           val p = bitOffset + 8 + i * ptrLen
           val off = intAt(pg, p, u64).toInt
           val len = intAt(pg, p + intLen, u64).toInt
-          if (len > 0) {
+          val comp = pg(p + 2 * intLen) & 0xff
+          val stype = pg(p + 2 * intLen + 1) & 0xff
+          // data-row subheaders (compressed files) are marked type=1 /
+          // comp=4 in the POINTER — classify by that, never by content
+          // bytes, or a row whose data collides with a meta signature
+          // would corrupt the metadata parse
+          if (len > 0 && comp != 4 && stype != 1) {
             val sig = u32(pg, off).toInt
             val sig2 = if (u64 && !MetaSigs.contains(sig)) u32(pg, off + 4).toInt else sig
             sig2 match {
@@ -252,25 +258,22 @@ object SasIO {
     val ptrBase = meta.bitOffset + 8
 
     val subRows: Iterator[Row] =
-      if (subCount == 0) Iterator.empty
+      if (subCount == 0 || !meta.compressed) Iterator.empty
       else (0 until subCount).iterator.flatMap { i =>
         val p = ptrBase + i * meta.ptrLen
         val off = intAt(pg, p, meta.u64).toInt
         val len = intAt(pg, p + meta.intLen, meta.u64).toInt
         val compression = pg(p + 2 * meta.intLen) & 0xff
+        val stype = pg(p + 2 * meta.intLen + 1) & 0xff
+        // rows are identified by the POINTER's type/compression flags
+        // (comp=4 RLE row, comp=0+type=1 raw row), never by sniffing the
+        // content for meta signatures — row bytes may collide with one
         if (len <= 0 || compression == 1) None // truncated pointer
-        else {
-          val sig = u32(pg, off).toInt
-          val sig2 = if (meta.u64 && !MetaSigs.contains(sig)) u32(pg, off + 4).toInt else sig
-          if (MetaSigs.contains(sig2)) None
-          else if (!meta.compressed) None
-          else if (len == meta.rowLen) { // stored raw: compression didn't help
-            Some(decodeRow(meta, pg, off))
-          } else {
-            val raw = Rle.decompress(pg, off, len, meta.rowLen)
-            Some(decodeRow(meta, raw, 0))
-          }
-        }
+        else if (compression == 4)
+          Some(decodeRow(meta, Rle.decompress(pg, off, len, meta.rowLen), 0))
+        else if (compression == 0 && stype == 1 && len == meta.rowLen)
+          Some(decodeRow(meta, pg, off)) // stored raw: compression didn't help
+        else None // meta subheader
       }
 
     val plainRows: Iterator[Row] =
@@ -372,6 +375,12 @@ object SasIO {
     }
     val offsets = widths.scanLeft(0)(_ + _)
     val rowLen = offsets.last
+    // a page must hold at least one row (plus its pointer in the
+    // compressed layout) — auto-grow the page size for very wide rows
+    // instead of overrunning the page buffer
+    val needed = bitOffset + 8 + ptrLen + rowLen + 512
+    val effPageLen =
+      if (needed <= pageLen) pageLen else ((needed + 4095) / 4096) * 4096
 
     def encodeRow(r: Row): Array[Byte] = {
       val b = new Array[Byte](rowLen)
@@ -465,9 +474,9 @@ object SasIO {
 
     // ---- page assembly: pointers grow forward, content grows backward
     final class PageBuilder(ptype: Int) {
-      val buf = new Array[Byte](pageLen)
+      val buf = new Array[Byte](effPageLen)
       private var nPtr = 0
-      private var tail = pageLen
+      private var tail = effPageLen
       private var rows = 0
       def freeFor(len: Int): Boolean =
         bitOffset + 8 + (nPtr + 1) * ptrLen <= tail - len
@@ -481,7 +490,7 @@ object SasIO {
         buf(p + 2 * intLen + 1) = stype.toByte
         nPtr += 1
       }
-      def rowCapacity: Int = (pageLen - (bitOffset + 8)) / rowLen
+      def rowCapacity: Int = (effPageLen - (bitOffset + 8)) / rowLen
       def addRow(r: Array[Byte]): Unit = {
         System.arraycopy(r, 0, buf, bitOffset + 8 + rows * rowLen, rowLen)
         rows += 1
@@ -544,7 +553,7 @@ object SasIO {
     val a1 = if (u64) 4 else 0
     val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
     hb.putInt(196 + a1, headerLen)
-    hb.putInt(200 + a1, pageLen)
+    hb.putInt(200 + a1, effPageLen)
     hb.putInt(204 + a1, pages.length)
 
     val fs = new Path(path).getFileSystem(

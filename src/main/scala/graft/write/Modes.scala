@@ -200,8 +200,16 @@ object Modes {
       targetWhere.map(expr).getOrElse(lit(true)).cast("boolean"), lit(false))
     val joined = tgt.join(srcKeys, pk, "left")
     val missing = eligible && col("__present").isNull
+    // out-of-scope rows keep a flag set by an earlier run — "never touched"
+    // includes not resurrecting them; in-scope rows present again clear it
+    val prior =
+      if (tgt.columns.contains("_sling_deleted"))
+        coalesce(col("_sling_deleted"), lit(false))
+      else lit(false)
     target.replaceWith(
-      if (soft) joined.withColumn("_sling_deleted", missing).drop("__present")
+      if (soft) joined
+        .withColumn("_sling_deleted", when(eligible, missing).otherwise(prior))
+        .drop("__present")
       else joined.filter(!missing).drop("__present"))
   }
 

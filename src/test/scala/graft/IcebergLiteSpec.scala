@@ -158,4 +158,17 @@ class IcebergLiteSpec extends AnyFunSuite {
     IcebergLite.appendDeletes(t2, None, Some(Seq("odd").toDF("tag")))
     assert(IcebergLite.read(spark, t2).count() == 50)
   }
+
+  test("equality delete with NULL key matches NULL rows (spec semantics)") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg5"
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"),
+      (4L, null.asInstanceOf[String])).toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, t)
+    // delete every row whose tag IS NULL — SQL anti-join would match none
+    IcebergLite.appendDeletes(t, None,
+      Some(Seq(null.asInstanceOf[String]).toDF("tag")))
+    val got = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
 }

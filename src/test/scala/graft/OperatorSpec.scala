@@ -177,6 +177,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("scoped delete_missing never resurrects out-of-scope soft flags") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/scoped_dm"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val t = ParquetTarget(spark, s"$dir/t")
+    val all = (1 to 10).map(i => (i, if (i <= 5) 1994 else 1995)).toDF("id", "yr")
+    Modes.fullRefresh(t, all)
+    // run 1: scope = 1994; ids 1-3 missing there -> flagged
+    Modes.deleteMissingScoped(t, all.filter($"id" > 3), Seq("id"),
+      None, Some("yr = 1994"), soft = true)
+    val r1 = t.read.filter("_sling_deleted").select("id").as[Int].collect().sorted
+    assert(r1.toSeq == Seq(1, 2, 3))
+    // run 2: scope = 1995; id 10 missing there. The 1994 flags are out of
+    // scope and MUST survive untouched
+    Modes.deleteMissingScoped(t, all.filter($"id" < 10), Seq("id"),
+      None, Some("yr = 1995"), soft = true)
+    val r2 = t.read.filter("_sling_deleted").select("id").as[Int].collect().sorted
+    assert(r2.toSeq == Seq(1, 2, 3, 10))
+    // a flagged in-scope row that reappears in the source is cleared
+    Modes.deleteMissingScoped(t, all, Seq("id"), None, Some("yr = 1995"), soft = true)
+    val r3 = t.read.filter("_sling_deleted").select("id").as[Int].collect().sorted
+    assert(r3.toSeq == Seq(1, 2, 3))
+  }
+
+  test("ngram Jaccard FP boundary: integral threshold*size keeps the pair") {
+    import spark.implicits._
+    // J(A,B) exactly 0.07 with |A|=100: 0.07*100 = 7.000...001 in doubles;
+    // a naive ceil would demand |B| >= 8 and drop the qualifying pair.
+    // |B| = 7 trigrams, all shared; |A| = 100 trigrams including those 7.
+    val wordsB = (1 to 9).map(i => s"w$i") // 9 words -> 7 trigrams
+    val wordsA = wordsB ++ (1 to 93).map(i => s"za$i")
+    val docs = Seq((1L, wordsA.mkString(" ")), (2L, wordsB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val szs = docs.select(size(Dedup.shingleCol(col("text"), 3))).as[Int].collect()
+    assert(szs.toSeq == Seq(100, 7)) // preconditions for the 0.07 boundary
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.07)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.07)
+  }
+
   test("ngram Jaccard join is exact: finds every pair a brute-force scan finds") {
     import spark.implicits._
     // base doc + variants mutated at increasing depth: Jaccard spans both

@@ -150,6 +150,21 @@ class Round3Spec extends AnyFunSuite {
       Seq((1L, "a,comma", 1.5), (2L, "plain", 2.5)))
   }
 
+  test("zstd csv honors the source encoding for non-UTF-8 bytes") {
+    val dir = "/tmp/graft-test-zstd-enc"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/a.csv.zst"), true)
+    out.write(Compression.zstdCompress(
+      "id,name\n1,José\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    out.close()
+    val back = graft.sources.FileSources.csv(spark, dir,
+      encoding = Some("ISO-8859-1")).collect()
+    assert(back.head.getAs[String]("name") == "José") // 0xE9 is not UTF-8
+  }
+
   // ---- HttpSource --------------------------------------------------------
 
   test("http source stages urls and reads them") {

@@ -215,6 +215,34 @@ class SasIOSpec extends AnyFunSuite {
     assert(got(1) == Row(2.5, "cdef"))
   }
 
+  test("compressed row whose bytes collide with a meta signature survives") {
+    import spark.implicits._
+    // first numeric's low 4 bytes == F7F7F7F7 (the row-size signature);
+    // rows are classified by pointer flags, so this must NOT be skipped
+    val collider = java.lang.Double.longBitsToDouble(0x41F7F7F7F7F7F7F7L)
+    val df = Seq((collider, "sig-collider"), (1.5, "plain")).toDF("d", "s")
+    val p = scratch("sigcollide") + "/t.sas7bdat"
+    SasIO.write(df, p, compress = true)
+    val back = SasIO.read(spark, p).orderBy("s").collect()
+    assert(back.length == 2)
+    assert(back(1) == Row(collider, "sig-collider"))
+  }
+
+  test("rows wider than the default page auto-grow the page size") {
+    import spark.implicits._
+    val wide = "w" * 70000 // > default 0x10000 page
+    val df = Seq((1.0, wide), (2.0, "small")).toDF("k", "s")
+    val p = scratch("widerow") + "/t.sas7bdat"
+    SasIO.write(df, p)
+    val back = SasIO.read(spark, p).orderBy("k").collect()
+    assert(back(0).getString(1) == wide)
+    assert(back(1) == Row(2.0, "small"))
+    // compressed path too
+    val pc = scratch("widerow_rle") + "/t.sas7bdat"
+    SasIO.write(df, pc, compress = true)
+    assert(SasIO.read(spark, pc).count() == 2)
+  }
+
   test("reader rejects non-sas and RDC-compressed input") {
     val bad = scratch("bad") + "/t.sas7bdat"
     val fs = new org.apache.hadoop.fs.Path(bad)
