@@ -37,6 +37,12 @@ object ScaleGen {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("target/sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // only 10 distinct rotations exist: replica 10 would be rot(0) = the
+    // identity, planting cross-replica exact twins — the quadratic-LSH
+    // artifact this rotation exists to prevent. Fail loudly, don't measure it.
+    require(replicas <= vowelish.length,
+      s"replicas=$replicas > ${vowelish.length}: vowel rotation would repeat " +
+        "and plant cross-replica duplicate documents")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -97,6 +97,18 @@ object Connections {
           s"jdbc:db2://$host:${port(50000)}/$db"
         case "vertica" =>
           s"jdbc:vertica://$host:${port(5433)}/$db"
+        case "firebird" =>
+          s"jdbc:firebirdsql://$host:${port(3050)}/${get("path").getOrElse(db)}"
+        case "proton" =>
+          // Timeplus proton speaks the clickhouse-compatible wire on 8463
+          s"jdbc:proton://$host:${port(8463)}/$db"
+        case "athena" =>
+          val region = get("region").getOrElse("us-east-1")
+          val staging = get("s3_staging_dir").orElse(get("staging")).getOrElse("")
+          s"jdbc:awsathena://AwsRegion=$region;S3OutputLocation=$staging"
+        case "bigquery" =>
+          val project = get("project").orElse(get("project_id")).getOrElse(db)
+          s"jdbc:bigquery://https://www.googleapis.com/bigquery/v2:443;ProjectId=$project"
         case "hive" =>
           // HiveServer2 / beeline URL shape (hive.yaml beeline_cmd {url})
           s"jdbc:hive2://$host:${port(10000)}/$db"
@@ -114,6 +126,11 @@ object Connections {
           throw new IllegalArgumentException(s"no JDBC template for '$other'")
       }
     }
+
+    /** jdbcUrl when a template (or explicit url:) exists; None for kinds
+      * managed outside JDBC (d1's HTTP API, ducklake's ATTACH). */
+    def jdbcTemplate: Option[String] =
+      try Some(jdbcUrl) catch { case _: IllegalArgumentException => None }
 
     private def stripJdbcPrefix(u: String): String =
       if (u.startsWith("jdbc:")) u
@@ -177,9 +194,15 @@ object Connections {
   def test(spec: ConnSpec): (Boolean, String) =
     try {
       if (spec.isDatabase) {
-        val c = java.sql.DriverManager.getConnection(spec.jdbcUrl)
-        c.close()
-        (true, "jdbc connection opened")
+        spec.jdbcTemplate match {
+          case Some(url) =>
+            val c = java.sql.DriverManager.getConnection(url)
+            c.close()
+            (true, "jdbc connection opened")
+          case None =>
+            // d1/ducklake: HTTP-API / ATTACH-managed — no JDBC URL shape
+            (true, "config validated (no jdbc template for this kind)")
+        }
       } else if (spec.kind == "local" || spec.kind == "file") {
         val p = spec.get("path").getOrElse("/")
         if (new java.io.File(p).exists()) (true, s"path $p exists")
@@ -193,7 +216,9 @@ object Connections {
   def discover(spec: ConnSpec, pattern: String = "*"): Seq[String] = {
     val re = ("(?i)^" + pattern.replace(".", "\\.").replace("*", ".*") + "$").r
     if (spec.isDatabase) {
-      val c = java.sql.DriverManager.getConnection(spec.jdbcUrl)
+      val url = spec.jdbcTemplate.getOrElse(throw new UnsupportedOperationException(
+        s"discover for '${spec.kind}' needs an explicit url: property (no JDBC template)"))
+      val c = java.sql.DriverManager.getConnection(url)
       try {
         val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
         Iterator.continually(rs).takeWhile(_.next())

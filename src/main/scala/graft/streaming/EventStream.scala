@@ -43,22 +43,36 @@ object EventStream {
     * The provider conf is read once at stream start, so wrapping the query
     * launch is sufficient — no per-query plumbing.
     */
+  private val PinnedKey = "spark.graft.stateStore.pinned"
+
   def withStateStore[T](spark: SparkSession, provider: String)(body: => T): T = {
     val prev = spark.conf.getOption(ProviderKey)
+    val prevPin = spark.conf.getOption(PinnedKey)
     spark.conf.set(ProviderKey, resolveProvider(provider))
+    spark.conf.set(PinnedKey, "true")
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+      prevPin match {
+        case Some(v) => spark.conf.set(PinnedKey, v)
+        case None    => spark.conf.unset(PinnedKey)
+      }
     }
   }
 
   /** Env seam: `SPARK_GRAFT_STATE_STORE=rocksdb` flips every stateful query
-    * started by this object without touching call sites.
+    * started by this object without touching call sites. An explicit
+    * [[withStateStore]] wrapper pins its choice — the env must not
+    * override it, or an A/B comparison would silently run one provider
+    * twice.
     */
   private def configureFromEnv(spark: SparkSession): Unit =
-    sys.env.get("SPARK_GRAFT_STATE_STORE")
-      .foreach(p => spark.conf.set(ProviderKey, resolveProvider(p)))
+    if (!spark.conf.getOption(PinnedKey).contains("true"))
+      sys.env.get("SPARK_GRAFT_STATE_STORE")
+        .foreach(p => spark.conf.set(ProviderKey, resolveProvider(p)))
 
   /** Tumbling-window count/sum per event_type, run as a real streaming query
     * (file source → complete-mode memory sink, drained synchronously).

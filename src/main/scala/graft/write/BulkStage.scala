@@ -65,7 +65,7 @@ object BulkStage {
        |  ESCAPE_UNENCLOSED_FIELD = NONE
        |  FIELD_OPTIONALLY_ENCLOSED_BY = '0x22'
        |  EMPTY_FIELD_AS_NULL = FALSE
-       |  NULL_IF = '\\N'
+       |  NULL_IF = '\\\\N'
        |)
        |ON_ERROR = ABORT_STATEMENT""".stripMargin
   }
@@ -185,7 +185,9 @@ object BulkStage {
     "-d", database,
     "-t", ",",
     "-m", "1",
-    "-w",
+    // the staged part files are UTF-8 CSVs (PartitionedWriter), so char
+    // mode with code page 65001 — not -w, which expects UTF-16LE input
+    "-c", "-C", "65001",
     "-q",
     "-b", batchSize.toString,
     "-F", "2",

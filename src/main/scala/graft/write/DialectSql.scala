@@ -329,7 +329,10 @@ object DialectSql {
     val q = quoteChar(dialect)
     val bare = name.stripPrefix("\"").stripSuffix("\"")
       .stripPrefix("`").stripSuffix("`")
-    s"$q$bare$q"
+    // a quote char INSIDE the identifier doubles, per every listed
+    // engine's convention — otherwise a discovered column named `a"b`
+    // renders unbalanced (or injectable) SQL
+    s"$q${bare.replace(q, q + q)}$q"
   }
 
   /** Schema-evolution ADD COLUMN (base.yaml `add_column`; Oracle and the
@@ -371,7 +374,12 @@ object DialectSql {
         s"alter table $table modify column $c $t"
       case "duckdb" | "motherduck" | "ducklake" =>
         s"alter table $table alter $c type $t"
-      case _ => s"alter table $table $c $t" // base.yaml composition
+      // ANSI / DB2-family verb; engines whose widen is a table-recreate
+      // workaround (bigquery, redshift, sqlite) must not get DDL here
+      case "db2" | "derby" | "trino" | "databricks" | "spark" | "hive" =>
+        s"alter table $table alter column $c set data type $t"
+      case other => throw new IllegalArgumentException(
+        s"no alter-column template for dialect '$other' (table-recreate workaround needed)")
     }
   }
 
@@ -412,7 +420,9 @@ object DialectSql {
     case "sqlserver" => Seq(sqlserverUpsert(s))
     case "oracle" => Seq(oracleUpsert(s))
     case "sqlite" | "d1" => Seq(sqliteUpsert(s)) // d1.yaml:38-42 same shape
-    case "azuresql" | "fabric" => Seq(tsqlCloudUpsert(s))
+    // azuredwh speaks T-SQL over the sqlserver wire (see Connections) —
+    // its MERGE needs the same trailing ';' as the rest of the family
+    case "azuresql" | "fabric" | "azuredwh" => Seq(tsqlCloudUpsert(s))
     // no native MERGE → the dialect's delete_insert strategy
     case "clickhouse" => clickhouseDeleteInsert(s)
     case "redshift" => redshiftDeleteInsert(s)

@@ -52,7 +52,9 @@ object PgCopy {
   private def textOf(field: StructField): Column = {
     val c = col(field.name)
     field.dataType match {
-      case BooleanType => when(c, "t").otherwise("f") // PG's own COPY output
+      // PG's own COPY output; NULL must fall through (an `otherwise`
+      // would swallow it as false) so encodeColumn's \N coalesce fires
+      case BooleanType => when(c === true, "t").when(c === false, "f")
       case BinaryType => concat(lit("\\x"), lower(hex(c))) // bytea hex form
       case _ => c.cast(StringType)
     }

@@ -29,7 +29,9 @@ class BulkStageSpec extends AnyFunSuite {
       "@STG/T1")
     assert(sql.contains("COPY INTO T1 (a, b, c)"))
     assert(sql.contains("SELECT T.$1, T.$2, T.$3"))
-    assert(sql.contains("NULL_IF = '\\N'"))
+    // two backslashes in the SQL text: snowflake resolves '\\N' to the \N
+    // sentinel — a single '\N' would match the literal string "N"
+    assert(sql.contains("NULL_IF = '\\\\N'"))
     assert(sql.contains("FIELD_OPTIONALLY_ENCLOSED_BY = '0x22'"))
   }
 
@@ -109,11 +111,12 @@ class BulkStageSpec extends AnyFunSuite {
     assert(sql.contains("'$~e$~', ''"))
   }
 
-  test("bcp argv: golden flags — utf16, abort-on-first-error, skip header") {
+  test("bcp argv: golden flags — utf8 char mode, abort-on-first-error, skip header") {
     assert(BulkStage.sqlserverBcpArgs("SCH.T1", "/tmp/part0.csv",
       "db.host", 1433, "mydb") == Seq(
       "SCH.T1", "in", "/tmp/part0.csv",
       "-S", "tcp:db.host,1433", "-d", "mydb", "-t", ",", "-m", "1",
-      "-w", "-q", "-b", "50000", "-F", "2", "-e", "/dev/stderr"))
+      // -c -C 65001: the staged parts are UTF-8 CSVs, not UTF-16LE (-w)
+      "-c", "-C", "65001", "-q", "-b", "50000", "-F", "2", "-e", "/dev/stderr"))
   }
 }

@@ -87,6 +87,19 @@ class ConnectionsSpec extends AnyFunSuite {
     assert(spec("hive", "host" -> "h", "database" -> "d").jdbcUrl
       == "jdbc:hive2://h:10000/d") // HiveServer2
     assert(spec("vertica").isDatabase && spec("hive").isDatabase)
+    assert(spec("firebird", "host" -> "h", "database" -> "/data/db.fdb").jdbcUrl
+      == "jdbc:firebirdsql://h:3050//data/db.fdb")
+    assert(spec("proton", "host" -> "h", "database" -> "d").jdbcUrl
+      == "jdbc:proton://h:8463/d")
+    assert(spec("athena", "region" -> "eu-west-1",
+      "s3_staging_dir" -> "s3://b/out").jdbcUrl
+      == "jdbc:awsathena://AwsRegion=eu-west-1;S3OutputLocation=s3://b/out")
+    assert(spec("bigquery", "project" -> "p1").jdbcUrl
+      == "jdbc:bigquery://https://www.googleapis.com/bigquery/v2:443;ProjectId=p1")
+    // kinds managed outside JDBC degrade gracefully instead of throwing
+    assert(spec("d1", "database" -> "x").jdbcTemplate.isEmpty)
+    val (ok, msg) = graft.repl.Connections.test(spec("d1", "database" -> "x"))
+    assert(ok && msg.contains("no jdbc template"))
     assert(spec("exasol", "host" -> "h").jdbcUrl == "jdbc:exa:h:8563")
     assert(spec("snowflake", "host" -> "acct", "database" -> "d",
       "schema" -> "s", "warehouse" -> "w").jdbcUrl

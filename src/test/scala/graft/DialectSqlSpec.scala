@@ -192,13 +192,15 @@ class DialectSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("azuredwh and firebird inherit the base ANSI MERGE") {
-    for (d <- Seq("azuredwh", "firebird")) {
-      val sql = DialectSql.upsertFor(d, spec).head
-      assert(sql.startsWith("MERGE INTO tgt_t tgt"), d)
-      assert(!sql.endsWith(";"), d)
-      assert(DialectSql.defaultMergeStrategy(d) == "update_insert", d)
-    }
+  test("firebird inherits the base ANSI MERGE; azuredwh takes T-SQL's ';'") {
+    val fb = DialectSql.upsertFor("firebird", spec).head
+    assert(fb.startsWith("MERGE INTO tgt_t tgt"))
+    assert(!fb.endsWith(";"))
+    // Synapse speaks T-SQL over the sqlserver wire: MERGE must terminate
+    val dwh = DialectSql.upsertFor("azuredwh", spec).head
+    assert(dwh.startsWith("MERGE INTO tgt_t tgt"))
+    assert(dwh.endsWith(";"))
+    assert(DialectSql.defaultMergeStrategy("azuredwh") == "update_insert")
   }
 
   test("exasol MERGE sources the staged base table like db2") {
@@ -287,6 +289,17 @@ class DialectSqlSpec extends AnyFunSuite {
       "alter table t modify column v Nullable(String)")
     assert(DialectSql.alterColumnSql("duckdb", "t", f) ==
       "alter table t alter v type varchar(500)")
+    assert(DialectSql.alterColumnSql("db2", "t", f) ==
+      "alter table t alter column v set data type varchar(500)")
+    // table-recreate engines must fail fast, not render broken DDL
+    intercept[IllegalArgumentException](DialectSql.alterColumnSql("bigquery", "t", f))
+    intercept[IllegalArgumentException](DialectSql.alterColumnSql("sqlite", "t", f))
+  }
+
+  test("quoteIdent doubles embedded quote chars") {
+    assert(DialectSql.quoteIdent("postgres", "a\"b") == "\"a\"\"b\"")
+    assert(DialectSql.quoteIdent("mysql", "a`b") == "`a``b`")
+    assert(DialectSql.quoteIdent("postgres", "plain") == "\"plain\"")
   }
 
   test("add_column executes on embedded Derby") {

@@ -49,6 +49,13 @@ class PgCopySpec extends AnyFunSuite {
       "3\ttab\\there\\nand\\rand\\\\slash\tt\t\\N\t0.25"))
   }
 
+  test("null boolean encodes \\N, not 'f'") {
+    // when(c, t).otherwise(f) would swallow NULL into false — data
+    // corruption the driver can't see; NULL must reach the \N coalesce
+    val lines = encode(Row(9L, "x", null, null, 2.5))
+    assert(lines.head == "9\tx\t\\N\t\\N\t2.5")
+  }
+
   test("escape order: a literal backslash-t in data survives decode") {
     // data "\t" (two chars: backslash, t) must encode as "\\t" — distinct
     // from a real tab which encodes "\t"

@@ -85,4 +85,22 @@ class StreamingStateStoreSpec extends AnyFunSuite {
     assert(spark.conf.get(key) == EventStream.DefaultProvider)
     spark.conf.unset(key)
   }
+
+  test("withStateStore pins its choice against the env seam") {
+    // configureFromEnv runs inside every query entry point; with the pin
+    // in place an explicit wrapper keeps its provider even when the env
+    // var is set (the A/B-comparison scenario). The env var can't be set
+    // from inside the JVM, so assert via the pin conf directly.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    EventStream.withStateStore(spark, "hdfs") {
+      assert(spark.conf.get("spark.graft.stateStore.pinned") == "true")
+      // an env-configured override must be a no-op while pinned: run a
+      // real query (which calls configureFromEnv on entry) and confirm
+      // the provider stayed put
+      val out = EventStream.windowedAgg(spark, eventsDir, "ss_pin_check")
+      assert(out.count() > 0)
+      assert(spark.conf.get(key) == EventStream.DefaultProvider)
+    }
+    assert(spark.conf.getOption("spark.graft.stateStore.pinned").isEmpty)
+  }
 }
