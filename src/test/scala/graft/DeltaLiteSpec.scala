@@ -143,4 +143,26 @@ class DeltaLiteSpec extends AnyFunSuite {
     val run = java.util.Arrays.copyOf(bb.array(), bb.position())
     assert(DeletionVectors.decode(run).toSeq == Seq(10L, 11L, 12L, 13L))
   }
+
+  test("roaring codec property: random position sets round-trip") {
+    import graft.sources.DeletionVectors
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 25) {
+      val n = rnd.nextInt(3000)
+      val positions = Array.fill(n) {
+        // mix dense low ranges (bitset containers), sparse keys, and a
+        // second 32-bit bitmap
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(6000).toLong
+          case 1 => 100000L + rnd.nextInt(200)
+          case 2 => rnd.nextLong(1L << 20)
+          case _ => (1L << 32) + rnd.nextInt(10000)
+        }
+      }
+      val expected = positions.distinct.sorted.toSeq
+      val got = DeletionVectors.decode(DeletionVectors.encode(positions)).toSeq
+      assert(got == expected, s"trial $trial n=$n")
+    }
+    assert(DeletionVectors.decode(DeletionVectors.encode(Array.empty[Long])).isEmpty)
+  }
 }
