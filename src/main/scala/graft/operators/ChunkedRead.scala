@@ -34,4 +34,17 @@ object ChunkedRead {
   /** Chunked read reassembled — proves range completeness/disjointness. */
   def unionAll(df: DataFrame, key: String, n: Int): DataFrame =
     ranges(df, key, n).reduce(_.unionByName(_))
+
+  /** Expression chunking (`source_options.chunk_expr` + `chunk_count`,
+    * tests/replications/r.20.chunking.expr.yaml): rows bucket by an
+    * arbitrary SQL expression (typically hash-mod) instead of a key
+    * range — the chunking for skewed or non-numeric keys. Each chunk is
+    * an independent pushed-down filter scan, so chunks load
+    * transactionally in parallel exactly like [[ranges]].
+    */
+  def byExpr(df: DataFrame, chunkExpr: String, chunkCount: Int): Seq[DataFrame] = {
+    require(chunkCount > 0, "chunk_count must be positive")
+    val bucket = expr(chunkExpr)
+    (0 until chunkCount).map(i => df.filter(bucket === i))
+  }
 }

@@ -109,6 +109,20 @@ object Temporal {
           col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber,
         l_quantity, l_extendedprice, l_shipdate, l_partkey, l_suppkey,
-        l_discount, l_tax, l_returnflag, l_linestatus"""))
+        l_discount, l_tax, l_returnflag, l_linestatus""")),
+
+    // expression chunking (chunk_expr/chunk_count, ref r.20.chunking.expr):
+    // hash-mod-style buckets; the tagged union proves every row lands in
+    // exactly one chunk with the declared bucket value
+    Q("t_chunked_expr",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        ChunkedRead.byExpr(c, "c_custkey % 4", 4).zipWithIndex
+          .map { case (d, i) => d.withColumn("chunk", lit(i).cast("long")) }
+          .reduce(_.unionByName(_))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT *, c_custkey % 4 AS chunk FROM customer
+        ORDER BY c_custkey"""))
   )
 }

@@ -65,6 +65,16 @@ class SasIOSpec extends AnyFunSuite {
     assert(back(299) == Row(300.0, "x" * 6, 450.0)) // 300 % 7 = 6
   }
 
+  test("u64 layout combined with RLE compression round-trips") {
+    import spark.implicits._
+    val df = (1 to 120).map(i => (i.toDouble, "pad " * 12 + i)).toDF("k", "s")
+    val p = scratch("rt64rle") + "/t.sas7bdat"
+    SasIO.write(df, p, u64 = true, compress = true)
+    val back = SasIO.read(spark, p).orderBy("k").collect()
+    assert(back.length == 120)
+    assert(back(0) == Row(1.0, "pad " * 12 + "1"))
+  }
+
   test("multi-page data files split across tasks") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row_$i")).toDF("k", "s")
