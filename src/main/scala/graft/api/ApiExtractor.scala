@@ -36,6 +36,7 @@ object ApiExtractor {
   def extract(spec: EndpointSpec, transport: Transport): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
     val seen = mutable.HashSet[String]()
+    var missingPk = 0L
     var next: Option[String] = Some("")
     var pages = 0
     while (next.isDefined && pages < spec.maxPages) {
@@ -55,6 +56,11 @@ object ApiExtractor {
         }
       records.foreach { rec =>
         val keep = spec.primaryKey match {
+          // a record MISSING the pk field must not dedup (every MissingNode
+          // renders "", which would collapse all such records to one) —
+          // it is kept and counted so a misconfigured pk is visible
+          case Some(pk) if rec.path(pk).isMissingNode =>
+            missingPk += 1; true
           case Some(pk) => seen.add(rec.path(pk).asText)
           case None => true
         }
@@ -69,6 +75,9 @@ object ApiExtractor {
         else Some(nt.asText)
       pages += 1
     }
+    if (missingPk > 0) System.err.println(
+      s"[api] warn: $missingPk record(s) missing primary-key field " +
+        s"'${spec.primaryKey.get}' were kept without dedup — check the pk path")
     out.toSeq
   }
 

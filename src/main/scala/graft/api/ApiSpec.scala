@@ -112,32 +112,14 @@ object ApiSpec {
   def render(template: String, state: collection.Map[String, Any],
       value: Option[Any] = None): String = {
     val withVal = value.fold(template)(v => template.replace("{value}", v.toString))
-    state.foldLeft(withVal) { case (acc, (k, v)) =>
-      acc.replace(s"{state.$k}", v.toString)
-    }
+    graft.util.Dag.renderState(withVal, state)
   }
 
   // ---- DAG scheduling (spec.go:643-804) ---------------------------------
 
   /** Kahn topological sort into parallel levels; cycles are an error. */
-  def topoLevels(eps: Seq[Endpoint]): Seq[Seq[Endpoint]] = {
-    val byName = eps.map(e => e.spec.name -> e).toMap
-    eps.foreach(e => e.dependsOn.foreach { d =>
-      require(byName.contains(d), s"unknown dependency $d of ${e.spec.name}")
-    })
-    val done = mutable.Set[String]()
-    val remaining = mutable.LinkedHashSet[String](eps.map(_.spec.name): _*)
-    val levels = mutable.ArrayBuffer[Seq[Endpoint]]()
-    while (remaining.nonEmpty) {
-      val ready = remaining.toSeq
-        .filter(n => byName(n).dependsOn.forall(done.contains))
-      require(ready.nonEmpty,
-        s"dependency cycle among: ${remaining.mkString(", ")}")
-      levels += ready.map(byName)
-      ready.foreach { n => done += n; remaining -= n }
-    }
-    levels.toSeq
-  }
+  def topoLevels(eps: Seq[Endpoint]): Seq[Seq[Endpoint]] =
+    graft.util.Dag.topoLevels[Endpoint](eps, _.spec.name, _.dependsOn)
 
   /** Run the endpoint DAG: levels sequential, endpoints within a level
     * concurrent. Returns records per endpoint name. Processors run after

@@ -49,25 +49,41 @@ object Auth {
 
   private val mapper = new ObjectMapper()
 
-  /** Fetch an access token via the client-credentials grant and cache it.
-    * The token endpoint is called through the same transport seam (params
-    * carry the form fields, as the reference posts them), so tests inject a
-    * stub token server.
+  /** Fetch an access token via the client-credentials grant and cache it
+    * until shortly before `expires_in` elapses (60 s safety margin; no
+    * expires_in in the response means cache for the whole run). The token
+    * endpoint is called through the same transport seam (params carry the
+    * form fields, as the reference posts them), so tests inject a stub
+    * token server. Long extractions outlive provider token lifetimes, so
+    * a fetch-once cache would 401 on every page after expiry.
     */
   def oauth2ClientCredentials(tokenUrl: String, clientId: String,
       clientSecret: String, scopes: Seq[String],
-      transport: ApiExtractor.Transport): RequestAuth = {
-    lazy val token: String = {
-      val params = Map(
-        "grant_type" -> "client_credentials",
-        "client_id" -> clientId,
-        "client_secret" -> clientSecret) ++
-        (if (scopes.nonEmpty) Map("scope" -> scopes.mkString(" ")) else Map.empty)
-      val body = transport(tokenUrl, params)
-      val node = mapper.readTree(body).path("access_token")
-      require(!node.isMissingNode && node.asText.nonEmpty,
-        s"token endpoint $tokenUrl returned no access_token")
-      node.asText
+      transport: ApiExtractor.Transport,
+      clock: () => Long = () => System.currentTimeMillis()): RequestAuth = {
+    var cached: Option[(String, Long)] = None // token, expiry epoch ms
+    def token: String = synchronized {
+      val now = clock()
+      cached match {
+        case Some((t, exp)) if now < exp => t
+        case _ =>
+          val params = Map(
+            "grant_type" -> "client_credentials",
+            "client_id" -> clientId,
+            "client_secret" -> clientSecret) ++
+            (if (scopes.nonEmpty) Map("scope" -> scopes.mkString(" ")) else Map.empty)
+          val body = transport(tokenUrl, params)
+          val root = mapper.readTree(body)
+          val node = root.path("access_token")
+          require(!node.isMissingNode && node.asText.nonEmpty,
+            s"token endpoint $tokenUrl returned no access_token")
+          val expiry = root.path("expires_in") match {
+            case e if e.isMissingNode || e.asLong <= 0 => Long.MaxValue
+            case e => now + math.max(0L, e.asLong * 1000 - 60000)
+          }
+          cached = Some((node.asText, expiry))
+          node.asText
+      }
     }
     (_, _, _) => Map("Authorization" -> s"Bearer $token")
   }
@@ -127,7 +143,10 @@ object Auth {
     val path = {
       val noScheme = url.indexOf("://") match {
         case -1 => url
-        case i => url.substring(url.indexOf('/', i + 3).max(i + 3))
+        case i => url.indexOf('/', i + 3) match {
+          case -1 => "/" // no path component: the canonical path is "/"
+          case slash => url.substring(slash)
+        }
       }
       val q = canonicalQuery(params)
       if (q.isEmpty) noScheme else s"$noScheme?$q"

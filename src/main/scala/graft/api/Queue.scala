@@ -18,11 +18,16 @@ final case class Queue(spark: SparkSession, dir: String) {
   private def fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def donePath = new Path(path, ".done")
 
-  /** Append one JSONL part file (producer side, driver or any single task). */
-  def publish(records: Seq[String], part: String = "part-0"): Unit = {
+  /** Append one JSONL part file (producer side, driver or any single task).
+    * The default part name is unique per call — two publishes must append,
+    * not overwrite each other. */
+  def publish(records: Seq[String], part: String = ""): Unit = {
     require(!isDone, s"queue $dir is closed")
     fs.mkdirs(path)
-    val out = fs.create(new Path(path, s"$part.jsonl"), true)
+    val name =
+      if (part.nonEmpty) part
+      else s"part-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = fs.create(new Path(path, s"$name.jsonl"), true)
     try records.foreach { r => out.write((r + "\n").getBytes(StandardCharsets.UTF_8)) }
     finally out.close()
   }
@@ -34,8 +39,13 @@ final case class Queue(spark: SparkSession, dir: String) {
 
   def isDone: Boolean = fs.exists(donePath)
 
-  /** Distributed consume of everything published so far. */
-  def read(): DataFrame = spark.read.json(s"$dir/*.jsonl")
+  /** Distributed consume of everything published so far. A closed queue
+    * that never saw a publish is a legitimate empty result, not an error. */
+  def read(): DataFrame = {
+    val any = fs.globStatus(new Path(path, "*.jsonl"))
+    if (any == null || any.isEmpty) spark.emptyDataFrame
+    else spark.read.json(s"$dir/*.jsonl")
+  }
 
   /** Blocking consume: wait for the producer's done sentinel, then read. */
   def awaitAndRead(timeoutMs: Long = 60000): DataFrame = {

@@ -173,8 +173,10 @@ object Connections {
             if (s.startsWith("$")) env.getOrElse(s.stripPrefix("$"), s) else s
           k.toString.toLowerCase -> resolved
       }.toMap
+      // strip the jdbc: wrapper BEFORE taking the scheme — the other order
+      // classifies every "url: jdbc:..." shorthand as kind "jdbc"
       val kind = m.getOrElse("type",
-        m.get("url").map(u => u.takeWhile(_ != ':').stripPrefix("jdbc:"))
+        m.get("url").map(u => u.stripPrefix("jdbc:").takeWhile(_ != ':'))
           .getOrElse(throw new IllegalArgumentException(
             s"connection $name needs 'type' or 'url'")))
       val norm = if (kind == "postgresql") "postgres" else kind

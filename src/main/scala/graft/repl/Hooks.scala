@@ -49,9 +49,12 @@ object Hooks {
           val Array(src, dst) = h.value.split(">", 2).map(_.trim)
           val sp = new org.apache.hadoop.fs.Path(src)
           val dp = new org.apache.hadoop.fs.Path(dst)
-          val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, true,
-            spark.sparkContext.hadoopConfiguration)
+          val conf = spark.sparkContext.hadoopConfiguration
+          // each side resolves its OWN filesystem — src on local, dst on an
+          // object store is the normal export case
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp,
+            false, true, conf)
           Result(h, ok = true, s"copied $src -> $dst")
         case "http" =>
           val conn = new java.net.URI(h.value).toURL.openConnection()

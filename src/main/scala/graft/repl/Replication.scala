@@ -37,7 +37,8 @@ object Replication {
       pk: Seq[String], sourcePattern: String = "",
       select: Seq[String] = Nil, where: Option[String] = None,
       transforms: Map[String, String] = Map.empty,
-      dependsOn: Seq[String] = Nil)
+      dependsOn: Seq[String] = Nil,
+      loadedAt: Option[String] = None)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -81,7 +82,8 @@ object Replication {
           dependsOn = merged.get("depends_on").map {
             case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
             case s => Seq(s.toString)
-          }.getOrElse(Nil))
+          }.getOrElse(Nil),
+          loadedAt = merged.get("loaded_at").map(_.toString))
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -100,35 +102,16 @@ object Replication {
     * an update key, `state.<stream>.max` (its post-load high watermark).
     */
   def render(tpl: String, streamName: String, targetObject: String,
-      state: collection.Map[String, Any]): String = {
-    val base = tpl
+      state: collection.Map[String, Any]): String =
+    graft.util.Dag.renderState(tpl
       .replace("{stream_table}", streamName)
-      .replace("{target_object}", targetObject)
-    state.foldLeft(base) { case (acc, (k, v)) =>
-      acc.replace(s"{state.$k}", v.toString)
-    }
-  }
+      .replace("{target_object}", targetObject), state)
 
   /** Kahn topological sort of streams into parallel levels
     * (replication.go:2101-2175 `depends_on` scheduling); cycles error.
     */
-  def topoLevels(streams: Seq[Stream]): Seq[Seq[Stream]] = {
-    val names = streams.map(_.name).toSet
-    streams.foreach(s => s.dependsOn.foreach { d =>
-      require(names.contains(d), s"unknown depends_on $d of ${s.name}")
-    })
-    val done = scala.collection.mutable.Set[String]()
-    val remaining = scala.collection.mutable.LinkedHashSet(streams.map(_.name): _*)
-    val byName = streams.map(s => s.name -> s).toMap
-    val levels = scala.collection.mutable.ArrayBuffer[Seq[Stream]]()
-    while (remaining.nonEmpty) {
-      val ready = remaining.toSeq.filter(n => byName(n).dependsOn.forall(done))
-      require(ready.nonEmpty, s"depends_on cycle among: ${remaining.mkString(", ")}")
-      levels += ready.map(byName)
-      ready.foreach { n => done += n; remaining -= n }
-    }
-    levels.toSeq
-  }
+  def topoLevels(streams: Seq[Stream]): Seq[Seq[Stream]] =
+    graft.util.Dag.topoLevels[Stream](streams, _.name, _.dependsOn, "depends_on")
 
   /** Run every stream (source table → mode → parquet target under
     * `targetRoot`) with at most `threads` concurrent streams. `depends_on`
@@ -164,8 +147,12 @@ object Replication {
             case "full-refresh" | "truncate" => Modes.fullRefresh(tgt, src)
             case "incremental" if st.pk.nonEmpty => Modes.upsert(tgt, src, st.pk)
             case "incremental" => Modes.incrementalAppend(tgt, src, st.updateKey.get)
+            // the real run timestamp, unless loaded_at: pins it for
+            // deterministic replay — a constant here would make every
+            // snapshot run indistinguishable by load time
             case "snapshot" => Modes.snapshot(tgt, src,
-              java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+              st.loadedAt.map(java.sql.Timestamp.valueOf).getOrElse(
+                new java.sql.Timestamp(System.currentTimeMillis())))
             case other => throw new IllegalArgumentException(s"mode $other")
           }
           (st, tgt.read.count())

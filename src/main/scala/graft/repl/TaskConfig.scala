@@ -161,6 +161,11 @@ object TaskConfig {
         tgt.mode match {
           case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
             graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey)
+          case "upsert" =>
+            // the fall-through would be Jdbc.write's full overwrite — a
+            // destructive surprise for a requested merge; fail loudly
+            throw new IllegalArgumentException(
+              "mode upsert on a database target needs primary_key")
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj)
         }

@@ -100,6 +100,11 @@ class ConnectionsSpec extends AnyFunSuite {
     assert(spec("d1", "database" -> "x").jdbcTemplate.isEmpty)
     val (ok, msg) = graft.repl.Connections.test(spec("d1", "database" -> "x"))
     assert(ok && msg.contains("no jdbc template"))
+    // a url: jdbc:... shorthand must classify by the REAL dialect scheme
+    val reg = graft.repl.Connections.parse(
+      "connections:\n  PG1:\n    url: jdbc:postgresql://h:5432/db\n", Map.empty)
+    assert(reg("PG1").kind == "postgres")
+    assert(reg("PG1").isDatabase)
     assert(spec("exasol", "host" -> "h").jdbcUrl == "jdbc:exa:h:8563")
     assert(spec("snowflake", "host" -> "acct", "database" -> "d",
       "schema" -> "s", "warehouse" -> "w").jdbcUrl

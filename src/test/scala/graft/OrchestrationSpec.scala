@@ -70,6 +70,24 @@ class OrchestrationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { q.publish(Seq("{}"), "part-2") }
   }
 
+  test("queue: default publishes append; closed-empty queue reads empty") {
+    val dir = "/tmp/graft-test/queue3"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val q = Queue(spark, dir)
+    q.publish(Seq("""{"id":1}""")) // default part names must not collide
+    q.publish(Seq("""{"id":2}"""))
+    q.markDone()
+    assert(q.read().count() == 2)
+    // a producer that found nothing and closed is a legal empty queue
+    val dir2 = "/tmp/graft-test/queue4"
+    fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    val q2 = Queue(spark, dir2)
+    q2.markDone()
+    assert(q2.awaitAndRead().count() == 0)
+  }
+
   test("queue awaitAndRead times out when never closed") {
     val dir = "/tmp/graft-test/queue2"
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -128,6 +128,23 @@ class Round3Spec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](bad.headers("GET", "u", Map()))
   }
 
+  test("oauth2 token refreshes after expires_in elapses") {
+    var calls = 0
+    val transport: ApiExtractor.Transport = (_, _) => {
+      calls += 1
+      s"""{"access_token":"tok$calls","expires_in":300}"""
+    }
+    var now = 0L
+    val auth = Auth.oauth2ClientCredentials("stub://token", "id", "sec", Nil,
+      transport, clock = () => now)
+    assert(auth.headers("GET", "u", Map())("Authorization") == "Bearer tok1")
+    now = 200 * 1000 // inside the 300s-minus-60s margin: still cached
+    assert(auth.headers("GET", "u", Map())("Authorization") == "Bearer tok1")
+    now = 250 * 1000 // past the refresh point: re-fetched
+    assert(auth.headers("GET", "u", Map())("Authorization") == "Bearer tok2")
+    assert(calls == 2)
+  }
+
   // ---- Compression -------------------------------------------------------
 
   test("zstd bytes round-trip") {
