@@ -55,13 +55,18 @@ object Geo {
       if (buf.get() == 1.toByte) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     buf.order(order)
     val rawType = buf.getInt
-    val hasZ = (rawType & Z_FLAG) != 0
-    val hasM = (rawType & M_FLAG) != 0
+    // dimensionality comes in two public encodings: EWKB high-bit flags
+    // (PostGIS) and ISO-WKB type offsets (1000=Z, 2000=M, 3000=ZM — what
+    // SQL Server/MySQL/GDAL emit); support both
+    val isoCode = rawType & 0x1fffffff
+    val isoDims = isoCode / 1000
+    val hasZ = (rawType & Z_FLAG) != 0 || isoDims == 1 || isoDims == 3
+    val hasM = (rawType & M_FLAG) != 0 || isoDims == 2 || isoDims == 3
     if ((rawType & SRID_FLAG) != 0) buf.getInt // skip SRID (EWKB)
     val dims = 2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
     def coord(): Array[Double] = Array.fill(dims)(buf.getDouble)
     def ring(): Array[Array[Double]] = Array.fill(buf.getInt)(coord())
-    (rawType & 0xFF) match {
+    (isoCode % 1000) match {
       case 1 => Point(coord())
       case 2 => Line(ring())
       case 3 => Poly(Array.fill(buf.getInt)(ring()))

@@ -63,13 +63,18 @@ object Multimodal {
         var i = 2
         while (i + 9 < b.length) {
           if ((b(i) & 0xff) != 0xff) return (None, None)
-          val marker = b(i + 1) & 0xff
-          if (marker >= 0xc0 && marker <= 0xcf &&
-              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-            return (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
-          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
-            i += 2 // standalone markers carry no length
-          else i += 2 + be16(b, i + 2)
+          // any number of 0xFF fill bytes may pad before a marker; consume
+          // them one at a time or the real marker byte is read as a length
+          if ((b(i + 1) & 0xff) == 0xff) i += 1
+          else {
+            val marker = b(i + 1) & 0xff
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+              return (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
+            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
+              i += 2 // standalone markers carry no length
+            else i += 2 + be16(b, i + 2)
+          }
         }
         (None, None)
       case "gif" if b.length >= 10 => (Some(le16(b, 6)), Some(le16(b, 8)))

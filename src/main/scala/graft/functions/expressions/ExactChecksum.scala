@@ -31,7 +31,9 @@ object ExactChecksum {
       case ByteType | ShortType | IntegerType | LongType => abs(c).cast(LongType)
       case FloatType | DoubleType => abs(c).cast(LongType) // trunc toward zero
       case d: DecimalType => abs(c).cast(LongType)
-      case BooleanType => when(c, lit(4L)).otherwise(lit(5L))
+      // NULL must fall through (an `otherwise` would count it as false=5,
+      // corrupting the sum — wrapSum skips nulls like the reference)
+      case BooleanType => when(c === true, lit(4L)).when(c === false, lit(5L))
       case TimestampType => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast(TimestampType))
       case DateType => unix_micros(c.cast(TimestampType))

@@ -135,7 +135,7 @@ object NativeTypes {
     // vocabulary instead (public docs); the reference citation is the
     // template file itself, which names the dialect as a supported target.
     "vertica" -> Map(
-      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "boolean",
+      "bigint" -> "bigint", "binary" -> "long varbinary", "bool" -> "boolean",
       "date" -> "date", "datetime" -> "timestamp", "decimal" -> "numeric(,)",
       "float" -> "float", "integer" -> "int", "json" -> "long varchar",
       "smallint" -> "int", "string" -> "varchar()", "text" -> "long varchar",
@@ -219,7 +219,7 @@ object NativeTypes {
     // azuresql.yaml:405-422 / azuredwh.yaml:381-398 — identical T-SQL maps
     // (unbounded varbinary; nvarchar ceiling at 4000 like sqlserver)
     "azuresql" -> Map(
-      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "bigint" -> "bigint", "binary" -> "varbinary(max)", "bool" -> "bit",
       "date" -> "date", "datetime" -> "datetime2", "decimal" -> "decimal(,)",
       "float" -> "float", "integer" -> "integer", "json" -> "nvarchar(max)",
       "smallint" -> "smallint", "string" -> "nvarchar()",
@@ -227,7 +227,7 @@ object NativeTypes {
       "timestamp" -> "datetime2", "timestampz" -> "datetimeoffset",
       "uuid" -> "uniqueidentifier"),
     "azuredwh" -> Map(
-      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "bigint" -> "bigint", "binary" -> "varbinary(max)", "bool" -> "bit",
       "date" -> "date", "datetime" -> "datetime2", "decimal" -> "decimal(,)",
       "float" -> "float", "integer" -> "integer", "json" -> "nvarchar(max)",
       "smallint" -> "smallint", "string" -> "nvarchar()",
@@ -237,7 +237,7 @@ object NativeTypes {
     // fabric.yaml:459-476 — Fabric warehouse: varchar (not nvarchar),
     // datetime2(6), no datetimeoffset (zoned collapses to datetime2(6))
     "fabric" -> Map(
-      "bigint" -> "bigint", "binary" -> "varbinary", "bool" -> "bit",
+      "bigint" -> "bigint", "binary" -> "varbinary(max)", "bool" -> "bit",
       "date" -> "date", "datetime" -> "datetime2(6)",
       "decimal" -> "decimal(,)", "float" -> "float", "integer" -> "integer",
       "json" -> "varchar(max)", "smallint" -> "smallint",
@@ -343,7 +343,14 @@ object NativeTypes {
   def render(dialect: String, field: StructField): String = {
     val m = generalTypeMap.getOrElse(dialect,
       throw new IllegalArgumentException(s"no type map for dialect '$dialect'"))
-    val general = generalOf(field.dataType)
+    // the inference engine flags long strings (sling_type=text metadata,
+    // TypeInference.infer) — honor it here, or a 10k-char column would
+    // render at the 255 varchar floor and truncate on load
+    val general =
+      if (field.dataType == StringType &&
+        field.metadata.contains("sling_type") &&
+        field.metadata.getString("sling_type") == "text") "text"
+      else generalOf(field.dataType)
     val tpl = m(general)
     if (tpl.endsWith("()") && field.dataType == BinaryType) {
       // binary length is unknown at DDL time → unbounded/max-sized type

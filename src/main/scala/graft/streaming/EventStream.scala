@@ -93,8 +93,12 @@ object EventStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // skip the trailing empty micro-batch (complete-mode results are already
-    // final after the data batch; the no-data batch just re-cycles state)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // final after the data batch; the no-data batch just re-cycles state).
+    // Save/restore like shuffle.partitions — leaking `false` session-wide
+    // would stop watermark-finalization batches for every later stream.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
     try {
       val q = agg.writeStream
         .outputMode("complete")
@@ -103,7 +107,13 @@ object EventStream {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
+    }
     spark.table(queryName)
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_dec").cast("double").as("total"))
@@ -147,12 +157,18 @@ object EventStream {
     * session count, event count) across micro-batches and opening a new
     * session after `gapMinutes` of inactivity. This is the
     * KeyValueGroupedDataset path the reference's batching knobs map to for
-    * genuinely unbounded inputs; state is per-key and O(1), evicted by the
-    * processing-time timeout. Emits one (user_id, n_sessions, n_events)
-    * row per user per batch (Update mode).
+    * genuinely unbounded inputs; state is per-key and O(1). On a real
+    * deployment pass `stateTimeoutMinutes` to evict idle keys via the
+    * processing-time timeout (a reappearing user restarts its counters —
+    * the standard bounded-state tradeoff for unbounded key spaces). The
+    * default keeps NoTimeout because this harness drains finite inputs
+    * with processAllAvailable, which would otherwise block on the pending
+    * timer batch. Emits one (user_id, n_sessions, n_events) row per user
+    * per batch (Update mode).
     */
   def streamingSessionize(spark: SparkSession, eventsDir: String,
-      queryName: String, gapMinutes: Int = 30): DataFrame = {
+      queryName: String, gapMinutes: Int = 30,
+      stateTimeoutMinutes: Option[Int] = None): DataFrame = {
     configureFromEnv(spark)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -165,6 +181,14 @@ object EventStream {
 
     def update(user: Long, events: Iterator[(Long, java.sql.Timestamp, Long)],
         state: GroupState[Sess]): Iterator[(Long, Long, Long)] = {
+      // bounded state: a user idle past the timeout is evicted (final
+      // totals were already emitted each update); a reappearing user
+      // restarts its counters — the standard tradeoff that lets per-key
+      // state survive an unbounded key space
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       // order within the batch: state semantics require event-time order
       val sorted = events.toSeq.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
       var s = state.getOption.getOrElse(Sess(Long.MinValue, 0L, 0L))
@@ -176,15 +200,18 @@ object EventStream {
         s = Sess(micros, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
       }
       state.update(s)
+      stateTimeoutMinutes.foreach(m => state.setTimeoutDuration(m * 60L * 1000L))
       Iterator.single((user, s.nSessions, s.nEvents))
     }
 
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      val timeout =
+        if (stateTimeoutMinutes.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
       val q = stream.groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Update,
-          GroupStateTimeout.NoTimeout)(update)
+        .flatMapGroupsWithState(OutputMode.Update, timeout)(update)
         .toDF("user_id", "n_sessions", "n_events")
         .writeStream
         .outputMode("update")

@@ -43,11 +43,21 @@ object ChangeCapture {
       seqCol: String = "_sling_cdc_seq", opCol: String = "_sling_synced_op"): Unit = {
     val latest = latestPerKey(cdc, pk, seqCol)
     val tgt = target.read
-    val untouched = tgt.join(latest.select(pk.map(col).toSeq: _*), pk, "left_anti")
-      .withColumn("_sling_deleted", lit(false))
+    // re-runnable: rows untouched by THIS batch keep a flag set by an
+    // earlier apply (a lit(false) reset would resurrect soft deletes), and
+    // the data columns exclude any existing flag so the select below can't
+    // duplicate it
+    val dataCols = tgt.columns.filterNot(_ == "_sling_deleted").toSeq
+    val prior =
+      if (tgt.columns.contains("_sling_deleted"))
+        coalesce(col("_sling_deleted"), lit(false))
+      else lit(false)
+    val untouched = tgt.withColumn("_sling_deleted", prior)
+      .join(latest.select(pk.map(col).toSeq: _*), pk, "left_anti")
+      .select((dataCols.map(col) :+ col("_sling_deleted")): _*)
     val applied = latest
       .withColumn("_sling_deleted", col(opCol) === "D")
-      .select((tgt.columns.map(col) :+ col("_sling_deleted")).toSeq: _*)
+      .select((dataCols.map(col) :+ col("_sling_deleted")): _*)
     target.replaceWith(untouched.unionByName(applied))
   }
 }

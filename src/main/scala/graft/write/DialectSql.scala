@@ -374,9 +374,14 @@ object DialectSql {
         s"alter table $table modify column $c $t"
       case "duckdb" | "motherduck" | "ducklake" =>
         s"alter table $table alter $c type $t"
+      // Spark SQL grammar: ALTER COLUMN c TYPE t (no SET DATA TYPE)
+      case "spark" | "databricks" =>
+        s"alter table $table alter column $c type $t"
+      // HiveQL has no alter-column-type verb; CHANGE COLUMN re-declares
+      case "hive" => s"alter table $table change column $c $c $t"
       // ANSI / DB2-family verb; engines whose widen is a table-recreate
       // workaround (bigquery, redshift, sqlite) must not get DDL here
-      case "db2" | "derby" | "trino" | "databricks" | "spark" | "hive" =>
+      case "db2" | "derby" | "trino" =>
         s"alter table $table alter column $c set data type $t"
       case other => throw new IllegalArgumentException(
         s"no alter-column template for dialect '$other' (table-recreate workaround needed)")

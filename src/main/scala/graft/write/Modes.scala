@@ -221,7 +221,10 @@ object Modes {
     * overwrite — only the affected partitions rewrite.
     */
   def backfill(target: ParquetTarget, source: DataFrame, key: String, lo: Column, hi: Column): Unit = {
-    val inRange = col(key) >= lo && col(key) <= hi
+    // null-safe: a NULL update key evaluates the range predicate to NULL,
+    // which a bare filter(!inRange) would DROP — silently deleting every
+    // null-key target row outside the backfilled window
+    val inRange = coalesce(col(key) >= lo && col(key) <= hi, lit(false))
     if (!target.exists) { target.overwrite(source.filter(inRange)); return }
     val tgt = target.read
     val keep = tgt.filter(!inRange)

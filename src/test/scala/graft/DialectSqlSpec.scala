@@ -291,6 +291,11 @@ class DialectSqlSpec extends AnyFunSuite {
       "alter table t alter v type varchar(500)")
     assert(DialectSql.alterColumnSql("db2", "t", f) ==
       "alter table t alter column v set data type varchar(500)")
+    // spark grammar has no SET DATA TYPE; hive has only CHANGE COLUMN
+    assert(DialectSql.alterColumnSql("spark", "t", f) ==
+      "alter table t alter column v type string")
+    assert(DialectSql.alterColumnSql("hive", "t", f) ==
+      "alter table t change column v v varchar(500)")
     // table-recreate engines must fail fast, not render broken DDL
     intercept[IllegalArgumentException](DialectSql.alterColumnSql("bigquery", "t", f))
     intercept[IllegalArgumentException](DialectSql.alterColumnSql("sqlite", "t", f))

@@ -37,6 +37,19 @@ class GeoSpec extends AnyFunSuite {
       """{"type":"Point","coordinates":[2.5,3.5]}""")
   }
 
+  test("ISO-WKB Z/M type offsets parse (1001 = PointZ)") {
+    // ISO encoding: type + 1000 per dimension block, no EWKB flag bits
+    val z = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte).putInt(1001).putDouble(2.5).putDouble(3.5).putDouble(9.0)
+    assert(Geo.wkbToGeoJson(z.array()) ==
+      """{"type":"Point","coordinates":[2.5,3.5,9.0]}""")
+    // 3001 = PointZM: four ordinates consumed, x/y/z rendered
+    val zm = ByteBuffer.allocate(37).order(ByteOrder.LITTLE_ENDIAN)
+    zm.put(1.toByte).putInt(3001).putDouble(1.0).putDouble(2.0)
+      .putDouble(3.0).putDouble(4.0)
+    assert(Geo.wkbToGeoJson(zm.array()) != null)
+  }
+
   test("linestring and polygon render") {
     val ls = ByteBuffer.allocate(9 + 32).order(ByteOrder.LITTLE_ENDIAN)
     ls.put(1.toByte).putInt(2).putInt(2)

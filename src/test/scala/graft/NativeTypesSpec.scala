@@ -138,6 +138,23 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("blob") == "varbinary")
   }
 
+  test("inference's sling_type=text metadata routes to the text mapping") {
+    // the long-string flag infer() writes must not fall to varchar(255)
+    val f = StructField("body", StringType, metadata =
+      new MetadataBuilder().putString("sling_type", "text").build())
+    assert(NativeTypes.render("postgres", f) == "text")
+    assert(NativeTypes.render("sqlserver", f) == "nvarchar(max)")
+    assert(NativeTypes.render("mysql", f) == "mediumtext")
+  }
+
+  test("T-SQL family binary renders varbinary(max), never bare varbinary") {
+    // bare varbinary is varbinary(1) in T-SQL — 1-byte truncation
+    val f = StructField("payload", BinaryType)
+    for (d <- Seq("azuresql", "azuredwh", "fabric"))
+      assert(NativeTypes.render(d, f) == "varbinary(max)", d)
+    assert(NativeTypes.render("vertica", f) == "long varbinary")
+  }
+
   test("vertica: varbinary blobs, long varchar text, float doubles") {
     val m = render("vertica")
     assert(m("id") == "bigint")
@@ -146,7 +163,7 @@ class NativeTypesSpec extends AnyFunSuite {
     assert(m("ratio") == "float")        // Vertica FLOAT is 8-byte
     assert(m("name") == "varchar(255)")
     assert(m("seen") == "timestamptz")
-    assert(m("blob") == "varbinary")
+    assert(m("blob") == "long varbinary") // bare VARBINARY caps at 80 bytes
   }
 
   test("hive: varchar lengths kept, everything zoneless lands in timestamp") {
@@ -249,7 +266,7 @@ class NativeTypesSpec extends AnyFunSuite {
       assert(m("note") == "nvarchar(max)", d)   // 4000 hits the ceiling
       assert(m("flag") == "bit", d)
       assert(m("seen") == "datetimeoffset", d)
-      assert(m("blob") == "varbinary", d)       // unbounded, no () fill
+      assert(m("blob") == "varbinary(max)", d)  // bare = varbinary(1) in T-SQL
     }
   }
 

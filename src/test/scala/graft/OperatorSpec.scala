@@ -90,6 +90,14 @@ class OperatorSpec extends AnyFunSuite {
         ExactChecksum.valueChecksum($"s", org.apache.spark.sql.types.StringType))
       .head
     assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 5L)
+    // a NULL boolean contributes NOTHING to the sum (not the false=5
+    // branch) — nulls must propagate so wrapSum skips them
+    val nullBool = Seq((Some(true), 1), (None: Option[Boolean], 2))
+      .toDF("b", "i")
+      .select(ExactChecksum.valueChecksum($"b",
+        org.apache.spark.sql.types.BooleanType).as("c"))
+      .collect().map(row => if (row.isNullAt(0)) -1L else row.getLong(0))
+    assert(nullBool.toSeq == Seq(4L, -1L))
     // string checksums are UTF-8 BYTE lengths (Go len(), stream_processor
     // .go:771): 2-byte é must count as 2, not 1
     val nb = Seq("héllo").toDF("s")
@@ -164,6 +172,34 @@ class OperatorSpec extends AnyFunSuite {
     ChangeCapture(t, cdc, Seq("id"))
     val out = t.read.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(out == Seq((1, "final"), (9, "new")))
+  }
+
+  test("cdc applySoft is re-runnable and keeps earlier soft-delete flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
+    val t = ParquetTarget(spark, s"$dir/t")
+    Modes.fullRefresh(t, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    def cdcFor(id: Int, op: String) =
+      Seq((id, "x", op, 1L)).toDF("id", "v", "_sling_synced_op", "_sling_cdc_seq")
+    ChangeCapture.applySoft(t, cdcFor(2, "D"), Seq("id"))
+    // second batch deletes a DIFFERENT row: row 2's flag must survive
+    ChangeCapture.applySoft(t, cdcFor(3, "D"), Seq("id"))
+    val flags = t.read.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getAs[Boolean]("_sling_deleted"))).toSeq
+    assert(flags == Seq((1, false), (2, true), (3, true)))
+  }
+
+  test("backfill keeps target rows whose update key is NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
+    val t = ParquetTarget(spark, s"$dir/t")
+    val rows = Seq((1, Some(10)), (2, None), (3, Some(50))).toDF("id", "k")
+    Modes.fullRefresh(t, rows)
+    // backfill range [40, 60]: row 3 replaced from source, rows 1 AND the
+    // null-key row 2 must survive (a bare !inRange filter drops NULLs)
+    Modes.backfill(t, rows, "k", lit(40), lit(60))
+    assert(t.read.count() == 3)
   }
 
   test("near-dup pairs finds crafted near-duplicates and skips distinct docs") {
