@@ -37,7 +37,9 @@ object AsOfJoin {
     val l = left.select(
       (col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
         leftCols.map(col)) :+ nullStruct.as("__p"): _*)
-    val r = right.select(
+    // a NULL right timestamp would sort nulls-first and become the as-of
+    // match for every left row — such rows can match nothing, drop them
+    val r = right.filter(col(rightTime).isNotNull).select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
         payloadStruct.as("__p"): _*)

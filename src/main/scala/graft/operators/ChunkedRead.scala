@@ -22,12 +22,17 @@ object ChunkedRead {
     // first range boundary.
     val row = df.agg(floor(min(col(key))).cast("long"),
       ceil(max(col(key))).cast("long")).head
+    // zero rows (or all-null keys): min/max are NULL — no ranges to build
+    if (row.isNullAt(0)) return Seq(df.filter(lit(false)))
     val (lo, hi) = (row.getLong(0), row.getLong(1))
     val step = math.max((hi - lo) / n + 1, 1L)
     (0 until n).map { i =>
       val a = lo + i * step
       val b = math.min(a + step, hi + 1)
-      df.filter(col(key) >= a && col(key) < b)
+      // completeness: NULL-key rows fall in no numeric range, so the first
+      // chunk carries them — unionAll must return every input row
+      val in = col(key) >= a && col(key) < b
+      df.filter(if (i == 0) in || col(key).isNull else in)
     }
   }
 
@@ -45,6 +50,13 @@ object ChunkedRead {
   def byExpr(df: DataFrame, chunkExpr: String, chunkCount: Int): Seq[DataFrame] = {
     require(chunkCount > 0, "chunk_count must be positive")
     val bucket = expr(chunkExpr)
-    (0 until chunkCount).map(i => df.filter(bucket === i))
+    // chunk 0 also carries rows the expression cannot place (NULL or
+    // out-of-range bucket values) so the union of chunks is complete
+    (0 until chunkCount).map { i =>
+      val in = bucket === i
+      df.filter(if (i == 0)
+        in || bucket.isNull || bucket < 0 || bucket >= chunkCount
+      else in)
+    }
   }
 }

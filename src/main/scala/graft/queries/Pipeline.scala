@@ -386,7 +386,9 @@ object Pipeline {
           .orderBy("_sling_row_num")
       },
       Some("""SELECT l_orderkey, l_linenumber, 'lineitem.parquet' AS _sling_stream_url,
-        md5(concat(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS _sling_row_id,
+        md5(concat_ws(chr(1),
+          COALESCE(CAST(l_orderkey AS VARCHAR), ''),
+          COALESCE(CAST(l_linenumber AS VARCHAR), ''))) AS _sling_row_id,
         TIMESTAMP '2026-01-01 00:00:00' AS _sling_loaded_at,
         CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS INT) AS _sling_row_num
         FROM lineitem ORDER BY _sling_row_num""")),

@@ -135,10 +135,11 @@ object ArrowIO {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { rows =>
       val part = org.apache.spark.TaskContext.getPartitionId()
       val out = new Path(path, f"part-$part%05d.arrow")
-      val pfs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val pfs = out.getFileSystem(hconf.value)
       val arrowSchema = new ArrowSchema(
         sparkSchema.fields.map(toArrowField).toList.asJava)
       val alloc = new RootAllocator()
@@ -175,10 +176,11 @@ object ArrowIO {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { rows =>
       val part = org.apache.spark.TaskContext.getPartitionId()
       val out = new Path(path, f"part-$part%05d.arrows")
-      val pfs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val pfs = out.getFileSystem(hconf.value)
       val arrowSchema = new ArrowSchema(
         sparkSchema.fields.map(toArrowField).toList.asJava)
       val alloc = new RootAllocator()
@@ -221,12 +223,13 @@ object ArrowIO {
       finally { r.close(); alloc.close() }
     }
 
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .mapPartitions { paths =>
         paths.flatMap { fp =>
           val fpath = new Path(fp)
-          val pfs = fpath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val pfs = fpath.getFileSystem(hconf.value)
           val alloc = new RootAllocator()
           val reader = new ArrowStreamReader(pfs.open(fpath), alloc)
           val root = reader.getVectorSchemaRoot
@@ -308,12 +311,13 @@ object ArrowIO {
       finally { r.close(); alloc.close() }
     }
 
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .mapPartitions { paths =>
         paths.flatMap { fp =>
           val fpath = new Path(fp)
-          val pfs = fpath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val pfs = fpath.getFileSystem(hconf.value)
           val alloc = new RootAllocator()
           val reader = new ArrowFileReader(
             new HadoopChannel(pfs.open(fpath), pfs.getFileStatus(fpath).getLen), alloc)

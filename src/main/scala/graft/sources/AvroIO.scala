@@ -139,13 +139,12 @@ object AvroIO {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { rows =>
-      // executor-side: a fresh Configuration resolves the same scheme for
-      // local/HDFS paths; object-store creds ride on the URI/provider chain
       val part = org.apache.spark.TaskContext.getPartitionId()
       val schema = new Schema.Parser().parse(avroJson)
       val out = new Path(path, f"part-$part%05d.avro")
-      val pfs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val pfs = out.getFileSystem(hconf.value)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
       w.create(schema, pfs.create(out, true))

@@ -34,16 +34,20 @@ object Compression {
     import spark.implicits._
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // glob first (getFileStatus on a pattern throws before any fallback)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files =
-      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).map(_.getPath)
-       else fs.globStatus(p).map(_.getPath))
+      (if (statuses.length == 1 && statuses.head.isDirectory)
+        fs.listStatus(statuses.head.getPath).map(_.getPath)
+       else statuses.map(_.getPath))
         .filter(f => isZstd(f.getName)).map(_.toString).sorted
     require(files.nonEmpty, s"no .zst files under $path")
     val charsetName = encoding.getOrElse(UTF_8.name())
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.sparkContext.parallelize(files.toSeq, files.length)
       .flatMap { f =>
         val fp = new Path(f)
-        val pfs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val pfs = fp.getFileSystem(hconf.value)
         val in: InputStream = new ZstdInputStream(pfs.open(fp))
         val reader = new BufferedReader(new InputStreamReader(in,
           java.nio.charset.Charset.forName(charsetName)))
@@ -68,10 +72,11 @@ object Compression {
     fs.delete(outDir, true)
     fs.mkdirs(outDir)
     val hdr = header
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     lines.rdd.map(_.getString(0)).mapPartitionsWithIndex { (i, it) =>
       if (it.hasNext || i == 0) {
         val part = new Path(dir, f"part-$i%05d$suffix")
-        val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val pfs = part.getFileSystem(hconf.value)
         val out = new ZstdOutputStream(pfs.create(part, true))
         try {
           def writeLine(s: String): Unit = {

@@ -152,11 +152,11 @@ object DeltaLite {
       val norm = PathNorm.normUri _
       // one task per vector: decode positions on the executors
       val tableAbs = table
+      val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
       val deleted = spark.sparkContext
         .parallelize(withDv.map(e => (e.path, e.dv.get)), withDv.size)
         .flatMap { case (path, d) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          DeletionVectors.readPositions(tableAbs, d, conf)
+          DeletionVectors.readPositions(tableAbs, d, hconf.value)
             .iterator.map(pos => (s"$tableAbs/$path", pos))
         }
       val delDf = spark.createDataFrame(deleted).toDF("__dfp", "__dpos")

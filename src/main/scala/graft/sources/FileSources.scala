@@ -59,9 +59,23 @@ object FileSources {
     else {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try fs.getFileStatus(p).isDirectory &&
-        fs.listStatus(p).exists(f => Compression.isZstd(f.getPath.getName))
-      catch { case _: java.io.FileNotFoundException => false }
+      try {
+        val isDir = fs.getFileStatus(p).isDirectory
+        val anyZstd = isDir &&
+          fs.listStatus(p).exists(f => Compression.isZstd(f.getPath.getName))
+        if (anyZstd) {
+          // the zstd route reads ONLY .zst files — a mixed directory would
+          // silently drop the plain files' rows, so refuse it
+          val plain = fs.listStatus(p).filter(f => f.isFile &&
+            !Compression.isZstd(f.getPath.getName) &&
+            !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          require(plain.isEmpty, s"directory $path mixes .zst and plain " +
+            s"files (e.g. ${plain.head.getPath.getName}); split them or " +
+            "recompress uniformly")
+        }
+        anyZstd
+      } catch { case _: java.io.FileNotFoundException => false }
     }
   }
 

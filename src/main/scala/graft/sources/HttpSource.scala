@@ -41,6 +41,13 @@ object HttpSource {
   def stage(urls: Seq[String], stagingDir: String,
       fetcher: Fetcher = defaultFetcher): Seq[Path] = {
     val dir = Paths.get(stagingDir)
+    // the read step consumes the WHOLE directory, so stale files from an
+    // earlier staging run would silently union into the result
+    if (Files.isDirectory(dir)) {
+      val old = Files.list(dir)
+      try old.forEach(p => Files.deleteIfExists(p))
+      finally old.close()
+    }
     Files.createDirectories(dir)
     urls.zipWithIndex.map { case (url, i) =>
       val name = url.split('/').last.split('?').head match {

@@ -330,11 +330,12 @@ object SasIO {
       val per = math.max(1L, m.pageCount / math.max(1, parallelism))
       (0L until m.pageCount by per).map(s => (f, m, s, math.min(m.pageCount, s + per)))
     }
+    val hconfX = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
     val rdd = spark.sparkContext
       .parallelize(slices, math.max(1, slices.length))
       .flatMap { case (f, m, from, until) =>
         val in = new Path(f)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(hconfX.value)
           .open(new Path(f))
         var closed = false
         def closeIn(): Unit = if (!closed) { closed = true; in.close() }

@@ -17,8 +17,10 @@ object Constraints {
 
   /** One row per constraint: (column, expression, fail_count). */
   def failCounts(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no constraint checks given")
+    // coalesce: sum over zero rows is NULL, and fail_count must read 0
     val aggs = checks.zipWithIndex.map { case (c, i) =>
-      sum(when(!expr(c.expression), 1L).otherwise(0L)).as(s"c$i")
+      coalesce(sum(when(!expr(c.expression), 1L).otherwise(0L)), lit(0L)).as(s"c$i")
     }
     val counts = df.agg(aggs.head, aggs.tail: _*).head
     val spark = df.sparkSession

@@ -25,9 +25,12 @@ object Meta {
 
   /** Deterministic row id: hash of the PK columns (the reference uses a uuid;
     * a content hash keeps replays idempotent and is cluster-reproducible).
+    * Delimited + null-safe: undelimited concat makes ("ab","c") and
+    * ("a","bc") collide, and one NULL pk column would null the whole id.
     */
   def rowId(df: DataFrame, pk: Seq[String]): DataFrame =
-    df.withColumn("_sling_row_id", md5(concat(pk.map(c => col(c).cast("string")): _*)))
+    df.withColumn("_sling_row_id", md5(concat_ws("\u0001",
+      pk.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
 
   /** 1-based row number in the given total order.
     *

@@ -27,9 +27,12 @@ object Typing {
           rules.stringMaxLength.map(n => substring(c, 1, n)).getOrElse(c)
         case d: DecimalType =>
           rules.decimalPrecisionCap.map { case (p, s) =>
-            if (d.precision > p || d.scale > s)
-              c.cast(DecimalType(math.min(d.precision, p), math.min(d.scale, s)))
-            else c
+            if (d.precision > p || d.scale > s) {
+              // scale must also clamp to the CAPPED precision — e.g. (6,5)
+              // capped to p=3 would otherwise build the invalid Decimal(3,5)
+              val p2 = math.min(d.precision, p)
+              c.cast(DecimalType(p2, math.min(math.min(d.scale, s), p2)))
+            } else c
           }.getOrElse(c)
         case _: BooleanType if rules.booleanAsInt => c.cast(IntegerType)
         case _: VariantType if rules.jsonAsString => to_json(c)

@@ -213,6 +213,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("chunked reads stay complete with NULL keys, empty inputs, odd buckets") {
+    import spark.implicits._
+    val df = Seq((Some(1), "a"), (None: Option[Int], "b"), (Some(50), "c"))
+      .toDF("k", "v")
+    // null-key row must land in exactly one range chunk
+    assert(ChunkedRead.unionAll(df, "k", 4).count() == 3)
+    // empty input: no NPE, zero rows
+    assert(ChunkedRead.ranges(df.filter(lit(false)), "k", 4)
+      .map(_.count()).sum == 0)
+    // byExpr: null/out-of-range buckets fall into chunk 0
+    val byE = ChunkedRead.byExpr(df, "k % 2", 2)
+    assert(byE.map(_.count()).sum == 3)
+  }
+
+  test("as-of join ignores right rows with NULL timestamps") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:03"))).toDF("k", "t")
+    val right = Seq(
+      (1L, null.asInstanceOf[java.sql.Timestamp], 9.0),
+      (1L, ts("2024-01-01 10:00:10"), 5.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "k", "t", "rt").collect()
+    // left time 3 precedes every real right time: no match, not the NULL row
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v")))
+  }
+
   test("scoped delete_missing never resurrects out-of-scope soft flags") {
     import spark.implicits._
     val dir = "/tmp/graft-test/scoped_dm"
