@@ -24,6 +24,14 @@ object Cli {
   }
 
   def run(spark: SparkSession, args: Seq[String]): Unit = {
+    // JSON string escape for interpolated free text (exception messages,
+    // stream names): a quote or backslash would otherwise break consumers
+    def j(s: String): String = Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def readFile(p: String): String =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -38,7 +46,7 @@ object Cli {
           sources.Tables.names)
         val out = repl.Replication.run(spark, sfDir, compiled, args(2))
         out.foreach { case (st, mode, n) =>
-          println(s"""{"stream":"$st","mode":"$mode","rows":$n}""")
+          println(s"""{"stream":"${j(st)}","mode":"${j(mode)}","rows":$n}""")
         }
       case "pipeline" =>
         val results = repl.Pipeline.run(spark, readFile(args(1)))
@@ -59,17 +67,17 @@ object Cli {
         args(1) match {
           case "list" =>
             registry.values.toSeq.sortBy(_.name).foreach { c =>
-              println(s"""{"name":"${c.name}","type":"${c.kind}"}""")
+              println(s"""{"name":"${j(c.name)}","type":"${j(c.kind)}"}""")
             }
           case "test" =>
             val (ok, msg) = repl.Connections.test(
               repl.Connections.resolve(registry, args(3)))
-            println(s"""{"name":"${args(3).toUpperCase}","ok":$ok,"detail":"$msg"}""")
+            println(s"""{"name":"${j(args(3).toUpperCase)}","ok":$ok,"detail":"${j(msg)}"}""")
           case "discover" =>
             val streams = repl.Connections.discover(
               repl.Connections.resolve(registry, args(3)),
               args.lift(4).getOrElse("*"))
-            streams.foreach(t => println(s"""{"stream":"$t"}"""))
+            streams.foreach(t => println(s"""{"stream":"${j(t)}"}"""))
           case other =>
             throw new IllegalArgumentException(s"unknown conns verb $other")
         }

@@ -61,27 +61,15 @@ object Tls {
       KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(ks, Array.emptyCharArray)
 
-    val tms = caPem.map { pem =>
-      val ts = KeyStore.getInstance("PKCS12")
-      ts.load(null, null)
-      parseCerts(pem).zipWithIndex.foreach { case (c, i) =>
-        ts.setCertificateEntry(s"ca$i", c)
-      }
-      val tmf = TrustManagerFactory.getInstance(
-        TrustManagerFactory.getDefaultAlgorithm)
-      tmf.init(ts)
-      tmf.getTrustManagers
-    }.orNull
+    val tms = caPem.map(trustManagers).orNull
 
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, tms, new SecureRandom())
     ctx
   }
 
-  /** Trust-only context (no client identity) — for servers that do not
-    * require mTLS, or as the negative control in tests.
-    */
-  def trustOnlyContext(caPem: String): SSLContext = {
+  /** CA-pem → TrustManagers (shared by the mTLS and trust-only contexts). */
+  private def trustManagers(caPem: String): Array[javax.net.ssl.TrustManager] = {
     val ts = KeyStore.getInstance("PKCS12")
     ts.load(null, null)
     parseCerts(caPem).zipWithIndex.foreach { case (c, i) =>
@@ -90,8 +78,15 @@ object Tls {
     val tmf = TrustManagerFactory.getInstance(
       TrustManagerFactory.getDefaultAlgorithm)
     tmf.init(ts)
+    tmf.getTrustManagers
+  }
+
+  /** Trust-only context (no client identity) — for servers that do not
+    * require mTLS, or as the negative control in tests.
+    */
+  def trustOnlyContext(caPem: String): SSLContext = {
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, tmf.getTrustManagers, new SecureRandom())
+    ctx.init(null, trustManagers(caPem), new SecureRandom())
     ctx
   }
 

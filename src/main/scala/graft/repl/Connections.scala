@@ -216,7 +216,11 @@ object Connections {
     * read JDBC metadata; local kinds glob the catalog dir.
     */
   def discover(spec: ConnSpec, pattern: String = "*"): Seq[String] = {
-    val re = ("(?i)^" + pattern.replace(".", "\\.").replace("*", ".*") + "$").r
+    // only '*' is a wildcard; every other char is literal — quote the
+    // literal segments or metachars like '+'/'(' crash or mismatch
+    val re = ("(?i)^" + pattern.split("\\*", -1)
+      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+      .mkString(".*") + "$").r
     if (spec.isDatabase) {
       val url = spec.jdbcTemplate.getOrElse(throw new UnsupportedOperationException(
         s"discover for '${spec.kind}' needs an explicit url: property (no JDBC template)"))

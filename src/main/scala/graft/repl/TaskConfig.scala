@@ -166,6 +166,11 @@ object TaskConfig {
             // destructive surprise for a requested merge; fail loudly
             throw new IllegalArgumentException(
               "mode upsert on a database target needs primary_key")
+          case "snapshot" | "incremental" =>
+            // append semantics, like the parquet path — the overwrite
+            // default would silently truncate the target's history
+            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
+              org.apache.spark.sql.SaveMode.Append)
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj)
         }

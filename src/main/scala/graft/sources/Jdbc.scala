@@ -70,21 +70,37 @@ object Jdbc {
     def q(c: String) = "\"" + c + "\""
     val cols = df.columns.toSeq
     val onClause = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val setClause = cols.filterNot(pk.contains)
-      .map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val nonKey = cols.filterNot(pk.contains)
+    val setClause = nonKey.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
     val insertCols = cols.map(q).mkString(", ")
     val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    // a pure-keys table has nothing to UPDATE — an empty SET clause is a
+    // syntax error on every dialect, so reduce to insert-if-absent
+    val matched =
+      if (nonKey.isEmpty) "" else s"\nWHEN MATCHED THEN UPDATE SET $setClause"
     val sql =
-      s"""MERGE INTO $table t USING $tmp s ON $onClause
-         |WHEN MATCHED THEN UPDATE SET $setClause
+      s"""MERGE INTO $table t USING $tmp s ON $onClause$matched
          |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      st.executeUpdate(sql)
-      st.executeUpdate(s"DROP TABLE $tmp")
-      conn.commit()
+      try {
+        st.executeUpdate(sql)
+        st.executeUpdate(s"DROP TABLE $tmp")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          // roll back BEFORE close: closing with an open transaction throws
+          // on embedded engines and would mask the real MERGE failure; the
+          // stage table is dropped best-effort so reruns don't collide
+          try conn.rollback() catch { case _: Exception => () }
+          try {
+            conn.setAutoCommit(true)
+            conn.createStatement().executeUpdate(s"DROP TABLE $tmp")
+          } catch { case _: Exception => () }
+          throw e
+      } finally st.close()
     } finally conn.close()
   }
 }

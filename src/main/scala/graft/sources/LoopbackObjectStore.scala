@@ -49,7 +49,11 @@ final class LoopbackObjectStore extends RawLocalFileSystem {
   override def pathToFile(path: HPath): File = {
     val u = path.toUri
     val p = u.getPath
-    if (p.startsWith(root)) new File(p)
+    // already-local only at a path-SEGMENT boundary: a bucket key that
+    // merely starts with the root string (or a sibling dir root + suffix)
+    // must still be resolved under the bucket
+    val underRoot = p == root || p.startsWith(root + "/")
+    if (underRoot) new File(p)
     else new File(root + "/" + Option(u.getAuthority).getOrElse(
       fsUri.getAuthority) + p)
   }
@@ -88,9 +92,17 @@ final class LoopbackObjectStore extends RawLocalFileSystem {
     if (!dir.exists())
       throw new java.io.FileNotFoundException(s"$f (mock root $root)")
     if (dir.isFile) Array(getFileStatus(f))
-    else dir.listFiles().map(c =>
-      new org.apache.hadoop.fs.FileStatus(c.length, c.isDirectory, 1,
-        getDefaultBlockSize(f), c.lastModified, qualify(c)))
+    else {
+      // listFiles returns null if the dir vanished after the exists check
+      // (concurrent commit cleanup) — surface the FileNotFoundException
+      // Hadoop callers handle, not an NPE
+      val children = dir.listFiles()
+      if (children == null)
+        throw new java.io.FileNotFoundException(s"$f (deleted concurrently)")
+      children.map(c =>
+        new org.apache.hadoop.fs.FileStatus(c.length, c.isDirectory, 1,
+          getDefaultBlockSize(f), c.lastModified, qualify(c)))
+    }
   }
 
   override def checkPath(path: HPath): Unit = {

@@ -28,9 +28,12 @@ object Tables {
     */
   private def normalizeEvents(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: double division loses precision at 2^63 and
-      // rounds the microsecond up for half the rows
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // floor division toward the epoch, not `div` (truncation toward
+      // zero): pre-epoch nanos would otherwise round UP one microsecond,
+      // disagreeing with engines that floor-truncate timestamps. Integer
+      // floor() keeps full 2^63 precision, unlike double `/`.
+      df.withColumn("ts",
+        timestamp_micros(expr("cast(floor(ts, -3) div 1000 as bigint)")))
     else df
 
   /** Register every table as a temp view so `spark.sql` queries (the custom-SQL

@@ -20,7 +20,9 @@ final class Progress private (windowMs: Long) extends SparkListener {
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
-    if (m != null) {
+    // failed/killed/speculative-duplicate attempts also fire onTaskEnd with
+    // populated metrics — counting them double-counts retried rows
+    if (m != null && taskEnd.reason == org.apache.spark.Success) {
       val r = m.inputMetrics.recordsRead
       val w = m.outputMetrics.recordsWritten
       if (r > 0 || w > 0) {
