@@ -326,6 +326,35 @@ object FileOps {
       },
       Some("SELECT * FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey")),
 
+    // Delta column mapping, `name` mode: parquet files carry physical names
+    // (col-1, col-2, …) that differ from every logical name; the reader
+    // resolves them through the metaData schemaString's
+    // delta.columnMapping.physicalName metadata and projects back to
+    // logical names — the scan itself stays a pruned distributed read
+    Q("op_delta_column_mapping",
+      (s, dir) => {
+        val t = scratch("delta_cm_name", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        graft.sources.DeltaLite.writeMapped(Tables(s, dir, "nation"), t, "name")
+        graft.sources.DeltaLite.read(s, t).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // Delta column mapping, `id` mode: resolution by parquet field id
+    // (spark.sql.parquet.fieldId.read.enabled) instead of physical name
+    Q("op_delta_column_mapping_id",
+      (s, dir) => {
+        val t = scratch("delta_cm_id", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        graft.sources.DeltaLite.writeMapped(Tables(s, dir, "supplier"), t, "id")
+        graft.sources.DeltaLite.read(s, t).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     // Avro container files: per-partition distributed write, block-split
     // AvroKeyInputFormat read — no spark-avro connector involved
     Q("op_avro_roundtrip",

@@ -4,7 +4,8 @@ import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
 
 /** Minimal Delta Lake table support over the public transaction-log protocol
   * (protocol/reader version 1: JSON commits of add/remove/metaData actions) —
@@ -20,8 +21,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (one task per vector, RoaringBitmapArray portable format via
   * [[DeletionVectors]]) into (file, position) rows that anti-join the
   * scan's `_metadata.file_path`/`row_index` — the same O(rows) shape as
-  * the Iceberg v2 position deletes. Still rejected via protocol check:
-  * column mapping and any other v3 reader feature.
+  * the Iceberg v2 position deletes.
+  *
+  * (r7) Column mapping (`delta.columnMapping.mode` = `name` | `id`): the
+  * latest metaData action's schemaString carries per-field
+  * `delta.columnMapping.physicalName`/`id` metadata. `name` mode reads the
+  * parquet files under their physical schema and projects back to logical
+  * names (recursively through structs); `id` mode builds a logical-named
+  * read schema tagged with `parquet.field.id` and lets Spark's field-id
+  * resolution match parquet columns by id
+  * (`spark.sql.parquet.fieldId.read.enabled`). Both stay ordinary
+  * distributed parquet scans — pruning and pushdown still apply, only the
+  * requested schema changes. Still rejected: v3 reader features other than
+  * deletionVectors/columnMapping.
   */
 object DeltaLite {
 
@@ -35,15 +47,29 @@ object DeltaLite {
   final case class FileEntry(path: String,
       dv: Option[DeletionVectors.Descriptor])
 
+  /** Latest metaData action: logical schema JSON + table configuration. */
+  final case class Meta(schemaString: String, configuration: Map[String, String])
+
+  /** A replayed snapshot: active files, latest version, latest metaData. */
+  final case class Snapshot(entries: Seq[FileEntry], version: Long,
+      meta: Option[Meta])
+
   // ---- log replay --------------------------------------------------------
 
   /** Replay the log; return (active files, latest version). */
   def activeEntries(spark: SparkSession, table: String): (Seq[FileEntry], Long) = {
+    val s = snapshot(spark, table)
+    (s.entries, s.version)
+  }
+
+  /** Replay the log including the latest metaData action. */
+  def snapshot(spark: SparkSession, table: String): Snapshot = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     require(fs.exists(dir), s"not a delta table: $table (no _delta_log)")
 
     val active = mutable.LinkedHashMap[String, Option[DeletionVectors.Descriptor]]()
+    var meta: Option[Meta] = None
 
     // start from the newest parquet checkpoint if one is advertised
     val lastCp = new Path(dir, "_last_checkpoint")
@@ -65,6 +91,14 @@ object DeltaLite {
             else cp.select("protocol.minReaderVersion").na.drop().collect()
               .headOption.map(r => (r.getInt(0), Set.empty[String]))
           feats.foreach { case (v, f) => checkProtocol(v, f) }
+        }
+        if (cp.columns.contains("metaData")) {
+          cp.select("metaData.schemaString", "metaData.configuration")
+            .na.drop(Seq("schemaString")).collect().headOption.foreach { r =>
+              val conf = if (r.isNullAt(1)) Map.empty[String, String]
+                else r.getMap[String, String](1).toMap
+              meta = Some(Meta(r.getString(0), conf))
+            }
         }
         if (cp.columns.contains("add")) {
           import org.apache.spark.sql.types.StructType
@@ -102,6 +136,13 @@ object DeltaLite {
           proto.path("readerFeatures").forEach(f => feats += f.asText)
           checkProtocol(proto.path("minReaderVersion").asInt, feats.toSet)
         }
+        val md = node.path("metaData")
+        if (!md.isMissingNode) {
+          val conf = mutable.Map[String, String]()
+          val c = md.path("configuration")
+          c.fieldNames().forEachRemaining(k => conf += k -> c.path(k).asText)
+          meta = Some(Meta(md.path("schemaString").asText, conf.toMap))
+        }
         val add = node.path("add")
         if (!add.isMissingNode) {
           val dvNode = add.path("deletionVector")
@@ -119,7 +160,7 @@ object DeltaLite {
       }
       version = v
     }
-    (active.map { case (p, dv) => FileEntry(p, dv) }.toSeq, version)
+    Snapshot(active.map { case (p, dv) => FileEntry(p, dv) }.toSeq, version, meta)
   }
 
   /** Back-compat shape: active paths only (DVs dropped). */
@@ -128,24 +169,101 @@ object DeltaLite {
     (entries.map(_.path), v)
   }
 
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def checkProtocol(minReader: Int, readerFeatures: Set[String]): Unit =
     if (minReader >= 3) {
       val unsupported = readerFeatures -- SupportedReaderFeatures
       require(unsupported.isEmpty,
         s"unsupported delta reader features $unsupported")
-    } else require(minReader <= 1,
-      s"unsupported delta minReaderVersion $minReader (column mapping not implemented)")
+    } else require(minReader <= 2, // 2 = column mapping, supported since r7
+      s"unsupported delta minReaderVersion $minReader")
 
-  /** Distributed read of the table's current snapshot, DVs applied. */
+  // ---- column mapping ----------------------------------------------------
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Logical schema → schema under physical column names (structs recurse). */
+  private def toPhysicalSchema(logical: StructType): StructType =
+    StructType(logical.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => toPhysicalSchema(st)
+        case other => other
+      }
+      StructField(physName(f), dt, f.nullable)
+    })
+
+  /** Logical schema with `parquet.field.id` tags so Spark's field-id
+    * resolution matches parquet columns by delta.columnMapping.id. */
+  private def toIdSchema(logical: StructType): StructType =
+    StructType(logical.fields.map { f =>
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"column mapping mode=id but field ${f.name} has no delta.columnMapping.id")
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build()
+      val dt = f.dataType match {
+        case st: StructType => toIdSchema(st)
+        case other => other
+      }
+      StructField(f.name, dt, f.nullable, md)
+    })
+
+  /** Rebuild a physically-named column as its logical shape. */
+  private def toLogicalCol(c: Column, f: StructField): Column = {
+    import org.apache.spark.sql.functions.{struct, when}
+    f.dataType match {
+      case st: StructType =>
+        val rebuilt = struct(st.fields.map(cf =>
+          toLogicalCol(c.getField(physName(cf)), cf).as(cf.name)).toSeq: _*)
+        when(c.isNotNull, rebuilt)
+      case _ => c
+    }
+  }
+
+  /** Distributed read of the table's current snapshot, DVs and column
+    * mapping applied. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    val (entries, _) = activeEntries(spark, table)
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, table)
+    val entries = snap.entries
     require(entries.nonEmpty, s"delta table $table has no active files")
+    val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
+      .filter(_ != "none")
+    val logical = mode.map { _ =>
+      DataType.fromJson(snap.meta.get.schemaString).asInstanceOf[StructType]
+    }
+    val paths = entries.map(e => s"$table/${e.path}")
     // basePath keeps hive-style partition dirs resolving to partition columns
-    val base = spark.read.option("basePath", table)
-      .parquet(entries.map(e => s"$table/${e.path}"): _*)
+    val reader = spark.read.option("basePath", table)
+    val base = mode match {
+      case None => reader.parquet(paths: _*)
+      case Some("name") =>
+        // parquet files carry physical names; request them, rename below
+        reader.schema(toPhysicalSchema(logical.get)).parquet(paths: _*)
+      case Some("id") =>
+        // resolve by parquet field id: the requested schema already uses
+        // logical names, so no rename pass is needed afterwards. The conf
+        // only affects reads whose requested schema carries field-id
+        // metadata, so leaving it enabled is safe for unrelated scans.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        reader.schema(toIdSchema(logical.get)).parquet(paths: _*)
+      case Some(other) =>
+        sys.error(s"unsupported delta.columnMapping.mode $other")
+    }
+    val afterDv = applyDeletionVectors(spark, table, base, entries)
+    if (mode.contains("name"))
+      afterDv.select(logical.get.fields.map(f =>
+        toLogicalCol(col(s"`${physName(f)}`"), f).as(f.name)).toSeq: _*)
+    else afterDv
+  }
+
+  private def applyDeletionVectors(spark: SparkSession, table: String,
+      base: DataFrame, entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val withDv = entries.filter(_.dv.nonEmpty)
     if (withDv.isEmpty) base
     else {
@@ -204,8 +322,11 @@ object DeltaLite {
       .map(st => s"$sub/${st.getPath.getName}").toSeq
   }
 
+  /** JSON string literal (quoted + escaped) — paths may carry quotes. */
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
   private def addAction(path: String): String =
-    s"""{"add":{"path":"$path","partitionValues":{},"size":0,""" +
+    s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":0,""" +
       s""""modificationTime":0,"dataChange":true}}"""
 
   /** Append `df` as a new commit. */
@@ -231,7 +352,7 @@ object DeltaLite {
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""")
     else Nil
     val removes = old.map(p =>
-      s"""{"remove":{"path":"$p","dataChange":true}}""")
+      s"""{"remove":{"path":${jstr(p)},"dataChange":true}}""")
     writeCommit(spark, table, v,
       proto ++ removes ++ stageData(df, table).map(addAction))
   }
@@ -242,8 +363,15 @@ object DeltaLite {
     * deletionVectors feature, and commits a re-add per affected file.
     * Fixture/bootstrap quality like writeSnapshot (driver-side grouping).
     */
-  def addDeletionVectors(table: String, deletes: DataFrame): Unit = {
+  def addDeletionVectors(table: String, deletes: DataFrame,
+      maxPositions: Int = 10_000_000): Unit = {
     val spark = deletes.sparkSession
+    // probe-first cap (same pattern as ExcelIO): this writer groups all
+    // positions on the driver, so refuse unbounded inputs before collecting
+    val probe = deletes.limit(maxPositions + 1).count()
+    require(probe <= maxPositions,
+      s"addDeletionVectors is a driver-side bootstrap writer: got > " +
+        s"$maxPositions delete positions; delete-and-rewrite instead")
     val byFile: Seq[(String, Array[Long])] = deletes
       .select("path", "pos").collect()
       .groupBy(_.getString(0)).toSeq.sortBy(_._1)
@@ -251,14 +379,59 @@ object DeltaLite {
     require(byFile.nonEmpty, "no delete positions given")
     val descriptors = DeletionVectors.writeFile(spark, table, byFile.map(_._2))
     val adds = byFile.zip(descriptors).map { case ((path, positions), d) =>
-      s"""{"add":{"path":"$path","partitionValues":{},"size":0,""" +
+      s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":0,""" +
         s""""modificationTime":0,"dataChange":false,"deletionVector":{""" +
-        s""""storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""storageType":${jstr(d.storageType)},""" +
+        s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},""" +
         s""""offset":${d.offset},"sizeInBytes":${d.sizeInBytes},""" +
         s""""cardinality":${positions.length}}}}"""
     }
     val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
     writeCommit(spark, table, nextVersion(spark, table), proto +: adds)
+  }
+
+  /** Bootstrap writer for a column-mapped table: stages `df` under physical
+    * column names `col-<i>` (parquet files also carry field ids), then
+    * commits the column-mapping protocol plus a metaData action whose
+    * schemaString maps logical → physical names. Mirrors what a real Delta
+    * writer produces for a table that enabled mapping; used to build read
+    * fixtures — the reference reads such tables through delta_scan
+    * (core/dbio/iop/delta.go:1-50).
+    */
+  def writeMapped(df: DataFrame, table: String, mode: String): Unit = {
+    require(mode == "name" || mode == "id", s"bad mapping mode $mode")
+    val spark = df.sparkSession
+    val fields = df.schema.fields.zipWithIndex
+    // physical names deliberately differ from every logical name
+    def phys(i: Int) = s"col-${i + 1}"
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    import org.apache.spark.sql.functions.col
+    val physCols = fields.map { case (f, i) =>
+      val md = new MetadataBuilder().putLong("parquet.field.id", i + 1L).build()
+      col(s"`${f.name}`").as(phys(i), md)
+    }
+    val staged = stageData(df.select(physCols.toSeq: _*), table)
+    val logical = StructType(fields.map { case (f, i) =>
+      val md = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", phys(i))
+        .build()
+      StructField(f.name, f.dataType, f.nullable, md)
+    })
+    val proto =
+      if (mode == "id")
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
+      else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val metaAction =
+      s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(logical.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":${jstr(mode)},""" +
+        s""""delta.columnMapping.maxColumnId":"${fields.length}"},""" +
+        s""""createdTime":0}}"""
+    writeCommit(spark, table, nextVersion(spark, table),
+      Seq(proto, metaAction) ++ staged.map(addAction))
   }
 }

@@ -71,7 +71,7 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
-  test("protocol gate: v2 and unknown v3 features rejected, DV feature ok") {
+  test("protocol gate: unknown v3 features rejected; v2/CM/DV accepted") {
     import spark.implicits._
     val t = freshDir("delta4")
     DeltaLite.append(Seq((1, "a")).toDF("id", "v"), t)
@@ -82,14 +82,57 @@ class DeltaLiteSpec extends AnyFunSuite {
         t, f"_delta_log/$v%020d.json"), true)
       out.write(json.getBytes); out.close()
     }
-    protoCommit(1, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    protoCommit(1, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
+      "readerFeatures":["v2Checkpoint"]}}""".replaceAll("\n\\s*", ""))
     intercept[IllegalArgumentException] { DeltaLite.read(spark, t) }
+    // reader v2 (column mapping) is supported since r7; with no metaData
+    // mapping mode the read is a plain physical scan
+    protoCommit(1, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    assert(DeltaLite.read(spark, t).count() == 1)
     protoCommit(1, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
       "readerFeatures":["columnMapping"]}}""".replaceAll("\n\\s*", ""))
-    intercept[IllegalArgumentException] { DeltaLite.read(spark, t) }
+    assert(DeltaLite.read(spark, t).count() == 1)
     protoCommit(1, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,
       "readerFeatures":["deletionVectors"]}}""".replaceAll("\n\\s*", ""))
     assert(DeltaLite.read(spark, t).count() == 1)
+  }
+
+  test("column mapping name mode: physical names resolve to logical, " +
+      "structs recurse") {
+    import spark.implicits._
+    val t = freshDir("delta_cm1")
+    val df = Seq((1L, "a", (10, "x")), (2L, "b", (20, "y")))
+      .toDF("id", "v", "nested")
+    DeltaLite.writeMapped(df, t, "name")
+    // the parquet files on disk must NOT contain the logical names
+    val raw = spark.read.parquet(s"$t/data-*")
+    assert(raw.columns.toSet == Set("col-1", "col-2", "col-3"))
+    val got = DeltaLite.read(spark, t).orderBy("id")
+    assert(got.columns.toSeq == Seq("id", "v", "nested"))
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getStruct(2).getInt(0)).toSeq == Seq(10, 20))
+  }
+
+  test("column mapping id mode: parquet field ids resolve logical names") {
+    import spark.implicits._
+    val t = freshDir("delta_cm2")
+    val df = Seq((1L, 1.5, "a"), (2L, 2.5, "b")).toDF("id", "score", "v")
+    DeltaLite.writeMapped(df, t, "id")
+    val got = DeltaLite.read(spark, t).orderBy("id")
+    assert(got.columns.toSeq == Seq("id", "score", "v"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("addDeletionVectors probe-first cap fails fast on oversized input") {
+    import spark.implicits._
+    val t = freshDir("delta_dv_cap")
+    DeltaLite.overwrite(Seq((1L, "a")).toDF("id", "v"), t)
+    val big = spark.range(0, 100).selectExpr("'f.parquet' AS path", "id AS pos")
+    intercept[IllegalArgumentException] {
+      DeltaLite.addDeletionVectors(t, big, maxPositions = 50)
+    }
   }
 
   test("deletion vectors: positions vanish from the read") {
