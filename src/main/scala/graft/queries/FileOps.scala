@@ -289,6 +289,27 @@ object FileOps {
         WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
         ORDER BY o_orderkey""")),
 
+    // Iceberg v2 sequence-number scoping: data appended AFTER a delete
+    // file carries a higher data_sequence_number, so the older equality
+    // delete must not touch it — without the sequence check those rows
+    // would be wrongly deleted
+    Q("op_iceberg_seq",
+      (s, dir) => {
+        val t = scratch("iceberg_seq", dir)
+        val orders = Tables(s, dir, "orders")
+        graft.sources.IcebergLite.writeSnapshot(
+          orders.filter(col("o_orderkey") % 2 === 0), t)          // seq 1
+        val eq = orders.select("o_orderstatus")
+          .filter(col("o_orderstatus") === "P").distinct()
+        graft.sources.IcebergLite.appendDeletes(t, None, Some(eq)) // seq 2
+        graft.sources.IcebergLite.appendData(
+          orders.filter(col("o_orderkey") % 2 =!= 0), t)          // seq 3
+        graft.sources.IcebergLite.read(s, t).orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM orders
+        WHERE o_orderkey % 2 <> 0 OR o_orderstatus <> 'P'
+        ORDER BY o_orderkey""")),
+
     // Delta table via transaction-log replay (no connector jar): overwrite
     // then append commits, snapshot read = both commits' rows
     Q("op_delta_roundtrip",

@@ -27,12 +27,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * metadata IS the Iceberg position semantics, so no per-file numbering
   * pass is needed; equality-delete files anti-join on their own column
   * set. Both joins are O(rows), shuffle on the join keys, and broadcast
-  * when the delete set is small (the usual case). Simplification vs the
-  * full spec, documented for the bootstrap reader: sequence-number
-  * scoping is not applied — every live delete file applies to every live
-  * data file (true for single-writer fixture tables; a table where a
-  * data file was added AFTER a delete file would need the sequence
-  * check).
+  * when the delete set is small (the usual case).
+  *
+  * (r7) Sequence-number scoping per the v2 spec: each data/delete file
+  * carries its manifest entry's `sequence_number` (inherited from the
+  * manifest-list entry when null). A position delete applies only to data
+  * files with data seq <= the delete's seq; an equality delete applies
+  * strictly (data seq < delete seq) — so a data file committed AFTER a
+  * delete file is no longer over-deleted. Files with no sequence info at
+  * all keep the old conservative behavior (data seq 0, delete seq MAX).
+  * Equality-delete files are grouped by their column set and anti-joined
+  * per group, so externally-written tables with heterogeneous
+  * equality_ids don't get missing columns NULL-filled into one scan.
   */
 object IcebergLite {
 
@@ -76,12 +82,15 @@ object IcebergLite {
     }
   }
 
+  /** One live file + its data sequence number. */
+  final case class FileRef(path: String, seq: Long)
+
   /** The current snapshot's live files, routed by content:
     * (data, position deletes, equality deletes). */
-  final case class SnapshotFiles(data: Seq[String], posDeletes: Seq[String],
-      eqDeletes: Seq[String])
+  final case class SnapshotFiles(data: Seq[FileRef], posDeletes: Seq[FileRef],
+      eqDeletes: Seq[FileRef])
 
-  /** Resolve the current snapshot's live files. */
+  /** Resolve the current snapshot's live files with sequence numbers. */
   def activeFiles(spark: SparkSession, table: String): SnapshotFiles = {
     val metaPath = new Path(currentMetadata(spark, table))
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,65 +108,109 @@ object IcebergLite {
     }
     require(manifestList != null, s"snapshot $snapId not found in $metaPath")
 
+    def longField(r: GenericRecord, name: String): Option[Long] =
+      Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+        .map(_.toString.toLong)
+
     // content: manifest_file 0=data 1=deletes; data_file 0=data
     // 1=position deletes 2=equality deletes
-    val data = mutable.LinkedHashSet[String]()
-    val posDel = mutable.LinkedHashSet[String]()
-    val eqDel = mutable.LinkedHashSet[String]()
+    val data = mutable.LinkedHashMap[String, Long]()
+    val posDel = mutable.LinkedHashMap[String, Long]()
+    val eqDel = mutable.LinkedHashMap[String, Long]()
     readAvro(spark, manifestList).foreach { mf =>
       val manifestPath = mf.get("manifest_path").toString
+      val manifestSeq = longField(mf, "sequence_number")
       readAvro(spark, manifestPath).foreach { entry =>
         val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val fileContent = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
         val path = df.get("file_path").toString
-        val target = fileContent match {
-          case 0 => data
-          case 1 => posDel
-          case 2 => eqDel
+        // spec: a null entry sequence inherits the manifest's; files with no
+        // sequence info anywhere keep the pre-r7 conservative behavior
+        // (every delete applies to every data file)
+        val inherited = longField(entry, "sequence_number").orElse(manifestSeq)
+        val (target, seq) = fileContent match {
+          case 0 => (data, inherited.getOrElse(0L))
+          case 1 => (posDel, inherited.getOrElse(Long.MaxValue))
+          case 2 => (eqDel, inherited.getOrElse(Long.MaxValue))
           case other => throw new IllegalArgumentException(
             s"unknown iceberg data_file content $other in $manifestPath")
         }
-        if (status == 2) target -= path else target += path
+        if (status == 2) target -= path else target += path -> seq
       }
     }
-    SnapshotFiles(data.toSeq, posDel.toSeq, eqDel.toSeq)
+    def refs(m: mutable.LinkedHashMap[String, Long]) =
+      m.map { case (p, s) => FileRef(p, s) }.toSeq
+    SnapshotFiles(refs(data), refs(posDel), refs(eqDel))
   }
 
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     PathNorm.normUri(c)
 
-  /** Distributed read of the current snapshot, v2 deletes applied. */
+  /** Driver-side string twin of [[PathNorm.normUri]]. */
+  private def normStr(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** Distributed read of the current snapshot, v2 deletes applied with
+    * sequence-number scoping. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, max}
     val files = activeFiles(spark, table)
     require(files.data.nonEmpty, s"iceberg table $table has no live data files")
     val base = spark.read.option("basePath", table)
-      .parquet(files.data.map(stripScheme): _*)
+      .parquet(files.data.map(f => stripScheme(f.path)): _*)
     if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
     else {
+      // attach each data row's file sequence via a broadcast of the (small,
+      // already driver-held) file list — the scan itself stays distributed
+      val dataSeq = broadcast(spark.createDataFrame(
+        files.data.map(f => (normStr(f.path), f.seq))).toDF("__sfp", "__dseq"))
       var d = base
         .withColumn("__fp", normPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
+      d = d.join(dataSeq, d("__fp") === dataSeq("__sfp"), "left").drop("__sfp")
+      // per-delete-file sequence lookup, same broadcast-map shape
+      def withSeq(df: DataFrame, refs: Seq[FileRef], seqCol: String): DataFrame = {
+        val m = broadcast(spark.createDataFrame(
+          refs.map(f => (normStr(f.path), f.seq))).toDF("__mfp", seqCol))
+        val tagged = df.withColumn("__dffp", normPath(col("_metadata.file_path")))
+        tagged.join(m, tagged("__dffp") === m("__mfp"), "left")
+          .drop("__dffp", "__mfp")
+      }
       if (files.posDeletes.nonEmpty) {
-        val pd = spark.read.parquet(files.posDeletes.map(stripScheme): _*)
-          .select(normPath(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
-          .distinct()
+        // spec: a position delete applies to data files with seq <= its own
+        val pd = withSeq(
+          spark.read.parquet(files.posDeletes.map(f => stripScheme(f.path)): _*),
+          files.posDeletes, "__pseq")
+          .groupBy(normPath(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+          .agg(max("__pseq").as("__pseq"))
         d = d.join(pd,
-          d("__fp") === pd("__dfp") && d("__pos") === pd("__dpos"), "left_anti")
+          d("__fp") === pd("__dfp") && d("__pos") === pd("__dpos") &&
+            d("__dseq") <= pd("__pseq"), "left_anti")
       }
       if (files.eqDeletes.nonEmpty) {
         // equality columns = the delete parquet's own columns (the spec's
-        // equality_ids resolved at write time). The spec defines NULL as
+        // equality_ids resolved at write time). Files are grouped by their
+        // column set so heterogeneous equality_ids never NULL-fill; within
+        // a key the newest delete sequence wins. The spec defines NULL as
         // equal to NULL here — unlike SQL join equality — so the anti-join
-        // uses null-safe <=> on every key.
-        val ed = spark.read.parquet(files.eqDeletes.map(stripScheme): _*)
-          .dropDuplicates()
-        val edAliased = ed.select(ed.columns.map(c => col(c).as(s"__eq_$c")).toSeq: _*)
-        val cond = ed.columns.map(c => d(c) <=> edAliased(s"__eq_$c")).reduce(_ && _)
-        d = d.join(edAliased, cond, "left_anti")
+        // uses null-safe <=> on every key, and applies strictly
+        // (data seq < delete seq).
+        val bySchema = files.eqDeletes.groupBy { f =>
+          spark.read.parquet(stripScheme(f.path)).columns.toSeq.sorted
+        }
+        bySchema.toSeq.sortBy(_._1.mkString(",")).foreach { case (cols, refs) =>
+          val ed = withSeq(
+            spark.read.parquet(refs.map(f => stripScheme(f.path)): _*),
+            refs, "__eqseq")
+            .groupBy(cols.map(col): _*).agg(max("__eqseq").as("__eqseq"))
+          val edAliased = ed.select(
+            (cols.map(c => col(c).as(s"__eq_$c")) :+ col("__eqseq")).toSeq: _*)
+          val cond = cols.map(c => d(c) <=> edAliased(s"__eq_$c"))
+            .reduce(_ && _) && d("__dseq") < edAliased("__eqseq")
+          d = d.join(edAliased, cond, "left_anti")
+        }
       }
-      d.drop("__fp", "__pos")
+      d.drop("__fp", "__pos", "__dseq")
     }
   }
 
@@ -166,6 +219,7 @@ object IcebergLite {
   private val manifestEntrySchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":["null","int"],"default":null},
       |  {"name":"file_path","type":"string"},
@@ -174,7 +228,9 @@ object IcebergLite {
   private val manifestFileSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
-      |{"name":"content","type":["null","int"],"default":null}]}""".stripMargin)
+      |{"name":"content","type":["null","int"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null}]}"""
+      .stripMargin)
 
   private def writeAvroFile(spark: SparkSession, path: String,
       schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Unit = {
@@ -191,6 +247,24 @@ object IcebergLite {
     * spec-compliant reader (including this one) to scan the snapshot; NOT
     * a transactional committer — bootstrap and fixtures only.
     */
+  private def fileEntry(path: String, content: Int, seq: Long): GenericRecord = {
+    val d = new org.apache.avro.generic.GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    d.put("content", content); d.put("file_path", path); d.put("file_format", "PARQUET")
+    val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
+    e.put("status", 1); e.put("sequence_number", seq); e.put("data_file", d)
+    e
+  }
+
+  private def manifestRef(path: String, content: Int, seq: Long): GenericRecord = {
+    val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", path); mf.put("content", content)
+    mf.put("sequence_number", seq)
+    mf
+  }
+
+  /** Write `df` as a fresh single-snapshot Iceberg table: data parquet +
+    * one manifest + manifest list + v1.metadata.json, all at sequence 1. */
   def writeSnapshot(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val root = new Path(table)
@@ -199,38 +273,64 @@ object IcebergLite {
     df.write.parquet(s"$table/data")
     val dataFiles = fs.listStatus(new Path(table, "data"))
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-    val entries = dataFiles.map { f =>
-      val d = new org.apache.avro.generic.GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      d.put("content", 0); d.put("file_path", f); d.put("file_format", "PARQUET")
-      val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
-      e.put("status", 1); e.put("data_file", d)
-      e: GenericRecord
-    }.toSeq
+    val entries = dataFiles.map(fileEntry(_, 0, 1L): GenericRecord).toSeq
     writeAvroFile(spark, s"$table/metadata/m-0.avro", manifestEntrySchema, entries)
-    val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", s"$table/metadata/m-0.avro"); mf.put("content", 0)
-    writeAvroFile(spark, s"$table/metadata/snap-1.avro", manifestFileSchema, Seq(mf))
-    val meta = s"""{"format-version":1,"current-snapshot-id":1,
-      |"snapshots":[{"snapshot-id":1,"manifest-list":"$table/metadata/snap-1.avro"}]}"""
-      .stripMargin
-    val out = fs.create(new Path(table, "metadata/v1.metadata.json"), true)
+    writeAvroFile(spark, s"$table/metadata/snap-1.avro", manifestFileSchema,
+      Seq(manifestRef(s"$table/metadata/m-0.avro", 0, 1L)))
+    writeMetadataJson(spark, table, 1L)
+  }
+
+  /** Current snapshot id + that snapshot's manifest refs (re-keyed to the
+    * writer schema so old lists can be re-emitted into a new list). */
+  private def currentManifests(spark: SparkSession,
+      table: String): (Long, Seq[GenericRecord]) = {
+    val metaPath = new Path(currentMetadata(spark, table))
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath)
+    val meta = try mapper.readTree(in) finally in.close()
+    val snapId = meta.path("current-snapshot-id").asLong
+    var manifestList: String = null
+    meta.path("snapshots").forEach { s =>
+      if (s.path("snapshot-id").asLong == snapId)
+        manifestList = s.path("manifest-list").asText
+    }
+    val refs = readAvro(spark, manifestList).map { mf =>
+      val seq = Option(mf.getSchema.getField("sequence_number"))
+        .flatMap(_ => Option(mf.get("sequence_number")))
+        .map(_.toString.toLong).getOrElse(snapId)
+      manifestRef(mf.get("manifest_path").toString,
+        Option(mf.get("content")).map(_.toString.toInt).getOrElse(0), seq)
+    }
+    (snapId, refs)
+  }
+
+  private def writeMetadataJson(spark: SparkSession, table: String,
+      snapId: Long): Unit = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta =
+      s"""{"format-version":2,"current-snapshot-id":$snapId,
+        |"last-sequence-number":$snapId,
+        |"snapshots":[{"snapshot-id":$snapId,"sequence-number":$snapId,
+        |"manifest-list":"$table/metadata/snap-$snapId.avro"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val out = fs.create(new Path(table, s"metadata/v$snapId.metadata.json"), true)
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Append a v2 delete snapshot to a [[writeSnapshot]] table: position
-    * deletes (spec columns `file_path` string, `pos` long) and/or
-    * equality deletes (any column subset of the data schema). Writes the
-    * delete parquet, a delete manifest, a new manifest list referencing
-    * both manifests, and v2.metadata.json — which [[read]] then resolves
-    * as the newest version. Fixture/bootstrap quality like writeSnapshot.
+  /** Append a v2 delete snapshot: position deletes (spec columns
+    * `file_path` string, `pos` long) and/or equality deletes (any column
+    * subset of the data schema). The new snapshot's sequence number is
+    * snapId+1, so these deletes do NOT apply to data appended later.
+    * Fixture/bootstrap quality like writeSnapshot.
     */
   def appendDeletes(table: String, posDeletes: Option[DataFrame],
       eqDeletes: Option[DataFrame]): Unit = {
     require(posDeletes.nonEmpty || eqDeletes.nonEmpty, "no deletes given")
     val spark = posDeletes.orElse(eqDeletes).get.sparkSession
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (snapId, oldRefs) = currentManifests(spark, table)
+    val next = snapId + 1
 
     def writeDeleteFiles(df: DataFrame, dir: String): Seq[String] = {
       df.write.mode("overwrite").parquet(s"$table/$dir")
@@ -240,34 +340,35 @@ object IcebergLite {
     val posFiles = posDeletes.toSeq.flatMap { pd =>
       require(pd.columns.toSet == Set("file_path", "pos"),
         "position deletes need exactly (file_path, pos)")
-      writeDeleteFiles(pd, "deletes/pos")
+      writeDeleteFiles(pd, s"deletes/pos-$next")
     }
-    val eqFiles = eqDeletes.toSeq.flatMap(writeDeleteFiles(_, "deletes/eq"))
+    val eqFiles = eqDeletes.toSeq.flatMap(writeDeleteFiles(_, s"deletes/eq-$next"))
 
-    def deleteEntry(path: String, content: Int): GenericRecord = {
-      val d = new org.apache.avro.generic.GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      d.put("content", content); d.put("file_path", path); d.put("file_format", "PARQUET")
-      val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
-      e.put("status", 1); e.put("data_file", d)
-      e
-    }
-    val entries = posFiles.map(deleteEntry(_, 1)) ++ eqFiles.map(deleteEntry(_, 2))
-    writeAvroFile(spark, s"$table/metadata/m-1.avro", manifestEntrySchema, entries)
+    val entries = posFiles.map(fileEntry(_, 1, next)) ++
+      eqFiles.map(fileEntry(_, 2, next))
+    writeAvroFile(spark, s"$table/metadata/m-$next.avro",
+      manifestEntrySchema, entries)
+    writeAvroFile(spark, s"$table/metadata/snap-$next.avro", manifestFileSchema,
+      oldRefs :+ manifestRef(s"$table/metadata/m-$next.avro", 1, next))
+    writeMetadataJson(spark, table, next)
+  }
 
-    def manifestRef(path: String, content: Int): GenericRecord = {
-      val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
-      mf.put("manifest_path", path); mf.put("content", content)
-      mf
-    }
-    writeAvroFile(spark, s"$table/metadata/snap-2.avro", manifestFileSchema, Seq(
-      manifestRef(s"$table/metadata/m-0.avro", 0),
-      manifestRef(s"$table/metadata/m-1.avro", 1)))
-    val meta = s"""{"format-version":2,"current-snapshot-id":2,
-      |"snapshots":[{"snapshot-id":2,"manifest-list":"$table/metadata/snap-2.avro"}]}"""
-      .stripMargin
-    val out = fs.create(new Path(table, "metadata/v2.metadata.json"), true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  /** Append a data snapshot AFTER deletes: the new files carry sequence
+    * snapId+1, so existing delete files (older sequence) do not apply to
+    * them — the case the sequence scoping exists for. */
+  def appendData(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (snapId, oldRefs) = currentManifests(spark, table)
+    val next = snapId + 1
+    df.write.parquet(s"$table/data-$next")
+    val dataFiles = fs.listStatus(new Path(table, s"data-$next"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    val entries = dataFiles.map(fileEntry(_, 0, next): GenericRecord).toSeq
+    writeAvroFile(spark, s"$table/metadata/m-$next.avro",
+      manifestEntrySchema, entries)
+    writeAvroFile(spark, s"$table/metadata/snap-$next.avro", manifestFileSchema,
+      oldRefs :+ manifestRef(s"$table/metadata/m-$next.avro", 0, next))
+    writeMetadataJson(spark, table, next)
   }
 }

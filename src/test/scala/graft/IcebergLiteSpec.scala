@@ -159,6 +159,38 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t2).count() == 50)
   }
 
+  test("sequence scoping: data appended after a delete file survives it") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg_seq"
+    val df = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, t)                               // seq 1
+    IcebergLite.appendDeletes(t, None, Some(Seq("even").toDF("tag"))) // seq 2
+    // rows 51..60 are all 'even' but arrive AFTER the delete → must survive
+    val late = (51 to 60).map(i => (i.toLong, "even")).toDF("id", "tag")
+    IcebergLite.appendData(late, t)                                // seq 3
+    val got = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 50L).filter(_ % 2 == 1) ++ (51L to 60L))
+    // a second delete AFTER the append still catches the late rows
+    IcebergLite.appendDeletes(t, None, Some(Seq("even").toDF("tag"))) // seq 4
+    val got2 = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got2.toSeq == (1L to 50L).filter(_ % 2 == 1))
+  }
+
+  test("heterogeneous equality-delete schemas anti-join per column set") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg_eqmix"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, t)
+    // one delete file keyed on id, a later one keyed on tag: with a single
+    // NULL-filled scan the (id) file's NULL tag would over-match row 3
+    IcebergLite.appendDeletes(t, None, Some(Seq(1L).toDF("id")))
+    IcebergLite.appendDeletes(t, None, Some(Seq("b").toDF("tag")))
+    val got = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L))
+  }
+
   test("equality delete with NULL key matches NULL rows (spec semantics)") {
     import spark.implicits._
     val t = "/tmp/graft-test/iceberg5"
