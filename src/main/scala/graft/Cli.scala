@@ -56,8 +56,8 @@ object Cli {
         val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
         sources.Discover.columns(spark, sfDir, Seq(args(1)))
           .collect().foreach { r =>
-            println(s"""{"stream":"${r.getString(0)}","position":${r.getLong(1)},""" +
-              s""""column":"${r.getString(2)}","type":"${r.getString(3)}"}""")
+            println(s"""{"stream":"${j(r.getString(0))}","position":${r.getLong(1)},""" +
+              s""""column":"${j(r.getString(2))}","type":"${j(r.getString(3))}"}""")
           }
       case "conns" =>
         // conns list <env.yaml> | conns test <env.yaml> <NAME>

@@ -62,7 +62,10 @@ object Auth {
       transport: ApiExtractor.Transport,
       clock: () => Long = () => System.currentTimeMillis()): RequestAuth = {
     var cached: Option[(String, Long)] = None // token, expiry epoch ms
-    def token: String = synchronized {
+    // per-closure lock: synchronizing on the Auth object would serialize
+    // token access across every connection sharing the JVM
+    val lock = new Object
+    def token: String = lock.synchronized {
       val now = clock()
       cached match {
         case Some((t, exp)) if now < exp => t

@@ -40,21 +40,31 @@ final case class Queue(spark: SparkSession, dir: String) {
   def isDone: Boolean = fs.exists(donePath)
 
   /** Distributed consume of everything published so far. A closed queue
-    * that never saw a publish is a legitimate empty result, not an error. */
-  def read(): DataFrame = {
+    * that never saw a publish is a legitimate empty result, not an error —
+    * pass `schema` so downstream selects still resolve against an empty
+    * queue (without it the empty frame has zero columns). */
+  def read(schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val any = fs.globStatus(new Path(path, "*.jsonl"))
-    if (any == null || any.isEmpty) spark.emptyDataFrame
-    else spark.read.json(s"$dir/*.jsonl")
+    if (any == null || any.isEmpty)
+      schema.map(st => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      val r = spark.read
+      schema.foreach(r.schema)
+      r.json(s"$dir/*.jsonl")
+    }
   }
 
   /** Blocking consume: wait for the producer's done sentinel, then read. */
-  def awaitAndRead(timeoutMs: Long = 60000): DataFrame = {
+  def awaitAndRead(timeoutMs: Long = 60000,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!isDone) {
       if (System.currentTimeMillis() > deadline)
         throw new java.util.concurrent.TimeoutException(s"queue $dir not done")
       Thread.sleep(50)
     }
-    read()
+    read(schema)
   }
 }

@@ -353,14 +353,20 @@ object SasIO {
   // ---- writer ------------------------------------------------------------
 
   /** Single-file writer (fixtures + exports). Emits the 32-bit or u64
-    * little-endian layout; `compress` stores every row as an RLE subheader. */
+    * little-endian layout; `compress` stores every row as an RLE subheader.
+    * Collects driver-side (sas7bdat is inherently a single file), so the
+    * cap is probed BEFORE collecting — same pattern as `ExcelIO.write`. */
   def write(df: DataFrame, path: String, u64: Boolean = false,
-      compress: Boolean = false, pageLen: Int = 0x10000): Unit = {
+      compress: Boolean = false, pageLen: Int = 0x10000,
+      maxRows: Int = 5_000_000): Unit = {
     val schema = df.schema
     schema.fields.foreach { f =>
       require(f.dataType == DoubleType || f.dataType == StringType,
         s"SAS writer surface is numeric(double)/char(string); cast ${f.name}: ${f.dataType} first")
     }
+    val probed = df.limit(maxRows + 1).count()
+    require(probed <= maxRows,
+      s"sas7bdat writer cap: > $maxRows rows; route to a splittable format")
     val rows = df.collect()
     val intLen = if (u64) 8 else 4
     val bitOffset = if (u64) 32 else 16

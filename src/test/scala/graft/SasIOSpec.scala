@@ -275,4 +275,11 @@ class SasIOSpec extends AnyFunSuite {
     assert(back(0).getString(1) == "s" * 200 + "1")
     assert(back(49).getString(5) == "u" * 6) // index 49 is i=50; 50 % 11 = 6
   }
+
+  test("writer row cap probes before collecting and fails fast") {
+    val big = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    intercept[IllegalArgumentException] {
+      SasIO.write(big, "/tmp/graft-test/sas_cap.sas7bdat", maxRows = 100)
+    }
+  }
 }
