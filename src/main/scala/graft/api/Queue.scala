@@ -67,4 +67,60 @@ final case class Queue(spark: SparkSession, dir: String) {
     }
     read(schema)
   }
+
+  /** `consume: immediate` (queue.go:33-51, llm_API_SPEC.md:348): tail the
+    * queue with a Structured Streaming file source WHILE the producer still
+    * runs, instead of waiting for the close sentinel. The producer runs on
+    * its own thread; consumer micro-batches land in `workDir/out` as
+    * parquet (exactly-once via the stream checkpoint). Fail-fast group
+    * semantics like the reference's errgroup: a producer error stops the
+    * stream and rethrows; a stream error surfaces as-is. Returns the
+    * consumed records once the sentinel appears and the tail is drained.
+    *
+    * Scale shape: each micro-batch is a distributed json read of only the
+    * newly-listed part files; `maxFilesPerTrigger` bounds batch size so a
+    * fast producer can't build an unboundedly large batch.
+    */
+  def consumeImmediate(schema: org.apache.spark.sql.types.StructType,
+      workDir: String, producer: () => Unit, timeoutMs: Long = 120000,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    fs.mkdirs(path)
+    val outPath = s"$workDir/out"
+    val cpPath = s"$workDir/checkpoint"
+    val wfs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wfs.delete(new Path(workDir), true)
+
+    @volatile var producerError: Option[Throwable] = None
+    val t = new Thread(() => {
+      try producer() catch { case e: Throwable => producerError = Some(e) }
+    }, s"queue-producer-$dir")
+    t.setDaemon(true)
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(s"$dir/*.jsonl")
+      .writeStream.format("parquet")
+      .option("path", outPath).option("checkpointLocation", cpPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    t.start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!isDone && producerError.isEmpty && q.exception.isEmpty) {
+        if (System.currentTimeMillis() > deadline)
+          throw new java.util.concurrent.TimeoutException(
+            s"queue $dir producer did not close within ${timeoutMs}ms")
+        Thread.sleep(50)
+      }
+      producerError.foreach(e => throw new RuntimeException(
+        s"queue $dir producer failed (fail-fast)", e))
+      q.exception.foreach(throw _)
+      q.processAllAvailable() // drain files published right before the sentinel
+    } finally q.stop()
+    if (wfs.globStatus(new Path(outPath, "*.parquet")) == null ||
+        wfs.globStatus(new Path(outPath, "*.parquet")).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(outPath)
+  }
 }

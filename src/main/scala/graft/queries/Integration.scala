@@ -367,6 +367,42 @@ object Integration {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
         ORDER BY n_nationkey""")),
 
+    // queue `consume: immediate` (queue.go:33-51): a streaming consumer
+    // tails the queue directory while the producer is still publishing —
+    // batches land as they appear, the .done sentinel ends the tail, and
+    // the result equals the sequential op_queue_bridge read
+    Q("op_queue_stream",
+      (s, dir) => {
+        val qdir = scratch("queue_stream", dir)
+        val fs = new org.apache.hadoop.fs.Path(qdir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(qdir), true)
+        val queue = graft.api.Queue(s, qdir)
+        val recs = Tables(s, dir, "nation")
+          .select(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+          .collect().map(_.getString(0)).toSeq
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_regionkey",
+            org.apache.spark.sql.types.LongType)))
+        val out = queue.consumeImmediate(schema, scratch("queue_stream_wk", dir),
+          () => {
+            recs.grouped(math.max(1, recs.size / 3)).zipWithIndex.foreach {
+              case (batch, i) =>
+                queue.publish(batch, s"batch-$i"); Thread.sleep(300)
+            }
+            queue.markDone()
+          })
+        out.select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        ORDER BY n_nationkey""")),
+
     // stdin scan: byte stream → staging file → inference read
     Q("op_stdin_scan",
       (s, dir) => {

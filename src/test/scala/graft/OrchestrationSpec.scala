@@ -88,6 +88,44 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(q2.awaitAndRead().count() == 0)
   }
 
+  test("queue consume immediate: tails while producer publishes, equals " +
+      "sequential read") {
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft-test/queue_ci"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val q = Queue(spark, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val out = q.consumeImmediate(schema, "/tmp/graft-test/queue_ci_wk", () => {
+      (0 until 4).foreach { i =>
+        q.publish((1 to 5).map(j => s"""{"id":${i * 5 + j},"v":"x"}"""), s"b$i")
+        Thread.sleep(200)
+      }
+      q.markDone()
+    })
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 20L))
+  }
+
+  test("queue consume immediate: producer error fails fast") {
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft-test/queue_cif"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val q = Queue(spark, dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val e = intercept[RuntimeException] {
+      q.consumeImmediate(schema, "/tmp/graft-test/queue_cif_wk", () => {
+        q.publish(Seq("""{"id":1}"""), "b0")
+        throw new IllegalStateException("producer exploded")
+      })
+    }
+    assert(e.getMessage.contains("fail-fast"))
+  }
+
   test("queue awaitAndRead times out when never closed") {
     val dir = "/tmp/graft-test/queue2"
     val fs = new org.apache.hadoop.fs.Path(dir)
