@@ -249,6 +249,22 @@ object FileOps {
         CAST(s_acctbal AS DOUBLE) AS s_acctbal
         FROM supplier ORDER BY s_suppkey""")),
 
+    // RDC (SASYZCR2) compression: Ross Data Compression control words,
+    // decompressed page-locally on the executors like the RLE path
+    Q("op_sas7bdat_rdc",
+      (s, dir) => {
+        val path = scratch("sas_rdc", dir) + "/customer.sas7bdat"
+        val cust = Tables(s, dir, "customer").select(
+          col("c_custkey").cast(DoubleType).as("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+        graft.sources.SasIO.write(cust, path, compress = true, codec = "rdc")
+        graft.sources.SasIO.read(s, path).orderBy("c_custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+        c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer ORDER BY c_custkey""")),
+
     // XLSX round-trip (zip+OOXML, no POI) through the inference engine
     Q("op_excel_roundtrip",
       (s, dir) => {

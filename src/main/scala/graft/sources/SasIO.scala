@@ -91,6 +91,7 @@ object SasIO {
       rowCount: Long,
       mixRowCount: Long,
       compressed: Boolean,
+      rdc: Boolean,
       cols: Seq[SasColumn]) {
     def intLen: Int = if (u64) 8 else 4
     def bitOffset: Int = if (u64) 32 else 16
@@ -130,6 +131,7 @@ object SasIO {
     var rowLen, rowCount, mixRows = 0L
     var colCount = 0
     var compressed = false
+    var rdc = false
     val textBlobs = ArrayBuffer[Array[Byte]]()
     val names = ArrayBuffer[(Int, Int, Int)]() // textIdx, offset, length
     val attrs = ArrayBuffer[(Long, Int, Int)]() // rowOffset, width, type
@@ -169,9 +171,7 @@ object SasIO {
                 if (textBlobs.isEmpty) {
                   val head = new String(blob, 0, math.min(16, blob.length), StandardCharsets.US_ASCII)
                   if (head.contains(RleLiteral)) compressed = true
-                  else if (head.contains(RdcLiteral))
-                    throw new UnsupportedOperationException(
-                      "RDC (SASYZCR2) compressed sas7bdat unsupported; re-export with COMPRESS=CHAR or NO")
+                  else if (head.contains(RdcLiteral)) { compressed = true; rdc = true }
                 }
                 textBlobs += blob
               case SigColName =>
@@ -216,7 +216,7 @@ object SasIO {
       SasColumn(name, rOff.toInt, width, tpe == 1)
     }
     SasMeta(u64, headerLen, pageLen, pageCount, rowLen.toInt, rowCount,
-      mixRows, compressed, cols)
+      mixRows, compressed, rdc, cols)
   }
 
   // ---- row decode --------------------------------------------------------
@@ -270,7 +270,9 @@ object SasIO {
         // content for meta signatures — row bytes may collide with one
         if (len <= 0 || compression == 1) None // truncated pointer
         else if (compression == 4)
-          Some(decodeRow(meta, Rle.decompress(pg, off, len, meta.rowLen), 0))
+          Some(decodeRow(meta,
+            if (meta.rdc) Rdc.decompress(pg, off, len, meta.rowLen)
+            else Rle.decompress(pg, off, len, meta.rowLen), 0))
         else if (compression == 0 && stype == 1 && len == meta.rowLen)
           Some(decodeRow(meta, pg, off)) // stored raw: compression didn't help
         else None // meta subheader
@@ -358,7 +360,8 @@ object SasIO {
     * cap is probed BEFORE collecting — same pattern as `ExcelIO.write`. */
   def write(df: DataFrame, path: String, u64: Boolean = false,
       compress: Boolean = false, pageLen: Int = 0x10000,
-      maxRows: Int = 5_000_000): Unit = {
+      maxRows: Int = 5_000_000, codec: String = "rle"): Unit = {
+    require(codec == "rle" || codec == "rdc", s"bad sas codec $codec")
     val schema = df.schema
     schema.fields.foreach { f =>
       require(f.dataType == DoubleType || f.dataType == StringType,
@@ -413,7 +416,9 @@ object SasIO {
     val blobBody = ArrayBuffer[Byte]()
     blobBody ++= Array.fill[Byte](2)(0) // placeholder for size
     blobBody ++= Array.fill[Byte](2)(0)
-    val lit = if (compress) RleLiteral else "        "
+    val lit =
+      if (!compress) "        "
+      else if (codec == "rdc") RdcLiteral else RleLiteral
     blobBody ++= lit.getBytes(StandardCharsets.US_ASCII)
     val nameRefs = nameBytes.map { nb =>
       val off = blobBody.length
@@ -524,7 +529,8 @@ object SasIO {
       var current = metaPage
       rows.foreach { r =>
         val enc = encodeRow(r)
-        val packed = Rle.compress(enc)
+        val packed =
+          if (codec == "rdc") Rdc.compress(enc) else Rle.compress(enc)
         val (content, comp) =
           if (packed.length < enc.length) (packed, 4) else (enc, 0)
         if (!current.freeFor(content.length)) {
@@ -676,6 +682,109 @@ object SasIO {
         }
       }
       flushLit()
+      out.toArray
+    }
+  }
+
+  // ---- RDC codec (SASYZCR2) ---------------------------------------------
+
+  /** Ross Data Compression as stored in sas7bdat (public spec; the
+    * reference delegates SAS entirely to an external reader,
+    * core/dbio/iop/sas7bdat.go:26-46). Stream = repeated 16-bit big-endian
+    * control words, MSB first; clear bit = literal byte, set bit = command
+    * byte whose high nibble selects:
+    *   0 short RLE: n = nib+3, value follows
+    *   1 long RLE:  n = nib + next<<4 + 19, value follows
+    *   2 long back-reference: ofs = nib+3+next<<4, n = next2+16
+    *   3..15 short back-reference: ofs = nib+3+next<<4, n = cmd
+    * Back-references may overlap their output (copy byte-by-byte).
+    */
+  object Rdc {
+    def decompress(src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+      val out = new Array[Byte](outLen)
+      var s = srcOff
+      val end = srcOff + srcLen
+      var o = 0
+      while (s + 1 < end && o < outLen) {
+        var ctrl = ((src(s) & 0xff) << 8) | (src(s + 1) & 0xff); s += 2
+        var bit = 0
+        while (bit < 16 && s < end && o < outLen) {
+          if ((ctrl & 0x8000) == 0) { out(o) = src(s); s += 1; o += 1 }
+          else {
+            val b = src(s) & 0xff; s += 1
+            val cmd = b >> 4
+            val nib = b & 0x0f
+            cmd match {
+              case 0 =>
+                val n = nib + 3
+                val v = src(s); s += 1
+                java.util.Arrays.fill(out, o, math.min(o + n, outLen), v)
+                o += n
+              case 1 =>
+                val n = nib + ((src(s) & 0xff) << 4) + 19; s += 1
+                val v = src(s); s += 1
+                java.util.Arrays.fill(out, o, math.min(o + n, outLen), v)
+                o += n
+              case 2 =>
+                val ofs = nib + 3 + ((src(s) & 0xff) << 4); s += 1
+                val n = (src(s) & 0xff) + 16; s += 1
+                var k = 0
+                while (k < n && o < outLen) { out(o) = out(o - ofs); o += 1; k += 1 }
+              case short => // 3..15: copy `cmd` bytes from ofs back
+                val ofs = nib + 3 + ((src(s) & 0xff) << 4); s += 1
+                var k = 0
+                while (k < short && o < outLen) { out(o) = out(o - ofs); o += 1; k += 1 }
+            }
+          }
+          ctrl <<= 1
+          bit += 1
+        }
+      }
+      out
+    }
+
+    /** Greedy encoder: same-byte runs >= 3 become RLE commands, repeats of
+      * the previous byte-window become back-references when found cheaply,
+      * everything else literals. Round-trip property-tested. */
+    def compress(src: Array[Byte]): Array[Byte] = {
+      val out = ArrayBuffer[Byte]()
+      var ctrlPos = -1
+      var ctrlVal = 0
+      var ctrlBits = 0
+      def emit(isCmd: Boolean, bytes: Byte*): Unit = {
+        if (ctrlBits == 0) {
+          ctrlPos = out.length; out += 0; out += 0 // placeholder control word
+          ctrlVal = 0
+        }
+        ctrlVal = (ctrlVal << 1) | (if (isCmd) 1 else 0)
+        ctrlBits += 1
+        out ++= bytes
+        if (ctrlBits == 16) flushCtrl()
+      }
+      def flushCtrl(): Unit = if (ctrlBits > 0) {
+        val v = ctrlVal << (16 - ctrlBits) // MSB-first, pad with literal bits
+        out(ctrlPos) = ((v >> 8) & 0xff).toByte
+        out(ctrlPos + 1) = (v & 0xff).toByte
+        ctrlBits = 0; ctrlVal = 0
+      }
+      var i = 0
+      while (i < src.length) {
+        var run = 1
+        while (i + run < src.length && src(i + run) == src(i) && run < 4113) run += 1
+        if (run >= 3) {
+          if (run <= 18) // short RLE: n = nib+3, nib <= 15
+            emit(isCmd = true, ((0 << 4) | (run - 3)).toByte, src(i))
+          else { // long RLE: n = nib + next<<4 + 19
+            val m = run - 19
+            emit(isCmd = true, ((1 << 4) | (m & 0x0f)).toByte,
+              ((m >> 4) & 0xff).toByte, src(i))
+          }
+          i += run
+        } else { emit(isCmd = false, src(i)); i += 1 }
+      }
+      // NOTE: a trailing partial control word pads with literal (0) bits;
+      // the decoder stops on input exhaustion so the pad bits are inert
+      flushCtrl()
       out.toArray
     }
   }

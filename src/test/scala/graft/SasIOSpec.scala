@@ -253,7 +253,7 @@ class SasIOSpec extends AnyFunSuite {
     assert(SasIO.read(spark, pc).count() == 2)
   }
 
-  test("reader rejects non-sas and RDC-compressed input") {
+  test("reader rejects non-sas input") {
     val bad = scratch("bad") + "/t.sas7bdat"
     val fs = new org.apache.hadoop.fs.Path(bad)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -274,6 +274,63 @@ class SasIOSpec extends AnyFunSuite {
     assert(back.length == 50)
     assert(back(0).getString(1) == "s" * 200 + "1")
     assert(back(49).getString(5) == "u" * 6) // index 49 is i=50; 50 % 11 = 6
+  }
+
+  test("RDC decode goldens: literals, RLE commands, back-references") {
+    import graft.sources.SasIO.Rdc
+    // hand-built stream: ctrl=0b0100_0000_0000_0000 → literal 'A', then
+    // short RLE cmd 0 nib 2 (n=5) of 'B' → "ABBBBB"
+    val s1 = Array[Byte](0x40, 0x00, 'A', 0x02, 'B')
+    assert(new String(Rdc.decompress(s1, 0, s1.length, 6)) == "ABBBBB")
+    // back-reference: 4 literals "ABCD", then short pattern cmd=4 nib=1
+    // ofs=1+3+0<<4=4, copy 4 → "ABCDABCD". ctrl bits: 0,0,0,0,1 → 0x0800
+    val s2 = Array[Byte](0x08, 0x00, 'A', 'B', 'C', 'D', 0x41, 0x00)
+    assert(new String(Rdc.decompress(s2, 0, s2.length, 8)) == "ABCDABCD")
+    // overlapping back-reference: literal 'x' then cmd=5 ofs=0+3+0... need
+    // ofs=1: nib+3+next<<4=1 impossible (min 3) → use 3 literals 'xyz' and
+    // ofs=3 n=6 (cmd 6, nib 0, next 0): "xyzxyzxyz"
+    val s3 = Array[Byte](0x10, 0x00, 'x', 'y', 'z', 0x60, 0x00)
+    assert(new String(Rdc.decompress(s3, 0, s3.length, 9)) == "xyzxyzxyz")
+    // long back-reference cmd 2: 3 literals then ofs=3, n=16+2=18
+    val s4 = Array[Byte](0x10, 0x00, 'p', 'q', 'r', 0x20, 0x00, 0x02)
+    assert(new String(Rdc.decompress(s4, 0, s4.length, 21)) == "pqr" * 7)
+    // long RLE cmd 1: n = 2 + (1<<4) + 19 = 37 'Z's
+    val s5 = Array[Byte](0x80.toByte, 0x00, 0x12, 0x01, 'Z')
+    assert(new String(Rdc.decompress(s5, 0, s5.length, 37)) == "Z" * 37)
+  }
+
+  test("RDC codec: compress/decompress inverse on adversarial buffers") {
+    import graft.sources.SasIO.Rdc
+    val rnd = new scala.util.Random(77)
+    val cases = Seq(
+      Array.empty[Byte],
+      "no runs at all, purely literal text".getBytes,
+      Array.fill[Byte](5000)(0),
+      ("x" * 17 + "y" * 18 + "z" * 19 + "w" * 4114 + "tail").getBytes,
+      Array.tabulate[Byte](997)(i => (i % 7).toByte)) ++
+      (1 to 20).map(_ => Array.fill[Byte](rnd.nextInt(2000))(
+        (rnd.nextInt(4) match {
+          case 0 => 0; case 1 => ' '; case 2 => 'a' + rnd.nextInt(3)
+          case _ => rnd.nextInt(256)
+        }).toByte))
+    cases.zipWithIndex.foreach { case (buf, i) =>
+      val c = Rdc.compress(buf)
+      val back = Rdc.decompress(c, 0, c.length, buf.length)
+      assert(back.toSeq == buf.toSeq, s"case $i len=${buf.length}")
+    }
+  }
+
+  test("RDC write -> read roundtrip through the page reader") {
+    import spark.implicits._
+    val df = (1 to 500).map(i =>
+      (i.toDouble, ("v" * (i % 13)) + i, (i % 97).toDouble))
+      .toDF("k", "s", "m")
+    val path = "/tmp/graft-test/sas_rdc_rt.sas7bdat"
+    SasIO.write(df, path, compress = true, codec = "rdc")
+    val back = SasIO.read(spark, path).orderBy("k").collect()
+    assert(back.length == 500)
+    assert(back(0).getDouble(0) == 1.0 && back(0).getString(1) == "v1")
+    assert(back(499).getString(1) == "v" * (500 % 13) + "500")
   }
 
   test("writer row cap probes before collecting and fails fast") {
