@@ -326,6 +326,33 @@ object FileOps {
         WHERE o_orderkey % 2 <> 0 OR o_orderstatus <> 'P'
         ORDER BY o_orderkey""")),
 
+    // Moved-table tolerance (reference hardcodes iceberg_scan's
+    // allow_moved_paths=true): the fixture is built at one location with
+    // position deletes, moved wholesale to another, and the original
+    // removed — stored absolute paths (manifest list, manifests, data
+    // files, position-delete contents) must all re-anchor to the new root
+    Q("op_iceberg_moved",
+      (s, dir) => {
+        val orig = scratch("iceberg_moved_orig", dir)
+        val moved = scratch("iceberg_moved", dir)
+        graft.sources.IcebergLite.writeSnapshot(Tables(s, dir, "orders"), orig)
+        val pos = s.read.parquet(orig + "/data")
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("o_orderkey"))
+          .filter(col("o_orderkey") % 7 === 0)
+          .select("file_path", "pos")
+        graft.sources.IcebergLite.appendDeletes(orig, Some(pos), None)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fsH = new org.apache.hadoop.fs.Path(orig).getFileSystem(conf)
+        fsH.delete(new org.apache.hadoop.fs.Path(moved), true)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fsH, new org.apache.hadoop.fs.Path(orig),
+          fsH, new org.apache.hadoop.fs.Path(moved), true, conf)
+        graft.sources.IcebergLite.read(s, moved).orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+        ORDER BY o_orderkey""")),
+
     // Delta table via transaction-log replay (no connector jar): overwrite
     // then append commits, snapshot read = both commits' rows
     Q("op_delta_roundtrip",
@@ -337,6 +364,28 @@ object FileOps {
         val c = Tables(s, dir, "customer")
         graft.sources.DeltaLite.overwrite(c.filter(col("c_custkey") % 2 === 0), t)
         graft.sources.DeltaLite.append(c.filter(col("c_custkey") % 2 =!= 0), t)
+        graft.sources.DeltaLite.read(s, t).orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // Multi-part parquet checkpoint (the norm for large logs): adds split
+    // across N part files advertised by _last_checkpoint's `parts`; the
+    // json commits at/below the checkpoint are deleted so the replay must
+    // reconstruct the snapshot from the parts alone
+    Q("op_delta_checkpoint",
+      (s, dir) => {
+        val t = scratch("delta_cp", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val c = Tables(s, dir, "customer")
+        graft.sources.DeltaLite.overwrite(c.filter(col("c_custkey") % 2 === 0), t)
+        graft.sources.DeltaLite.append(c.filter(col("c_custkey") % 2 =!= 0), t)
+        graft.sources.DeltaLite.writeCheckpoint(s, t, parts = 2)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          t, "_delta_log/00000000000000000000.json"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          t, "_delta_log/00000000000000000001.json"), false)
         graft.sources.DeltaLite.read(s, t).orderBy("c_custkey")
       },
       Some("SELECT * FROM customer ORDER BY c_custkey")),

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * distributed parquet scan of the active files, so partition pruning and
   * column pruning apply as usual.
   *
-  * Supported: JSON commits, parquet checkpoints via _last_checkpoint,
+  * Supported: JSON commits, parquet checkpoints via _last_checkpoint
+  * (single-file and (r7) multi-part via the `parts` field),
   * append/overwrite writes with single-writer commits, and (r6b) the
   * `deletionVectors` reader feature: each DV is decoded distributedly
   * (one task per vector, RoaringBitmapArray portable format via
@@ -76,9 +77,21 @@ object DeltaLite {
     val startVersion =
       if (fs.exists(lastCp)) {
         val in = fs.open(lastCp)
-        val cpVer = try mapper.readTree(in).path("version").asLong finally in.close()
-        val cpPath = new Path(dir, f"$cpVer%020d.checkpoint.parquet")
-        val cp = spark.read.parquet(cpPath.toString)
+        val cpNode = try mapper.readTree(in) finally in.close()
+        val cpVer = cpNode.path("version").asLong
+        // multi-part checkpoints (the norm for large logs): `parts` in
+        // _last_checkpoint → N files %020d.checkpoint.%010d.%010d.parquet,
+        // actions split across them; a plain union restores the snapshot
+        val partsNode = cpNode.path("parts")
+        val cpPaths =
+          if (partsNode.isMissingNode || partsNode.isNull)
+            Seq(new Path(dir, f"$cpVer%020d.checkpoint.parquet").toString)
+          else {
+            val n = partsNode.asInt
+            (1 to n).map(i =>
+              new Path(dir, f"$cpVer%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+          }
+        val cp = spark.read.parquet(cpPaths: _*)
         if (cp.columns.contains("protocol")) {
           import org.apache.spark.sql.types.StructType
           val protoType = cp.schema("protocol").dataType.asInstanceOf[StructType]
@@ -355,6 +368,47 @@ object DeltaLite {
       s"""{"remove":{"path":${jstr(p)},"dataChange":true}}""")
     writeCommit(spark, table, v,
       proto ++ removes ++ stageData(df, table).map(addAction))
+  }
+
+  /** Write a parquet checkpoint at the current version advertising the
+    * active files, and point `_last_checkpoint` at it — single-file when
+    * `parts == 1`, else the multi-part layout
+    * (%020d.checkpoint.%010d.%010d.parquet) with the adds round-robined
+    * across parts. Fixture/bootstrap quality: add actions only (replay
+    * falls back to parquet schema inference, as with json-only logs);
+    * refuses tables carrying deletion vectors.
+    */
+  def writeCheckpoint(spark: SparkSession, table: String, parts: Int = 1): Unit = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val snap = snapshot(spark, table)
+    require(snap.entries.forall(_.dv.isEmpty),
+      "writeCheckpoint is a fixture writer: deletion-vector tables unsupported")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = logDir(table)
+    val names =
+      if (parts == 1) Seq(f"${snap.version}%020d.checkpoint.parquet")
+      else (1 to parts).map(i =>
+        f"${snap.version}%020d.checkpoint.$i%010d.$parts%010d.parquet")
+    val groups = snap.entries.map(_.path).zipWithIndex
+      .groupMap(_._2 % parts)(_._1)
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    names.zipWithIndex.foreach { case (name, i) =>
+      val tmp = new Path(table, s"_cp_tmp_$i")
+      groups.getOrElse(i, Seq.empty).toSeq.map(Tuple1(_)).toDF("path")
+        .select(struct(col("path")).as("add"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      fs.rename(part, new Path(dir, name))
+      fs.delete(tmp, true)
+    }
+    val lcp = fs.create(new Path(dir, "_last_checkpoint"), true)
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
+    try lcp.write(s"""{"version":${snap.version}$partsField}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lcp.close()
   }
 
   /** Attach deletion vectors: `deletes` carries (path, pos) rows — path

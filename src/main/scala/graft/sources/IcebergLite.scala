@@ -82,6 +82,35 @@ object IcebergLite {
     }
   }
 
+  /** Moved-table path tolerance — the semantics the reference hardcodes
+    * via duckdb's `iceberg_scan(..., allow_moved_paths = true)`
+    * (core/dbio/iop/iceberg_test.go:102): metadata written at a previous
+    * table location stores absolute paths, so a copied/relocated table
+    * would otherwise fail to resolve its own files. A stored path not
+    * under the current table root is re-anchored by splicing its suffix
+    * from the last `/metadata/`, `/data/`, or `/deletes/` component (the
+    * writer's delete-file dir) onto the root —
+    * unless the re-anchored candidate doesn't exist while the stored path
+    * does (a genuine external file, e.g. an `add_files` import), in which
+    * case the stored path is kept. Paths already under the root pass
+    * through untouched, so the unmoved common case costs nothing. */
+  private def reAnchor(spark: SparkSession, table: String, stored: String): String = {
+    val t = normStr(stripScheme(table)).stripSuffix("/")
+    val s = normStr(stripScheme(stored))
+    if (s.startsWith(t + "/")) s
+    else {
+      val i = Seq("/metadata/", "/data/", "/deletes/").map(s.lastIndexOf).max
+      if (i < 0) s
+      else {
+        val candidate = t + s.substring(i)
+        val p = new Path(candidate)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) candidate
+        else s
+      }
+    }
+  }
+
   /** One live file + its data sequence number. */
   final case class FileRef(path: String, seq: Long)
 
@@ -107,6 +136,7 @@ object IcebergLite {
         manifestList = s.path("manifest-list").asText
     }
     require(manifestList != null, s"snapshot $snapId not found in $metaPath")
+    manifestList = reAnchor(spark, table, manifestList)
 
     def longField(r: GenericRecord, name: String): Option[Long] =
       Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
@@ -118,13 +148,13 @@ object IcebergLite {
     val posDel = mutable.LinkedHashMap[String, Long]()
     val eqDel = mutable.LinkedHashMap[String, Long]()
     readAvro(spark, manifestList).foreach { mf =>
-      val manifestPath = mf.get("manifest_path").toString
+      val manifestPath = reAnchor(spark, table, mf.get("manifest_path").toString)
       val manifestSeq = longField(mf, "sequence_number")
       readAvro(spark, manifestPath).foreach { entry =>
         val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val fileContent = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-        val path = df.get("file_path").toString
+        val path = reAnchor(spark, table, df.get("file_path").toString)
         // spec: a null entry sequence inherits the manifest's; files with no
         // sequence info anywhere keep the pre-r7 conservative behavior
         // (every delete applies to every data file)
@@ -153,8 +183,19 @@ object IcebergLite {
   /** Distributed read of the current snapshot, v2 deletes applied with
     * sequence-number scoping. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, max}
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, regexp_extract, when}
     val files = activeFiles(spark, table)
+    // position-delete content references data files by the path recorded
+    // at write time — re-anchor in-column (same suffix splice as the
+    // driver-side reAnchor) so a moved table's deletes still match the
+    // scan's current-location _metadata.file_path
+    val tNorm = normStr(stripScheme(table)).stripSuffix("/")
+    def reAnchorCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = normPath(c)
+      val suffix = regexp_extract(n, "^.*(/(?:data|metadata|deletes)/.*)$", 1)
+      when(n.startsWith(tNorm + "/") || suffix === lit(""), n)
+        .otherwise(concat(lit(tNorm), suffix))
+    }
     require(files.data.nonEmpty, s"iceberg table $table has no live data files")
     val base = spark.read.option("basePath", table)
       .parquet(files.data.map(f => stripScheme(f.path)): _*)
@@ -181,7 +222,7 @@ object IcebergLite {
         val pd = withSeq(
           spark.read.parquet(files.posDeletes.map(f => stripScheme(f.path)): _*),
           files.posDeletes, "__pseq")
-          .groupBy(normPath(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+          .groupBy(reAnchorCol(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
           .agg(max("__pseq").as("__pseq"))
         d = d.join(pd,
           d("__fp") === pd("__dfp") && d("__pos") === pd("__dpos") &&

@@ -71,6 +71,44 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("multi-part checkpoint: adds split across parts, all unioned") {
+    import spark.implicits._
+    val t = freshDir("delta_mpcp")
+    DeltaLite.append(Seq((1, "a")).toDF("id", "v"), t)   // v0
+    DeltaLite.append(Seq((2, "b")).toDF("id", "v"), t)   // v1
+    val (files, _) = DeltaLite.activeFiles(spark, t)
+    assert(files.size >= 2)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // split the adds across two single-FILE checkpoint parts (real layout:
+    // each part is one parquet file, not a directory)
+    def writePart(paths: Seq[String], target: String): Unit = {
+      val tmp = freshDir("delta_mpcp_tmp")
+      paths.map(Tuple1(_)).toDF("path")
+        .select(struct(col("path")).as("add"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(target))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val (half1, half2) = files.splitAt(files.size / 2)
+    writePart(half1,
+      s"$t/_delta_log/00000000000000000001.checkpoint.0000000001.0000000002.parquet")
+    writePart(half2,
+      s"$t/_delta_log/00000000000000000001.checkpoint.0000000002.0000000002.parquet")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(t, "_delta_log/_last_checkpoint"), true)
+    out.write("""{"version":1,"parts":2}""".getBytes); out.close()
+    DeltaLite.append(Seq((3, "c")).toDF("id", "v"), t)   // v2, after checkpoint
+    // delete the json commits at/below the checkpoint: the replay must now
+    // rely on the checkpoint parts alone
+    fs.delete(new org.apache.hadoop.fs.Path(t, "_delta_log/00000000000000000000.json"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(t, "_delta_log/00000000000000000001.json"), false)
+    assert(DeltaLite.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   test("protocol gate: unknown v3 features rejected; v2/CM/DV accepted") {
     import spark.implicits._
     val t = freshDir("delta4")

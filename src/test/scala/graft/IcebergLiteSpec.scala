@@ -191,6 +191,29 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(3L))
   }
 
+  test("moved table re-anchors stale absolute paths (allow_moved_paths)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val orig = "/tmp/graft-test/iceberg_moved_orig"
+    val moved = "/tmp/graft-test/iceberg_moved_new"
+    val df = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, orig)
+    // position delete recorded against the ORIGINAL data-file paths
+    val pos = spark.read.parquet(orig + "/data")
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("file_path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"),
+        org.apache.spark.sql.functions.col("id"))
+      .filter($"id" % 4 === 0).select("file_path", "pos")
+    IcebergLite.appendDeletes(orig, Some(pos), None)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(orig).getFileSystem(conf)
+    fs.delete(new Path(moved), true)
+    FileUtil.copy(fs, new Path(orig), fs, new Path(moved), true, conf)
+    assert(!fs.exists(new Path(orig))) // stale paths must NOT resolve
+    val got = IcebergLite.read(spark, moved).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 40L).filterNot(_ % 4 == 0))
+  }
+
   test("equality delete with NULL key matches NULL rows (spec semantics)") {
     import spark.implicits._
     val t = "/tmp/graft-test/iceberg5"
