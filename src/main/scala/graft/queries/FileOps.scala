@@ -265,6 +265,22 @@ object FileOps {
         c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         FROM customer ORDER BY c_custkey""")),
 
+    // Big-endian layout (SPARC/AIX exports): endianness byte 0x00, every
+    // multi-byte integer and double byte-reversed; same page-splittable
+    // distributed read as the little-endian path
+    Q("op_sas7bdat_bigendian",
+      (s, dir) => {
+        val path = scratch("sas_be", dir) + "/nation.sas7bdat"
+        val nat = Tables(s, dir, "nation").select(
+          col("n_nationkey").cast(DoubleType).as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast(DoubleType).as("n_regionkey"))
+        graft.sources.SasIO.write(nat, path, u64 = true, be = true)
+        graft.sources.SasIO.read(s, path).orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name,
+        CAST(n_regionkey AS DOUBLE) AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
     // XLSX round-trip (zip+OOXML, no POI) through the inference engine
     Q("op_excel_roundtrip",
       (s, dir) => {

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * string (sas7bdat.go:55-58). This mirrors that surface: every numeric
   * column is DoubleType, every character column StringType.
   *
-  * Format recap (all offsets little-endian; big-endian files are rejected):
+  * Format recap (byte 37 selects endianness: 0x01 little, 0x00 big —
+  * SPARC/AIX exports; all multi-byte integers and doubles follow it, r7):
   *   - 32-byte magic, alignment markers at bytes 32/35 (0x33 => u64 layout
   *     with 8-byte integers), endianness byte at 37.
   *   - header length / page size / page count at 196/200/204 (+align1).
@@ -92,7 +93,8 @@ object SasIO {
       mixRowCount: Long,
       compressed: Boolean,
       rdc: Boolean,
-      cols: Seq[SasColumn]) {
+      cols: Seq[SasColumn],
+      be: Boolean = false) {
     def intLen: Int = if (u64) 8 else 4
     def bitOffset: Int = if (u64) 32 else 16
     def ptrLen: Int = if (u64) 24 else 12
@@ -102,28 +104,40 @@ object SasIO {
 
   // ---- metadata parse ----------------------------------------------------
 
-  private def u16(b: Array[Byte], off: Int): Int =
-    ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
+  private def u16(b: Array[Byte], off: Int, be: Boolean = false): Int =
+    if (be) (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff))
+    else ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
 
-  private def u32(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def u32(b: Array[Byte], off: Int, be: Boolean = false): Long =
+    if (be)
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    else
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
-  private def i64(b: Array[Byte], off: Int): Long =
-    ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+  private def i64(b: Array[Byte], off: Int, be: Boolean = false): Long =
+    ByteBuffer.wrap(b, off, 8)
+      .order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN).getLong
 
-  private def intAt(b: Array[Byte], off: Int, u64: Boolean): Long =
-    if (u64) i64(b, off) else u32(b, off)
+  private def intAt(b: Array[Byte], off: Int, u64: Boolean, be: Boolean = false): Long =
+    if (u64) i64(b, off, be) else u32(b, off, be)
 
   def readMeta(header: Array[Byte], pageAt: Long => Array[Byte]): SasMeta = {
     require(header.length >= 1024, "file shorter than a sas7bdat header")
     require(header.take(32).sameElements(Magic), "not a sas7bdat file (bad magic)")
     val u64 = (header(32) & 0xff) == 0x33
     val align1 = if ((header(35) & 0xff) == 0x33) 4 else 0
-    require((header(37) & 0xff) == 0x01, "big-endian sas7bdat unsupported")
-    val headerLen = u32(header, 196 + align1).toInt
-    val pageLen = u32(header, 200 + align1).toInt
-    val pageCount = u32(header, 204 + align1)
+    // endianness byte: 0x01 little, 0x00 big (SPARC/AIX exports); all
+    // multi-byte integers and doubles follow it. Signatures are compared
+    // after an endian-aware read, so the same constants match both.
+    val endByte = header(37) & 0xff
+    require(endByte == 0x00 || endByte == 0x01,
+      s"bad sas7bdat endianness byte $endByte")
+    val be = endByte == 0x00
+    val headerLen = u32(header, 196 + align1, be).toInt
+    val pageLen = u32(header, 200 + align1, be).toInt
+    val pageCount = u32(header, 204 + align1, be)
     val intLen = if (u64) 8 else 4
     val bitOffset = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
@@ -140,15 +154,15 @@ object SasIO {
     var done = false
     while (page < pageCount && !done) {
       val pg = pageAt(page)
-      val ptype = u16(pg, bitOffset)
-      val subCount = u16(pg, bitOffset + 4)
+      val ptype = u16(pg, bitOffset, be)
+      val subCount = u16(pg, bitOffset + 4, be)
       if ((ptype & PageData) != 0) done = true // pure data page: meta prefix over
       else {
         var i = 0
         while (i < subCount) {
           val p = bitOffset + 8 + i * ptrLen
-          val off = intAt(pg, p, u64).toInt
-          val len = intAt(pg, p + intLen, u64).toInt
+          val off = intAt(pg, p, u64, be).toInt
+          val len = intAt(pg, p + intLen, u64, be).toInt
           val comp = pg(p + 2 * intLen) & 0xff
           val stype = pg(p + 2 * intLen + 1) & 0xff
           // data-row subheaders (compressed files) are marked type=1 /
@@ -156,17 +170,21 @@ object SasIO {
           // bytes, or a row whose data collides with a meta signature
           // would corrupt the metadata parse
           if (len > 0 && comp != 4 && stype != 1) {
-            val sig = u32(pg, off).toInt
-            val sig2 = if (u64 && !MetaSigs.contains(sig)) u32(pg, off + 4).toInt else sig
+            // u64 signatures are sign-extended to 8 bytes: the 4-byte sig
+            // sits in the low half — first on LE, LAST on BE (where the
+            // high half reads 0xffffffff and would shadow SigColName)
+            val sig = u32(pg, if (u64 && be) off + 4 else off, be).toInt
+            val sig2 = if (u64 && !MetaSigs.contains(sig))
+              u32(pg, if (be) off else off + 4, be).toInt else sig
             sig2 match {
               case SigRowSize =>
-                rowLen = intAt(pg, off + 5 * intLen, u64)
-                rowCount = intAt(pg, off + 6 * intLen, u64)
-                mixRows = intAt(pg, off + 15 * intLen, u64)
+                rowLen = intAt(pg, off + 5 * intLen, u64, be)
+                rowCount = intAt(pg, off + 6 * intLen, u64, be)
+                mixRows = intAt(pg, off + 15 * intLen, u64, be)
               case SigColSize =>
-                colCount = intAt(pg, off + intLen, u64).toInt
+                colCount = intAt(pg, off + intLen, u64, be).toInt
               case SigColText =>
-                val size = u16(pg, off + intLen)
+                val size = u16(pg, off + intLen, be)
                 val blob = java.util.Arrays.copyOfRange(pg, off + intLen, off + intLen + size)
                 if (textBlobs.isEmpty) {
                   val head = new String(blob, 0, math.min(16, blob.length), StandardCharsets.US_ASCII)
@@ -179,7 +197,7 @@ object SasIO {
                 var j = 0
                 while (j < n) {
                   val e = off + intLen + 8 + j * 8
-                  names += ((u16(pg, e), u16(pg, e + 2), u16(pg, e + 4)))
+                  names += ((u16(pg, e, be), u16(pg, e + 2, be), u16(pg, e + 4, be)))
                   j += 1
                 }
               case SigColAttr =>
@@ -188,7 +206,7 @@ object SasIO {
                 var j = 0
                 while (j < n) {
                   val e = off + intLen + 8 + j * entry
-                  attrs += ((intAt(pg, e, u64), u32(pg, e + intLen).toInt,
+                  attrs += ((intAt(pg, e, u64, be), u32(pg, e + intLen, be).toInt,
                     pg(e + intLen + 6) & 0xff))
                   j += 1
                 }
@@ -216,17 +234,19 @@ object SasIO {
       SasColumn(name, rOff.toInt, width, tpe == 1)
     }
     SasMeta(u64, headerLen, pageLen, pageCount, rowLen.toInt, rowCount,
-      mixRows, compressed, rdc, cols)
+      mixRows, compressed, rdc, cols, be)
   }
 
   // ---- row decode --------------------------------------------------------
 
   /** Truncated IEEE double: the stored bytes are the most-significant bytes
-    * of the 8-byte little-endian representation (widths 3..8). */
-  def decodeNumeric(row: Array[Byte], off: Int, width: Int): Any = {
+    * of the 8-byte representation (widths 3..8) — the trailing bytes of the
+    * little-endian form, the leading bytes of the big-endian form. */
+  def decodeNumeric(row: Array[Byte], off: Int, width: Int, be: Boolean = false): Any = {
     val full = new Array[Byte](8)
-    System.arraycopy(row, off, full, 8 - width, width)
-    val d = ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    System.arraycopy(row, off, full, if (be) 0 else 8 - width, width)
+    val d = ByteBuffer.wrap(full)
+      .order(if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN).getDouble
     if (java.lang.Double.isNaN(d)) null else d
   }
 
@@ -236,7 +256,7 @@ object SasIO {
     while (i < meta.cols.length) {
       val c = meta.cols(i)
       vals(i) =
-        if (c.isNum) decodeNumeric(page, off + c.rowOffset, c.width)
+        if (c.isNum) decodeNumeric(page, off + c.rowOffset, c.width, meta.be)
         else {
           var end = off + c.rowOffset + c.width
           val start = off + c.rowOffset
@@ -252,17 +272,17 @@ object SasIO {
   /** All rows stored on one page: plain rows on data/mix pages, one-row
     * RLE subheaders on meta pages of compressed files. */
   def pageRows(meta: SasMeta, pg: Array[Byte]): Iterator[Row] = {
-    val ptype = u16(pg, meta.bitOffset)
-    val blockCount = u16(pg, meta.bitOffset + 2)
-    val subCount = u16(pg, meta.bitOffset + 4)
+    val ptype = u16(pg, meta.bitOffset, meta.be)
+    val blockCount = u16(pg, meta.bitOffset + 2, meta.be)
+    val subCount = u16(pg, meta.bitOffset + 4, meta.be)
     val ptrBase = meta.bitOffset + 8
 
     val subRows: Iterator[Row] =
       if (subCount == 0 || !meta.compressed) Iterator.empty
       else (0 until subCount).iterator.flatMap { i =>
         val p = ptrBase + i * meta.ptrLen
-        val off = intAt(pg, p, meta.u64).toInt
-        val len = intAt(pg, p + meta.intLen, meta.u64).toInt
+        val off = intAt(pg, p, meta.u64, meta.be).toInt
+        val len = intAt(pg, p + meta.intLen, meta.u64, meta.be).toInt
         val compression = pg(p + 2 * meta.intLen) & 0xff
         val stype = pg(p + 2 * meta.intLen + 1) & 0xff
         // rows are identified by the POINTER's type/compression flags
@@ -313,8 +333,9 @@ object SasIO {
         val header = new Array[Byte](1024)
         in.readFully(0, header)
         val align1 = if ((header(35) & 0xff) == 0x33) 4 else 0
-        val headerLen = u32(header, 196 + align1).toInt
-        val pageLen = u32(header, 200 + align1).toInt
+        val beH = (header(37) & 0xff) == 0x00
+        val headerLen = u32(header, 196 + align1, beH).toInt
+        val pageLen = u32(header, 200 + align1, beH).toInt
         f -> readMeta(header, { i =>
           val pg = new Array[Byte](pageLen)
           in.readFully(headerLen + i * pageLen, pg)
@@ -360,8 +381,16 @@ object SasIO {
     * cap is probed BEFORE collecting — same pattern as `ExcelIO.write`. */
   def write(df: DataFrame, path: String, u64: Boolean = false,
       compress: Boolean = false, pageLen: Int = 0x10000,
-      maxRows: Int = 5_000_000, codec: String = "rle"): Unit = {
+      maxRows: Int = 5_000_000, codec: String = "rle",
+      be: Boolean = false): Unit = {
     require(codec == "rle" || codec == "rdc", s"bad sas codec $codec")
+    val order = if (be) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    def u16b(v: Int): Array[Byte] =
+      if (be) Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      else Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32b(v: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4).order(order); b.putInt(v); b.array()
+    }
     val schema = df.schema
     schema.fields.foreach { f =>
       require(f.dataType == DoubleType || f.dataType == StringType,
@@ -398,7 +427,7 @@ object SasIO {
       while (i < widths.length) {
         if (schema(i).dataType == DoubleType) {
           val d = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
-          ByteBuffer.wrap(b, offsets(i), 8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d)
+          ByteBuffer.wrap(b, offsets(i), 8).order(order).putDouble(d)
         } else {
           java.util.Arrays.fill(b, offsets(i), offsets(i) + widths(i), ' '.toByte)
           if (!r.isNullAt(i)) {
@@ -427,17 +456,17 @@ object SasIO {
       (0, off, nb.length)
     }
     val blobSize = blobBody.length
-    blobBody(0) = (blobSize & 0xff).toByte
-    blobBody(1) = ((blobSize >> 8) & 0xff).toByte
+    val sizeB = u16b(blobSize)
+    blobBody(0) = sizeB(0)
+    blobBody(1) = sizeB(1)
 
     def sig64(s: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(if (u64) 8 else 4).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(s)
-      if (u64) b.putInt(if (s < 0) -1 else 0)
+      val b = ByteBuffer.allocate(if (u64) 8 else 4).order(order)
+      if (u64) b.putLong(s.toLong) else b.putInt(s) // putLong sign-extends
       b.array()
     }
     def intBytes(v: Long): Array[Byte] = {
-      val b = ByteBuffer.allocate(intLen).order(ByteOrder.LITTLE_ENDIAN)
+      val b = ByteBuffer.allocate(intLen).order(order)
       if (u64) b.putLong(v) else b.putInt(v.toInt)
       b.array()
     }
@@ -463,9 +492,8 @@ object SasIO {
       b ++= sig64(SigColName)
       b ++= Array.fill[Byte](8)(0)
       nameRefs.foreach { case (ti, off, len) =>
-        b ++= Array[Byte]((ti & 0xff).toByte, ((ti >> 8) & 0xff).toByte,
-          (off & 0xff).toByte, ((off >> 8) & 0xff).toByte,
-          (len & 0xff).toByte, ((len >> 8) & 0xff).toByte, 0, 0)
+        b ++= u16b(ti); b ++= u16b(off); b ++= u16b(len)
+        b ++= Array[Byte](0, 0)
       }
       b ++= Array.fill[Byte](2 * intLen + 12 - intLen - 8)(0) // trailer so count math is exact
       b.toArray
@@ -476,8 +504,7 @@ object SasIO {
       b ++= Array.fill[Byte](8)(0)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         b ++= intBytes(offsets(i).toLong)
-        b ++= Array[Byte]((widths(i) & 0xff).toByte, ((widths(i) >> 8) & 0xff).toByte,
-          ((widths(i) >> 16) & 0xff).toByte, ((widths(i) >> 24) & 0xff).toByte)
+        b ++= u32b(widths(i))
         b ++= Array[Byte](0, 0, if (f.dataType == DoubleType) 1 else 2, 0)
       }
       b ++= Array.fill[Byte](2 * intLen + 12 - intLen - 8)(0)
@@ -509,13 +536,12 @@ object SasIO {
       }
       def rowsAdded: Int = rows
       def finish(): Array[Byte] = {
-        buf(bitOffset) = (ptype & 0xff).toByte
-        buf(bitOffset + 1) = ((ptype >> 8) & 0xff).toByte
-        val bc = nPtr + rows
-        buf(bitOffset + 2) = (bc & 0xff).toByte
-        buf(bitOffset + 3) = ((bc >> 8) & 0xff).toByte
-        buf(bitOffset + 4) = (nPtr & 0xff).toByte
-        buf(bitOffset + 5) = ((nPtr >> 8) & 0xff).toByte
+        def put16(at: Int, v: Int): Unit = {
+          val vb = u16b(v); buf(at) = vb(0); buf(at + 1) = vb(1)
+        }
+        put16(bitOffset, ptype)
+        put16(bitOffset + 2, nPtr + rows)
+        put16(bitOffset + 4, nPtr)
         buf
       }
     }
@@ -557,14 +583,14 @@ object SasIO {
     System.arraycopy(Magic, 0, header, 0, 32)
     val mark: Byte = if (u64) 0x33 else 0x22
     header(32) = mark; header(35) = mark
-    header(37) = 0x01 // little-endian
+    header(37) = if (be) 0x00 else 0x01
     header(39) = '1'  // unix
     header(70) = 20   // utf-8
     java.util.Arrays.fill(header, 92, 156, ' '.toByte)
     System.arraycopy("GRAFT".getBytes(StandardCharsets.US_ASCII), 0, header, 92, 5)
     System.arraycopy("DATA    ".getBytes(StandardCharsets.US_ASCII), 0, header, 156, 8)
     val a1 = if (u64) 4 else 0
-    val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+    val hb = ByteBuffer.wrap(header).order(order)
     hb.putInt(196 + a1, headerLen)
     hb.putInt(200 + a1, effPageLen)
     hb.putInt(204 + a1, pages.length)

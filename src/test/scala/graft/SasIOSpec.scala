@@ -75,6 +75,37 @@ class SasIOSpec extends AnyFunSuite {
     assert(back(0) == Row(1.0, "pad " * 12 + "1"))
   }
 
+  test("big-endian roundtrips: 32-bit, u64, compressed; truncated doubles") {
+    val p32 = scratch("be32") + "/t.sas7bdat"
+    SasIO.write(sampleDf, p32, be = true)
+    val b32 = SasIO.read(spark, p32).orderBy("k").collect()
+    assert(b32.length == 5 && b32(0) == Row(1.0, "alpha", 10.25))
+    assert(b32(3).isNullAt(1) && b32(3).getDouble(2) == 99999.125)
+    assert(b32(4).isNullAt(2))
+
+    val p64 = scratch("be64") + "/t.sas7bdat"
+    SasIO.write(sampleDf, p64, u64 = true, be = true)
+    assert(SasIO.read(spark, p64).orderBy("k").collect()(1) == Row(2.0, "beta", -3.5))
+
+    val pC = scratch("beRle") + "/t.sas7bdat"
+    SasIO.write(sampleDf, pC, compress = true, be = true)
+    assert(SasIO.read(spark, pC).orderBy("k").collect()(0) == Row(1.0, "alpha", 10.25))
+
+    // BE truncated doubles keep the LEADING bytes of the 8-byte BE form
+    for (w <- 3 to 8; v <- Seq(1.0, -2.5, 123456.789, 1e300)) {
+      val full = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN).putDouble(v).array()
+      val stored = java.util.Arrays.copyOfRange(full, 0, w)
+      val got = SasIO.decodeNumeric(stored, 0, w, be = true)
+      val expected = {
+        val padded = java.util.Arrays.copyOf(stored, 8)
+        java.nio.ByteBuffer.wrap(padded)
+          .order(java.nio.ByteOrder.BIG_ENDIAN).getDouble
+      }
+      assert(got == expected, s"w=$w v=$v")
+    }
+  }
+
   test("multi-page data files split across tasks") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row_$i")).toDF("k", "s")
