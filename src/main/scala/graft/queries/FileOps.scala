@@ -342,6 +342,26 @@ object FileOps {
         WHERE o_orderkey % 2 <> 0 OR o_orderstatus <> 'P'
         ORDER BY o_orderkey""")),
 
+    // Field-id schema resolution: the current schema renames two supplier
+    // columns; data files keep the write-time names, so a name-based read
+    // would miss them — the spec requires resolving by parquet field id
+    Q("op_iceberg_schema_evolution",
+      (s, dir) => {
+        val t = scratch("iceberg_rename", dir)
+        val sup = Tables(s, dir, "supplier")
+        val ids = sup.columns.zipWithIndex.map { case (c, i) =>
+          (i + 1, c match {
+            case "s_name" => "supplier_name"
+            case "s_acctbal" => "balance"
+            case other => other
+          })
+        }
+        graft.sources.IcebergLite.writeSnapshot(sup, t, Some(ids.toSeq))
+        graft.sources.IcebergLite.read(s, t).orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name AS supplier_name, s_nationkey,
+        s_acctbal AS balance FROM supplier ORDER BY s_suppkey""")),
+
     // Moved-table tolerance (reference hardcodes iceberg_scan's
     // allow_moved_paths=true): the fixture is built at one location with
     // position deletes, moved wholesale to another, and the original

@@ -7,6 +7,7 @@ import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Minimal Iceberg table scan over the public table-format spec — no
   * iceberg-spark runtime jar. The reference scans Iceberg through an
@@ -88,18 +89,20 @@ object IcebergLite {
     * table location stores absolute paths, so a copied/relocated table
     * would otherwise fail to resolve its own files. A stored path not
     * under the current table root is re-anchored by splicing its suffix
-    * from the last `/metadata/`, `/data/`, or `/deletes/` component (the
-    * writer's delete-file dir) onto the root —
+    * from the last `/metadata/`, `/data/` (incl. the writer's `data-N`
+    * append dirs), or `/deletes/` component onto the root —
     * unless the re-anchored candidate doesn't exist while the stored path
     * does (a genuine external file, e.g. an `add_files` import), in which
     * case the stored path is kept. Paths already under the root pass
     * through untouched, so the unmoved common case costs nothing. */
+  private val AnchorDirRe = "/(?:metadata|deletes|data(?:-\\d+)?)/".r
+
   private def reAnchor(spark: SparkSession, table: String, stored: String): String = {
     val t = normStr(stripScheme(table)).stripSuffix("/")
     val s = normStr(stripScheme(stored))
     if (s.startsWith(t + "/")) s
     else {
-      val i = Seq("/metadata/", "/data/", "/deletes/").map(s.lastIndexOf).max
+      val i = AnchorDirRe.findAllMatchIn(s).map(_.start).foldLeft(-1)(math.max)
       if (i < 0) s
       else {
         val candidate = t + s.substring(i)
@@ -115,9 +118,78 @@ object IcebergLite {
   final case class FileRef(path: String, seq: Long)
 
   /** The current snapshot's live files, routed by content:
-    * (data, position deletes, equality deletes). */
+    * (data, position deletes, equality deletes), plus the current schema
+    * when the metadata carries one (fields resolved by parquet field id,
+    * the way every Iceberg reader must — names in the data files are the
+    * write-time names and go stale on rename). */
   final case class SnapshotFiles(data: Seq[FileRef], posDeletes: Seq[FileRef],
-      eqDeletes: Seq[FileRef])
+      eqDeletes: Seq[FileRef], schema: Option[StructType] = None)
+
+  // ---- schema resolution (field ids) -------------------------------------
+
+  /** Map an Iceberg type node to Spark. Primitives and structs; a list/map
+    * or unknown primitive returns None and the scan falls back to
+    * name-based parquet resolution for the whole table. */
+  private def icebergType(t: com.fasterxml.jackson.databind.JsonNode):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (t.isTextual) t.asText match {
+      case "boolean" => Some(BooleanType)
+      case "int" => Some(IntegerType)
+      case "long" => Some(LongType)
+      case "float" => Some(FloatType)
+      case "double" => Some(DoubleType)
+      case "date" => Some(DateType)
+      case "string" | "uuid" => Some(StringType)
+      case "binary" => Some(BinaryType)
+      case "timestamptz" => Some(TimestampType)
+      case "timestamp" => Some(TimestampNTZType)
+      case s if s.startsWith("decimal(") && s.endsWith(")") =>
+        val parts = s.stripPrefix("decimal(").stripSuffix(")").split(",")
+        Some(DecimalType(parts(0).trim.toInt, parts(1).trim.toInt))
+      case s if s.startsWith("fixed[") => Some(BinaryType)
+      case _ => None
+    }
+    else if (t.isObject && t.path("type").asText == "struct") structOf(t)
+    else None
+  }
+
+  private def structOf(s: com.fasterxml.jackson.databind.JsonNode):
+      Option[StructType] = {
+    import org.apache.spark.sql.types._
+    val fields = mutable.ArrayBuffer[StructField]()
+    var ok = true
+    s.path("fields").forEach { f =>
+      icebergType(f.path("type")) match {
+        case Some(dt) =>
+          val md = new MetadataBuilder()
+            .putLong("parquet.field.id", f.path("id").asLong).build()
+          fields += StructField(f.path("name").asText, dt,
+            nullable = !f.path("required").asBoolean(false), md)
+        case None => ok = false
+      }
+    }
+    if (ok && fields.nonEmpty) Some(StructType(fields.toSeq)) else None
+  }
+
+  /** The current schema from metadata.json: v2 `schemas` +
+    * `current-schema-id`, v1 inline `schema`. */
+  private def currentSchema(meta: com.fasterxml.jackson.databind.JsonNode):
+      Option[StructType] = {
+    val node =
+      if (meta.has("schemas")) {
+        val sid = meta.path("current-schema-id").asInt(-1)
+        var found: com.fasterxml.jackson.databind.JsonNode = null
+        meta.path("schemas").forEach { s =>
+          if (s.path("schema-id").asInt(-2) == sid) found = s
+        }
+        Option(found)
+      } else {
+        val s = meta.path("schema")
+        if (!s.isMissingNode && s.isObject) Some(s) else None
+      }
+    node.flatMap(structOf)
+  }
 
   /** Resolve the current snapshot's live files with sequence numbers. */
   def activeFiles(spark: SparkSession, table: String): SnapshotFiles = {
@@ -171,7 +243,7 @@ object IcebergLite {
     }
     def refs(m: mutable.LinkedHashMap[String, Long]) =
       m.map { case (p, s) => FileRef(p, s) }.toSeq
-    SnapshotFiles(refs(data), refs(posDel), refs(eqDel))
+    SnapshotFiles(refs(data), refs(posDel), refs(eqDel), currentSchema(meta))
   }
 
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -192,13 +264,23 @@ object IcebergLite {
     val tNorm = normStr(stripScheme(table)).stripSuffix("/")
     def reAnchorCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val n = normPath(c)
-      val suffix = regexp_extract(n, "^.*(/(?:data|metadata|deletes)/.*)$", 1)
+      val suffix = regexp_extract(n, "^.*(/(?:metadata|deletes|data(?:-[0-9]+)?)/.*)$", 1)
       when(n.startsWith(tNorm + "/") || suffix === lit(""), n)
         .otherwise(concat(lit(tNorm), suffix))
     }
     require(files.data.nonEmpty, s"iceberg table $table has no live data files")
-    val base = spark.read.option("basePath", table)
-      .parquet(files.data.map(f => stripScheme(f.path)): _*)
+    val reader = spark.read.option("basePath", table)
+    val base = files.schema match {
+      case Some(sch) =>
+        // resolve columns by parquet field id under the CURRENT schema's
+        // names — renamed columns read correctly from files written under
+        // the old name (the conf only affects reads whose requested schema
+        // carries field-id metadata)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        reader.schema(sch).parquet(files.data.map(f => stripScheme(f.path)): _*)
+      case None =>
+        reader.parquet(files.data.map(f => stripScheme(f.path)): _*)
+    }
     if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
     else {
       // attach each data row's file sequence via a broadcast of the (small,
@@ -306,20 +388,68 @@ object IcebergLite {
 
   /** Write `df` as a fresh single-snapshot Iceberg table: data parquet +
     * one manifest + manifest list + v1.metadata.json, all at sequence 1. */
-  def writeSnapshot(df: DataFrame, table: String): Unit = {
+  /** `fieldIds`: (field-id, logical name) per df column, in order. When
+    * set, the data parquet carries `parquet.field.id` tags under the DF's
+    * (write-time) column names while metadata.json gets a `schemas` block
+    * under the LOGICAL names — i.e. an externally-written table, with
+    * renames whenever logical != write-time name. Readers must then
+    * resolve by field id, exactly as the Iceberg spec requires. */
+  def writeSnapshot(df: DataFrame, table: String,
+      fieldIds: Option[Seq[(Int, String)]] = None): Unit = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    df.write.parquet(s"$table/data")
+    val staged = fieldIds match {
+      case None => df
+      case Some(ids) =>
+        require(ids.length == df.columns.length,
+          s"fieldIds count ${ids.length} != column count ${df.columns.length}")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        import org.apache.spark.sql.functions.col
+        df.select(df.schema.fields.zip(ids).map { case (f, (id, _)) =>
+          col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        }.toSeq: _*)
+    }
+    staged.write.parquet(s"$table/data")
     val dataFiles = fs.listStatus(new Path(table, "data"))
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     val entries = dataFiles.map(fileEntry(_, 0, 1L): GenericRecord).toSeq
     writeAvroFile(spark, s"$table/metadata/m-0.avro", manifestEntrySchema, entries)
     writeAvroFile(spark, s"$table/metadata/snap-1.avro", manifestFileSchema,
       Seq(manifestRef(s"$table/metadata/m-0.avro", 0, 1L)))
-    writeMetadataJson(spark, table, 1L)
+    val schemas = fieldIds.map { ids =>
+      val fieldsJson = df.schema.fields.zip(ids).map { case (f, (id, logical)) =>
+        s"""{"id":$id,"name":${jstr(logical)},"required":false,""" +
+          s""""type":${jstr(icebergTypeName(f.dataType))}}"""
+      }.mkString(",")
+      s"""[{"schema-id":0,"type":"struct","fields":[$fieldsJson]}]"""
+    }
+    writeMetadataJson(spark, table, 1L, schemas)
   }
+
+  /** Spark → Iceberg primitive type names for the fixture writer. */
+  private def icebergTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "boolean"
+      case IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => sys.error(s"no iceberg type mapping for $other")
+    }
+  }
+
+  private def jstr(s: String): String =
+    mapper.writeValueAsString(s)
 
   /** Current snapshot id + that snapshot's manifest refs (re-keyed to the
     * writer schema so old lists can be re-emitted into a new list). */
@@ -346,11 +476,24 @@ object IcebergLite {
   }
 
   private def writeMetadataJson(spark: SparkSession, table: String,
-      snapId: Long): Unit = {
+      snapId: Long, schemas: Option[String] = None): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // appends carry the prior metadata's schemas block forward so a
+    // field-id table keeps resolving by id after appendData/appendDeletes
+    val effSchemas = schemas.orElse {
+      try {
+        val mp = new Path(currentMetadata(spark, table))
+        val in = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(mp)
+        val prior = try mapper.readTree(in) finally in.close()
+        if (prior.has("schemas")) Some(mapper.writeValueAsString(prior.path("schemas")))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val schemaPart = effSchemas
+      .map(s => s""""schemas":$s,"current-schema-id":0,""").getOrElse("")
     val meta =
       s"""{"format-version":2,"current-snapshot-id":$snapId,
-        |"last-sequence-number":$snapId,
+        |"last-sequence-number":$snapId,$schemaPart
         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":$snapId,
         |"manifest-list":"$table/metadata/snap-$snapId.avro"}]}"""
         .stripMargin.replaceAll("\n", "")

@@ -205,13 +205,33 @@ class IcebergLiteSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("id"))
       .filter($"id" % 4 === 0).select("file_path", "pos")
     IcebergLite.appendDeletes(orig, Some(pos), None)
+    // appended data lands in a data-N dir — its paths must re-anchor too
+    IcebergLite.appendData((41L to 44L).map(i => (i, s"v$i")).toDF("id", "tag"), orig)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(orig).getFileSystem(conf)
     fs.delete(new Path(moved), true)
     FileUtil.copy(fs, new Path(orig), fs, new Path(moved), true, conf)
     assert(!fs.exists(new Path(orig))) // stale paths must NOT resolve
     val got = IcebergLite.read(spark, moved).select("id").as[Long].collect().sorted
-    assert(got.toSeq == (1L to 40L).filterNot(_ % 4 == 0))
+    assert(got.toSeq == (1L to 44L).filterNot(i => i <= 40 && i % 4 == 0))
+  }
+
+  test("schema evolution: renamed column resolves by parquet field id") {
+    import spark.implicits._
+    val t = "/tmp/graft-test/iceberg_rename"
+    // write-time column name is old_tag; the current schema calls it
+    // new_tag under the same field id — spec-correct readers must follow
+    // the id, not the name in the data files
+    val df = (1L to 30L).map(i => (i, s"v$i")).toDF("id", "old_tag")
+    IcebergLite.writeSnapshot(df, t, fieldIds = Some(Seq(1 -> "id", 2 -> "new_tag")))
+    val got = IcebergLite.read(spark, t)
+    assert(got.columns.toSeq == Seq("id", "new_tag"))
+    assert(got.orderBy("id").collect()(4) ==
+      org.apache.spark.sql.Row(5L, "v5"))
+    // equality deletes keyed on the CURRENT (renamed) column still apply
+    IcebergLite.appendDeletes(t, None, Some(Seq("v7").toDF("new_tag")))
+    val after = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(after.toSeq == (1L to 30L).filterNot(_ == 7L))
   }
 
   test("equality delete with NULL key matches NULL rows (spec semantics)") {
