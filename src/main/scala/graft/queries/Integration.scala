@@ -90,6 +90,68 @@ object Integration {
       Some("""SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""")),
 
+    // task YAML source/target options (config.go source+target options):
+    // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
+    // empty null markers — cleans through skip_lines/skip_blank_lines/
+    // quote/null_if/empty_as_null, lands gzip'd, and reads back equal to
+    // the oracle's view of the same data
+    Q("op_task_options",
+      (s, dir) => {
+        val base = scratch("task_opts", dir)
+        val fsH = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(base), true)
+        val cust = graft.sources.Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+        val lines = cust.collect().map { r =>
+          val name = r.getString(1)
+          val acct = r.get(2).toString
+          // every 5th name quoted with an embedded delimiter, every 7th a
+          // \N null marker, every 11th empty
+          val k = r.get(0).toString.toLong
+          val nm =
+            if (k % 7 == 0) "\\N"
+            else if (k % 11 == 0) ""
+            else if (k % 5 == 0) s"'${name}; jr'"
+            else name
+          s"$k;$nm;$acct"
+        }
+        val out = fsH.create(new org.apache.hadoop.fs.Path(s"$base/in.csv"), true)
+        out.write(("junk line one\n\nid;name;acct\n" + lines.mkString("\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        val yaml =
+          s"""source:
+             |  stream: $base/in.csv
+             |  format: csv
+             |  options:
+             |    delimiter: ";"
+             |    quote: "'"
+             |    skip_lines: 1
+             |    skip_blank_lines: true
+             |    null_if: ["\\\\N"]
+             |    empty_as_null: true
+             |target:
+             |  object: $base/out
+             |  format: csv
+             |  mode: full-refresh
+             |  options:
+             |    compression: gzip
+             |""".stripMargin
+        graft.repl.TaskConfig.run(s, yaml, dir)
+        graft.sources.FileSources.csv(s, s"$base/out")
+          .select(col("id").cast("long").as("id"), col("name"),
+            col("acct").cast("double").as("acct"))
+          .orderBy("id")
+      },
+      Some("""SELECT c_custkey AS id,
+        CASE WHEN c_custkey % 7 = 0 THEN NULL
+             WHEN c_custkey % 11 = 0 THEN NULL
+             WHEN c_custkey % 5 = 0 THEN c_name || '; jr'
+             ELSE c_name END AS name,
+        CAST(c_acctbal AS DOUBLE) AS acct
+        FROM customer ORDER BY id""")),
+
     // mTLS API extraction (spec.go:280): a loopback HTTPS server requires
     // a client certificate (needClientAuth); fresh openssl identities per
     // run; pagination runs through the mTLS transport — a client without

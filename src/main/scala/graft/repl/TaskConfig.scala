@@ -38,15 +38,32 @@ import graft.write.{Modes, ParquetTarget}
   */
 object TaskConfig {
 
+  /** `source.options` (config.go source options → the engine's existing
+    * readers): CSV parse/clean options, JSON flatten, Excel sheet/range. */
+  final case class SourceOpts(delimiter: Option[String] = None,
+      header: Option[Boolean] = None, quote: Option[String] = None,
+      escape: Option[String] = None, nullIf: Seq[String] = Nil,
+      emptyAsNull: Boolean = false, skipLines: Int = 0,
+      skipBlankLines: Boolean = false, flatten: Boolean = false,
+      sheet: Option[Int] = None, range: Option[String] = None)
+
+  /** `target.options` (config.go target options → existing writer code):
+    * file codec/splitting, column casing, existence guard, DB hooks. */
+  final case class TargetOpts(compression: Option[String] = None,
+      fileMaxRows: Option[Int] = None, columnCasing: Option[String] = None,
+      ignoreExisting: Boolean = false, addNewColumns: Boolean = false,
+      preSql: Option[String] = None, postSql: Option[String] = None,
+      batchLimit: Option[Int] = None)
+
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
       limit: Option[Int] = None, conn: Option[String] = None,
-      encoding: Option[String] = None)
+      encoding: Option[String] = None, options: SourceOpts = SourceOpts())
 
   final case class Target(obj: String, format: String = "parquet",
       mode: String = "full-refresh", primaryKey: Seq[String] = Nil,
       updateKey: Option[String] = None, loadedAt: Option[String] = None,
-      conn: Option[String] = None)
+      conn: Option[String] = None, options: TargetOpts = TargetOpts())
 
   final case class Task(source: Source, transforms: Map[String, String],
       target: Target,
@@ -69,6 +86,35 @@ object TaskConfig {
 
     val s = section("source")
     val t = section("target")
+    def optSection(m: Map[String, Object]): Map[String, Object] =
+      m.get("options")
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap)
+        .getOrElse(Map.empty)
+    def bool(m: Map[String, Object], k: String): Boolean =
+      m.get(k).exists(_.toString.toBoolean)
+    val so = optSection(s)
+    val to = optSection(t)
+    val srcOpts = SourceOpts(
+      delimiter = so.get("delimiter").map(_.toString),
+      header = so.get("header").map(_.toString.toBoolean),
+      quote = so.get("quote").map(_.toString),
+      escape = so.get("escape").map(_.toString),
+      nullIf = strList(so, "null_if"),
+      emptyAsNull = bool(so, "empty_as_null"),
+      skipLines = so.get("skip_lines").map(_.toString.toInt).getOrElse(0),
+      skipBlankLines = bool(so, "skip_blank_lines"),
+      flatten = bool(so, "flatten"),
+      sheet = so.get("sheet").map(_.toString.toInt),
+      range = so.get("range").map(_.toString))
+    val tgtOpts = TargetOpts(
+      compression = to.get("compression").map(_.toString.toLowerCase),
+      fileMaxRows = to.get("file_max_rows").map(_.toString.toInt),
+      columnCasing = to.get("column_casing").map(_.toString),
+      ignoreExisting = bool(to, "ignore_existing"),
+      addNewColumns = bool(to, "add_new_columns"),
+      preSql = to.get("pre_sql").map(_.toString),
+      postSql = to.get("post_sql").map(_.toString),
+      batchLimit = to.get("batch_limit").map(_.toString.toInt))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -89,7 +135,8 @@ object TaskConfig {
         where = s.get("where").map(_.toString),
         limit = s.get("limit").map(_.toString.toInt),
         conn = s.get("conn").map(_.toString),
-        encoding = s.get("encoding").map(_.toString)),
+        encoding = s.get("encoding").map(_.toString),
+        options = srcOpts),
       section("transforms").map { case (k, v) => k -> v.toString },
       Target(
         obj = t("object").toString,
@@ -98,7 +145,8 @@ object TaskConfig {
         primaryKey = strList(t, "primary_key"),
         updateKey = t.get("update_key").map(_.toString),
         loadedAt = t.get("loaded_at").map(_.toString),
-        conn = t.get("conn").map(_.toString)),
+        conn = t.get("conn").map(_.toString),
+        options = tgtOpts),
       conns)
   }
 
@@ -127,9 +175,22 @@ object TaskConfig {
       sfDir: String): DataFrame =
     src.format match {
       case "table" => Tables(spark, sfDir, src.stream)
-      case "csv" => FileSources.csv(spark, src.stream, encoding = src.encoding)
-      case "jsonl" => FileSources.jsonl(spark, src.stream)
-      case "xlsx" => ExcelIO.read(spark, src.stream)
+      case "csv" =>
+        val o = src.options
+        FileSources.csv(spark, src.stream,
+          header = o.header.getOrElse(true),
+          delimiter = o.delimiter.getOrElse(","),
+          encoding = src.encoding,
+          opts = FileSources.CsvOpts(quote = o.quote, escape = o.escape,
+            nullIf = o.nullIf, emptyAsNull = o.emptyAsNull,
+            skipLines = o.skipLines, skipBlankLines = o.skipBlankLines))
+      case "jsonl" =>
+        val base = FileSources.jsonl(spark, src.stream)
+        if (src.options.flatten) graft.transform.Flatten(base) else base
+      case "xlsx" =>
+        ExcelIO.read(spark, src.stream,
+          sheetIndex = src.options.sheet.getOrElse(1),
+          range = src.options.range)
       case "avro" => AvroIO.read(spark, src.stream)
       case "arrow" => ArrowIO.read(spark, src.stream)
       case "delta" => DeltaLite.read(spark, src.stream)
@@ -151,13 +212,16 @@ object TaskConfig {
   /** Execute the task; returns rows now present in the target. */
   def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
     val task = parse(yamlText)
-    val df = applyPipeline(
+    val df0 = applyPipeline(
       readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target
+    val df = tgt.options.columnCasing
+      .fold(df0)(mode => graft.transform.Casing(df0, mode))
     // a database target conn routes through the staged-load + in-DB merge
     // path regardless of declared file format (task_run_write.go:163-498)
     tgt.conn.map(Connections.resolve(task.connections, _)) match {
       case Some(spec) if spec.isDatabase =>
+        tgt.options.preSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
         tgt.mode match {
           case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
             graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey)
@@ -174,10 +238,19 @@ object TaskConfig {
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj)
         }
+        tgt.options.postSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
         return graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj).count()
       case _ => ()
     }
-    tgt.format match {
+    // existence guard (ignore_existing): leave a non-empty target untouched
+    if (tgt.options.ignoreExisting && targetHasData(spark, tgt))
+      return countTarget(spark, tgt)
+    // file_max_rows splits output files on the parquet/delta path via the
+    // session conf (scoped to this write, restored after)
+    val prevMaxRec = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    tgt.options.fileMaxRows.foreach(n =>
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
+    try tgt.format match {
       case "parquet" | "delta" =>
         val writeDelta = tgt.format == "delta"
         val pt = ParquetTarget(spark, tgt.obj)
@@ -198,7 +271,9 @@ object TaskConfig {
           case "incremental" =>
             Modes.incrementalAppend(pt, df, tgt.updateKey.getOrElse(
               throw new IllegalArgumentException("incremental needs update_key")))
-          case "upsert" => Modes.upsert(pt, df, tgt.primaryKey)
+          case "upsert" =>
+            if (tgt.options.addNewColumns) Modes.upsertEvolve(pt, df, tgt.primaryKey)
+            else Modes.upsert(pt, df, tgt.primaryKey)
           case other => throw new IllegalArgumentException(s"mode $other")
         }
         if (writeDelta) DeltaLite.read(spark, tgt.obj).count()
@@ -207,12 +282,48 @@ object TaskConfig {
         // data stream to the console (task_run_write.go:71-148)
         graft.write.StdoutWriter.csv(df)
       case "csv" =>
-        df.write.mode("overwrite").option("header", "true").csv(tgt.obj)
-        spark.read.option("header", "true").csv(tgt.obj).count()
+        tgt.options.compression match {
+          case Some("zstd") | Some("zst") =>
+            graft.sources.Compression.writeCsvZstd(df, tgt.obj)
+          case Some(c) =>
+            df.write.mode("overwrite").option("header", "true")
+              .option("compression", c).csv(tgt.obj)
+          case None =>
+            df.write.mode("overwrite").option("header", "true").csv(tgt.obj)
+        }
+        countTarget(spark, tgt)
       case "jsonl" =>
-        df.write.mode("overwrite").json(tgt.obj)
-        spark.read.json(tgt.obj).count()
+        tgt.options.compression match {
+          case Some("zstd") | Some("zst") =>
+            graft.sources.Compression.writeJsonlZstd(df, tgt.obj)
+          case Some(c) =>
+            df.write.mode("overwrite").option("compression", c).json(tgt.obj)
+          case None => df.write.mode("overwrite").json(tgt.obj)
+        }
+        countTarget(spark, tgt)
       case other => throw new IllegalArgumentException(s"target format $other")
+    } finally {
+      if (tgt.options.fileMaxRows.isDefined) prevMaxRec match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
     }
   }
+
+  private def targetHasData(spark: SparkSession, tgt: Target): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tgt.obj)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      (try countTarget(spark, tgt) > 0
+       catch { case scala.util.control.NonFatal(_) => false })
+  }
+
+  private def countTarget(spark: SparkSession, tgt: Target): Long =
+    tgt.format match {
+      case "parquet" => ParquetTarget(spark, tgt.obj).read.count()
+      case "delta" => DeltaLite.read(spark, tgt.obj).count()
+      case "csv" => FileSources.csv(spark, tgt.obj).count()
+      case "jsonl" => FileSources.jsonl(spark, tgt.obj).count()
+      case _ => 0L
+    }
 }

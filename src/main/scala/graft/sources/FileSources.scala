@@ -20,25 +20,100 @@ object FileSources {
     * latin1/windows-1252/utf-16 and friends). Spark's text datasource
     * decodes non-UTF-8 charsets natively, so the read stays distributed.
     */
+  /** Reference CSV source options beyond header/delimiter
+    * (core/sling/config.go source options; stream_processor semantics):
+    * quote/escape pass to the parser; null_if values and empty strings
+    * null out BEFORE type inference (so a column of "\\N" still infers);
+    * skip_lines drops the first N physical lines of EACH file
+    * (pre-header), skip_blank_lines drops whitespace-only lines. */
+  final case class CsvOpts(quote: Option[String] = None,
+      escape: Option[String] = None, nullIf: Seq[String] = Nil,
+      emptyAsNull: Boolean = false, skipLines: Int = 0,
+      skipBlankLines: Boolean = false)
+
   def csv(spark: SparkSession, path: String,
       header: Boolean = true, delimiter: String = ",",
       overrides: Map[String, DataType] = Map.empty,
       sampleSize: Int = TypeInference.SampleSize,
-      encoding: Option[String] = None): DataFrame = {
+      encoding: Option[String] = None,
+      opts: CsvOpts = CsvOpts()): DataFrame = {
     val reader = spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("inferSchema", "false")
+    opts.quote.foreach(q => reader.option("quote", q))
+    opts.escape.foreach(e => reader.option("escape", e))
     encoding.foreach(e => reader.option("encoding", e))
     // gzip/snappy/lz4/bzip2 go through Hadoop codecs natively; .zst routes
     // through the zstd-jni line reader (compression.go extension sniffing),
     // which must apply the charset itself — csv(Dataset[String]) never
     // sees the raw bytes, so the reader's encoding option can't
+    val skipping = opts.skipLines > 0 || opts.skipBlankLines
     val raw =
-      if (hasZstd(spark, path))
-        reader.csv(Compression.readZstdLines(spark, path, encoding))
-      else reader.csv(path)
-    inferAndCast(raw, overrides, sampleSize)
+      if (hasZstd(spark, path)) {
+        var lines = Compression.readZstdLines(spark, path, encoding)
+        if (skipping) lines = applyLineSkips(spark, lines, opts)
+        reader.csv(lines)
+      } else if (skipping) {
+        require(encoding.forall(e =>
+          e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8")),
+          "skip_lines/skip_blank_lines need UTF-8 input (the line pre-pass " +
+            "reads through the text source)")
+        reader.csv(readLinesSkipping(spark, path, opts))
+      } else reader.csv(path)
+    val nulled = applyNullIf(raw, opts)
+    inferAndCast(nulled, overrides, sampleSize)
+  }
+
+  /** Drop the first `skipLines` physical lines of each file without a
+    * shuffle: partition 0 of a file's splits holds its first lines, so a
+    * per-file textFile read + drop on partition 0 stays distributed. */
+  private def readLinesSkipping(spark: SparkSession, path: String,
+      opts: CsvOpts): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_")).map(_.getPath.toString).sorted
+      else Seq(path)
+    val n = opts.skipLines
+    val perFile = files.map { f =>
+      if (n == 0) spark.read.textFile(f)
+      else spark.read.textFile(f)
+        .rdd.mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(n) else it)
+        .toDS()
+    }
+    val all = perFile.reduce(_ union _)
+    applyLineSkips(spark, all, opts.copy(skipLines = 0))
+  }
+
+  private def applyLineSkips(spark: SparkSession,
+      lines: org.apache.spark.sql.Dataset[String],
+      opts: CsvOpts): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val dropped =
+      if (opts.skipLines > 0)
+        lines.rdd.mapPartitionsWithIndex(
+          (i, it) => if (i == 0) it.drop(opts.skipLines) else it).toDS()
+      else lines
+    if (opts.skipBlankLines) dropped.filter(l => l.trim.nonEmpty) else dropped
+  }
+
+  /** null_if / empty_as_null on the raw all-string frame, pre-inference. */
+  private def applyNullIf(raw: DataFrame, opts: CsvOpts): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    if (opts.nullIf.isEmpty && !opts.emptyAsNull) raw
+    else raw.select(raw.columns.map { c =>
+      val base = col(s"`$c`")
+      val matchesNull =
+        (if (opts.nullIf.nonEmpty) Some(base.isin(opts.nullIf: _*)) else None) ++
+          (if (opts.emptyAsNull) Some(base === "") else None)
+      val anyMatch = matchesNull.reduce(_ || _)
+      when(anyMatch, lit(null)).otherwise(base).as(c)
+    }.toSeq: _*)
   }
 
   def jsonl(spark: SparkSession, path: String,

@@ -44,6 +44,16 @@ object Jdbc {
         write(df, url, table); -1L
     }
 
+  /** Run one statement against the target DB (pre_sql/post_sql hooks,
+    * config.go target options). */
+  def execute(url: String, sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+
   def read(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()

@@ -202,6 +202,70 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(names == Seq("José", "Zoë"))
   }
 
+  test("task yaml: csv source options skip/null_if/quote; target gzip") {
+    val base = "/tmp/graft-test/task_opts"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/in.csv"), true)
+    out.write(("garbage preamble line\nanother junk line\n" +
+      "id;name;score\n\n1;'Smith; Jane';10\n2;\\N;20\n3;;30\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val yaml =
+      s"""source:
+         |  stream: $base/in.csv
+         |  format: csv
+         |  options:
+         |    delimiter: ";"
+         |    quote: "'"
+         |    skip_lines: 2
+         |    skip_blank_lines: true
+         |    null_if: ["\\\\N"]
+         |    empty_as_null: true
+         |target:
+         |  object: $base/out
+         |  format: csv
+         |  mode: full-refresh
+         |  options:
+         |    compression: gzip
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 3)
+    // gzip part files were actually produced
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/out"))
+      .map(_.getPath.getName).filter(_.endsWith(".csv.gz"))
+    assert(parts.nonEmpty)
+    val back = graft.sources.FileSources.csv(spark, s"$base/out").orderBy("id")
+      .collect()
+    assert(back.length == 3)
+    assert(back(0).getAs[String]("name") == "Smith; Jane") // quoted delimiter
+    assert(back(1).isNullAt(1)) // null_if \N
+    assert(back(2).isNullAt(1)) // empty_as_null
+  }
+
+  test("task yaml: target options ignore_existing and column_casing") {
+    val base = "/tmp/graft-test/task_opts2"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    def yaml(limit: Int) =
+      s"""source:
+         |  stream: nation
+         |  limit: $limit
+         |target:
+         |  object: $base/t
+         |  mode: full-refresh
+         |  options:
+         |    ignore_existing: true
+         |    column_casing: upper
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml(10), "/root/testdata/sf0.001") == 10)
+    val cols = spark.read.parquet(s"$base/t").columns.toSeq
+    assert(cols.forall(c => c == c.toUpperCase))
+    // second run must leave the existing non-empty target untouched
+    assert(graft.repl.TaskConfig.run(spark, yaml(5), "/root/testdata/sf0.001") == 10)
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
