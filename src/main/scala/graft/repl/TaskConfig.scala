@@ -234,9 +234,11 @@ object TaskConfig {
             // append semantics, like the parquet path — the overwrite
             // default would silently truncate the target's history
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
-              org.apache.spark.sql.SaveMode.Append)
+              org.apache.spark.sql.SaveMode.Append,
+              batchSize = tgt.options.batchLimit)
           case _ =>
-            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj)
+            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
+              batchSize = tgt.options.batchLimit)
         }
         tgt.options.postSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
         return graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj).count()

@@ -20,10 +20,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Jdbc {
 
   def write(df: DataFrame, url: String, table: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.format("jdbc")
+      mode: SaveMode = SaveMode.Overwrite,
+      batchSize: Option[Int] = None): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
-      .mode(mode).save()
+    batchSize.foreach(n => w.option("batchsize", n))
+    w.mode(mode).save()
+  }
 
   /** Capability-dispatched bulk write (the reference's BulkImportFlow):
     * dialects with a streaming fast path take it — postgres COPY through

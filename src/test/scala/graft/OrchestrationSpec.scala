@@ -266,6 +266,33 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(graft.repl.TaskConfig.run(spark, yaml(5), "/root/testdata/sf0.001") == 10)
   }
 
+  test("task yaml: db target runs pre_sql/post_sql; batch_limit routes") {
+    val yaml =
+      s"""source:
+         |  stream: nation
+         |  limit: 8
+         |connections:
+         |  DB:
+         |    type: derby
+         |    instance: "memory:taskopts"
+         |target:
+         |  conn: DB
+         |  object: NATION_T
+         |  mode: full-refresh
+         |  options:
+         |    batch_limit: 4
+         |    pre_sql: "CREATE TABLE PRE_MARK (id INT)"
+         |    post_sql: "INSERT INTO PRE_MARK VALUES (1)"
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 8)
+    val c = java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:taskopts;create=true")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM PRE_MARK")
+      rs.next(); assert(rs.getInt(1) == 1) // pre created it, post inserted
+    } finally c.close()
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
