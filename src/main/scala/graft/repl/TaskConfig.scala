@@ -67,7 +67,8 @@ object TaskConfig {
 
   final case class Task(source: Source, transforms: Map[String, String],
       target: Target,
-      connections: Map[String, Connections.ConnSpec] = Map.empty)
+      connections: Map[String, Connections.ConnSpec] = Map.empty,
+      columns: Seq[(String, String)] = Nil)
 
   // ---- parse -------------------------------------------------------------
 
@@ -147,7 +148,13 @@ object TaskConfig {
         loadedAt = t.get("loaded_at").map(_.toString),
         conn = t.get("conn").map(_.toString),
         options = tgtOpts),
-      conns)
+      conns,
+      // declared column types (config.go `columns`): insertion-ordered,
+      // ColumnModifiers grammar (types + not_null/primary_key/... mods)
+      columns = Option(root.getOrElse("columns", null))
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toSeq
+          .map { case (k, v) => k -> v.toString })
+        .getOrElse(Nil))
   }
 
   // ---- compile + run -----------------------------------------------------
@@ -204,8 +211,19 @@ object TaskConfig {
       if (task.source.select.nonEmpty) Select(df, task.source.select) else df
     val filtered = task.source.where.fold(selected)(w => selected.filter(expr(w)))
     val limited = task.source.limit.fold(filtered)(filtered.limit)
-    task.transforms.foldLeft(limited) { case (d, (c, e)) =>
+    val transformed = task.transforms.foldLeft(limited) { case (d, (c, e)) =>
       d.withColumn(c, expr(e))
+    }
+    // declared `columns:` coerce by name after transforms; `"*"` coerces
+    // every column (the reference's wildcard coercion)
+    task.columns.foldLeft(transformed) { case (d, (n, raw)) =>
+      if (n == "*") {
+        val dt = graft.model.ColumnModifiers.parse("wildcard", raw).field.dataType
+        d.select(d.columns.map(c => col(s"`$c`").cast(dt).as(c)).toSeq: _*)
+      } else {
+        val dt = graft.model.ColumnModifiers.parse(n, raw).field.dataType
+        d.withColumn(n, col(s"`$n`").cast(dt))
+      }
     }
   }
 

@@ -293,6 +293,38 @@ class OrchestrationSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("task yaml: declared columns coerce types (incl. wildcard)") {
+    val base = "/tmp/graft-test/task_cols"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val yaml =
+      s"""source:
+         |  stream: nation
+         |columns:
+         |  n_nationkey: decimal(10,2)
+         |target:
+         |  object: $base/t
+         |  mode: full-refresh
+         |""".stripMargin
+    graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+    val sch = spark.read.parquet(s"$base/t").schema
+    assert(sch("n_nationkey").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    val yaml2 =
+      s"""source:
+         |  stream: nation
+         |columns:
+         |  "*": string
+         |target:
+         |  object: $base/t2
+         |  mode: full-refresh
+         |""".stripMargin
+    graft.repl.TaskConfig.run(spark, yaml2, "/root/testdata/sf0.001")
+    assert(spark.read.parquet(s"$base/t2").schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.StringType))
+  }
+
   test("stdin csv goes through the inference engine") {
     val bytes = "a,b,ts\n1,x,2024-01-01 00:00:00\n2,y,2024-06-30 12:00:00\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
