@@ -53,7 +53,8 @@ object TaskConfig {
       fileMaxRows: Option[Int] = None, columnCasing: Option[String] = None,
       ignoreExisting: Boolean = false, addNewColumns: Boolean = false,
       preSql: Option[String] = None, postSql: Option[String] = None,
-      batchLimit: Option[Int] = None)
+      batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
+      tableDdl: Option[String] = None, useBulk: Boolean = false)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -115,7 +116,10 @@ object TaskConfig {
       addNewColumns = bool(to, "add_new_columns"),
       preSql = to.get("pre_sql").map(_.toString),
       postSql = to.get("post_sql").map(_.toString),
-      batchLimit = to.get("batch_limit").map(_.toString.toInt))
+      batchLimit = to.get("batch_limit").map(_.toString.toInt),
+      tableTmp = to.get("table_tmp").map(_.toString),
+      tableDdl = to.get("table_ddl").map(_.toString),
+      useBulk = bool(to, "use_bulk"))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -240,9 +244,23 @@ object TaskConfig {
     tgt.conn.map(Connections.resolve(task.connections, _)) match {
       case Some(spec) if spec.isDatabase =>
         tgt.options.preSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
+        // custom CREATE TABLE (table_ddl): executed only when the table is
+        // absent; loads then append into it (Spark's Overwrite would drop
+        // the custom DDL and recreate with the inferred schema)
+        val customDdl = tgt.options.tableDdl.map { ddl =>
+          val conn = java.sql.DriverManager.getConnection(spec.jdbcUrl)
+          val exists =
+            try {
+              val rs = conn.getMetaData.getTables(null, null, tgt.obj, null)
+              try rs.next() finally rs.close()
+            } finally conn.close()
+          if (!exists) graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
+          true
+        }.getOrElse(false)
         tgt.mode match {
           case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
-            graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey)
+            graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey,
+              tableTmp = tgt.options.tableTmp)
           case "upsert" =>
             // the fall-through would be Jdbc.write's full overwrite — a
             // destructive surprise for a requested merge; fail loudly
@@ -254,6 +272,16 @@ object TaskConfig {
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
               org.apache.spark.sql.SaveMode.Append,
               batchSize = tgt.options.batchLimit)
+          case _ if customDdl =>
+            // full refresh into the custom-DDL table: clear + append
+            graft.sources.Jdbc.execute(spec.jdbcUrl, s"DELETE FROM ${tgt.obj}")
+            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
+              org.apache.spark.sql.SaveMode.Append,
+              batchSize = tgt.options.batchLimit)
+          case _ if tgt.options.useBulk =>
+            // capability-dispatched bulk path (BulkImportFlow); dialects
+            // without a wired transport fall back to batched JDBC inserts
+            graft.sources.Jdbc.bulkWrite(df, spec.jdbcUrl, tgt.obj, spec.kind)
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
               batchSize = tgt.options.batchLimit)

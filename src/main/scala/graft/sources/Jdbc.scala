@@ -75,8 +75,9 @@ object Jdbc {
     * `<table>_tmp`, MERGE on `pk`, drop the stage. Mirrors
     * task_run_write.go:163-498 + the update_insert template.
     */
-  def merge(df: DataFrame, url: String, table: String, pk: Seq[String]): Unit = {
-    val tmp = s"${table}_STAGE"
+  def merge(df: DataFrame, url: String, table: String, pk: Seq[String],
+      tableTmp: Option[String] = None): Unit = {
+    val tmp = tableTmp.getOrElse(s"${table}_STAGE")
     write(df, url, tmp, SaveMode.Overwrite)
     // Spark's JDBC writer creates columns as quoted (case-exact) identifiers;
     // quote them here too or the DB folds references to uppercase

@@ -293,6 +293,50 @@ class OrchestrationSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("task yaml: table_ddl creates the custom table, table_tmp names the stage") {
+    val yaml =
+      s"""source:
+         |  stream: nation
+         |  limit: 6
+         |connections:
+         |  DB:
+         |    type: derby
+         |    instance: "memory:taskddl"
+         |columns:
+         |  n_nationkey: bigint
+         |target:
+         |  conn: DB
+         |  object: NAT_DDL
+         |  mode: full-refresh
+         |  options:
+         |    table_ddl: 'CREATE TABLE NAT_DDL ("n_nationkey" BIGINT, "n_name" VARCHAR(64), "n_regionkey" INT)'
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 6)
+    // rerun: table exists, DDL skipped, contents refreshed not doubled
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 6)
+    // upsert path honors table_tmp as the stage name (seed, then merge)
+    def yaml2(mode: String) =
+      s"""source:
+         |  stream: nation
+         |  limit: 6
+         |connections:
+         |  DB:
+         |    type: derby
+         |    instance: "memory:taskddl"
+         |target:
+         |  conn: DB
+         |  object: NAT_UP
+         |  mode: $mode
+         |  primary_key: [n_nationkey]
+         |  options:
+         |    table_tmp: NAT_UP_TMP
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml2("full-refresh"),
+      "/root/testdata/sf0.001") == 6)
+    assert(graft.repl.TaskConfig.run(spark, yaml2("upsert"),
+      "/root/testdata/sf0.001") == 6)
+  }
+
   test("task yaml: declared columns coerce types (incl. wildcard)") {
     val base = "/tmp/graft-test/task_cols"
     val fs = new org.apache.hadoop.fs.Path(base)
