@@ -183,11 +183,43 @@ object TypeInference {
     else StringType // json + mixed + long strings all land on string
   }
 
+  /** SQL-ish `datetime_format` tokens (the reference's option surface) to
+    * a Spark datetime pattern: YYYY→yyyy, DD→dd, HH24→HH, HH12→hh,
+    * MI→mm, SS→ss, FF3→SSS, AM|PM→a. Patterns already in Spark form pass
+    * through (the replacements only hit SQL-style uppercase tokens). */
+  def sqlishToSparkPattern(f: String): String =
+    f.replace("HH24", "HH").replace("HH12", "hh")
+      .replace("YYYY", "yyyy").replace("YY", "yy")
+      .replace("DD", "dd").replace("MI", "mm").replace("SS", "ss")
+      .replace("FF3", "SSS").replace("AM", "a").replace("PM", "a")
+
   def infer(sample: Seq[Row], columns: Seq[String],
-      overrides: Map[String, DataType] = Map.empty): StructType = {
+      overrides: Map[String, DataType] = Map.empty,
+      datetimeFormat: Option[String] = None): StructType = {
     val stats = collectStats(sample, columns.size)
+    // a forced datetime_format reclassifies any column whose every
+    // sampled value parses under it — the point is ambiguous layouts
+    // (dd/MM vs MM/dd) where the cascade's first match would guess wrong
+    val forced: Option[(DateTimeFormatter, Boolean)] = datetimeFormat.map { f =>
+      val p = sqlishToSparkPattern(f)
+      val hasTime = p.exists("Hhms".contains(_))
+      (DateTimeFormatter.ofPattern(p, java.util.Locale.US), hasTime)
+    }
+    def forcedType(i: Int): Option[DataType] = forced.flatMap { case (fmt, hasTime) =>
+      val vals = sample.iterator.map(r =>
+        if (r.isNullAt(i)) null else r.getString(i))
+        .filter(v => v != null && v.nonEmpty).toSeq
+      val allParse = vals.nonEmpty && vals.forall { v =>
+        try {
+          if (hasTime) LocalDateTime.parse(v, fmt) else LocalDate.parse(v, fmt)
+          true
+        } catch { case _: Exception => false }
+      }
+      if (allParse) Some(if (hasTime) TimestampType else DateType) else None
+    }
     StructType(columns.zipWithIndex.map { case (name, i) =>
-      val dt = overrides.getOrElse(name, decide(stats(i)))
+      val dt = overrides.getOrElse(name,
+        forcedType(i).getOrElse(decide(stats(i))))
       val meta = if (dt == StringType && stats(i).maxLen > 255)
         new MetadataBuilder().putString("sling_type", "text").build()
       else Metadata.empty
@@ -198,7 +230,9 @@ object TypeInference {
   /** Cast an all-string frame to the target schema; timestamps go through the
     * layout cascade (`try_to_timestamp` chain — codegen'd, no UDF).
     */
-  def castTo(df: DataFrame, schema: StructType): DataFrame = {
+  def castTo(df: DataFrame, schema: StructType,
+      datetimeFormat: Option[String] = None): DataFrame = {
+    val forcedPattern = datetimeFormat.map(sqlishToSparkPattern)
     val cols: Seq[Column] = schema.fields.toSeq.map { f =>
       val c = col(f.name)
       val cast = f.dataType match {
@@ -208,10 +242,16 @@ object TypeInference {
           // via java.time in parseKind but cast through the default parser
           val sparkSafe = (dateTimeLayouts ++ zonedLayouts)
             .filterNot(l => l.contains("EEE") || l.contains("zzz") || l.contains("x"))
-          coalesce((sparkSafe.map(l => try_to_timestamp(c, lit(l))) :+
-            try_to_timestamp(c)): _*)
+          // a declared datetime_format parses FIRST, so ambiguous values
+          // (03/04/2024) resolve under the declared layout, not the cascade
+          val chain = forcedPattern.map(p => try_to_timestamp(c, lit(p))).toSeq ++
+            sparkSafe.map(l => try_to_timestamp(c, lit(l))) :+ try_to_timestamp(c)
+          coalesce(chain: _*)
         case DateType =>
-          coalesce(dateLayouts.map(l => try_to_timestamp(c, lit(l)).cast(DateType)): _*)
+          val chain = forcedPattern
+            .map(p => try_to_timestamp(c, lit(p)).cast(DateType)).toSeq ++
+            dateLayouts.map(l => try_to_timestamp(c, lit(l)).cast(DateType))
+          coalesce(chain: _*)
         case BooleanType => lower(trim(c)) === "true"
         case dt => c.cast(dt)
       }

@@ -44,7 +44,8 @@ object TaskConfig {
       header: Option[Boolean] = None, quote: Option[String] = None,
       escape: Option[String] = None, nullIf: Seq[String] = Nil,
       emptyAsNull: Boolean = false, skipLines: Int = 0,
-      skipBlankLines: Boolean = false, flatten: Boolean = false,
+      skipBlankLines: Boolean = false, datetimeFormat: Option[String] = None,
+      flatten: Boolean = false,
       sheet: Option[Int] = None, range: Option[String] = None)
 
   /** `target.options` (config.go target options → existing writer code):
@@ -105,6 +106,8 @@ object TaskConfig {
       emptyAsNull = bool(so, "empty_as_null"),
       skipLines = so.get("skip_lines").map(_.toString.toInt).getOrElse(0),
       skipBlankLines = bool(so, "skip_blank_lines"),
+      datetimeFormat = so.get("datetime_format").map(_.toString)
+        .filterNot(_.equalsIgnoreCase("auto")),
       flatten = bool(so, "flatten"),
       sheet = so.get("sheet").map(_.toString.toInt),
       range = so.get("range").map(_.toString))
@@ -194,7 +197,8 @@ object TaskConfig {
           encoding = src.encoding,
           opts = FileSources.CsvOpts(quote = o.quote, escape = o.escape,
             nullIf = o.nullIf, emptyAsNull = o.emptyAsNull,
-            skipLines = o.skipLines, skipBlankLines = o.skipBlankLines))
+            skipLines = o.skipLines, skipBlankLines = o.skipBlankLines,
+            datetimeFormat = o.datetimeFormat))
       case "jsonl" =>
         val base = FileSources.jsonl(spark, src.stream)
         if (src.options.flatten) graft.transform.Flatten(base) else base

@@ -29,7 +29,7 @@ object FileSources {
   final case class CsvOpts(quote: Option[String] = None,
       escape: Option[String] = None, nullIf: Seq[String] = Nil,
       emptyAsNull: Boolean = false, skipLines: Int = 0,
-      skipBlankLines: Boolean = false)
+      skipBlankLines: Boolean = false, datetimeFormat: Option[String] = None)
 
   def csv(spark: SparkSession, path: String,
       header: Boolean = true, delimiter: String = ",",
@@ -62,7 +62,7 @@ object FileSources {
         reader.csv(readLinesSkipping(spark, path, opts))
       } else reader.csv(path)
     val nulled = applyNullIf(raw, opts)
-    inferAndCast(nulled, overrides, sampleSize)
+    inferAndCast(nulled, overrides, sampleSize, opts.datetimeFormat)
   }
 
   /** Drop the first `skipLines` physical lines of each file without a
@@ -175,9 +175,11 @@ object FileSources {
   }
 
   private def inferAndCast(raw: DataFrame,
-      overrides: Map[String, DataType], sampleSize: Int): DataFrame = {
+      overrides: Map[String, DataType], sampleSize: Int,
+      datetimeFormat: Option[String] = None): DataFrame = {
     val sample = raw.limit(sampleSize).collect().toSeq
-    val schema = TypeInference.infer(sample, raw.columns.toSeq, overrides)
-    TypeInference.castTo(raw, schema)
+    val schema = TypeInference.infer(sample, raw.columns.toSeq, overrides,
+      datetimeFormat)
+    TypeInference.castTo(raw, schema, datetimeFormat)
   }
 }

@@ -337,6 +337,36 @@ class OrchestrationSpec extends AnyFunSuite {
       "/root/testdata/sf0.001") == 6)
   }
 
+  test("task yaml: datetime_format forces day-first parsing") {
+    val base = "/tmp/graft-test/task_dtfmt"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/in.csv"), true)
+    // 03/04/2024 is ambiguous (Apr 3 day-first, Mar 4 month-first); the
+    // declared layout must win
+    out.write("id;when\n1;03/04/2024 15:30:00\n2;28/02/2024 08:00:00\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val yaml =
+      s"""source:
+         |  stream: $base/in.csv
+         |  format: csv
+         |  options:
+         |    delimiter: ";"
+         |    datetime_format: "DD/MM/YYYY HH24:MI:SS"
+         |target:
+         |  object: $base/out
+         |  mode: full-refresh
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 2)
+    val rows = spark.read.parquet(s"$base/out").orderBy("id").collect()
+    assert(rows(0).schema("when").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val ts = rows(0).getTimestamp(1).toLocalDateTime
+    assert(ts.getMonthValue == 4 && ts.getDayOfMonth == 3 && ts.getHour == 15)
+  }
+
   test("task yaml: declared columns coerce types (incl. wildcard)") {
     val base = "/tmp/graft-test/task_cols"
     val fs = new org.apache.hadoop.fs.Path(base)
