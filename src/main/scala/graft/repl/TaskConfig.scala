@@ -55,7 +55,8 @@ object TaskConfig {
       ignoreExisting: Boolean = false, addNewColumns: Boolean = false,
       preSql: Option[String] = None, postSql: Option[String] = None,
       batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
-      tableDdl: Option[String] = None, useBulk: Boolean = false)
+      tableDdl: Option[String] = None, useBulk: Boolean = false,
+      maxDecimals: Option[Int] = None)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -122,7 +123,8 @@ object TaskConfig {
       batchLimit = to.get("batch_limit").map(_.toString.toInt),
       tableTmp = to.get("table_tmp").map(_.toString),
       tableDdl = to.get("table_ddl").map(_.toString),
-      useBulk = bool(to, "use_bulk"))
+      useBulk = bool(to, "use_bulk"),
+      maxDecimals = to.get("max_decimals").map(_.toString.toInt))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -241,8 +243,20 @@ object TaskConfig {
     val df0 = applyPipeline(
       readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target
-    val df = tgt.options.columnCasing
+    val df1 = tgt.options.columnCasing
       .fold(df0)(mode => graft.transform.Casing(df0, mode))
+    // max_decimals: round fractional numerics before the write
+    val df = tgt.options.maxDecimals.fold(df1) { n =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      df1.select(df1.schema.fields.map { f =>
+        f.dataType match {
+          case DoubleType | FloatType | _: DecimalType =>
+            org.apache.spark.sql.functions.round(col(s"`${f.name}`"), n)
+              .cast(f.dataType).as(f.name)
+          case _ => col(s"`${f.name}`")
+        }
+      }.toSeq: _*)
+    }
     // a database target conn routes through the staged-load + in-DB merge
     // path regardless of declared file format (task_run_write.go:163-498)
     tgt.conn.map(Connections.resolve(task.connections, _)) match {

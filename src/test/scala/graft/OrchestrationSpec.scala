@@ -337,6 +337,28 @@ class OrchestrationSpec extends AnyFunSuite {
       "/root/testdata/sf0.001") == 6)
   }
 
+  test("task yaml: max_decimals rounds numerics before the write") {
+    val base = "/tmp/graft-test/task_maxdec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val yaml =
+      s"""source:
+         |  stream: supplier
+         |  select: [s_suppkey, s_acctbal]
+         |  limit: 20
+         |target:
+         |  object: $base/t
+         |  mode: full-refresh
+         |  options:
+         |    max_decimals: 1
+         |""".stripMargin
+    graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+    val vals = spark.read.parquet(s"$base/t")
+      .collect().map(_.getDouble(1))
+    assert(vals.forall(v => math.abs(v * 10 - math.rint(v * 10)) < 1e-9))
+  }
+
   test("task yaml: datetime_format forces day-first parsing") {
     val base = "/tmp/graft-test/task_dtfmt"
     val fs = new org.apache.hadoop.fs.Path(base)
