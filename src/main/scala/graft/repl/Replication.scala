@@ -38,7 +38,8 @@ object Replication {
       select: Seq[String] = Nil, where: Option[String] = None,
       transforms: Map[String, String] = Map.empty,
       dependsOn: Seq[String] = Nil,
-      loadedAt: Option[String] = None)
+      loadedAt: Option[String] = None,
+      columns: Seq[(String, String)] = Nil)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -83,7 +84,13 @@ object Replication {
             case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
             case s => Seq(s.toString)
           }.getOrElse(Nil),
-          loadedAt = merged.get("loaded_at").map(_.toString))
+          loadedAt = merged.get("loaded_at").map(_.toString),
+          // per-stream declared types (replication.go stream `columns`),
+          // insertion-ordered, same coercion grammar as the task runner
+          columns = merged.get("columns").map(
+            _.asInstanceOf[java.util.Map[String, Object]].asScala.toSeq
+              .map { case (k, v) => k -> v.toString })
+            .getOrElse(Nil))
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -141,7 +148,8 @@ object Replication {
             TaskConfig.Source(st.name, select = st.select.map(r),
               where = st.where.map(r)),
             st.transforms.map { case (k, v) => k -> r(v) },
-            TaskConfig.Target(tgtObj, mode = st.mode)))
+            TaskConfig.Target(tgtObj, mode = st.mode),
+            columns = st.columns))
           val tgt = ParquetTarget(spark, tgtObj)
           st.mode match {
             case "full-refresh" | "truncate" => Modes.fullRefresh(tgt, src)

@@ -149,6 +149,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.collect().forall(r => r.getString(1) == r.getString(1).toLowerCase))
   }
 
+  test("replication streams coerce declared columns") {
+    val yaml =
+      """streams:
+        |  nation:
+        |    mode: full-refresh
+        |    columns:
+        |      n_nationkey: decimal(12,3)
+        |""".stripMargin
+    val compiled = graft.repl.Replication.parse(yaml, Seq("nation"))
+    assert(compiled.streams.head.columns == Seq("n_nationkey" -> "decimal(12,3)"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl_cols").toString
+    graft.repl.Replication.run(spark, "/root/testdata/sf0.001", compiled, dir)
+    assert(spark.read.parquet(s"$dir/nation").schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 3))
+  }
+
   test("upsert keeps unmatched target rows and overwrites matched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
