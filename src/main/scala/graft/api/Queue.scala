@@ -27,9 +27,16 @@ final case class Queue(spark: SparkSession, dir: String) {
     val name =
       if (part.nonEmpty) part
       else s"part-${java.util.UUID.randomUUID().toString.take(8)}"
-    val out = fs.create(new Path(path, s"$name.jsonl"), true)
+    // write under a temp name and rename into the consumer's *.jsonl glob:
+    // the streaming tail (consumeImmediate) tracks files by name exactly
+    // once, so a part appearing at its final name half-written would lose
+    // its unread tail silently
+    val tmp = new Path(path, s".$name.jsonl.tmp")
+    val out = fs.create(tmp, true)
     try records.foreach { r => out.write((r + "\n").getBytes(StandardCharsets.UTF_8)) }
     finally out.close()
+    require(fs.rename(tmp, new Path(path, s"$name.jsonl")),
+      s"queue publish rename failed for $name")
   }
 
   /** Close the queue: consumers treating `consume: immediate` stop tailing

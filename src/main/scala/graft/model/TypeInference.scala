@@ -185,13 +185,17 @@ object TypeInference {
 
   /** SQL-ish `datetime_format` tokens (the reference's option surface) to
     * a Spark datetime pattern: YYYY→yyyy, DD→dd, HH24→HH, HH12→hh,
-    * MI→mm, SS→ss, FF3→SSS, AM|PM→a. Patterns already in Spark form pass
-    * through (the replacements only hit SQL-style uppercase tokens). */
+    * MI→mm, SS→ss, FF3→SSS, AM|PM→a. A pattern containing any lowercase
+    * letter is already Spark-form and passes through UNTOUCHED — blind
+    * replacement would corrupt it (e.g. millisecond SSS → ssS). */
   def sqlishToSparkPattern(f: String): String =
-    f.replace("HH24", "HH").replace("HH12", "hh")
+    if (f.exists(_.isLower)) f
+    else f.replace("HH24", "HH").replace("HH12", "hh")
       .replace("YYYY", "yyyy").replace("YY", "yy")
+      .replace("FF3", "\u0000") // placeholder: SS→ss must not eat SSS
       .replace("DD", "dd").replace("MI", "mm").replace("SS", "ss")
-      .replace("FF3", "SSS").replace("AM", "a").replace("PM", "a")
+      .replace("AM", "a").replace("PM", "a")
+      .replace("\u0000", "SSS")
 
   def infer(sample: Seq[Row], columns: Seq[String],
       overrides: Map[String, DataType] = Map.empty,

@@ -269,8 +269,17 @@ object TaskConfig {
           val conn = java.sql.DriverManager.getConnection(spec.jdbcUrl)
           val exists =
             try {
-              val rs = conn.getMetaData.getTables(null, null, tgt.obj, null)
-              try rs.next() finally rs.close()
+              val md = conn.getMetaData
+              // unquoted identifiers case-fold per dialect — probe the
+              // stored form, not just the YAML's spelling
+              val names = (Seq(tgt.obj) ++
+                (if (md.storesUpperCaseIdentifiers) Seq(tgt.obj.toUpperCase) else Nil) ++
+                (if (md.storesLowerCaseIdentifiers) Seq(tgt.obj.toLowerCase) else Nil))
+                .distinct
+              names.exists { n =>
+                val rs = md.getTables(null, null, n, null)
+                try rs.next() finally rs.close()
+              }
             } finally conn.close()
           if (!exists) graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
           true

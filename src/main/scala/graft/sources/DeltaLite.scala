@@ -383,6 +383,12 @@ object DeltaLite {
     val snap = snapshot(spark, table)
     require(snap.entries.forall(_.dv.isEmpty),
       "writeCheckpoint is a fixture writer: deletion-vector tables unsupported")
+    // replay from a checkpoint starts AFTER it, so a checkpoint without
+    // the metaData action would silently lose column mapping (physical
+    // names would leak through); refuse instead of corrupting
+    require(!snap.meta.exists(_.configuration.contains("delta.columnMapping.mode")),
+      "writeCheckpoint is a fixture writer: column-mapped tables unsupported " +
+        "(the add-only checkpoint would drop the mapping metaData)")
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     val names =
@@ -420,14 +426,16 @@ object DeltaLite {
   def addDeletionVectors(table: String, deletes: DataFrame,
       maxPositions: Int = 10_000_000): Unit = {
     val spark = deletes.sparkSession
-    // probe-first cap (same pattern as ExcelIO): this writer groups all
-    // positions on the driver, so refuse unbounded inputs before collecting
-    val probe = deletes.limit(maxPositions + 1).count()
-    require(probe <= maxPositions,
+    // cap-guarded single evaluation: collect at most maxPositions+1 rows
+    // (the +1 detects overflow) — this writer groups all positions on the
+    // driver, so refuse unbounded inputs, without a separate count job
+    // running the upstream plan twice
+    val collected = deletes.select("path", "pos")
+      .limit(maxPositions + 1).collect()
+    require(collected.length <= maxPositions,
       s"addDeletionVectors is a driver-side bootstrap writer: got > " +
         s"$maxPositions delete positions; delete-and-rewrite instead")
-    val byFile: Seq[(String, Array[Long])] = deletes
-      .select("path", "pos").collect()
+    val byFile: Seq[(String, Array[Long])] = collected
       .groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (p, rows) => p -> rows.map(_.getLong(1)) }
     require(byFile.nonEmpty, "no delete positions given")
@@ -459,13 +467,21 @@ object DeltaLite {
     val fields = df.schema.fields.zipWithIndex
     // physical names deliberately differ from every logical name
     def phys(i: Int) = s"col-${i + 1}"
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     import org.apache.spark.sql.functions.col
     val physCols = fields.map { case (f, i) =>
       val md = new MetadataBuilder().putLong("parquet.field.id", i + 1L).build()
       col(s"`${f.name}`").as(phys(i), md)
     }
-    val staged = stageData(df.select(physCols.toSeq: _*), table)
+    // the write conf is scoped to this (eager) staging write and restored —
+    // a fixture write must not flip parquet emission session-wide
+    val prevW = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staged =
+      try stageData(df.select(physCols.toSeq: _*), table)
+      finally prevW match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
     val logical = StructType(fields.map { case (f, i) =>
       val md = new MetadataBuilder()
         .putLong("delta.columnMapping.id", i + 1L)

@@ -90,14 +90,18 @@ object FileSources {
     applyLineSkips(spark, all, opts.copy(skipLines = 0))
   }
 
+  /** Blank-line filter plus per-PARTITION head drop. Only the zstd path
+    * passes a non-zero skipLines here — readZstdLines yields exactly one
+    * partition per file, so dropping from every partition IS the per-file
+    * semantics. The plain-text path skips per file itself
+    * (readLinesSkipping) and calls this with skipLines=0. */
   private def applyLineSkips(spark: SparkSession,
       lines: org.apache.spark.sql.Dataset[String],
       opts: CsvOpts): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     val dropped =
       if (opts.skipLines > 0)
-        lines.rdd.mapPartitionsWithIndex(
-          (i, it) => if (i == 0) it.drop(opts.skipLines) else it).toDS()
+        lines.mapPartitions(_.drop(opts.skipLines))
       else lines
     if (opts.skipBlankLines) dropped.filter(l => l.trim.nonEmpty) else dropped
   }

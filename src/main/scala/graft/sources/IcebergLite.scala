@@ -260,13 +260,18 @@ object IcebergLite {
     // position-delete content references data files by the path recorded
     // at write time — re-anchor in-column (same suffix splice as the
     // driver-side reAnchor) so a moved table's deletes still match the
-    // scan's current-location _metadata.file_path
+    // scan's current-location _metadata.file_path. The rewrite applies
+    // only when the candidate IS one of the resolved data files, so
+    // deletes against genuine external files (add_files imports, which
+    // the driver-side reAnchor kept as stored) are not broken.
     val tNorm = normStr(stripScheme(table)).stripSuffix("/")
+    val knownData = files.data.map(f => normStr(stripScheme(f.path)))
     def reAnchorCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val n = normPath(c)
       val suffix = regexp_extract(n, "^.*(/(?:metadata|deletes|data(?:-[0-9]+)?)/.*)$", 1)
+      val cand = concat(lit(tNorm), suffix)
       when(n.startsWith(tNorm + "/") || suffix === lit(""), n)
-        .otherwise(concat(lit(tNorm), suffix))
+        .otherwise(when(cand.isin(knownData: _*), cand).otherwise(n))
     }
     require(files.data.nonEmpty, s"iceberg table $table has no live data files")
     val reader = spark.read.option("basePath", table)
@@ -405,14 +410,22 @@ object IcebergLite {
       case Some(ids) =>
         require(ids.length == df.columns.length,
           s"fieldIds count ${ids.length} != column count ${df.columns.length}")
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         import org.apache.spark.sql.functions.col
         df.select(df.schema.fields.zip(ids).map { case (f, (id, _)) =>
           col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("parquet.field.id", id.toLong).build())
         }.toSeq: _*)
     }
-    staged.write.parquet(s"$table/data")
+    // scope the write conf to this (eager) write and restore — a fixture
+    // write must not flip parquet emission session-wide
+    val prevW = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    if (fieldIds.isDefined)
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try staged.write.parquet(s"$table/data")
+    finally if (fieldIds.isDefined) prevW match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
     val dataFiles = fs.listStatus(new Path(table, "data"))
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     val entries = dataFiles.map(fileEntry(_, 0, 1L): GenericRecord).toSeq
@@ -465,11 +478,14 @@ object IcebergLite {
       if (s.path("snapshot-id").asLong == snapId)
         manifestList = s.path("manifest-list").asText
     }
-    val refs = readAvro(spark, manifestList).map { mf =>
+    require(manifestList != null, s"snapshot $snapId not found in $metaPath")
+    // appends to a moved table must re-anchor like the read path, both the
+    // list itself and the manifest refs re-emitted into the new list
+    val refs = readAvro(spark, reAnchor(spark, table, manifestList)).map { mf =>
       val seq = Option(mf.getSchema.getField("sequence_number"))
         .flatMap(_ => Option(mf.get("sequence_number")))
         .map(_.toString.toLong).getOrElse(snapId)
-      manifestRef(mf.get("manifest_path").toString,
+      manifestRef(reAnchor(spark, table, mf.get("manifest_path").toString),
         Option(mf.get("content")).map(_.toString.toInt).getOrElse(0), seq)
     }
     (snapId, refs)

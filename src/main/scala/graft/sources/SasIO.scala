@@ -396,10 +396,12 @@ object SasIO {
       require(f.dataType == DoubleType || f.dataType == StringType,
         s"SAS writer surface is numeric(double)/char(string); cast ${f.name}: ${f.dataType} first")
     }
-    val probed = df.limit(maxRows + 1).count()
-    require(probed <= maxRows,
+    // cap-guarded single evaluation: collect at most maxRows+1 rows (the
+    // +1 detects overflow) rather than a separate count job that would run
+    // the upstream plan twice
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
       s"sas7bdat writer cap: > $maxRows rows; route to a splittable format")
-    val rows = df.collect()
     val intLen = if (u64) 8 else 4
     val bitOffset = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
@@ -731,6 +733,14 @@ object SasIO {
       var s = srcOff
       val end = srcOff + srcLen
       var o = 0
+      // corrupt input fails with a parse error, not an executor
+      // ArrayIndexOutOfBounds mid-scan
+      def need(k: Int): Unit =
+        if (s + k > end) throw new IllegalArgumentException(
+          s"corrupt RDC stream: command needs $k operand byte(s) at $s/$end")
+      def needBack(ofs: Int): Unit =
+        if (ofs > o) throw new IllegalArgumentException(
+          s"corrupt RDC stream: back-reference $ofs exceeds output position $o")
       while (s + 1 < end && o < outLen) {
         var ctrl = ((src(s) & 0xff) << 8) | (src(s + 1) & 0xff); s += 2
         var bit = 0
@@ -743,21 +753,27 @@ object SasIO {
             cmd match {
               case 0 =>
                 val n = nib + 3
+                need(1)
                 val v = src(s); s += 1
                 java.util.Arrays.fill(out, o, math.min(o + n, outLen), v)
                 o += n
               case 1 =>
+                need(2)
                 val n = nib + ((src(s) & 0xff) << 4) + 19; s += 1
                 val v = src(s); s += 1
                 java.util.Arrays.fill(out, o, math.min(o + n, outLen), v)
                 o += n
               case 2 =>
+                need(2)
                 val ofs = nib + 3 + ((src(s) & 0xff) << 4); s += 1
                 val n = (src(s) & 0xff) + 16; s += 1
+                needBack(ofs)
                 var k = 0
                 while (k < n && o < outLen) { out(o) = out(o - ofs); o += 1; k += 1 }
               case short => // 3..15: copy `cmd` bytes from ofs back
+                need(1)
                 val ofs = nib + 3 + ((src(s) & 0xff) << 4); s += 1
+                needBack(ofs)
                 var k = 0
                 while (k < short && o < outLen) { out(o) = out(o - ofs); o += 1; k += 1 }
             }

@@ -71,6 +71,16 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("writeCheckpoint refuses column-mapped tables (mapping would be lost)") {
+    import spark.implicits._
+    val t = freshDir("delta_cp_cm")
+    DeltaLite.writeMapped(Seq((1, "a")).toDF("id", "v"), t, "name")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.writeCheckpoint(spark, t)
+    }
+    assert(e.getMessage.contains("column-mapped"))
+  }
+
   test("multi-part checkpoint: adds split across parts, all unioned") {
     import spark.implicits._
     val t = freshDir("delta_mpcp")

@@ -86,4 +86,16 @@ class InferenceSpec extends AnyFunSuite {
     assert(parseKind("Customer#000000001") == KString)
     assert(parseKind("123-456-7890") == KString)
   }
+
+  test("sqlishToSparkPattern translates SQL tokens, passes Spark forms through") {
+    import TypeInference.sqlishToSparkPattern
+    assert(sqlishToSparkPattern("DD/MM/YYYY HH24:MI:SS") == "dd/MM/yyyy HH:mm:ss")
+    assert(sqlishToSparkPattern("YYYY-MM-DD HH24:MI:SS.FF3")
+      == "yyyy-MM-dd HH:mm:ss.SSS")
+    assert(sqlishToSparkPattern("MM/DD/YY HH12:MI AM") == "MM/dd/yy hh:mm a")
+    // already-Spark patterns (any lowercase present) are untouched —
+    // blind replacement would corrupt SSS to ssS
+    assert(sqlishToSparkPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      == "yyyy-MM-dd HH:mm:ss.SSS")
+  }
 }

@@ -364,6 +364,21 @@ class SasIOSpec extends AnyFunSuite {
     assert(back(499).getString(1) == "v" * (500 % 13) + "500")
   }
 
+  test("corrupt RDC streams fail with a parse error, not array-bounds") {
+    // command byte announcing a two-operand copy, but the stream ends
+    val truncated = Array[Byte](0x80.toByte, 0x00, 0x20)
+    val e1 = intercept[IllegalArgumentException] {
+      SasIO.Rdc.decompress(truncated, 0, truncated.length, 16)
+    }
+    assert(e1.getMessage.contains("corrupt RDC"))
+    // back-reference pointing before the start of the output
+    val badBack = Array[Byte](0x80.toByte, 0x00, 0x35, 0x00)
+    val e2 = intercept[IllegalArgumentException] {
+      SasIO.Rdc.decompress(badBack, 0, badBack.length, 16)
+    }
+    assert(e2.getMessage.contains("back-reference"))
+  }
+
   test("writer row cap probes before collecting and fails fast") {
     val big = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS x")
     intercept[IllegalArgumentException] {
