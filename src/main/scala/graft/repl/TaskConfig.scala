@@ -56,7 +56,7 @@ object TaskConfig {
       preSql: Option[String] = None, postSql: Option[String] = None,
       batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
       tableDdl: Option[String] = None, useBulk: Boolean = false,
-      maxDecimals: Option[Int] = None)
+      maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -124,7 +124,8 @@ object TaskConfig {
       tableTmp = to.get("table_tmp").map(_.toString),
       tableDdl = to.get("table_ddl").map(_.toString),
       useBulk = bool(to, "use_bulk"),
-      maxDecimals = to.get("max_decimals").map(_.toString.toInt))
+      maxDecimals = to.get("max_decimals").map(_.toString.toInt),
+      adjustColumnType = bool(to, "adjust_column_type"))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -347,7 +348,9 @@ object TaskConfig {
             Modes.incrementalAppend(pt, df, tgt.updateKey.getOrElse(
               throw new IllegalArgumentException("incremental needs update_key")))
           case "upsert" =>
-            if (tgt.options.addNewColumns) Modes.upsertEvolve(pt, df, tgt.primaryKey)
+            if (tgt.options.addNewColumns || tgt.options.adjustColumnType)
+              Modes.upsertEvolve(pt, df, tgt.primaryKey,
+                adjustTypes = tgt.options.adjustColumnType)
             else Modes.upsert(pt, df, tgt.primaryKey)
           case other => throw new IllegalArgumentException(s"mode $other")
         }

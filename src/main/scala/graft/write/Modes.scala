@@ -94,16 +94,60 @@ object Modes {
     * failing. The reference pauses the stream and ALTERs the DB table; with
     * a full-input batch this collapses into a pre-write schema union.
     */
-  def upsertEvolve(target: ParquetTarget, source: DataFrame, pk: Seq[String]): Unit = {
+  /** Deterministic widening for `adjust_column_type`: string absorbs
+    * everything, fractional beats integral, decimals merge by integer
+    * digits + scale, date promotes to timestamp; incompatible kinds fall
+    * back to string (the reference's last-resort cast target). */
+  private[graft] def widenType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    if (a == b) a
+    else (a, b) match {
+      case (StringType, _) | (_, StringType) => StringType
+      case (d1: DecimalType, d2: DecimalType) =>
+        val ints = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
+        val scale = math.max(d1.scale, d2.scale)
+        DecimalType(math.min(38, ints + scale), scale)
+      case (DoubleType, _: NumericType) | (_: NumericType, DoubleType) => DoubleType
+      case (FloatType, _: NumericType) | (_: NumericType, FloatType) => DoubleType
+      case (d: DecimalType, i) if integral(i) => widenType(d, DecimalType(20, 0))
+      case (i, d: DecimalType) if integral(i) => widenType(DecimalType(20, 0), d)
+      case (x, y) if integral(x) && integral(y) =>
+        if (x == LongType || y == LongType) LongType
+        else if (x == IntegerType || y == IntegerType) IntegerType
+        else ShortType
+      case (TimestampType, DateType) | (DateType, TimestampType) => TimestampType
+      case _ => StringType
+    }
+  }
+
+  def upsertEvolve(target: ParquetTarget, source: DataFrame, pk: Seq[String],
+      adjustTypes: Boolean = false): Unit = {
     if (!target.exists) { target.overwrite(source); return }
-    val tgt = target.read
-    val newCols = source.columns.filterNot(tgt.columns.contains)
+    var tgt = target.read
+    var src = source
+    if (adjustTypes) {
+      // adjust_column_type: a shared column whose source type changed
+      // widens BOTH sides to the common type — on parquet the rewrite IS
+      // the reference's ALTER COLUMN
+      src.columns.filter(tgt.columns.contains).foreach { c =>
+        val (tt, st) = (tgt.schema(c).dataType, src.schema(c).dataType)
+        if (tt != st) {
+          val w = widenType(tt, st)
+          tgt = tgt.withColumn(c, col(c).cast(w))
+          src = src.withColumn(c, col(c).cast(w))
+        }
+      }
+    }
+    val newCols = src.columns.filterNot(tgt.columns.contains)
     val widened = newCols.foldLeft(tgt)((d, c) =>
-      d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
-    val missingInSrc = tgt.columns.filterNot(source.columns.contains)
-    val srcAligned = missingInSrc.foldLeft(source)((d, c) =>
+      d.withColumn(c, lit(null).cast(src.schema(c).dataType)))
+    val missingInSrc = tgt.columns.filterNot(src.columns.contains)
+    val srcAligned = missingInSrc.foldLeft(src)((d, c) =>
       d.withColumn(c, lit(null).cast(tgt.schema(c).dataType)))
-    val kept = widened.join(source.select(pk.map(col).toSeq: _*), pk, "left_anti")
+    val kept = widened.join(src.select(pk.map(col).toSeq: _*), pk, "left_anti")
     target.replaceWith(kept.unionByName(
       srcAligned.select(widened.columns.map(col).toSeq: _*)))
   }

@@ -165,6 +165,31 @@ class OperatorSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DecimalType(12, 3))
   }
 
+  test("upsertEvolve adjustTypes widens a changed column on both sides") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_adjust").toString
+    val t = ParquetTarget(spark, s"$dir/t")
+    Modes.fullRefresh(t, Seq((1, 10), (2, 20)).toDF("id", "v"))  // v: int
+    // source's v became long and gained a column
+    val src = Seq((2L, 99L, "x"), (3L, 30L, "y")).toDF("id", "v", "tag")
+      .select(org.apache.spark.sql.functions.col("id").cast("int").as("id"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("tag"))
+    Modes.upsertEvolve(t, src, Seq("id"), adjustTypes = true)
+    val out = t.read
+    assert(out.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val rows = out.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1, 10L), (2, 99L), (3, 30L)))
+    // widening rules
+    import org.apache.spark.sql.types._
+    assert(Modes.widenType(IntegerType, DoubleType) == DoubleType)
+    assert(Modes.widenType(DecimalType(10, 2), DecimalType(6, 4)) ==
+      DecimalType(12, 4))
+    assert(Modes.widenType(DateType, TimestampType) == TimestampType)
+    assert(Modes.widenType(BooleanType, IntegerType) == StringType)
+  }
+
   test("upsert keeps unmatched target rows and overwrites matched") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_test").toString
