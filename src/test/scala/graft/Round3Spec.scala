@@ -167,6 +167,29 @@ class Round3Spec extends AnyFunSuite {
       Seq((1L, "a,comma", 1.5), (2L, "plain", 2.5)))
   }
 
+  test("zstd csv skip_lines drops the preamble of EVERY file") {
+    val dir = "/tmp/graft-test-zstd-skip"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$name"), true)
+      out.write(Compression.zstdCompress(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      out.close()
+    }
+    // one partition per .zst file: the junk line must go from BOTH files,
+    // not only the first partition
+    put("a.csv.zst", "junk preamble\nid,name\n1,a\n")
+    put("b.csv.zst", "junk preamble\nid,name\n2,b\n")
+    val back = graft.sources.FileSources.csv(spark, dir,
+      opts = graft.sources.FileSources.CsvOpts(skipLines = 1))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.get(0).toString, r.getString(1))).toSeq ==
+      Seq(("1", "a"), ("2", "b")))
+  }
+
   test("zstd csv honors the source encoding for non-UTF-8 bytes") {
     val dir = "/tmp/graft-test-zstd-enc"
     val fs = new org.apache.hadoop.fs.Path(dir)

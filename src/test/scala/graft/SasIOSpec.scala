@@ -364,6 +364,32 @@ class SasIOSpec extends AnyFunSuite {
     assert(back(499).getString(1) == "v" * (500 % 13) + "500")
   }
 
+  test("property: LE and BE files decode identically across layouts/codecs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBE17)
+    val rows = (1 to 120).map { i =>
+      val d =
+        if (i % 17 == 0) Double.NaN
+        else if (i % 13 == 0) -0.0
+        else rnd.nextDouble() * math.pow(10, rnd.nextInt(8) - 4)
+      val s =
+        if (i % 11 == 0) null
+        else rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      (i.toDouble, s, d)
+    }
+    val df = rows.toDF("k", "s", "v")
+    for (u64 <- Seq(false, true); compress <- Seq(false, true)) {
+      val pLe = scratch(s"prop_le_${u64}_$compress") + "/t.sas7bdat"
+      val pBe = scratch(s"prop_be_${u64}_$compress") + "/t.sas7bdat"
+      SasIO.write(df, pLe, u64 = u64, compress = compress)
+      SasIO.write(df, pBe, u64 = u64, compress = compress, be = true)
+      val le = SasIO.read(spark, pLe).orderBy("k").collect().toSeq
+      val be = SasIO.read(spark, pBe).orderBy("k").collect().toSeq
+      assert(le == be, s"u64=$u64 compress=$compress")
+      assert(le.size == 120)
+    }
+  }
+
   test("corrupt RDC streams fail with a parse error, not array-bounds") {
     // command byte announcing a two-operand copy, but the stream ends
     val truncated = Array[Byte](0x80.toByte, 0x00, 0x20)
