@@ -448,6 +448,45 @@ object FileOps {
       },
       Some("SELECT * FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey")),
 
+    // Stats-based data skipping, Delta: per-file minValues/maxValues in the
+    // add actions prune files against the predicate BEFORE the scan; the
+    // predicate is re-applied to surviving rows so the result is exactly
+    // read+filter. The assertion inside verifies files were actually
+    // skipped (the range-partitioned write makes bounds disjoint).
+    Q("op_delta_skipping",
+      (s, dir) => {
+        val t = scratch("delta_skip", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        graft.sources.DeltaLite.overwrite(
+          Tables(s, dir, "orders").repartitionByRange(4, col("o_orderkey")),
+          t, collectStats = true)
+        val (kept, total) = graft.sources.DeltaLite.pruneCount(
+          s, t, "o_orderkey <= 1000")
+        require(kept < total, s"expected file skipping, kept $kept/$total")
+        graft.sources.DeltaLite.readWhere(s, t, "o_orderkey <= 1000")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey")),
+
+    // Stats-based data skipping, Iceberg: manifest lower_bounds/upper_bounds
+    // (spec Appendix D single-value binary, keyed by field id) prune data
+    // files before the scan
+    Q("op_iceberg_skipping",
+      (s, dir) => {
+        val t = scratch("iceberg_skip", dir)
+        graft.sources.IcebergLite.writeSnapshot(
+          Tables(s, dir, "orders").repartitionByRange(4, col("o_orderkey")),
+          t, collectStats = true)
+        val (kept, total) = graft.sources.IcebergLite.pruneCount(
+          s, t, "o_orderkey <= 1000")
+        require(kept < total, s"expected file skipping, kept $kept/$total")
+        graft.sources.IcebergLite.readWhere(s, t, "o_orderkey <= 1000")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey")),
+
     // Delta column mapping, `name` mode: parquet files carry physical names
     // (col-1, col-2, …) that differ from every logical name; the reader
     // resolves them through the metaData schemaString's

@@ -44,9 +44,10 @@ object DeltaLite {
   private def commitFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
-  /** One active file: path relative to the table root + optional DV. */
+  /** One active file: path relative to the table root + optional DV +
+    * the add action's raw `stats` JSON (file skipping input). */
   final case class FileEntry(path: String,
-      dv: Option[DeletionVectors.Descriptor])
+      dv: Option[DeletionVectors.Descriptor], stats: Option[String] = None)
 
   /** Latest metaData action: logical schema JSON + table configuration. */
   final case class Meta(schemaString: String, configuration: Map[String, String])
@@ -69,7 +70,8 @@ object DeltaLite {
     val dir = logDir(table)
     require(fs.exists(dir), s"not a delta table: $table (no _delta_log)")
 
-    val active = mutable.LinkedHashMap[String, Option[DeletionVectors.Descriptor]]()
+    val active =
+      mutable.LinkedHashMap[String, (Option[DeletionVectors.Descriptor], Option[String])]()
     var meta: Option[Meta] = None
 
     // start from the newest parquet checkpoint if one is advertised
@@ -116,18 +118,22 @@ object DeltaLite {
         if (cp.columns.contains("add")) {
           import org.apache.spark.sql.types.StructType
           val addType = cp.schema("add").dataType.asInstanceOf[StructType]
-          if (addType.fieldNames.contains("deletionVector")) {
-            cp.select("add.path", "add.deletionVector.storageType",
+          val hasDv = addType.fieldNames.contains("deletionVector")
+          val hasStats = addType.fieldNames.contains("stats")
+          val cols = Seq("add.path") ++
+            (if (hasDv) Seq("add.deletionVector.storageType",
               "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
-              "add.deletionVector.sizeInBytes")
-              .na.drop(Seq("path")).collect().foreach { r =>
-                val dv = if (r.isNullAt(1)) None
-                  else Some(DeletionVectors.Descriptor(r.getString(1),
-                    r.getString(2), if (r.isNullAt(3)) 1 else r.getInt(3), r.getInt(4)))
-                active += r.getString(0) -> dv
-              }
-          } else cp.select("add.path").na.drop().collect()
-            .foreach(r => active += r.getString(0) -> None)
+              "add.deletionVector.sizeInBytes") else Nil) ++
+            (if (hasStats) Seq("add.stats") else Nil)
+          cp.select(cols.head, cols.tail: _*)
+            .na.drop(Seq("path")).collect().foreach { r =>
+              val dv = if (!hasDv || r.isNullAt(1)) None
+                else Some(DeletionVectors.Descriptor(r.getString(1),
+                  r.getString(2), if (r.isNullAt(3)) 1 else r.getInt(3), r.getInt(4)))
+              val si = if (hasDv) 5 else 1
+              val st = if (!hasStats || r.isNullAt(si)) None else Some(r.getString(si))
+              active += r.getString(0) -> (dv, st)
+            }
         }
         cpVer + 1
       } else 0L
@@ -166,14 +172,18 @@ object DeltaLite {
               if (dvNode.path("offset").isMissingNode) 1
               else dvNode.path("offset").asInt,
               dvNode.path("sizeInBytes").asInt))
-          active += add.path("path").asText -> dv
+          val statsNode = add.path("stats")
+          val st = if (statsNode.isMissingNode || statsNode.isNull) None
+            else Some(statsNode.asText)
+          active += add.path("path").asText -> (dv, st)
         }
         val remove = node.path("remove")
         if (!remove.isMissingNode) active -= remove.path("path").asText
       }
       version = v
     }
-    Snapshot(active.map { case (p, dv) => FileEntry(p, dv) }.toSeq, version, meta)
+    Snapshot(active.map { case (p, (dv, st)) => FileEntry(p, dv, st) }.toSeq,
+      version, meta)
   }
 
   /** Back-compat shape: active paths only (DVs dropped). */
@@ -239,10 +249,89 @@ object DeltaLite {
 
   /** Distributed read of the table's current snapshot, DVs and column
     * mapping applied. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  def read(spark: SparkSession, table: String): DataFrame =
+    readCore(spark, table, None)
+
+  /** [[read]] plus a SQL predicate: files whose add-action `stats` prove
+    * they cannot match are skipped BEFORE the scan (data skipping — at
+    * scale this is the difference between one file and the whole table),
+    * and the predicate is then applied to the surviving rows, so the
+    * result always equals `read(...).filter(condition)`. */
+  def readWhere(spark: SparkSession, table: String, condition: String): DataFrame =
+    readCore(spark, table, Some(condition))
+
+  /** Delta `stats` JSON → the shared skipping shape. Unparseable stats
+    * degrade to NoStats (file kept). */
+  private[sources] def parseStats(json: String): FileSkipping.FileStats =
+    try {
+      val node = mapper.readTree(json)
+      val num = if (node.path("numRecords").isNumber)
+        Some(node.path("numRecords").asLong) else None
+      def valuesOf(field: String): Map[String, Any] = {
+        val n = node.path(field)
+        val out = mutable.Map[String, Any]()
+        if (n.isObject) n.fieldNames().forEachRemaining { k =>
+          n.path(k) match {
+            case v if v.isNumber => out += k.toLowerCase -> BigDecimal(v.decimalValue())
+            case v if v.isTextual => out += k.toLowerCase -> v.asText
+            case v if v.isBoolean => out += k.toLowerCase -> v.asBoolean
+            case _ => // nested-struct stats: skipped, conservative
+          }
+        }
+        out.toMap
+      }
+      val mins = valuesOf("minValues")
+      val maxs = valuesOf("maxValues")
+      val nulls = {
+        val n = node.path("nullCount")
+        val out = mutable.Map[String, Long]()
+        if (n.isObject) n.fieldNames().forEachRemaining { k =>
+          if (n.path(k).isNumber) out += k.toLowerCase -> n.path(k).asLong
+        }
+        out.toMap
+      }
+      val cols = (mins.keySet ++ maxs.keySet ++ nulls.keySet).map { c =>
+        c -> FileSkipping.ColStats(mins.get(c), maxs.get(c), nulls.get(c))
+      }.toMap
+      FileSkipping.FileStats(num, cols)
+    } catch { case scala.util.control.NonFatal(_) => FileSkipping.NoStats }
+
+  /** Entries surviving stats pruning for `condition` (logical column names;
+    * renamed to physical under column mapping). */
+  private def pruneEntries(snap: Snapshot, condition: String): Seq[FileEntry] = {
+    val pred0 = FileSkipping.parse(condition)
+    val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
+      .filter(_ != "none")
+    val pred = mode match {
+      case Some(_) =>
+        val logical = DataType.fromJson(snap.meta.get.schemaString)
+          .asInstanceOf[StructType]
+        FileSkipping.renameCols(pred0,
+          logical.fields.map(f => f.name.toLowerCase -> physName(f)).toMap)
+      case None => pred0
+    }
+    snap.entries.filter(e => FileSkipping.mayContain(pred,
+      e.stats.map(parseStats).getOrElse(FileSkipping.NoStats)))
+  }
+
+  /** (kept, total) file counts for `condition` — pruning observability. */
+  def pruneCount(spark: SparkSession, table: String, condition: String): (Int, Int) = {
+    val snap = snapshot(spark, table)
+    (pruneEntries(snap, condition).size, snap.entries.size)
+  }
+
+  private def readCore(spark: SparkSession, table: String,
+      where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table)
-    val entries = snap.entries
+    val entries = where match {
+      case None => snap.entries
+      case Some(cond) =>
+        val kept = pruneEntries(snap, cond)
+        // every file provably mismatches → scan ONE file so the result
+        // keeps the table schema; the trailing filter empties it
+        if (kept.isEmpty) snap.entries.take(1) else kept
+    }
     require(entries.nonEmpty, s"delta table $table has no active files")
     val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
       .filter(_ != "none")
@@ -268,10 +357,12 @@ object DeltaLite {
         sys.error(s"unsupported delta.columnMapping.mode $other")
     }
     val afterDv = applyDeletionVectors(spark, table, base, entries)
-    if (mode.contains("name"))
+    val mapped = if (mode.contains("name"))
       afterDv.select(logical.get.fields.map(f =>
         toLogicalCol(col(s"`${physName(f)}`"), f).as(f.name)).toSeq: _*)
     else afterDv
+    where.map(c => mapped.filter(org.apache.spark.sql.functions.expr(c)))
+      .getOrElse(mapped)
   }
 
   private def applyDeletionVectors(spark: SparkSession, table: String,
@@ -338,24 +429,88 @@ object DeltaLite {
   /** JSON string literal (quoted + escaped) — paths may carry quotes. */
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
-  private def addAction(path: String): String =
+  private def addAction(path: String, stats: Option[String] = None): String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":0,""" +
-      s""""modificationTime":0,"dataChange":true}}"""
+      s""""modificationTime":0,"dataChange":true""" +
+      stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
 
-  /** Append `df` as a new commit. */
-  def append(df: DataFrame, table: String): Unit = {
+  /** Per-file `stats` JSON (numRecords/minValues/maxValues/nullCount) for
+    * the staged files — ONE distributed aggregation over them, collect
+    * bounded at one row per file. Atomic columns only; anything else is
+    * simply absent from the stats (the reader treats absence as "keep"). */
+  private def statsFor(spark: SparkSession, table: String,
+      staged: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(staged.map(p => s"$table/$p"): _*)
+    val atomic = df.schema.fields.filter(_.dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    val aggs = count(lit(1)).as("__n") +: atomic.zipWithIndex.flatMap {
+      case (f, i) =>
+        val c = col(s"`${f.name}`")
+        Seq(min(c).as(s"mn_$i"), max(c).as(s"mx_$i"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nl_$i"))
+    }.toSeq
+    val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val fp = r.getString(0).replaceFirst("^file:/+", "/")
+      staged.find(p => fp.endsWith("/" + p)).map { rel =>
+        val root = mapper.createObjectNode()
+        root.put("numRecords", r.getLong(1))
+        val mins = root.putObject("minValues")
+        val maxs = root.putObject("maxValues")
+        val nulls = root.putObject("nullCount")
+        def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+            name: String, v: Any): Unit = v match {
+          case null => // all-null file: no bounds for this column
+          case x: java.lang.Number if x.isInstanceOf[java.lang.Double] ||
+              x.isInstanceOf[java.lang.Float] =>
+            o.put(name, x.doubleValue())
+          case x: java.math.BigDecimal => o.put(name, x)
+          case x: java.lang.Number => o.put(name, x.longValue())
+          case x: java.sql.Date => o.put(name, x.toString) // yyyy-MM-dd
+          case x: java.sql.Timestamp => o.put(name, x.toInstant.toString)
+          case x: java.time.LocalDateTime => o.put(name, x.toString)
+          case x: Boolean => o.put(name, x)
+          case x => o.put(name, x.toString)
+        }
+        atomic.indices.foreach { i =>
+          putVal(mins, atomic(i).name, r.getAs[Any](s"mn_$i"))
+          putVal(maxs, atomic(i).name, r.getAs[Any](s"mx_$i"))
+          nulls.put(atomic(i).name, r.getAs[Long](s"nl_$i"))
+        }
+        rel -> mapper.writeValueAsString(root)
+      }
+    }.toMap
+  }
+
+  private def addActions(spark: SparkSession, table: String,
+      staged: Seq[String], collectStats: Boolean): Seq[String] = {
+    val stats = if (collectStats) statsFor(spark, table, staged)
+      else Map.empty[String, String]
+    staged.map(p => addAction(p, stats.get(p)))
+  }
+
+  /** Append `df` as a new commit; `collectStats` adds per-file skipping
+    * stats (one extra aggregation pass over the staged files). */
+  def append(df: DataFrame, table: String, collectStats: Boolean = false): Unit = {
     val spark = df.sparkSession
     val v = nextVersion(spark, table)
     val proto = if (v == 0L)
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""")
     else Nil
-    writeCommit(spark, table, v, proto ++ stageData(df, table).map(addAction))
+    writeCommit(spark, table, v,
+      proto ++ addActions(spark, table, stageData(df, table), collectStats))
   }
 
   /** Replace the table contents: one commit removing every active file and
     * adding the new ones — readers see either the old or new snapshot.
     */
-  def overwrite(df: DataFrame, table: String): Unit = {
+  def overwrite(df: DataFrame, table: String, collectStats: Boolean = false): Unit = {
     val spark = df.sparkSession
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (old, _) = if (fs.exists(logDir(table)))
@@ -367,7 +522,7 @@ object DeltaLite {
     val removes = old.map(p =>
       s"""{"remove":{"path":${jstr(p)},"dataChange":true}}""")
     writeCommit(spark, table, v,
-      proto ++ removes ++ stageData(df, table).map(addAction))
+      proto ++ removes ++ addActions(spark, table, stageData(df, table), collectStats))
   }
 
   /** Write a parquet checkpoint at the current version advertising the
@@ -502,6 +657,6 @@ object DeltaLite {
         s""""delta.columnMapping.maxColumnId":"${fields.length}"},""" +
         s""""createdTime":0}}"""
     writeCommit(spark, table, nextVersion(spark, table),
-      Seq(proto, metaAction) ++ staged.map(addAction))
+      Seq(proto, metaAction) ++ staged.map(p => addAction(p)))
   }
 }

@@ -114,8 +114,11 @@ object IcebergLite {
     }
   }
 
-  /** One live file + its data sequence number. */
-  final case class FileRef(path: String, seq: Long)
+  /** One live file + its data sequence number + decoded column bounds
+    * (file-skipping input; NoStats when the manifest carries none or the
+    * metadata has no schema to resolve field ids against). */
+  final case class FileRef(path: String, seq: Long,
+      stats: FileSkipping.FileStats = FileSkipping.NoStats)
 
   /** The current snapshot's live files, routed by content:
     * (data, position deletes, equality deletes), plus the current schema
@@ -216,7 +219,14 @@ object IcebergLite {
 
     // content: manifest_file 0=data 1=deletes; data_file 0=data
     // 1=position deletes 2=equality deletes
-    val data = mutable.LinkedHashMap[String, Long]()
+    val schema = currentSchema(meta)
+    val idMap: Map[Int, (String, org.apache.spark.sql.types.DataType)] =
+      schema.map(_.fields.collect {
+        case f if f.metadata.contains("parquet.field.id") =>
+          f.metadata.getLong("parquet.field.id").toInt ->
+            (f.name.toLowerCase, f.dataType)
+      }.toMap).getOrElse(Map.empty)
+    val data = mutable.LinkedHashMap[String, (Long, FileSkipping.FileStats)]()
     val posDel = mutable.LinkedHashMap[String, Long]()
     val eqDel = mutable.LinkedHashMap[String, Long]()
     readAvro(spark, manifestList).foreach { mf =>
@@ -231,19 +241,121 @@ object IcebergLite {
         // sequence info anywhere keep the pre-r7 conservative behavior
         // (every delete applies to every data file)
         val inherited = longField(entry, "sequence_number").orElse(manifestSeq)
-        val (target, seq) = fileContent match {
-          case 0 => (data, inherited.getOrElse(0L))
-          case 1 => (posDel, inherited.getOrElse(Long.MaxValue))
-          case 2 => (eqDel, inherited.getOrElse(Long.MaxValue))
+        fileContent match {
+          case 0 =>
+            if (status == 2) data -= path
+            else data += path ->
+              (inherited.getOrElse(0L), entryStats(df, idMap))
+          case 1 =>
+            if (status == 2) posDel -= path
+            else posDel += path -> inherited.getOrElse(Long.MaxValue)
+          case 2 =>
+            if (status == 2) eqDel -= path
+            else eqDel += path -> inherited.getOrElse(Long.MaxValue)
           case other => throw new IllegalArgumentException(
             s"unknown iceberg data_file content $other in $manifestPath")
         }
-        if (status == 2) target -= path else target += path -> seq
       }
     }
     def refs(m: mutable.LinkedHashMap[String, Long]) =
       m.map { case (p, s) => FileRef(p, s) }.toSeq
-    SnapshotFiles(refs(data), refs(posDel), refs(eqDel), currentSchema(meta))
+    SnapshotFiles(
+      data.map { case (p, (s, st)) => FileRef(p, s, st) }.toSeq,
+      refs(posDel), refs(eqDel), schema)
+  }
+
+  // ---- manifest column bounds → file skipping ----------------------------
+
+  /** Avro `bytes` / `fixed` value → byte array. */
+  private def avroBytes(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val d = b.duplicate(); val out = new Array[Byte](d.remaining); d.get(out); out
+    case f: org.apache.avro.generic.GenericFixed => f.bytes
+    case a: Array[Byte] => a
+  }
+
+  /** An Iceberg manifest map field (spec encodes maps with int keys as an
+    * array of {key, value} records with logicalType map; plain avro maps
+    * tolerated too) → Map[fieldId, raw value]. */
+  private def manifestMap(df: GenericRecord, field: String): Map[Int, Any] = {
+    if (df.getSchema.getField(field) == null) return Map.empty
+    df.get(field) match {
+      case null => Map.empty
+      case arr: java.util.Collection[_] =>
+        val out = mutable.Map[Int, Any]()
+        arr.forEach {
+          case r: GenericRecord =>
+            Option(r.get("value")).foreach(v => out += r.get("key").toString.toInt -> v)
+          case _ =>
+        }
+        out.toMap
+      case m: java.util.Map[_, _] =>
+        val out = mutable.Map[Int, Any]()
+        m.forEach((k, v) => if (v != null) out += k.toString.toInt -> v)
+        out.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Iceberg single-value serialization (spec Appendix D) → the skipping
+    * comparison domain (BigDecimal / String / Boolean / LocalDate /
+    * Instant). Unknown or malformed values decode to None (file kept). */
+  def decodeBound(bytes: Array[Byte],
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.types._
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case IntegerType if bytes.length == 4 => Some(BigDecimal(le.getInt))
+      case LongType if bytes.length == 8 => Some(BigDecimal(le.getLong))
+      case FloatType if bytes.length == 4 =>
+        val f = le.getFloat
+        if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+      case DoubleType if bytes.length == 8 =>
+        val d = le.getDouble
+        if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+      case StringType =>
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case DateType if bytes.length == 4 =>
+        Some(java.time.LocalDate.ofEpochDay(le.getInt.toLong))
+      case TimestampType | TimestampNTZType if bytes.length == 8 =>
+        val micros = le.getLong
+        Some(java.time.Instant.EPOCH
+          .plusSeconds(math.floorDiv(micros, 1000000L))
+          .plusNanos(math.floorMod(micros, 1000000L) * 1000L))
+      case d: DecimalType =>
+        // unscaled value, big-endian two's-complement
+        Some(BigDecimal(new java.math.BigInteger(bytes), d.scale))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode a data_file record's bounds/counts into the shared skipping
+    * shape. Empty when the metadata has no field-id schema (nothing to
+    * resolve ids against) or the manifest carries no stats fields. */
+  private def entryStats(df: GenericRecord,
+      idMap: Map[Int, (String, org.apache.spark.sql.types.DataType)])
+      : FileSkipping.FileStats = {
+    if (idMap.isEmpty) return FileSkipping.NoStats
+    val lows = manifestMap(df, "lower_bounds")
+    val ups = manifestMap(df, "upper_bounds")
+    val nulls = manifestMap(df, "null_value_counts")
+      .map { case (k, v) => k -> v.toString.toLong }
+    val num =
+      if (df.getSchema.getField("record_count") == null) None
+      else Option(df.get("record_count")).map(_.toString.toLong)
+    val ids = lows.keySet ++ ups.keySet ++ nulls.keySet
+    if (ids.isEmpty && num.isEmpty) return FileSkipping.NoStats
+    val cols = ids.toSeq.flatMap { id =>
+      idMap.get(id).map { case (name, dt) =>
+        name -> FileSkipping.ColStats(
+          lows.get(id).flatMap(v => decodeBound(avroBytes(v), dt)),
+          ups.get(id).flatMap(v => decodeBound(avroBytes(v), dt)),
+          nulls.get(id))
+      }
+    }.toMap
+    FileSkipping.FileStats(num, cols)
   }
 
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -254,9 +366,39 @@ object IcebergLite {
 
   /** Distributed read of the current snapshot, v2 deletes applied with
     * sequence-number scoping. */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, regexp_extract, when}
+  def read(spark: SparkSession, table: String): DataFrame =
+    readCore(spark, table, None)
+
+  /** [[read]] plus a SQL predicate: data files whose manifest bounds
+    * (lower_bounds/upper_bounds/null_value_counts) prove they cannot match
+    * are skipped BEFORE the scan, and the predicate is then applied to the
+    * surviving rows — the result always equals `read(...).filter(cond)`. */
+  def readWhere(spark: SparkSession, table: String, condition: String): DataFrame =
+    readCore(spark, table, Some(condition))
+
+  /** (kept, total) data-file counts for `condition` — pruning
+    * observability. */
+  def pruneCount(spark: SparkSession, table: String,
+      condition: String): (Int, Int) = {
     val files = activeFiles(spark, table)
+    val pred = FileSkipping.parse(condition)
+    (files.data.count(f => FileSkipping.mayContain(pred, f.stats)),
+      files.data.size)
+  }
+
+  private def readCore(spark: SparkSession, table: String,
+      where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, regexp_extract, when}
+    val files0 = activeFiles(spark, table)
+    val files = where match {
+      case None => files0
+      case Some(cond) =>
+        val pred = FileSkipping.parse(cond)
+        val kept = files0.data.filter(f => FileSkipping.mayContain(pred, f.stats))
+        // every file provably mismatches → scan ONE file so the result
+        // keeps the table schema; the trailing filter empties it
+        files0.copy(data = if (kept.isEmpty) files0.data.take(1) else kept)
+    }
     // position-delete content references data files by the path recorded
     // at write time — re-anchor in-column (same suffix splice as the
     // driver-side reAnchor) so a moved table's deletes still match the
@@ -286,7 +428,7 @@ object IcebergLite {
       case None =>
         reader.parquet(files.data.map(f => stripScheme(f.path)): _*)
     }
-    if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
+    val result = if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
     else {
       // attach each data row's file sequence via a broadcast of the (small,
       // already driver-held) file list — the scan itself stays distributed
@@ -340,6 +482,8 @@ object IcebergLite {
       }
       d.drop("__fp", "__pos", "__dseq")
     }
+    where.map(c => result.filter(org.apache.spark.sql.functions.expr(c)))
+      .getOrElse(result)
   }
 
   // ---- minimal snapshot writer (bootstrap/fixture, not full Iceberg) -----
@@ -351,7 +495,20 @@ object IcebergLite {
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":["null","int"],"default":null},
       |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"}]}}]}""".stripMargin)
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":["null","long"],"default":null},
+      |  {"name":"null_value_counts","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k117_v118","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"long"}]},
+      |    "logicalType":"map"}],"default":null},
+      |  {"name":"lower_bounds","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]},
+      |    "logicalType":"map"}],"default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"array",
+      |    "items":{"type":"record","name":"k129_v130","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]},
+      |    "logicalType":"map"}],"default":null}]}}]}""".stripMargin)
 
   private val manifestFileSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -375,10 +532,39 @@ object IcebergLite {
     * spec-compliant reader (including this one) to scan the snapshot; NOT
     * a transactional committer — bootstrap and fixtures only.
     */
-  private def fileEntry(path: String, content: Int, seq: Long): GenericRecord = {
-    val d = new org.apache.avro.generic.GenericData.Record(
-      manifestEntrySchema.getField("data_file").schema())
+  /** Spec-shaped per-file bounds for the fixture writer (field id →
+    * Appendix-D-encoded min/max, null counts, record count). */
+  final case class FileBounds(recordCount: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      nullCounts: Map[Int, Long])
+
+  private def fileEntry(path: String, content: Int, seq: Long,
+      bounds: Option[FileBounds] = None): GenericRecord = {
+    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+    val d = new org.apache.avro.generic.GenericData.Record(dfSchema)
     d.put("content", content); d.put("file_path", path); d.put("file_format", "PARQUET")
+    bounds.foreach { b =>
+      def kv(field: String, entries: Map[Int, Any]): Unit = {
+        val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
+        val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](
+          entries.size, arrSchema)
+        entries.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new org.apache.avro.generic.GenericData.Record(
+            arrSchema.getElementType)
+          r.put("key", k)
+          r.put("value", v match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case other => other
+          })
+          arr.add(r)
+        }
+        d.put(field, arr)
+      }
+      d.put("record_count", b.recordCount)
+      kv("null_value_counts", b.nullCounts.map { case (k, v) => k -> (v: Any) })
+      kv("lower_bounds", b.lower.map { case (k, v) => k -> (v: Any) })
+      kv("upper_bounds", b.upper.map { case (k, v) => k -> (v: Any) })
+    }
     val e = new org.apache.avro.generic.GenericData.Record(manifestEntrySchema)
     e.put("status", 1); e.put("sequence_number", seq); e.put("data_file", d)
     e
@@ -399,13 +585,100 @@ object IcebergLite {
     * under the LOGICAL names — i.e. an externally-written table, with
     * renames whenever logical != write-time name. Readers must then
     * resolve by field id, exactly as the Iceberg spec requires. */
+  /** Appendix-D single-value encoder (inverse of [[decodeBound]]); `v` is
+    * the JVM value an aggregation row yields for the column's Spark type. */
+  private def encodeBound(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.types._
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    if (v == null) return None
+    dt match {
+      case BooleanType =>
+        Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case IntegerType =>
+        Some(le(4).putInt(v.asInstanceOf[Number].intValue).array)
+      case LongType =>
+        Some(le(8).putLong(v.asInstanceOf[Number].longValue).array)
+      case FloatType =>
+        Some(le(4).putFloat(v.asInstanceOf[Number].floatValue).array)
+      case DoubleType =>
+        Some(le(8).putDouble(v.asInstanceOf[Number].doubleValue).array)
+      case StringType =>
+        Some(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case DateType =>
+        Some(le(4).putInt(
+          v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt).array)
+      case TimestampType =>
+        val t = v.asInstanceOf[java.sql.Timestamp].toInstant
+        Some(le(8).putLong(t.getEpochSecond * 1000000L + t.getNano / 1000L).array)
+      case TimestampNTZType =>
+        val t = v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC)
+        Some(le(8).putLong(t.getEpochSecond * 1000000L + t.getNano / 1000L).array)
+      case d: DecimalType =>
+        Some(v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue.toByteArray)
+      case _ => None
+    }
+  }
+
+  /** Per-file bounds for the staged data files — ONE distributed
+    * aggregation, one collected row per file. `fields` = (fieldId,
+    * column) pairs; non-encodable types are simply absent from the
+    * bounds (the reader treats absence as "keep"). */
+  private def boundsFor(spark: SparkSession, dataFiles: Seq[String],
+      fields: Seq[(Int, org.apache.spark.sql.types.StructField)])
+      : Map[String, FileBounds] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val enc = fields.filter { case (_, f) => encodableBound(f.dataType) }
+    val df = spark.read.parquet(dataFiles.map(stripScheme): _*)
+    val aggs = count(lit(1)).as("__n") +: enc.zipWithIndex.flatMap {
+      case ((_, f), i) =>
+        val c = col(s"`${f.name}`")
+        Seq(min(c).as(s"mn_$i"), max(c).as(s"mx_$i"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nl_$i"))
+    }
+    val rows = df.groupBy(normPath(col("_metadata.file_path")).as("__fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { r =>
+      val lows = mutable.Map[Int, Array[Byte]]()
+      val ups = mutable.Map[Int, Array[Byte]]()
+      val nulls = mutable.Map[Int, Long]()
+      enc.zipWithIndex.foreach { case ((id, f), i) =>
+        encodeBound(r.getAs[Any](s"mn_$i"), f.dataType).foreach(lows += id -> _)
+        encodeBound(r.getAs[Any](s"mx_$i"), f.dataType).foreach(ups += id -> _)
+        nulls += id -> r.getAs[Long](s"nl_$i")
+      }
+      r.getString(0) -> FileBounds(r.getAs[Long]("__n"),
+        lows.toMap, ups.toMap, nulls.toMap)
+    }.toMap
+  }
+
+  private def encodableBound(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | DateType | TimestampType | TimestampNTZType |
+           _: DecimalType => true
+      case _ => false
+    }
+  }
+
   def writeSnapshot(df: DataFrame, table: String,
-      fieldIds: Option[Seq[(Int, String)]] = None): Unit = {
+      fieldIds: Option[Seq[(Int, String)]] = None,
+      collectStats: Boolean = false): Unit = {
     val spark = df.sparkSession
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
-    val staged = fieldIds match {
+    // bounds are keyed by field id, so stats need a field-id schema in the
+    // metadata to resolve against — default to ordinal ids (the spec shape;
+    // a real metadata.json always carries its schema)
+    val effIds = fieldIds.orElse(if (collectStats)
+      Some(df.columns.toSeq.zipWithIndex.map { case (c, i) => (i + 1, c) })
+    else None)
+    val staged = effIds match {
       case None => df
       case Some(ids) =>
         require(ids.length == df.columns.length,
@@ -419,20 +692,26 @@ object IcebergLite {
     // scope the write conf to this (eager) write and restore — a fixture
     // write must not flip parquet emission session-wide
     val prevW = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-    if (fieldIds.isDefined)
+    if (effIds.isDefined)
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     try staged.write.parquet(s"$table/data")
-    finally if (fieldIds.isDefined) prevW match {
+    finally if (effIds.isDefined) prevW match {
       case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
       case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
     val dataFiles = fs.listStatus(new Path(table, "data"))
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-    val entries = dataFiles.map(fileEntry(_, 0, 1L): GenericRecord).toSeq
+    val bounds: Map[String, FileBounds] =
+      if (collectStats && effIds.isDefined)
+        boundsFor(spark, dataFiles.toSeq,
+          effIds.get.map(_._1).zip(df.schema.fields).map { case (id, f) => (id, f) })
+      else Map.empty
+    val entries = dataFiles.map(p =>
+      fileEntry(p, 0, 1L, bounds.get(normStr(stripScheme(p)))): GenericRecord).toSeq
     writeAvroFile(spark, s"$table/metadata/m-0.avro", manifestEntrySchema, entries)
     writeAvroFile(spark, s"$table/metadata/snap-1.avro", manifestFileSchema,
       Seq(manifestRef(s"$table/metadata/m-0.avro", 0, 1L)))
-    val schemas = fieldIds.map { ids =>
+    val schemas = effIds.map { ids =>
       val fieldsJson = df.schema.fields.zip(ids).map { case (f, (id, logical)) =>
         s"""{"id":$id,"name":${jstr(logical)},"required":false,""" +
           s""""type":${jstr(icebergTypeName(f.dataType))}}"""
