@@ -211,8 +211,21 @@ object TaskConfig {
           range = src.options.range)
       case "avro" => AvroIO.read(spark, src.stream)
       case "arrow" => ArrowIO.read(spark, src.stream)
-      case "delta" => DeltaLite.read(spark, src.stream)
-      case "iceberg" => IcebergLite.read(spark, src.stream)
+      // a `where:` on a table-format source goes through readWhere so the
+      // file-level stats prune the scan (the pipeline re-applies the same
+      // predicate afterwards — idempotent). If the raw predicate doesn't
+      // resolve against the table (e.g. it names post-select aliases),
+      // fall back to the unpruned read; the pipeline filter still applies.
+      case "delta" =>
+        src.where.flatMap { w =>
+          try Some(DeltaLite.readWhere(spark, src.stream, w))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(DeltaLite.read(spark, src.stream))
+      case "iceberg" =>
+        src.where.flatMap { w =>
+          try Some(IcebergLite.readWhere(spark, src.stream, w))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(IcebergLite.read(spark, src.stream))
       case "parquet" => spark.read.parquet(src.stream)
       case other => throw new IllegalArgumentException(s"source format $other")
     }

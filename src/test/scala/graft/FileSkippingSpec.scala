@@ -179,6 +179,44 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(got == expect && got == ((51 to 59) ++ (71 to 100)).toSeq)
   }
 
+  test("task yaml: where on a delta/iceberg source routes through readWhere") {
+    import spark.implicits._
+    val base = freshDir("skip_task")
+    val df = (1 to 200).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1)
+    DeltaLite.append(df.filter("id <= 100"), s"$base/d", collectStats = true)
+    DeltaLite.append(df.filter("id > 100"), s"$base/d", collectStats = true)
+    IcebergLite.writeSnapshot(
+      df.repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      s"$base/i", collectStats = true)
+    for (fmt <- Seq("delta", "iceberg")) {
+      val t = if (fmt == "delta") s"$base/d" else s"$base/i"
+      val yaml =
+        s"""source:
+           |  stream: $t
+           |  format: $fmt
+           |  where: "id > 150"
+           |target:
+           |  object: $base/out_$fmt
+           |  mode: full-refresh
+           |""".stripMargin
+      val n = graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+      assert(n == 50, s"$fmt: expected 50 rows, got $n")
+    }
+    // a where naming a post-select alias falls back to the unpruned read
+    val yaml2 =
+      s"""source:
+         |  stream: $base/d
+         |  format: delta
+         |  select: [id as key, v]
+         |  where: "key > 150"
+         |target:
+         |  object: $base/out_alias
+         |  mode: full-refresh
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml2,
+      "/root/testdata/sf0.001") == 50)
+  }
+
   test("delta readWhere prunes under column mapping (physical names)") {
     import spark.implicits._
     val t = freshDir("skip3")
