@@ -36,6 +36,16 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * requested schema changes. Still rejected: v3 reader features other than
   * deletionVectors/columnMapping.
   */
+/** Checkpoint row shapes (spec: one parquet row per action, unused action
+  * columns null). Top-level so Spark's product encoders resolve them. */
+private[sources] case class CpAdd(path: String,
+    partitionValues: Map[String, String], stats: Option[String])
+private[sources] case class CpMeta(id: String, schemaString: String,
+    configuration: Map[String, String], partitionColumns: Seq[String])
+private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+private[sources] case class CpRow(add: Option[CpAdd], metaData: Option[CpMeta],
+    protocol: Option[CpProto])
+
 object DeltaLite {
 
   private val mapper = new ObjectMapper()
@@ -45,12 +55,17 @@ object DeltaLite {
     new Path(logDir(table), f"$v%020d.json")
 
   /** One active file: path relative to the table root + optional DV +
-    * the add action's raw `stats` JSON (file skipping input). */
+    * the add action's raw `stats` JSON (file skipping input) + its
+    * `partitionValues` (null value = null partition). */
   final case class FileEntry(path: String,
-      dv: Option[DeletionVectors.Descriptor], stats: Option[String] = None)
+      dv: Option[DeletionVectors.Descriptor], stats: Option[String] = None,
+      partitionValues: Map[String, String] = Map.empty)
 
-  /** Latest metaData action: logical schema JSON + table configuration. */
-  final case class Meta(schemaString: String, configuration: Map[String, String])
+  /** Latest metaData action: logical schema JSON + table configuration +
+    * partition columns (physical names under column mapping, per the
+    * protocol). */
+  final case class Meta(schemaString: String, configuration: Map[String, String],
+      partitionColumns: Seq[String] = Nil)
 
   /** A replayed snapshot: active files, latest version, latest metaData. */
   final case class Snapshot(entries: Seq[FileEntry], version: Long,
@@ -70,8 +85,8 @@ object DeltaLite {
     val dir = logDir(table)
     require(fs.exists(dir), s"not a delta table: $table (no _delta_log)")
 
-    val active =
-      mutable.LinkedHashMap[String, (Option[DeletionVectors.Descriptor], Option[String])]()
+    val active = mutable.LinkedHashMap[String,
+      (Option[DeletionVectors.Descriptor], Option[String], Map[String, String])]()
     var meta: Option[Meta] = None
 
     // start from the newest parquet checkpoint if one is advertised
@@ -108,32 +123,42 @@ object DeltaLite {
           feats.foreach { case (v, f) => checkProtocol(v, f) }
         }
         if (cp.columns.contains("metaData")) {
-          cp.select("metaData.schemaString", "metaData.configuration")
+          cp.select("metaData.schemaString", "metaData.configuration",
+            "metaData.partitionColumns")
             .na.drop(Seq("schemaString")).collect().headOption.foreach { r =>
               val conf = if (r.isNullAt(1)) Map.empty[String, String]
                 else r.getMap[String, String](1).toMap
-              meta = Some(Meta(r.getString(0), conf))
+              val pcols = if (r.isNullAt(2)) Nil else r.getSeq[String](2).toSeq
+              meta = Some(Meta(r.getString(0), conf, pcols))
             }
         }
         if (cp.columns.contains("add")) {
+          import org.apache.spark.sql.functions.col
           import org.apache.spark.sql.types.StructType
           val addType = cp.schema("add").dataType.asInstanceOf[StructType]
           val hasDv = addType.fieldNames.contains("deletionVector")
           val hasStats = addType.fieldNames.contains("stats")
-          val cols = Seq("add.path") ++
-            (if (hasDv) Seq("add.deletionVector.storageType",
-              "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
-              "add.deletionVector.sizeInBytes") else Nil) ++
-            (if (hasStats) Seq("add.stats") else Nil)
-          cp.select(cols.head, cols.tail: _*)
-            .na.drop(Seq("path")).collect().foreach { r =>
-              val dv = if (!hasDv || r.isNullAt(1)) None
-                else Some(DeletionVectors.Descriptor(r.getString(1),
-                  r.getString(2), if (r.isNullAt(3)) 1 else r.getInt(3), r.getInt(4)))
-              val si = if (hasDv) 5 else 1
-              val st = if (!hasStats || r.isNullAt(si)) None else Some(r.getString(si))
-              active += r.getString(0) -> (dv, st)
-            }
+          val hasPv = addType.fieldNames.contains("partitionValues")
+          val cols = Seq(col("add.path").as("p")) ++
+            (if (hasDv) Seq(col("add.deletionVector.storageType").as("dst"),
+              col("add.deletionVector.pathOrInlineDv").as("ddv"),
+              col("add.deletionVector.offset").as("doff"),
+              col("add.deletionVector.sizeInBytes").as("dsz")) else Nil) ++
+            (if (hasStats) Seq(col("add.stats").as("st")) else Nil) ++
+            (if (hasPv) Seq(col("add.partitionValues").as("pv")) else Nil)
+          cp.select(cols: _*).na.drop(Seq("p")).collect().foreach { r =>
+            val dv = if (!hasDv || r.isNullAt(r.fieldIndex("dst"))) None
+              else Some(DeletionVectors.Descriptor(
+                r.getAs[String]("dst"), r.getAs[String]("ddv"),
+                if (r.isNullAt(r.fieldIndex("doff"))) 1 else r.getAs[Int]("doff"),
+                r.getAs[Int]("dsz")))
+            val st = if (!hasStats || r.isNullAt(r.fieldIndex("st"))) None
+              else Some(r.getAs[String]("st"))
+            val pv = if (!hasPv || r.isNullAt(r.fieldIndex("pv")))
+              Map.empty[String, String]
+            else r.getMap[String, String](r.fieldIndex("pv")).toMap
+            active += r.getAs[String]("p") -> (dv, st, pv)
+          }
         }
         cpVer + 1
       } else 0L
@@ -160,7 +185,10 @@ object DeltaLite {
           val conf = mutable.Map[String, String]()
           val c = md.path("configuration")
           c.fieldNames().forEachRemaining(k => conf += k -> c.path(k).asText)
-          meta = Some(Meta(md.path("schemaString").asText, conf.toMap))
+          val pcols = mutable.ArrayBuffer[String]()
+          md.path("partitionColumns").forEach(p => pcols += p.asText)
+          meta = Some(Meta(md.path("schemaString").asText, conf.toMap,
+            pcols.toSeq))
         }
         val add = node.path("add")
         if (!add.isMissingNode) {
@@ -175,15 +203,21 @@ object DeltaLite {
           val statsNode = add.path("stats")
           val st = if (statsNode.isMissingNode || statsNode.isNull) None
             else Some(statsNode.asText)
-          active += add.path("path").asText -> (dv, st)
+          val pvNode = add.path("partitionValues")
+          val pv = mutable.Map[String, String]()
+          if (pvNode.isObject) pvNode.fieldNames().forEachRemaining { k =>
+            pv += k -> (if (pvNode.path(k).isNull) null
+              else pvNode.path(k).asText)
+          }
+          active += add.path("path").asText -> (dv, st, pv.toMap)
         }
         val remove = node.path("remove")
         if (!remove.isMissingNode) active -= remove.path("path").asText
       }
       version = v
     }
-    Snapshot(active.map { case (p, (dv, st)) => FileEntry(p, dv, st) }.toSeq,
-      version, meta)
+    Snapshot(active.map { case (p, (dv, st, pv)) => FileEntry(p, dv, st, pv) }
+      .toSeq, version, meta)
   }
 
   /** Back-compat shape: active paths only (DVs dropped). */
@@ -310,8 +344,33 @@ object DeltaLite {
           logical.fields.map(f => f.name.toLowerCase -> physName(f)).toMap)
       case None => pred0
     }
-    snap.entries.filter(e => FileSkipping.mayContain(pred,
-      e.stats.map(parseStats).getOrElse(FileSkipping.NoStats)))
+    // partition columns get EXACT synthesized bounds (min = max = the
+    // file's partition value) — a predicate on a partition column prunes
+    // at the metadata level with no scan at all, Delta's partition pruning
+    val schemaTypes: Map[String, DataType] = snap.meta.map { m =>
+      val sch = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
+      sch.fields.map(f => physName(f).toLowerCase -> f.dataType).toMap
+    }.getOrElse(Map.empty)
+    def statsOf(e: FileEntry): FileSkipping.FileStats = {
+      val base = e.stats.map(parseStats).getOrElse(FileSkipping.NoStats)
+      if (e.partitionValues.isEmpty) base
+      else {
+        val pvCols = e.partitionValues.map { case (k, v) =>
+          k.toLowerCase -> (if (v == null)
+            // all rows in the file have a null partition value: no bounds;
+            // nullCount = numRecords when known so IS NOT NULL can prune
+            FileSkipping.ColStats(None, None,
+              Some(base.numRecords.getOrElse(1L)))
+          else {
+            val dom = schemaTypes.get(k.toLowerCase)
+              .flatMap(FileSkipping.domainValue(v, _))
+            FileSkipping.ColStats(dom, dom, Some(0L))
+          })
+        }
+        FileSkipping.FileStats(base.numRecords, base.cols ++ pvCols)
+      }
+    }
+    snap.entries.filter(e => FileSkipping.mayContain(pred, statsOf(e)))
   }
 
   /** (kept, total) file counts for `condition` — pruning observability. */
@@ -322,7 +381,7 @@ object DeltaLite {
 
   private def readCore(spark: SparkSession, table: String,
       where: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     val snap = snapshot(spark, table)
     val entries = where match {
       case None => snap.entries
@@ -335,32 +394,82 @@ object DeltaLite {
     require(entries.nonEmpty, s"delta table $table has no active files")
     val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
       .filter(_ != "none")
-    val logical = mode.map { _ =>
-      DataType.fromJson(snap.meta.get.schemaString).asInstanceOf[StructType]
-    }
+    val metaSchema = snap.meta.map(m =>
+      DataType.fromJson(m.schemaString).asInstanceOf[StructType])
+    val logical = mode.map(_ => metaSchema.get)
+    // protocol: partition columns live ONLY in the add actions'
+    // partitionValues (the parquet files don't contain them) — attach them
+    // per file from the log via a broadcast join, cast to declared types
+    val partCols = snap.meta.map(_.partitionColumns).getOrElse(Nil)
+    val needPv = partCols.nonEmpty && metaSchema.isDefined
+    val partSet = partCols.toSet
+    def dropPart(s: StructType): StructType =
+      if (!needPv) s
+      else StructType(s.fields.filterNot(f => partSet.contains(physName(f))))
     val paths = entries.map(e => s"$table/${e.path}")
-    // basePath keeps hive-style partition dirs resolving to partition columns
-    val reader = spark.read.option("basePath", table)
-    val base = mode match {
-      case None => reader.parquet(paths: _*)
+    // basePath keeps hive-style partition dirs resolving to partition
+    // columns for tables whose log declares none (legacy layout); when the
+    // log DOES declare partitionColumns, values come from the log and dir
+    // inference must stay off or the columns would appear twice
+    val reader = if (needPv) spark.read
+      else spark.read.option("basePath", table)
+    val base0 = mode match {
+      case None =>
+        if (needPv) reader.schema(dropPart(metaSchema.get)).parquet(paths: _*)
+        else reader.parquet(paths: _*)
       case Some("name") =>
         // parquet files carry physical names; request them, rename below
-        reader.schema(toPhysicalSchema(logical.get)).parquet(paths: _*)
+        reader.schema(toPhysicalSchema(dropPart(logical.get))).parquet(paths: _*)
       case Some("id") =>
         // resolve by parquet field id: the requested schema already uses
         // logical names, so no rename pass is needed afterwards. The conf
         // only affects reads whose requested schema carries field-id
         // metadata, so leaving it enabled is safe for unrelated scans.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        reader.schema(toIdSchema(logical.get)).parquet(paths: _*)
+        reader.schema(toIdSchema(dropPart(logical.get))).parquet(paths: _*)
       case Some(other) =>
         sys.error(s"unsupported delta.columnMapping.mode $other")
     }
+    val base = if (needPv)
+      base0.withColumn("__pv_fp", PathNorm.normUri(col("_metadata.file_path")))
+    else base0
     val afterDv = applyDeletionVectors(spark, table, base, entries)
-    val mapped = if (mode.contains("name"))
-      afterDv.select(logical.get.fields.map(f =>
-        toLogicalCol(col(s"`${physName(f)}`"), f).as(f.name)).toSeq: _*)
-    else afterDv
+    val afterPv = if (!needPv) afterDv else {
+      val pvSchema = StructType(
+        StructField("__pv_fp2", org.apache.spark.sql.types.StringType,
+          nullable = false) +:
+        partCols.map(pc => StructField(s"__pv_$pc",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      // _metadata.file_path is the file URI — percent-encoded on top of the
+      // raw fs name (space → %20, a literal % → %25); encode the log path
+      // the same way or escaped partition dirs would never join
+      def encAbs(rel: String): String = {
+        val abs = s"$table/$rel".replaceFirst("^file:/+", "/")
+        try new java.net.URI(null, null, abs, null).toASCIIString
+        catch { case _: Exception => abs }
+      }
+      val pvRows = entries.map(e => org.apache.spark.sql.Row.fromSeq(
+        encAbs(e.path) +: partCols.map(pc => e.partitionValues.get(pc).orNull)))
+      val pvDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows, 1), pvSchema))
+      afterDv.join(pvDf, afterDv("__pv_fp") === pvDf("__pv_fp2"), "left")
+        .drop("__pv_fp", "__pv_fp2")
+    }
+    // final projection: logical names + declared types, schema order
+    val mapped =
+      if (mode.contains("name"))
+        afterPv.select(logical.get.fields.map { f =>
+          if (needPv && partSet.contains(physName(f)))
+            col(s"`__pv_${physName(f)}`").cast(f.dataType).as(f.name)
+          else toLogicalCol(col(s"`${physName(f)}`"), f).as(f.name)
+        }.toSeq: _*)
+      else if (needPv)
+        afterPv.select(metaSchema.get.fields.map { f =>
+          if (partSet.contains(physName(f)))
+            col(s"`__pv_${physName(f)}`").cast(f.dataType).as(f.name)
+          else col(s"`${f.name}`")
+        }.toSeq: _*)
+      else afterDv
     where.map(c => mapped.filter(org.apache.spark.sql.functions.expr(c)))
       .getOrElse(mapped)
   }
@@ -426,13 +535,73 @@ object DeltaLite {
       .map(st => s"$sub/${st.getPath.getName}").toSeq
   }
 
+  /** Undo Spark's partition-dir %XX escaping (escapePathName). */
+  private def unescapePart(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
+        try {
+          out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+          i += 3
+        } catch { case _: NumberFormatException => out += s.charAt(i); i += 1 }
+      } else { out += s.charAt(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Stage `df` hive-partitioned by `partitionBy`; return each staged file's
+    * log-relative path + its partitionValues (null = null partition),
+    * parsed back from the escaped `key=value` dir segments. */
+  private def stagePartitioned(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String])] = {
+    val sub = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(s"$table/$sub")
+    val fs = new Path(table).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap(st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil)
+    walk(new Path(table, sub)).map(_.toString).sorted.map { abs =>
+      val rel = abs.substring(abs.indexOf(sub))
+      val pv = rel.split('/').dropRight(1).drop(1).flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i < 0) None
+        else {
+          val v0 = seg.substring(i + 1)
+          Some(unescapePart(seg.take(i)) ->
+            (if (v0 == "__HIVE_DEFAULT_PARTITION__") null else unescapePart(v0)))
+        }
+      }.toMap
+      rel -> pv
+    }
+  }
+
   /** JSON string literal (quoted + escaped) — paths may carry quotes. */
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
-  private def addAction(path: String, stats: Option[String] = None): String =
-    s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":0,""" +
+  private def addAction(path: String, stats: Option[String] = None,
+      pv: Map[String, String] = Map.empty): String = {
+    val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"add":{"path":${jstr(path)},"partitionValues":$pvJson,"size":0,""" +
       s""""modificationTime":0,"dataChange":true""" +
       stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+  }
+
+  /** metaData action for partitioned fixture writes — real logs always
+    * carry one; the reader needs schemaString + partitionColumns to attach
+    * and type the partition columns. */
+  private def metaActionFor(df: DataFrame, partitionBy: Seq[String]): String =
+    s"""{"metaData":{"id":"graft-${java.util.UUID.randomUUID()}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(df.schema.json)},""" +
+      s""""partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},""" +
+      s""""configuration":{},"createdTime":0}}"""
 
   /** Per-file `stats` JSON (numRecords/minValues/maxValues/nullCount) for
     * the staged files — ONE distributed aggregation over them, collect
@@ -489,28 +658,41 @@ object DeltaLite {
   }
 
   private def addActions(spark: SparkSession, table: String,
-      staged: Seq[String], collectStats: Boolean): Seq[String] = {
-    val stats = if (collectStats) statsFor(spark, table, staged)
+      staged: Seq[(String, Map[String, String])],
+      collectStats: Boolean): Seq[String] = {
+    val stats = if (collectStats) statsFor(spark, table, staged.map(_._1))
       else Map.empty[String, String]
-    staged.map(p => addAction(p, stats.get(p)))
+    staged.map { case (p, pv) => addAction(p, stats.get(p), pv) }
   }
 
+  private def stageFor(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String])] =
+    if (partitionBy.isEmpty) stageData(df, table).map(_ -> Map.empty[String, String])
+    else stagePartitioned(df, table, partitionBy)
+
   /** Append `df` as a new commit; `collectStats` adds per-file skipping
-    * stats (one extra aggregation pass over the staged files). */
-  def append(df: DataFrame, table: String, collectStats: Boolean = false): Unit = {
+    * stats (one extra aggregation pass over the staged files);
+    * `partitionBy` stages hive-partitioned files and records their
+    * partitionValues (+ a metaData action on the first commit, which the
+    * reader requires to re-attach partition columns). */
+  def append(df: DataFrame, table: String, collectStats: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val v = nextVersion(spark, table)
     val proto = if (v == 0L)
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""")
     else Nil
-    writeCommit(spark, table, v,
-      proto ++ addActions(spark, table, stageData(df, table), collectStats))
+    val metaAct = if (partitionBy.nonEmpty && v == 0L)
+      Seq(metaActionFor(df, partitionBy)) else Nil
+    writeCommit(spark, table, v, proto ++ metaAct ++
+      addActions(spark, table, stageFor(df, table, partitionBy), collectStats))
   }
 
   /** Replace the table contents: one commit removing every active file and
     * adding the new ones — readers see either the old or new snapshot.
     */
-  def overwrite(df: DataFrame, table: String, collectStats: Boolean = false): Unit = {
+  def overwrite(df: DataFrame, table: String, collectStats: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (old, _) = if (fs.exists(logDir(table)))
@@ -519,45 +701,48 @@ object DeltaLite {
     val proto = if (v == 0L)
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""")
     else Nil
+    val metaAct = if (partitionBy.nonEmpty)
+      Seq(metaActionFor(df, partitionBy)) else Nil
     val removes = old.map(p =>
       s"""{"remove":{"path":${jstr(p)},"dataChange":true}}""")
-    writeCommit(spark, table, v,
-      proto ++ removes ++ addActions(spark, table, stageData(df, table), collectStats))
+    writeCommit(spark, table, v, proto ++ metaAct ++ removes ++
+      addActions(spark, table, stageFor(df, table, partitionBy), collectStats))
   }
 
   /** Write a parquet checkpoint at the current version advertising the
     * active files, and point `_last_checkpoint` at it — single-file when
     * `parts == 1`, else the multi-part layout
     * (%020d.checkpoint.%010d.%010d.parquet) with the adds round-robined
-    * across parts. Fixture/bootstrap quality: add actions only (replay
-    * falls back to parquet schema inference, as with json-only logs);
-    * refuses tables carrying deletion vectors.
+    * across parts. Spec-shaped rows: the first part carries protocol +
+    * metaData actions (when the log has one), and each add keeps its
+    * stats + partitionValues — so replay from the checkpoint preserves
+    * column mapping, file skipping, and partition columns. Refuses tables
+    * carrying deletion vectors (descriptors not round-tripped).
     */
   def writeCheckpoint(spark: SparkSession, table: String, parts: Int = 1): Unit = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val snap = snapshot(spark, table)
     require(snap.entries.forall(_.dv.isEmpty),
       "writeCheckpoint is a fixture writer: deletion-vector tables unsupported")
-    // replay from a checkpoint starts AFTER it, so a checkpoint without
-    // the metaData action would silently lose column mapping (physical
-    // names would leak through); refuse instead of corrupting
-    require(!snap.meta.exists(_.configuration.contains("delta.columnMapping.mode")),
-      "writeCheckpoint is a fixture writer: column-mapped tables unsupported " +
-        "(the add-only checkpoint would drop the mapping metaData)")
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     val names =
       if (parts == 1) Seq(f"${snap.version}%020d.checkpoint.parquet")
       else (1 to parts).map(i =>
         f"${snap.version}%020d.checkpoint.$i%010d.$parts%010d.parquet")
-    val groups = snap.entries.map(_.path).zipWithIndex
-      .groupMap(_._2 % parts)(_._1)
-    import org.apache.spark.sql.functions.{col, struct}
+    val groups = snap.entries.zipWithIndex.groupMap(_._2 % parts)(_._1)
+    val mapped = snap.meta.exists(_.configuration.contains("delta.columnMapping.mode"))
     import spark.implicits._
     names.zipWithIndex.foreach { case (name, i) =>
       val tmp = new Path(table, s"_cp_tmp_$i")
-      groups.getOrElse(i, Seq.empty).toSeq.map(Tuple1(_)).toDF("path")
-        .select(struct(col("path")).as("add"))
+      val addRows = groups.getOrElse(i, Seq.empty).toSeq.map(e =>
+        CpRow(Some(CpAdd(e.path, e.partitionValues, e.stats)), None, None))
+      val headRows = if (i > 0) Nil else
+        CpRow(None, None, Some(CpProto(if (mapped) 2 else 1, 5))) +:
+          snap.meta.toSeq.map(m => CpRow(None,
+            Some(CpMeta("graft", m.schemaString, m.configuration,
+              m.partitionColumns)), None))
+      (headRows ++ addRows).toDF()
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))

@@ -182,6 +182,22 @@ object FileSkipping {
     }
   }
 
+  /** A serialized partition/stats value string → the comparison domain for
+    * `dt` (see [[ColStats]]). None = unparseable (no pruning on it). */
+  def domainValue(s: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType => Some(BigDecimal(s))
+      case StringType => Some(s)
+      case BooleanType => Some(s.toBoolean)
+      case DateType => Some(LocalDate.parse(s.take(10)))
+      case TimestampType | TimestampNTZType => Some(parseInstant(s))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
   /** Rewrite predicate column names through `rename` (logical → physical,
     * for Delta column mapping). A column with no mapping keeps its name. */
   def renameCols(p: Pred, rename: Map[String, String]): Pred = {

@@ -71,14 +71,23 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
-  test("writeCheckpoint refuses column-mapped tables (mapping would be lost)") {
+  test("writeCheckpoint still refuses deletion-vector tables") {
     import spark.implicits._
-    val t = freshDir("delta_cp_cm")
-    DeltaLite.writeMapped(Seq((1, "a")).toDF("id", "v"), t, "name")
+    val t = freshDir("delta_cp_dv")
+    DeltaLite.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    val rel = org.apache.spark.sql.functions.regexp_replace(
+      graft.sources.PathNorm.normUri(
+        org.apache.spark.sql.functions.col("_metadata.file_path")),
+      java.util.regex.Pattern.quote(t + "/"), "")
+    val deletes = DeltaLite.read(spark, t)
+      .select(rel.as("path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"))
+      .limit(1)
+    DeltaLite.addDeletionVectors(t, deletes)
     val e = intercept[IllegalArgumentException] {
       DeltaLite.writeCheckpoint(spark, t)
     }
-    assert(e.getMessage.contains("column-mapped"))
+    assert(e.getMessage.contains("deletion-vector"))
   }
 
   test("multi-part checkpoint: adds split across parts, all unioned") {
@@ -255,5 +264,86 @@ class DeltaLiteSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial n=$n")
     }
     assert(DeletionVectors.decode(DeletionVectors.encode(Array.empty[Long])).isEmpty)
+  }
+
+  test("partitioned write/read: partition columns come back from the log") {
+    import spark.implicits._
+    val t = freshDir("delta_part1")
+    val df = Seq((1, "a", "us"), (2, "b", "us"), (3, "c", "eu"),
+      (4, "d", null)).toDF("id", "v", "region")
+    DeltaLite.append(df, t, partitionBy = Seq("region"))
+    val got = DeltaLite.read(spark, t)
+    // schema order per the metaData schemaString (= original df order)
+    assert(got.columns.toSeq == Seq("id", "v", "region"))
+    val rows = got.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(rows == Seq((1, "us"), (2, "us"), (3, "eu"), (4, null)))
+  }
+
+  test("partitioned write round-trips escaped and typed partition values") {
+    import spark.implicits._
+    val t = freshDir("delta_part2")
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2024-01-15"), "a b/c=d%e"),
+      (2, java.sql.Date.valueOf("2024-02-20"), "plain"))
+      .toDF("id", "d", "s")
+    DeltaLite.append(df, t, partitionBy = Seq("d", "s"))
+    val got = DeltaLite.read(spark, t).orderBy("id").collect()
+    assert(got.map(_.getDate(1).toString).toSeq ==
+      Seq("2024-01-15", "2024-02-20"))
+    assert(got.map(_.getString(2)).toSeq == Seq("a b/c=d%e", "plain"))
+    // partition column typed per schemaString, not string
+    assert(DeltaLite.read(spark, t).schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
+  test("partition predicates prune at the metadata level, exactly") {
+    import spark.implicits._
+    val t = freshDir("delta_part3")
+    val df = (1 to 90).map(i => (i, s"r$i", i % 3)).toDF("id", "v", "bucket")
+    DeltaLite.overwrite(df, t, partitionBy = Seq("bucket"))
+    val (kept, total) = DeltaLite.pruneCount(spark, t, "bucket = 1")
+    assert(total >= 3 && kept * 3 <= total,
+      s"expected exact partition pruning, kept $kept/$total")
+    val got = DeltaLite.readWhere(spark, t, "bucket = 1")
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (1 to 90).filter(_ % 3 == 1).toSeq)
+    // date-typed predicate domains work too (no stats, pv only)
+    val (k2, _) = DeltaLite.pruneCount(spark, t, "bucket >= 10")
+    assert(k2 == 0)
+  }
+
+  test("checkpoint preserves partitionValues, stats, and metaData") {
+    import spark.implicits._
+    val t = freshDir("delta_part4")
+    val df = (1 to 60).map(i => (i, i % 2)).toDF("id", "par")
+    DeltaLite.append(df, t, collectStats = true, partitionBy = Seq("par"))
+    DeltaLite.writeCheckpoint(spark, t)
+    // drop the json commit: replay must come from the checkpoint alone
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      t, "_delta_log/00000000000000000000.json"), false)
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.toSeq == Seq("id", "par"))
+    assert(got.filter("par = 1").count() == 30)
+    val (kept, total) = DeltaLite.pruneCount(spark, t, "par = 0")
+    assert(kept < total, s"pv pruning lost through checkpoint: $kept/$total")
+    val (k2, t2) = DeltaLite.pruneCount(spark, t, "id <= 0")
+    assert(k2 == 0 && t2 == total, "stats pruning lost through checkpoint")
+  }
+
+  test("checkpoint preserves column mapping metaData") {
+    import spark.implicits._
+    val t = freshDir("delta_part5")
+    DeltaLite.writeMapped(Seq((1, "x"), (2, "y")).toDF("id", "v"), t, "name")
+    DeltaLite.writeCheckpoint(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      t, "_delta_log/00000000000000000000.json"), false)
+    val got = DeltaLite.read(spark, t).orderBy("id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 }
