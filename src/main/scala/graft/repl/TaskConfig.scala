@@ -275,6 +275,14 @@ object TaskConfig {
     // path regardless of declared file format (task_run_write.go:163-498)
     tgt.conn.map(Connections.resolve(task.connections, _)) match {
       case Some(spec) if spec.isDatabase =>
+        // existence guard parity with the file path: a non-empty DB target
+        // is left untouched when ignore_existing is set
+        if (tgt.options.ignoreExisting) {
+          val existing =
+            try graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj).count()
+            catch { case _: Exception => 0L } // absent table → proceed
+          if (existing > 0) return existing
+        }
         tgt.options.preSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
         // custom CREATE TABLE (table_ddl): executed only when the table is
         // absent; loads then append into it (Spark's Overwrite would drop
@@ -284,16 +292,24 @@ object TaskConfig {
           val exists =
             try {
               val md = conn.getMetaData
+              // a qualified name probes (schemaPattern, tablePattern) —
+              // passing "schema.table" as the table pattern never matches
+              val (sch0, tbl0) = tgt.obj.lastIndexOf('.') match {
+                case -1 => (null: String, tgt.obj)
+                case i  => (tgt.obj.substring(0, i), tgt.obj.substring(i + 1))
+              }
               // unquoted identifiers case-fold per dialect — probe the
               // stored form, not just the YAML's spelling
-              val names = (Seq(tgt.obj) ++
-                (if (md.storesUpperCaseIdentifiers) Seq(tgt.obj.toUpperCase) else Nil) ++
-                (if (md.storesLowerCaseIdentifiers) Seq(tgt.obj.toLowerCase) else Nil))
-                .distinct
-              names.exists { n =>
-                val rs = md.getTables(null, null, n, null)
+              def folds(n: String): Seq[String] =
+                (Seq(n) ++
+                  (if (md.storesUpperCaseIdentifiers) Seq(n.toUpperCase) else Nil) ++
+                  (if (md.storesLowerCaseIdentifiers) Seq(n.toLowerCase) else Nil))
+                  .distinct
+              val schemas = if (sch0 == null) Seq(null: String) else folds(sch0)
+              schemas.exists(sp => folds(tbl0).exists { n =>
+                val rs = md.getTables(null, sp, n, null)
                 try rs.next() finally rs.close()
-              }
+              })
             } finally conn.close()
           if (!exists) graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
           true

@@ -470,8 +470,14 @@ object DeltaLite {
           else col(s"`${f.name}`")
         }.toSeq: _*)
       else afterDv
-    where.map(c => mapped.filter(org.apache.spark.sql.functions.expr(c)))
+    val filtered = where
+      .map(c => mapped.filter(org.apache.spark.sql.functions.expr(c)))
       .getOrElse(mapped)
+    // id-mode reads request a schema carrying parquet.field.id metadata;
+    // strip it from the result so callers re-using df.schema against
+    // id-less files don't trip fieldId resolution (conf stays set — the
+    // lazy scan still needs it at execution). Identity for other modes.
+    PathNorm.stripFieldIds(filtered)
   }
 
   private def applyDeletionVectors(spark: SparkSession, table: String,

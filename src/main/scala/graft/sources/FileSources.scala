@@ -86,7 +86,12 @@ object FileSources {
         .rdd.mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(n) else it)
         .toDS()
     }
-    val all = perFile.reduce(_ union _)
+    // a directory with no data files (or only dot/underscore-prefixed
+    // ones) must not hit empty.reduce — mirror the non-skipping path's
+    // empty-source behavior with an empty Dataset[String]
+    val all =
+      if (perFile.isEmpty) spark.emptyDataset[String]
+      else perFile.reduce(_ union _)
     applyLineSkips(spark, all, opts.copy(skipLines = 0))
   }
 

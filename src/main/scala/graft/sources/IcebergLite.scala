@@ -431,31 +431,51 @@ object IcebergLite {
     val result = if (files.posDeletes.isEmpty && files.eqDeletes.isEmpty) base
     else {
       // attach each data row's file sequence via a broadcast of the (small,
-      // already driver-held) file list — the scan itself stays distributed
+      // already driver-held) file list — the scan itself stays distributed.
+      // _metadata.file_path is the percent-encoded URI form of the fs name;
+      // the manifest stores the raw path, so the broadcast key must be
+      // encoded the same way (spaces etc.) or the lookup misses and a null
+      // __dseq would turn the delete predicates unknown.
+      def encKey(p: String): String = PathNorm.encPath(normStr(stripScheme(p)))
       val dataSeq = broadcast(spark.createDataFrame(
-        files.data.map(f => (normStr(f.path), f.seq))).toDF("__sfp", "__dseq"))
+        files.data.map(f => (encKey(f.path), f.seq))).toDF("__sfp", "__dseq"))
       var d = base
         .withColumn("__fp", normPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
       d = d.join(dataSeq, d("__fp") === dataSeq("__sfp"), "left").drop("__sfp")
+      // a data row whose sequence lookup somehow still misses must be
+      // treated as arbitrarily old — deletes apply (conservative), rather
+      // than an unknown predicate silently keeping deleted rows alive
+      val dSeq = org.apache.spark.sql.functions
+        .coalesce(d("__dseq"), lit(Long.MinValue))
       // per-delete-file sequence lookup, same broadcast-map shape
       def withSeq(df: DataFrame, refs: Seq[FileRef], seqCol: String): DataFrame = {
         val m = broadcast(spark.createDataFrame(
-          refs.map(f => (normStr(f.path), f.seq))).toDF("__mfp", seqCol))
+          refs.map(f => (encKey(f.path), f.seq))).toDF("__mfp", seqCol))
         val tagged = df.withColumn("__dffp", normPath(col("_metadata.file_path")))
         tagged.join(m, tagged("__dffp") === m("__mfp"), "left")
           .drop("__dffp", "__mfp")
       }
       if (files.posDeletes.nonEmpty) {
-        // spec: a position delete applies to data files with seq <= its own
-        val pd = withSeq(
+        // spec: a position delete applies to data files with seq <= its own.
+        // The delete parquet's file_path column holds the raw path the
+        // writer recorded; route it through a raw→encoded map built from
+        // the resolved data files so it joins __fp's encoded form.
+        val encMap = broadcast(spark.createDataFrame(
+          files.data.map(f => (normStr(stripScheme(f.path)), encKey(f.path))))
+          .toDF("__rawp", "__encp"))
+        val pd0 = withSeq(
           spark.read.parquet(files.posDeletes.map(f => stripScheme(f.path)): _*),
           files.posDeletes, "__pseq")
-          .groupBy(reAnchorCol(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+          .groupBy(reAnchorCol(col("file_path")).as("__dfp0"), col("pos").as("__dpos"))
           .agg(max("__pseq").as("__pseq"))
+        val pd = pd0.join(encMap, pd0("__dfp0") === encMap("__rawp"), "left")
+          .select(org.apache.spark.sql.functions
+            .coalesce(col("__encp"), col("__dfp0")).as("__dfp"),
+            col("__dpos"), col("__pseq"))
         d = d.join(pd,
           d("__fp") === pd("__dfp") && d("__pos") === pd("__dpos") &&
-            d("__dseq") <= pd("__pseq"), "left_anti")
+            dSeq <= pd("__pseq"), "left_anti")
       }
       if (files.eqDeletes.nonEmpty) {
         // equality columns = the delete parquet's own columns (the spec's
@@ -476,14 +496,19 @@ object IcebergLite {
           val edAliased = ed.select(
             (cols.map(c => col(c).as(s"__eq_$c")) :+ col("__eqseq")).toSeq: _*)
           val cond = cols.map(c => d(c) <=> edAliased(s"__eq_$c"))
-            .reduce(_ && _) && d("__dseq") < edAliased("__eqseq")
+            .reduce(_ && _) && dSeq < edAliased("__eqseq")
           d = d.join(edAliased, cond, "left_anti")
         }
       }
       d.drop("__fp", "__pos", "__dseq")
     }
-    where.map(c => result.filter(org.apache.spark.sql.functions.expr(c)))
+    val filtered = where
+      .map(c => result.filter(org.apache.spark.sql.functions.expr(c)))
       .getOrElse(result)
+    // don't leak parquet.field.id metadata to callers (fieldId.read stays
+    // set session-wide; a caller re-using this schema against id-less
+    // files would otherwise fail resolution) — identity for plain reads
+    PathNorm.stripFieldIds(filtered)
   }
 
   // ---- minimal snapshot writer (bootstrap/fixture, not full Iceberg) -----

@@ -180,6 +180,13 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("id", "score", "v"))
     assert(got.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
+    // the id-resolved schema must not leak parquet.field.id metadata:
+    // re-using it against id-less files (with fieldId.read still set)
+    // would otherwise fail resolution
+    assert(!got.schema.fields.exists(_.metadata.contains("parquet.field.id")))
+    val plain = freshDir("delta_cm2_plain")
+    Seq((9L, 9.9, "z")).toDF("id", "score", "v").write.parquet(plain)
+    assert(spark.read.schema(got.schema).parquet(plain).count() == 1)
   }
 
   test("addDeletionVectors probe-first cap fails fast on oversized input") {

@@ -159,6 +159,29 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t2).count() == 50)
   }
 
+  test("table path with a space: deletes still apply " +
+      "(_metadata.file_path is percent-encoded)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = "/tmp/graft-test/ice space tbl"
+    new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(t), true)
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "tag")
+    IcebergLite.writeSnapshot(df, t)
+    assert(IcebergLite.read(spark, t).count() == 40)
+    val pos = spark.read.parquet(s"$t/data")
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter("id <= 5").select("file_path", "pos")
+    IcebergLite.appendDeletes(t, Some(pos), Some(Seq("even").toDF("tag")))
+    // the seq-scoping broadcast keys must join the encoded URI form, or
+    // __dseq goes null and the anti-joins silently keep deleted rows
+    val got = IcebergLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (6L to 40L).filter(_ % 2 == 1))
+  }
+
   test("sequence scoping: data appended after a delete file survives it") {
     import spark.implicits._
     val t = "/tmp/graft-test/iceberg_seq"

@@ -337,6 +337,50 @@ class OrchestrationSpec extends AnyFunSuite {
       "/root/testdata/sf0.001") == 6)
   }
 
+  test("task yaml: schema-qualified table_ddl object skips DDL on rerun") {
+    // the existence probe must split APP.NAT_DDLQ into (schemaPattern,
+    // tablePattern) — passing the qualified spelling as the table pattern
+    // never matches, the DDL re-executes, and the rerun fails
+    val yaml =
+      s"""source:
+         |  stream: nation
+         |  limit: 4
+         |connections:
+         |  DB:
+         |    type: derby
+         |    instance: "memory:taskddlq"
+         |target:
+         |  conn: DB
+         |  object: APP.NAT_DDLQ
+         |  mode: full-refresh
+         |  options:
+         |    table_ddl: 'CREATE TABLE APP.NAT_DDLQ ("n_nationkey" BIGINT, "n_name" VARCHAR(64), "n_regionkey" INT)'
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 4)
+    assert(graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001") == 4)
+  }
+
+  test("task yaml: ignore_existing leaves a non-empty DB target untouched") {
+    def yaml(limit: Int) =
+      s"""source:
+         |  stream: nation
+         |  limit: $limit
+         |connections:
+         |  DB:
+         |    type: derby
+         |    instance: "memory:taskign"
+         |target:
+         |  conn: DB
+         |  object: NAT_IGN
+         |  mode: full-refresh
+         |  options:
+         |    ignore_existing: true
+         |""".stripMargin
+    assert(graft.repl.TaskConfig.run(spark, yaml(7), "/root/testdata/sf0.001") == 7)
+    // parity with the file path: second run must not replace the rows
+    assert(graft.repl.TaskConfig.run(spark, yaml(3), "/root/testdata/sf0.001") == 7)
+  }
+
   test("task yaml: max_decimals rounds numerics before the write") {
     val base = "/tmp/graft-test/task_maxdec"
     val fs = new org.apache.hadoop.fs.Path(base)

@@ -190,6 +190,20 @@ class Round3Spec extends AnyFunSuite {
       Seq(("1", "a"), ("2", "b")))
   }
 
+  test("skip_lines on a directory with only hidden files yields empty, " +
+      "not empty.reduce") {
+    val dir = "/tmp/graft-test-skip-empty"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true)
+    out.close()
+    val back = graft.sources.FileSources.csv(spark, dir,
+      opts = graft.sources.FileSources.CsvOpts(skipLines = 1))
+    assert(back.count() == 0)
+  }
+
   test("zstd csv honors the source encoding for non-UTF-8 bytes") {
     val dir = "/tmp/graft-test-zstd-enc"
     val fs = new org.apache.hadoop.fs.Path(dir)
