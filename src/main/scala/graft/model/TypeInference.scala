@@ -256,12 +256,22 @@ object TypeInference {
             .map(p => try_to_timestamp(c, lit(p)).cast(DateType)).toSeq ++
             dateLayouts.map(l => try_to_timestamp(c, lit(l)).cast(DateType))
           coalesce(chain: _*)
-        case BooleanType => lower(trim(c)) === "true"
+        case BooleanType => lower(trim(c, " \t\r\n")) === "true"
         case dt => c.cast(dt)
       }
-      when(c.isNull || trim(c) === "", lit(null).cast(f.dataType))
+      // trim the full whitespace set: the driver-side inference uses Java
+      // trim (which strips \n\t), while Spark's bare trim() strips only
+      // spaces — a "\n  " cell must null out, not reach an ANSI cast
+      when(c.isNull || trim(c, " \t\r\n") === "", lit(null).cast(f.dataType))
         .otherwise(cast).as(f.name)
     }
-    df.select(cols: _*)
+    // columns outside `schema` (non-string JSON structs/arrays the
+    // inference never sees) pass through untouched, in original order
+    if (schema.fieldNames.toSet == df.columns.toSet) df.select(cols: _*)
+    else {
+      val byName = schema.fieldNames.zip(cols).toMap
+      df.select(df.columns.toSeq.map(n =>
+        byName.getOrElse(n, col(s"`$n`"))): _*)
+    }
   }
 }

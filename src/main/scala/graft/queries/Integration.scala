@@ -540,6 +540,27 @@ object Integration {
         q.stop()
         t.read.orderBy("o_orderkey")
       },
-      Some(s"SELECT * FROM (${Modes.cdcFinalSql}) ORDER BY o_orderkey"))
+      Some(s"SELECT * FROM (${Modes.cdcFinalSql}) ORDER BY o_orderkey")),
+
+    // E2E suite matrix: the reference's templated scenario suites
+    // (tests/suite.file.template.yaml + suite.db.template.yaml +
+    // suite.cli.yaml) replayed through graft's task/discover/replication
+    // surfaces against the reference's own fixtures. One row per scenario;
+    // the oracle pins every scenario to passed=1, so any regression
+    // hash-mismatches.
+    Q("op_suite_matrix",
+      (s, dir) => {
+        val results = graft.repl.SuiteMatrix.runSuite(
+          s, graft.repl.SuiteMatrix.resourceSuite(),
+          graft.repl.SuiteMatrix.fixtureDir,
+          scratch("suite_matrix", dir), dir)
+        graft.repl.SuiteMatrix.resultsDf(s, results)
+      },
+      Some {
+        val names = graft.repl.SuiteMatrix
+          .load(graft.repl.SuiteMatrix.resourceSuite()).map(_.name).sorted
+        val values = names.map(n => s"('$n', 1)").mkString(", ")
+        s"SELECT * FROM (VALUES $values) AS t(scenario, passed) ORDER BY scenario"
+      })
   )
 }

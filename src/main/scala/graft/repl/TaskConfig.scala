@@ -56,7 +56,8 @@ object TaskConfig {
       preSql: Option[String] = None, postSql: Option[String] = None,
       batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
       tableDdl: Option[String] = None, useBulk: Boolean = false,
-      maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false)
+      maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false,
+      mergeStrategy: Option[String] = None)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -125,7 +126,8 @@ object TaskConfig {
       tableDdl = to.get("table_ddl").map(_.toString),
       useBulk = bool(to, "use_bulk"),
       maxDecimals = to.get("max_decimals").map(_.toString.toInt),
-      adjustColumnType = bool(to, "adjust_column_type"))
+      adjustColumnType = bool(to, "adjust_column_type"),
+      mergeStrategy = to.get("merge_strategy").map(_.toString))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -202,7 +204,9 @@ object TaskConfig {
             nullIf = o.nullIf, emptyAsNull = o.emptyAsNull,
             skipLines = o.skipLines, skipBlankLines = o.skipBlankLines,
             datetimeFormat = o.datetimeFormat))
-      case "jsonl" =>
+      case "jsonl" | "json" =>
+        // "json" covers array-document files too — the reader sniffs the
+        // layout (FileSources.firstByteIsBracket)
         val base = FileSources.jsonl(spark, src.stream)
         if (src.options.flatten) graft.transform.Flatten(base) else base
       case "xlsx" =>
@@ -288,35 +292,20 @@ object TaskConfig {
         // absent; loads then append into it (Spark's Overwrite would drop
         // the custom DDL and recreate with the inferred schema)
         val customDdl = tgt.options.tableDdl.map { ddl =>
-          val conn = java.sql.DriverManager.getConnection(spec.jdbcUrl)
-          val exists =
-            try {
-              val md = conn.getMetaData
-              // a qualified name probes (schemaPattern, tablePattern) —
-              // passing "schema.table" as the table pattern never matches
-              val (sch0, tbl0) = tgt.obj.lastIndexOf('.') match {
-                case -1 => (null: String, tgt.obj)
-                case i  => (tgt.obj.substring(0, i), tgt.obj.substring(i + 1))
-              }
-              // unquoted identifiers case-fold per dialect — probe the
-              // stored form, not just the YAML's spelling
-              def folds(n: String): Seq[String] =
-                (Seq(n) ++
-                  (if (md.storesUpperCaseIdentifiers) Seq(n.toUpperCase) else Nil) ++
-                  (if (md.storesLowerCaseIdentifiers) Seq(n.toLowerCase) else Nil))
-                  .distinct
-              val schemas = if (sch0 == null) Seq(null: String) else folds(sch0)
-              schemas.exists(sp => folds(tbl0).exists { n =>
-                val rs = md.getTables(null, sp, n, null)
-                try rs.next() finally rs.close()
-              })
-            } finally conn.close()
-          if (!exists) graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
+          // qualified names split into (schemaPattern, tablePattern) and
+          // unquoted identifiers case-fold per dialect — Jdbc.tableExists
+          // probes the stored form, not just the YAML's spelling
+          if (!graft.sources.Jdbc.tableExists(spec.jdbcUrl, tgt.obj))
+            graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
           true
         }.getOrElse(false)
         tgt.mode match {
           case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
-            graft.sources.Jdbc.merge(df, spec.jdbcUrl, tgt.obj, tgt.primaryKey,
+            // merge_strategy selects among the reference's four templates;
+            // default is update_insert (task_run_write.go merge dispatch)
+            graft.sources.Jdbc.mergeStrategy(df, spec.jdbcUrl, tgt.obj,
+              tgt.primaryKey,
+              tgt.options.mergeStrategy.getOrElse("update_insert"),
               tableTmp = tgt.options.tableTmp)
           case "upsert" =>
             // the fall-through would be Jdbc.write's full overwrite — a
@@ -372,7 +361,17 @@ object TaskConfig {
             if (writeDelta) DeltaLite.append(df, tgt.obj)
             else Modes.snapshot(pt, df, ts)
           case "incremental" if tgt.primaryKey.nonEmpty =>
-            Modes.upsert(pt, df, tgt.primaryKey)
+            // merge_strategy dispatch (templates/base.yaml merge_*):
+            // update_insert is the default; the others reuse the same
+            // PK-join building blocks
+            tgt.options.mergeStrategy.getOrElse("update_insert") match {
+              case "update_insert" => Modes.upsert(pt, df, tgt.primaryKey)
+              case "insert" => Modes.insertMissing(pt, df, tgt.primaryKey)
+              case "update" => Modes.updateOnly(pt, df, tgt.primaryKey)
+              case "delete_insert" => Modes.deleteInsert(pt, df, tgt.primaryKey)
+              case other =>
+                throw new IllegalArgumentException(s"unknown merge_strategy $other")
+            }
           case "incremental" =>
             Modes.incrementalAppend(pt, df, tgt.updateKey.getOrElse(
               throw new IllegalArgumentException("incremental needs update_key")))
@@ -394,9 +393,10 @@ object TaskConfig {
             graft.sources.Compression.writeCsvZstd(df, tgt.obj)
           case Some(c) =>
             df.write.mode("overwrite").option("header", "true")
-              .option("compression", c).csv(tgt.obj)
+              .option("escape", "\"").option("compression", c).csv(tgt.obj)
           case None =>
-            df.write.mode("overwrite").option("header", "true").csv(tgt.obj)
+            df.write.mode("overwrite").option("header", "true")
+              .option("escape", "\"").csv(tgt.obj)
         }
         countTarget(spark, tgt)
       case "jsonl" =>

@@ -92,7 +92,9 @@ object Compression {
 
   /** CSV rows → .zst files via codegen'd `to_csv` (no UDFs). */
   def writeCsvZstd(df: DataFrame, dir: String, header: Boolean = true): Unit = {
-    val rendered = df.select(to_csv(struct(df.columns.map(col): _*)).as("line"))
+    // RFC-4180 quote doubling, matching the readers' default dialect
+    val rendered = df.select(to_csv(struct(df.columns.map(col): _*),
+      java.util.Map.of("escape", "\"")).as("line"))
     writeZstdLines(rendered, dir,
       if (header) Some(df.columns.mkString(",")) else None)
   }

@@ -154,14 +154,20 @@ object ExcelIO {
     val sheetXml = entries.getOrElse(s"xl/worksheets/sheet$sheetIndex.xml",
       throw new IllegalArgumentException(s"no sheet$sheetIndex in $path"))
 
+    // some writers emit a UTF-8 BOM ahead of the XML declaration — the
+    // SAX parser rejects it ("content is not allowed in prolog")
+    def xmlString(bytes: Array[Byte]): String = {
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+    }
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml") match {
       case Some(bytes) =>
-        (XML.loadString(new String(bytes, StandardCharsets.UTF_8)) \ "si")
+        (XML.loadString(xmlString(bytes)) \ "si")
           .map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
       case None => IndexedSeq.empty
     }
 
-    val sheet = XML.loadString(new String(sheetXml, StandardCharsets.UTF_8))
+    val sheet = XML.loadString(xmlString(sheetXml))
     // sparse grid: (row, col) → value
     val cells = mutable.Map[(Int, Int), String]()
     var maxRow = -1; var maxCol = -1
@@ -194,8 +200,10 @@ object ExcelIO {
     val schema = StructType(names.map(n => StructField(n, StringType)))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(dataRows.map(r => Row.fromSeq(r)), 4), schema)
+    // the grid is already driver-held — infer over EVERY row, not a
+    // sample, so a tail value can't break an ANSI cast later
     graft.model.TypeInference.castTo(raw,
-      graft.model.TypeInference.infer(raw.collect().toSeq.take(900),
+      graft.model.TypeInference.infer(raw.collect().toSeq,
         names.toSeq, overrides))
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.model.TypeInference
 
@@ -42,7 +42,10 @@ object FileSources {
       .option("sep", delimiter)
       .option("inferSchema", "false")
     opts.quote.foreach(q => reader.option("quote", q))
-    opts.escape.foreach(e => reader.option("escape", e))
+    // RFC-4180 doubled-quote escaping is the default (the reference's Go
+    // encoding/csv dialect); Spark's own default is backslash — override
+    // unless the task declares one
+    reader.option("escape", opts.escape.getOrElse("\""))
     encoding.foreach(e => reader.option("encoding", e))
     // gzip/snappy/lz4/bzip2 go through Hadoop codecs natively; .zst routes
     // through the zstd-jni line reader (compression.go extension sniffing),
@@ -60,7 +63,13 @@ object FileSources {
           "skip_lines/skip_blank_lines need UTF-8 input (the line pre-pass " +
             "reads through the text source)")
         reader.csv(readLinesSkipping(spark, path, opts))
-      } else reader.csv(path)
+      } else
+        // quoted fields may embed newlines (the reference's Go csv reader
+        // always handles them); multiLine costs intra-file splitting but
+        // keeps per-FILE parallelism — at scale the unit of split is the
+        // file, as in the reference. Line-fed paths above are pre-split
+        // and can't carry the option.
+        reader.option("multiLine", "true").csv(path)
     val nulled = applyNullIf(raw, opts)
     inferAndCast(nulled, overrides, sampleSize, opts.datetimeFormat)
   }
@@ -132,10 +141,63 @@ object FileSources {
     // engine as CSV, for identical type decisions across formats
     val reader = spark.read
       .option("primitivesAsString", "true")
-    val raw =
+      // a file whose first non-ws byte is '[' is a JSON ARRAY document
+      // (iop/json.go handles both layouts); line-mode would yield one
+      // corrupt row per pretty-printed line
+      .option("multiLine", firstByteIsBracket(spark, path).toString)
+    val raw1 =
       if (hasZstd(spark, path)) reader.json(Compression.readZstdLines(spark, path))
       else reader.json(path)
+    // a pretty-printed document the line-mode parse can't read yields only
+    // the corrupt-record column — retry as a whole-file document (covers
+    // '{'-rooted layouts the '['-sniff above misses)
+    val raw0 =
+      if (raw1.columns.toSeq == Seq("_corrupt_record") && !hasZstd(spark, path))
+        spark.read.option("primitivesAsString", "true")
+          .option("multiLine", "true").json(path)
+      else raw1
+    // object-wrapped array document ({"data": [...]}): the records live in
+    // the single array field — unwrap to its elements (iop/json.go treats
+    // both layouts as the same stream)
+    val raw = raw0.schema.fields match {
+      case Array(f) => f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(_: StructType, _) =>
+          raw0.select(org.apache.spark.sql.functions
+            .explode(org.apache.spark.sql.functions.col(s"`${f.name}`"))
+            .as("__rec")).select("__rec.*")
+        case _ => raw0
+      }
+      case _ => raw0
+    }
     inferAndCast(raw, overrides, sampleSize)
+  }
+
+  /** Peek the first data file's first non-whitespace byte. */
+  private def firstByteIsBracket(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.globStatus(p) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case arr => arr
+      }
+      val first = st.flatMap { s =>
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).filter(f => f.isFile &&
+            !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+        else Array(s)
+      }.sortBy(_.getPath.toString).headOption
+      first.exists { f =>
+        val in = fs.open(f.getPath)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          (0 until math.max(n, 0)).iterator.map(buf(_).toChar)
+            .find(!_.isWhitespace).contains('[')
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => false }
   }
 
   private def hasZstd(spark: SparkSession, path: String): Boolean = {
@@ -186,9 +248,16 @@ object FileSources {
   private def inferAndCast(raw: DataFrame,
       overrides: Map[String, DataType], sampleSize: Int,
       datetimeFormat: Option[String] = None): DataFrame = {
-    val sample = raw.limit(sampleSize).collect().toSeq
-    val schema = TypeInference.infer(sample, raw.columns.toSeq, overrides,
-      datetimeFormat)
+    import org.apache.spark.sql.functions.col
+    // inference runs over STRING columns only — JSON structs/arrays (and
+    // any already-typed column) pass through castTo untouched
+    val strNames = raw.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    if (strNames.isEmpty) return raw
+    val sample = raw.select(strNames.map(n => col(s"`$n`")): _*)
+      .limit(sampleSize).collect().toSeq
+    val schema = TypeInference.infer(sample, strNames, overrides, datetimeFormat)
     TypeInference.castTo(raw, schema, datetimeFormat)
   }
 }

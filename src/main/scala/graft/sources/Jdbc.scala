@@ -61,6 +61,29 @@ object Jdbc {
     spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()
 
+  /** Case-folding existence probe; a qualified name splits into
+    * (schemaPattern, tablePattern). */
+  def tableExists(url: String, name: String): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val (sch0, tbl0) = name.lastIndexOf('.') match {
+        case -1 => (null: String, name)
+        case i  => (name.substring(0, i), name.substring(i + 1))
+      }
+      def folds(n: String): Seq[String] =
+        (Seq(n) ++
+          (if (md.storesUpperCaseIdentifiers) Seq(n.toUpperCase) else Nil) ++
+          (if (md.storesLowerCaseIdentifiers) Seq(n.toLowerCase) else Nil))
+          .distinct
+      val schemas = if (sch0 == null) Seq(null: String) else folds(sch0)
+      schemas.exists(sp => folds(tbl0).exists { n =>
+        val rs = md.getTables(null, sp, n, null)
+        try rs.next() finally rs.close()
+      })
+    } finally conn.close()
+  }
+
   /** Partitioned read: numPartitions parallel range queries on partitionCol. */
   def readPartitioned(spark: SparkSession, url: String, table: String,
       partitionCol: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
@@ -76,7 +99,26 @@ object Jdbc {
     * task_run_write.go:163-498 + the update_insert template.
     */
   def merge(df: DataFrame, url: String, table: String, pk: Seq[String],
+      tableTmp: Option[String] = None): Unit =
+    mergeStrategy(df, url, table, pk, "update_insert", tableTmp)
+
+  /** Staged-load merge with the reference's four strategies
+    * (task_run_write.go merge_strategy → templates/base.yaml
+    * merge_insert/merge_update/merge_update_insert/merge_delete_insert):
+    * stage `df` into a temp table, apply the strategy in-DB, drop the
+    * stage. SQL is built in the portable subset embedded engines accept
+    * (MERGE for the update paths; EXISTS forms for insert/delete).
+    */
+  def mergeStrategy(df: DataFrame, url: String, table: String,
+      pk: Seq[String], strategy: String,
       tableTmp: Option[String] = None): Unit = {
+    require(pk.nonEmpty, s"merge strategy $strategy needs primary_key")
+    // first load of an absent target: every strategy degenerates to a
+    // plain create-and-insert (task_run_write.go creates before merging)
+    if (!tableExists(url, table)) {
+      write(df, url, table, SaveMode.ErrorIfExists)
+      return
+    }
     val tmp = tableTmp.getOrElse(s"${table}_STAGE")
     write(df, url, tmp, SaveMode.Overwrite)
     // Spark's JDBC writer creates columns as quoted (case-exact) identifiers;
@@ -92,15 +134,36 @@ object Jdbc {
     // syntax error on every dialect, so reduce to insert-if-absent
     val matched =
       if (nonKey.isEmpty) "" else s"\nWHEN MATCHED THEN UPDATE SET $setClause"
-    val sql =
-      s"""MERGE INTO $table t USING $tmp s ON $onClause$matched
-         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+    val stmts: Seq[String] = strategy match {
+      case "update_insert" => Seq(
+        s"""MERGE INTO $table t USING $tmp s ON $onClause$matched
+           |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+          .stripMargin)
+      case "update" =>
+        if (nonKey.isEmpty) Nil // nothing updatable
+        else Seq(
+          s"""MERGE INTO $table t USING $tmp s ON $onClause
+             |WHEN MATCHED THEN UPDATE SET $setClause""".stripMargin)
+      case "insert" => Seq(
+        s"""INSERT INTO $table ($insertCols)
+           |SELECT $insertVals FROM $tmp s WHERE NOT EXISTS (
+           |  SELECT 1 FROM $table t WHERE $onClause)""".stripMargin)
+      case "delete_insert" =>
+        val delExists = pk.map(k => s"s.${q(k)} = $table.${q(k)}")
+          .mkString(" AND ")
+        Seq(
+          s"""DELETE FROM $table WHERE EXISTS (
+             |  SELECT 1 FROM $tmp s WHERE $delExists)""".stripMargin,
+          s"INSERT INTO $table ($insertCols) SELECT $insertVals FROM $tmp s")
+      case other =>
+        throw new IllegalArgumentException(s"unknown merge_strategy $other")
+    }
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.executeUpdate(sql)
+        stmts.foreach(st.executeUpdate)
         st.executeUpdate(s"DROP TABLE $tmp")
         conn.commit()
       } catch {

@@ -88,6 +88,20 @@ object Modes {
   def deleteInsert(target: ParquetTarget, source: DataFrame, pk: Seq[String]): Unit =
     upsert(target, source, pk)
 
+  /** Strategy `update` (templates/base.yaml merge_update): source rows
+    * replace matching target rows; non-matching source rows are DROPPED
+    * (no insert). Semi-join picks the updatable source rows; anti-join
+    * keeps untouched target rows.
+    */
+  def updateOnly(target: ParquetTarget, source: DataFrame, pk: Seq[String]): Unit = {
+    if (!target.exists) return // nothing to update
+    val tgt = target.read
+    val kept = tgt.join(source.select(pk.map(col).toSeq: _*), pk, "left_anti")
+    val updated = source.select(tgt.columns.map(col).toSeq: _*)
+      .join(tgt.select(pk.map(col).toSeq: _*), pk, "left_semi")
+    target.replaceWith(kept.unionByName(updated))
+  }
+
   /** [[upsert]] with schema evolution (`add_new_columns`,
     * task_run_write.go:951-991): columns present on only one side are added
     * as nulls on the other, so a widened source alters the target instead of

@@ -19,7 +19,9 @@ object StdoutWriter {
   /** Stream `df` as CSV lines to `out`; returns rows written. */
   def csv(df: DataFrame, out: OutputStream = System.out,
       header: Boolean = true): Long = {
-    val rendered = df.select(to_csv(struct(df.columns.map(col): _*)).as("line"))
+    // RFC-4180 quote doubling, matching the readers' default dialect
+    val rendered = df.select(to_csv(struct(df.columns.map(col): _*),
+      java.util.Map.of("escape", "\"")).as("line"))
     val w = new BufferedWriter(new OutputStreamWriter(out, UTF_8))
     if (header) { w.write(df.columns.mkString(",")); w.newLine() }
     var n = 0L
