@@ -470,6 +470,56 @@ object FileOps {
       },
       Some("SELECT * FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey")),
 
+    // Scale-safe metadata planning: a checkpoint with 50k add actions is
+    // pruned ON THE EXECUTORS (snapshotPlan/collectEntries); only the two
+    // real files' paths reach the driver — stats strings and the 49,998
+    // synthetic entries never do. If pruning regressed, the scan would try
+    // to open the nonexistent synthetic files and the query would error.
+    Q("op_delta_many_files",
+      (s, dir) => {
+        import s.implicits._
+        val t = scratch("delta_many_files", dir)
+        val fs = new org.apache.hadoop.fs.Path(t)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(t), true)
+        val cust = Tables(s, dir, "customer").filter(col("c_custkey") <= 100)
+        graft.sources.DeltaLite.overwrite(
+          cust.filter(col("c_custkey") <= 50).coalesce(1), t, collectStats = true)
+        graft.sources.DeltaLite.append(
+          cust.filter(col("c_custkey") > 50).coalesce(1), t, collectStats = true)
+        val real = graft.sources.DeltaLite.snapshot(s, t).entries
+          .map(e => (e.path, e.stats.orNull))
+        val fakes = (0 until 49998).map { i =>
+          val lo = 1000000L + i.toLong * 100
+          (f"data/synthetic-$i%05d.parquet",
+            s"""{"numRecords":100,"minValues":{"c_custkey":$lo},""" +
+              s""""maxValues":{"c_custkey":${lo + 99}},"nullCount":{"c_custkey":0}}""")
+        }
+        val cpDf = (real ++ fakes).toDF("path", "stats")
+          .select(struct(col("path"), col("stats")).as("add"))
+        val tmp = s"$t/_cp_build"
+        cpDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(
+          t, f"_delta_log/${1L}%020d.checkpoint.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          t, "_delta_log/_last_checkpoint"), true)
+        out.write("""{"version":1}""".getBytes); out.close()
+        fs.delete(new org.apache.hadoop.fs.Path(
+          t, f"_delta_log/${0L}%020d.json"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          t, f"_delta_log/${1L}%020d.json"), false)
+        val (kept, total) = graft.sources.DeltaLite.pruneCount(
+          s, t, "c_custkey <= 100")
+        require(total >= 50000 && kept <= 2,
+          s"expected metadata-level pruning of synthetic files, kept $kept/$total")
+        graft.sources.DeltaLite.readWhere(s, t, "c_custkey <= 100")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT * FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey")),
+
     // Stats-based data skipping, Iceberg: manifest lower_bounds/upper_bounds
     // (spec Appendix D single-value binary, keyed by field id) prune data
     // files before the scan

@@ -40,6 +40,18 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * columns null). Top-level so Spark's product encoders resolve them. */
 private[sources] case class CpAdd(path: String,
     partitionValues: Map[String, String], stats: Option[String])
+
+/** A checkpoint add action in uniform flat shape (absent checkpoint
+  * columns null-padded) — the executor-side row of the scale-safe
+  * snapshot plan. Top-level for the product encoder. */
+private[sources] case class CpAddRaw(p: String, dst: Option[String],
+    ddv: Option[String], doff: Option[Int], dsz: Option[Int],
+    st: Option[String], pv: Option[Map[String, String]]) {
+  def toEntry: DeltaLite.FileEntry = DeltaLite.FileEntry(p,
+    dst.map(s => DeletionVectors.Descriptor(s, ddv.getOrElse(""),
+      doff.getOrElse(1), dsz.getOrElse(0))),
+    st, pv.getOrElse(Map.empty))
+}
 private[sources] case class CpMeta(id: String, schemaString: String,
     configuration: Map[String, String], partitionColumns: Seq[String])
 private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
@@ -79,15 +91,42 @@ object DeltaLite {
     (s.entries, s.version)
   }
 
-  /** Replay the log including the latest metaData action. */
+  /** Replay the log including the latest metaData action.
+    *
+    * NOTE: this materializes every active entry (including stats strings)
+    * on the driver — fine for fixtures, tests, and the checkpoint writer.
+    * The READ path goes through [[snapshotPlan]]/[[collectEntries]], which
+    * keep the checkpoint part distributed, prune BEFORE collecting, and
+    * drop stats strings after predicate evaluation (the r7 scale fix).
+    */
   def snapshot(spark: SparkSession, table: String): Snapshot = {
+    val plan = snapshotPlan(spark, table)
+    Snapshot(collectEntries(spark, plan, None, keepStats = true),
+      plan.version, plan.meta)
+  }
+
+  /** The scale-safe snapshot shape: the checkpoint's add actions stay a
+    * Dataset (never fully driver-held); the JSON commits after it — a
+    * bounded tail by checkpointing policy — become a small driver overlay
+    * of re-added entries and removed paths. */
+  private[sources] final case class SnapshotPlan(
+      cpAdds: Option[org.apache.spark.sql.Dataset[CpAddRaw]],
+      overlayAdds: Seq[FileEntry], removed: Set[String],
+      version: Long, meta: Option[Meta])
+
+  private[sources] def snapshotPlan(spark: SparkSession,
+      table: String): SnapshotPlan = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     require(fs.exists(dir), s"not a delta table: $table (no _delta_log)")
 
-    val active = mutable.LinkedHashMap[String,
+    // JSON-commit overlay: adds since the checkpoint (last-wins) and
+    // removed paths. When no checkpoint exists the overlay IS the state.
+    val overlay = mutable.LinkedHashMap[String,
       (Option[DeletionVectors.Descriptor], Option[String], Map[String, String])]()
+    val removed = mutable.Set[String]()
     var meta: Option[Meta] = None
+    var cpAdds: Option[org.apache.spark.sql.Dataset[CpAddRaw]] = None
 
     // start from the newest parquet checkpoint if one is advertised
     val lastCp = new Path(dir, "_last_checkpoint")
@@ -133,32 +172,27 @@ object DeltaLite {
             }
         }
         if (cp.columns.contains("add")) {
-          import org.apache.spark.sql.functions.col
-          import org.apache.spark.sql.types.StructType
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructType}
           val addType = cp.schema("add").dataType.asInstanceOf[StructType]
           val hasDv = addType.fieldNames.contains("deletionVector")
           val hasStats = addType.fieldNames.contains("stats")
           val hasPv = addType.fieldNames.contains("partitionValues")
-          val cols = Seq(col("add.path").as("p")) ++
-            (if (hasDv) Seq(col("add.deletionVector.storageType").as("dst"),
-              col("add.deletionVector.pathOrInlineDv").as("ddv"),
-              col("add.deletionVector.offset").as("doff"),
-              col("add.deletionVector.sizeInBytes").as("dsz")) else Nil) ++
-            (if (hasStats) Seq(col("add.stats").as("st")) else Nil) ++
-            (if (hasPv) Seq(col("add.partitionValues").as("pv")) else Nil)
-          cp.select(cols: _*).na.drop(Seq("p")).collect().foreach { r =>
-            val dv = if (!hasDv || r.isNullAt(r.fieldIndex("dst"))) None
-              else Some(DeletionVectors.Descriptor(
-                r.getAs[String]("dst"), r.getAs[String]("ddv"),
-                if (r.isNullAt(r.fieldIndex("doff"))) 1 else r.getAs[Int]("doff"),
-                r.getAs[Int]("dsz")))
-            val st = if (!hasStats || r.isNullAt(r.fieldIndex("st"))) None
-              else Some(r.getAs[String]("st"))
-            val pv = if (!hasPv || r.isNullAt(r.fieldIndex("pv")))
-              Map.empty[String, String]
-            else r.getMap[String, String](r.fieldIndex("pv")).toMap
-            active += r.getAs[String]("p") -> (dv, st, pv)
-          }
+          def orNull(present: Boolean, c: => Column, dt: DataType) =
+            if (present) c else lit(null).cast(dt)
+          val cols = Seq(
+            col("add.path").as("p"),
+            orNull(hasDv, col("add.deletionVector.storageType"), StringType).as("dst"),
+            orNull(hasDv, col("add.deletionVector.pathOrInlineDv"), StringType).as("ddv"),
+            orNull(hasDv, col("add.deletionVector.offset"), IntegerType).as("doff"),
+            orNull(hasDv, col("add.deletionVector.sizeInBytes"), IntegerType).as("dsz"),
+            orNull(hasStats, col("add.stats"), StringType).as("st"),
+            orNull(hasPv, col("add.partitionValues"),
+              MapType(StringType, StringType)).as("pv"))
+          // the add actions STAY distributed — never collected here; the
+          // consumer prunes and projects on executors first
+          import spark.implicits._
+          cpAdds = Some(cp.select(cols: _*).na.drop(Seq("p")).as[CpAddRaw])
         }
         cpVer + 1
       } else 0L
@@ -209,15 +243,63 @@ object DeltaLite {
             pv += k -> (if (pvNode.path(k).isNull) null
               else pvNode.path(k).asText)
           }
-          active += add.path("path").asText -> (dv, st, pv.toMap)
+          val p = add.path("path").asText
+          overlay += p -> (dv, st, pv.toMap)
+          removed -= p
         }
         val remove = node.path("remove")
-        if (!remove.isMissingNode) active -= remove.path("path").asText
+        if (!remove.isMissingNode) {
+          val p = remove.path("path").asText
+          overlay -= p
+          removed += p
+        }
       }
       version = v
     }
-    Snapshot(active.map { case (p, (dv, st, pv)) => FileEntry(p, dv, st, pv) }
-      .toSeq, version, meta)
+    SnapshotPlan(cpAdds,
+      overlay.map { case (p, (dv, st, pv)) => FileEntry(p, dv, st, pv) }.toSeq,
+      removed.toSet, version, meta)
+  }
+
+  /** Materialize a plan's active entries. `cond` prunes ON THE EXECUTORS
+    * (stats-JSON parse + bounds check per checkpoint row) before anything
+    * reaches the driver; unless `keepStats`, stats strings are dropped
+    * post-evaluation so a million-file snapshot collects only paths, DVs
+    * and partition values. */
+  private[sources] def collectEntries(spark: SparkSession, plan: SnapshotPlan,
+      cond: Option[String], keepStats: Boolean): Seq[FileEntry] = {
+    import spark.implicits._
+    val pruner = cond.map(prunerFor(plan.meta, _))
+    val dead: Set[String] = plan.removed ++ plan.overlayAdds.map(_.path)
+    val cpPart: Seq[FileEntry] = plan.cpAdds.map { ds0 =>
+      val live = if (dead.isEmpty) ds0 else ds0.filter(r => !dead.contains(r.p))
+      val kept = pruner match {
+        case Some((pred, types)) =>
+          live.filter(r => FileSkipping.mayContain(pred,
+            entryStats(r.toEntry, types)))
+        case None => live
+      }
+      val slim = if (keepStats) kept else kept.map(_.copy(st = None))
+      slim.collect().toSeq.map(_.toEntry)
+    }.getOrElse(Nil)
+    val overlayKept = pruner match {
+      case Some((pred, types)) =>
+        plan.overlayAdds.filter(e => FileSkipping.mayContain(pred,
+          entryStats(e, types)))
+      case None => plan.overlayAdds
+    }
+    cpPart ++ (if (keepStats) overlayKept
+               else overlayKept.map(_.copy(stats = None)))
+  }
+
+  /** One arbitrary active entry (schema anchor when pruning empties the
+    * scan) without materializing the snapshot. */
+  private def firstEntry(spark: SparkSession, plan: SnapshotPlan): Option[FileEntry] = {
+    val dead: Set[String] = plan.removed ++ plan.overlayAdds.map(_.path)
+    plan.overlayAdds.headOption.orElse(plan.cpAdds.flatMap { ds =>
+      val live = if (dead.isEmpty) ds else ds.filter(r => !dead.contains(r.p))
+      live.take(1).headOption.map(_.copy(st = None).toEntry)
+    })
   }
 
   /** Back-compat shape: active paths only (DVs dropped). */
@@ -330,68 +412,87 @@ object DeltaLite {
       FileSkipping.FileStats(num, cols)
     } catch { case scala.util.control.NonFatal(_) => FileSkipping.NoStats }
 
-  /** Entries surviving stats pruning for `condition` (logical column names;
-    * renamed to physical under column mapping). */
-  private def pruneEntries(snap: Snapshot, condition: String): Seq[FileEntry] = {
+  /** Compile `condition` into the executor-shippable pruning inputs:
+    * the parsed predicate (column names renamed to physical under column
+    * mapping) and the physical-name → type map for partition-value
+    * bounds. Both are plain serializable values. */
+  private[sources] def prunerFor(meta: Option[Meta],
+      condition: String): (FileSkipping.Pred, Map[String, DataType]) = {
     val pred0 = FileSkipping.parse(condition)
-    val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
+    val mode = meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
       .filter(_ != "none")
     val pred = mode match {
       case Some(_) =>
-        val logical = DataType.fromJson(snap.meta.get.schemaString)
+        val logical = DataType.fromJson(meta.get.schemaString)
           .asInstanceOf[StructType]
         FileSkipping.renameCols(pred0,
           logical.fields.map(f => f.name.toLowerCase -> physName(f)).toMap)
       case None => pred0
     }
-    // partition columns get EXACT synthesized bounds (min = max = the
-    // file's partition value) — a predicate on a partition column prunes
-    // at the metadata level with no scan at all, Delta's partition pruning
-    val schemaTypes: Map[String, DataType] = snap.meta.map { m =>
+    val schemaTypes: Map[String, DataType] = meta.map { m =>
       val sch = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
       sch.fields.map(f => physName(f).toLowerCase -> f.dataType).toMap
     }.getOrElse(Map.empty)
-    def statsOf(e: FileEntry): FileSkipping.FileStats = {
-      val base = e.stats.map(parseStats).getOrElse(FileSkipping.NoStats)
-      if (e.partitionValues.isEmpty) base
-      else {
-        val pvCols = e.partitionValues.map { case (k, v) =>
-          k.toLowerCase -> (if (v == null)
-            // all rows in the file have a null partition value: no bounds;
-            // nullCount = numRecords when known so IS NOT NULL can prune
-            FileSkipping.ColStats(None, None,
-              Some(base.numRecords.getOrElse(1L)))
-          else {
-            val dom = schemaTypes.get(k.toLowerCase)
-              .flatMap(FileSkipping.domainValue(v, _))
-            FileSkipping.ColStats(dom, dom, Some(0L))
-          })
-        }
-        FileSkipping.FileStats(base.numRecords, base.cols ++ pvCols)
-      }
-    }
-    snap.entries.filter(e => FileSkipping.mayContain(pred, statsOf(e)))
+    (pred, schemaTypes)
   }
 
-  /** (kept, total) file counts for `condition` — pruning observability. */
+  /** Per-entry skipping stats: the add action's stats JSON plus EXACT
+    * synthesized bounds for partition columns (min = max = the file's
+    * partition value) — a predicate on a partition column prunes at the
+    * metadata level with no scan at all, Delta's partition pruning. Runs
+    * on executors for checkpoint rows. */
+  private[sources] def entryStats(e: FileEntry,
+      schemaTypes: Map[String, DataType]): FileSkipping.FileStats = {
+    val base = e.stats.map(parseStats).getOrElse(FileSkipping.NoStats)
+    if (e.partitionValues.isEmpty) base
+    else {
+      val pvCols = e.partitionValues.map { case (k, v) =>
+        k.toLowerCase -> (if (v == null)
+          // all rows in the file have a null partition value: no bounds;
+          // nullCount = numRecords when known so IS NOT NULL can prune
+          FileSkipping.ColStats(None, None,
+            Some(base.numRecords.getOrElse(1L)))
+        else {
+          val dom = schemaTypes.get(k.toLowerCase)
+            .flatMap(FileSkipping.domainValue(v, _))
+          FileSkipping.ColStats(dom, dom, Some(0L))
+        })
+      }
+      FileSkipping.FileStats(base.numRecords, base.cols ++ pvCols)
+    }
+  }
+
+  /** (kept, total) file counts for `condition` — pruning observability.
+    * Both sides count distributedly; no entry list is driver-held. */
   def pruneCount(spark: SparkSession, table: String, condition: String): (Int, Int) = {
-    val snap = snapshot(spark, table)
-    (pruneEntries(snap, condition).size, snap.entries.size)
+    val plan = snapshotPlan(spark, table)
+    val (pred, types) = prunerFor(plan.meta, condition)
+    val dead: Set[String] = plan.removed ++ plan.overlayAdds.map(_.path)
+    val (cpKept, cpTotal) = plan.cpAdds.map { ds =>
+      val live = if (dead.isEmpty) ds else ds.filter(r => !dead.contains(r.p))
+      (live.filter(r => FileSkipping.mayContain(pred,
+        entryStats(r.toEntry, types))).count(), live.count())
+    }.getOrElse((0L, 0L))
+    val ovKept = plan.overlayAdds.count(e =>
+      FileSkipping.mayContain(pred, entryStats(e, types)))
+    ((cpKept + ovKept).toInt, (cpTotal + plan.overlayAdds.size).toInt)
   }
 
   private def readCore(spark: SparkSession, table: String,
       where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val snap = snapshot(spark, table)
+    val plan = snapshotPlan(spark, table)
+    val snapMeta = plan.meta
     val entries = where match {
-      case None => snap.entries
+      case None => collectEntries(spark, plan, None, keepStats = false)
       case Some(cond) =>
-        val kept = pruneEntries(snap, cond)
+        val kept = collectEntries(spark, plan, Some(cond), keepStats = false)
         // every file provably mismatches → scan ONE file so the result
         // keeps the table schema; the trailing filter empties it
-        if (kept.isEmpty) snap.entries.take(1) else kept
+        if (kept.isEmpty) firstEntry(spark, plan).toSeq else kept
     }
     require(entries.nonEmpty, s"delta table $table has no active files")
+    val snap = Snapshot(entries, plan.version, snapMeta)
     val mode = snap.meta.flatMap(_.configuration.get("delta.columnMapping.mode"))
       .filter(_ != "none")
     val metaSchema = snap.meta.map(m =>

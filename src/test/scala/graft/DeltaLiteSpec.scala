@@ -189,6 +189,45 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(spark.read.schema(got.schema).parquet(plain).count() == 1)
   }
 
+  test("checkpoint with thousands of synthetic adds prunes on executors " +
+      "and scans only the real files") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    val t = freshDir("delta_many")
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DeltaLite.overwrite(df.filter(col("id") <= 50).coalesce(1), t, collectStats = true)
+    DeltaLite.append(df.filter(col("id") > 50).coalesce(1), t, collectStats = true)
+    val real = DeltaLite.snapshot(spark, t).entries.map(e => (e.path, e.stats.orNull))
+    val fakes = (0 until 5000).map { i =>
+      val lo = 100000L + i * 100
+      (f"data/synthetic-$i%05d.parquet",
+        s"""{"numRecords":10,"minValues":{"id":$lo},"maxValues":{"id":${lo + 99}},"nullCount":{"id":0}}""")
+    }
+    val cpDf = (real ++ fakes).toDF("path", "stats")
+      .select(struct(col("path"), col("stats")).as("add"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$t/_cp_build"
+    cpDf.coalesce(1).write.parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      t, f"_delta_log/${1L}%020d.checkpoint.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      t, "_delta_log/_last_checkpoint"), true)
+    out.write("""{"version":1}""".getBytes); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(t, f"_delta_log/${0L}%020d.json"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(t, f"_delta_log/${1L}%020d.json"), false)
+    val (kept, total) = DeltaLite.pruneCount(spark, t, "id <= 100")
+    assert(total == 5002 && kept == 2, s"kept $kept / total $total")
+    // the synthetic paths don't exist on disk — this read only succeeds
+    // if pruning removed them BEFORE the scan planned its file list
+    val got = DeltaLite.readWhere(spark, t, "id <= 100")
+      .orderBy("id").select("id").as[Long].collect()
+    assert(got.toSeq == (1L to 100L))
+  }
+
   test("addDeletionVectors probe-first cap fails fast on oversized input") {
     import spark.implicits._
     val t = freshDir("delta_dv_cap")
