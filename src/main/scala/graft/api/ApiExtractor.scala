@@ -25,7 +25,8 @@ object ApiExtractor {
       recordsPath: String = "data",
       nextTokenPath: String = "next",
       primaryKey: Option[String] = None,
-      maxPages: Int = 1000)
+      maxPages: Int = 1000,
+      maxRows: Long = 5000000L)
 
   /** Transport seam: (url, queryParams) → response body. */
   type Transport = (String, Map[String, String]) => String
@@ -66,6 +67,12 @@ object ApiExtractor {
         }
         if (keep) out += mapper.writeValueAsString(rec)
       }
+      // API extraction is driver-side BY DESIGN (the reference's extractor
+      // is a single client loop too); the cap turns a runaway endpoint
+      // into a fast, named failure instead of a driver OOM
+      if (out.size > spec.maxRows) throw new IllegalStateException(
+        s"api endpoint ${spec.name} exceeded max_rows=${spec.maxRows} " +
+          s"after $pages page(s); raise maxRows or narrow the endpoint")
       val nt = graft.transform.JsonPathX.eval(root, spec.nextTokenPath)
         .headOption.getOrElse(
           com.fasterxml.jackson.databind.node.MissingNode.getInstance())

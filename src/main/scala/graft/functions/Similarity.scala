@@ -69,6 +69,35 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
 
+  /** 1-row broadcast relation carrying the centroid set as
+    * `__cents: array<struct<cell, cvec, cnorm>>`. Centroids travel in the
+    * broadcast, NOT as plan literals — plan/codegen size stays flat as
+    * nlist grows (at nlist ≥ 1k the old per-centroid `typedLit`s bloated
+    * the plan). Cross-joining this 1-row frame is a broadcast nested-loop
+    * join of one row: effectively a map-side attach.
+    */
+  private def centroidsRow(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.zipWithIndex
+      .map { case (ct, i) => (i + 1, ct, math.sqrt(ct.map(x => x * x).sum)) }
+      .toDF("cell", "cvec", "cnorm")
+      .agg(collect_list(struct(col("cell"), col("cvec"), col("cnorm")))
+        .as("__cents")))
+  }
+
+  /** (-sim, cell) structs for every centroid; ascending array_sort puts
+    * the best cell first, ties to the lowest cell id (the same choice
+    * array_position-of-max made). */
+  private def negSimCells(v: Column): Column =
+    transform(col("__cents"), c =>
+      struct((-(dot(v, c.getField("cvec")) /
+        (norm(v) * c.getField("cnorm")))).as("negs"),
+        c.getField("cell").as("cell")))
+
+  private def bestCellCol(v: Column): Column =
+    element_at(array_sort(negSimCells(v)), 1).getField("cell")
+
   /** Deterministic Lloyd k-means coarse quantizer: init = first `k` corpus
     * rows by id, then `iters` assign-update rounds. The update is an
     * element-wise mean via posexplode → groupBy(cell, dim) in exact DECIMAL
@@ -82,13 +111,9 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     (0 until iters).foreach { _ =>
-      def cosineToCent(v: Column, ct: Seq[Double]): Column = {
-        val ctNorm = math.sqrt(ct.map(x => x * x).sum)
-        dot(v, typedLit(ct)) / (norm(v) * lit(ctNorm))
-      }
-      val sims = array(cents.map(ct => cosineToCent(col(vecCol), ct)): _*)
       val assigned = corpus
-        .withColumn("__cell", array_position(sims, array_max(sims)).cast("int"))
+        .crossJoin(centroidsRow(corpus.sparkSession, cents))
+        .withColumn("__cell", bestCellCol(col(vecCol)).cast("int"))
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
       val means = assigned.groupBy("__cell", "__dim")
         .agg((sum(col("__x").cast("decimal(27,10)")) / count(lit(1)))
@@ -120,26 +145,14 @@ object Similarity {
       else corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    def cosineToCent(v: Column, ct: Seq[Double]): Column = {
-      val ctNorm = math.sqrt(ct.map(x => x * x).sum)
-      dot(v, typedLit(ct)) / (norm(v) * lit(ctNorm))
-    }
-    def cellSims(v: Column): Column = array(cents.map(ct => cosineToCent(v, ct)): _*)
-    def bestCell(v: Column): Column = {
-      val sims = cellSims(v)
-      array_position(sims, array_max(sims)).cast("int")
-    }
-    // top-nprobe cell ids per query: sort (sim desc, cell) structs, take n
-    def probeCells(v: Column): Column = {
-      val sims = cellSims(v)
-      slice(transform(
-        array_sort(zip_with(sims, sequence(lit(1), lit(cents.size)),
-          (s, i) => struct((-s).as("negs"), i.as("cell")))),
-        x => x.getField("cell")), 1, nprobe)
-    }
-    val indexed = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), bestCell(col(vecCol)).as("__cell"))
-    val probes = broadcast(queries.select(col(idCol).as("query_id"),
+    val cRow = centroidsRow(corpus.sparkSession, cents)
+    // top-nprobe cell ids per query: sort (-sim, cell) structs, take n
+    def probeCells(v: Column): Column =
+      slice(transform(array_sort(negSimCells(v)), x => x.getField("cell")),
+        1, nprobe)
+    val indexed = corpus.crossJoin(cRow).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), bestCellCol(col(vecCol)).cast("int").as("__cell"))
+    val probes = broadcast(queries.crossJoin(cRow).select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"),
         explode(probeCells(col(vecCol))).as("__cell")))
     val scored = probes.join(indexed, Seq("__cell"))

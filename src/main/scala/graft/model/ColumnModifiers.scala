@@ -108,6 +108,14 @@ object ColumnModifiers {
         case "unique_index" =>
           indexes += payload.map(stringPayload).getOrElse(s"uidx_$name")
           meta.putBoolean("unique", true)
+        // the full KeyType enum (reference datatype.go:87-99): carried in
+        // field metadata as `<kind>_key`, rendered by the dialect's
+        // create-table key clauses (NativeTypes.createTableKeyed)
+        case kt @ ("aggregate_key" | "cluster_key" | "distribution_key" |
+            "duplicate_key" | "hash_key" | "index_key" | "partition_key" |
+            "sort_key" | "unique_key" | "update_key") =>
+          require(payload.isEmpty, s"$name: $kt takes no arguments")
+          meta.putBoolean(kt, true)
         case other =>
           throw new IllegalArgumentException(s"$name: unknown modifier $other")
       }

@@ -392,4 +392,64 @@ object NativeTypes {
     }
     s"create table $table (${cols.mkString(", ")})"
   }
+
+  /** Columns flagged with `<kind>_key` metadata (ColumnModifiers key
+    * roles, reference datatype.go:87-99), in schema order. */
+  def keyColumns(schema: StructType, kind: String): Seq[String] =
+    schema.fields.toIndexedSeq.filter { f =>
+      val k = s"${kind}_key"
+      f.metadata.contains(k) && f.metadata.getBoolean(k)
+    }.map(_.name)
+
+  /** [[createTable]] plus the dialect's physical-layout key clauses,
+    * driven by the schema's key-role metadata — the reference's
+    * `{partition_by}/{cluster_by}/{dist_key}/{sort_key}` template slots
+    * (database.go:2705-2738) and the StarRocks/ClickHouse engine-key
+    * forms. Dialects without a clause for a given role ignore it, as the
+    * reference's templates do.
+    */
+  def createTableKeyed(dialect: String, table: String,
+      schema: StructType): String = {
+    val base = createTable(dialect, table, schema)
+    def keys(kind: String) = keyColumns(schema, kind)
+    def joined(kind: String) = keys(kind).mkString(", ")
+    val clauses: Seq[String] = dialect match {
+      case "redshift" => Seq(
+        if (keys("distribution").nonEmpty) s"distkey(${joined("distribution")})" else "",
+        if (keys("sort").nonEmpty) s"compound sortkey(${joined("sort")})" else "")
+      case "bigquery" => Seq(
+        if (keys("partition").nonEmpty) s"partition by ${joined("partition")}" else "",
+        if (keys("cluster").nonEmpty) s"cluster by ${joined("cluster")}" else "")
+      case "snowflake" =>
+        Seq(if (keys("cluster").nonEmpty) s"cluster by (${joined("cluster")})" else "")
+      case "databricks" => Seq(
+        if (keys("cluster").nonEmpty) s"cluster by (${joined("cluster")})" else "",
+        if (keys("partition").nonEmpty) s"partitioned by (${joined("partition")})" else "")
+      case "postgres" | "mariadb" =>
+        Seq(if (keys("partition").nonEmpty) s"partition by ${joined("partition")}" else "")
+      case "clickhouse" =>
+        // MergeTree: ORDER BY is mandatory and the primary key must be a
+        // prefix of it — pk first, then the sort keys, else tuple()
+        val pk = schema.fields.toIndexedSeq.filter(f =>
+          f.metadata.contains("primary_key") &&
+            f.metadata.getBoolean("primary_key")).map(_.name)
+        val ob = pk ++ keys("sort").filterNot(pk.contains)
+        val orderBy = if (ob.nonEmpty) ob.mkString(", ") else "tuple()"
+        Seq("engine=MergeTree",
+          if (pk.nonEmpty) s"primary key (${pk.mkString(", ")})" else "",
+          if (keys("partition").nonEmpty) s"partition by ${joined("partition")}" else "",
+          s"order by ($orderBy)")
+      case "starrocks" =>
+        // table model precedence: aggregate > duplicate (starrocks.yaml
+        // {distribution}); hash distribution from hash keys
+        val model =
+          if (keys("aggregate").nonEmpty) s"aggregate key(${joined("aggregate")})"
+          else if (keys("duplicate").nonEmpty) s"duplicate key(${joined("duplicate")})"
+          else ""
+        Seq(model,
+          if (keys("hash").nonEmpty) s"distributed by hash(${joined("hash")})" else "")
+      case _ => Nil
+    }
+    (base +: clauses.filter(_.nonEmpty)).mkString(" ")
+  }
 }

@@ -749,6 +749,45 @@ object FileOps {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Chunked file-partition backfill (partition.go:600-648
+    // GeneratePartURIsFromRange): a {part_*} mask stream expands the
+    // backfill range into explicit chunk URIs — only those directories are
+    // read, no full-tree listing — and the target's range rows are
+    // replaced. At scale this touches 12 directories of a
+    // years-partitioned tree, not all of them.
+    Q("op_replication_chunked_files",
+      (s, dir) => {
+        val root = scratch("repl_chunked", dir)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val orders = Tables(s, dir, "orders")
+        val src = s"$root/src"
+        graft.write.PartitionedWriter.write(orders, src, "o_orderdate",
+          Seq("part_year", "part_month"))
+        val mask = s"$src/part_year={part_year}/part_month={part_month}"
+        val yaml =
+          s"""streams:
+             |  "$mask":
+             |    mode: backfill
+             |    update_key: o_orderdate
+             |    select: [${orders.columns.mkString(", ")}]
+             |    backfill:
+             |      start: "1995-01-01"
+             |      end: "1995-12-31"
+             |""".stripMargin
+        val compiled = Replication.parse(yaml, Tables.names)
+        val out = Replication.run(s, dir, compiled, s"$root/tgt", threads = 2)
+        require(out.nonEmpty && out.head._2 == "backfill", out.toString)
+        val safe = mask.replaceAll("[^A-Za-z0-9._-]+", "_")
+        s.read.parquet(s"$root/tgt/$safe")
+          .select(orders.columns.map(col).toSeq: _*)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-12-31'
+        ORDER BY o_orderkey""")),
+
     // stream discovery: wildcard catalog listing with 1-based column
     // positions (type names differ by engine, so the oracle checks
     // stream/position/name)

@@ -374,6 +374,34 @@ object Pipeline {
         t("column", type_sql, nullable, is_pk, description)
         ORDER BY "column"""")),
 
+    // full KeyType enum (datatype.go:87-99) → dialect-specific physical
+    // layout clauses (partition/cluster/dist/sort/hash/aggregate/
+    // duplicate), golden-pinned per dialect
+    Q("op_keyed_ddl",
+      (s, dir) => {
+        import s.implicits._
+        val schema = graft.model.ColumnModifiers.parseAll(Seq(
+          "event_date" -> "date partition_key",
+          "acct_id" -> "bigint not_null primary_key hash_key distribution_key cluster_key",
+          "metric" -> "double aggregate_key",
+          "ts" -> "timestampz sort_key update_key",
+          "payload" -> "string duplicate_key"))
+        Seq("bigquery", "clickhouse", "databricks", "duckdb", "postgres",
+          "redshift", "snowflake", "starrocks")
+          .map(d => (d, graft.model.NativeTypes.createTableKeyed(d, "t_keys", schema)))
+          .toDF("dialect", "ddl").orderBy("dialect")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('bigquery', 'create table t_keys (event_date date, acct_id int64 not null, metric float64, ts timestamp, payload string) partition by event_date cluster by acct_id'),
+        ('clickhouse', 'create table t_keys (event_date Nullable(Date), acct_id Nullable(Int64) not null, metric Nullable(Float64), ts Nullable(DateTime64(6)), payload Nullable(String)) engine=MergeTree primary key (acct_id) partition by event_date order by (acct_id, ts)'),
+        ('databricks', 'create table t_keys (event_date date, acct_id bigint not null, metric double, ts timestamp, payload string) cluster by (acct_id) partitioned by (event_date)'),
+        ('duckdb', 'create table t_keys (event_date date, acct_id bigint not null, metric double, ts timestamptz, payload varchar(255))'),
+        ('postgres', 'create table t_keys (event_date date, acct_id bigint not null, metric double precision, ts timestamptz, payload varchar(255)) partition by event_date'),
+        ('redshift', 'create table t_keys (event_date date, acct_id bigint not null, metric double precision, ts timestamptz, payload varchar(255)) distkey(acct_id) compound sortkey(ts)'),
+        ('snowflake', 'create table t_keys (event_date date, acct_id bigint not null, metric float, ts timestamp_tz, payload varchar(255)) cluster by (acct_id)'),
+        ('starrocks', 'create table t_keys (event_date date, acct_id bigint not null, metric double, ts datetime, payload varchar(255)) aggregate key(metric) distributed by hash(acct_id)'))
+        t(dialect, ddl) ORDER BY dialect""")),
+
     Q("op_metadata_cols",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")

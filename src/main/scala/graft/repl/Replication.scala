@@ -39,7 +39,8 @@ object Replication {
       transforms: Map[String, String] = Map.empty,
       dependsOn: Seq[String] = Nil,
       loadedAt: Option[String] = None,
-      columns: Seq[(String, String)] = Nil)
+      columns: Seq[(String, String)] = Nil,
+      backfill: Option[(String, String)] = None)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -90,7 +91,13 @@ object Replication {
           columns = merged.get("columns").map(
             _.asInstanceOf[java.util.Map[String, Object]].asScala.toSeq
               .map { case (k, v) => k -> v.toString })
-            .getOrElse(Nil))
+            .getOrElse(Nil),
+          // backfill range (source options `range` in the reference,
+          // task_run_read.go:173-204): {start, end} on the update key
+          backfill = merged.get("backfill").map { b =>
+            val m = b.asInstanceOf[java.util.Map[String, Object]].asScala
+            (m("start").toString, m("end").toString)
+          })
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -140,10 +147,34 @@ object Replication {
       val futures = level.map { st =>
         Future {
           // per-stream select/where/transforms run through the same pipeline
-          // stage the single-task interpreter uses, after state templating
-          val tgtObj = s"$targetRoot/${st.name}"
+          // stage the single-task interpreter uses, after state templating.
+          // A {part_*} mask stream is a chunked FILE source: the backfill
+          // range expands to explicit chunk URIs (partition.go:600-648) and
+          // ONLY those directories are read — no full-tree listing.
+          val isFileMask = st.name.contains("{part_")
+          val safeName =
+            if (isFileMask) st.name.replaceAll("[^A-Za-z0-9._-]+", "_")
+            else st.name
+          val tgtObj = s"$targetRoot/$safeName"
           val r = (tpl: String) => render(tpl, st.name, tgtObj, state)
-          val raw = Tables(spark, sfDir, st.name)
+          val raw =
+            if (isFileMask) {
+              val (s0, e0) = st.backfill.getOrElse(
+                throw new IllegalArgumentException(
+                  s"file-mask stream ${st.name} needs backfill: {start, end}"))
+              def dt(x: String) =
+                if (x.length <= 10) java.time.LocalDate.parse(x).atStartOfDay
+                else java.time.LocalDateTime.parse(x.replace(' ', 'T'))
+              val uris = graft.write.PartitionedWriter
+                .partURIsFromRange(st.name, dt(s0), dt(e0))
+              val fs = new org.apache.hadoop.fs.Path(st.name.takeWhile(_ != '{'))
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val existing = uris.filter(u =>
+                fs.exists(new org.apache.hadoop.fs.Path(u)))
+              require(existing.nonEmpty,
+                s"no chunk URIs exist for ${st.name} in [$s0, $e0]")
+              spark.read.parquet(existing: _*)
+            } else Tables(spark, sfDir, st.name)
           val src = TaskConfig.applyPipeline(raw, TaskConfig.Task(
             TaskConfig.Source(st.name, select = st.select.map(r),
               where = st.where.map(r)),
@@ -161,6 +192,16 @@ object Replication {
             case "snapshot" => Modes.snapshot(tgt, src,
               st.loadedAt.map(java.sql.Timestamp.valueOf).getOrElse(
                 new java.sql.Timestamp(System.currentTimeMillis())))
+            case "backfill" =>
+              val k = st.updateKey.getOrElse(throw new IllegalArgumentException(
+                "backfill needs update_key"))
+              val (s0, e0) = st.backfill.getOrElse(
+                throw new IllegalArgumentException(
+                  "backfill needs backfill: {start, end}"))
+              val kt = src.schema(k).dataType
+              Modes.backfill(tgt, src, k,
+                org.apache.spark.sql.functions.lit(s0).cast(kt),
+                org.apache.spark.sql.functions.lit(e0).cast(kt))
             case other => throw new IllegalArgumentException(s"mode $other")
           }
           (st, tgt.read.count())
@@ -171,7 +212,11 @@ object Replication {
         case (st, rows) =>
           state(s"${st.name}.rows") = rows
           st.updateKey.foreach { k =>
-            val mx = ParquetTarget(spark, s"$targetRoot/${st.name}").read
+            val dirName =
+              if (st.name.contains("{part_"))
+                st.name.replaceAll("[^A-Za-z0-9._-]+", "_")
+              else st.name
+            val mx = ParquetTarget(spark, s"$targetRoot/$dirName").read
               .agg(org.apache.spark.sql.functions.max(
                 org.apache.spark.sql.functions.col(k))).head.get(0)
             if (mx != null) state(s"${st.name}.max") = mx

@@ -381,6 +381,58 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(graft.repl.TaskConfig.run(spark, yaml(3), "/root/testdata/sf0.001") == 7)
   }
 
+  test("partURIsFromRange expands the mask at its lowest resolution") {
+    import graft.write.PartitionedWriter.partURIsFromRange
+    def d(s: String) = java.time.LocalDate.parse(s).atStartOfDay
+    assert(partURIsFromRange("b/part_year={part_year}",
+      d("2023-03-15"), d("2025-01-01")) ==
+      Seq("b/part_year=2023", "b/part_year=2024", "b/part_year=2025"))
+    assert(partURIsFromRange("b/part_year={part_year}/part_month={part_month}",
+      d("2024-11-20"), d("2025-02-01")) ==
+      Seq("b/part_year=2024/part_month=11", "b/part_year=2024/part_month=12",
+        "b/part_year=2025/part_month=1", "b/part_year=2025/part_month=2"))
+    // day level spans a month boundary correctly
+    assert(partURIsFromRange("b/d={part_day}", d("2024-02-28"), d("2024-03-01"))
+      .size == 3)
+    intercept[IllegalArgumentException] {
+      partURIsFromRange("b/no-mask", d("2024-01-01"), d("2024-01-02"))
+    }
+  }
+
+  test("replication: {part_*} mask stream backfills from chunk URIs only") {
+    val root = "/tmp/graft-test/repl_chunk"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = graft.sources.Tables(spark, "/root/testdata/sf0.001", "orders")
+    graft.write.PartitionedWriter.write(orders, s"$root/src", "o_orderdate",
+      Seq("part_year", "part_month"))
+    val mask = s"$root/src/part_year={part_year}/part_month={part_month}"
+    val yaml =
+      s"""streams:
+         |  "$mask":
+         |    mode: backfill
+         |    update_key: o_orderdate
+         |    select: [${orders.columns.mkString(", ")}]
+         |    backfill:
+         |      start: "1995-01-01"
+         |      end: "1995-12-31"
+         |""".stripMargin
+    val compiled = graft.repl.Replication.parse(yaml, graft.sources.Tables.names)
+    val out = graft.repl.Replication.run(spark, "/root/testdata/sf0.001",
+      compiled, s"$root/tgt", threads = 2)
+    val expected = orders
+      .filter("o_orderdate >= date'1995-01-01' AND o_orderdate <= date'1995-12-31'")
+      .count()
+    assert(out.head._3 == expected, s"got ${out.head._3}, want $expected")
+    // second run over a sub-range must be idempotent on the full target
+    val compiled2 = graft.repl.Replication.parse(yaml.replace(
+      """start: "1995-01-01"""", """start: "1995-06-01""""), graft.sources.Tables.names)
+    val out2 = graft.repl.Replication.run(spark, "/root/testdata/sf0.001",
+      compiled2, s"$root/tgt", threads = 2)
+    assert(out2.head._3 == expected)
+  }
+
   test("task yaml: max_decimals rounds numerics before the write") {
     val base = "/tmp/graft-test/task_maxdec"
     val fs = new org.apache.hadoop.fs.Path(base)

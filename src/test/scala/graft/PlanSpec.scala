@@ -123,4 +123,29 @@ class PlanSpec extends AnyFunSuite {
     assert(out.getString(0) == "cafe x")
     assert(out.getString(1) == "naive")
   }
+
+  test("ivf plan size stays flat as nlist grows (broadcast centroids, " +
+      "not plan literals)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = spark.range(0, 2048).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 97).toFloat / 97f))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 4)
+    def planLen(nlist: Int): Int =
+      graft.functions.Similarity.ivfTopK(qs, corpus, "vec_id", "embedding",
+        k = 3, nlist = nlist, nprobe = 2)
+        .queryExecution.optimizedPlan.toString.length
+    val small = planLen(16)
+    val big = planLen(1024)
+    // centroids live in a 1-row broadcast relation; 64× the centroids must
+    // not make the logical plan meaningfully bigger
+    assert(big < small * 2, s"plan grew with nlist: $small -> $big")
+    // and the large-nlist variant still answers (self-neighbors rank 1)
+    val got = graft.functions.Similarity
+      .ivfTopK(qs, corpus, "vec_id", "embedding", k = 3,
+        nlist = 1024, nprobe = 8)
+      .filter(col("rank") === 1).count()
+    assert(got == 4, s"expected 4 rank-1 rows, got $got")
+  }
 }
