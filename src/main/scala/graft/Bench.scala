@@ -11,13 +11,16 @@ object Bench {
   /** Representative slice of the operator inventory: scan/agg, pushdown
     * filter, multi-join, window, top-k, SQL surface, merge + CDC writers,
     * as-of join, sessionization, streaming window, text stats, LSH dedup,
-    * similarity top-k.
+    * similarity top-k, exact n-gram join, table-format write+pruned-scan.
+    * The last two joined in round 8 (VERDICT r7 item 3): td_dedup_ngram was
+    * the most expensive single operator with no regression tracking, and
+    * op_delta_skipping covers the table-format metadata/stat-skipping path.
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q2_filter_project", "q3_join_agg", "q4_window_topn", "q5_topk",
     "q13_custom_sql", "mode_upsert", "mode_cdc_apply", "t_asof_join",
     "t_sessionize", "t_stream_window", "td_text_stats", "td_dedup_near",
-    "td_sim_topk")
+    "td_sim_topk", "td_dedup_ngram", "op_delta_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
