@@ -520,6 +520,49 @@ object FileOps {
       },
       Some("SELECT * FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey")),
 
+    // Scale-safe Iceberg snapshot planning (r8 twin of op_delta_many_files):
+    // 50k synthetic manifest entries must be pruned during the (forced
+    // distributed) manifest walk, and two summary-carrying manifest-list
+    // refs must be pruned WITHOUT being opened — their manifest files do
+    // not exist, so planning errors if either layer regresses.
+    Q("op_iceberg_many_files",
+      (s, dir) => {
+        import graft.sources.IcebergLite
+        val t = scratch("iceberg_many_files", dir)
+        val cust = Tables(s, dir, "customer").filter(col("c_custkey") <= 100)
+        IcebergLite.writeSnapshot(cust.coalesce(2), t, collectStats = true)
+        val lt = org.apache.spark.sql.types.LongType
+        def b(v: Long) = IcebergLite.boundBytes(v, lt)
+        val fakes = (0 until 10).map { m =>
+          IcebergLite.SyntheticManifest(Some((0 until 5000).map { i =>
+            val lo = 1000000L + (m * 5000L + i) * 100
+            (f"$t/data/synthetic-$m%02d-$i%04d.parquet",
+              Some(IcebergLite.FileBounds(100L,
+                Map(1 -> b(lo).get), Map(1 -> b(lo + 99).get), Map(1 -> 0L))))
+          }))
+        }
+        val refOnly = (0 until 2).map { _ =>
+          IcebergLite.SyntheticManifest(None, Some(IcebergLite.ManifestSummary(
+            0, Seq((false, b(2000000L), b(3000000L))), 1000)))
+        }
+        IcebergLite.appendSyntheticManifests(s, t, fakes ++ refOnly,
+          partitionSpecsJson = Some("""[{"spec-id":0,"fields":[{"name":
+            "c_custkey","transform":"identity","source-id":1,
+            "field-id":1000}]}]""".replaceAll("\n\\s*", "")))
+        val prev = s.conf.getOption(IcebergLite.PlanThresholdKey)
+        s.conf.set(IcebergLite.PlanThresholdKey, "1")
+        try {
+          val (kept, total) = IcebergLite.pruneCount(s, t, "c_custkey <= 100")
+          require(total >= 52000 && kept <= 2,
+            s"expected metadata-level pruning of synthetic files, kept $kept/$total")
+          IcebergLite.readWhere(s, t, "c_custkey <= 100").orderBy("c_custkey")
+        } finally prev match {
+          case Some(v) => s.conf.set(IcebergLite.PlanThresholdKey, v)
+          case None => s.conf.unset(IcebergLite.PlanThresholdKey)
+        }
+      },
+      Some("SELECT * FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey")),
+
     // Stats-based data skipping, Iceberg: manifest lower_bounds/upper_bounds
     // (spec Appendix D single-value binary, keyed by field id) prune data
     // files before the scan

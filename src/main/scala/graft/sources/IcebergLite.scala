@@ -12,11 +12,17 @@ import org.apache.spark.sql.types.StructType
 /** Minimal Iceberg table scan over the public table-format spec — no
   * iceberg-spark runtime jar. The reference scans Iceberg through an
   * embedded engine (core/dbio/iop/iceberg.go:1-50, duckdb `iceberg_scan`);
-  * here the metadata walk is driver-side (it is pure metadata, a few KB):
+  * here the metadata walk is scale-aware:
   *
   *   metadata/vN.metadata.json (newest N, or version-hint.text)
-  *     → current-snapshot-id → snapshot.manifest-list (avro)
-  *     → manifest_path entries (avro manifests)
+  *     → current-snapshot-id → snapshot.manifest-list (avro, driver —
+  *       O(#manifests); partition field summaries prune whole manifests
+  *       against the predicate before they are even opened)
+  *     → manifest_path entries (avro manifests — walked on the driver for
+  *       small lists, on EXECUTORS past a manifest-count threshold; column
+  *       bounds are evaluated during the walk and only surviving paths are
+  *       collected, so a million-file snapshot never materializes
+  *       per-file stats on the driver)
   *     → data_file entries (status ADDED/EXISTING kept, DELETED dropped)
   *
   * and the data read is a normal distributed parquet scan of the live
@@ -45,10 +51,12 @@ object IcebergLite {
 
   private val mapper = new ObjectMapper()
 
-  /** Read every record of a (small, driver-side) avro metadata file. */
-  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
+  /** Read every record of one avro metadata file (manifest list on the
+    * driver; manifests on the driver or executors — see [[planFiles]]). */
+  private def readAvro(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[GenericRecord] = {
     val p = new Path(stripScheme(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
     try {
@@ -56,6 +64,22 @@ object IcebergLite {
       while (stream.hasNext) out += stream.next()
       out.toSeq
     } finally stream.close()
+  }
+
+  /** Hadoop Configuration that survives Java serialization — the
+    * distributed manifest walk closure-ships it to executors
+    * (Configuration itself is not Serializable). */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
   }
 
   private def stripScheme(uri: String): String =
@@ -97,7 +121,8 @@ object IcebergLite {
     * through untouched, so the unmoved common case costs nothing. */
   private val AnchorDirRe = "/(?:metadata|deletes|data(?:-\\d+)?)/".r
 
-  private def reAnchor(spark: SparkSession, table: String, stored: String): String = {
+  private def reAnchor(conf: org.apache.hadoop.conf.Configuration,
+      table: String, stored: String): String = {
     val t = normStr(stripScheme(table)).stripSuffix("/")
     val s = normStr(stripScheme(stored))
     if (s.startsWith(t + "/")) s
@@ -107,12 +132,20 @@ object IcebergLite {
       else {
         val candidate = t + s.substring(i)
         val p = new Path(candidate)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = p.getFileSystem(conf)
         if (fs.exists(p)) candidate
         else s
       }
     }
   }
+
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+      .map(_.toString.toLong)
+
+  private def intField(r: GenericRecord, name: String): Option[Int] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+      .map(_.toString.toInt)
 
   /** One live file + its data sequence number + decoded column bounds
     * (file-skipping input; NoStats when the manifest carries none or the
@@ -195,30 +228,146 @@ object IcebergLite {
   }
 
   /** Resolve the current snapshot's live files with sequence numbers. */
-  def activeFiles(spark: SparkSession, table: String): SnapshotFiles = {
+  def activeFiles(spark: SparkSession, table: String): SnapshotFiles =
+    planFiles(spark, table, None)._1
+
+  /** One compact manifest-walk record: (manifest ordinal, entry ordinal,
+    * content, status, re-anchored path, sequence). Column bounds are
+    * evaluated against the predicate INSIDE the walk and then dropped — at
+    * millions of files only surviving paths travel back to the driver. */
+  private final case class EntryLite(mIdx: Int, eIdx: Int, content: Int,
+      status: Int, path: String, seq: Option[Long])
+
+  /** Walk one manifest: emit delete-file entries, removals, and the data
+    * entries the predicate cannot rule out; count pruned data entries;
+    * carry the manifest's first data entry as a schema-preserving fallback
+    * for the all-pruned case. Pure function of (conf, paths) — runs on the
+    * driver for small manifest lists and on executors past
+    * [[PlanThresholdKey]]. */
+  private def walkManifest(conf: org.apache.hadoop.conf.Configuration,
+      table: String, mIdx: Int, manifestPath: String, manifestSeq: Option[Long],
+      idMap: Map[Int, (String, org.apache.spark.sql.types.DataType)],
+      pred: Option[FileSkipping.Pred])
+      : (Seq[EntryLite], Int, Option[EntryLite]) = {
+    val out = mutable.ArrayBuffer[EntryLite]()
+    var pruned = 0
+    var first: Option[EntryLite] = None
+    var eIdx = 0
+    readAvro(conf, manifestPath).foreach { entry =>
+      val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
+      val df = entry.get("data_file").asInstanceOf[GenericRecord]
+      // content: data_file 0=data 1=position deletes 2=equality deletes
+      val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
+      if (content < 0 || content > 2) throw new IllegalArgumentException(
+        s"unknown iceberg data_file content $content in $manifestPath")
+      val path = reAnchor(conf, table, df.get("file_path").toString)
+      // spec: a null entry sequence inherits the manifest's; files with no
+      // sequence info anywhere keep the pre-r7 conservative behavior
+      // (every delete applies to every data file)
+      val seq = longField(entry, "sequence_number").orElse(manifestSeq)
+      val e = EntryLite(mIdx, eIdx, content, status, path, seq)
+      if (content == 0 && status != 2 && first.isEmpty) first = Some(e)
+      val keep = content != 0 || status == 2 || pred.forall(p =>
+        FileSkipping.mayContain(p, entryStats(df, idMap)))
+      if (keep) out += e else pruned += 1
+      eIdx += 1
+    }
+    (out.toSeq, pruned, first)
+  }
+
+  /** metadata.json `partition-specs` → spec-id → per-field column mapping:
+    * Some((column, type)) for identity-transform fields resolvable in the
+    * current schema, None otherwise (non-identity fields never prune). */
+  private def partitionSpecs(meta: com.fasterxml.jackson.databind.JsonNode,
+      idMap: Map[Int, (String, org.apache.spark.sql.types.DataType)])
+      : Map[Int, Seq[Option[(String, org.apache.spark.sql.types.DataType)]]] = {
+    val specs = meta.path("partition-specs")
+    if (!specs.isArray) return Map.empty
+    val out =
+      mutable.Map[Int, Seq[Option[(String, org.apache.spark.sql.types.DataType)]]]()
+    specs.forEach { sp =>
+      val fields =
+        mutable.ArrayBuffer[Option[(String, org.apache.spark.sql.types.DataType)]]()
+      sp.path("fields").forEach { f =>
+        fields += (if (f.path("transform").asText == "identity")
+          idMap.get(f.path("source-id").asInt(-1)) else None)
+      }
+      out += sp.path("spec-id").asInt(0) -> fields.toSeq
+    }
+    out.toMap
+  }
+
+  /** A manifest_file's `partitions` field summaries (spec: per-spec-field
+    * contains_null/lower_bound/upper_bound, in spec order) → the shared
+    * skipping stats shape. contains_null=false becomes nullCount=0 so
+    * `IS NULL` predicates prune; absent or undecodable parts keep the
+    * manifest (conservative). */
+  private def manifestSummaryStats(mf: GenericRecord,
+      specFields: Seq[Option[(String, org.apache.spark.sql.types.DataType)]])
+      : FileSkipping.FileStats = {
+    if (mf.getSchema.getField("partitions") == null) return FileSkipping.NoStats
+    mf.get("partitions") match {
+      case arr: java.util.Collection[_] =>
+        val cols = mutable.Map[String, FileSkipping.ColStats]()
+        val it = arr.iterator()
+        var i = 0
+        while (it.hasNext) {
+          (it.next(), if (i < specFields.length) specFields(i) else None) match {
+            case (r: GenericRecord, Some((name, dt))) =>
+              val lo = Option(r.get("lower_bound"))
+                .flatMap(v => decodeBound(avroBytes(v), dt))
+              val hi = Option(r.get("upper_bound"))
+                .flatMap(v => decodeBound(avroBytes(v), dt))
+              val nulls = Option(r.get("contains_null")).collect {
+                case b: java.lang.Boolean => if (b) 1L else 0L
+              }
+              cols += name -> FileSkipping.ColStats(lo, hi, nulls)
+            case _ =>
+          }
+          i += 1
+        }
+        FileSkipping.FileStats(None, cols.toMap)
+      case _ => FileSkipping.NoStats
+    }
+  }
+
+  /** Conf key: distribute the manifest walk across executors when the
+    * (list-level-pruned) manifest count reaches this many manifests. Small
+    * tables stay a driver loop (no job-launch overhead); a table with
+    * thousands of manifests plans as a Spark job, so millions of data-file
+    * entries never materialize on the driver. */
+  val PlanThresholdKey =
+    "graft.iceberg.planning.distributedThreshold"
+  private val DefaultPlanThreshold = 64
+
+  /** Resolve the current snapshot's live files, with predicate pruning at
+    * BOTH metadata levels before anything is collected:
+    *   1. manifest-list partition field summaries (identity transforms)
+    *      skip whole manifests unopened;
+    *   2. per-entry column bounds are evaluated during the walk (driver or
+    *      executors) and only surviving paths come back — per-file stats
+    *      never accumulate on the driver.
+    * Returns (files, keptData, totalData); totalData counts list-pruned
+    * manifests by their recorded added/existing file counts. */
+  private def planFiles(spark: SparkSession, table: String,
+      pred: Option[FileSkipping.Pred]): (SnapshotFiles, Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     val metaPath = new Path(currentMetadata(spark, table))
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = metaPath.getFileSystem(hconf)
     val in = fs.open(metaPath)
     val meta = try mapper.readTree(in) finally in.close()
 
     val snapId = meta.path("current-snapshot-id").asLong
     require(snapId != 0 && !meta.path("current-snapshot-id").isMissingNode,
       s"no current snapshot in $metaPath")
-    val snapshots = meta.path("snapshots")
     var manifestList: String = null
-    snapshots.forEach { s =>
+    meta.path("snapshots").forEach { s =>
       if (s.path("snapshot-id").asLong == snapId)
         manifestList = s.path("manifest-list").asText
     }
     require(manifestList != null, s"snapshot $snapId not found in $metaPath")
-    manifestList = reAnchor(spark, table, manifestList)
+    manifestList = reAnchor(hconf, table, manifestList)
 
-    def longField(r: GenericRecord, name: String): Option[Long] =
-      Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
-        .map(_.toString.toLong)
-
-    // content: manifest_file 0=data 1=deletes; data_file 0=data
-    // 1=position deletes 2=equality deletes
     val schema = currentSchema(meta)
     val idMap: Map[Int, (String, org.apache.spark.sql.types.DataType)] =
       schema.map(_.fields.collect {
@@ -226,42 +375,67 @@ object IcebergLite {
           f.metadata.getLong("parquet.field.id").toInt ->
             (f.name.toLowerCase, f.dataType)
       }.toMap).getOrElse(Map.empty)
-    val data = mutable.LinkedHashMap[String, (Long, FileSkipping.FileStats)]()
+    val specs = partitionSpecs(meta, idMap)
+
+    // manifest list: one record per manifest — O(#manifests) driver memory.
+    // content: manifest_file 0=data 1=deletes (delete manifests always read)
+    var listPruned = 0
+    val manifests = readAvro(hconf, manifestList).zipWithIndex.flatMap {
+      case (mf, i) =>
+        val mPath = reAnchor(hconf, table, mf.get("manifest_path").toString)
+        val mSeq = longField(mf, "sequence_number")
+        val isData = intField(mf, "content").getOrElse(0) == 0
+        val skip = pred.isDefined && isData && {
+          val fields = specs.getOrElse(
+            intField(mf, "partition_spec_id").getOrElse(0), Seq.empty)
+          fields.nonEmpty &&
+            !FileSkipping.mayContain(pred.get, manifestSummaryStats(mf, fields))
+        }
+        if (skip) {
+          listPruned += intField(mf, "added_files_count").getOrElse(0) +
+            intField(mf, "existing_files_count").getOrElse(0)
+          None
+        } else Some((i, mPath, mSeq))
+    }
+
+    val threshold = spark.conf.getOption(PlanThresholdKey).map(_.toInt)
+      .getOrElse(DefaultPlanThreshold)
+    val walked: Seq[(Seq[EntryLite], Int, Option[EntryLite])] =
+      if (manifests.size >= math.max(1, threshold)) {
+        val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+        spark.sparkContext.parallelize(manifests,
+            math.min(manifests.size, spark.sparkContext.defaultParallelism))
+          .map { case (i, p, s) =>
+            walkManifest(bc.value.value, table, i, p, s, idMap, pred) }
+          .collect().toSeq
+      } else manifests.map { case (i, p, s) =>
+        walkManifest(hconf, table, i, p, s, idMap, pred)
+      }
+
+    // replay in manifest-list order — same removal semantics as the pre-r8
+    // driver loop (a DELETED status drops the path; real snapshots never
+    // carry both a live and a deleted entry for one file)
+    val data = mutable.LinkedHashMap[String, Long]()
     val posDel = mutable.LinkedHashMap[String, Long]()
     val eqDel = mutable.LinkedHashMap[String, Long]()
-    readAvro(spark, manifestList).foreach { mf =>
-      val manifestPath = reAnchor(spark, table, mf.get("manifest_path").toString)
-      val manifestSeq = longField(mf, "sequence_number")
-      readAvro(spark, manifestPath).foreach { entry =>
-        val status = entry.get("status").toString.toInt // 0 EXISTING 1 ADDED 2 DELETED
-        val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        val fileContent = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-        val path = reAnchor(spark, table, df.get("file_path").toString)
-        // spec: a null entry sequence inherits the manifest's; files with no
-        // sequence info anywhere keep the pre-r7 conservative behavior
-        // (every delete applies to every data file)
-        val inherited = longField(entry, "sequence_number").orElse(manifestSeq)
-        fileContent match {
-          case 0 =>
-            if (status == 2) data -= path
-            else data += path ->
-              (inherited.getOrElse(0L), entryStats(df, idMap))
-          case 1 =>
-            if (status == 2) posDel -= path
-            else posDel += path -> inherited.getOrElse(Long.MaxValue)
-          case 2 =>
-            if (status == 2) eqDel -= path
-            else eqDel += path -> inherited.getOrElse(Long.MaxValue)
-          case other => throw new IllegalArgumentException(
-            s"unknown iceberg data_file content $other in $manifestPath")
-        }
-      }
+    walked.flatMap(_._1).sortBy(e => (e.mIdx, e.eIdx)).foreach { e =>
+      val m = e.content match { case 0 => data; case 1 => posDel; case _ => eqDel }
+      if (e.status == 2) m -= e.path
+      else m += e.path ->
+        e.seq.getOrElse(if (e.content == 0) 0L else Long.MaxValue)
     }
+    val kept = data.size
+    val total = kept + walked.map(_._2).sum + listPruned
+    // every file provably mismatches → keep ONE file so the scan preserves
+    // the table schema; the caller's trailing filter empties it
+    val fallback = walked.flatMap(_._3).sortBy(e => (e.mIdx, e.eIdx)).headOption
+    val dataRefs =
+      if (data.isEmpty && pred.isDefined)
+        fallback.map(e => FileRef(e.path, e.seq.getOrElse(0L))).toSeq
+      else data.map { case (p, s) => FileRef(p, s) }.toSeq
     def refs(m: mutable.LinkedHashMap[String, Long]) =
       m.map { case (p, s) => FileRef(p, s) }.toSeq
-    SnapshotFiles(
-      data.map { case (p, (s, st)) => FileRef(p, s, st) }.toSeq,
-      refs(posDel), refs(eqDel), schema)
+    (SnapshotFiles(dataRefs, refs(posDel), refs(eqDel), schema), kept, total)
   }
 
   // ---- manifest column bounds → file skipping ----------------------------
@@ -377,28 +551,19 @@ object IcebergLite {
     readCore(spark, table, Some(condition))
 
   /** (kept, total) data-file counts for `condition` — pruning
-    * observability. */
+    * observability. Manifests skipped at the list level contribute their
+    * recorded file counts to `total`. */
   def pruneCount(spark: SparkSession, table: String,
       condition: String): (Int, Int) = {
-    val files = activeFiles(spark, table)
-    val pred = FileSkipping.parse(condition)
-    (files.data.count(f => FileSkipping.mayContain(pred, f.stats)),
-      files.data.size)
+    val (_, kept, total) =
+      planFiles(spark, table, Some(FileSkipping.parse(condition)))
+    (kept, total)
   }
 
   private def readCore(spark: SparkSession, table: String,
       where: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, regexp_extract, when}
-    val files0 = activeFiles(spark, table)
-    val files = where match {
-      case None => files0
-      case Some(cond) =>
-        val pred = FileSkipping.parse(cond)
-        val kept = files0.data.filter(f => FileSkipping.mayContain(pred, f.stats))
-        // every file provably mismatches → scan ONE file so the result
-        // keeps the table schema; the trailing filter empties it
-        files0.copy(data = if (kept.isEmpty) files0.data.take(1) else kept)
-    }
+    val files = planFiles(spark, table, where.map(FileSkipping.parse))._1
     // position-delete content references data files by the path recorded
     // at write time — re-anchor in-column (same suffix splice as the
     // driver-side reAnchor) so a moved table's deletes still match the
@@ -539,7 +704,16 @@ object IcebergLite {
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"content","type":["null","int"],"default":null},
-      |{"name":"sequence_number","type":["null","long"],"default":null}]}"""
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"partition_spec_id","type":["null","int"],"default":null},
+      |{"name":"added_files_count","type":["null","int"],"default":null},
+      |{"name":"existing_files_count","type":["null","int"],"default":null},
+      |{"name":"partitions","type":["null",{"type":"array",
+      |  "items":{"type":"record","name":"field_summary","fields":[
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      | "default":null}]}"""
       .stripMargin)
 
   private def writeAvroFile(spark: SparkSession, path: String,
@@ -595,10 +769,37 @@ object IcebergLite {
     e
   }
 
-  private def manifestRef(path: String, content: Int, seq: Long): GenericRecord = {
+  /** Fixture shape for a manifest-list partition summary: the spec id,
+    * per-spec-field (contains_null, lower, upper) bounds in spec order, and
+    * the manifest's recorded data-file count (spec
+    * added/existing_files_count — what list-level pruning reports). */
+  final case class ManifestSummary(specId: Int,
+      fields: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
+      fileCount: Int)
+
+  private def manifestRef(path: String, content: Int, seq: Long,
+      summary: Option[ManifestSummary] = None): GenericRecord = {
     val mf = new org.apache.avro.generic.GenericData.Record(manifestFileSchema)
     mf.put("manifest_path", path); mf.put("content", content)
     mf.put("sequence_number", seq)
+    summary.foreach { s =>
+      mf.put("partition_spec_id", s.specId)
+      mf.put("added_files_count", s.fileCount)
+      mf.put("existing_files_count", 0)
+      val arrSchema = manifestFileSchema.getField("partitions")
+        .schema().getTypes.get(1)
+      val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](
+        s.fields.size, arrSchema)
+      s.fields.foreach { case (cn, lo, hi) =>
+        val r = new org.apache.avro.generic.GenericData.Record(
+          arrSchema.getElementType)
+        r.put("contains_null", cn)
+        lo.foreach(b => r.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+        hi.foreach(b => r.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+        arr.add(r)
+      }
+      mf.put("partitions", arr)
+    }
     mf
   }
 
@@ -784,36 +985,42 @@ object IcebergLite {
     }
     require(manifestList != null, s"snapshot $snapId not found in $metaPath")
     // appends to a moved table must re-anchor like the read path, both the
-    // list itself and the manifest refs re-emitted into the new list
-    val refs = readAvro(spark, reAnchor(spark, table, manifestList)).map { mf =>
+    // list itself and the manifest refs re-emitted into the new list.
+    // (Re-keying drops any partition summaries on the old refs — those
+    // manifests just stop list-pruning, which is always safe.)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val refs = readAvro(hconf, reAnchor(hconf, table, manifestList)).map { mf =>
       val seq = Option(mf.getSchema.getField("sequence_number"))
         .flatMap(_ => Option(mf.get("sequence_number")))
         .map(_.toString.toLong).getOrElse(snapId)
-      manifestRef(reAnchor(spark, table, mf.get("manifest_path").toString),
+      manifestRef(reAnchor(hconf, table, mf.get("manifest_path").toString),
         Option(mf.get("content")).map(_.toString.toInt).getOrElse(0), seq)
     }
     (snapId, refs)
   }
 
   private def writeMetadataJson(spark: SparkSession, table: String,
-      snapId: Long, schemas: Option[String] = None): Unit = {
+      snapId: Long, schemas: Option[String] = None,
+      partitionSpecs: Option[String] = None): Unit = {
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // appends carry the prior metadata's schemas block forward so a
-    // field-id table keeps resolving by id after appendData/appendDeletes
-    val effSchemas = schemas.orElse {
-      try {
-        val mp = new Path(currentMetadata(spark, table))
-        val in = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(mp)
-        val prior = try mapper.readTree(in) finally in.close()
-        if (prior.has("schemas")) Some(mapper.writeValueAsString(prior.path("schemas")))
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // appends carry the prior metadata's schemas and partition-specs blocks
+    // forward so a field-id table keeps resolving by id (and keeps
+    // list-level pruning) after appendData/appendDeletes
+    val prior = try {
+      val mp = new Path(currentMetadata(spark, table))
+      val pin = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).open(mp)
+      Some(try mapper.readTree(pin) finally pin.close())
+    } catch { case scala.util.control.NonFatal(_) => None }
+    def carry(block: String): Option[String] = prior.collect {
+      case p if p.has(block) => mapper.writeValueAsString(p.path(block))
     }
-    val schemaPart = effSchemas
+    val schemaPart = schemas.orElse(carry("schemas"))
       .map(s => s""""schemas":$s,"current-schema-id":0,""").getOrElse("")
+    val specPart = partitionSpecs.orElse(carry("partition-specs"))
+      .map(s => s""""partition-specs":$s,"default-spec-id":0,""").getOrElse("")
     val meta =
       s"""{"format-version":2,"current-snapshot-id":$snapId,
-        |"last-sequence-number":$snapId,$schemaPart
+        |"last-sequence-number":$snapId,$schemaPart$specPart
         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":$snapId,
         |"manifest-list":"$table/metadata/snap-$snapId.avro"}]}"""
         .stripMargin.replaceAll("\n", "")
@@ -874,5 +1081,44 @@ object IcebergLite {
     writeAvroFile(spark, s"$table/metadata/snap-$next.avro", manifestFileSchema,
       oldRefs :+ manifestRef(s"$table/metadata/m-$next.avro", 0, next))
     writeMetadataJson(spark, table, next)
+  }
+
+  /** Appendix-D single-value encoding for fixture bounds (public twin of
+    * the writer's internal encoder — scale-planning tests build synthetic
+    * manifest entries with it). */
+  def boundBytes(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Array[Byte]] =
+    encodeBound(v, dt)
+
+  /** One synthetic manifest for the planning fixtures: `entries` present →
+    * a real manifest avro is written with those (path, bounds) data entries
+    * (the paths need not exist — entry-level pruning is what keeps them off
+    * the scan); `entries` absent → only the manifest-LIST ref is written,
+    * pointing at a nonexistent manifest, so the test proves list-level
+    * summary pruning never opens it. */
+  final case class SyntheticManifest(
+      entries: Option[Seq[(String, Option[FileBounds])]],
+      summary: Option[ManifestSummary] = None)
+
+  /** Fixture: append synthetic data manifests (see [[SyntheticManifest]])
+    * as a new snapshot, optionally installing a `partition-specs` JSON
+    * block so manifest summaries can prune. Fixture/bootstrap quality like
+    * [[writeSnapshot]] — scale tests only. */
+  def appendSyntheticManifests(spark: SparkSession, table: String,
+      manifests: Seq[SyntheticManifest],
+      partitionSpecsJson: Option[String] = None): Unit = {
+    val (snapId, oldRefs) = currentManifests(spark, table)
+    val next = snapId + 1
+    val newRefs = manifests.zipWithIndex.map { case (m, i) =>
+      val mPath = s"$table/metadata/m-$next-$i.avro"
+      m.entries.foreach { es =>
+        writeAvroFile(spark, mPath, manifestEntrySchema,
+          es.map { case (p, b) => fileEntry(p, 0, next, b): GenericRecord })
+      }
+      manifestRef(mPath, 0, next, m.summary)
+    }
+    writeAvroFile(spark, s"$table/metadata/snap-$next.avro",
+      manifestFileSchema, oldRefs ++ newRefs)
+    writeMetadataJson(spark, table, next, partitionSpecs = partitionSpecsJson)
   }
 }
