@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.LongType
+
+/** Diagnostic: run every registry query in map-iteration order (same as
+  * graft.Verify) and after each one re-read events.parquet, reporting the
+  * first query that leaves the session in a state where the nanos `ts`
+  * column no longer reads back as long. Also diffs runtime SQL confs.
+  */
+object LeakProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def tsType(): String =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType.toString
+      catch { case e: Throwable => s"READ-FAIL: ${e.getMessage.take(120)}" }
+
+    var baseline = spark.conf.getAll
+    println(s"[probe] initial ts type: ${tsType()}")
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case e: Throwable =>
+        println(s"[probe] $name threw: ${e.getMessage.take(160).replace('\n', ' ')}")
+      }
+      val t = tsType()
+      if (t != "LongType")
+        println(s"[probe] AFTER $name ts type = $t")
+      val now = spark.conf.getAll
+      val changed = (now.keySet ++ baseline.keySet).filter(k => now.get(k) != baseline.get(k))
+      if (changed.nonEmpty) {
+        changed.toSeq.sorted.foreach { k =>
+          println(s"[probe] AFTER $name conf $k: ${baseline.get(k)} -> ${now.get(k)}")
+        }
+        baseline = now
+      }
+    }
+    spark.stop()
+  }
+}

@@ -42,6 +42,11 @@ def main(sfdir, out):
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     names = sorted(os.listdir(out))
     ok, bad, weak = [], [], []
+    # a query that threw inside Verify writes no dump at all — surface it
+    # as a failure instead of silently comparing only what's present
+    dumped = {n for n in names if os.path.isdir(f"{out}/{n}")}
+    for name in sorted(set(oracle) - dumped):
+        bad.append((name, "MISSING: no dump written (query failed in Verify?)"))
     for name in names:
         if not os.path.isdir(f"{out}/{name}"):
             continue
