@@ -214,22 +214,54 @@ object Connections {
 
   /** `conns discover` — list streams behind a connection. Database kinds
     * read JDBC metadata; local kinds glob the catalog dir.
+    *
+    * `level` follows the reference's discover levels (discover.go):
+    * `schema` lists schemas, `table` lists tables AND views (a pattern of
+    * the form `SCHEMA.tbl*` scopes the schema), `column` lists the columns
+    * of the `SCHEMA.TABLE` (or bare `TABLE`) the pattern names.
     */
-  def discover(spec: ConnSpec, pattern: String = "*"): Seq[String] = {
+  def discover(spec: ConnSpec, pattern: String = "*",
+      level: String = "table"): Seq[String] = {
     // only '*' is a wildcard; every other char is literal — quote the
     // literal segments or metachars like '+'/'(' crash or mismatch
-    val re = ("(?i)^" + pattern.split("\\*", -1)
+    def regex(p: String) = ("(?i)^" + p.split("\\*", -1)
       .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
       .mkString(".*") + "$").r
+    val re = regex(pattern)
     if (spec.isDatabase) {
       val url = spec.jdbcTemplate.getOrElse(throw new UnsupportedOperationException(
         s"discover for '${spec.kind}' needs an explicit url: property (no JDBC template)"))
+      // a dotted pattern scopes the schema: "APP.SUITE_*" → (APP, SUITE_*)
+      val (schemaPat, namePat) = pattern.indexOf('.') match {
+        case -1 => (null: String, pattern)
+        case i => (pattern.substring(0, i), pattern.substring(i + 1))
+      }
+      val nameRe = regex(namePat)
       val c = java.sql.DriverManager.getConnection(url)
       try {
-        val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        Iterator.continually(rs).takeWhile(_.next())
-          .map(r => r.getString("TABLE_NAME")).toList
-          .filter(t => re.matches(t)).sorted
+        val md = c.getMetaData
+        level match {
+          case "schema" =>
+            val rs = md.getSchemas()
+            try Iterator.continually(rs).takeWhile(_.next())
+              .map(_.getString("TABLE_SCHEM")).toList
+              .filter(s => pattern == "*" || pattern.isEmpty || re.matches(s))
+              .sorted
+            finally rs.close()
+          case "column" =>
+            val rs = md.getColumns(null, schemaPat, namePat, "%")
+            try Iterator.continually(rs).takeWhile(_.next())
+              .map(_.getString("COLUMN_NAME")).toList.sorted
+            finally rs.close()
+          case _ =>
+            // views are streams too (the reference discovers them alongside
+            // tables; the suite's [table]_vw assertions depend on it)
+            val rs = md.getTables(null, schemaPat, "%", Array("TABLE", "VIEW"))
+            try Iterator.continually(rs).takeWhile(_.next())
+              .map(r => r.getString("TABLE_NAME")).toList
+              .filter(t => nameRe.matches(t)).sorted
+            finally rs.close()
+        }
       } finally c.close()
     } else {
       val p = spec.get("path").getOrElse(".")

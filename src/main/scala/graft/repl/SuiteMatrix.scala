@@ -31,11 +31,12 @@ object SuiteMatrix {
   final case class Scenario(
       name: String,
       kind: String, // task | discover | replication
-      config: String, // task/replication YAML (empty for discover)
+      config: String, // task/replication YAML (connections YAML for DB discover)
       runs: Int,
       discoverPath: String,
       recursive: Boolean,
-      level: String, // file | column
+      level: String, // file | column (fs) / schema | table | column (db)
+      conn: String, // non-empty → discover against this named connection
       validation: Map[String, String])
 
   final case class Result(name: String, passed: Boolean, detail: String)
@@ -75,6 +76,7 @@ object SuiteMatrix {
         discoverPath = str("path"),
         recursive = str("recursive", "false").toBoolean,
         level = str("level", "file"),
+        conn = str("conn"),
         validation = validation)
     }
   }
@@ -111,7 +113,13 @@ object SuiteMatrix {
         validateTask(spark, sc, count, sfDir)
       case "discover" =>
         val entries =
-          if (sc.level == "column")
+          if (sc.conn.nonEmpty) {
+            // DB discover (suite.db discover_schema/_schemas/_tables/
+            // _columns): resolve the named connection from the scenario's
+            // connections YAML and walk JDBC metadata at the given level
+            val spec = Connections.resolve(Connections.parse(sc.config), sc.conn)
+            Connections.discover(spec, sc.discoverPath, sc.level)
+          } else if (sc.level == "column")
             Discover.fileColumns(spark, sc.discoverPath).map(_._1)
           else Discover.files(spark, sc.discoverPath, sc.recursive)
         validateList(sc, entries)

@@ -57,11 +57,12 @@ object TaskConfig {
       batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
       tableDdl: Option[String] = None, useBulk: Boolean = false,
       maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false,
-      mergeStrategy: Option[String] = None)
+      mergeStrategy: Option[String] = None, deleteMissing: Option[String] = None)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
-      limit: Option[Int] = None, conn: Option[String] = None,
+      limit: Option[Int] = None, offset: Option[Int] = None,
+      range: Option[String] = None, conn: Option[String] = None,
       encoding: Option[String] = None, options: SourceOpts = SourceOpts())
 
   final case class Target(obj: String, format: String = "parquet",
@@ -127,7 +128,8 @@ object TaskConfig {
       useBulk = bool(to, "use_bulk"),
       maxDecimals = to.get("max_decimals").map(_.toString.toInt),
       adjustColumnType = bool(to, "adjust_column_type"),
-      mergeStrategy = to.get("merge_strategy").map(_.toString))
+      mergeStrategy = to.get("merge_strategy").map(_.toString),
+      deleteMissing = to.get("delete_missing").map(_.toString))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -147,6 +149,9 @@ object TaskConfig {
         select = strList(s, "select"),
         where = s.get("where").map(_.toString),
         limit = s.get("limit").map(_.toString.toInt),
+        offset = s.get("offset").map(_.toString.toInt),
+        range = s.get("range").map(_.toString)
+          .orElse(so.get("range").map(_.toString)),
         conn = s.get("conn").map(_.toString),
         encoding = s.get("encoding").map(_.toString),
         options = srcOpts),
@@ -238,7 +243,11 @@ object TaskConfig {
     val selected =
       if (task.source.select.nonEmpty) Select(df, task.source.select) else df
     val filtered = task.source.where.fold(selected)(w => selected.filter(expr(w)))
-    val limited = task.source.limit.fold(filtered)(filtered.limit)
+    // SQL-style OFFSET before LIMIT (source_options {limit, offset});
+    // Dataset.offset is a logical operator, so both still push into the
+    // single-partition JDBC read rather than collecting
+    val shifted = task.source.offset.fold(filtered)(filtered.offset)
+    val limited = task.source.limit.fold(shifted)(shifted.limit)
     val transformed = task.transforms.foldLeft(limited) { case (d, (c, e)) =>
       d.withColumn(c, expr(e))
     }
@@ -255,9 +264,62 @@ object TaskConfig {
     }
   }
 
+  /** The target's current max(update_key) — the incremental watermark
+    * (task_run_read.go: sling queries the target for the max update_key).
+    * One scalar lookup; None when the target doesn't exist yet. */
+  private def targetWatermark(spark: SparkSession, task: Task,
+      uk: String): Option[Any] = {
+    val tgt = task.target
+    tgt.conn.map(Connections.resolve(task.connections, _)) match {
+      case Some(spec) if spec.isDatabase =>
+        graft.sources.Jdbc.maxValue(spec.jdbcUrl, tgt.obj, uk)
+      case _ =>
+        try {
+          val t = spark.read.parquet(tgt.obj)
+          Option(t.agg(max(col(s"`$uk`"))).head.get(0))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Expand `{incremental_where_cond}` / `{incremental_value}` inside a
+    * custom-SQL source stream (the reference's SQL-source incremental
+    * contract): the condition is `update_key > <target max>` once the
+    * target has data, `1=1` on the first run. The update key is quoted
+    * because Spark's JDBC writer creates case-exact quoted columns. */
+  private def substIncremental(spark: SparkSession, task: Task): Task = {
+    val s = task.source.stream
+    if (!s.contains("{incremental_where_cond}") &&
+        !s.contains("{incremental_value}")) return task
+    val uk = task.target.updateKey.getOrElse(throw new IllegalArgumentException(
+      "{incremental_where_cond} needs target.update_key"))
+    val wm = targetWatermark(spark, task, uk)
+    val cond = wm.map(w => s""""$uk" > ${graft.sources.Jdbc.sqlLiteral(w)}""")
+      .getOrElse("1=1")
+    val value = wm.map(graft.sources.Jdbc.sqlLiteral).getOrElse("null")
+    task.copy(source = task.source.copy(stream = s
+      .replace("{incremental_where_cond}", cond)
+      .replace("{incremental_value}", value)))
+  }
+
+  /** backfill: restrict the stream to the requested update-key range
+    * (`range: "lo,hi"`, inclusive both ends — partition.go range chunking). */
+  private def backfillSlice(df: DataFrame, task: Task): DataFrame = {
+    val uk = task.target.updateKey.getOrElse(
+      throw new IllegalArgumentException("backfill needs update_key"))
+    val r = task.source.range.getOrElse(
+      throw new IllegalArgumentException("backfill needs source range \"lo,hi\""))
+    val parts = r.split(',').map(_.trim)
+    require(parts.length == 2, s"backfill range must be lo,hi: $r")
+    val kt = df.schema(uk).dataType
+    df.filter(col(s"`$uk`") >= lit(parts(0)).cast(kt) &&
+      col(s"`$uk`") <= lit(parts(1)).cast(kt))
+  }
+
   /** Execute the task; returns rows now present in the target. */
   def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
-    val task = parse(yamlText)
+    val task0 = parse(yamlText)
+    val hadCond = task0.source.stream.contains("{incremental_where_cond}")
+    val task = substIncremental(spark, task0)
     val df0 = applyPipeline(
       readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target
@@ -287,7 +349,15 @@ object TaskConfig {
             catch { case _: Exception => 0L } // absent table → proceed
           if (existing > 0) return existing
         }
-        tgt.options.preSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
+        tgt.options.preSql.foreach(graft.sources.Jdbc.executeAll(spec.jdbcUrl, _))
+        // declared sized strings reach the CREATE TABLE as VARCHAR(n) —
+        // Spark's default String mapping is unbounded text (CLOB on Derby),
+        // unusable in MERGE ON comparisons and index/key DDL
+        val colDdl: Map[String, String] = task.columns.collect {
+          case (n, raw) if n != "*" &&
+              raw.matches("(?i)\\s*(string|varchar|char)\\s*\\(\\d+\\).*") =>
+            n -> s"VARCHAR(${"\\d+".r.findFirstIn(raw).get})"
+        }.toMap
         // custom CREATE TABLE (table_ddl): executed only when the table is
         // absent; loads then append into it (Spark's Overwrite would drop
         // the custom DDL and recreate with the inferred schema)
@@ -299,25 +369,40 @@ object TaskConfig {
             graft.sources.Jdbc.execute(spec.jdbcUrl, ddl)
           true
         }.getOrElse(false)
+        // incremental watermark: only rows past the target's max(update_key)
+        // travel — a Spark-side filter on a JDBC/file scan pushes down into
+        // the source query, so the skipped rows are never read. SQL-source
+        // streams that already substituted {incremental_where_cond} refilter
+        // the same predicate (idempotent). backfill slices the declared
+        // range instead.
+        val dfW = (tgt.mode, tgt.updateKey) match {
+          case ("incremental", Some(uk)) =>
+            graft.sources.Jdbc.maxValue(spec.jdbcUrl, tgt.obj, uk) match {
+              case Some(w) => df.filter(col(s"`$uk`") > lit(w))
+              case None => df
+            }
+          case ("backfill", _) => backfillSlice(df, task)
+          case _ => df
+        }
         tgt.mode match {
-          case "upsert" | "incremental" if tgt.primaryKey.nonEmpty =>
+          case "upsert" | "incremental" | "backfill" if tgt.primaryKey.nonEmpty =>
             // merge_strategy selects among the reference's four templates;
             // default is update_insert (task_run_write.go merge dispatch)
-            graft.sources.Jdbc.mergeStrategy(df, spec.jdbcUrl, tgt.obj,
+            graft.sources.Jdbc.mergeStrategy(dfW, spec.jdbcUrl, tgt.obj,
               tgt.primaryKey,
               tgt.options.mergeStrategy.getOrElse("update_insert"),
-              tableTmp = tgt.options.tableTmp)
+              tableTmp = tgt.options.tableTmp, columnTypes = colDdl)
           case "upsert" =>
             // the fall-through would be Jdbc.write's full overwrite — a
             // destructive surprise for a requested merge; fail loudly
             throw new IllegalArgumentException(
               "mode upsert on a database target needs primary_key")
-          case "snapshot" | "incremental" =>
+          case "snapshot" | "incremental" | "backfill" =>
             // append semantics, like the parquet path — the overwrite
             // default would silently truncate the target's history
-            graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
+            graft.sources.Jdbc.write(dfW, spec.jdbcUrl, tgt.obj,
               org.apache.spark.sql.SaveMode.Append,
-              batchSize = tgt.options.batchLimit)
+              batchSize = tgt.options.batchLimit, columnTypes = colDdl)
           case _ if customDdl =>
             // full refresh into the custom-DDL table: clear + append
             graft.sources.Jdbc.execute(spec.jdbcUrl, s"DELETE FROM ${tgt.obj}")
@@ -330,9 +415,24 @@ object TaskConfig {
             graft.sources.Jdbc.bulkWrite(df, spec.jdbcUrl, tgt.obj, spec.kind)
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
-              batchSize = tgt.options.batchLimit)
+              batchSize = tgt.options.batchLimit, columnTypes = colDdl)
         }
-        tgt.options.postSql.foreach(graft.sources.Jdbc.execute(spec.jdbcUrl, _))
+        // delete_missing compares the FULL source key set (not the
+        // incremental slice) against the target — a custom-SQL stream is
+        // re-read with the incremental condition disarmed so the key set
+        // really is the whole source (only pk columns are staged)
+        tgt.options.deleteMissing.foreach { dm =>
+          val fullKeys =
+            if (hadCond) applyPipeline(readSource(spark, task0.source.copy(
+              stream = task0.source.stream
+                .replace("{incremental_where_cond}", "1=1")
+                .replace("{incremental_value}", "null")),
+              sfDir, task0.connections), task0)
+            else df
+          graft.sources.Jdbc.deleteMissing(fullKeys, spec.jdbcUrl, tgt.obj,
+            tgt.primaryKey, soft = dm == "soft", columnTypes = colDdl)
+        }
+        tgt.options.postSql.foreach(graft.sources.Jdbc.executeAll(spec.jdbcUrl, _))
         return graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj).count()
       case _ => ()
     }
@@ -375,6 +475,13 @@ object TaskConfig {
           case "incremental" =>
             Modes.incrementalAppend(pt, df, tgt.updateKey.getOrElse(
               throw new IllegalArgumentException("incremental needs update_key")))
+          case "backfill" =>
+            // slice the declared update-key range, then upsert it by PK
+            // (falling back to append without one) — Replication's backfill
+            // path, reachable from single-task YAML via `range:`
+            val sliced = backfillSlice(df, task)
+            if (tgt.primaryKey.nonEmpty) Modes.upsert(pt, sliced, tgt.primaryKey)
+            else pt.append(sliced)
           case "upsert" =>
             if (tgt.options.addNewColumns || tgt.options.adjustColumnType)
               Modes.upsertEvolve(pt, df, tgt.primaryKey,

@@ -19,12 +19,48 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Jdbc {
 
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which Derby
+    * cannot compare (breaking MERGE ON / EXISTS on string keys) and whose
+    * setNull conflicts with VARCHAR columns created via declared column
+    * DDL. Register a dialect mapping strings to Derby's widest VARCHAR —
+    * the same comparable-strings behavior every production dialect has.
+    * Registered dialects win over built-ins; everything else defers to the
+    * built-in mappings this replaces (SMALLINT/BOOLEAN/DECIMAL caps). */
+  private lazy val derbyDialect: Unit = {
+    import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+    import org.apache.spark.sql.types._
+    JdbcDialects.registerDialect(new JdbcDialect {
+      override def canHandle(url: String): Boolean =
+        url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:derby")
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
+        case ByteType | ShortType => Some(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+        case BooleanType => Some(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+        case t: DecimalType if t.precision > 31 =>
+          Some(JdbcType("DECIMAL(31,5)", java.sql.Types.DECIMAL))
+        case _ => None
+      }
+    })
+  }
+
   def write(df: DataFrame, url: String, table: String,
       mode: SaveMode = SaveMode.Overwrite,
-      batchSize: Option[Int] = None): Unit = {
+      batchSize: Option[Int] = None,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    derbyDialect
     val w = df.write.format("jdbc")
       .option("url", url).option("dbtable", table)
     batchSize.foreach(n => w.option("batchsize", n))
+    // declared column DDL (string(n) → VARCHAR(n), …): without it Spark's
+    // dialects map StringType to unbounded text (CLOB on Derby), which
+    // cannot appear in a MERGE ON comparison — the reference always sizes
+    // VARCHARs from its column metadata for the same reason. Rendered
+    // against the frame's own columns (Spark rejects DDL for absent ones).
+    val present = df.columns.map(_.toLowerCase).toSet
+    val ddl = columnTypes.toSeq.sortBy(_._1)
+      .collect { case (n, t) if present(n.toLowerCase) => s"$n $t" }
+      .mkString(", ")
+    if (ddl.nonEmpty) w.option("createTableColumnTypes", ddl)
     w.mode(mode).save()
   }
 
@@ -57,9 +93,18 @@ object Jdbc {
     } finally conn.close()
   }
 
-  def read(spark: SparkSession, url: String, table: String): DataFrame =
-    spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table).load()
+  /** A stream that parses as a statement is custom SQL (the reference
+    * accepts `select ...` as source_stream, task_run_read.go); everything
+    * else is a table/view name. */
+  def isSqlText(stream: String): Boolean =
+    stream.matches("(?is)\\s*(select|with)\\b.*")
+
+  def read(spark: SparkSession, url: String, table: String): DataFrame = {
+    derbyDialect
+    val r = spark.read.format("jdbc").option("url", url)
+    (if (isSqlText(table)) r.option("query", table)
+     else r.option("dbtable", table)).load()
+  }
 
   /** Case-folding existence probe; a qualified name splits into
     * (schemaPattern, tablePattern). */
@@ -111,16 +156,19 @@ object Jdbc {
     */
   def mergeStrategy(df: DataFrame, url: String, table: String,
       pk: Seq[String], strategy: String,
-      tableTmp: Option[String] = None): Unit = {
+      tableTmp: Option[String] = None,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
     require(pk.nonEmpty, s"merge strategy $strategy needs primary_key")
     // first load of an absent target: every strategy degenerates to a
     // plain create-and-insert (task_run_write.go creates before merging)
     if (!tableExists(url, table)) {
-      write(df, url, table, SaveMode.ErrorIfExists)
+      write(df, url, table, SaveMode.ErrorIfExists, columnTypes = columnTypes)
       return
     }
     val tmp = tableTmp.getOrElse(s"${table}_STAGE")
-    write(df, url, tmp, SaveMode.Overwrite)
+    // the stage needs the same declared types: MERGE ON compares stage
+    // columns against the target's
+    write(df, url, tmp, SaveMode.Overwrite, columnTypes = columnTypes)
     // Spark's JDBC writer creates columns as quoted (case-exact) identifiers;
     // quote them here too or the DB folds references to uppercase
     def q(c: String) = "\"" + c + "\""
@@ -177,6 +225,83 @@ object Jdbc {
             conn.createStatement().executeUpdate(s"DROP TABLE $tmp")
           } catch { case _: Exception => () }
           throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** pre_sql/post_sql hooks may carry several ';'-separated statements
+    * (the reference splits the same way, task_run_write.go pre/post). */
+  def executeAll(url: String, sql: String): Unit =
+    sql.split(';').map(_.trim).filter(_.nonEmpty).foreach(execute(url, _))
+
+  /** Incremental watermark: the target's max(update_key), as the raw JDBC
+    * value (None when the table is absent or empty). One scalar query —
+    * never a data-volume read. */
+  def maxValue(url: String, table: String, col: String): Option[Any] = {
+    if (!tableExists(url, table)) return None
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"""SELECT MAX("$col") FROM $table""")
+        try { if (rs.next()) Option(rs.getObject(1)) else None }
+        finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Render a watermark value as a portable SQL literal for substitution
+    * into user SQL (`{incremental_where_cond}`). JDBC escape syntax for
+    * temporals — every compliant driver (incl. embedded Derby) expands it,
+    * so the literal needs no per-dialect template. */
+  def sqlLiteral(v: Any): String = v match {
+    case t: java.sql.Timestamp => s"{ts '${t.toString}'}"
+    case d: java.sql.Date => s"{d '${d.toString}'}"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case n => String.valueOf(n)
+  }
+
+  /** delete_missing target option (task_run_write.go): remove (hard) or
+    * flag (soft) target rows whose primary key is absent from the source.
+    * The comparison is against the FULL source key set, not the incremental
+    * slice — only the pk columns are staged, so the data volume shipped is
+    * keys, not rows. Soft delete stamps `_sling_deleted_at` (added to the
+    * target on first use). */
+  def deleteMissing(sourceKeys: DataFrame, url: String, table: String,
+      pk: Seq[String], soft: Boolean,
+      columnTypes: Map[String, String] = Map.empty): Unit = {
+    require(pk.nonEmpty, "delete_missing needs primary_key")
+    if (!tableExists(url, table)) return
+    def q(c: String) = "\"" + c + "\""
+    val tmp = s"${table}_DMKEYS"
+    write(sourceKeys.select(pk.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`")): _*).distinct(),
+      url, tmp, SaveMode.Overwrite, columnTypes = columnTypes)
+    val onClause = pk.map(k => s"s.${q(k)} = $table.${q(k)}").mkString(" AND ")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        if (soft) {
+          val hasCol = {
+            val rs = conn.getMetaData.getColumns(null, null, null, null)
+            try Iterator.continually(rs).takeWhile(_.next()).exists(r =>
+              r.getString("TABLE_NAME").equalsIgnoreCase(
+                table.split('.').last) &&
+              r.getString("COLUMN_NAME").equalsIgnoreCase("_sling_deleted_at"))
+            finally rs.close()
+          }
+          if (!hasCol) st.executeUpdate(
+            s"""ALTER TABLE $table ADD COLUMN "_sling_deleted_at" TIMESTAMP""")
+          st.executeUpdate(
+            s"""UPDATE $table SET "_sling_deleted_at" = CURRENT_TIMESTAMP
+               |WHERE NOT EXISTS (SELECT 1 FROM $tmp s WHERE $onClause)"""
+              .stripMargin)
+        } else st.executeUpdate(
+          s"""DELETE FROM $table
+             |WHERE NOT EXISTS (SELECT 1 FROM $tmp s WHERE $onClause)"""
+            .stripMargin)
+        st.executeUpdate(s"DROP TABLE $tmp")
       } finally st.close()
     } finally conn.close()
   }

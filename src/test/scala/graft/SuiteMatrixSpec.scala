@@ -20,7 +20,7 @@ class SuiteMatrixSpec extends AnyFunSuite {
   test("suite matrix: every ported scenario passes its validations") {
     val results = SuiteMatrix.runSuite(spark, SuiteMatrix.resourceSuite(),
       SuiteMatrix.fixtureDir, "/tmp/graft-suite-spec", "/root/testdata/sf0.001")
-    assert(results.size >= 30, s"suite shrank to ${results.size} scenarios")
+    assert(results.size >= 60, s"suite shrank to ${results.size} scenarios")
     val failed = results.filterNot(_.passed)
     assert(failed.isEmpty, "failed scenarios:\n" +
       failed.map(r => s"  ${r.name}: ${r.detail}").mkString("\n"))
