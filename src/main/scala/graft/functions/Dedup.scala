@@ -176,6 +176,51 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components over a duplicate-pair edge list: every node gets
+    * the minimum node id reachable from it (the canonical document of its
+    * duplicate cluster). This is the step that turns pairwise dedup output
+    * into per-document keep/drop decisions.
+    *
+    * Algorithm: hash-to-min label propagation — each iteration every node
+    * takes the min of its own label and its neighbors', via one join +
+    * keyed aggregation. Iterations needed = O(component diameter); dedup
+    * clusters are shallow (near-clique), so 2-3 rounds in practice. Each
+    * round is shuffle-on-node-id, never pairwise; `localCheckpoint` cuts
+    * the iterative lineage so plans stay bounded. Labels only decrease, so
+    * a non-decreasing label sum is a correct (and cheap) fixpoint test.
+    * At 1000-executor scale the same loop holds — the state per round is
+    * one (node, label) row per node; for graphs with giant high-diameter
+    * components switch to alternating large-star/small-star, which this
+    * corpus shape does not need.
+    */
+  def connectedComponents(edges: DataFrame, ids: DataFrame,
+      idCol: String): DataFrame = {
+    val nodes = ids.select(col(idCol).cast("long").as("__id")).distinct()
+    val sym = edges.select(col("id_a").cast("long").as("__u"),
+        col("id_b").cast("long").as("__v"))
+      .unionAll(edges.select(col("id_b").cast("long").as("__u"),
+        col("id_a").cast("long").as("__v")))
+    var labels = nodes.select(col("__id"), col("__id").as("__lbl"))
+      .localCheckpoint(true)
+    var lblSum = labels.agg(sum("__lbl")).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val nb = sym.join(labels, sym("__v") === labels("__id"))
+        .groupBy("__u").agg(min("__lbl").as("__nl"))
+      val next = labels.alias("l")
+        .join(nb.alias("n"), col("l.__id") === col("n.__u"), "left")
+        .select(col("l.__id"),
+          least(col("l.__lbl"), coalesce(col("n.__nl"), col("l.__lbl")))
+            .as("__lbl"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("__lbl")).head.getLong(0)
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      labels = next
+    }
+    labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Implemented as explode → bit-position aggregation (2 shuffles, both
     * keyed on doc id — no pairwise work).

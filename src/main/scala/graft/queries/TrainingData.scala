@@ -85,6 +85,99 @@ object TrainingData {
       Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         FROM documents ORDER BY doc_id""")),
 
+    // Gopher-style repetition gates (Rae et al. 2021): pure codegen
+    // expressions, exact INT/INT divisions so the oracle matches bitwise
+    Q("td_quality_gopher",
+      (s, dir) => Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TA.topNgramFraction(col("text"), 2).as("top_bigram_frac"),
+        TA.dupNgramFraction(col("text"), 3).as("dup_trigram_frac"),
+        TA.meanWordLength(col("text")).as("mean_word_len"),
+        (TA.topNgramFraction(col("text"), 2) < 0.18 &&
+          TA.dupNgramFraction(col("text"), 3) < 0.30).as("keep"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+        g AS (SELECT doc_id, tk,
+          [tk[i]||' '||tk[i+1] for i in range(1, len(tk))] bg,
+          [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-1)] tg
+          FROM t),
+        m AS (SELECT doc_id,
+          CASE WHEN len(bg) > 0 THEN
+            CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+              / CAST(len(bg) AS DOUBLE) ELSE 0.0 END top_bigram_frac,
+          CASE WHEN len(tg) > 0 THEN
+            CAST(len(list_filter(tg,
+              x -> len(list_filter(tg, y -> y = x)) > 1)) AS DOUBLE)
+              / CAST(len(tg) AS DOUBLE) ELSE 0.0 END dup_trigram_frac,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) mean_word_len
+          FROM g)
+        SELECT doc_id, top_bigram_frac, dup_trigram_frac, mean_word_len,
+          (top_bigram_frac < 0.18 AND dup_trigram_frac < 0.30) AS keep
+        FROM m ORDER BY doc_id""")),
+
+    // PII scrub: the corpus is synthetic word soup with no PII, so both
+    // sides append the same deterministic contact block before redacting —
+    // the scrub itself (not the planting) is what the hash compare pins
+    Q("td_pii_redact",
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+          (col("doc_id") % 100).cast("string"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TA.piiCount(planted, TA.EmailRe).as("n_emails"),
+          TA.piiCount(planted, TA.PhoneRe).as("n_phones"),
+          TA.piiCount(planted, TA.Ipv4Re).as("n_ips"),
+          TA.piiRedact(planted).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or 555-01' ||
+            (doc_id % 100) || ' from 10.0.' || (doc_id % 256) || '.7' t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) n_emails,
+          CAST(len(regexp_extract_all(t, '\b555-[0-9]{2,8}\b')) AS INT) n_phones,
+          CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) n_ips,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b555-[0-9]{2,8}\b', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') redacted
+        FROM p ORDER BY doc_id""")),
+
+    // pairs → clusters: hash-to-min connected components over the exact
+    // n-gram-Jaccard pairs; the oracle closes the same edge set with a
+    // recursive CTE. Canonical doc per cluster = min doc_id.
+    Q("td_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.7)
+        Dedup.connectedComponents(pairs, docs, "doc_id")
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) sh
+          FROM toks),
+        pairs AS (SELECT a.doc_id ia, b.doc_id ib
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        edges AS (SELECT ia u, ib v FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+        SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+          (id = MIN(lbl)) AS is_canonical
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
     Q("td_dedup_exact",
       (s, dir) => Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash"),

@@ -446,4 +446,46 @@ class OperatorSpec extends AnyFunSuite {
       .orderBy("event_id").collect().map(_.getAs[Long]("session_num")).toSeq
     assert(out == Seq(1L, 1L, 2L, 1L))
   }
+
+  test("connected components: chain, clique, and singletons label to min id") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    // 1-2-3 chain (diameter > 1 forces a second propagation round),
+    // 10-11 pair, 20 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, ids, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("gopher repetition fractions count occurrences, not distinct grams") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // "a b a b a" → bigrams: [a b, b a, a b, b a] → top frac 2/4;
+    // trigrams: [a b a, b a b, a b a] → dup occurrences 2/3
+    val df = Seq((1L, "a b a b a"), (2L, "x y")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.topNgramFraction(col("text"), 2).as("top2"),
+      TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) == 0.5 && math.abs(r(0).getDouble(2) - 2.0 / 3) < 1e-12)
+    assert(r(1).getDouble(1) == 1.0 && r(1).getDouble(2) == 0.0) // single bigram; no trigram
+  }
+
+  test("pii redaction replaces emails, 555-phones, and ipv4s with placeholders") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq("mail me at jo.doe+x@test.org or 555-0199 via 192.168.0.1 ok")
+      .toDF("text")
+    val out = df.select(TextAnalysis.piiRedact(col("text"))).head.getString(0)
+    assert(out == "mail me at <EMAIL> or <PHONE> via <IP> ok")
+    val counts = df.select(
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re)).head
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == (1, 1, 1))
+  }
 }
