@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Widen under-parallel inputs before per-row-heavy work (shingling,
+    * signatures): a corpus arriving as one small file plans as ONE input
+    * partition, serializing everything up to the first shuffle. Only
+    * widens when the scan's parallelism is below the session default —
+    * at real scale (many files/splits) this is a no-op, so no shuffle of
+    * the full corpus is ever added where it wasn't needed.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct token n-gram shingles of a whitespace-tokenized text column. */
   def shingleCol(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -70,8 +82,9 @@ object Dedup {
     * J=0.89 while J<=0.1 background yields ~0 candidates per pair; raise
     * bands/rows for thresholds close to the background similarity.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+  def nearDupPairs(df0: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val df = widen(df0)
     val sig = signatures(df, idCol, textCol, n, bands, rowsPerBand)
     val bandStruct = posexplode(array((0 until bands).map(b => col(s"__band_$b")): _*))
     val buckets = sig.select(col("__id"), bandStruct.as(Seq("__band_idx", "__band_hash")))
@@ -115,8 +128,9 @@ object Dedup {
     *
     * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
+    val df = widen(df0)
     val sets = df.select(col(idCol).as("__id"),
         shingleCol(col(textCol), n).as("__sh"))
       .filter(size(col("__sh")) >= 1)
