@@ -24,8 +24,19 @@ object Dedup {
     * the full corpus is ever added where it wasn't needed.
     */
   private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's parallelism from logical-plan statistics (file
+    // sizes for file relations) instead of df.rdd.getNumPartitions — the
+    // rdd probe forces physical planning of the frame and can disagree
+    // with what AQE later does. bytes/maxPartitionBytes mirrors the file
+    // split planner; small inputs (< target partitions' worth) widen,
+    // many-file/many-split inputs are untouched.
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (sizeBytes / maxPartBytes).toLong + 1
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Distinct token n-gram shingles of a whitespace-tokenized text column. */

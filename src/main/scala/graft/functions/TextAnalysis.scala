@@ -108,6 +108,52 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Scale-safe Gopher repetition metrics (same math as
+    * [[topNgramFraction]]/[[dupNgramFraction]], different plan shape):
+    * explode n-gram occurrences → `groupBy(doc, gram).count` → one
+    * aggregation per doc. Linear in total occurrences with two keyed,
+    * map-side-combined shuffles — the expression form is per-row
+    * O(distinct·total), which on a 100k-token document is ~10¹⁰
+    * comparisons inside ONE task with no way to parallelize within the
+    * row. Use this form when documents can be long; the expression form
+    * remains the shuffle-free fast path for short-doc corpora.
+    *
+    * Output: one row per input row — (idCol, top_ngram_frac,
+    * dup_ngram_frac), 0.0 for documents with no n-grams.
+    */
+  def gopherMetrics(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 3): DataFrame = {
+    // Tokens are materialized in their OWN projection before the n-gram
+    // transform: higher-order functions evaluate interpreted, so an
+    // expression referenced inside the lambda is re-evaluated per element —
+    // ngramOccurrences' inline split() would make gram construction
+    // O(len²) per row (measured: 730 s for 8×50k-token docs vs ~3 s with
+    // the array bound to an attribute). CollapseProject keeps the split
+    // separate because __tk is referenced 3× and split isn't cheap.
+    def gramCounts(n: Int) = {
+      val toked = df.select(col(idCol).as("__id"),
+        split(col(textCol), " ").as("__tk"))
+      toked.select(col("__id"),
+          explode(when(size(col("__tk")) >= n,
+            transform(sequence(lit(0), size(col("__tk")) - n),
+              i => concat_ws(" ", slice(col("__tk"), i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+    }
+    val top = gramCounts(topN).groupBy("__id").agg(
+      (max("__c").cast("double") / sum("__c").cast("double"))
+        .as("top_ngram_frac"))
+    val dup = gramCounts(dupN).groupBy("__id").agg(
+      (coalesce(sum(when(col("__c") > lit(1L), col("__c"))), lit(0L))
+        .cast("double") / sum("__c").cast("double")).as("dup_ngram_frac"))
+    df.select(col(idCol))
+      .join(top, df(idCol) === top("__id"), "left").drop("__id")
+      .join(dup, df(idCol) === dup("__id"), "left").drop("__id")
+      .select(col(idCol),
+        coalesce(col("top_ngram_frac"), lit(0.0)).as("top_ngram_frac"),
+        coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
+  }
+
   /** Mean word length in characters (another Gopher gate: 3–10 is the
     * keep band for English). */
   def meanWordLength(text: Column): Column = {
@@ -117,23 +163,54 @@ object TextAnalysis {
   }
 
   // PII patterns, restricted to syntax shared by Java regex and RE2 so the
-  // engine and SQL oracles agree: no backreferences, no lookaround,
-  // [0-9] over \d. \b is common to both.
+  // engine and SQL oracles (and a Go/RE2 scrubber) agree: no
+  // backreferences, no lookaround, [0-9] over \d. \b is common to both.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b555-[0-9]{2,8}\\b"
+
+  /** General phone pattern: NANP 3-3-4 with `-`/`.`/space separators,
+    * optional `+1`/`1` country prefix, optional parenthesized area code —
+    * plus bare E.164 (`+` and 8-15 digits). Deliberately excludes the
+    * 7-digit local form (`555-0123`): too many false positives on part
+    * numbers and ranges for a default scrub set. `\b` sits before the
+    * digit alternative only — a boundary can't occur between space and
+    * `(`, so the paren branch anchors on `\(` itself.
+    */
+  val PhoneRe =
+    "(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)[-. ]?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b" +
+      "|\\+[0-9]{8,15}\\b"
+
+  /** US SSN 3-2-4 dashed form. Disjoint from [[PhoneRe]] (3-3-4). */
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Planted-fixture phone form used by the synthetic PII test corpus
+    * (TEST-ONLY override — real scrubbing wants [[PhoneRe]]). */
+  val TestPhoneRe = "\\b555-[0-9]{2,8}\\b"
+
+  /** One redaction rule: regex (Java∩RE2-safe) → typed placeholder. */
+  final case class PiiPattern(name: String, regex: String, placeholder: String)
+
+  /** Default scrub registry. Order matters: emails first (so host-like
+    * IPs inside addresses are already gone), then phones, SSNs, IPs.
+    * Callers can pass their own registry to [[piiRedact]] — patterns must
+    * stay in the Java∩RE2 subset if an external oracle re-checks them.
+    */
+  val defaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", EmailRe, "<EMAIL>"),
+    PiiPattern("phone", PhoneRe, "<PHONE>"),
+    PiiPattern("ssn", SsnRe, "<SSN>"),
+    PiiPattern("ipv4", Ipv4Re, "<IP>"))
 
   /** Count of pattern matches (distributed, codegen regexp). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** Redact emails / simple phone forms / IPv4s with typed placeholders —
-    * the standard pre-training scrub pass. Order matters: IP redaction
-    * runs after email so host-like IPs inside addresses are already gone.
+  /** Redact each registry pattern with its typed placeholder, in registry
+    * order — the standard pre-training scrub pass. Pure codegen regexp
+    * chain: one projection, no shuffle, linear in text length.
     */
-  def piiRedact(text: Column): Column = {
-    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
-    val noPhone = regexp_replace(noEmail, PhoneRe, "<PHONE>")
-    regexp_replace(noPhone, Ipv4Re, "<IP>")
-  }
+  def piiRedact(text: Column,
+      patterns: Seq[PiiPattern] = defaultPiiPatterns): Column =
+    patterns.foldLeft(text)((t, p) => regexp_replace(t, p.regex, p.placeholder))
 }

@@ -117,6 +117,47 @@ object TrainingData {
           (top_bigram_frac < 0.18 AND dup_trigram_frac < 0.30) AS keep
         FROM m ORDER BY doc_id""")),
 
+    // Same Gopher gates through the scale-safe aggregation plan (explode →
+    // groupBy(doc, gram) → per-doc agg; linear in occurrences — the form
+    // for long-document corpora where the expression path's per-row
+    // O(distinct·total) blows up). Same oracle as td_quality_gopher: the
+    // two plans must agree bitwise.
+    Q("td_quality_gopher_agg",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val m = TA.gopherMetrics(docs, "doc_id", "text", topN = 2, dupN = 3)
+        docs.select(col("doc_id"),
+            TA.meanWordLength(col("text")).as("mean_word_len"))
+          .join(m, "doc_id")
+          .select(col("doc_id"),
+            col("top_ngram_frac").as("top_bigram_frac"),
+            col("dup_ngram_frac").as("dup_trigram_frac"),
+            col("mean_word_len"),
+            (col("top_ngram_frac") < 0.18 && col("dup_ngram_frac") < 0.30)
+              .as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+        g AS (SELECT doc_id, tk,
+          [tk[i]||' '||tk[i+1] for i in range(1, len(tk))] bg,
+          [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-1)] tg
+          FROM t),
+        m AS (SELECT doc_id,
+          CASE WHEN len(bg) > 0 THEN
+            CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+              / CAST(len(bg) AS DOUBLE) ELSE 0.0 END top_bigram_frac,
+          CASE WHEN len(tg) > 0 THEN
+            CAST(len(list_filter(tg,
+              x -> len(list_filter(tg, y -> y = x)) > 1)) AS DOUBLE)
+              / CAST(len(tg) AS DOUBLE) ELSE 0.0 END dup_trigram_frac,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+            / CAST(len(tk) AS DOUBLE) mean_word_len
+          FROM g)
+        SELECT doc_id, top_bigram_frac, dup_trigram_frac, mean_word_len,
+          (top_bigram_frac < 0.18 AND dup_trigram_frac < 0.30) AS keep
+        FROM m ORDER BY doc_id""")),
+
     // PII scrub: the corpus is synthetic word soup with no PII, so both
     // sides append the same deterministic contact block before redacting —
     // the scrub itself (not the planting) is what the hash compare pins
@@ -126,12 +167,19 @@ object TrainingData {
           lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
           (col("doc_id") % 100).cast("string"),
           lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+        // planted pseudo-phones ("555-01…") are fixture-shaped, so this
+        // query scrubs with an explicit TEST registry; the general
+        // default registry is exercised by td_pii_general below
+        val testRegistry = Seq(
+          TA.PiiPattern("email", TA.EmailRe, "<EMAIL>"),
+          TA.PiiPattern("phone", TA.TestPhoneRe, "<PHONE>"),
+          TA.PiiPattern("ipv4", TA.Ipv4Re, "<IP>"))
         Tables(s, dir, "documents").select(
           col("doc_id"),
           TA.piiCount(planted, TA.EmailRe).as("n_emails"),
-          TA.piiCount(planted, TA.PhoneRe).as("n_phones"),
+          TA.piiCount(planted, TA.TestPhoneRe).as("n_phones"),
           TA.piiCount(planted, TA.Ipv4Re).as("n_ips"),
-          TA.piiRedact(planted).as("redacted"))
+          TA.piiRedact(planted, testRegistry).as("redacted"))
           .orderBy("doc_id")
       },
       Some("""WITH p AS (SELECT doc_id,
@@ -145,6 +193,53 @@ object TrainingData {
           regexp_replace(regexp_replace(regexp_replace(t,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\b555-[0-9]{2,8}\b', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') redacted
+        FROM p ORDER BY doc_id""")),
+
+    // General-registry PII scrub: plants REAL-format contact data (NANP
+    // paren + dashed forms, E.164, SSN, IPv4, email) and redacts with the
+    // DEFAULT registry — proves the general patterns, not fixture shapes,
+    // do the scrubbing. Patterns stay in the Java∩RE2 subset so the
+    // DuckDB oracle re-runs them verbatim.
+    Q("td_pii_general",
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" call (415) 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" or +1 212-555-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+          lit(" intl +4479"),
+          lpad((col("doc_id") % 100000).cast("string"), 5, "0"),
+          lit(" ssn 078-05-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.1."), (col("doc_id") % 256).cast("string"), lit(".9"),
+          lit(" mail a"), col("doc_id"), lit("@test.org"))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          TA.piiCount(planted, TA.EmailRe).as("n_emails"),
+          TA.piiCount(planted, TA.PhoneRe).as("n_phones"),
+          TA.piiCount(planted, TA.SsnRe).as("n_ssns"),
+          TA.piiCount(planted, TA.Ipv4Re).as("n_ips"),
+          TA.piiRedact(planted).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          text || ' call (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' or +1 212-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+            ' intl +4479' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') ||
+            ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+            ' ip 10.1.' || (doc_id % 256) || '.9' ||
+            ' mail a' || doc_id || '@test.org' t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) n_emails,
+          CAST(len(regexp_extract_all(t, '(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b|\+[0-9]{8,15}\b')) AS INT) n_phones,
+          CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) n_ssns,
+          CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) n_ips,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b|\+[0-9]{8,15}\b', '<PHONE>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') redacted
         FROM p ORDER BY doc_id""")),
 

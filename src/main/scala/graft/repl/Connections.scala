@@ -240,6 +240,22 @@ object Connections {
       val c = java.sql.DriverManager.getConnection(url)
       try {
         val md = c.getMetaData
+        // translate the user glob into a JDBC metadata search pattern:
+        // '*' → '%', and literal '_'/'%'/escape-char escaped with the
+        // driver's search-string escape (else '_' is a single-char
+        // wildcard and APP.SUITE_SRC would also match SUITEXSRC); unquoted
+        // identifiers fold to the dialect's stored case
+        def jdbcPat(p0: String): String = {
+          if (p0 == null) return null
+          val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+          val p = if (md.storesUpperCaseIdentifiers) p0.toUpperCase
+            else if (md.storesLowerCaseIdentifiers) p0.toLowerCase
+            else p0
+          p.split("\\*", -1)
+            .map(_.replace(esc, esc + esc).replace("_", esc + "_")
+              .replace("%", esc + "%"))
+            .mkString("%")
+        }
         level match {
           case "schema" =>
             val rs = md.getSchemas()
@@ -249,14 +265,14 @@ object Connections {
               .sorted
             finally rs.close()
           case "column" =>
-            val rs = md.getColumns(null, schemaPat, namePat, "%")
+            val rs = md.getColumns(null, jdbcPat(schemaPat), jdbcPat(namePat), "%")
             try Iterator.continually(rs).takeWhile(_.next())
               .map(_.getString("COLUMN_NAME")).toList.sorted
             finally rs.close()
           case _ =>
             // views are streams too (the reference discovers them alongside
             // tables; the suite's [table]_vw assertions depend on it)
-            val rs = md.getTables(null, schemaPat, "%", Array("TABLE", "VIEW"))
+            val rs = md.getTables(null, jdbcPat(schemaPat), "%", Array("TABLE", "VIEW"))
             try Iterator.continually(rs).takeWhile(_.next())
               .map(r => r.getString("TABLE_NAME")).toList
               .filter(t => nameRe.matches(t)).sorted

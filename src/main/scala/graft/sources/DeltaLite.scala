@@ -62,6 +62,15 @@ object DeltaLite {
 
   private val mapper = new ObjectMapper()
 
+  /** Conf key: when a CHECKPOINT-LESS log holds at least this many JSON
+    * commits, replay them as a distributed text scan + keyed last-wins
+    * aggregation instead of the driver loop (whose add-map is otherwise
+    * unbounded — a writer that never checkpoints can accumulate 10⁵
+    * commits). Checkpointed logs keep the driver loop: their commit tail
+    * is small by construction. */
+  val CommitPlanThresholdKey = "graft.delta.planning.distributedCommitThreshold"
+  private val DefaultCommitThreshold = 1024
+
   private def logDir(table: String) = new Path(table, "_delta_log")
   private def commitFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
@@ -202,6 +211,90 @@ object DeltaLite {
       .map(n => n.stripSuffix(".json").toLong)
       .filter(_ >= startVersion).sorted
     var version = startVersion - 1
+    val commitThreshold = spark.conf.getOption(CommitPlanThresholdKey)
+      .map(_.toInt).getOrElse(DefaultCommitThreshold)
+    if (cpAdds.isEmpty && commits.length >= math.max(1, commitThreshold)) {
+      // Guard for checkpoint-less logs with very many commits (VERDICT r8
+      // item 8): the driver loop below holds every add in a map, which is
+      // unbounded when no checkpoint caps the tail. Parse the commits as a
+      // distributed text scan instead and reconcile last-wins per path with
+      // one keyed aggregation; the reconciled adds take the same
+      // executor-resident Dataset seat a checkpoint's adds would, so
+      // pruning and projection stay off the driver.
+      import org.apache.spark.sql.functions.{coalesce => fCoalesce, col => fCol,
+        from_json, input_file_name, max_by, regexp_extract, struct}
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val actionSchema = StructType(Seq(
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("deletionVector", StructType(Seq(
+            StructField("storageType", StringType),
+            StructField("pathOrInlineDv", StringType),
+            StructField("offset", IntegerType),
+            StructField("sizeInBytes", IntegerType)))),
+          StructField("stats", StringType),
+          StructField("partitionValues", MapType(StringType, StringType))))),
+        StructField("remove", StructType(Seq(
+          StructField("path", StringType)))),
+        StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType),
+          StructField("configuration", MapType(StringType, StringType)),
+          StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType)))))))
+      val raw = spark.read.text(commits.map(v => commitFile(table, v).toString): _*)
+        .withColumn("__v",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .withColumn("__a", from_json(fCol("value"), actionSchema))
+      // file actions: last (version, add-beats-remove) action per path wins.
+      // The within-commit tiebreak matters: a DV rewrite emits remove(p) +
+      // add(p) in ONE commit and the add is the surviving state.
+      val fileActs = raw
+        .filter(fCol("__a.add.path").isNotNull || fCol("__a.remove.path").isNotNull)
+        .select(
+          fCoalesce(fCol("__a.add.path"), fCol("__a.remove.path")).as("p"),
+          fCol("__v"),
+          fCol("__a.add.path").isNotNull.as("isAdd"),
+          fCol("__a.add.deletionVector.storageType").as("dst"),
+          fCol("__a.add.deletionVector.pathOrInlineDv").as("ddv"),
+          fCol("__a.add.deletionVector.offset").as("doff"),
+          fCol("__a.add.deletionVector.sizeInBytes").as("dsz"),
+          fCol("__a.add.stats").as("st"),
+          fCol("__a.add.partitionValues").as("pv"))
+      val live = fileActs.groupBy("p")
+        .agg(max_by(
+          struct(fCol("isAdd"), fCol("dst"), fCol("ddv"), fCol("doff"),
+            fCol("dsz"), fCol("st"), fCol("pv")),
+          struct(fCol("__v"), fCol("isAdd").cast("int"))).as("a"))
+        .filter(fCol("a.isAdd"))
+        .select(fCol("p"), fCol("a.dst").as("dst"), fCol("a.ddv").as("ddv"),
+          fCol("a.doff").as("doff"), fCol("a.dsz").as("dsz"),
+          fCol("a.st").as("st"), fCol("a.pv").as("pv"))
+        .as[CpAddRaw]
+      cpAdds = Some(live)
+      // metaData / protocol: rare actions — latest each, two tiny collects
+      raw.filter(fCol("__a.metaData.schemaString").isNotNull)
+        .select(fCol("__v"), fCol("__a.metaData.schemaString"),
+          fCol("__a.metaData.configuration"),
+          fCol("__a.metaData.partitionColumns"))
+        .orderBy(fCol("__v").desc).limit(1).collect().headOption.foreach { r =>
+          meta = Some(Meta(r.getString(1),
+            if (r.isNullAt(2)) Map.empty
+            else r.getMap[String, String](2).toMap,
+            if (r.isNullAt(3)) Nil else r.getSeq[String](3).toSeq))
+        }
+      raw.filter(fCol("__a.protocol.minReaderVersion").isNotNull)
+        .select(fCol("__v"), fCol("__a.protocol.minReaderVersion"),
+          fCol("__a.protocol.readerFeatures"))
+        .orderBy(fCol("__v").desc).limit(1).collect().headOption.foreach { r =>
+          checkProtocol(r.getInt(1),
+            if (r.isNullAt(2)) Set.empty
+            else r.getSeq[String](2).toSet)
+        }
+      version = commits.last
+    } else
     commits.foreach { v =>
       val in = fs.open(commitFile(table, v))
       val text = try new String(in.readAllBytes(),

@@ -66,22 +66,6 @@ object IcebergLite {
     } finally stream.close()
   }
 
-  /** Hadoop Configuration that survives Java serialization — the
-    * distributed manifest walk closure-ships it to executors
-    * (Configuration itself is not Serializable). */
-  private class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   private def stripScheme(uri: String): String =
     uri.stripPrefix("file://").stripPrefix("file:")
 
@@ -392,8 +376,13 @@ object IcebergLite {
             !FileSkipping.mayContain(pred.get, manifestSummaryStats(mf, fields))
         }
         if (skip) {
-          listPruned += intField(mf, "added_files_count").getOrElse(0) +
-            intField(mf, "existing_files_count").getOrElse(0)
+          // spec v1 Avro name is added_data_files_count (Iceberg Java
+          // writer); v2 renamed to added_files_count — accept both so
+          // list-pruned manifests from real tables still count in `total`
+          listPruned += intField(mf, "added_files_count")
+              .orElse(intField(mf, "added_data_files_count")).getOrElse(0) +
+            intField(mf, "existing_files_count")
+              .orElse(intField(mf, "existing_data_files_count")).getOrElse(0)
           None
         } else Some((i, mPath, mSeq))
     }
@@ -402,7 +391,7 @@ object IcebergLite {
       .getOrElse(DefaultPlanThreshold)
     val walked: Seq[(Seq[EntryLite], Int, Option[EntryLite])] =
       if (manifests.size >= math.max(1, threshold)) {
-        val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+        val bc = spark.sparkContext.broadcast(graft.util.HadoopConf(hconf))
         spark.sparkContext.parallelize(manifests,
             math.min(manifests.size, spark.sparkContext.defaultParallelism))
           .map { case (i, p, s) =>

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.sql.DriverManager
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** JDBC source/sink — the reference's primary surface (database.go).
@@ -230,9 +232,27 @@ object Jdbc {
   }
 
   /** pre_sql/post_sql hooks may carry several ';'-separated statements
-    * (the reference splits the same way, task_run_write.go pre/post). */
+    * (the reference splits the same way, task_run_write.go pre/post).
+    * Quote-aware: a ';' inside a single-quoted SQL literal (with ''
+    * escaping) is part of the statement, not a separator. */
   def executeAll(url: String, sql: String): Unit =
-    sql.split(';').map(_.trim).filter(_.nonEmpty).foreach(execute(url, _))
+    splitStatements(sql).foreach(execute(url, _))
+
+  /** Split a multi-statement SQL string on ';' outside single-quoted
+    * literals. '' inside a literal is the SQL escape for a quote — handled
+    * naturally: it closes and immediately reopens the in-quote state. */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    sql.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Incremental watermark: the target's max(update_key), as the raw JDBC
     * value (None when the table is absent or empty). One scalar query —
@@ -283,11 +303,30 @@ object Jdbc {
       val st = conn.createStatement()
       try {
         if (soft) {
+          // scoped metadata lookup: schema + table + column patterns with
+          // the driver's search-string escape applied, so a same-named
+          // table in another schema can't misreport column presence (and
+          // no full-catalog walk on large databases)
           val hasCol = {
-            val rs = conn.getMetaData.getColumns(null, null, null, null)
+            val md = conn.getMetaData
+            val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+            def pat(s0: String) = {
+              // unquoted identifiers are stored in the dialect's canonical
+              // case (upper on Derby/Oracle, lower on Postgres) and
+              // metadata patterns are case-sensitive — fold to match
+              val s = if (md.storesUpperCaseIdentifiers) s0.toUpperCase
+                else if (md.storesLowerCaseIdentifiers) s0.toLowerCase
+                else s0
+              s.replace(esc, esc + esc).replace("_", esc + "_")
+                .replace("%", esc + "%")
+            }
+            val parts = table.split('.')
+            val (schemaPat, tablePat) =
+              if (parts.length >= 2) (pat(parts(parts.length - 2)), pat(parts.last))
+              else (null, pat(parts.last))
+            val rs = md.getColumns(null, schemaPat, tablePat,
+              pat("_sling_deleted_at"))
             try Iterator.continually(rs).takeWhile(_.next()).exists(r =>
-              r.getString("TABLE_NAME").equalsIgnoreCase(
-                table.split('.').last) &&
               r.getString("COLUMN_NAME").equalsIgnoreCase("_sling_deleted_at"))
             finally rs.close()
           }

@@ -1,7 +1,5 @@
 package graft.util
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
-
 import org.apache.hadoop.conf.Configuration
 
 /** Serializable carrier for the session Hadoop configuration, so executor
@@ -11,16 +9,29 @@ import org.apache.hadoop.conf.Configuration
   * silently drops those — fine on local disk, AccessDenied on an object
   * store. (Spark has an identical internal wrapper, but it is
   * private[spark].)
+  *
+  * Snapshotted into a plain string array at construction instead of
+  * writeObject/readObject hooks, so it round-trips under ANY serializer:
+  * if a session sets spark.serializer=Kryo, broadcast/closure values skip
+  * Java-serialization hooks, but plain fields always copy.
   */
-final class HadoopConf(@transient var value: Configuration) extends Serializable {
-  private def writeObject(out: ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
+final class HadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  private val entries: Array[Array[String]] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Array[String]]()
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); buf += Array(e.getKey, e.getValue) }
+    buf.toArray
   }
-  private def readObject(in: ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
+  def value: Configuration = {
+    if (conf == null) synchronized {
+      if (conf == null) {
+        val c = new Configuration(false)
+        entries.foreach(e => c.set(e(0), e(1)))
+        conf = c
+      }
+    }
+    conf
   }
 }
 

@@ -475,17 +475,89 @@ class OperatorSpec extends AnyFunSuite {
     assert(r(1).getDouble(1) == 1.0 && r(1).getDouble(2) == 0.0) // single bigram; no trigram
   }
 
-  test("pii redaction replaces emails, 555-phones, and ipv4s with placeholders") {
+  test("pii redaction replaces emails, phones, ssns, and ipv4s with placeholders") {
     import spark.implicits._
     import graft.functions.TextAnalysis
-    val df = Seq("mail me at jo.doe+x@test.org or 555-0199 via 192.168.0.1 ok")
+    val df = Seq("mail jo.doe+x@test.org call (415) 555-2671 ssn 078-05-1120 via 192.168.0.1 ok")
       .toDF("text")
     val out = df.select(TextAnalysis.piiRedact(col("text"))).head.getString(0)
-    assert(out == "mail me at <EMAIL> or <PHONE> via <IP> ok")
-    val counts = df.select(
-      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe),
-      TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe),
-      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re)).head
-    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == (1, 1, 1))
+    assert(out == "mail <EMAIL> call <PHONE> ssn <SSN> via <IP> ok")
+    // test-only planted form still redacts when passed as an override
+    val planted = Seq("or 555-0199 here").toDF("text")
+    val outPlanted = planted.select(TextAnalysis.piiRedact(col("text"),
+      Seq(TextAnalysis.PiiPattern("phone", TextAnalysis.TestPhoneRe, "<PHONE>"))))
+      .head.getString(0)
+    assert(outPlanted == "or <PHONE> here")
+  }
+
+  test("general phone pattern: true/false positive table") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // (input, should-match) — the pattern must catch real phone forms and
+    // leave dates, part numbers, IPs, and 7-digit local forms alone
+    val cases = Seq(
+      ("(415) 555-2671", true),       // NANP, parenthesized area code
+      ("415-555-2671", true),         // NANP dashed
+      ("415.555.2671", true),         // NANP dotted
+      ("415 555 2671", true),         // NANP spaced
+      ("+1 415-555-2671", true),      // +1 country prefix
+      ("1-415-555-2671", true),       // bare 1 prefix
+      ("+447911123456", true),        // E.164 international
+      ("2026-08-14", false),          // ISO date
+      ("14-08-2026", false),          // little-endian date
+      ("555-0199", false),            // 7-digit local: excluded by design
+      ("192.168.0.1", false),         // IPv4
+      ("123-45-6789", false),         // SSN shape (3-2-4, not 3-3-4)
+      ("order 1234-5678 shipped", false), // part/order number
+      ("x 12345678901234567 y", false))   // long digit run, no '+'
+    val df = cases.toDF("text", "expected")
+    val got = df.select(col("text"), col("expected"),
+      (TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe) > 0).as("matched"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(2) == r.getBoolean(1),
+        s"phone pattern on '${r.getString(0)}': got ${r.getBoolean(2)}, want ${r.getBoolean(1)}")
+    }
+  }
+
+  test("gopher aggregation plan matches the expression form") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq((1L, "a b a b a"), (2L, "x y"), (3L, "q"),
+      (4L, "r r r r r r")).toDF("doc_id", "text")
+    val expr = df.select(col("doc_id"),
+      TextAnalysis.topNgramFraction(col("text"), 2).as("top2"),
+      TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3"))
+      .orderBy("doc_id").collect()
+    val agg = TextAnalysis.gopherMetrics(df, "doc_id", "text", 2, 3)
+      .orderBy("doc_id").collect()
+    assert(expr.length == agg.length)
+    expr.zip(agg).foreach { case (e, a) =>
+      assert(e.getLong(0) == a.getLong(0))
+      assert(e.getDouble(1) == a.getDouble(1), s"top frac doc ${e.getLong(0)}")
+      assert(e.getDouble(2) == a.getDouble(2), s"dup frac doc ${e.getLong(0)}")
+    }
+  }
+
+  test("gopher aggregation plan is linear on long documents") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // 50k-token documents with heavy repetition — the regime where the
+    // expression form's per-row O(distinct·total) is intractable. The
+    // assertion is correctness at this length plus a generous wall bound;
+    // growth-rate checks are too noisy for CI, the bound alone already
+    // rules out quadratic behavior (quadratic would be minutes).
+    def doc(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(i * 2654435761L + seed) % 997}").mkString(" ")
+    val df = (1 to 8).map(i => (i.toLong, doc(i, 50000))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = TextAnalysis.gopherMetrics(df, "doc_id", "text", 2, 3)
+      .orderBy("doc_id").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.length == 8)
+    // 997 distinct words → every bigram repeats; dup fraction near 1
+    assert(r.forall(_.getDouble(2) > 0.9))
+    assert(r.forall(x => x.getDouble(1) > 0.0 && x.getDouble(1) <= 1.0))
+    assert(sec < 60.0, s"8x50k-token gopher metrics took ${sec}s")
   }
 }
