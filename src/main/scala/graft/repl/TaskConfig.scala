@@ -46,7 +46,13 @@ object TaskConfig {
       emptyAsNull: Boolean = false, skipLines: Int = 0,
       skipBlankLines: Boolean = false, datetimeFormat: Option[String] = None,
       flatten: Boolean = false,
-      sheet: Option[Int] = None, range: Option[String] = None)
+      sheet: Option[Int] = None, range: Option[String] = None,
+      // `source.options.cdc:` (config.go:1764-1794 CDCOptions) — bounded
+      // CDC runs: restart point, run-size and run-duration ceilings
+      cdcReplayFrom: Option[Long] = None,
+      cdcRunMaxEvents: Option[Long] = None,
+      cdcRunMaxDuration: Option[String] = None,
+      cdcSoftDelete: Boolean = false)
 
   /** `target.options` (config.go target options → existing writer code):
     * file codec/splitting, column casing, existence guard, DB hooks. */
@@ -54,10 +60,12 @@ object TaskConfig {
       fileMaxRows: Option[Int] = None, columnCasing: Option[String] = None,
       ignoreExisting: Boolean = false, addNewColumns: Boolean = false,
       preSql: Option[String] = None, postSql: Option[String] = None,
-      batchLimit: Option[Int] = None, tableTmp: Option[String] = None,
+      batchLimit: Option[Int] = None, batchMaxDuration: Option[String] = None,
+      tableTmp: Option[String] = None,
       tableDdl: Option[String] = None, useBulk: Boolean = false,
       maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false,
-      mergeStrategy: Option[String] = None, deleteMissing: Option[String] = None)
+      mergeStrategy: Option[String] = None, deleteMissing: Option[String] = None,
+      postCountCheck: Boolean = false)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -100,6 +108,12 @@ object TaskConfig {
       m.get(k).exists(_.toString.toBoolean)
     val so = optSection(s)
     val to = optSection(t)
+    // nested `cdc:` block under source.options (replay_from,
+    // run_max_events, run_max_duration, soft_delete)
+    def cdcOpt(m: Map[String, Object], k: String): Option[String] =
+      m.get("cdc").flatMap(c =>
+        Option(c.asInstanceOf[java.util.Map[String, Object]]
+          .asScala.toMap.getOrElse(k, null)).map(_.toString))
     val srcOpts = SourceOpts(
       delimiter = so.get("delimiter").map(_.toString),
       header = so.get("header").map(_.toString.toBoolean),
@@ -113,7 +127,11 @@ object TaskConfig {
         .filterNot(_.equalsIgnoreCase("auto")),
       flatten = bool(so, "flatten"),
       sheet = so.get("sheet").map(_.toString.toInt),
-      range = so.get("range").map(_.toString))
+      range = so.get("range").map(_.toString),
+      cdcReplayFrom = cdcOpt(so, "replay_from").map(_.toLong),
+      cdcRunMaxEvents = cdcOpt(so, "run_max_events").map(_.toLong),
+      cdcRunMaxDuration = cdcOpt(so, "run_max_duration"),
+      cdcSoftDelete = cdcOpt(so, "soft_delete").exists(_.toBoolean))
     val tgtOpts = TargetOpts(
       compression = to.get("compression").map(_.toString.toLowerCase),
       fileMaxRows = to.get("file_max_rows").map(_.toString.toInt),
@@ -123,13 +141,15 @@ object TaskConfig {
       preSql = to.get("pre_sql").map(_.toString),
       postSql = to.get("post_sql").map(_.toString),
       batchLimit = to.get("batch_limit").map(_.toString.toInt),
+      batchMaxDuration = to.get("batch_max_duration").map(_.toString),
       tableTmp = to.get("table_tmp").map(_.toString),
       tableDdl = to.get("table_ddl").map(_.toString),
       useBulk = bool(to, "use_bulk"),
       maxDecimals = to.get("max_decimals").map(_.toString.toInt),
       adjustColumnType = bool(to, "adjust_column_type"),
       mergeStrategy = to.get("merge_strategy").map(_.toString),
-      deleteMissing = to.get("delete_missing").map(_.toString))
+      deleteMissing = to.get("delete_missing").map(_.toString),
+      postCountCheck = bool(to, "post_count_check"))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -391,7 +411,13 @@ object TaskConfig {
             graft.sources.Jdbc.mergeStrategy(dfW, spec.jdbcUrl, tgt.obj,
               tgt.primaryKey,
               tgt.options.mergeStrategy.getOrElse("update_insert"),
-              tableTmp = tgt.options.tableTmp, columnTypes = colDdl)
+              tableTmp = tgt.options.tableTmp, columnTypes = colDdl,
+              // post_count_check (task_run_write.go:380-405): count the
+              // stream once and require the staged table to agree before
+              // the merge runs. Opt-in — the extra count re-executes the
+              // source plan, which is not free at scale.
+              expectedRows =
+                if (tgt.options.postCountCheck) Some(dfW.count()) else None)
           case "upsert" =>
             // the fall-through would be Jdbc.write's full overwrite — a
             // destructive surprise for a requested merge; fail loudly
@@ -487,6 +513,23 @@ object TaskConfig {
               Modes.upsertEvolve(pt, df, tgt.primaryKey,
                 adjustTypes = tgt.options.adjustColumnType)
             else Modes.upsert(pt, df, tgt.primaryKey)
+          case "cdc" =>
+            // bounded streaming CDC apply over the source's change-feed
+            // directory (source format parquet); the batching/bounding
+            // knobs route from source.options.cdc + target.options
+            require(tgt.primaryKey.nonEmpty, "mode cdc needs primary_key")
+            val so = task.source.options
+            val opts = graft.streaming.EventStream.CdcRunOptions(
+              replayFromSeq = so.cdcReplayFrom,
+              runMaxEvents = so.cdcRunMaxEvents,
+              runMaxDuration = so.cdcRunMaxDuration
+                .map(graft.streaming.EventStream.parseDuration),
+              batchLimit = tgt.options.batchLimit,
+              batchMaxDuration = tgt.options.batchMaxDuration
+                .map(graft.streaming.EventStream.parseDuration),
+              softDelete = so.cdcSoftDelete)
+            graft.streaming.EventStream.cdcApplyBounded(
+              spark, task.source.stream, pt, tgt.primaryKey, opts)
           case other => throw new IllegalArgumentException(s"mode $other")
         }
         if (writeDelta) DeltaLite.read(spark, tgt.obj).count()

@@ -159,7 +159,8 @@ object Jdbc {
   def mergeStrategy(df: DataFrame, url: String, table: String,
       pk: Seq[String], strategy: String,
       tableTmp: Option[String] = None,
-      columnTypes: Map[String, String] = Map.empty): Unit = {
+      columnTypes: Map[String, String] = Map.empty,
+      expectedRows: Option[Long] = None): Unit = {
     require(pk.nonEmpty, s"merge strategy $strategy needs primary_key")
     // first load of an absent target: every strategy degenerates to a
     // plain create-and-insert (task_run_write.go creates before merging)
@@ -168,9 +169,34 @@ object Jdbc {
       return
     }
     val tmp = tableTmp.getOrElse(s"${table}_STAGE")
+    def dropStageQuiet(): Unit =
+      try execute(url, s"DROP TABLE $tmp") catch { case _: Exception => () }
     // the stage needs the same declared types: MERGE ON compares stage
-    // columns against the target's
-    write(df, url, tmp, SaveMode.Overwrite, columnTypes = columnTypes)
+    // columns against the target's. A failure DURING staging (source task
+    // dies mid-stream) must not leave a partial stage table behind
+    // (task_run_write.go:313-331 temp cleanup)
+    try write(df, url, tmp, SaveMode.Overwrite, columnTypes = columnTypes)
+    catch { case e: Throwable => dropStageQuiet(); throw e }
+    // post-count abort (task_run_write.go:380-405): when the caller knows
+    // how many rows it streamed, a staged count that disagrees means rows
+    // were lost in flight — abort BEFORE the merge so the target is
+    // untouched, and clean the stage
+    expectedRows.foreach { exp =>
+      val staged = {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val rs = conn.createStatement().executeQuery(
+            s"SELECT COUNT(1) FROM $tmp")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        } finally conn.close()
+      }
+      if (staged != exp) {
+        dropStageQuiet()
+        throw new IllegalStateException(
+          s"staged row count $staged != expected $exp for $table — " +
+            "aborting before merge (target untouched)")
+      }
+    }
     // Spark's JDBC writer creates columns as quoted (case-exact) identifiers;
     // quote them here too or the DB folds references to uppercase
     def q(c: String) = "\"" + c + "\""

@@ -244,4 +244,112 @@ object EventStream {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new")
   }
+
+  // ---- bounded CDC runs (config.go:1764-1794 CDCOptions + target
+  // batch_limit/batch_max_duration, config.go:1737-1738) ------------------
+
+  /** The reference's CDC batching/bounding knobs re-expressed for a
+    * Structured Streaming run:
+    *   - `replayFromSeq`: restart point — events with seq below it were
+    *     applied by a previous run and are skipped (`replay_from`);
+    *   - `runMaxEvents`: stop the RUN after exactly this many events,
+    *     capping within the final micro-batch (`run_max_events`);
+    *   - `runMaxDuration`: wall-clock ceiling for the run — no batch
+    *     STARTS applying past the deadline (`run_max_duration`);
+    *   - `batchLimit`: rows per commit — a larger micro-batch commits in
+    *     chunks of at most this many events, in seq order, so progress is
+    *     visible mid-stream (`batch_limit`);
+    *   - `batchMaxDuration`: commit cadence → Trigger.ProcessingTime
+    *     (`batch_max_duration`).
+    */
+  final case class CdcRunOptions(
+      replayFromSeq: Option[Long] = None,
+      runMaxEvents: Option[Long] = None,
+      runMaxDuration: Option[java.time.Duration] = None,
+      batchLimit: Option[Int] = None,
+      batchMaxDuration: Option[java.time.Duration] = None,
+      softDelete: Boolean = false)
+
+  /** Duration grammar shared with the reference's YAML ("10m", "30s",
+    * "500ms", "1h"; bare number = seconds). */
+  def parseDuration(s: String): java.time.Duration = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("ms")) java.time.Duration.ofMillis(t.dropRight(2).trim.toLong)
+    else if (t.endsWith("h")) java.time.Duration.ofHours(t.dropRight(1).trim.toLong)
+    else if (t.endsWith("m")) java.time.Duration.ofMinutes(t.dropRight(1).trim.toLong)
+    else if (t.endsWith("s")) java.time.Duration.ofSeconds(t.dropRight(1).trim.toLong)
+    else java.time.Duration.ofSeconds(t.toLong)
+  }
+
+  /** Streaming CDC apply over a parquet change-feed directory with the
+    * bounded-run knobs above. One input file per micro-batch (so run
+    * bounds act between batches); each batch merges through
+    * [[graft.write.ChangeCapture]] inside foreachBatch.
+    *
+    * The within-batch event cap and batch_limit chunking order by the
+    * sequence column — a single-partition window, fine here because a
+    * micro-batch is one input file (bounded by the writer's split size),
+    * never the whole feed.
+    *
+    * Returns (events applied, commits made).
+    */
+  def cdcApplyBounded(spark: SparkSession, cdcDir: String,
+      target: graft.write.ParquetTarget, pk: Seq[String],
+      opts: CdcRunOptions = CdcRunOptions(),
+      seqCol: String = "_sling_cdc_seq"): (Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(cdcDir).schema
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val commits = new java.util.concurrent.atomic.AtomicLong(0L)
+    val deadline = opts.runMaxDuration.map(d => System.nanoTime() + d.toNanos)
+    def pastDeadline: Boolean = deadline.exists(System.nanoTime() >= _)
+    val src0 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(cdcDir)
+    val src = opts.replayFromSeq
+      .map(s0 => src0.filter(col(seqCol) >= s0)).getOrElse(src0)
+    def commitChunk(chunk: DataFrame): Unit = {
+      if (opts.softDelete) graft.write.ChangeCapture.applySoft(target, chunk, pk, seqCol)
+      else graft.write.ChangeCapture(target, chunk, pk, seqCol)
+      commits.incrementAndGet()
+    }
+    var writer = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val remaining = opts.runMaxEvents.map(_ - applied.get())
+        if (!pastDeadline && remaining.forall(_ > 0)) {
+          val n = batch.count()
+          val takeN = remaining.map(math.min(_, n)).getOrElse(n)
+          val ordered = batch.withColumn("__rn",
+            row_number().over(Window.orderBy(col(seqCol))))
+          val lim = opts.batchLimit.map(_.toLong).getOrElse(takeN max 1L)
+          var off = 0L
+          while (off < takeN) {
+            val hi = math.min(off + lim, takeN)
+            commitChunk(ordered
+              .filter(col("__rn") > off && col("__rn") <= hi).drop("__rn"))
+            off = hi
+          }
+          applied.addAndGet(takeN)
+        }
+        ()
+      }
+      .queryName(s"cdc_bounded_${System.identityHashCode(target)}")
+    opts.batchMaxDuration.foreach(d =>
+      writer = writer.trigger(Trigger.ProcessingTime(d.toMillis)))
+    val q = writer.start()
+    // drain all available input in a side thread; the main loop enforces
+    // the run bounds (stop as soon as a bound is hit, not at drain end)
+    val drain = new Thread(() => {
+      try q.processAllAvailable() catch { case _: Throwable => () }
+      try q.stop() catch { case _: Throwable => () }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    while (q.isActive) {
+      if (opts.runMaxEvents.exists(applied.get() >= _) || pastDeadline)
+        try q.stop() catch { case _: Throwable => () }
+      Thread.sleep(20)
+    }
+    drain.join(10000)
+    (applied.get(), commits.get())
+  }
 }

@@ -36,10 +36,18 @@ final case class ParquetTarget(spark: SparkSession, path: String) {
     */
   def replaceWith(df: DataFrame): Unit = {
     val staging = path + "__staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
     val p = new Path(path)
     val s = new Path(staging)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a failure while materializing the staging copy leaves the target
+    // untouched; clean the partial staging dir so reruns start fresh
+    // (task_run_write.go:313-331 temp cleanup)
+    try df.write.mode(SaveMode.Overwrite).parquet(staging)
+    catch {
+      case e: Throwable =>
+        try fs.delete(s, true) catch { case _: Exception => () }
+        throw e
+    }
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"failed to delete $p before swap")
     if (!fs.rename(s, p))
