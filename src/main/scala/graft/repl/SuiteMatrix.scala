@@ -96,8 +96,23 @@ object SuiteMatrix {
       val sc = sc0.copy(config = sub(sc0.config),
         discoverPath = sub(sc0.discoverPath),
         validation = sc0.validation.map { case (k, v) => k -> sub(v) })
-      try runOne(spark, sc, sfDir)
-      catch {
+      val expectError = sc.validation.get("expect_error").exists(_.toBoolean)
+      try {
+        val r = runOne(spark, sc, sfDir)
+        // failure-path scenarios (e.g. suite.cli id=161: definition-only
+        // into a CSV target must refuse): success IS the regression
+        if (expectError)
+          Result(sc.name, passed = false,
+            "expected an error but the run succeeded")
+        else r
+      } catch {
+        case scala.util.control.NonFatal(e) if expectError =>
+          val want = sc.validation.getOrElse("error_contains", "")
+          if (want.isEmpty || String.valueOf(e.getMessage).contains(want))
+            Result(sc.name, passed = true,
+              s"failed as expected: ${e.getClass.getSimpleName}")
+          else Result(sc.name, passed = false,
+            s"error lacks '$want': ${String.valueOf(e.getMessage).take(160)}")
         case scala.util.control.NonFatal(e) =>
           Result(sc.name, passed = false,
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
@@ -207,6 +222,10 @@ object SuiteMatrix {
       case Some(spec) if spec.isDatabase =>
         graft.sources.Jdbc.read(spark, spec.jdbcUrl, tgt.obj)
       case _ => tgt.format match {
+        case "parquet" if tgt.obj.contains("{part_") =>
+          // {part_*} mask targets: read the partitioned tree at the base
+          spark.read.parquet(
+            tgt.obj.substring(0, tgt.obj.indexOf("{part_")).stripSuffix("/"))
         case "parquet" => spark.read.parquet(tgt.obj)
         case "delta" => DeltaLite.read(spark, tgt.obj)
         case "csv" => FileSources.csv(spark, tgt.obj)

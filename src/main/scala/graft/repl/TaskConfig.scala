@@ -65,7 +65,8 @@ object TaskConfig {
       tableDdl: Option[String] = None, useBulk: Boolean = false,
       maxDecimals: Option[Int] = None, adjustColumnType: Boolean = false,
       mergeStrategy: Option[String] = None, deleteMissing: Option[String] = None,
-      postCountCheck: Boolean = false)
+      postCountCheck: Boolean = false,
+      onConstraintFailure: Option[String] = None)
 
   final case class Source(stream: String, format: String = "table",
       select: Seq[String] = Nil, where: Option[String] = None,
@@ -149,7 +150,8 @@ object TaskConfig {
       adjustColumnType = bool(to, "adjust_column_type"),
       mergeStrategy = to.get("merge_strategy").map(_.toString),
       deleteMissing = to.get("delete_missing").map(_.toString),
-      postCountCheck = bool(to, "post_count_check"))
+      postCountCheck = bool(to, "post_count_check"),
+      onConstraintFailure = to.get("on_constraint_failure").map(_.toString))
     // connection registry: inline `connections:` block (env.yaml shape) or
     // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
     val conns: Map[String, Connections.ConnSpec] = {
@@ -273,7 +275,10 @@ object TaskConfig {
     }
     // declared `columns:` coerce by name after transforms; `"*"` coerces
     // every column (the reference's wildcard coercion)
-    task.columns.foldLeft(transformed) { case (d, (n, raw)) =>
+    task.columns.foldLeft(transformed) { case (d, (n, raw0)) =>
+      // "type | value <expr>" carries a constraint after the pipe
+      // (datatype.go:46 ColumnConstraint); only the type part types
+      val raw = raw0.split("\\|", 2)(0).trim
       if (n == "*") {
         val dt = graft.model.ColumnModifiers.parse("wildcard", raw).field.dataType
         d.select(d.columns.map(c => col(s"`$c`").cast(dt).as(c)).toSeq: _*)
@@ -283,6 +288,15 @@ object TaskConfig {
       }
     }
   }
+
+  /** Column constraints declared as `type | value <expr>` in `columns:`
+    * (r.101-103 constraint suite). `value` refers to the column. */
+  private def columnChecks(task: Task): Seq[graft.transform.Constraints.Check] =
+    task.columns.collect {
+      case (n, raw) if n != "*" && raw.contains("|") =>
+        graft.transform.Constraints.Check(n,
+          raw.split("\\|", 2)(1).trim.replaceAll("\\bvalue\\b", s"`$n`"))
+    }
 
   /** The target's current max(update_key) — the incremental watermark
     * (task_run_read.go: sling queries the target for the max update_key).
@@ -321,6 +335,21 @@ object TaskConfig {
       .replace("{incremental_value}", value)))
   }
 
+  /** Expand `{fields}` inside a custom-SQL source stream to the task's
+    * `select:` list (issue #669, suite.cli id=141) — `*` when no select is
+    * declared. The select list (renames included) is consumed by the SQL
+    * projection itself, so the Spark-side select stage is cleared — else a
+    * rename would be applied twice and reference a no-longer-present name. */
+  private def substFields(task: Task): Task = {
+    val s = task.source.stream
+    if (!s.contains("{fields}")) return task
+    val fields =
+      if (task.source.select.isEmpty) "*"
+      else task.source.select.mkString(", ")
+    task.copy(source = task.source.copy(
+      stream = s.replace("{fields}", fields), select = Nil))
+  }
+
   /** backfill: restrict the stream to the requested update-key range
     * (`range: "lo,hi"`, inclusive both ends — partition.go range chunking). */
   private def backfillSlice(df: DataFrame, task: Task): DataFrame = {
@@ -339,10 +368,30 @@ object TaskConfig {
   def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
     val task0 = parse(yamlText)
     val hadCond = task0.source.stream.contains("{incremental_where_cond}")
-    val task = substIncremental(spark, task0)
+    val task = substFields(substIncremental(spark, task0))
     val df0 = applyPipeline(
       readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target
+    // column constraints (`type | value <expr>`): ONE aggregate pass tallies
+    // every check's failures (datatype.go:1138, stream_processor.go:1632);
+    // SLING_ON_CONSTRAINT_FAILURE / target.options.on_constraint_failure
+    // picks warn (default, reference behavior) or abort
+    val checks = columnChecks(task)
+    if (checks.nonEmpty) {
+      val fails = graft.transform.Constraints.failCounts(df0, checks)
+        .filter(col("fail_count") > 0).collect()
+      if (fails.nonEmpty) {
+        val msg = fails.map(r =>
+          s"${r.getString(0)}: '${r.getString(1)}' failed ${r.getLong(2)} rows")
+          .mkString("; ")
+        val mode = tgt.options.onConstraintFailure
+          .orElse(sys.env.get("SLING_ON_CONSTRAINT_FAILURE"))
+          .getOrElse("warn")
+        if (mode == "abort")
+          throw new IllegalStateException(s"constraint failures: $msg")
+        else System.err.println(s"[graft] constraint warnings: $msg")
+      }
+    }
     val df1 = tgt.options.columnCasing
       .fold(df0)(mode => graft.transform.Casing(df0, mode))
     // max_decimals: round fractional numerics before the write
@@ -429,6 +478,11 @@ object TaskConfig {
             graft.sources.Jdbc.write(dfW, spec.jdbcUrl, tgt.obj,
               org.apache.spark.sql.SaveMode.Append,
               batchSize = tgt.options.batchLimit, columnTypes = colDdl)
+          case "definition-only" =>
+            // create the table from the inferred schema, load nothing
+            // (suite.cli id=159; r.89.definition_only_db.yaml)
+            graft.sources.Jdbc.write(df.limit(0), spec.jdbcUrl, tgt.obj,
+              org.apache.spark.sql.SaveMode.Overwrite, columnTypes = colDdl)
           case _ if customDdl =>
             // full refresh into the custom-DDL table: clear + append
             graft.sources.Jdbc.execute(spec.jdbcUrl, s"DELETE FROM ${tgt.obj}")
@@ -471,6 +525,21 @@ object TaskConfig {
     tgt.options.fileMaxRows.foreach(n =>
       spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
     try tgt.format match {
+      case "parquet" | "delta" if tgt.obj.contains("{part_") =>
+        // a {part_*} URI mask in the target object routes through the
+        // partitioned writer keyed on update_key (suite.cli id=59:
+        // 'file:///.../{part_year}/{part_month}'); partition dirs are
+        // Hive-style, so reads prune on the mask fields
+        val mask = tgt.obj
+        val base = mask.substring(0, mask.indexOf("{part_"))
+          .stripSuffix("/")
+        val fields = "\\{(part_[a-z]+)\\}".r.findAllMatchIn(mask)
+          .map(_.group(1)).toSeq
+        val key = tgt.updateKey.getOrElse(throw new IllegalArgumentException(
+          "a {part_*} target mask needs update_key"))
+        graft.write.PartitionedWriter.write(df, base, key, fields,
+          maxRecordsPerFile = tgt.options.fileMaxRows.map(_.toLong).getOrElse(0L))
+        spark.read.parquet(base).count()
       case "parquet" | "delta" =>
         val writeDelta = tgt.format == "delta"
         val pt = ParquetTarget(spark, tgt.obj)
@@ -478,6 +547,12 @@ object TaskConfig {
           case "full-refresh" | "truncate" =>
             if (writeDelta) DeltaLite.overwrite(df, tgt.obj)
             else Modes.fullRefresh(pt, df)
+          case "definition-only" =>
+            // schema only, zero rows (task_run_write.go definition-only:
+            // create the table, load nothing). limit(0) keeps the full
+            // inferred schema; parquet/delta both serialize it
+            if (writeDelta) DeltaLite.overwrite(df.limit(0), tgt.obj)
+            else Modes.fullRefresh(pt, df.limit(0))
           case "snapshot" =>
             // stamp the actual load time (task_run_write.go:1003 uses the run
             // timestamp); `loaded_at:` in the YAML pins it for deterministic
@@ -538,6 +613,12 @@ object TaskConfig {
         // data stream to the console (task_run_write.go:71-148)
         graft.write.StdoutWriter.csv(df)
       case "csv" =>
+        // definition-only has no CSV representation: a header-only file is
+        // not a schema (types are lost) — the reference refuses the same
+        // way (suite.cli id=161)
+        if (tgt.mode == "definition-only")
+          throw new IllegalArgumentException(
+            "mode definition-only is not supported for CSV file targets")
         tgt.options.compression match {
           case Some("zstd") | Some("zst") =>
             graft.sources.Compression.writeCsvZstd(df, tgt.obj)

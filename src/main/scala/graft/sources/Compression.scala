@@ -57,6 +57,48 @@ object Compression {
       }.toDS()
   }
 
+  def isZip(path: String): Boolean = path.endsWith(".zip")
+
+  /** Distributed line read of .zip archives (the reference sniffs .zip and
+    * unzips before parsing, core/dbio/iop/compression.go extension
+    * dispatch): one task per archive, entries streamed in order. For
+    * multi-entry archives each entry's lines are concatenated in entry
+    * order — the reference's single-stream semantics (its fixtures are
+    * single-entry archives of one CSV).
+    */
+  def readZipLines(spark: SparkSession, path: String,
+      encoding: Option[String] = None): Dataset[String] = {
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files =
+      (if (statuses.length == 1 && statuses.head.isDirectory)
+        fs.listStatus(statuses.head.getPath).map(_.getPath)
+       else statuses.map(_.getPath))
+        .filter(f => isZip(f.getName)).map(_.toString).sorted
+    require(files.nonEmpty, s"no .zip files under $path")
+    val charsetName = encoding.getOrElse(UTF_8.name())
+    val hconf = graft.util.HadoopConf(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.parallelize(files.toSeq, files.length)
+      .flatMap { f =>
+        val fp = new Path(f)
+        val pfs = fp.getFileSystem(hconf.value)
+        val zin = new java.util.zip.ZipInputStream(pfs.open(fp))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => zin.close()))
+        val cs = java.nio.charset.Charset.forName(charsetName)
+        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .flatMap { _ =>
+            // readAllBytes stops at the current entry's end; per-task
+            // memory is one entry (bounded by the writer's split size,
+            // same non-splittable unit as .gz)
+            new String(zin.readAllBytes(), cs).linesIterator
+          }
+      }.toDS()
+  }
+
   /** Write a single-string-column DataFrame as .zst part files, one per
     * partition, each optionally led by a header line (Spark's per-file
     * header semantics).

@@ -57,6 +57,12 @@ object FileSources {
         var lines = Compression.readZstdLines(spark, path, encoding)
         if (skipping) lines = applyLineSkips(spark, lines, opts)
         reader.csv(lines)
+      } else if (Compression.isZip(path)) {
+        // .zip routes through the archive line reader (compression.go
+        // extension dispatch); same line-fed CSV parse as .zst
+        var lines = Compression.readZipLines(spark, path, encoding)
+        if (skipping) lines = applyLineSkips(spark, lines, opts)
+        reader.csv(lines)
       } else if (skipping) {
         require(encoding.forall(e =>
           e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8")),

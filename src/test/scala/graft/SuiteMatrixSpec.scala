@@ -14,6 +14,9 @@ class SuiteMatrixSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    // the reference's parquet fixtures carry TIMESTAMP(NANOS) — same conf
+    // the engine sessions (GraftSession/Verify/Bench) pin
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
