@@ -31,10 +31,11 @@ object Bench {
   //   - calib_spark_sec: a pinned-partitioning in-memory Spark aggregation
   //     (range → hash-mix → groupBy) — scheduler + shuffle + codegen path
   //     at the same local[32] the queries use.
-  // Reference constants below were recorded on an idle round-9 box (see
-  // BASELINE.md "Calibration"); normalized totals = raw * (ref / measured).
-  val CalibCpuRefSec = 1.45
-  val CalibSparkRefSec = 1.35
+  // Reference constants below were recorded on an idle round-9 box
+  // (loadavg 0.61, 2026-08-14; see BASELINE.md "Calibration");
+  // normalized totals = raw * (ref / measured).
+  val CalibCpuRefSec = 0.92
+  val CalibSparkRefSec = 0.38
 
   /** Single-threaded spin: xorshift64* over a fixed iteration count. The
     * blackhole return defeats JIT dead-code elimination. */

@@ -82,7 +82,8 @@ object TaskConfig {
   final case class Task(source: Source, transforms: Map[String, String],
       target: Target,
       connections: Map[String, Connections.ConnSpec] = Map.empty,
-      columns: Seq[(String, String)] = Nil)
+      columns: Seq[(String, String)] = Nil,
+      timeout: Option[String] = None)
 
   // ---- parse -------------------------------------------------------------
 
@@ -193,7 +194,12 @@ object TaskConfig {
       columns = Option(root.getOrElse("columns", null))
         .map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toSeq
           .map { case (k, v) => k -> v.toString })
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      // run ceiling: top-level `timeout:` or SLING_TIMEOUT env
+      // (suite.cli id=232/233 — a run past the ceiling is cancelled and
+      // marked failed, never silently completed late)
+      timeout = Option(root.getOrElse("timeout", null)).map(_.toString)
+        .orElse(sys.env.get("SLING_TIMEOUT")))
   }
 
   // ---- compile + run -----------------------------------------------------
@@ -364,9 +370,52 @@ object TaskConfig {
       col(s"`$uk`") <= lit(parts(1)).cast(kt))
   }
 
+  /** Wall-clock run ceiling (SLING_TIMEOUT, suite.cli id=232/233): a
+    * watchdog cancels the run's Spark job group once the ceiling passes —
+    * `interruptOnCancel` reaches running tasks — and keeps cancelling on a
+    * short period so jobs submitted after the first cancel die too. The
+    * run then FAILS (a timed-out run must never report success, even if
+    * its final job happened to finish during cancellation). */
+  private def withRunCeiling[T](spark: SparkSession,
+      d: java.time.Duration)(body: => T): T = {
+    val group = s"graft-run-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(group, "graft task run",
+      interruptOnCancel = true)
+    val timer = new java.util.Timer("graft-run-ceiling", true)
+    @volatile var fired = false
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit = {
+        fired = true
+        try spark.sparkContext.cancelJobGroup(group)
+        catch { case _: Throwable => () }
+      }
+    }, math.max(0L, d.toMillis), 200L)
+    try {
+      val out = body
+      if (fired) throw new IllegalStateException(
+        s"run exceeded timeout $d (SLING_TIMEOUT) — marked failed")
+      out
+    } catch {
+      case e: Throwable if fired && !e.isInstanceOf[IllegalStateException] =>
+        throw new IllegalStateException(
+          s"run exceeded timeout $d (SLING_TIMEOUT) — cancelled", e)
+    } finally {
+      timer.cancel()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
   /** Execute the task; returns rows now present in the target. */
   def run(spark: SparkSession, yamlText: String, sfDir: String): Long = {
     val task0 = parse(yamlText)
+    task0.timeout match {
+      case Some(t) => withRunCeiling(spark,
+        graft.streaming.EventStream.parseDuration(t))(runInner(spark, task0, sfDir))
+      case None => runInner(spark, task0, sfDir)
+    }
+  }
+
+  private def runInner(spark: SparkSession, task0: Task, sfDir: String): Long = {
     val hadCond = task0.source.stream.contains("{incremental_where_cond}")
     val task = substFields(substIncremental(spark, task0))
     val df0 = applyPipeline(

@@ -114,6 +114,30 @@ class FailureRailSpec extends AnyFunSuite {
       "partial staging dir must be removed")
   }
 
+  test("timeout ceiling fails the run (SLING_TIMEOUT, task-level timeout:)") {
+    import spark.implicits._
+    val root = "/tmp/graft-test/rail_timeout"
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/src")
+    val yaml =
+      s"""source:
+         |  stream: "$root/src"
+         |  format: parquet
+         |timeout: 0s
+         |target:
+         |  object: "$root/tgt"
+         |  format: parquet
+         |  mode: full-refresh
+         |""".stripMargin
+    val e = intercept[IllegalStateException] {
+      graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+    }
+    assert(e.getMessage.contains("exceeded timeout"))
+    // and without the ceiling the same task succeeds
+    val ok = yaml.replace("timeout: 0s\n", "")
+    assert(graft.repl.TaskConfig.run(spark, ok, "/root/testdata/sf0.001") == 2L)
+  }
+
   test("post_count_check routes from task YAML") {
     import spark.implicits._
     val u = url("rail5")
