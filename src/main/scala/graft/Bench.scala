@@ -126,8 +126,14 @@ object Bench {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val results = selected.map { name =>
       val base = Seq.fill(iters)(time(name))
+      // gate the extra iterations on the MIN, not the median: a query whose
+      // true cost is fast but whose in-suite samples are polluted (GC /
+      // codegen-cache pressure from earlier queries — td_dedup_near
+      // measures 1.5 s isolated but has posted 8.5 s medians in-suite)
+      // otherwise keeps the fewest iterations exactly when it needs the
+      // most, and the polluted median ships as the artifact
       val samples =
-        if (median(base) < fastCutoffSec && fastIters > iters)
+        if (base.min < fastCutoffSec && fastIters > iters)
           base ++ Seq.fill(fastIters - iters)(time(name))
         else base
       (name, median(samples), samples.min, samples.length)

@@ -40,11 +40,53 @@ object Cli {
         val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
         val rows = repl.TaskConfig.run(spark, readFile(args(1)), sfDir)
         println(s"""{"verb":"task","rows_in_target":$rows}""")
+      case "run" =>
+        // `run <path>`: a DIRECTORY runs every *.yaml/*.yml inside in name
+        // order (the reference's directory run, suite.cli id=144 /
+        // `--directory`); a file runs alone. Each config classifies by
+        // content: `streams:` → replication, `steps:` → pipeline, else task.
+        import scala.jdk.CollectionConverters._
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+        val p = java.nio.file.Paths.get(args(1))
+        val files =
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).iterator().asScala
+              .filter(f => f.toString.endsWith(".yaml") ||
+                f.toString.endsWith(".yml"))
+              .toSeq.sortBy(_.getFileName.toString)
+          else Seq(p)
+        require(files.nonEmpty, s"no yaml files under $p")
+        files.foreach { f =>
+          val text = readFile(f.toString)
+          val fname = f.getFileName.toString
+          if (text.matches("(?s).*(^|\\n)streams\\s*:.*")) {
+            val compiled = repl.Replication.parse(text, sources.Tables.names)
+            val out = repl.Replication.run(spark, sfDir, compiled,
+              s"/tmp/graft-cli-run/${fname.replaceAll("\\.ya?ml$", "")}")
+            println(s"""{"file":"${j(fname)}","streams":${out.size},"rows":${out.map(_._3).sum}}""")
+          } else if (text.matches("(?s).*(^|\\n)steps\\s*:.*")) {
+            val results = repl.Pipeline.run(spark, text)
+            println(s"""{"file":"${j(fname)}","steps":${results.size},"ok":${results.forall(_.ok)}}""")
+          } else {
+            val rows = repl.TaskConfig.run(spark, text, sfDir)
+            println(s"""{"file":"${j(fname)}","rows_in_target":$rows}""")
+          }
+        }
       case "replication" =>
-        val sfDir = args.lift(3).getOrElse("/root/testdata/sf0.001")
-        val compiled = repl.Replication.parse(readFile(args(1)),
-          sources.Tables.names)
-        val out = repl.Replication.run(spark, sfDir, compiled, args(2))
+        // optional `--streams a,b,tag:x` selection (suite.cli id=36/42)
+        val rest = args.tail
+        val si = rest.indexOf("--streams")
+        val (positional, selectors) =
+          if (si >= 0)
+            (rest.take(si) ++ rest.drop(si + 2),
+              rest.lift(si + 1).toSeq.flatMap(_.split(','))
+                .map(_.trim).filter(_.nonEmpty))
+          else (rest, Seq.empty[String])
+        val sfDir = positional.lift(2).getOrElse("/root/testdata/sf0.001")
+        val compiled = repl.Replication.select(
+          repl.Replication.parse(readFile(positional(0)), sources.Tables.names),
+          selectors)
+        val out = repl.Replication.run(spark, sfDir, compiled, positional(1))
         out.foreach { case (st, mode, n) =>
           println(s"""{"stream":"${j(st)}","mode":"${j(mode)}","rows":$n}""")
         }

@@ -40,7 +40,8 @@ object Replication {
       dependsOn: Seq[String] = Nil,
       loadedAt: Option[String] = None,
       columns: Seq[(String, String)] = Nil,
-      backfill: Option[(String, String)] = None)
+      backfill: Option[(String, String)] = None,
+      tags: Seq[String] = Nil)
 
   final case class Compiled(streams: Seq[Stream])
 
@@ -97,7 +98,13 @@ object Replication {
           backfill = merged.get("backfill").map { b =>
             val m = b.asInstanceOf[java.util.Map[String, Object]].asScala
             (m("start").toString, m("end").toString)
-          })
+          },
+          // stream tags (replication.go `tags:`) — the `--streams tag:x`
+          // selection unit (suite.cli id=42)
+          tags = merged.get("tags").map {
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case s => Seq(s.toString)
+          }.getOrElse(Nil))
       }
     }
     // a name matched by both an explicit entry and a wildcard: explicit wins
@@ -106,6 +113,27 @@ object Replication {
       ss.find(s => s.sourcePattern == s.name).getOrElse(ss.head)
     }
     Compiled(byName.toSeq.sortBy(_.name))
+  }
+
+  /** `--streams` selection (suite.cli id=36/42, replication.go stream
+    * filtering): each selector is a stream name, a `*` wildcard over
+    * stream names, or `tag:<t>` matching streams whose `tags:` carry t.
+    * Empty selector list = everything. Unknown selectors error loudly —
+    * a typo silently selecting nothing would "succeed" with 0 rows. */
+  def select(compiled: Compiled, selectors: Seq[String]): Compiled = {
+    if (selectors.isEmpty) return compiled
+    def matches(sel: String, s: Stream): Boolean = sel match {
+      case t if t.startsWith("tag:") => s.tags.contains(t.stripPrefix("tag:"))
+      case p if p.contains("*") =>
+        ("^" + java.util.regex.Pattern.quote(p)
+          .replace("*", "\\E.*\\Q") + "$").r.matches(s.name)
+      case n => s.name == n
+    }
+    selectors.foreach { sel =>
+      require(compiled.streams.exists(s => matches(sel, s)),
+        s"--streams selector '$sel' matches no stream")
+    }
+    Compiled(compiled.streams.filter(s => selectors.exists(matches(_, s))))
   }
 
   // ---- runtime-state templating (task_state.go:27-140) -------------------

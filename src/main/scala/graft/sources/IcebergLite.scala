@@ -164,6 +164,9 @@ object IcebergLite {
       case "binary" => Some(BinaryType)
       case "timestamptz" => Some(TimestampType)
       case "timestamp" => Some(TimestampNTZType)
+      // iceberg time = microseconds since midnight; Spark 4.1's TIME type
+      // at max precision is the lossless mapping (suite.cli id=250)
+      case "time" => Some(TimeType(6))
       case s if s.startsWith("decimal(") && s.endsWith(")") =>
         val parts = s.stripPrefix("decimal(").stripSuffix(")").split(",")
         Some(DecimalType(parts(0).trim.toInt, parts(1).trim.toInt))
@@ -950,6 +953,7 @@ object IcebergLite {
       case BinaryType => "binary"
       case TimestampType => "timestamptz"
       case TimestampNTZType => "timestamp"
+      case _: TimeType => "time"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case other => sys.error(s"no iceberg type mapping for $other")
     }

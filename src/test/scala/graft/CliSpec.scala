@@ -31,6 +31,58 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("run verb on a directory executes every yaml inside, in name order") {
+    val dir = java.nio.file.Files.createTempDirectory("cli_dir_run")
+    def put(name: String, obj: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"""source:
+           |  stream: region
+           |target:
+           |  object: /tmp/graft-test/cli_dir/$obj
+           |  mode: full-refresh
+           |""".stripMargin)
+    put("a_first.yaml", "a")
+    put("b_second.yml", "b")
+    // a non-yaml file must be ignored
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "skip me")
+    Cli.run(spark, Seq("run", dir.toString, "/root/testdata/sf0.001"))
+    assert(spark.read.parquet("/tmp/graft-test/cli_dir/a").count() == 5)
+    assert(spark.read.parquet("/tmp/graft-test/cli_dir/b").count() == 5)
+  }
+
+  test("replication --streams selects by name, wildcard, and tag") {
+    import graft.repl.Replication
+    val yaml =
+      """defaults:
+        |  mode: full-refresh
+        |streams:
+        |  region:
+        |    tags: [dims]
+        |  nation:
+        |    tags: [dims]
+        |  orders:
+        |""".stripMargin
+    val compiled = Replication.parse(yaml, graft.sources.Tables.names)
+    assert(Replication.select(compiled, Seq("tag:dims"))
+      .streams.map(_.name).sorted == Seq("nation", "region"))
+    assert(Replication.select(compiled, Seq("orders"))
+      .streams.map(_.name) == Seq("orders"))
+    assert(Replication.select(compiled, Seq("r*", "n*"))
+      .streams.map(_.name).sorted == Seq("nation", "region"))
+    assert(Replication.select(compiled, Nil).streams.size == 3)
+    intercept[IllegalArgumentException] {
+      Replication.select(compiled, Seq("tag:nope"))
+    }
+    // end-to-end through the Cli flag
+    val f = tempFile(yaml, ".yaml")
+    Cli.run(spark, Seq("replication", f, "/tmp/graft-test/cli_repl_tags",
+      "/root/testdata/sf0.001", "--streams", "tag:dims"))
+    val fs = new java.io.File("/tmp/graft-test/cli_repl_tags")
+    val written = fs.listFiles().map(_.getName).toSet
+    assert(written.contains("region") && written.contains("nation")
+      && !written.contains("orders"))
+  }
+
   test("conns verbs: list, test, discover against embedded Derby") {
     val env =
       """connections:
