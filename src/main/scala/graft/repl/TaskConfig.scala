@@ -532,6 +532,12 @@ object TaskConfig {
             // (suite.cli id=159; r.89.definition_only_db.yaml)
             graft.sources.Jdbc.write(df.limit(0), spec.jdbcUrl, tgt.obj,
               org.apache.spark.sql.SaveMode.Overwrite, columnTypes = colDdl)
+          case "cdc-apply" =>
+            // merge_cdc into the target DB (cdc pipelines p.30-p.39):
+            // latest-event-per-PK collapse + in-DB delete/merge
+            require(tgt.primaryKey.nonEmpty, "mode cdc-apply needs primary_key")
+            graft.sources.Jdbc.cdcApply(df, spec.jdbcUrl, tgt.obj,
+              tgt.primaryKey, columnTypes = colDdl)
           case _ if customDdl =>
             // full refresh into the custom-DDL table: clear + append
             graft.sources.Jdbc.execute(spec.jdbcUrl, s"DELETE FROM ${tgt.obj}")

@@ -280,6 +280,82 @@ object Jdbc {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** CDC apply INSIDE the target DB — the `merge_cdc` strategy the
+    * reference runs against every SQL engine (task_run_write.go:997-1032
+    * dispatch; cdc pipelines tests/pipelines/cdc/p.30-p.39): collapse the
+    * change stream to its latest event per PK (Spark side — one window
+    * over the small change stream), stage those rows, then in ONE
+    * transaction delete the op='D' keys and MERGE the rest. The staged
+    * volume is the collapsed event set, never the table.
+    *
+    * Target columns are the stream's data columns (seq/op metadata stays
+    * in the stage only). An absent target is created from the upserts.
+    */
+  def cdcApply(cdc: DataFrame, url: String, table: String, pk: Seq[String],
+      columnTypes: Map[String, String] = Map.empty,
+      seqCol: String = "_sling_cdc_seq",
+      opCol: String = "_sling_synced_op"): Unit = {
+    require(pk.nonEmpty, "cdc apply needs primary_key")
+    val latest = graft.write.ChangeCapture.latestPerKey(cdc, pk, seqCol)
+    val dataCols = latest.columns.toSeq.filterNot(c => c == seqCol || c == opCol)
+    def q(c: String) = "\"" + c + "\""
+    if (!tableExists(url, table)) {
+      val sel = dataCols.map(c => org.apache.spark.sql.functions.col(s"`$c`"))
+      write(latest.filter(org.apache.spark.sql.functions.col(s"`$opCol`") =!= "D")
+        .select(sel: _*), url, table, SaveMode.ErrorIfExists,
+        columnTypes = columnTypes)
+      return
+    }
+    val tmp = s"${table}_CDCSTAGE"
+    def dropStageQuiet(): Unit =
+      try execute(url, s"DROP TABLE $tmp") catch { case _: Exception => () }
+    // the op column is compared with '=' below — it must stage as a sized
+    // VARCHAR (Spark's default string mapping is CLOB on Derby, which
+    // cannot appear in comparisons)
+    val stageTypes =
+      if (columnTypes.keys.exists(_.equalsIgnoreCase(opCol))) columnTypes
+      else columnTypes + (opCol -> "VARCHAR(10)")
+    try write(latest, url, tmp, SaveMode.Overwrite, columnTypes = stageTypes)
+    catch { case e: Throwable => dropStageQuiet(); throw e }
+    val onClause = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val delExists = pk.map(k => s"s.${q(k)} = $table.${q(k)}").mkString(" AND ")
+    val nonKey = dataCols.filterNot(pk.contains)
+    val matched =
+      if (nonKey.isEmpty) ""
+      else "\nWHEN MATCHED THEN UPDATE SET " +
+        nonKey.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    val insertCols = dataCols.map(q).mkString(", ")
+    val insertVals = dataCols.map(c => s"s.${q(c)}").mkString(", ")
+    val stmts = Seq(
+      s"""DELETE FROM $table WHERE EXISTS (
+         |  SELECT 1 FROM $tmp s WHERE s.${q(opCol)} = 'D' AND $delExists)"""
+        .stripMargin,
+      // Derby MERGE sources must be base tables — filter deletes out of
+      // the stage instead of a subquery source
+      s"DELETE FROM $tmp WHERE ${q(opCol)} = 'D'",
+      s"""MERGE INTO $table t USING $tmp s ON $onClause$matched
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"""
+        .stripMargin)
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        stmts.foreach(st.executeUpdate)
+        st.executeUpdate(s"DROP TABLE $tmp")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Exception => () }
+          try {
+            conn.setAutoCommit(true)
+            conn.createStatement().executeUpdate(s"DROP TABLE $tmp")
+          } catch { case _: Exception => () }
+          throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Incremental watermark: the target's max(update_key), as the raw JDBC
     * value (None when the table is absent or empty). One scalar query —
     * never a data-volume read. */

@@ -129,6 +129,62 @@ class BoundedCdcSpec extends AnyFunSuite {
     assert(applied == 30L && commits == 3L, s"applied $applied commits $commits")
   }
 
+  test("cdc apply merges into a DB target (merge_cdc on Derby)") {
+    import spark.implicits._
+    val u = "jdbc:derby:memory:cdc_db_tgt;create=true"
+    val types = Map("v" -> "VARCHAR(20)")
+    // first apply on an absent target: creates it from the upserts only
+    val batch1 = Seq(
+      (1L, "a", "I", 1L), (2L, "b", "I", 2L), (3L, "c", "I", 3L),
+      (2L, "b2", "U", 4L), (3L, "c", "D", 5L))
+      .toDF("id", "v", "_sling_synced_op", "_sling_cdc_seq")
+    graft.sources.Jdbc.cdcApply(batch1, u, "CDC_T", Seq("id"), types)
+    def rows(): Seq[(Long, String)] =
+      spark.read.format("jdbc").option("url", u).option("dbtable", "CDC_T")
+        .load().orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // id=3's latest event is D → never lands; id=2 takes its latest U
+    assert(rows() == Seq((1L, "a"), (2L, "b2")))
+    // second apply against the existing target: D deletes, U updates, I inserts
+    val batch2 = Seq(
+      (1L, "a", "D", 6L), (2L, "b3", "U", 7L), (4L, "d", "I", 8L))
+      .toDF("id", "v", "_sling_synced_op", "_sling_cdc_seq")
+    graft.sources.Jdbc.cdcApply(batch2, u, "CDC_T", Seq("id"), types)
+    assert(rows() == Seq((2L, "b3"), (4L, "d")))
+    // stage is gone, and re-applying the same batch is idempotent
+    assert(!graft.sources.Jdbc.tableExists(u, "CDC_T_CDCSTAGE"))
+    graft.sources.Jdbc.cdcApply(batch2, u, "CDC_T", Seq("id"), types)
+    assert(rows() == Seq((2L, "b3"), (4L, "d")))
+  }
+
+  test("mode cdc-apply routes to the DB merge from task YAML") {
+    import spark.implicits._
+    val u = "jdbc:derby:memory:cdc_db_yaml;create=true"
+    val root = freshDir("cdc_db_yaml_src")
+    Seq((1L, "x", "I", 1L), (2L, "y", "I", 2L), (1L, "x2", "U", 3L))
+      .toDF("id", "v", "_sling_synced_op", "_sling_cdc_seq")
+      .write.mode("overwrite").parquet(s"$root/cdc")
+    val yaml =
+      s"""source:
+         |  stream: "$root/cdc"
+         |  format: parquet
+         |connections:
+         |  DB: { type: derby, instance: "memory:cdc_db_yaml" }
+         |columns:
+         |  v: string(20)
+         |target:
+         |  conn: DB
+         |  object: CDC_Y
+         |  mode: cdc-apply
+         |  primary_key: [id]
+         |""".stripMargin
+    graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+    val got = spark.read.format("jdbc").option("url", u)
+      .option("dbtable", "CDC_Y").load().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x2"), (2L, "y")))
+  }
+
   test("knobs route end-to-end from task YAML (mode: cdc)") {
     val root = freshDir("cdc_bound_yaml")
     writeFeed(s"$root/cdc", files = 5, perFile = 10, ids = 5)

@@ -114,6 +114,26 @@ class FailureRailSpec extends AnyFunSuite {
       "partial staging dir must be removed")
   }
 
+  test("binary columns round-trip through a DB target byte-exact") {
+    // the reference's binary-fidelity suite rows (r.111-113) re-expressed
+    // on the embedded engine: arbitrary bytes — including 0x00 and high
+    // bits — must survive stage + read-back unchanged
+    import spark.implicits._
+    val u = url("rail_binary")
+    val payloads: Seq[(Int, Array[Byte])] = Seq(
+      1 -> Array[Byte](0, 1, 2, -1, -128, 127),
+      2 -> Array.tabulate(256)(i => i.toByte),
+      3 -> Array.emptyByteArray)
+    val df = payloads.toDF("id", "payload")
+    Jdbc.write(df, u, "BIN_T")
+    val back = spark.read.format("jdbc").option("url", u)
+      .option("dbtable", "BIN_T").load().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toMap
+    payloads.foreach { case (id, want) =>
+      assert(java.util.Arrays.equals(back(id), want), s"payload $id differs")
+    }
+  }
+
   test("timeout ceiling fails the run (SLING_TIMEOUT, task-level timeout:)") {
     import spark.implicits._
     val root = "/tmp/graft-test/rail_timeout"
