@@ -114,6 +114,29 @@ class FailureRailSpec extends AnyFunSuite {
       "partial staging dir must be removed")
   }
 
+  test("rewrite removes the previous write's extra part files") {
+    // the reference's issue-class "extra files deletion" (suite.cli id=96,
+    // p.05): a target rewritten with FEWER part files must not retain
+    // stale parts from the earlier write — stale parts silently duplicate
+    // rows on the next read
+    import spark.implicits._
+    val root = "/tmp/graft-test/rail_rewrite"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = ParquetTarget(spark, s"$root/t")
+    t.overwrite((1 to 1000).toDF("id").repartition(4))
+    def parts(): Int = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parts() == 4)
+    t.overwrite((1 to 10).toDF("id").coalesce(1))
+    assert(parts() == 1, "stale part files survived the rewrite")
+    assert(t.read.count() == 10)
+    // same guarantee through the swap path (replaceWith reads the target)
+    t.replaceWith(t.read.filter(col("id") <= 5).coalesce(1))
+    assert(parts() == 1 && t.read.count() == 5)
+  }
+
   test("binary columns round-trip through a DB target byte-exact") {
     // the reference's binary-fidelity suite rows (r.111-113) re-expressed
     // on the embedded engine: arbitrary bytes — including 0x00 and high
