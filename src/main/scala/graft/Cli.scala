@@ -49,12 +49,14 @@ object Cli {
         val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
         val p = java.nio.file.Paths.get(args(1))
         val files =
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).iterator().asScala
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try st.iterator().asScala
               .filter(f => f.toString.endsWith(".yaml") ||
                 f.toString.endsWith(".yml"))
               .toSeq.sortBy(_.getFileName.toString)
-          else Seq(p)
+            finally st.close()
+          } else Seq(p)
         require(files.nonEmpty, s"no yaml files under $p")
         files.foreach { f =>
           val text = readFile(f.toString)

@@ -35,7 +35,15 @@ object Dedup {
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estParts = (sizeBytes / maxPartBytes).toLong + 1
+    // Relations without real size statistics (JDBC, RDD-backed, custom
+    // sources) report the spark.sql.defaultSizeInBytes sentinel (defaults
+    // to Long.MaxValue), which would make estParts huge and skip widening
+    // for exactly the single-partition inputs that need it. For those,
+    // fall back to the physical partition-count probe.
+    val statsUnknown = sizeBytes >= BigInt(Long.MaxValue) / 2
+    val estParts =
+      if (statsUnknown) df.rdd.getNumPartitions.toLong
+      else (sizeBytes / maxPartBytes).toLong + 1
     if (estParts < target) df.repartition(target) else df
   }
 

@@ -301,8 +301,26 @@ object TaskConfig {
     task.columns.collect {
       case (n, raw) if n != "*" && raw.contains("|") =>
         graft.transform.Constraints.Check(n,
-          raw.split("\\|", 2)(1).trim.replaceAll("\\bvalue\\b", s"`$n`"))
+          substValueRef(raw.split("\\|", 2)(1).trim, s"`$n`"))
     }
+
+  /** Replace the bare word `value` with the column reference, but ONLY
+    * outside single-quoted SQL string literals — `value <> 'no value'`
+    * must not rewrite the literal. Splits on quoted segments (with ''
+    * as the in-literal escape) and substitutes in the unquoted parts. */
+  private[graft] def substValueRef(expr: String, ref: String): String = {
+    val lit = "'(?:[^']|'')*'".r
+    val rep = java.util.regex.Matcher.quoteReplacement(ref)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- lit.findAllMatchIn(expr)) {
+      sb.append(expr.substring(last, m.start).replaceAll("\\bvalue\\b", rep))
+      sb.append(m.matched)
+      last = m.end
+    }
+    sb.append(expr.substring(last).replaceAll("\\bvalue\\b", rep))
+    sb.toString
+  }
 
   /** The target's current max(update_key) — the incremental watermark
     * (task_run_read.go: sling queries the target for the max update_key).

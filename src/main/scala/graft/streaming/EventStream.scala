@@ -343,13 +343,24 @@ object EventStream {
       try q.stop() catch { case _: Throwable => () }
     })
     drain.setDaemon(true)
+    // set BEFORE q.stop(): distinguishes a bound-triggered stop (a clean,
+    // expected end of a bounded run) from the query dying on its own
+    @volatile var boundHit = false
     drain.start()
     while (q.isActive) {
-      if (opts.runMaxEvents.exists(applied.get() >= _) || pastDeadline)
+      if (opts.runMaxEvents.exists(applied.get() >= _) || pastDeadline) {
+        boundHit = true
         try q.stop() catch { case _: Throwable => () }
+      }
       Thread.sleep(20)
     }
     drain.join(10000)
+    // A failed foreachBatch (e.g. target write fault) must fail the RUN —
+    // the reference fails the task on apply errors; returning partial
+    // counts here would report a broken CDC apply as success. A stop we
+    // triggered for run_max_events/run_max_duration is the one case where
+    // the query ending early is the contract, not a failure.
+    q.exception.foreach { e => if (!boundHit) throw e }
     (applied.get(), commits.get())
   }
 }

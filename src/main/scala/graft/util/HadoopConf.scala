@@ -15,8 +15,13 @@ import org.apache.hadoop.conf.Configuration
   * if a session sets spark.serializer=Kryo, broadcast/closure values skip
   * Java-serialization hooks, but plain fields always copy.
   */
-final class HadoopConf(@transient private var conf: Configuration)
+final class HadoopConf(@transient c0: Configuration)
     extends Serializable {
+  // @volatile: `value` uses double-checked locking and this instance is
+  // shared by every concurrent task thread in an executor JVM — without
+  // the volatile publish, a racing reader can observe a partially
+  // constructed Configuration.
+  @transient @volatile private var conf: Configuration = c0
   private val entries: Array[Array[String]] = {
     val buf = scala.collection.mutable.ArrayBuffer[Array[String]]()
     val it = conf.iterator()

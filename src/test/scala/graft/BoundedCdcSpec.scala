@@ -216,4 +216,17 @@ class BoundedCdcSpec extends AnyFunSuite {
       assert(got(id) == want, s"id $id: got ${got(id)} want $want")
     }
   }
+
+  test("a failing apply fails the run (not silent partial counts)") {
+    val root = freshDir("cdc_bound_fail")
+    writeFeed(s"$root/cdc", files = 3, perFile = 10, ids = 5)
+    val t = seedTarget(root, 5)
+    // primary key that doesn't exist in the feed -> the merge inside
+    // foreachBatch throws; the run must rethrow, not return (0, 0)
+    val e = intercept[Exception] {
+      EventStream.cdcApplyBounded(spark, s"$root/cdc", t,
+        Seq("no_such_pk"), CdcRunOptions())
+    }
+    assert(e != null)
+  }
 }

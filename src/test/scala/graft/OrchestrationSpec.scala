@@ -525,4 +525,17 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType.typeName.startsWith("timestamp"))
     assert(df.count() == 2)
   }
+
+  test("constraint `value` substitution leaves quoted literals alone") {
+    import graft.repl.TaskConfig.substValueRef
+    assert(substValueRef("value <> 'no value'", "`t`") == "`t` <> 'no value'")
+    assert(substValueRef("value > 0 and value < 10", "`x`") ==
+      "`x` > 0 and `x` < 10")
+    // '' escape inside a literal stays intact
+    assert(substValueRef("value <> 'it''s a value' or value is null", "`c`") ==
+      "`c` <> 'it''s a value' or `c` is null")
+    // word boundaries: `values` / `my_value` untouched
+    assert(substValueRef("my_value + values(value)", "`v`") ==
+      "my_value + values(`v`)")
+  }
 }
