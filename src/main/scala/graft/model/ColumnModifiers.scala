@@ -116,6 +116,18 @@ object ColumnModifiers {
             "sort_key" | "unique_key" | "update_key") =>
           require(payload.isEmpty, s"$name: $kt takes no arguments")
           meta.putBoolean(kt, true)
+        case "identity" =>
+          // identity / identity(seed,increment) — schema-migration carries
+          // seed+increment ONLY for columns flagged identity (the reference
+          // fix behind suite.cli id=189: seed/inc must never attach to
+          // non-identity columns)
+          val (seed, inc) = payload.map { p =>
+            val parts = p.split(',').map(_.trim)
+            require(parts.length == 2, s"$name: identity(seed,increment)")
+            (parts(0).toLong, parts(1).toLong)
+          }.getOrElse((1L, 1L))
+          meta.putLong("identity_seed", seed)
+          meta.putLong("identity_increment", inc)
         case other =>
           throw new IllegalArgumentException(s"$name: unknown modifier $other")
       }

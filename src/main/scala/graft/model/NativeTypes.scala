@@ -384,11 +384,34 @@ object NativeTypes {
     } else tpl
   }
 
+  /** Per-dialect identity/auto-increment clause for a column carrying
+    * `identity_seed`/`identity_increment` metadata (ColumnModifiers
+    * `identity(seed,inc)`; reference suite.cli id=189 — the migration must
+    * attach this ONLY to identity-flagged columns). GENERATED BY DEFAULT
+    * (not ALWAYS) so migrated rows can carry their source values. Dialects
+    * without a column-level form return "" (seed routes through table
+    * options there, out of scope for the DDL line). */
+  def identityClause(dialect: String, seed: Long, inc: Long): String =
+    dialect match {
+      case "sqlserver" | "snowflake" => s" identity($seed,$inc)"
+      case "derby" =>
+        s" generated by default as identity (start with $seed, increment by $inc)"
+      case "postgres" | "duckdb" | "oracle" =>
+        s" generated by default as identity (start with $seed increment by $inc)"
+      case "mysql" | "mariadb" | "starrocks" => " auto_increment"
+      case _ => ""
+    }
+
   /** CREATE TABLE DDL for a whole schema (temp-table staging shape). */
   def createTable(dialect: String, table: String, schema: StructType): String = {
     val cols = schema.fields.map { f =>
       val nn = if (f.nullable) "" else " not null"
-      s"${f.name} ${render(dialect, f)}$nn"
+      val ident =
+        if (f.metadata.contains("identity_seed"))
+          identityClause(dialect, f.metadata.getLong("identity_seed"),
+            f.metadata.getLong("identity_increment"))
+        else ""
+      s"${f.name} ${render(dialect, f)}$ident$nn"
     }
     s"create table $table (${cols.mkString(", ")})"
   }

@@ -145,6 +145,27 @@ object SuiteMatrix {
         val total = out.map(_._3).sum
         checkRowCount(sc, total).map(d => Result(sc.name, passed = false, d))
           .getOrElse(Result(sc.name, passed = true, s"rows=$total"))
+      case "pipeline" =>
+        // step outputs validate like the reference's output_contains /
+        // output_does_not_contain (suite.cli id=82/189)
+        val results = Pipeline.run(spark, sc.config)
+        val output = results.map(_.detail).mkString("\n")
+        val errs = Seq.newBuilder[String]
+        results.filterNot(_.ok).foreach(r =>
+          errs += s"step ${r.hook.kind} failed: ${r.detail.take(120)}")
+        sc.validation.get("contains").foreach {
+          _.split(',').map(_.trim).filter(_.nonEmpty).foreach { want =>
+            if (!output.contains(want)) errs += s"output lacks '$want'"
+          }
+        }
+        sc.validation.get("not_contains").foreach {
+          _.split(',').map(_.trim).filter(_.nonEmpty).foreach { bad =>
+            if (output.contains(bad)) errs += s"output contains '$bad'"
+          }
+        }
+        val es = errs.result()
+        if (es.isEmpty) Result(sc.name, passed = true, s"steps=${results.size}")
+        else Result(sc.name, passed = false, es.mkString("; ").take(300))
       case other => Result(sc.name, passed = false, s"unknown kind $other")
     }
 

@@ -425,6 +425,95 @@ class OperatorSpec extends AnyFunSuite {
     assert(results.map(_.ok) == Seq(true, true, true, false))
   }
 
+  test("pipeline: write/list/loop-copy keeps exact destinations (id=82)") {
+    val base = "/tmp/graft-test/p82_unit"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val yaml =
+      s"""steps:
+         |  - type: write
+         |    to: local/$base/a.csv
+         |    content: "id\\n1\\n"
+         |  - type: copy
+         |    from: local/$base/a.csv
+         |    to: local/$base/remote/a.csv
+         |  - type: list
+         |    id: found
+         |    location: local/$base/remote/*.csv
+         |    only: files
+         |  - type: group
+         |    loop: state.found.result
+         |    steps:
+         |      - type: copy
+         |        from: "{loop.value.location}"
+         |        to: local/$base/out/{loop.value.name}
+         |        single_file: true
+         |  - type: list
+         |    id: verify
+         |    location: local/$base/out/
+         |    only: files
+         |  - type: log
+         |    message: "Output files: {state.verify.result}"
+         |""".stripMargin
+    val results = graft.repl.Pipeline.run(spark, yaml)
+    assert(results.forall(_.ok), results.filterNot(_.ok).map(_.detail).mkString)
+    val out = results.last.detail
+    assert(out.contains(s"$base/out/a.csv"), out)
+    // the duplicated-filename bug: out/a.csv must be a FILE, not a dir
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$base/out/a.csv")).isFile)
+  }
+
+  test("identity clause renders per dialect, only for flagged columns") {
+    import graft.model.{ColumnModifiers, NativeTypes}
+    val schema = ColumnModifiers.parseAll(Seq(
+      "id" -> "integer primary_key identity(100,5)",
+      "name" -> "string(100) not_null",
+      "n" -> "integer"))
+    val derby = NativeTypes.createTable("derby", "t", schema)
+    assert(derby.contains(
+      "id integer generated by default as identity (start with 100, increment by 5)"))
+    assert(!derby.contains("name varchar(100) generated"))
+    assert(derby.split("identity").length == 2, s"one identity clause only: $derby")
+    val mssql = NativeTypes.createTable("sqlserver", "t", schema)
+    assert(mssql.contains("id integer identity(100,5)"))
+    val pg = NativeTypes.createTable("postgres", "t", schema)
+    assert(pg.contains("generated by default as identity (start with 100 increment by 5)"))
+  }
+
+  test("schema migration carries identity/pk to the target (id=189)") {
+    val srcUrl = "jdbc:derby:memory:graft_sm_unit;create=true"
+    val tgtUrl = "jdbc:derby:memory:graft_sm_unit_t;create=true"
+    graft.sources.Jdbc.execute(srcUrl,
+      """create table SMU_SRC (
+        | id integer generated by default as identity (start with 7, increment by 3) not null,
+        | v varchar(20), n integer, primary key (id))""".stripMargin)
+    graft.sources.Jdbc.execute(srcUrl,
+      "insert into SMU_SRC (v, n) values ('a', 1), ('b', 2)")
+    val r = graft.repl.SchemaMigration.migrate(spark, srcUrl, "SMU_SRC",
+      tgtUrl, "SMU_TGT")
+    assert(r.identityCols == Seq("ID"), r.identityCols)
+    assert(r.nonIdentityCols.size == 2)
+    assert(r.rowsCopied == 2L)
+    assert(r.ddl.contains("start with 7, increment by 3"), r.ddl)
+    // target: exactly one identity column, rows present, next generated id
+    // respects the seed chain
+    val conn = java.sql.DriverManager.getConnection(tgtUrl)
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        """select count(*) from SYS.SYSCOLUMNS c
+          | join SYS.SYSTABLES t on c.REFERENCEID = t.TABLEID
+          | where t.TABLENAME = 'SMU_TGT'
+          |   and c.AUTOINCREMENTSTART is not null""".stripMargin)
+      rs.next(); assert(rs.getInt(1) == 1); rs.close()
+      val rc = st.executeQuery("select count(*) from SMU_TGT")
+      rc.next(); assert(rc.getInt(1) == 2); rc.close()
+      st.close()
+    } finally conn.close()
+  }
+
   test("typing rules cap strings and int-ify booleans") {
     import spark.implicits._
     import graft.transform.Typing
