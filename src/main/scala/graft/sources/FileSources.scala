@@ -29,7 +29,12 @@ object FileSources {
   final case class CsvOpts(quote: Option[String] = None,
       escape: Option[String] = None, nullIf: Seq[String] = Nil,
       emptyAsNull: Boolean = false, skipLines: Int = 0,
-      skipBlankLines: Boolean = false, datetimeFormat: Option[String] = None)
+      skipBlankLines: Boolean = false, datetimeFormat: Option[String] = None,
+      // None = sniff (one splittable quote-parity pass decides whether any
+      // record spans physical lines); Some(b) pins the parser mode and
+      // skips the sniff — declare false on huge known-clean inputs to
+      // avoid the extra read, true for known embedded-newline data
+      multiLine: Option[Boolean] = None)
 
   def csv(spark: SparkSession, path: String,
       header: Boolean = true, delimiter: String = ",",
@@ -69,13 +74,34 @@ object FileSources {
           "skip_lines/skip_blank_lines need UTF-8 input (the line pre-pass " +
             "reads through the text source)")
         reader.csv(readLinesSkipping(spark, path, opts))
-      } else
-        // quoted fields may embed newlines (the reference's Go csv reader
-        // always handles them); multiLine costs intra-file splitting but
-        // keeps per-FILE parallelism — at scale the unit of split is the
-        // file, as in the reference. Line-fed paths above are pre-split
-        // and can't carry the option.
-        reader.option("multiLine", "true").csv(path)
+      } else {
+        // Quoted fields may embed newlines (the reference's Go csv reader
+        // always handles them), which forces Spark's multiLine parser —
+        // but multiLine makes every file ONE unsplittable task, the
+        // difference between 2-way and 32-way parallelism on a 2-file
+        // input, and between file-count and split-count parallelism at
+        // 100 TB. A record spanning physical lines must leave some line
+        // with an ODD number of quote chars (the "" in-field escape is two
+        // chars), so one splittable, codegen'd validation pass over the
+        // text proves newline-free inputs safe for the line-splittable
+        // parser. Only sniffable under the default "-quote/escape dialect
+        // and a byte-compatible charset; otherwise conservative multiLine.
+        val multi = opts.multiLine.getOrElse {
+          val sniffable = opts.quote.forall(_ == "\"") &&
+            opts.escape.forall(_ == "\"") &&
+            encoding.forall(e => e.equalsIgnoreCase("utf-8") ||
+              e.equalsIgnoreCase("utf8"))
+          if (!sniffable) true
+          else {
+            import org.apache.spark.sql.functions.{col, length, translate}
+            !spark.read.text(path)
+              .filter(((length(col("value")) -
+                length(translate(col("value"), "\"", ""))) % 2) === 1)
+              .isEmpty
+          }
+        }
+        reader.option("multiLine", multi.toString).csv(path)
+      }
     val nulled = applyNullIf(raw, opts)
     inferAndCast(nulled, overrides, sampleSize, opts.datetimeFormat)
   }

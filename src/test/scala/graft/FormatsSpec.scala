@@ -87,4 +87,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
       == (1 to 10000).map(_.toLong).sum)
   }
+
+  test("csv embedded-newline records auto-route to the multiLine parser") {
+    val dir = "/tmp/graft-test/csv_embedded_nl"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$dir/a.csv"), true)
+    os.write("id,txt\n1,\"line one\nline two\"\n2,plain\n".getBytes("UTF-8"))
+    os.close()
+    val df = graft.sources.FileSources.csv(spark, s"$dir/a.csv")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "line one\nline two")
+    assert(rows(1).getString(1) == "plain")
+    // a newline-free file takes the line-splittable parser and reads the
+    // same values (the sniff is a behavior-preserving optimization)
+    val os2 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/b.csv"), true)
+    os2.write("id,txt\n1,\"quoted, with comma\"\n2,plain\n".getBytes("UTF-8"))
+    os2.close()
+    val clean = graft.sources.FileSources.csv(spark, s"$dir/b.csv")
+    val crows = clean.orderBy("id").collect()
+    assert(crows(0).getString(1) == "quoted, with comma")
+    assert(crows(1).getString(1) == "plain")
+  }
 }
