@@ -38,8 +38,11 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   */
 /** Checkpoint row shapes (spec: one parquet row per action, unused action
   * columns null). Top-level so Spark's product encoders resolve them. */
+private[sources] case class CpDv(storageType: String, pathOrInlineDv: String,
+    offset: Int, sizeInBytes: Int)
 private[sources] case class CpAdd(path: String,
-    partitionValues: Map[String, String], stats: Option[String])
+    partitionValues: Map[String, String], stats: Option[String],
+    deletionVector: Option[CpDv] = None)
 
 /** A checkpoint add action in uniform flat shape (absent checkpoint
   * columns null-padded) — the executor-side row of the scale-safe
@@ -54,7 +57,9 @@ private[sources] case class CpAddRaw(p: String, dst: Option[String],
 }
 private[sources] case class CpMeta(id: String, schemaString: String,
     configuration: Map[String, String], partitionColumns: Seq[String])
-private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None)
 private[sources] case class CpRow(add: Option[CpAdd], metaData: Option[CpMeta],
     protocol: Option[CpProto])
 
@@ -876,7 +881,8 @@ object DeltaLite {
     * partitionValues (+ a metaData action on the first commit, which the
     * reader requires to re-attach partition columns). */
   def append(df: DataFrame, table: String, collectStats: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      checkpointInterval: Int = DefaultCheckpointInterval): Unit = {
     val spark = df.sparkSession
     val v = nextVersion(spark, table)
     val proto = if (v == 0L)
@@ -886,13 +892,15 @@ object DeltaLite {
       Seq(metaActionFor(df, partitionBy)) else Nil
     writeCommit(spark, table, v, proto ++ metaAct ++
       addActions(spark, table, stageFor(df, table, partitionBy), collectStats))
+    maybeCheckpoint(spark, table, v, checkpointInterval)
   }
 
   /** Replace the table contents: one commit removing every active file and
     * adding the new ones — readers see either the old or new snapshot.
     */
   def overwrite(df: DataFrame, table: String, collectStats: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      checkpointInterval: Int = DefaultCheckpointInterval): Unit = {
     val spark = df.sparkSession
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (old, _) = if (fs.exists(logDir(table)))
@@ -907,7 +915,25 @@ object DeltaLite {
       s"""{"remove":{"path":${jstr(p)},"dataChange":true}}""")
     writeCommit(spark, table, v, proto ++ metaAct ++ removes ++
       addActions(spark, table, stageFor(df, table, partitionBy), collectStats))
+    maybeCheckpoint(spark, table, v, checkpointInterval)
   }
+
+  /** Spec-default checkpoint cadence (the delta reference writer
+    * checkpoints every 10 commits). */
+  val DefaultCheckpointInterval = 10
+
+  /** Author a checkpoint when `v` lands on the interval — the write-path
+    * half of bounded log replay (VERDICT r9 item 5): without it a
+    * long-lived graft-written table accumulates an unbounded JSON-commit
+    * tail that the read path's distributed replay merely tolerates. The
+    * snapshot() inside writeCheckpoint itself plans from the PREVIOUS
+    * checkpoint, so each authoring replays only the commits since — cost
+    * stays O(interval) per checkpoint, not O(table age). Interval <= 0
+    * disables. */
+  private def maybeCheckpoint(spark: SparkSession, table: String, v: Long,
+      interval: Int): Unit =
+    if (interval > 0 && v > 0 && v % interval == 0)
+      writeCheckpoint(spark, table)
 
   /** Write a parquet checkpoint at the current version advertising the
     * active files, and point `_last_checkpoint` at it — single-file when
@@ -916,14 +942,13 @@ object DeltaLite {
     * across parts. Spec-shaped rows: the first part carries protocol +
     * metaData actions (when the log has one), and each add keeps its
     * stats + partitionValues — so replay from the checkpoint preserves
-    * column mapping, file skipping, and partition columns. Refuses tables
-    * carrying deletion vectors (descriptors not round-tripped).
+    * column mapping, file skipping, and partition columns. DV tables
+    * round-trip their descriptors and checkpoint at protocol (3, 7) with
+    * the deletionVectors feature.
     */
   def writeCheckpoint(spark: SparkSession, table: String, parts: Int = 1): Unit = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val snap = snapshot(spark, table)
-    require(snap.entries.forall(_.dv.isEmpty),
-      "writeCheckpoint is a fixture writer: deletion-vector tables unsupported")
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = logDir(table)
     val names =
@@ -932,13 +957,22 @@ object DeltaLite {
         f"${snap.version}%020d.checkpoint.$i%010d.$parts%010d.parquet")
     val groups = snap.entries.zipWithIndex.groupMap(_._2 % parts)(_._1)
     val mapped = snap.meta.exists(_.configuration.contains("delta.columnMapping.mode"))
+    val hasDvs = snap.entries.exists(_.dv.nonEmpty)
     import spark.implicits._
     names.zipWithIndex.foreach { case (name, i) =>
       val tmp = new Path(table, s"_cp_tmp_$i")
       val addRows = groups.getOrElse(i, Seq.empty).toSeq.map(e =>
-        CpRow(Some(CpAdd(e.path, e.partitionValues, e.stats)), None, None))
+        CpRow(Some(CpAdd(e.path, e.partitionValues, e.stats,
+          e.dv.map(d => CpDv(d.storageType, d.pathOrInlineDv,
+            d.offset, d.sizeInBytes)))), None, None))
+      // DV tables checkpoint at protocol (3, 7) + the deletionVectors
+      // feature, matching the JSON-commit upgrade addDeletionVectors wrote
+      val proto =
+        if (hasDvs) CpProto(3, 7, Some(Seq("deletionVectors")),
+          Some(Seq("deletionVectors")))
+        else CpProto(if (mapped) 2 else 1, 5)
       val headRows = if (i > 0) Nil else
-        CpRow(None, None, Some(CpProto(if (mapped) 2 else 1, 5))) +:
+        CpRow(None, None, Some(proto)) +:
           snap.meta.toSeq.map(m => CpRow(None,
             Some(CpMeta("graft", m.schemaString, m.configuration,
               m.partitionColumns)), None))
@@ -952,7 +986,8 @@ object DeltaLite {
     }
     val lcp = fs.create(new Path(dir, "_last_checkpoint"), true)
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
-    try lcp.write(s"""{"version":${snap.version}$partsField}"""
+    try lcp.write(
+      s"""{"version":${snap.version},"size":${snap.entries.size}$partsField}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally lcp.close()
   }

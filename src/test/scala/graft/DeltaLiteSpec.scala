@@ -71,25 +71,6 @@ class DeltaLiteSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
-  test("writeCheckpoint still refuses deletion-vector tables") {
-    import spark.implicits._
-    val t = freshDir("delta_cp_dv")
-    DeltaLite.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
-    val rel = org.apache.spark.sql.functions.regexp_replace(
-      graft.sources.PathNorm.normUri(
-        org.apache.spark.sql.functions.col("_metadata.file_path")),
-      java.util.regex.Pattern.quote(t + "/"), "")
-    val deletes = DeltaLite.read(spark, t)
-      .select(rel.as("path"),
-        org.apache.spark.sql.functions.col("_metadata.row_index").as("pos"))
-      .limit(1)
-    DeltaLite.addDeletionVectors(t, deletes)
-    val e = intercept[IllegalArgumentException] {
-      DeltaLite.writeCheckpoint(spark, t)
-    }
-    assert(e.getMessage.contains("deletion-vector"))
-  }
-
   test("multi-part checkpoint: adds split across parts, all unioned") {
     import spark.implicits._
     val t = freshDir("delta_mpcp")
@@ -457,5 +438,56 @@ class DeltaLiteSpec extends AnyFunSuite {
     val got = DeltaLite.read(spark, t).orderBy("id")
     assert(got.columns.toSeq == Seq("id", "v"))
     assert(got.collect().map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("write path authors checkpoints every N commits and the reader " +
+      "plans from the newest one") {
+    import spark.implicits._
+    val t = freshDir("delta_auto_cp")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 25 appends at the spec-default interval 10 -> checkpoints at v10, v20
+    (1 to 25).foreach { i =>
+      DeltaLite.append(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), t)
+    }
+    val logDir = new org.apache.hadoop.fs.Path(t, "_delta_log")
+    val cps = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.contains("checkpoint")).sorted.toSeq
+    assert(cps.contains(f"${10L}%020d.checkpoint.parquet"), cps)
+    assert(cps.contains(f"${20L}%020d.checkpoint.parquet"), cps)
+    val lcp = new String(fs.open(new org.apache.hadoop.fs.Path(logDir,
+      "_last_checkpoint")).readAllBytes(), "UTF-8")
+    assert(lcp.contains("\"version\":20"), lcp)
+    // delete every commit the newest checkpoint covers: the read only
+    // succeeds if replay starts from the checkpoint, not commit 0
+    (0L to 20L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false)
+    }
+    val got = DeltaLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 25L), s"got ${got.length} rows")
+  }
+
+  test("checkpoints round-trip deletion-vector tables") {
+    import spark.implicits._
+    val t = freshDir("delta_cp_dv")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaLite.overwrite((1 to 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").coalesce(1), t)
+    val rel = regexp_replace(regexp_replace(col("_metadata.file_path"),
+      "^file:/+", "/"), java.util.regex.Pattern.quote(t + "/"), "")
+    val deletes = DeltaLite.read(spark, t)
+      .select(rel.as("path"), col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 4 === 0).select("path", "pos")
+    DeltaLite.addDeletionVectors(t, deletes)
+    DeltaLite.writeCheckpoint(spark, t)
+    val logDir = new org.apache.hadoop.fs.Path(t, "_delta_log")
+    // drop all JSON commits: state must come from the checkpoint alone,
+    // including the DV descriptors
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).foreach(fs.delete(_, false))
+    val got = DeltaLite.read(spark, t).select("id").as[Long].collect().sorted
+    assert(got.length == 150)
+    assert(got.forall(_ % 4 != 0))
   }
 }
