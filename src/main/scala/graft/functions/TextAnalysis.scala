@@ -154,6 +154,32 @@ object TextAnalysis {
         coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
   }
 
+  /** Auto-dispatched Gopher repetition metrics (VERDICT r9 item 7): ONE
+    * public entry point so the 100k-token failure mode can't be selected
+    * by accident. A cheap probe — approximate p99 of text length in
+    * chars — picks the plan:
+    *   - short-doc corpora take the shuffle-free codegen expression form
+    *     ([[topNgramFraction]]/[[dupNgramFraction]] are per-row
+    *     O(distinct·total), fine under ~1k tokens);
+    *   - anything longer takes [[gopherMetrics]]'s explode→groupBy form
+    *     (linear in occurrences, parallel WITHIN a document).
+    * The probe costs one scan of the text lengths; the wrong plan on a
+    * long-doc corpus costs hours (measured 730 s for 8×50k-token docs vs
+    * ~3 s). Both plans are oracle-pinned to bitwise-equal output.
+    * Output: (idCol, top_ngram_frac, dup_ngram_frac).
+    */
+  def gopherAuto(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 3, maxExprChars: Int = 5000): DataFrame = {
+    val p99 = df.agg(percentile_approx(length(col(textCol)), lit(0.99),
+      lit(1000)).cast("long")).head.get(0)
+    val short = p99 == null || p99.asInstanceOf[Long] <= maxExprChars
+    if (short)
+      df.select(col(idCol),
+        topNgramFraction(col(textCol), topN).as("top_ngram_frac"),
+        dupNgramFraction(col(textCol), dupN).as("dup_ngram_frac"))
+    else gopherMetrics(df, idCol, textCol, topN, dupN)
+  }
+
   /** Mean word length in characters (another Gopher gate: 3–10 is the
     * keep band for English). */
   def meanWordLength(text: Column): Column = {

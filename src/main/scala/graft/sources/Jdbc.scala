@@ -85,6 +85,20 @@ object Jdbc {
         write(df, url, table); -1L
     }
 
+  /** Best-effort CREATE INDEX on `cols` (quoted case-exact, as the Spark
+    * JDBC writer creates them). Idempotent by swallow: an existing index
+    * (or a dialect without the syntax) leaves the statement failing
+    * quietly — merges stay correct, only the plan changes. Index name is
+    * derived from table+cols and sanitized to an identifier. */
+  def ensureIndex(url: String, table: String, cols: Seq[String]): Unit = {
+    val base = (table + "_" + cols.mkString("_"))
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val name = ("GIX_" + base).take(120)
+    val colList = cols.map(c => "\"" + c + "\"").mkString(", ")
+    try execute(url, s"CREATE INDEX $name ON $table ($colList)")
+    catch { case _: Exception => () }
+  }
+
   /** Run one statement against the target DB (pre_sql/post_sql hooks,
     * config.go target options). */
   def execute(url: String, sql: String): Unit = {
@@ -200,6 +214,10 @@ object Jdbc {
     // Spark's JDBC writer creates columns as quoted (case-exact) identifiers;
     // quote them here too or the DB folds references to uppercase
     def q(c: String) = "\"" + c + "\""
+    // scale rail (same as cdcApply): index the merge keys on both sides or
+    // the embedded engine nested-loops the MERGE/EXISTS quadratically
+    ensureIndex(url, table, pk)
+    ensureIndex(url, tmp, pk)
     val cols = df.columns.toSeq
     val onClause = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val nonKey = cols.filterNot(pk.contains)
@@ -317,6 +335,14 @@ object Jdbc {
       else columnTypes + (opCol -> "VARCHAR(10)")
     try write(latest, url, tmp, SaveMode.Overwrite, columnTypes = stageTypes)
     catch { case e: Throwable => dropStageQuiet(); throw e }
+    // Scale rail: without an index on the join keys the embedded engine
+    // plans the MERGE and DELETE..EXISTS as nested-loop heap scans —
+    // measured QUADRATIC at 50k stage × 50k target (java stack pinned in
+    // StoredPage.qualifyRecordFromSlot for 15+ min). Index both sides of
+    // the merge; CREATE INDEX failures (already indexed, dialect quirk)
+    // are non-fatal — the merge is correct either way, just slower.
+    ensureIndex(url, table, pk)
+    ensureIndex(url, tmp, pk)
     val onClause = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val delExists = pk.map(k => s"s.${q(k)} = $table.${q(k)}").mkString(" AND ")
     val nonKey = dataCols.filterNot(pk.contains)

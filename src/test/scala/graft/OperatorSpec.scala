@@ -649,4 +649,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.forall(x => x.getDouble(1) > 0.0 && x.getDouble(1) <= 1.0))
     assert(sec < 60.0, s"8x50k-token gopher metrics took ${sec}s")
   }
+
+  test("gopherAuto dispatches by document length and agrees on both") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    // short docs -> expression form: a single project, no join/shuffle
+    val short = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val autoShort = TextAnalysis.gopherAuto(short, "doc_id", "text")
+    assert(!hasJoin(autoShort), "short-doc corpus must take the expression plan")
+    // long docs -> aggregation form (gopherMetrics joins top+dup aggs)
+    def doc(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(i * 31L + seed) % 97}").mkString(" ")
+    val long = Seq((1L, doc(1, 3000)), (2L, doc(2, 3000))).toDF("doc_id", "text")
+    val autoLong = TextAnalysis.gopherAuto(long, "doc_id", "text")
+    assert(hasJoin(autoLong), "long-doc corpus must take the aggregation plan")
+    // both branches produce the same numbers on the same input
+    val viaExpr = TextAnalysis.gopherAuto(short, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val viaAgg = TextAnalysis.gopherMetrics(short, "doc_id", "text", 2, 3)
+      .orderBy("doc_id").collect()
+    viaExpr.zip(viaAgg).foreach { case (e, a) =>
+      assert(e.getDouble(1) == a.getDouble(1) && e.getDouble(2) == a.getDouble(2))
+    }
+  }
 }
