@@ -114,6 +114,52 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Google Sheets source (sheet_google.go GetDataset over the Sheets v4
+    // API): a loopback server serves nation as a spreadsheet — metadata +
+    // values.get in the v4 JSON shapes — and the reader walks the full
+    // protocol (sheet discovery, grid fetch, trailing-blank trim,
+    // inference). A live run differs by base URL + a real bearer token
+    // (service-account JWT flow covered in GSheetsSpec).
+    Q("op_gsheets",
+      (s, dir) => {
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val valuesJson = {
+          val json = mapper.createObjectNode()
+          val arr = json.putArray("values")
+          val h = arr.addArray()
+          Seq("n_nationkey", "n_name", "n_regionkey").foreach(h.add)
+          rows.foreach { r =>
+            val a = arr.addArray()
+            a.add(r.get(0).toString); a.add(r.getString(1))
+            a.add(r.get(2).toString)
+          }
+          mapper.writeValueAsString(json)
+        }
+        val metaJson = """{"sheets":[{"properties":{"title":"nation"}}]}"""
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val body = if (ex.getRequestURI.getPath.contains("/values/"))
+                valuesJson else metaJson
+              val bytes = body.getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.GSheets.Conn(
+            baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.GSheets.read(s, conn,
+            "https://docs.google.com/spreadsheets/d/graft_nation/edit")
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // object-store seam (fs_s3.go / fs.go:76-134): conf wiring + s3://→s3a://
     // rewrite + a full write/read cycle over a non-file: scheme via the
     // loopback s3a FileSystem — committer rename/list protocol and Spark's
