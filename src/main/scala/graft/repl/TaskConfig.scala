@@ -226,6 +226,10 @@ object TaskConfig {
   private def readPlain(spark: SparkSession, src: Source,
       sfDir: String): DataFrame =
     src.format match {
+      // a docs.google.com spreadsheet URL routes to the Sheets client even
+      // under the default format (the reference dispatches on the URL)
+      case "table" if src.stream.startsWith("https://docs.google.com/spreadsheets") =>
+        readGsheet(spark, src)
       case "table" => Tables(spark, sfDir, src.stream)
       case "csv" =>
         val o = src.options
@@ -264,8 +268,33 @@ object TaskConfig {
           catch { case scala.util.control.NonFatal(_) => None }
         }.getOrElse(IcebergLite.read(spark, src.stream))
       case "parquet" => spark.read.parquet(src.stream)
+      // explicit gsheet format; `range:` selects a sheet name or an A1
+      // range ("Sheet1!A2:D50"). Credentials: GSHEETS_KEY_BODY
+      // (service-account JSON, the reference's KEY_BODY) or GSHEETS_TOKEN
+      // (a ready bearer token); GSHEETS_BASE_URL / the
+      // graft.gsheets.base_url system property overrides the endpoint.
+      case "gsheet" => readGsheet(spark, src)
       case other => throw new IllegalArgumentException(s"source format $other")
     }
+
+  private def readGsheet(spark: SparkSession, src: Source): DataFrame = {
+    import graft.sources.GSheets
+    def conf(k: String): Option[String] =
+      sys.props.get(s"graft.gsheets.${k.toLowerCase}")
+        .orElse(sys.env.get(s"GSHEETS_$k"))
+    val base = conf("BASE_URL").getOrElse("https://sheets.googleapis.com")
+    val token: () => String = conf("TOKEN") match {
+      case Some(t) => () => t
+      case None => conf("KEY_BODY") match {
+        case Some(key) =>
+          lazy val tok = GSheets.serviceAccountToken(key)
+          () => tok
+        case None => () => ""
+      }
+    }
+    GSheets.read(spark, GSheets.Conn(baseUrl = base, token = token),
+      src.stream, src.options.range.getOrElse(""))
+  }
 
   def applyPipeline(df: DataFrame, task: Task): DataFrame = {
     val selected =

@@ -143,6 +143,33 @@ class GSheetsSpec extends AnyFunSuite {
     } finally fake.stop()
   }
 
+  test("task yaml: a docs.google.com stream routes to the sheets client") {
+    val fake = new FakeSheets(collection.mutable.LinkedHashMap(
+      "People" -> collection.mutable.ArrayBuffer[Seq[String]](
+        Seq("id", "name"), Seq("1", "ann"), Seq("2", "bob"))))
+    val out = "/tmp/graft-test/gsheet_task_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    try {
+      System.setProperty("graft.gsheets.base_url",
+        s"http://127.0.0.1:${fake.server.getAddress.getPort}")
+      val yaml =
+        s"""source:
+           |  stream: "https://docs.google.com/spreadsheets/d/sheet1/edit"
+           |target:
+           |  object: $out
+           |  mode: full-refresh
+           |""".stripMargin
+      val n = graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+      assert(n == 2)
+      val back = spark.read.parquet(out).orderBy("id").collect()
+      assert(back.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(back.map(_.getString(1)).toSeq == Seq("ann", "bob"))
+    } finally {
+      System.clearProperty("graft.gsheets.base_url")
+      fake.stop()
+    }
+  }
+
   test("service-account token: RS256 assertion verifies against the key") {
     val kpg = java.security.KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)
