@@ -12,7 +12,7 @@ import graft.write.{PartitionedWriter, Validation}
 object FileOps {
 
   private def scratch(name: String, sfDir: String): String =
-    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+    Scratch.dir(name, sfDir)
 
   def queries: Seq[Q] = Seq(
 
@@ -808,7 +808,7 @@ object FileOps {
     // pattern for repeated joins on the same key); plan asserted in tests
     Q("op_bucketed_join",
       (s, dir) => {
-        val sfx = math.abs(dir.hashCode).toString
+        val sfx = Scratch.tag(dir)
         val (ot, lt) = (s"b_orders_$sfx", s"b_lineitem_$sfx")
         // a fresh session's in-memory catalog doesn't know about table dirs
         // left by a previous run — drop and clear the location first

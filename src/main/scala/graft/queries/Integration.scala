@@ -16,7 +16,7 @@ import graft.write.{ChangeCapture, Modes => M, ParquetTarget}
 object Integration {
 
   private def scratch(name: String, sfDir: String): String =
-    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+    Scratch.dir(name, sfDir)
 
   private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -26,7 +26,7 @@ object Integration {
     // JDBC write + partitioned read (4 range queries on the PK)
     Q("op_jdbc_roundtrip",
       (s, dir) => {
-        val url = s"jdbc:derby:memory:graft${math.abs(dir.hashCode)};create=true"
+        val url = s"jdbc:derby:memory:graft${Scratch.tag(dir)};create=true"
         val c = Tables(s, dir, "customer")
         Jdbc.write(c, url, "CUSTOMER_RT")
         val hi = c.agg(max(col("c_custkey"))).head.getLong(0)
@@ -38,7 +38,7 @@ object Integration {
     // temp-table + ANSI MERGE executed inside the target DB
     Q("op_jdbc_merge",
       (s, dir) => {
-        val url = s"jdbc:derby:memory:graftm${math.abs(dir.hashCode)};create=true"
+        val url = s"jdbc:derby:memory:graftm${Scratch.tag(dir)};create=true"
         val c = Tables(s, dir, "customer")
         val stale = c.withColumn("c_acctbal",
           when(col("c_custkey") % 2 === 0, lit(-1.0)).otherwise(col("c_acctbal")))
@@ -271,7 +271,7 @@ object Integration {
     // list/test/discover` surface the same registry in CliSpec
     Q("op_conns_resolve",
       (s, dir) => {
-        val db = s"connres${math.abs(dir.hashCode)}"
+        val db = s"connres${Scratch.tag(dir)}"
         val url = s"jdbc:derby:memory:$db;create=true"
         graft.sources.Jdbc.write(Tables(s, dir, "supplier"), url, "SUPPLIER_C")
         val out = scratch("conns_resolve", dir)

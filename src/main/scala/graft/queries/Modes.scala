@@ -15,10 +15,8 @@ import graft.write.{ChangeCapture, Modes => M, ParquetTarget}
   */
 object Modes {
 
-  private def scratch(name: String, sfDir: String): String = {
-    val tag = math.abs(sfDir.hashCode).toString
-    s"/root/repo/target/graft-scratch/${name}_$tag"
-  }
+  private def scratch(name: String, sfDir: String): String =
+    Scratch.dir(name, sfDir)
 
   private def orders(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")

@@ -15,7 +15,7 @@ object Pipeline {
   import scala.jdk.CollectionConverters._
 
   private def scratch(name: String, sfDir: String): String =
-    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+    Scratch.dir(name, sfDir)
 
   def queries: Seq[Q] = Seq(
 

@@ -13,7 +13,7 @@ import graft.streaming.EventStream
 object Temporal {
 
   private def scratch(name: String, sfDir: String): String =
-    s"/root/repo/target/graft-scratch/${name}_${math.abs(sfDir.hashCode)}"
+    Scratch.dir(name, sfDir)
 
   def queries: Seq[Q] = Seq(
 
