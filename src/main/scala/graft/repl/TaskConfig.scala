@@ -627,6 +627,25 @@ object TaskConfig {
     tgt.options.fileMaxRows.foreach(n =>
       spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
     try tgt.format match {
+      // a docs.google.com target writes through the Sheets client
+      // (WriteSheet); the URL fragment names the sheet
+      // (".../edit#People"), defaulting to Sheet1
+      case _ if tgt.obj.startsWith("https://docs.google.com/spreadsheets") =>
+        import graft.sources.GSheets
+        def conf(k: String): Option[String] =
+          sys.props.get(s"graft.gsheets.${k.toLowerCase}")
+            .orElse(sys.env.get(s"GSHEETS_$k"))
+        val conn = GSheets.Conn(
+          baseUrl = conf("BASE_URL").getOrElse("https://sheets.googleapis.com"),
+          token = conf("TOKEN").map(t => () => t).getOrElse(
+            conf("KEY_BODY") match {
+              case Some(key) =>
+                lazy val tok = GSheets.serviceAccountToken(key); () => tok
+              case None => () => ""
+            }))
+        val sheet = Option(new java.net.URI(tgt.obj).getFragment)
+          .filter(_.nonEmpty).getOrElse("Sheet1")
+        GSheets.writeSheet(df, conn, tgt.obj, sheet)
       case "parquet" | "delta" if tgt.obj.contains("{part_") =>
         // a {part_*} URI mask in the target object routes through the
         // partitioned writer keyed on update_key (suite.cli id=59:

@@ -170,6 +170,30 @@ class GSheetsSpec extends AnyFunSuite {
     }
   }
 
+  test("task yaml: a docs.google.com target writes through the sheets client") {
+    val fake = new FakeSheets(collection.mutable.LinkedHashMap())
+    try {
+      System.setProperty("graft.gsheets.base_url",
+        s"http://127.0.0.1:${fake.server.getAddress.getPort}")
+      val yaml =
+        s"""source:
+           |  stream: nation
+           |  limit: 3
+           |target:
+           |  object: "https://docs.google.com/spreadsheets/d/outsheet/edit#Nations"
+           |  mode: full-refresh
+           |""".stripMargin
+      val n = graft.repl.TaskConfig.run(spark, yaml, "/root/testdata/sf0.001")
+      assert(n == 3)
+      val back = GSheets.read(spark, fake.conn(), "outsheet", "Nations")
+      assert(back.count() == 3)
+      assert(back.columns.contains("n_name"))
+    } finally {
+      System.clearProperty("graft.gsheets.base_url")
+      fake.stop()
+    }
+  }
+
   test("service-account token: RS256 assertion verifies against the key") {
     val kpg = java.security.KeyPairGenerator.getInstance("RSA")
     kpg.initialize(2048)
