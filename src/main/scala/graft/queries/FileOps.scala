@@ -214,6 +214,69 @@ object FileOps {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // Google Drive backend (fs_googledrive.go): a loopback Drive-v3 server
+    // holds region as CSV files in a folder tree; the gdrive transport
+    // resolves the path through folder parents, lists, downloads to
+    // staging, and the normal inference reader takes over
+    Q("op_gdrive",
+      (s, dir) => {
+        import graft.sources.{FileBackends, GDrive}
+        val fixtureDir = scratch("gdrive_fixture", dir)
+        Tables(s, dir, "region").repartition(1).write.mode("overwrite")
+          .option("header", "true").csv(fixtureDir)
+        val csvBytes = new java.io.File(fixtureDir).listFiles()
+          .filter(_.getName.endsWith(".csv")).toSeq.sortBy(_.getName)
+          .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // in-memory drive: data/<files>; ids are d1, f1..fn
+        val ids = csvBytes.zipWithIndex
+          .map { case ((n, b), i) => (s"f$i", n, b) }
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val path = ex.getRequestURI.getPath
+              val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val resp: Array[Byte] =
+                if (path.matches("/drive/v3/files/[^/]+") &&
+                    query.contains("alt=media"))
+                  ids.find(_._1 == path.split("/").last)
+                    .map(_._3).getOrElse(Array.empty)
+                else {
+                  val q = java.net.URLDecoder.decode(query.split("&")
+                    .find(_.startsWith("q=")).map(_.drop(2)).getOrElse(""), "UTF-8")
+                  val json = mapper.createObjectNode()
+                  val arr = json.putArray("files")
+                  if (q.contains("'root' in parents"))
+                    arr.addObject().put("id", "d1").put("name", "data")
+                      .put("mimeType", "application/vnd.google-apps.folder")
+                  else ids.filter { case (_, n, _) =>
+                      "name='([^']+)'".r.findFirstMatchIn(q)
+                        .map(_.group(1)).forall(_ == n) }
+                    .foreach { case (id, n, b) =>
+                      arr.addObject().put("id", id).put("name", n)
+                        .put("mimeType", "text/csv").put("size", b.length)
+                    }
+                  mapper.writeValueAsString(json).getBytes("UTF-8")
+                }
+              ex.sendResponseHeaders(200, resp.length.toLong)
+              try ex.getResponseBody.write(resp) finally ex.close()
+            })
+          server.start()
+          val conn = FileBackends.Conn(Map("BASE_URL" ->
+            s"http://127.0.0.1:${server.getAddress.getPort}"))
+          val staged = scratch("gdrive_staged", dir)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
+          FileBackends.stage("gdrive://data", staged,
+            FileBackends.transportFor("gdrive", conn))
+          FileSources.csv(s, staged, overrides = Map(
+            "r_regionkey" -> LongType))
+            .orderBy("r_regionkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)

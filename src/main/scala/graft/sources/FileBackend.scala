@@ -215,6 +215,7 @@ object FileBackends {
     schemeName match {
       case "ftp" => FtpTransport
       case "sftp" => new SftpTransport(conn)
+      case "gdrive" => new GDrive.DriveTransport(GDrive.connFrom(conn.get))
       case "http" | "https" => new RemoteTransport {
         def list(dirUrl: String): Seq[String] = Seq(dirUrl)
         def fetch(url: String): Array[Byte] = HttpSource.defaultFetcher(url)
