@@ -277,6 +277,73 @@ object FileOps {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // Elasticsearch search source (database_elasticsearch.go:287-460): a
+    // loopback server implements the sliced-scroll protocol over nation
+    // docs; each Spark partition scrolls its own server-side slice and the
+    // docs type through distributed JSON inference
+    Q("op_elastic",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val docs = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+          .map(r => s"""{"n_nationkey":${r.get(0)},"n_name":${
+            mapper.writeValueAsString(mapper.getNodeFactory
+              .textNode(r.getString(1)))},"n_regionkey":${r.get(2)}}""")
+        val scrolls = new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.ArrayDeque[Seq[String]]]()
+        val nextScroll = new java.util.concurrent.atomic.AtomicInteger(0)
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+              def respond(hits: Seq[String], sid: String): Unit = {
+                val json = mapper.createObjectNode()
+                json.put("_scroll_id", sid)
+                val arr = json.putObject("hits").putArray("hits")
+                hits.foreach(d => arr.addObject()
+                  .set[com.fasterxml.jackson.databind.JsonNode](
+                    "_source", mapper.readTree(d)))
+                val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                try ex.getResponseBody.write(bytes) finally ex.close()
+              }
+              if (ex.getRequestURI.getPath == "/_search/scroll") {
+                val sid = body.path("scroll_id").asText()
+                val q = scrolls.get(sid)
+                respond(Option(if (q == null) null else q.pollFirst())
+                  .getOrElse(Seq.empty), sid)
+              } else {
+                val sliceId = body.path("slice").path("id").asInt(0)
+                val sliceMax = body.path("slice").path("max").asInt(1)
+                val size = body.path("size").asInt(1000)
+                val mine = docs.zipWithIndex
+                  .filter(_._2 % sliceMax == sliceId).map(_._1)
+                val pages = mine.grouped(size).toSeq
+                val sid = s"scroll-${nextScroll.incrementAndGet()}"
+                val q = new java.util.ArrayDeque[Seq[String]]()
+                pages.drop(1).foreach(q.addLast)
+                scrolls.put(sid, q)
+                respond(pages.headOption.getOrElse(Seq.empty), sid)
+              }
+            })
+          server.start()
+          val conn = graft.sources.Elastic.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          // localCheckpoint materializes the scroll BEFORE the server
+          // stops — the returned frame must not re-execute the fetch
+          graft.sources.Elastic.read(s, conn, "nation",
+            slices = 4, pageSize = 7)
+            .localCheckpoint(true)
+            .select(col("n_nationkey").cast(LongType), col("n_name"),
+              col("n_regionkey").cast(LongType))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)

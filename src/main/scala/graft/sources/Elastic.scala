@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Elasticsearch search source (reference
+  * core/dbio/database/database_elasticsearch.go:287-460 StreamRowsContext:
+  * `_search` with a scroll cursor, match_all / incremental range /
+  * backfill range bodies, `_source` docs to rows).
+  *
+  * Spark-first shape: **sliced scroll** — the ES scroll API partitions an
+  * index server-side (`slice: {id, max}`), so each Spark partition owns
+  * one slice and scrolls it independently on the executor. No driver
+  * bottleneck, no cursor contention; read parallelism = `slices`, sized
+  * like any partitioned JDBC read. Docs come back as JSON lines and type
+  * through Spark's distributed JSON inference. The reference streams one
+  * scroll on one connection — this is the same protocol fanned out.
+  *
+  * Everything is REST; the transport seam makes the offline build drive
+  * the full scroll protocol against a loopback server.
+  */
+object Elastic {
+
+  /** Serializable connection (executors open their own transports; the
+    * bearer token is resolved at driver). */
+  final case class Conn(baseUrl: String, token: String = "") extends Serializable {
+    def headers: Map[String, String] =
+      (if (token.isEmpty) Map.empty[String, String]
+       else Map("Authorization" -> s"Bearer $token")) +
+        ("Content-Type" -> "application/json")
+  }
+
+  /** POST returning the response body — executor-side, plain JDK HTTP. */
+  private def post(url: String, headers: Map[String, String],
+      body: String): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(
+      Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+    conn.disconnect()
+    if (code >= 400)
+      throw new java.io.IOException(s"elastic $code for $url: ${out.take(300)}")
+    out
+  }
+
+  /** Query body per the reference's dispatch: match_all, incremental
+    * (update_key > value), or backfill (start..end inclusive). */
+  def queryBody(updateKey: Option[String] = None,
+      incrementalValue: Option[String] = None,
+      backfill: Option[(String, String)] = None): String =
+    (updateKey, incrementalValue, backfill) match {
+      case (Some(k), Some(v), _) =>
+        s"""{"query":{"range":{"$k":{"gt":"$v"}}}}"""
+      case (Some(k), _, Some((lo, hi))) =>
+        s"""{"query":{"range":{"$k":{"gte":"$lo","lte":"$hi"}}}}"""
+      case _ => """{"query":{"match_all":{}}}"""
+    }
+
+  /** Scroll one slice to exhaustion; returns `_source` docs as JSON
+    * strings. Runs on the executor that owns the slice. */
+  private[sources] def scrollSlice(conn: Conn, index: String, body: String,
+      sliceId: Int, slices: Int, pageSize: Int): Iterator[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(body).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    if (slices > 1)
+      root.putObject("slice").put("id", sliceId).put("max", slices)
+    root.put("size", pageSize)
+    def hitsOf(resp: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+      val hits = resp.path("hits").path("hits")
+      (0 until hits.size()).map(i =>
+        mapper.writeValueAsString(hits.get(i).path("_source")))
+    }
+    val first = mapper.readTree(post(
+      s"${conn.baseUrl}/$index/_search?scroll=1m",
+      conn.headers, mapper.writeValueAsString(root)))
+    val out = collection.mutable.ArrayBuffer[String]()
+    out ++= hitsOf(first)
+    var scrollId = first.path("_scroll_id").asText("")
+    var last = hitsOf(first).size
+    while (scrollId.nonEmpty && last > 0) {
+      val next = mapper.readTree(post(s"${conn.baseUrl}/_search/scroll",
+        conn.headers,
+        s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
+          mapper.getNodeFactory.textNode(scrollId))}}"""))
+      val page = hitsOf(next)
+      out ++= page
+      last = page.size
+      scrollId = next.path("_scroll_id").asText(scrollId)
+    }
+    out.iterator
+  }
+
+  /** Distributed read of an index: `slices` Spark partitions each scroll
+    * their own server-side slice; docs type through Spark's JSON reader.
+    */
+  def read(spark: SparkSession, conn: Conn, index: String,
+      body: String = queryBody(), slices: Int = 4,
+      pageSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext
+      .parallelize(0 until slices, slices)
+      .flatMap(i => scrollSlice(conn, index, body, i, slices, pageSize))
+    spark.read.json(spark.createDataset(lines))
+  }
+
+  /** NDJSON `_bulk` index encoder (the write-side wire format): action
+    * line + doc line per row; `idCol` routes to `_id` when set. The
+    * caller POSTs chunks to `/_bulk` — encoder-level like PgCopy/BCP
+    * (no live server offline). */
+  def bulkEncode(docsJson: Seq[String], index: String,
+      ids: Seq[String] = Nil): String = {
+    val sb = new StringBuilder
+    docsJson.zipWithIndex.foreach { case (doc, i) =>
+      val idPart = if (ids.isDefinedAt(i))
+        s""","_id":"${ids(i)}"""" else ""
+      sb.append(s"""{"index":{"_index":"$index"$idPart}}""").append('\n')
+      sb.append(doc).append('\n')
+    }
+    sb.toString
+  }
+}
