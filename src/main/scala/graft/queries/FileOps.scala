@@ -344,6 +344,51 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Azure Table source (database_azuretable.go): a loopback Table-service
+    // server holds nation as entities; the reader follows continuation
+    // tokens and rows type through JSON inference. Signatures covered in
+    // AzTableSpec (server-verified SharedKeyLite).
+    Q("op_aztable",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val ents = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+          .map(r => s"""{"PartitionKey":"p","RowKey":"${r.get(0)}",""" +
+            s""""n_nationkey":${r.get(0)},"n_name":${
+              mapper.writeValueAsString(mapper.getNodeFactory
+                .textNode(r.getString(1)))},"n_regionkey":${r.get(2)}}""")
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val start = query.split("&").find(_.startsWith("NextRowKey="))
+                .map(_.drop("NextRowKey=".length).toInt).getOrElse(0)
+              val page = ents.slice(start, start + 7)
+              val json = mapper.createObjectNode()
+              val arr = json.putArray("value")
+              page.foreach(e => arr.add(mapper.readTree(e)))
+              if (start + 7 < ents.size) {
+                json.put("odata.nextPartitionKey", "pk")
+                json.put("odata.nextRowKey", (start + 7).toString)
+              }
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.AzTable.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.AzTable.read(s, conn, "nation")
+            .select(col("n_nationkey").cast(LongType), col("n_name"),
+              col("n_regionkey").cast(LongType))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
