@@ -389,6 +389,58 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Prometheus source (database_prometheus.go): a loopback query_range
+    // endpoint serves one series per nation; the reader splits the time
+    // range into half-open chunks (one Spark partition each) and flattens
+    // the matrix to label+ts+value rows
+    Q("op_prometheus",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val base = 1700000000L
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val q = ex.getRequestURI.getQuery.split("&")
+                .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+              val (start, end) = (q("start").toLong, q("end").toLong)
+              val json = mapper.createObjectNode()
+              json.put("status", "success")
+              val result = json.putObject("data").putArray("result")
+              rows.foreach { r =>
+                val ts = base + r.getAs[Number]("n_nationkey").longValue()
+                if (ts >= start && ts <= end) {
+                  val se = result.addObject()
+                  se.putObject("metric").put("nation", r.getString(1))
+                  val pair = se.putArray("values").addArray()
+                  pair.add(ts)
+                  pair.add(r.getAs[Number]("n_regionkey").toString)
+                }
+              }
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.Prometheus.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          // localCheckpoint: the fetch must not re-execute after the
+          // loopback server stops
+          graft.sources.Prometheus.read(s, conn,
+            s"""nation_metric#{"start":"$base","end":"${base + 25}","step":"1s"}""",
+            chunks = 4, nowEpoch = base + 25)
+            .localCheckpoint(true)
+            .select(col("nation"), col("ts"), col("value"))
+            .orderBy("nation", "ts")
+        } finally server.stop(0)
+      },
+      Some("""SELECT n_name AS nation, CAST(1700000000 + n_nationkey AS BIGINT) AS ts,
+        CAST(n_regionkey AS DOUBLE) AS value FROM nation ORDER BY nation, ts""")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
