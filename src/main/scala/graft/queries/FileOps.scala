@@ -441,6 +441,98 @@ object FileOps {
       Some("""SELECT n_name AS nation, CAST(1700000000 + n_nationkey AS BIGINT) AS ts,
         CAST(n_regionkey AS DOUBLE) AS value FROM nation ORDER BY nation, ts""")),
 
+    // Trino client protocol (database_trino.go / trino-go-client wire
+    // surface): a loopback coordinator pages nation through nextUri; the
+    // reader honors the protocol's reported column types
+    Q("op_trino",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          val base = () => s"http://127.0.0.1:${server.getAddress.getPort}"
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val path = ex.getRequestURI.getPath
+              val page = if (path == "/v1/statement") 0
+                else path.split("/").last.toInt
+              val json = mapper.createObjectNode()
+              json.put("id", "q1")
+              if (page >= 1) {
+                val cols = json.putArray("columns")
+                Seq(("n_nationkey", "bigint"), ("n_name", "varchar(25)"),
+                  ("n_regionkey", "bigint")).foreach { case (n, t) =>
+                  cols.addObject().put("name", n).put("type", t)
+                }
+                val data = json.putArray("data")
+                val per = 7
+                rows.slice((page - 1) * per, page * per).foreach { r =>
+                  val a = data.addArray()
+                  a.add(r.getAs[Number](0).longValue())
+                  a.add(r.getString(1))
+                  a.add(r.getAs[Number](2).longValue())
+                }
+              }
+              val lastPage = 1 + (rows.size + 6) / 7
+              if (page < lastPage)
+                json.put("nextUri", s"${base()}/v1/statement/q1/${page + 1}")
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          graft.sources.Trino.read(s,
+            graft.sources.Trino.Conn(base()), "SELECT * FROM nation")
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // Cloudflare D1 HTTP API (database_d1.go /raw columnar shape): nation
+    // through a loopback endpoint, dynamic (SQLite-style) typing
+    Q("op_d1",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val json = mapper.createObjectNode()
+              json.put("success", true)
+              json.putArray("errors")
+              val results = json.putArray("result").addObject()
+                .putObject("results")
+              val cols = results.putArray("columns")
+              Seq("n_nationkey", "n_name", "n_regionkey").foreach(cols.add)
+              val out = results.putArray("rows")
+              rows.foreach { r =>
+                val a = out.addArray()
+                a.add(r.getAs[Number](0).longValue())
+                a.add(r.getString(1))
+                a.add(r.getAs[Number](2).longValue())
+              }
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.D1.Conn("acct", "db", "tok",
+            baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.D1.read(s, conn, "SELECT * FROM nation")
+            .localCheckpoint(true)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
