@@ -533,6 +533,117 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // BigQuery REST surface (database_bigquery.go's API, called directly):
+    // jobs.query + pageToken paging over a loopback endpoint serving
+    // nation in the f/v cell shape
+    Q("op_bigquery",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val page = if (query.contains("pageToken")) 1 else 0
+              val json = mapper.createObjectNode()
+              json.putObject("jobReference").put("jobId", "j1")
+              json.put("jobComplete", true)
+              val fields = json.putObject("schema").putArray("fields")
+              Seq(("n_nationkey", "INTEGER"), ("n_name", "STRING"),
+                ("n_regionkey", "INTEGER")).foreach { case (n, t) =>
+                fields.addObject().put("name", n).put("type", t)
+              }
+              val data = json.putArray("rows")
+              val per = 13
+              rows.slice(page * per, (page + 1) * per).foreach { r =>
+                val f = data.addObject().putArray("f")
+                f.addObject().put("v", r.getAs[Number](0).toString)
+                f.addObject().put("v", r.getString(1))
+                f.addObject().put("v", r.getAs[Number](2).toString)
+              }
+              if ((page + 1) * per < rows.size) json.put("pageToken", "p2")
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.BigQueryApi.Conn("proj",
+            baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.BigQueryApi.read(s, conn, "SELECT * FROM nation")
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // Athena JSON-RPC lifecycle (database_athena.go's API): SigV4-signed
+    // StartQueryExecution -> poll -> paged GetQueryResults over a loopback
+    // endpoint; header row dropped, NextToken paging
+    Q("op_athena",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              val target = ex.getRequestHeaders.getFirst("x-amz-target")
+                .split("\\.").last
+              val resp: String = target match {
+                case "StartQueryExecution" => """{"QueryExecutionId":"qe1"}"""
+                case "GetQueryExecution" =>
+                  """{"QueryExecution":{"Status":{"State":"SUCCEEDED"}}}"""
+                case _ =>
+                  val page2 = mapper.readTree(body)
+                    .path("NextToken").asText("").nonEmpty
+                  val json = mapper.createObjectNode()
+                  val rs = json.putObject("ResultSet")
+                  val ci = rs.putObject("ResultSetMetadata")
+                    .putArray("ColumnInfo")
+                  Seq(("n_nationkey", "bigint"), ("n_name", "varchar"),
+                    ("n_regionkey", "bigint")).foreach { case (n, t) =>
+                    ci.addObject().put("Name", n).put("Type", t)
+                  }
+                  val out = rs.putArray("Rows")
+                  def addRow(vals: Seq[String]): Unit = {
+                    val d = out.addObject().putArray("Data")
+                    vals.foreach(v => d.addObject().put("VarCharValue", v))
+                  }
+                  val per = 13
+                  if (!page2) {
+                    addRow(Seq("n_nationkey", "n_name", "n_regionkey"))
+                    rows.take(per).foreach(r => addRow(Seq(
+                      r.getAs[Number](0).toString, r.getString(1),
+                      r.getAs[Number](2).toString)))
+                    if (rows.size > per) json.put("NextToken", "t2")
+                  } else
+                    rows.drop(per).foreach(r => addRow(Seq(
+                      r.getAs[Number](0).toString, r.getString(1),
+                      r.getAs[Number](2).toString)))
+                  mapper.writeValueAsString(json)
+              }
+              val bytes = resp.getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.Athena.Conn("us-east-1", "AKIATEST",
+            "secret123",
+            baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}",
+            pollMs = 10)
+          graft.sources.Athena.read(s, conn, "SELECT * FROM nation")
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
