@@ -644,6 +644,67 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Snowflake SQL API v2 (the REST surface behind database_snowflake.go's
+    // driver): statement submit + partitioned results over a loopback
+    // endpoint; partition 0 rides the submit response, the rest fetch on
+    // executors
+    Q("op_snowflake_api",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val per = 13
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          def dataOf(slice: Seq[org.apache.spark.sql.Row]) = {
+            val arr = mapper.createArrayNode()
+            slice.foreach { r =>
+              val a = arr.addArray()
+              a.add(r.getAs[Number](0).toString)
+              a.add(r.getString(1))
+              a.add(r.getAs[Number](2).toString)
+            }
+            arr
+          }
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val json = mapper.createObjectNode()
+              if (query.startsWith("partition=")) {
+                json.set[com.fasterxml.jackson.databind.JsonNode]("data",
+                  dataOf(rows.drop(per)))
+              } else {
+                json.put("statementHandle", "h1")
+                val meta = json.putObject("resultSetMetaData")
+                val rt = meta.putArray("rowType")
+                Seq("n_nationkey", "n_name", "n_regionkey")
+                  .zip(Seq("FIXED", "TEXT", "FIXED")).foreach { case (n, t) =>
+                    rt.addObject().put("name", n).put("type", t).put("scale", 0)
+                  }
+                val pi = meta.putArray("partitionInfo")
+                pi.addObject().put("rowCount", per)
+                if (rows.size > per) pi.addObject().put("rowCount", rows.size - per)
+                json.set[com.fasterxml.jackson.databind.JsonNode]("data",
+                  dataOf(rows.take(per)))
+              }
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.SnowflakeApi.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          // localCheckpoint: partition fetches must not re-execute after
+          // the loopback server stops
+          graft.sources.SnowflakeApi.read(s, conn, "SELECT * FROM nation")
+            .localCheckpoint(true)
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
