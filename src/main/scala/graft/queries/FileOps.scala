@@ -705,6 +705,95 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // ClickHouse HTTP interface (the public REST surface of the engine the
+    // reference drives natively): SELECT .. FORMAT JSONEachRow over a
+    // loopback server holding nation
+    Q("op_clickhouse_http",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+          .map(r => s"""{"n_nationkey":${r.get(0)},"n_name":${
+            mapper.writeValueAsString(mapper.getNodeFactory
+              .textNode(r.getString(1)))},"n_regionkey":${r.get(2)}}""")
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.ClickHouseHttp.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.ClickHouseHttp.read(s, conn, "SELECT * FROM nation")
+            .localCheckpoint(true)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // Databricks SQL Statement API (the REST surface behind the
+    // databricks driver): submit + SUCCEEDED + chunked results over a
+    // loopback endpoint; chunks 1..n-1 fetch on executors
+    Q("op_databricks_sql",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+        val per = 13
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          def dataInto(json: com.fasterxml.jackson.databind.node.ObjectNode,
+              slice: Seq[org.apache.spark.sql.Row], key: String) = {
+            val tgt = if (key == "result") json.putObject("result") else json
+            val data = tgt.putArray("data_array")
+            slice.foreach { r =>
+              val a = data.addArray()
+              a.add(r.getAs[Number](0).toString)
+              a.add(r.getString(1))
+              a.add(r.getAs[Number](2).toString)
+            }
+          }
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val path = ex.getRequestURI.getPath
+              val json = mapper.createObjectNode()
+              if (path.contains("/result/chunks/")) {
+                dataInto(json, rows.drop(per), "chunk")
+              } else {
+                json.put("statement_id", "st1")
+                json.putObject("status").put("state", "SUCCEEDED")
+                val man = json.putObject("manifest")
+                man.put("total_chunk_count", if (rows.size > per) 2 else 1)
+                val cols = man.putObject("schema").putArray("columns")
+                Seq(("n_nationkey", "LONG"), ("n_name", "STRING"),
+                  ("n_regionkey", "LONG")).foreach { case (n, t) =>
+                  cols.addObject().put("name", n).put("type_name", t)
+                }
+                dataInto(json, rows.take(per), "result")
+              }
+              val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.DatabricksSql.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.DatabricksSql.read(s, conn, "SELECT * FROM nation",
+            pollMs = 10)
+            .localCheckpoint(true)
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // jmespath-style record extraction, distributed: nested JSON built from
     // events, scalar path + [] flatten compiled to get_json_object /
     // from_json+explode (json.go:530 JqRun; spec.go:1331-1341)
