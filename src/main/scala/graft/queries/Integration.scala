@@ -90,6 +90,55 @@ object Integration {
       Some("""SELECT c_custkey, upper(c_name) AS c_name, c_acctbal
         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""")),
 
+    // task YAML `connections:` routing to a NATIVE protocol client: a
+    // clickhouse-type connection with an explicit http_url endpoint (here
+    // a loopback server speaking the ClickHouse HTTP interface) dispatches
+    // to ClickHouseHttp.read instead of the JDBC template — the same
+    // native-wire dispatch the reference does per engine
+    // (database_clickhouse.go HTTP; connection.go type routing)
+    Q("op_conn_protocol_route",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+          .map(r => s"""{"n_nationkey":${r.get(0)},"n_name":${
+            mapper.writeValueAsString(mapper.getNodeFactory
+              .textNode(r.getString(1)))},"n_regionkey":${r.get(2)}}""")
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val out = scratch("proto_route", dir)
+          val yaml =
+            s"""connections:
+               |  CH_LOOP:
+               |    type: clickhouse
+               |    http_url: http://127.0.0.1:${server.getAddress.getPort}
+               |source:
+               |  conn: CH_LOOP
+               |  stream: nation
+               |target:
+               |  object: $out
+               |  mode: full-refresh
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          s.read.parquet(out)
+            .select(col("n_nationkey").cast("long"),
+              col("n_name"), col("n_regionkey").cast("long"))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

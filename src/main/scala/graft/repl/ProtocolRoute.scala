@@ -1,0 +1,104 @@
+package graft.repl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native-protocol dispatch for engines the reference drives over their
+  * own wire surface rather than (or alongside) JDBC — ClickHouse's HTTP
+  * interface (`core/dbio/database/database_clickhouse.go`), the Databricks
+  * SQL Statement API (`database_databricks.go`), Snowflake's SQL API v2
+  * (`database_snowflake.go`), the Trino client protocol
+  * (`database_trino.go`), Cloudflare D1's HTTP API (`database_d1.go`),
+  * BigQuery's REST jobs surface (`database_bigquery.go`), Athena's
+  * JSON-RPC lifecycle (`database_athena.go`), Elasticsearch's scroll API
+  * (`database_elasticsearch.go`), and Prometheus `query_range`
+  * (`database_prometheus.go`).
+  *
+  * A task-YAML connection of one of these kinds routes here when it
+  * carries an explicit `http_url:` endpoint (in production the engine's
+  * REST endpoint; in tests a loopback server). D1 routes unconditionally —
+  * it has no JDBC surface at all. Without `http_url`, the SQL-over-JDBC
+  * kinds fall back to the JDBC template path unchanged.
+  */
+object ProtocolRoute {
+
+  /** Kinds with a native client in `graft.sources`. */
+  val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
+    "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
+    "prometheus")
+
+  def applies(spec: Connections.ConnSpec): Boolean =
+    kinds.contains(spec.kind) &&
+      (spec.get("http_url").isDefined || spec.kind == "d1")
+
+  /** Table-name streams wrap as SELECT *; SQL text passes through (the
+    * reference's same dispatch — `task_run_read.go` treats a stream
+    * containing whitespace/`select` as custom SQL). */
+  private def sqlFor(stream: String): String =
+    if (stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")) stream
+    else s"SELECT * FROM $stream"
+
+  def read(spark: SparkSession, spec: Connections.ConnSpec,
+      stream: String): DataFrame = {
+    import graft.sources._
+    def url = spec.get("http_url").getOrElse(throw new IllegalArgumentException(
+      s"connection ${spec.name} (${spec.kind}) needs http_url for protocol access"))
+    def token = spec.get("token").orElse(spec.get("api_token")).getOrElse("")
+    def user = spec.get("username").orElse(spec.get("user"))
+    def pollMs = spec.get("poll_ms").map(_.toLong).getOrElse(200L)
+    spec.kind match {
+      case "clickhouse" | "proton" =>
+        ClickHouseHttp.read(spark, ClickHouseHttp.Conn(url,
+          user = user.getOrElse("default"),
+          password = spec.get("password").getOrElse(""),
+          database = spec.get("database").getOrElse("")), sqlFor(stream))
+      case "databricks" =>
+        DatabricksSql.read(spark, DatabricksSql.Conn(url, token,
+          warehouseId = spec.get("warehouse_id").getOrElse("")),
+          sqlFor(stream), pollMs = pollMs)
+      case "snowflake" =>
+        SnowflakeApi.read(spark, SnowflakeApi.Conn(url, token),
+          sqlFor(stream), pollMs = pollMs)
+      case "trino" =>
+        Trino.read(spark, Trino.Conn(url,
+          user = user.getOrElse("graft"),
+          catalog = spec.get("catalog").getOrElse(""),
+          schema = spec.get("schema").getOrElse(""),
+          token = token), sqlFor(stream))
+      case "d1" =>
+        val base = spec.get("http_url").getOrElse(
+          "https://api.cloudflare.com/client/v4/accounts")
+        D1.read(spark, D1.Conn(
+          accountId = spec.get("account_id").getOrElse(""),
+          databaseId = spec.get("database_id")
+            .orElse(spec.get("database")).getOrElse(""),
+          token = token, baseUrl = base), sqlFor(stream))
+      case "bigquery" =>
+        val tok = token
+        BigQueryApi.read(spark, BigQueryApi.Conn(
+          projectId = spec.get("project").orElse(spec.get("project_id"))
+            .getOrElse(""),
+          token = () => tok, baseUrl = url), sqlFor(stream))
+      case "athena" =>
+        Athena.read(spark, Athena.Conn(
+          region = spec.get("region").getOrElse("us-east-1"),
+          accessKeyId = spec.get("access_key_id").getOrElse(""),
+          secretAccessKey = spec.get("secret_access_key").getOrElse(""),
+          outputLocation = spec.get("s3_staging_dir")
+            .orElse(spec.get("staging"))
+            .getOrElse("s3://graft-athena-results/"),
+          baseUrl = url, pollMs = pollMs), sqlFor(stream))
+      case "elasticsearch" =>
+        // stream is the index name (database_elasticsearch.go reads a
+        // whole index via sliced scroll)
+        Elastic.read(spark, Elastic.Conn(url, token), stream,
+          slices = spec.get("slices").map(_.toInt).getOrElse(4))
+      case "prometheus" =>
+        // stream is the PromQL query (+ optional embedded range args the
+        // source's parseQuery understands)
+        Prometheus.read(spark, Prometheus.Conn(url, token), stream,
+          chunks = spec.get("chunks").map(_.toInt).getOrElse(4))
+      case other =>
+        throw new IllegalArgumentException(s"no protocol client for '$other'")
+    }
+  }
+}

@@ -209,7 +209,12 @@ object TaskConfig {
     src.conn match {
       case Some(name) =>
         val spec = Connections.resolve(conns, name)
-        if (spec.isDatabase)
+        if (ProtocolRoute.applies(spec))
+          // native wire client (clickhouse HTTP, databricks/snowflake SQL
+          // APIs, trino protocol, d1, bigquery, athena, ES, prometheus) —
+          // selected by an explicit http_url endpoint on the connection
+          ProtocolRoute.read(spark, spec, src.stream)
+        else if (spec.isDatabase)
           graft.sources.Jdbc.read(spark, spec.jdbcUrl, src.stream)
         else {
           // object-store / remote conn: wire Hadoop conf, then the normal

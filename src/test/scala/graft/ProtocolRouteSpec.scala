@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.repl.{Connections, ProtocolRoute, TaskConfig}
+
+/** Task-YAML `connections:` dispatch to native protocol clients — a
+  * connection of a protocol kind with an explicit `http_url:` routes to
+  * the wire client (ClickHouse HTTP here), not the JDBC template; kinds
+  * without the endpoint keep their JDBC path (connection.go type routing;
+  * database_clickhouse.go / database_d1.go native surfaces).
+  */
+class ProtocolRouteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def spec(kind: String, props: (String, String)*) =
+    Connections.ConnSpec("T", kind, props.toMap)
+
+  test("applies: protocol kinds gate on http_url; d1 is unconditional") {
+    assert(!ProtocolRoute.applies(spec("clickhouse", "host" -> "h")))
+    assert(ProtocolRoute.applies(
+      spec("clickhouse", "http_url" -> "http://h:8123")))
+    assert(ProtocolRoute.applies(spec("d1", "account_id" -> "a")))
+    assert(ProtocolRoute.applies(
+      spec("elasticsearch", "http_url" -> "http://h:9200")))
+    assert(ProtocolRoute.applies(
+      spec("prometheus", "http_url" -> "http://h:9090")))
+    // non-protocol kinds never route here
+    assert(!ProtocolRoute.applies(spec("postgres", "http_url" -> "x")))
+    // snowflake/databricks/trino/bigquery/athena without http_url keep JDBC
+    Seq("snowflake", "databricks", "trino", "bigquery", "athena").foreach {
+      k => assert(!ProtocolRoute.applies(spec(k, "host" -> "h")))
+    }
+  }
+
+  test("clickhouse http_url conn: table stream reads via the HTTP client " +
+      "from readSource") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenSql = ""
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenSql = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val bytes = "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}\n"
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val conns = Connections.parse(
+        s"""connections:
+           |  CH:
+           |    type: clickhouse
+           |    http_url: http://127.0.0.1:${server.getAddress.getPort}
+           |""".stripMargin)
+      val df = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "t1", conn = Some("CH")), "/tmp", conns)
+      val got = df.orderBy("id").collect().map(r =>
+        (r.getAs[Number]("id").longValue(), r.getAs[String]("v"))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b")))
+      // table name wrapped as SELECT * (wire format suffix appended)
+      assert(seenSql.startsWith("SELECT * FROM t1"))
+    } finally server.stop(0)
+  }
+
+  test("elasticsearch http_url conn: stream is the index, sliced scroll") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val json = mapper.createObjectNode()
+      if (path.endsWith("/_search") && !path.contains("/scroll")) {
+        // first page of a slice: slice 0 gets both docs, others empty
+        val sliceId = "\"id\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+        json.put("_scroll_id", s"sc$sliceId")
+        val hits = json.putObject("hits").putArray("hits")
+        if (sliceId == 0) Seq(1, 2).foreach { i =>
+          hits.addObject().putObject("_source")
+            .put("id", i).put("v", s"d$i")
+        }
+      } else {
+        json.put("_scroll_id", "done")
+        json.putObject("hits").putArray("hits") // empty → slice drained
+      }
+      val bytes = mapper.writeValueAsString(json).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val conns = Connections.parse(
+        s"""connections:
+           |  ES:
+           |    type: elasticsearch
+           |    http_url: http://127.0.0.1:${server.getAddress.getPort}
+           |    slices: 2
+           |""".stripMargin)
+      val df = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "docs", conn = Some("ES")), "/tmp", conns)
+      val got = df.orderBy("id").collect()
+        .map(r => r.getAs[Number]("id").longValue()).toSeq
+      assert(got == Seq(1L, 2L))
+    } finally server.stop(0)
+  }
+
+  test("sql-text stream passes through unwrapped") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenSql = ""
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      seenSql = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val bytes = "{\"n\":5}\n".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val s = spec("clickhouse",
+        "http_url" -> s"http://127.0.0.1:${server.getAddress.getPort}")
+      val df = ProtocolRoute.read(spark, s, "select count(*) as n from t")
+      assert(df.collect().head.getAs[Number]("n").longValue() == 5L)
+      assert(seenSql.startsWith("select count(*) as n from t"))
+    } finally server.stop(0)
+  }
+}
