@@ -139,6 +139,54 @@ object Integration {
         CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // MongoDB wire source through task YAML: a mongodb-type connection
+    // dispatches to the OP_MSG client (no JDBC surface), which probes
+    // min/max _id and fans the collection out as range-partitioned
+    // executor reads (database_mongo.go:316-483 StreamRowsContext; here
+    // against the in-process loopback mongod)
+    Q("op_mongo",
+      (s, dir) => {
+        import graft.sources.{Bson, LoopbackMongo}
+        val docs = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .collect().toSeq.map { r =>
+            val nk = r.getAs[Number]("n_nationkey").longValue()
+            Bson.BDoc(
+              "_id" -> Bson.ObjectId.fromBigInt(BigInt(nk + 0x10000)),
+              "n_nationkey" -> nk,
+              "n_name" -> r.getString(1),
+              "n_regionkey" -> r.getAs[Number]("n_regionkey").longValue())
+          }
+        val srv = new LoopbackMongo
+        try {
+          srv.put("graft", "nation", docs)
+          val out = scratch("mongo_route", dir)
+          val yaml =
+            s"""connections:
+               |  MG:
+               |    type: mongodb
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    database: graft
+               |    splits: 3
+               |source:
+               |  conn: MG
+               |  stream: nation
+               |target:
+               |  object: $out
+               |  mode: full-refresh
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          s.read.parquet(out)
+            .select(col("n_nationkey").cast("long"),
+              col("n_name"), col("n_regionkey").cast("long"))
+            .orderBy("n_nationkey")
+        } finally srv.close()
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

@@ -24,11 +24,14 @@ object ProtocolRoute {
   /** Kinds with a native client in `graft.sources`. */
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
-    "prometheus")
+    "prometheus", "mongodb", "mongo")
+
+  /** Kinds with no JDBC surface at all — they route here unconditionally. */
+  private val wireOnly = Set("d1", "mongodb", "mongo")
 
   def applies(spec: Connections.ConnSpec): Boolean =
     kinds.contains(spec.kind) &&
-      (spec.get("http_url").isDefined || spec.kind == "d1")
+      (spec.get("http_url").isDefined || wireOnly.contains(spec.kind))
 
   /** Table-name streams wrap as SELECT *; SQL text passes through (the
     * reference's same dispatch — `task_run_read.go` treats a stream
@@ -37,8 +40,12 @@ object ProtocolRoute {
     if (stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")) stream
     else s"SELECT * FROM $stream"
 
+  /** `where` carries a stream-level mongo JSON filter when the kind is
+    * mongodb (the reference's `where: '{...}'` grammar,
+    * r.54.mongo_filter.yaml); SQL kinds ignore it (their `where` stays a
+    * SQL predicate applied by the task pipeline). */
   def read(spark: SparkSession, spec: Connections.ConnSpec,
-      stream: String): DataFrame = {
+      stream: String, where: Option[String] = None): DataFrame = {
     import graft.sources._
     def url = spec.get("http_url").getOrElse(throw new IllegalArgumentException(
       s"connection ${spec.name} (${spec.kind}) needs http_url for protocol access"))
@@ -87,6 +94,20 @@ object ProtocolRoute {
             .orElse(spec.get("staging"))
             .getOrElse("s3://graft-athena-results/"),
           baseUrl = url, pollMs = pollMs), sqlFor(stream))
+      case "mongodb" | "mongo" =>
+        // stream is the collection name (optionally db.collection); the
+        // wire client partitions the read by _id ranges
+        // (database_mongo.go:316-483 StreamRowsContext semantics)
+        Mongo.read(spark, Mongo.Conn(
+            host = spec.get("host").getOrElse("127.0.0.1"),
+            port = spec.get("port").map(_.toInt).getOrElse(27017),
+            database = spec.get("database").getOrElse("test")),
+          stream,
+          filter = Mongo.filterFor(
+            filterJson = where.orElse(spec.get("filter"))),
+          fields = spec.get("fields").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          splits = spec.get("splits").map(_.toInt).getOrElse(4))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)

@@ -211,9 +211,12 @@ object TaskConfig {
         val spec = Connections.resolve(conns, name)
         if (ProtocolRoute.applies(spec))
           // native wire client (clickhouse HTTP, databricks/snowflake SQL
-          // APIs, trino protocol, d1, bigquery, athena, ES, prometheus) —
-          // selected by an explicit http_url endpoint on the connection
-          ProtocolRoute.read(spark, spec, src.stream)
+          // APIs, trino protocol, d1, bigquery, athena, ES, prometheus,
+          // mongo OP_MSG) — selected by an explicit http_url endpoint on
+          // the connection, or unconditionally for JDBC-less kinds. A
+          // JSON-object `where:` is a mongo server-side filter.
+          ProtocolRoute.read(spark, spec, src.stream,
+            src.where.filter(_.trim.startsWith("{")))
         else if (spec.isDatabase)
           graft.sources.Jdbc.read(spark, spec.jdbcUrl, src.stream)
         else {
@@ -304,7 +307,10 @@ object TaskConfig {
   def applyPipeline(df: DataFrame, task: Task): DataFrame = {
     val selected =
       if (task.source.select.nonEmpty) Select(df, task.source.select) else df
-    val filtered = task.source.where.fold(selected)(w => selected.filter(expr(w)))
+    // a JSON-object `where:` was consumed server-side by the mongo route
+    // (readSource) — it is not a SQL predicate
+    val filtered = task.source.where.filterNot(_.trim.startsWith("{"))
+      .fold(selected)(w => selected.filter(expr(w)))
     // SQL-style OFFSET before LIMIT (source_options {limit, offset});
     // Dataset.offset is a logical operator, so both still push into the
     // single-partition JDBC read rather than collecting

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bson, LoopbackMongo, Mongo}
+import Bson.{BDoc, ObjectId}
+
+/** MongoDB wire source: BSON codec fidelity, OP_MSG find/getMore against
+  * the loopback server, `_id`-range partitioned distributed reads, and
+  * the reference's filter grammar (database_mongo.go:316-483).
+  */
+class MongoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def oid(n: Int): ObjectId = ObjectId.fromBigInt(BigInt(n) + 0x1000)
+
+  test("bson: encode/decode roundtrip across all value types") {
+    val doc = BDoc(
+      "_id" -> ObjectId.fromHex("0102030405060708090a0b0c"),
+      "str" -> "héllo\nworld",
+      "i32" -> 42,
+      "i64" -> 9876543210L,
+      "dbl" -> 3.5,
+      "bool" -> true,
+      "nil" -> null,
+      "ts" -> java.time.Instant.parse("2024-06-01T12:30:00Z"),
+      "bin" -> Array[Byte](1, 2, 3),
+      "sub" -> BDoc("a" -> 1, "b" -> "x"),
+      "arr" -> Seq(1, "two", 3.0),
+      "mts" -> Bson.MongoTimestamp(1700000000L, 7L))
+    val back = Bson.decode(Bson.encode(doc))
+    assert(back.getString("str").contains("héllo\nworld"))
+    assert(back.get("i32").contains(42))
+    assert(back.get("i64").contains(9876543210L))
+    assert(back.get("dbl").contains(3.5))
+    assert(back.get("bool").contains(true))
+    assert(back.get("nil").contains(null))
+    assert(back.get("_id").contains(ObjectId.fromHex("0102030405060708090a0b0c")))
+    assert(back.get("ts").contains(java.time.Instant.parse("2024-06-01T12:30:00Z")))
+    assert(back.get("bin").exists {
+      case b: Array[Byte] => b.toSeq == Seq[Byte](1, 2, 3); case _ => false })
+    assert(back.getDoc("sub").flatMap(_.get("b")).contains("x"))
+    assert(back.getSeq("arr") == Seq(1, "two", 3.0))
+    assert(back.get("mts").contains(Bson.MongoTimestamp(1700000000L, 7L)))
+  }
+
+  test("bson: decimal128 decodes standard BID values") {
+    // 1 at exponent 0: high = 0x3040000000000000, low = 1
+    assert(Bson.Dec128(0x3040000000000000L, 1L).decodeString == "1")
+    // -1.5: coeff 15, exp -1, negative
+    assert(Bson.Dec128(0xb03e000000000000L, 15L).decodeString == "-1.5")
+    // 0.001: coeff 1, exp -3
+    assert(Bson.Dec128(0x303a000000000000L, 1L).decodeString == "0.001")
+    assert(Bson.Dec128(0x7c00000000000000L, 0L).decodeString == "NaN")
+    assert(Bson.Dec128(0xf800000000000000L, 0L).decodeString == "-Infinity")
+  }
+
+  test("bson: json rendering with reference value conversions") {
+    val json = Bson.toJson(BDoc(
+      "_id" -> ObjectId.fromHex("aabbccddeeff001122334455"),
+      "t" -> java.time.Instant.parse("2024-01-02T03:04:05Z"),
+      "q" -> "say \"hi\"",
+      "sub" -> BDoc("k" -> 1)))
+    assert(json.contains("\"_id\":\"aabbccddeeff001122334455\""))
+    assert(json.contains("\"t\":\"2024-01-02T03:04:05Z\""))
+    assert(json.contains("\"q\":\"say \\\"hi\\\"\""))
+    assert(json.contains("\"sub\":{\"k\":1}"))
+  }
+
+  test("wire: find + getMore batches drain a filtered, sorted cursor") {
+    val srv = new LoopbackMongo
+    try {
+      srv.put("db1", "items", (1 to 25).map(i =>
+        BDoc("_id" -> oid(i), "n" -> i, "tag" -> (if (i % 2 == 0) "even" else "odd"))))
+      val client = new Mongo.Client("127.0.0.1", srv.port)
+      client.hello("db1")
+      val docs = Mongo.findDocs(client, "db1", "items",
+        Bson.fromJson("""{"tag":"even","n":{"$gt":4}}"""),
+        projection = None, sort = Some(BDoc("n" -> -1)),
+        limit = 0L, batchSize = 3).toVector
+      assert(docs.map(_.getLong("n").get) ==
+        (6 to 24 by 2).reverse.map(_.toLong).toVector)
+    } finally srv.close()
+  }
+
+  test("read: _id-range partitioned distributed read covers all docs once") {
+    val srv = new LoopbackMongo
+    try {
+      srv.put("db1", "events", (1 to 200).map(i =>
+        BDoc("_id" -> oid(i), "v" -> i)))
+      val before = srv.queries
+      val df = Mongo.read(spark, Mongo.Conn("127.0.0.1", srv.port, "db1"),
+        "events", splits = 4, batchSize = 50)
+      val vs = df.select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(vs == (1L to 200L))
+      // 2 bound probes + 4 range finds, twice (inference pass + read pass)
+      assert(srv.queries - before >= 6)
+    } finally srv.close()
+  }
+
+  test("read: integer _id domain splits numerically") {
+    val srv = new LoopbackMongo
+    try {
+      srv.put("db1", "nums", (101 to 160).map(i => BDoc("_id" -> i, "v" -> i * 2)))
+      val df = Mongo.read(spark, Mongo.Conn("127.0.0.1", srv.port, "db1"),
+        "nums", splits = 3)
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+        (101L to 160L).map(_ * 2))
+    } finally srv.close()
+  }
+
+  test("read: projection + limit fall back to a single cursor") {
+    val srv = new LoopbackMongo
+    try {
+      srv.put("db1", "docs", (1 to 30).map(i =>
+        BDoc("_id" -> oid(i), "a" -> i, "b" -> s"x$i")))
+      val df = Mongo.read(spark, Mongo.Conn("127.0.0.1", srv.port, "db1"),
+        "docs", fields = Seq("a"), limit = 7L, splits = 4)
+      assert(df.count() == 7)
+      assert(df.columns.sorted.toSeq == Seq("_id", "a")) // _id implicit
+    } finally srv.close()
+  }
+
+  test("filterFor composes incremental and backfill predicates") {
+    val inc = Mongo.filterFor(updateKey = Some("ts"),
+      incrementalValue = Some("'2024-01-01'"))
+    assert(Bson.toJson(inc) == """{"ts":{"$gt":"2024-01-01"}}""")
+    val bf = Mongo.filterFor(updateKey = Some("n"),
+      backfill = Some(("10", "20")))
+    assert(Bson.toJson(bf) == """{"n":{"$gte":10,"$lte":20}}""")
+    val combined = Mongo.filterFor(filterJson = Some("""{"k":"v"}"""),
+      updateKey = Some("n"), incrementalValue = Some("5"))
+    assert(Bson.toJson(combined) == """{"k":"v","n":{"$gt":5}}""")
+  }
+
+  test("fromJson: ObjectId hex, ISO dates, and ISODate(...) shell syntax") {
+    val f = Bson.fromJson(
+      """{"_id":{"$gte":"67859d8ee682ab32317abc6f"},
+         |"t":{"$gte":ISODate("3000-01-01T00:00:00.000Z")},
+         |"u":"2024-05-06T07:08:09Z"}""".stripMargin)
+    assert(f.getDoc("_id").flatMap(_.get("$gte"))
+      .contains(ObjectId.fromHex("67859d8ee682ab32317abc6f")))
+    assert(f.getDoc("t").flatMap(_.get("$gte"))
+      .contains(java.time.Instant.parse("3000-01-01T00:00:00Z")))
+    assert(f.get("u").contains(java.time.Instant.parse("2024-05-06T07:08:09Z")))
+  }
+
+  test("aggregate: $match/$sort/$limit pipeline through one cursor") {
+    val srv = new LoopbackMongo
+    try {
+      srv.put("db1", "m", (1 to 50).map(i => BDoc("_id" -> oid(i), "v" -> i)))
+      val df = Mongo.aggregate(spark,
+        Mongo.Conn("127.0.0.1", srv.port, "db1"), "m",
+        """[{"$match":{"v":{"$gte":40}}},{"$sort":{"v":-1}},{"$limit":5}]""")
+      assert(df.select("v").collect().map(_.getLong(0)).toSeq
+        .sorted(Ordering[Long].reverse) == Seq(50L, 49L, 48L, 47L, 46L))
+    } finally srv.close()
+  }
+}

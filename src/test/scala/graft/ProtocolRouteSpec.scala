@@ -112,6 +112,47 @@ class ProtocolRouteSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("mongodb conn routes unconditionally; stream where is a server-side " +
+      "JSON filter (r.54.mongo_filter semantics)") {
+    import graft.sources.{Bson, LoopbackMongo}
+    assert(ProtocolRoute.applies(spec("mongodb", "host" -> "h")))
+    val srv = new LoopbackMongo
+    try {
+      srv.put("test", "t1k", (1 to 20).map(i => Bson.BDoc(
+        "_id" -> Bson.ObjectId.fromBigInt(BigInt(i)), "code" -> i)))
+      val conns = Connections.parse(
+        s"""connections:
+           |  MG:
+           |    type: mongodb
+           |    host: 127.0.0.1
+           |    port: ${srv.port}
+           |    database: test
+           |""".stripMargin)
+      val df = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "t1k", conn = Some("MG"),
+          where = Some("""{ "code": {"$lte": 9}}""")), "/tmp", conns)
+      assert(df.select("code").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 9L))
+      // ObjectId range where (r.54.mongo_objectid_filter): hex strings
+      // convert to ObjectIds before comparison
+      val lo = Bson.ObjectId.fromBigInt(BigInt(5)).hex
+      val hi = Bson.ObjectId.fromBigInt(BigInt(8)).hex
+      val df2 = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "t1k", conn = Some("MG"),
+          where = Some(s"""{"_id": {"$$gte": "$lo", "$$lte": "$hi"}}""")),
+        "/tmp", conns)
+      assert(df2.count() == 4)
+      // far-future ISODate matches nothing (r.54.mongo_isodate_filter):
+      // ISODate("...") parses to a real instant, not null
+      val df3 = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "t1k", conn = Some("MG"),
+          where = Some(
+            """{"code": {"$gte": ISODate("3000-01-01T00:00:00.000Z")}}""")),
+        "/tmp", conns)
+      assert(df3.count() == 0)
+    } finally srv.close()
+  }
+
   test("sql-text stream passes through unwrapped") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
