@@ -187,6 +187,46 @@ object Integration {
         CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // protocol TARGET direct insert (task_run_write.go:209-226
+    // writeDirectly): a mongodb target conn in task YAML drops the
+    // collection on full-refresh and each Spark partition inserts its own
+    // batches over the wire; read back via the partitioned wire source
+    Q("op_mongo_write",
+      (s, dir) => {
+        import graft.sources.{LoopbackMongo, Mongo}
+        val srv = new LoopbackMongo
+        try {
+          val yaml =
+            s"""connections:
+               |  MG:
+               |    type: mongodb
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    database: graft
+               |source:
+               |  stream: region
+               |target:
+               |  conn: MG
+               |  object: region_sink
+               |  mode: full-refresh
+               |  primary_key: [r_regionkey]
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          graft.repl.TaskConfig.run(s, yaml, dir) // rerun: drop + reload
+          // materialize before the loopback server closes (the returned
+          // frame is evaluated by the caller after this function exits)
+          val out = scratch("mongo_write_back", dir)
+          Mongo.read(s, Mongo.Conn("127.0.0.1", srv.port, "graft"),
+              "region_sink", splits = 2)
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out)
+            .select(col("r_regionkey"), col("r_name"))
+            .orderBy("r_regionkey")
+        } finally srv.close()
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        FROM region ORDER BY r_regionkey""")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

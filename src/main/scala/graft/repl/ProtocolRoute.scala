@@ -122,4 +122,52 @@ object ProtocolRoute {
         throw new IllegalArgumentException(s"no protocol client for '$other'")
     }
   }
+
+  /** Kinds with a native direct-insert write path — the reference's
+    * writeDirectly set minus the live-only stores
+    * (`task_run_write.go:209-226`: iceberg/mongo/ES/azuretable/scylla
+    * skip the SQL temp-table merge and write straight to the target). */
+  val writeKinds: Set[String] = Set("clickhouse", "proton",
+    "elasticsearch", "mongodb", "mongo")
+
+  def writes(spec: Connections.ConnSpec): Boolean =
+    applies(spec) && writeKinds.contains(spec.kind)
+
+  /** Direct insert into the target store. `full-refresh` clears the
+    * object first (TRUNCATE / index delete / collection drop); every
+    * other mode appends — with a primary key, the mongo `_id` / ES `_id`
+    * routing makes the insert upsert-by-key, the reference's
+    * upsertByInsert semantics for these stores. Returns rows written. */
+  def write(df: DataFrame, spec: Connections.ConnSpec, obj: String,
+      mode: String, primaryKey: Seq[String] = Nil): Long = {
+    def url = spec.get("http_url").getOrElse(throw new IllegalArgumentException(
+      s"connection ${spec.name} (${spec.kind}) needs http_url for protocol access"))
+    def token = spec.get("token").orElse(spec.get("api_token")).getOrElse("")
+    spec.kind match {
+      case "clickhouse" | "proton" =>
+        val c = graft.sources.ClickHouseHttp.Conn(url,
+          user = spec.get("username").orElse(spec.get("user"))
+            .getOrElse("default"),
+          password = spec.get("password").getOrElse(""),
+          database = spec.get("database").getOrElse(""))
+        if (mode == "full-refresh")
+          try graft.sources.ClickHouseHttp.execute(c, s"TRUNCATE TABLE $obj")
+          catch { case _: java.sql.SQLException => () } // absent table
+        graft.sources.ClickHouseHttp.insert(df, c, obj)
+      case "elasticsearch" =>
+        val c = graft.sources.Elastic.Conn(url, token)
+        if (mode == "full-refresh") graft.sources.Elastic.deleteIndex(c, obj)
+        graft.sources.Elastic.bulkWrite(df, c, obj, primaryKey.headOption)
+      case "mongodb" | "mongo" =>
+        val c = graft.sources.Mongo.Conn(
+          host = spec.get("host").getOrElse("127.0.0.1"),
+          port = spec.get("port").map(_.toInt).getOrElse(27017),
+          database = spec.get("database").getOrElse("test"))
+        if (mode == "full-refresh") graft.sources.Mongo.drop(c, obj)
+        graft.sources.Mongo.insert(df, c, obj,
+          idCol = primaryKey.headOption)
+      case other =>
+        throw new IllegalArgumentException(s"no protocol write for '$other'")
+    }
+  }
 }

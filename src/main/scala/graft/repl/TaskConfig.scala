@@ -516,6 +516,12 @@ object TaskConfig {
     // a database target conn routes through the staged-load + in-DB merge
     // path regardless of declared file format (task_run_write.go:163-498)
     tgt.conn.map(Connections.resolve(task.connections, _)) match {
+      // NoSQL / protocol stores write directly — no SQL temp-table merge
+      // (task_run_write.go:209-226 writeDirectly; insert is upsert-by-PK
+      // for the _id-routed stores)
+      case Some(spec) if ProtocolRoute.writes(spec) =>
+        return ProtocolRoute.write(df, spec, tgt.obj, tgt.mode,
+          tgt.primaryKey)
       case Some(spec) if spec.isDatabase =>
         // existence guard parity with the file path: a non-empty DB target
         // is left untouched when ignore_existing is set

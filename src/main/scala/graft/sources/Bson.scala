@@ -110,6 +110,26 @@ object Bson {
     }
   }
 
+  object Dec128 {
+    /** Encode a BigDecimal in the BID small-coefficient form; None when
+      * the coefficient exceeds 10^34−1 or the exponent leaves the
+      * decimal128 range (callers fall back to a string). */
+    def fromBigDecimal(v: BigDecimal): Option[Dec128] = {
+      val unscaled = BigInt(v.underlying.unscaledValue)
+      val exp = -v.scale
+      val biased = exp + 6176
+      val maxCoeff = BigInt(10).pow(34) - 1
+      if (unscaled.abs > maxCoeff || biased < 0 || biased > 12287) None
+      else {
+        val coeff = unscaled.abs
+        val low = (coeff & ((BigInt(1) << 64) - 1)).toLong
+        val highCoeff = (coeff >> 64).toLong // < 2^49
+        val sign = if (unscaled.signum < 0) 0x8000000000000000L else 0L
+        Some(Dec128(sign | (biased.toLong << 49) | highCoeff, low))
+      }
+    }
+  }
+
   case object MinKey
   case object MaxKey
 

@@ -59,23 +59,24 @@ object ClickHouseHttp {
 
   /** Frame → `INSERT INTO table FORMAT JSONEachRow` chunks. Rows render
     * via Spark's own JSON writer semantics (toJSON), so types match what
-    * a file export would carry. Returns rows written. */
+    * a file export would carry. DISTRIBUTED: each Spark partition posts
+    * its own bounded chunks (ClickHouse's HTTP interface takes concurrent
+    * INSERTs; parts merge server-side) — the earlier driver-side
+    * toLocalIterator form funneled the whole frame through one connection.
+    * Returns rows written. */
   def insert(df: DataFrame, conn: Conn, table: String,
-      chunkRows: Int = 10000): Long = {
-    var n = 0L
-    val it = df.toJSON.toLocalIterator()
-    val buf = new StringBuilder
-    var inBuf = 0
-    def flush(): Unit = if (inBuf > 0) {
-      post(conn, s"INSERT INTO $table FORMAT JSONEachRow\n" + buf.toString)
-      buf.clear(); inBuf = 0
-    }
-    while (it.hasNext) {
-      buf.append(it.next()).append('\n')
-      inBuf += 1; n += 1
-      if (inBuf >= chunkRows) flush()
-    }
-    flush()
-    n
-  }
+      chunkRows: Int = 10000): Long =
+    df.toJSON.rdd.mapPartitions { it =>
+      var n = 0L
+      it.grouped(chunkRows).foreach { batch =>
+        post(conn, s"INSERT INTO $table FORMAT JSONEachRow\n" +
+          batch.mkString("\n") + "\n")
+        n += batch.size
+      }
+      Iterator(n)
+    }.sum().toLong
+
+  /** Run a statement for its side effect (TRUNCATE before a
+    * full-refresh insert, DDL); returns the raw response body. */
+  def execute(conn: Conn, sql: String): String = post(conn, sql)
 }

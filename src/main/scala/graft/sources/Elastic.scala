@@ -31,16 +31,21 @@ object Elastic {
 
   /** POST returning the response body — executor-side, plain JDK HTTP. */
   private def post(url: String, headers: Map[String, String],
-      body: String): String = {
+      body: String): String = request("POST", url, headers, body)
+
+  private def request(method: String, url: String,
+      headers: Map[String, String], body: String): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
+    conn.setRequestMethod(method)
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    conn.setDoOutput(true)
-    val os = conn.getOutputStream
-    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (body.nonEmpty) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+    }
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val out = new String(
@@ -113,9 +118,7 @@ object Elastic {
   }
 
   /** NDJSON `_bulk` index encoder (the write-side wire format): action
-    * line + doc line per row; `idCol` routes to `_id` when set. The
-    * caller POSTs chunks to `/_bulk` — encoder-level like PgCopy/BCP
-    * (no live server offline). */
+    * line + doc line per row; `idCol` routes to `_id` when set. */
   def bulkEncode(docsJson: Seq[String], index: String,
       ids: Seq[String] = Nil): String = {
     val sb = new StringBuilder
@@ -127,4 +130,41 @@ object Elastic {
     }
     sb.toString
   }
+
+  /** Distributed `_bulk` write: each Spark partition POSTs its own
+    * bounded NDJSON chunks — no driver data path. With `idCol` set the
+    * `index` action carries `_id`, making re-runs upsert-by-id (the
+    * direct-insert shape of the reference's ES target,
+    * `task_run_write.go:209-226`). Returns rows written. */
+  def bulkWrite(df: org.apache.spark.sql.DataFrame, conn: Conn,
+      index: String, idCol: Option[String] = None,
+      chunkRows: Int = 1000): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    val cols = df.columns.toSeq.map(col)
+    val pair = df.select(to_json(struct(cols: _*)).as("_doc"),
+      idCol.map(c => col(c).cast("string"))
+        .getOrElse(lit(null).cast("string")).as("_docid"))
+    val withIds = idCol.isDefined
+    pair.rdd.mapPartitions { it =>
+      var n = 0L
+      val hdrs = conn.headers + ("Content-Type" -> "application/x-ndjson")
+      it.grouped(chunkRows).foreach { batch =>
+        val docs = batch.map(_.getString(0))
+        val ids = if (withIds) batch.map(_.getString(1)) else Nil
+        val resp = post(s"${conn.baseUrl}/_bulk", hdrs,
+          bulkEncode(docs, index, ids))
+        if (resp.contains("\"errors\":true")) throw new java.io.IOException(
+          s"elastic bulk reported item errors: ${resp.take(300)}")
+        n += docs.size
+      }
+      Iterator(n)
+    }.sum().toLong
+  }
+
+  /** Delete an index (full-refresh prep); 404 on an absent index is fine. */
+  def deleteIndex(conn: Conn, index: String): Unit =
+    try request("DELETE", s"${conn.baseUrl}/$index", conn.headers, "")
+    catch {
+      case e: java.io.IOException if e.getMessage.startsWith("elastic 404") => ()
+    }
 }

@@ -111,6 +111,11 @@ final class LoopbackMongo extends AutoCloseable {
         val docs = cmd.getSeq("documents").collect { case d: BDoc => d }
         collections.merge((db, coll), docs.toVector, (a, b) => a ++ b)
         BDoc("n" -> docs.size, "ok" -> 1.0)
+      case Some("drop") =>
+        val coll = cmd.getString("drop").get
+        if (collections.remove((db, coll)) == null)
+          throw new IllegalArgumentException("ns not found")
+        BDoc("ok" -> 1.0)
       case Some("aggregate") => runAggregate(db, cmd)
       case other =>
         throw new IllegalArgumentException(s"unsupported command: $other")

@@ -274,6 +274,84 @@ object Mongo {
       .json(spark.createDataset(lines))
   }
 
+  /** Row → BSON document with Spark's external types mapped onto the
+    * wire types (timestamps → UTC datetime, decimals → decimal128 when
+    * in range, dates → ISO strings, structs/arrays/maps structural).
+    * `idCol` mirrors the row's key column into `_id`, which makes the
+    * insert upsert-by-PK shaped, as the reference treats mongo targets
+    * (`task_run_write.go:212` upsertByInsert). */
+  private[graft] def rowToDoc(row: org.apache.spark.sql.Row,
+      fieldNames: Seq[String], idCol: Option[String]): BDoc = {
+    def conv(v: Any): Any = v match {
+      case null => null
+      case s: String => s
+      case i: Int => i
+      case l: Long => l
+      case d: Double => d
+      case f: Float => f.toDouble
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case b: Boolean => b
+      case d: java.math.BigDecimal =>
+        Bson.Dec128.fromBigDecimal(BigDecimal(d))
+          .getOrElse(d.toPlainString: Any)
+      case d: scala.math.BigDecimal =>
+        Bson.Dec128.fromBigDecimal(d).getOrElse(d.underlying.toPlainString: Any)
+      case t: java.sql.Timestamp => t.toInstant
+      case t: java.time.Instant => t
+      case d: java.sql.Date => d.toString
+      case d: java.time.LocalDate => d.toString
+      case b: Array[Byte] => b
+      case r: org.apache.spark.sql.Row =>
+        BDoc(r.schema.fieldNames.toSeq.zip(r.toSeq.map(conv)))
+      case s: Seq[_] => s.map(conv)
+      case m: Map[_, _] =>
+        BDoc(m.toSeq.map { case (k, v) => (k.toString, conv(v)) })
+      case other => other.toString
+    }
+    val fields = fieldNames.zip(row.toSeq.map(conv))
+    idCol.flatMap(c => fields.collectFirst { case (`c`, v) => v }) match {
+      // the key value becomes _id; an existing _id column (e.g. a
+      // mongo→mongo copy) yields to it — BSON forbids duplicate keys
+      case Some(id) =>
+        BDoc(("_id" -> id) +: fields.filterNot(_._1 == "_id"))
+      case None => BDoc(fields)
+    }
+  }
+
+  /** Distributed insert: each Spark partition opens its own socket and
+    * sends `insert` commands in bounded batches — no driver data path.
+    * Returns rows written. */
+  def insert(df: DataFrame, conn: Conn, collection: String,
+      idCol: Option[String] = None, chunkRows: Int = 1000): Long = {
+    val (db, coll) = splitName(conn, collection)
+    val names = df.schema.fieldNames.toSeq
+    df.rdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator(0L)
+      else {
+        val c = new Client(conn.host, conn.port)
+        c.hello(db)
+        var n = 0L
+        try rows.grouped(chunkRows).foreach { batch =>
+          val docs: Seq[Any] = batch.map(rowToDoc(_, names, idCol))
+          c.command(db, BDoc("insert" -> coll, "documents" -> docs))
+          n += batch.size
+        } finally c.close()
+        Iterator(n)
+      }
+    }.sum().toLong
+  }
+
+  /** Drop a collection (full-refresh prep); absent collections are fine
+    * (a real mongod answers "ns not found"). */
+  def drop(conn: Conn, collection: String): Unit = {
+    val (db, coll) = splitName(conn, collection)
+    val c = new Client(conn.host, conn.port)
+    try c.command(db, BDoc("drop" -> coll))
+    catch { case _: java.io.IOException => () }
+    finally c.close()
+  }
+
   /** `db.collection` overrides the connection database, like the
     * reference's ParseTableName (`database_mongo.go:387`). */
   private def splitName(conn: Conn, collection: String): (String, String) =

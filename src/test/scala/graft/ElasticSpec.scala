@@ -126,4 +126,40 @@ class ElasticSpec extends AnyFunSuite {
     val noIds = Elastic.bulkEncode(Seq("""{"a":1}"""), "idx")
     assert(noIds.startsWith("""{"index":{"_index":"idx"}}"""))
   }
+
+  test("bulkWrite posts per-partition NDJSON chunks; deleteIndex clears") {
+    val bulks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var deleted = ""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resp =
+        if (ex.getRequestMethod == "DELETE") {
+          deleted = ex.getRequestURI.getPath; """{"acknowledged":true}"""
+        } else { bulks.add(body); """{"errors":false,"items":[]}""" }
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val conn = Elastic.Conn(s"http://127.0.0.1:${server.getAddress.getPort}")
+      Elastic.deleteIndex(conn, "docs")
+      assert(deleted == "/docs")
+      val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(3)
+      assert(Elastic.bulkWrite(df, conn, "docs", idCol = Some("id"),
+        chunkRows = 2) == 10L)
+      val lines = bulks.toArray.map(_.toString).flatMap(_.split("\n"))
+      val actions = lines.filter(_.contains("\"_index\":\"docs\""))
+      assert(actions.length == 10)
+      // every action routes _id from the key column
+      assert(actions.forall(_.matches(""".*"_id":"\d+".*""")))
+      // chunkRows=2 bounds each POST to at most 2 docs (4 lines)
+      assert(bulks.toArray.forall(
+        _.toString.split("\n").length <= 4))
+    } finally server.stop(0)
+  }
 }

@@ -140,6 +140,49 @@ class MongoSpec extends AnyFunSuite {
     assert(Bson.toJson(combined) == """{"k":"v","n":{"$gt":5}}""")
   }
 
+  test("insert: distributed per-partition writes round-trip typed values") {
+    val srv = new LoopbackMongo
+    try {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "a", 1.5, true, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-04T05:06:07Z")),
+          new java.math.BigDecimal("12.340")),
+        (2L, "b", -0.25, false, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-04T05:06:08Z")),
+          new java.math.BigDecimal("99999.99")))
+        .toDF("k", "s", "d", "b", "t", "dec").repartition(2)
+      val conn = Mongo.Conn("127.0.0.1", srv.port, "db1")
+      assert(Mongo.insert(df, conn, "out", idCol = Some("k")) == 2L)
+      val back = srv.docsOf("db1", "out").sortBy(_.getLong("k").get)
+      assert(back.size == 2)
+      // _id mirrored from the key column (upsert-by-PK shape)
+      assert(back.head.get("_id").contains(1L))
+      assert(back.head.get("s").contains("a"))
+      assert(back.head.get("d").contains(1.5))
+      assert(back.head.get("t").contains(
+        java.time.Instant.parse("2024-03-04T05:06:07Z")))
+      // decimals travel as decimal128 and decode back exactly
+      assert(back.head.get("dec").collect {
+        case d: Bson.Dec128 => d.decodeString }.contains("12.34"))
+      // drop clears the collection; dropping again is a no-op
+      Mongo.drop(conn, "out")
+      assert(srv.docsOf("db1", "out").isEmpty)
+      Mongo.drop(conn, "out")
+    } finally srv.close()
+  }
+
+  test("dec128 encode/decode round-trips common decimals") {
+    Seq("0", "1", "-1.5", "0.001", "12.34", "99999.99",
+      "-123456789012345678901234567890.1234").foreach { s =>
+      val d = Bson.Dec128.fromBigDecimal(BigDecimal(s)).get
+      assert(BigDecimal(d.decodeString) == BigDecimal(s), s"for $s")
+    }
+    // out-of-range coefficient falls back to None
+    assert(Bson.Dec128.fromBigDecimal(
+      BigDecimal("1" * 35)).isEmpty)
+  }
+
   test("fromJson: ObjectId hex, ISO dates, and ISODate(...) shell syntax") {
     val f = Bson.fromJson(
       """{"_id":{"$gte":"67859d8ee682ab32317abc6f"},

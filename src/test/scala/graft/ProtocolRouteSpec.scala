@@ -153,6 +153,43 @@ class ProtocolRouteSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("mongodb target conn direct-inserts; full-refresh drops first " +
+      "(task_run_write.go writeDirectly)") {
+    import graft.sources.{Bson, LoopbackMongo}
+    val srv = new LoopbackMongo
+    try {
+      srv.put("test", "seed", (1 to 6).map(i => Bson.BDoc(
+        "_id" -> i, "k" -> i, "v" -> s"row$i")))
+      val dir = java.nio.file.Files.createTempDirectory("proto-write")
+        .toString
+      def yaml(mode: String) =
+        s"""connections:
+           |  MG:
+           |    type: mongodb
+           |    host: 127.0.0.1
+           |    port: ${srv.port}
+           |    database: test
+           |source:
+           |  conn: MG
+           |  stream: seed
+           |target:
+           |  conn: MG
+           |  object: sink
+           |  mode: $mode
+           |  primary_key: [k]
+           |""".stripMargin
+      TaskConfig.run(spark, yaml("full-refresh"), dir)
+      assert(srv.docsOf("test", "sink").size == 6)
+      // rerunning full-refresh drops and reloads — no duplicates
+      TaskConfig.run(spark, yaml("full-refresh"), dir)
+      val docs = srv.docsOf("test", "sink")
+      assert(docs.size == 6)
+      // _id mirrors the primary key column
+      assert(docs.map(_.get("_id").get).toSet == (1 to 6).map(i =>
+        i.toLong: Any).toSet)
+    } finally srv.close()
+  }
+
   test("sql-text stream passes through unwrapped") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
