@@ -227,6 +227,48 @@ object Integration {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         FROM region ORDER BY r_regionkey""")),
 
+    // ScyllaDB/Cassandra over the CQL native protocol v4: task-YAML
+    // scylla conns direct-insert (upsert-by-PK) and token-range
+    // partition their reads; the schema comes typed from the protocol's
+    // column metadata, not JSON inference (database_scylladb.go driver
+    // semantics re-expressed on the public wire protocol)
+    Q("op_scylla",
+      (s, dir) => {
+        import graft.sources.{Cql, LoopbackCql}
+        val srv = new LoopbackCql
+        try {
+          srv.define("ks", "region_sink", Seq(
+            "r_regionkey" -> Cql.TInt, "r_name" -> Cql.TVarchar),
+            pk = Seq("r_regionkey"))
+          val yaml =
+            s"""connections:
+               |  SC:
+               |    type: scylla
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    keyspace: ks
+               |    partition_key: r_regionkey
+               |    splits: 2
+               |source:
+               |  stream: region
+               |  select: [r_regionkey, r_name]
+               |target:
+               |  conn: SC
+               |  object: region_sink
+               |  mode: full-refresh
+               |  primary_key: [r_regionkey]
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          graft.repl.TaskConfig.run(s, yaml, dir) // rerun: truncate+reload
+          val out = scratch("scylla_back", dir)
+          Cql.read(s, Cql.Conn("127.0.0.1", srv.port, "ks"), "region_sink",
+              partitionKey = Seq("r_regionkey"), splits = 2)
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("r_regionkey")
+        } finally srv.close()
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

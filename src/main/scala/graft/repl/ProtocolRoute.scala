@@ -24,10 +24,11 @@ object ProtocolRoute {
   /** Kinds with a native client in `graft.sources`. */
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
-    "prometheus", "mongodb", "mongo")
+    "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
   /** Kinds with no JDBC surface at all — they route here unconditionally. */
-  private val wireOnly = Set("d1", "mongodb", "mongo")
+  private val wireOnly =
+    Set("d1", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
   def applies(spec: Connections.ConnSpec): Boolean =
     kinds.contains(spec.kind) &&
@@ -108,6 +109,19 @@ object ProtocolRoute {
           fields = spec.get("fields").toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
           splits = spec.get("splits").map(_.toInt).getOrElse(4))
+      case "scylla" | "scylladb" | "cassandra" =>
+        // stream is a table name (token-range partitioned read when the
+        // connection declares partition_key) or CQL text (one paged
+        // cursor) — database_scylladb.go:274-340 StreamRowsContext
+        graft.sources.Cql.read(spark, graft.sources.Cql.Conn(
+            host = spec.get("host").getOrElse("127.0.0.1"),
+            port = spec.get("port").map(_.toInt).getOrElse(9042),
+            keyspace = spec.get("keyspace")
+              .orElse(spec.get("database")).getOrElse("")),
+          stream,
+          partitionKey = spec.get("partition_key").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          splits = spec.get("splits").map(_.toInt).getOrElse(4))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)
@@ -128,7 +142,7 @@ object ProtocolRoute {
     * (`task_run_write.go:209-226`: iceberg/mongo/ES/azuretable/scylla
     * skip the SQL temp-table merge and write straight to the target). */
   val writeKinds: Set[String] = Set("clickhouse", "proton",
-    "elasticsearch", "mongodb", "mongo")
+    "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
@@ -166,6 +180,18 @@ object ProtocolRoute {
         if (mode == "full-refresh") graft.sources.Mongo.drop(c, obj)
         graft.sources.Mongo.insert(df, c, obj,
           idCol = primaryKey.headOption)
+      case "scylla" | "scylladb" | "cassandra" =>
+        // CQL INSERT is natively an upsert by primary key
+        // (task_run_write.go:212 upsertByInsert)
+        val c = graft.sources.Cql.Conn(
+          host = spec.get("host").getOrElse("127.0.0.1"),
+          port = spec.get("port").map(_.toInt).getOrElse(9042),
+          keyspace = spec.get("keyspace")
+            .orElse(spec.get("database")).getOrElse(""))
+        if (mode == "full-refresh")
+          try graft.sources.Cql.execute(c, s"TRUNCATE $obj")
+          catch { case _: java.io.IOException => () } // absent table
+        graft.sources.Cql.insert(df, c, obj)
       case other =>
         throw new IllegalArgumentException(s"no protocol write for '$other'")
     }
