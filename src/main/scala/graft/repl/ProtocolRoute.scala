@@ -99,10 +99,7 @@ object ProtocolRoute {
         // stream is the collection name (optionally db.collection); the
         // wire client partitions the read by _id ranges
         // (database_mongo.go:316-483 StreamRowsContext semantics)
-        Mongo.read(spark, Mongo.Conn(
-            host = spec.get("host").getOrElse("127.0.0.1"),
-            port = spec.get("port").map(_.toInt).getOrElse(27017),
-            database = spec.get("database").getOrElse("test")),
+        Mongo.read(spark, mongoConn(spec),
           stream,
           filter = Mongo.filterFor(
             filterJson = where.orElse(spec.get("filter"))),
@@ -135,6 +132,20 @@ object ProtocolRoute {
       case other =>
         throw new IllegalArgumentException(s"no protocol client for '$other'")
     }
+  }
+
+  /** Connection → wire client config: an explicit `url:` (including
+    * the multi-host seed-list form, suite.cli id 305) wins over the
+    * host/port/database props; database prop overrides the URL path. */
+  private def mongoConn(spec: Connections.ConnSpec): graft.sources.Mongo.Conn = {
+    import graft.sources.Mongo
+    val base = spec.get("url").filter(_.startsWith("mongodb"))
+      .map(Mongo.connFromUrl)
+      .getOrElse(Mongo.Conn(
+        host = spec.get("host").getOrElse("127.0.0.1"),
+        port = spec.get("port").map(_.toInt).getOrElse(27017),
+        database = "test"))
+    spec.get("database").map(d => base.copy(database = d)).getOrElse(base)
   }
 
   /** Kinds with a native direct-insert write path — the reference's
@@ -173,10 +184,7 @@ object ProtocolRoute {
         if (mode == "full-refresh") graft.sources.Elastic.deleteIndex(c, obj)
         graft.sources.Elastic.bulkWrite(df, c, obj, primaryKey.headOption)
       case "mongodb" | "mongo" =>
-        val c = graft.sources.Mongo.Conn(
-          host = spec.get("host").getOrElse("127.0.0.1"),
-          port = spec.get("port").map(_.toInt).getOrElse(27017),
-          database = spec.get("database").getOrElse("test"))
+        val c = mongoConn(spec)
         if (mode == "full-refresh") graft.sources.Mongo.drop(c, obj)
         graft.sources.Mongo.insert(df, c, obj,
           idCol = primaryKey.headOption)

@@ -41,6 +41,67 @@ object Mongo {
   final case class Conn(host: String, port: Int, database: String)
     extends Serializable
 
+  /** A parsed mongodb:// connection string. */
+  final case class Url(hosts: Seq[(String, Int)], database: Option[String],
+      user: Option[String], password: Option[String],
+      options: Map[String, String], srv: Boolean)
+
+  /** Parse a mongodb:// or mongodb+srv:// connection string, including
+    * the replica-set / Atlas seed-list form with a comma-separated
+    * multi-host authority (`mongodb://u:p@h0:27017,h1:27017,h2:27017/
+    * db?replicaSet=rs0`) that general-purpose URL parsers reject
+    * (reference regression `tests/suite.cli.yaml` id 305). Hand-parsed —
+    * java.net.URI also chokes on the comma authority. */
+  def parseUrl(url: String): Url = {
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8")
+    val (srv, rest) =
+      if (url.startsWith("mongodb+srv://"))
+        (true, url.stripPrefix("mongodb+srv://"))
+      else if (url.startsWith("mongodb://"))
+        (false, url.stripPrefix("mongodb://"))
+      else throw new IllegalArgumentException(s"not a mongodb url: $url")
+    val (authority, pathQuery) = rest.indexOf('/') match {
+      case -1 => (rest, "")
+      case i => (rest.take(i), rest.drop(i + 1))
+    }
+    // '@' in credentials must be percent-encoded per the connection-string
+    // spec, so the LAST '@' separates userinfo from the host list
+    val (userinfo, hostsPart) = authority.lastIndexOf('@') match {
+      case -1 => (None, authority)
+      case i => (Some(authority.take(i)), authority.drop(i + 1))
+    }
+    val (user, pass) = userinfo.map(_.split(":", 2) match {
+      case Array(u, p) => (Some(dec(u)), Some(dec(p)))
+      case Array(u) => (Some(dec(u)), None)
+    }).getOrElse((None, None))
+    require(hostsPart.nonEmpty, s"mongodb url has no hosts: $url")
+    val hosts = hostsPart.split(",").toSeq.map(_.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h) => (h, 27017)
+    })
+    val (path, query) = pathQuery.split("\\?", 2) match {
+      case Array(p, q) => (p, q)
+      case Array(p) => (p, "")
+    }
+    val options = query.split("&").toSeq.filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.toLowerCase -> dec(v)
+      }.toMap
+    Url(hosts, Some(path).filter(_.nonEmpty), user, pass, options, srv)
+  }
+
+  /** Connection from a URL: first seed-list host (driver-style failover
+    * across the list needs a live replica set to talk to — documented
+    * seam), database from the path or authSource. */
+  def connFromUrl(url: String): Conn = {
+    val u = parseUrl(url)
+    val (host, port) = u.hosts.head
+    Conn(host, port,
+      u.database.orElse(u.options.get("authsource")).getOrElse("test"))
+  }
+
   private final val OpMsg = 2013
 
   /** One socket speaking OP_MSG request/reply. Not thread-safe; callers

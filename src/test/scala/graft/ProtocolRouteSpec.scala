@@ -190,6 +190,25 @@ class ProtocolRouteSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("mongodb url-shorthand conn routes through the parsed seed list") {
+    import graft.sources.{Bson, LoopbackMongo}
+    val srv = new LoopbackMongo
+    try {
+      srv.put("appdb", "c1", Seq(Bson.BDoc("_id" -> 1, "v" -> "ok")))
+      // url: shorthand — kind comes from the scheme, endpoint from the
+      // (single-host) seed list, database from the path
+      val conns = Connections.parse(
+        s"""connections:
+           |  MG_URL:
+           |    url: mongodb://127.0.0.1:${srv.port}/appdb
+           |""".stripMargin)
+      assert(conns("MG_URL").kind == "mongodb")
+      val df = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "c1", conn = Some("MG_URL")), "/tmp", conns)
+      assert(df.collect().head.getAs[String]("v") == "ok")
+    } finally srv.close()
+  }
+
   test("sql-text stream passes through unwrapped") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
