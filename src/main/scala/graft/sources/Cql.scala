@@ -113,17 +113,46 @@ object Cql {
       parseResult(resp)
     }
 
-    private def exchange(opcode: Int, body: Array[Byte]): (Int, ByteBuffer) = {
+    /** Pipelined inserts: keep up to `window` QUERYs in flight on this
+      * connection (distinct stream ids, §2.1.3 — how real drivers get
+      * throughput out of one socket) and drain replies as the window
+      * fills. Returns rows written; throws on the first server error. */
+    def executeMany(statements: Iterator[(String, Seq[Array[Byte]])],
+        window: Int = 128): Long = {
+      var inFlight = 0
+      var n = 0L
+      // flush before blocking on a reply — buffered requests the server
+      // hasn't seen yet would deadlock the window
+      def drainOne(): Unit = { out.flush(); readReply(); inFlight -= 1; n += 1 }
+      statements.foreach { case (cql, values) =>
+        val body = new java.io.ByteArrayOutputStream()
+        writeLongString(body, cql)
+        writeShort(body, 1) // consistency ONE
+        body.write(0x01) // values flag only
+        writeShort(body, values.size)
+        values.foreach(v => writeBytes(body, v))
+        send(OpQuery, body.toByteArray)
+        inFlight += 1
+        if (inFlight >= window) drainOne()
+      }
+      out.flush()
+      while (inFlight > 0) drainOne()
+      n
+    }
+
+    private def send(opcode: Int, body: Array[Byte]): Unit = {
       stream = ((stream + 1) & 0x7fff).toShort
       val head = ByteBuffer.allocate(9)
       head.put(0x04.toByte).put(0.toByte).putShort(stream)
         .put(opcode.toByte).putInt(body.length)
-      out.write(head.array()); out.write(body); out.flush()
+      out.write(head.array()); out.write(body)
+    }
 
+    private def readReply(): (Int, ByteBuffer) = {
       val hdr = new Array[Byte](9)
       in.readFully(hdr)
       val hb = ByteBuffer.wrap(hdr)
-      val version = hb.get(); hb.getShort // flags(skipped via get below)
+      val version = hb.get()
       require((version & 0x7f) == 0x04, f"unexpected version 0x$version%02x")
       val op = hb.get(4) & 0xff
       val len = hb.getInt(5)
@@ -136,6 +165,12 @@ object Cql {
           s"cql error 0x${code.toHexString}: ${readString(buf)}")
       }
       (op, buf)
+    }
+
+    private def exchange(opcode: Int, body: Array[Byte]): (Int, ByteBuffer) = {
+      send(opcode, body)
+      out.flush()
+      readReply()
     }
 
     override def close(): Unit = socket.close()
@@ -470,13 +505,9 @@ object Cql {
       if (rows.isEmpty) Iterator(0L)
       else {
         val c = new Client(conn.host, conn.port)
-        var n = 0L
-        try rows.foreach { r =>
-          val values = types.indices.map(i => encodeValue(r.get(i), types(i)))
-          c.query(cql, values = values)
-          n += 1
-        } finally c.close()
-        Iterator(n)
+        try Iterator(c.executeMany(rows.map { r =>
+          (cql, types.indices.map(i => encodeValue(r.get(i), types(i))))
+        })) finally c.close()
       }
     }.sum().toLong
   }

@@ -22,7 +22,22 @@ final class LoopbackCql extends AutoCloseable {
 
   /** (keyspace, table) → (column specs, partition-key names, rows by pk). */
   private final case class Table(cols: Seq[(String, CqlType)], pk: Seq[String],
-      rows: scala.collection.concurrent.TrieMap[Seq[Any], Seq[Any]])
+      rows: scala.collection.concurrent.TrieMap[Seq[Any], Seq[Any]]) {
+    // ring-ordered snapshot, recomputed only when the row set changes —
+    // a fresh full sort per range select made the fixture O(splits·n·log n)
+    @volatile private var sortedCache: (Int, Seq[Seq[Any]]) = (-1, Nil)
+    def sortedRows(tokenOf: Seq[Any] => Long,
+        pkOf: Seq[Any] => Seq[Any]): Seq[Seq[Any]] = {
+      val size = rows.size
+      val cached = sortedCache
+      if (cached._1 == size) cached._2
+      else {
+        val sorted = rows.values.toSeq.sortBy(r => tokenOf(pkOf(r)))
+        sortedCache = (size, sorted)
+        sorted
+      }
+    }
+  }
   private val tables = new ConcurrentHashMap[(String, String), Table]()
   // paging cursors: id-bytes → remaining rows
   private val cursors = new ConcurrentHashMap[Long, (Table, Seq[Seq[Any]])]()
@@ -183,8 +198,7 @@ final class LoopbackCql extends AutoCloseable {
         val tail = LimitRe.replaceFirstIn(
           cql.substring(FromRe.findFirstMatchIn(cql).get.end), "").trim
         val t = resolve(name)
-        var rows = t.rows.values.toSeq
-          .sortBy(r => tokenOf(pkOf(t, r))) // ring order, stable paging
+        var rows = t.sortedRows(tokenOf, pkOf(t, _)) // ring order, stable paging
         if (tail.nonEmpty) TokenRangeRe.findFirstMatchIn(tail) match {
           case Some(m) =>
             val (op, lo, hi) =

@@ -262,12 +262,32 @@ object Mongo {
     * pipelines run through [[aggregate]]. */
   def read(spark: SparkSession, conn: Conn, collection: String,
       filter: BDoc = BDoc(Nil), fields: Seq[String] = Nil,
-      limit: Long = 0L, splits: Int = 4, batchSize: Int = 1000): DataFrame = {
+      limit: Long = 0L, splits: Int = 4, batchSize: Int = 1000,
+      sampleSize: Int = 900): DataFrame = {
     import spark.implicits._
     val projection =
       if (fields.isEmpty) None
       else Some(BDoc(fields.map(f => f -> (1: Any))))
     val (db, coll) = splitName(conn, collection)
+
+    // schema from a bounded driver-side sample (the engine's 900-row
+    // inference pattern) so the distributed read scans the collection
+    // ONCE — full JSON inference would drain every cursor twice.
+    // sampleSize <= 0 falls back to full two-pass inference.
+    val sampleSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (sampleSize <= 0) None
+      else {
+        val c = new Client(conn.host, conn.port)
+        c.hello(db)
+        val sample =
+          try findDocs(c, db, coll, filter, projection, None,
+            sampleSize.toLong, sampleSize.min(batchSize)).map(Bson.toJson)
+            .toSeq
+          finally c.close()
+        if (sample.isEmpty) None
+        else Some(spark.read.option("inferTimestamp", "true")
+          .json(spark.createDataset(sample)).schema)
+      }
 
     // driver-side bounds probe: two single-document finds, no row data
     def probe(dir: Int): Option[Any] = {
@@ -301,8 +321,15 @@ object Mongo {
             .map(Bson.toJson)
         }
     }
-    spark.read.option("inferTimestamp", "true")
-      .json(spark.createDataset(lines))
+    val reader = spark.read.option("inferTimestamp", "true")
+    sampleSchema match {
+      case Some(s) =>
+        // fixed schema → exactly one distributed scan; fields unseen in
+        // the sample read as null (the inference engine's documented
+        // sampling contract)
+        reader.schema(s).json(spark.createDataset(lines))
+      case None => reader.json(spark.createDataset(lines))
+    }
   }
 
   /** Aggregation-pipeline read (the reference's `pipeline` option,

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the round-10 wire connectors (BASELINE.md r10
+  * table): loopback mongo OP_MSG and CQL v4 servers loaded with N
+  * synthetic rows, then timed through the REAL client paths —
+  * `Mongo.read` (_id-range partitioned, sampled schema, one scan),
+  * `Mongo.insert`, `Cql.read` (token-range partitioned, typed from
+  * protocol metadata), `Cql.insert`. The loopback servers are
+  * in-process, so the numbers measure the client/codec/Spark-side cost,
+  * not network or a real engine — the scaling SHAPE (rows/sec holding
+  * as N grows, partition counts) is the evidence, not absolute wire
+  * speed. Median-of-3 warm runs; one JSON line.
+  *
+  * Usage: runMain graft.tools.WireProbe [rows] [splits]
+  */
+object WireProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(200000)
+    val splits = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.sources._
+
+    def med3(f: => Long): (Double, Long) = {
+      var rows = f // warm
+      val xs = Seq.fill(3) {
+        val t0 = System.nanoTime(); rows = f
+        (System.nanoTime() - t0) / 1e9
+      }
+      (xs.sorted.apply(1), rows)
+    }
+    val out = collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- mongo ------------------------------------------------------------
+    val mongo = new LoopbackMongo
+    val mongoDocs = (0 until n).map { i =>
+      Bson.BDoc(
+        "_id" -> Bson.ObjectId.fromBigInt(BigInt(i) + 0x100000),
+        "k" -> i.toLong,
+        "name" -> s"doc-$i",
+        "score" -> (i % 1000) / 7.0,
+        "flag" -> (i % 3 == 0))
+    }
+    mongo.put("probe", "c", mongoDocs)
+    val mConn = Mongo.Conn("127.0.0.1", mongo.port, "probe")
+    val (mRead, mRows) = med3 {
+      Mongo.read(spark, mConn, "c", splits = splits, batchSize = 5000).count()
+    }
+    require(mRows == n, s"mongo read $mRows != $n")
+    out("mongo_read_sec") = mRead
+    out("mongo_read_rows_per_sec") = n / mRead
+
+    val df = spark.range(n.toLong).select(
+      col("id").as("k"), concat(lit("w-"), col("id")).as("name"),
+      (col("id") % 997 / 7.0).as("score"))
+      .repartition(splits)
+    df.cache().count()
+    val (mIns, _) = med3 { Mongo.insert(df, mConn, "sink", idCol = Some("k")) }
+    out("mongo_insert_sec") = mIns
+    out("mongo_insert_rows_per_sec") = n / mIns
+    mongo.close()
+
+    // ---- cql --------------------------------------------------------------
+    val cql = new LoopbackCql
+    cql.define("ks", "c", Seq("k" -> Cql.TBigint, "name" -> Cql.TVarchar,
+      "score" -> Cql.TDouble), pk = Seq("k"))
+    cql.load("ks", "c",
+      (0 until n).map(i => Seq(i.toLong, s"doc-$i", (i % 1000) / 7.0)))
+    cql.define("ks", "sink", Seq("k" -> Cql.TBigint,
+      "name" -> Cql.TVarchar, "score" -> Cql.TDouble), pk = Seq("k"))
+    val cConn = Cql.Conn("127.0.0.1", cql.port, "ks")
+    val (cRead, cRows) = med3 {
+      Cql.read(spark, cConn, "c", partitionKey = Seq("k"),
+        splits = splits, pageSize = 5000).count()
+    }
+    require(cRows == n, s"cql read $cRows != $n")
+    out("cql_read_sec") = cRead
+    out("cql_read_rows_per_sec") = n / cRead
+    val (cIns, _) = med3 { Cql.insert(df, cConn, "sink") }
+    out("cql_insert_sec") = cIns
+    out("cql_insert_rows_per_sec") = n / cIns
+    cql.close()
+
+    println(out.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
+      .mkString(s"""{"rows":$n,"splits":$splits,""", ",", "}"))
+    spark.stop()
+  }
+}

@@ -99,8 +99,10 @@ class MongoSpec extends AnyFunSuite {
         "events", splits = 4, batchSize = 50)
       val vs = df.select("v").collect().map(_.getLong(0)).sorted.toSeq
       assert(vs == (1L to 200L))
-      // 2 bound probes + 4 range finds, twice (inference pass + read pass)
-      assert(srv.queries - before >= 6)
+      // exactly: 1 driver sample (schema) + 2 bound probes + 4 range
+      // finds — the sampled schema means ONE distributed scan, not the
+      // two a full JSON inference would cost
+      assert(srv.queries - before == 7)
     } finally srv.close()
   }
 
