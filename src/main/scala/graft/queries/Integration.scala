@@ -269,6 +269,52 @@ object Integration {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // PostgreSQL over the wire protocol v3 (database_postgres.go): a
+    // postgres conn with `wire_protocol: true` opts into the native
+    // client — SCRAM-SHA-256 handshake, then the EXECUTED `COPY … FROM
+    // STDIN (FORMAT text)` bulk path (one authenticated connection and
+    // one COPY stream per Spark partition, the reference's PG fast
+    // path), read back range-partitioned and typed from RowDescription
+    // OIDs against the in-process loopback backend
+    Q("op_pg_wire",
+      (s, dir) => {
+        import graft.sources.{LoopbackPg, Pg}
+        val srv = new LoopbackPg() // scram-sha-256 auth
+        try {
+          srv.define("region_sink", Seq(
+            "r_regionkey" -> Pg.Oid.Int4, "r_name" -> Pg.Oid.Varchar))
+          val yaml =
+            s"""connections:
+               |  PGW:
+               |    type: postgres
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    database: graft
+               |    username: graft
+               |    password: pw
+               |    wire_protocol: "true"
+               |    partition_column: r_regionkey
+               |    splits: 2
+               |source:
+               |  stream: region
+               |  select: [r_regionkey, r_name]
+               |target:
+               |  conn: PGW
+               |  object: region_sink
+               |  mode: full-refresh
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          graft.repl.TaskConfig.run(s, yaml, dir) // rerun: truncate + reload
+          val out = scratch("pg_wire_back", dir)
+          Pg.read(s, Pg.Conn("127.0.0.1", srv.port, "graft",
+              user = "graft", password = "pw"), "region_sink",
+              partitionColumn = Some("r_regionkey"), splits = 2)
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("r_regionkey")
+        } finally srv.close()
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

@@ -24,15 +24,34 @@ object ProtocolRoute {
   /** Kinds with a native client in `graft.sources`. */
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
-    "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
+    "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
+    "postgres", "postgresql")
 
   /** Kinds with no JDBC surface at all — they route here unconditionally. */
   private val wireOnly =
     Set("d1", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
+  /** Postgres has BOTH a JDBC template path and a native protocol-v3
+    * client ([[graft.sources.Pg]]: SCRAM auth, typed reads, executed
+    * COPY FROM STDIN). It keeps the JDBC path by default; an explicit
+    * `wire_protocol: true` on the connection opts into the native
+    * client — the same fast path the reference always takes on PG
+    * (`database_postgres.go:380-480` BulkImportStream via COPY). */
+  private val pgKinds = Set("postgres", "postgresql")
+
   def applies(spec: Connections.ConnSpec): Boolean =
-    kinds.contains(spec.kind) &&
+    if (pgKinds.contains(spec.kind))
+      spec.get("wire_protocol").exists(_.equalsIgnoreCase("true"))
+    else kinds.contains(spec.kind) &&
       (spec.get("http_url").isDefined || wireOnly.contains(spec.kind))
+
+  private def pgConn(spec: Connections.ConnSpec): graft.sources.Pg.Conn =
+    graft.sources.Pg.Conn(
+      host = spec.get("host").getOrElse("127.0.0.1"),
+      port = spec.get("port").map(_.toInt).getOrElse(5432),
+      database = spec.get("database").getOrElse("postgres"),
+      user = spec.get("username").orElse(spec.get("user")).getOrElse("postgres"),
+      password = spec.get("password").getOrElse(""))
 
   /** Table-name streams wrap as SELECT *; SQL text passes through (the
     * reference's same dispatch — `task_run_read.go` treats a stream
@@ -119,6 +138,13 @@ object ProtocolRoute {
           partitionKey = spec.get("partition_key").toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
           splits = spec.get("splits").map(_.toInt).getOrElse(4))
+      case "postgres" | "postgresql" =>
+        // table streams range-partition on `partition_column` (min/max
+        // probe + one bounded slice per Spark partition); SQL text runs
+        // as one cursor. The task pipeline still applies a SQL `where`.
+        graft.sources.Pg.read(spark, pgConn(spec), stream,
+          partitionColumn = spec.get("partition_column"),
+          splits = spec.get("splits").map(_.toInt).getOrElse(4))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)
@@ -153,7 +179,8 @@ object ProtocolRoute {
     * (`task_run_write.go:209-226`: iceberg/mongo/ES/azuretable/scylla
     * skip the SQL temp-table merge and write straight to the target). */
   val writeKinds: Set[String] = Set("clickhouse", "proton",
-    "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
+    "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
+    "postgres", "postgresql")
 
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
@@ -188,6 +215,15 @@ object ProtocolRoute {
         if (mode == "full-refresh") graft.sources.Mongo.drop(c, obj)
         graft.sources.Mongo.insert(df, c, obj,
           idCol = primaryKey.headOption)
+      case "postgres" | "postgresql" =>
+        // executed COPY FROM STDIN — one authenticated connection and
+        // one COPY stream per Spark partition (the reference's PG bulk
+        // fast path, database_postgres.go:380-480)
+        val c = pgConn(spec)
+        if (mode == "full-refresh")
+          try graft.sources.Pg.execute(c, s"TRUNCATE TABLE $obj")
+          catch { case _: java.io.IOException => () } // absent table
+        graft.sources.Pg.insert(df, c, obj)
       case "scylla" | "scylladb" | "cassandra" =>
         // CQL INSERT is natively an upsert by primary key
         // (task_run_write.go:212 upsertByInsert)

@@ -1,0 +1,655 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PostgreSQL source-sink over the frontend/backend wire protocol v3
+  * (the public protocol every PG driver speaks; the reference drives PG
+  * through lib/pq + sqlx, `core/dbio/database/database_postgres.go`).
+  *
+  * What this closes: the COPY bulk-load fast path
+  * (`database_postgres.go:380-480` BulkImportStream → `pq.CopyInSchema`)
+  * was previously encoder-verified only, with the network send behind the
+  * injectable [[graft.write.PgCopy.CopyTransport]] seam. [[copyTransport]]
+  * implements that seam over a real socket: each Spark partition opens
+  * its own connection, authenticates, issues `COPY … FROM STDIN (FORMAT
+  * text)`, and streams its codegen-encoded lines as CopyData frames — the
+  * executed end-to-end analogue of the reference's concurrent bulk
+  * streams, fanned out per partition instead of per goroutine.
+  *
+  * Reads are partitioned the way the reference chunks range reads
+  * (`database.go` incremental/chunk ranges): a driver-side `min/max`
+  * probe on the partition column, then one `WHERE pc >= lo AND pc < hi`
+  * slice per Spark partition, each on its own connection, decoded
+  * streaming (no partition ever buffers fully in client memory). The
+  * frame is typed EXACTLY from RowDescription type OIDs — no JSON or
+  * sample inference.
+  *
+  * Auth: AuthenticationOk, cleartext, MD5, and SCRAM-SHA-256 (RFC 7677,
+  * PG's default since v14) are all implemented — SCRAM is pure HMAC
+  * math, so the full handshake is exercised offline against the loopback
+  * server. SSLRequest negotiation is declined ('N' → plaintext), the
+  * documented offline seam.
+  */
+object Pg {
+
+  final case class Conn(host: String, port: Int, database: String,
+      user: String = "graft", password: String = "") extends Serializable
+
+  /** Type OIDs from the public pg_type catalog. */
+  object Oid {
+    val Bool = 16; val Bytea = 17; val Int8 = 20; val Int2 = 21
+    val Int4 = 23; val Text = 25; val Json = 114; val Float4 = 700
+    val Float8 = 701; val Bpchar = 1042; val Varchar = 1043
+    val Date = 1082; val Time = 1083; val Timestamp = 1114
+    val Timestamptz = 1184; val Numeric = 1700; val Uuid = 2950
+    val Jsonb = 3802
+  }
+
+  /** One RowDescription field: name, type OID, type modifier. */
+  final case class Field(name: String, oid: Int, typmod: Int)
+
+  final class PgError(val code: String, message: String)
+    extends IOException(message)
+
+  /** One socket speaking protocol v3. Not thread-safe; one in-flight
+    * statement at a time (simple-query protocol). */
+  final class Client(conn: Conn) extends AutoCloseable {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+    socket.setSoTimeout(120000)
+    private val in = new DataInputStream(
+      new BufferedInputStream(socket.getInputStream, 1 << 16))
+    private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+
+    // ---- framing ----------------------------------------------------------
+
+    private def cbytes(s: String): Array[Byte] =
+      s.getBytes(UTF_8) :+ 0.toByte
+
+    private def send(tpe: Byte, body: Array[Byte]): Unit = {
+      out.write(tpe)
+      val head = ByteBuffer.allocate(4).putInt(body.length + 4)
+      out.write(head.array()); out.write(body)
+    }
+
+    /** (type, payload). Skips async ParameterStatus/Notice/BackendKeyData
+      * frames the backend may interleave. */
+    private def recv(): (Char, ByteBuffer) = {
+      while (true) {
+        val tpe = in.read()
+        if (tpe < 0) throw new IOException("connection closed by server")
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        val c = tpe.toChar
+        if (c != 'S' && c != 'N' && c != 'K')
+          return (c, ByteBuffer.wrap(body))
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def cstring(b: ByteBuffer): String = {
+      val s = new ByteArrayOutputStream()
+      var c = b.get()
+      while (c != 0) { s.write(c); c = b.get() }
+      new String(s.toByteArray, UTF_8)
+    }
+
+    private def error(b: ByteBuffer): PgError = {
+      var code = ""; var msg = ""
+      var f = b.get()
+      while (f != 0) {
+        val v = cstring(b)
+        if (f == 'C') code = v else if (f == 'M') msg = v
+        f = b.get()
+      }
+      new PgError(code, s"pg error $code: $msg")
+    }
+
+    // ---- startup + auth ---------------------------------------------------
+
+    {
+      val body = new ByteArrayOutputStream()
+      val head = ByteBuffer.allocate(8)
+      def z(s: String): Unit = { body.write(s.getBytes(UTF_8)); body.write(0) }
+      z("user"); z(conn.user); z("database"); z(conn.database); body.write(0)
+      head.putInt(body.size + 8).putInt(196608) // protocol 3.0
+      out.write(head.array()); body.writeTo(out); out.flush()
+      authenticate()
+    }
+
+    private def authenticate(): Unit = {
+      var scram: Scram.ClientSession = null
+      var done = false
+      while (!done) {
+        val (tpe, b) = recv()
+        tpe match {
+          case 'E' => throw error(b)
+          case 'Z' => done = true
+          case 'R' =>
+            b.getInt match {
+              case 0 => // AuthenticationOk; wait for ReadyForQuery
+              case 3 => // cleartext
+                send('p', cbytes(conn.password))
+                out.flush()
+              case 5 => // md5: md5(md5(password+user) hex + salt) hex
+                val salt = new Array[Byte](4); b.get(salt)
+                val inner = Scram.md5Hex(
+                  (conn.password + conn.user).getBytes(UTF_8))
+                val outer = Scram.md5Hex(
+                  inner.getBytes(UTF_8) ++ salt)
+                send('p', cbytes("md5" + outer))
+                out.flush()
+              case 10 => // SASL: pick SCRAM-SHA-256 from the mech list
+                var mechs = List.empty[String]
+                var m = cstring(b)
+                while (m.nonEmpty) { mechs ::= m; m = cstring(b) }
+                require(mechs.contains("SCRAM-SHA-256"),
+                  s"no supported SASL mechanism in ${mechs.mkString(",")}")
+                scram = new Scram.ClientSession(conn.password)
+                val first = scram.clientFirst.getBytes(UTF_8)
+                val msg = new ByteArrayOutputStream()
+                msg.write("SCRAM-SHA-256".getBytes(UTF_8)); msg.write(0)
+                msg.write(ByteBuffer.allocate(4).putInt(first.length).array())
+                msg.write(first)
+                send('p', msg.toByteArray); out.flush()
+              case 11 => // SASLContinue: server-first → client-final
+                val sf = new Array[Byte](b.remaining()); b.get(sf)
+                send('p', scram.clientFinal(new String(sf, UTF_8))
+                  .getBytes(UTF_8))
+                out.flush()
+              case 12 => // SASLFinal: verify the server signature
+                val sf = new Array[Byte](b.remaining()); b.get(sf)
+                scram.verifyServerFinal(new String(sf, UTF_8))
+              case other =>
+                throw new IOException(s"unsupported auth request $other")
+            }
+          case other =>
+            throw new IOException(s"unexpected message '$other' during auth")
+        }
+      }
+    }
+
+    // ---- simple query, streaming ------------------------------------------
+
+    /** Run one statement; decode rows STREAMING. The returned iterator
+      * must be drained (or the client closed) before the next statement —
+      * simple-query protocol has one result stream per connection. Rows
+      * are the text-format values (None = SQL NULL). */
+    def queryStream(sql: String): (Seq[Field], Iterator[Seq[Option[String]]]) = {
+      send('Q', cbytes(sql)); out.flush()
+      var fields: Seq[Field] = Nil
+      var firstRow: Option[Seq[Option[String]]] = None
+      var open = true
+      // read until RowDescription, first DataRow, or command end
+      var started = false
+      while (!started) {
+        val (tpe, b) = recv()
+        tpe match {
+          case 'T' =>
+            fields = readRowDescription(b)
+          case 'D' =>
+            firstRow = Some(readDataRow(b)); started = true
+          case 'C' | 'I' => // no rows
+            drainToReady(); open = false; started = true
+          case 'E' =>
+            val e = error(b); drainToReady(); throw e
+          case other =>
+            throw new IOException(s"unexpected message '$other' in query")
+        }
+      }
+      val it = new Iterator[Seq[Option[String]]] {
+        private var pending = firstRow
+        private var active = open
+        def hasNext: Boolean = pending.isDefined
+        def next(): Seq[Option[String]] = {
+          val r = pending.get
+          pending = None
+          if (active) {
+            var looking = true
+            while (looking) {
+              val (tpe, b) = recv()
+              tpe match {
+                case 'D' => pending = Some(readDataRow(b)); looking = false
+                case 'C' => drainToReady(); active = false; looking = false
+                case 'E' =>
+                  val e = error(b); drainToReady(); active = false; throw e
+                case other =>
+                  throw new IOException(s"unexpected '$other' mid-result")
+              }
+            }
+          }
+          r
+        }
+      }
+      (fields, it)
+    }
+
+    /** Buffered convenience for small results (probes, DDL). */
+    def query(sql: String): (Seq[Field], Seq[Seq[Option[String]]]) = {
+      val (f, it) = queryStream(sql)
+      (f, it.toVector)
+    }
+
+    /** Run a statement for its side effect; returns the command tag. */
+    def execute(sql: String): String = {
+      send('Q', cbytes(sql)); out.flush()
+      var tag = ""
+      var done = false
+      while (!done) {
+        val (tpe, b) = recv()
+        tpe match {
+          case 'C' => tag = cstring(b)
+          case 'Z' => done = true
+          case 'T' | 'D' | 'I' => // discard any result
+          case 'E' => val e = error(b); drainToReady(); throw e
+          case other =>
+            throw new IOException(s"unexpected message '$other' in execute")
+        }
+      }
+      tag
+    }
+
+    private def drainToReady(): Unit = {
+      var done = false
+      while (!done) {
+        val (tpe, b) = recv()
+        tpe match {
+          case 'Z' => done = true
+          case 'E' => throw error(b)
+          case _ => // 'C', trailing rows of a multi-statement, etc.
+        }
+      }
+    }
+
+    private def readRowDescription(b: ByteBuffer): Seq[Field] = {
+      val n = b.getShort.toInt
+      (0 until n).map { _ =>
+        val name = cstring(b)
+        b.getInt; b.getShort // table oid, attnum
+        val oid = b.getInt
+        b.getShort // typlen
+        val typmod = b.getInt
+        b.getShort // format (0 = text)
+        Field(name, oid, typmod)
+      }
+    }
+
+    private def readDataRow(b: ByteBuffer): Seq[Option[String]] = {
+      val n = b.getShort.toInt
+      (0 until n).map { _ =>
+        val len = b.getInt
+        if (len < 0) None
+        else {
+          val bytes = new Array[Byte](len); b.get(bytes)
+          Some(new String(bytes, UTF_8))
+        }
+      }
+    }
+
+    // ---- COPY FROM STDIN --------------------------------------------------
+
+    /** Drive one `COPY … FROM STDIN (FORMAT text)` with the given encoded
+      * lines; returns rows the server acknowledged in the command tag.
+      * Lines are batched into ~64 KiB CopyData frames. */
+    def copyIn(copySql: String, lines: Iterator[String]): Long = {
+      send('Q', cbytes(copySql)); out.flush()
+      val (tpe, b) = recv()
+      tpe match {
+        case 'G' => // CopyInResponse
+        case 'E' => val e = error(b); drainToReady(); throw e
+        case other =>
+          throw new IOException(s"expected CopyInResponse, got '$other'")
+      }
+      val buf = new ByteArrayOutputStream(1 << 16)
+      var n = 0L
+      def flushBuf(): Unit = if (buf.size > 0) {
+        send('d', buf.toByteArray); buf.reset()
+      }
+      lines.foreach { line =>
+        buf.write(line.getBytes(UTF_8)); buf.write('\n')
+        n += 1
+        if (buf.size >= (1 << 16)) flushBuf()
+      }
+      flushBuf()
+      send('c', Array.emptyByteArray) // CopyDone
+      out.flush()
+      var tag = ""
+      var done = false
+      while (!done) {
+        val (t2, b2) = recv()
+        t2 match {
+          case 'C' => tag = cstring(b2)
+          case 'Z' => done = true
+          case 'E' => val e = error(b2); drainToReady(); throw e
+          case other =>
+            throw new IOException(s"unexpected '$other' after CopyDone")
+        }
+      }
+      // "COPY <rows>"
+      tag.split(' ') match {
+        case Array("COPY", c) => c.toLong
+        case _ => n
+      }
+    }
+
+    override def close(): Unit = {
+      try { send('X', Array.emptyByteArray); out.flush() }
+      catch { case _: IOException => () }
+      socket.close()
+    }
+  }
+
+  // ---- type mapping -------------------------------------------------------
+
+  /** RowDescription OID → Spark type. Numeric picks precision/scale from
+    * the typmod when declared; unknown OIDs surface as strings (the
+    * reference's row conversion does the same for exotic PG types). */
+  def sparkType(oid: Int, typmod: Int): DataType = oid match {
+    case Oid.Bool => BooleanType
+    case Oid.Int2 => ShortType
+    case Oid.Int4 => IntegerType
+    case Oid.Int8 => LongType
+    case Oid.Float4 => FloatType
+    case Oid.Float8 => DoubleType
+    case Oid.Numeric =>
+      if (typmod >= 4) {
+        val m = typmod - 4
+        DecimalType(((m >> 16) & 0xffff).min(38), (m & 0xffff).min(37))
+      } else DecimalType(38, 18)
+    case Oid.Date => DateType
+    case Oid.Timestamp => TimestampNTZType
+    case Oid.Timestamptz => TimestampType
+    case Oid.Bytea => BinaryType
+    case _ => StringType // text/varchar/bpchar/uuid/json/time/…
+  }
+
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter
+
+  /** Text-format value → Spark external type for [[sparkType]]. */
+  def parseValue(s: String, oid: Int, typmod: Int): Any = oid match {
+    case Oid.Bool => s == "t" || s == "true"
+    case Oid.Int2 => s.toShort
+    case Oid.Int4 => s.toInt
+    case Oid.Int8 => s.toLong
+    case Oid.Float4 => s.toFloat
+    case Oid.Float8 => s.toDouble
+    case Oid.Numeric =>
+      val d = new java.math.BigDecimal(s)
+      if (typmod >= 4) d.setScale((typmod - 4) & 0xffff) else d
+    case Oid.Date => java.time.LocalDate.parse(s)
+    case Oid.Timestamp => java.time.LocalDateTime.parse(s, TsFmt)
+    case Oid.Timestamptz =>
+      // PG renders "2021-01-01 00:00:00+00"; normalize the offset form
+      java.time.OffsetDateTime
+        .parse(s.replace(' ', 'T') + (if (s.matches(".*[+-]\\d\\d$")) ":00"
+          else if (s.matches(".*[+-]\\d\\d:?\\d\\d$")) "" else "+00:00"))
+        .toInstant
+    case Oid.Bytea =>
+      require(s.startsWith("\\x"), s"unexpected bytea form: $s")
+      s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case _ => s
+  }
+
+  // ---- partitioned read ---------------------------------------------------
+
+  /** Partitioned distributed read. `stream` is a table name (optionally
+    * schema-qualified) or SQL text (runs as one executor-side cursor,
+    * the reference's custom-SQL stream shape). With `partitionColumn`
+    * and `splits` > 1, a driver min/max probe splits the range and each
+    * Spark partition drains its own `WHERE pc >= lo AND pc < hi` slice
+    * over its own connection — rows decode streaming, so executor memory
+    * is O(batch), not O(partition). */
+  def read(spark: SparkSession, conn: Conn, stream: String,
+      partitionColumn: Option[String] = None, splits: Int = 4,
+      where: Option[String] = None): DataFrame = {
+    val isSql = stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")
+    val base =
+      if (isSql) stream.trim
+      else s"SELECT * FROM $stream" +
+        where.map(w => s" WHERE $w").getOrElse("")
+
+    // schema probe: typed fields from RowDescription, no data
+    val probeSql =
+      if (isSql) base.replaceAll("(?is)\\blimit\\s+\\d+\\s*$", "") + " LIMIT 0"
+      else base + " LIMIT 0"
+    val probe = new Client(conn)
+    val fields =
+      try probe.query(probeSql)._1
+      finally probe.close()
+    val schema = StructType(fields.map(f =>
+      StructField(f.name, sparkType(f.oid, f.typmod))))
+    if (fields.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    val statements: Seq[String] = partitionColumn match {
+      case Some(pc) if !isSql && splits > 1 =>
+        rangeStatements(conn, stream, pc, where, splits,
+          fields.find(_.name.equalsIgnoreCase(pc))
+            .map(_.oid).getOrElse(Oid.Numeric))
+      case _ => Seq(base)
+    }
+
+    val connB = conn
+    val fieldsB = fields
+    val rdd = spark.sparkContext
+      .parallelize(statements.indices, statements.size)
+      .flatMap { i =>
+        val c = new Client(connB)
+        val (_, rows) = c.queryStream(statements(i))
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = rows.hasNext; if (!h) c.close(); h }
+          def next(): Row = Row.fromSeq(rows.next().zip(fieldsB).map {
+            case (v, f) => v.map(parseValue(_, f.oid, f.typmod)).orNull
+          })
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** min/max probe → one bounded SELECT per split. Numeric columns split
+    * in decimal space; date/timestamp columns in epoch space. */
+  private def rangeStatements(conn: Conn, table: String, pc: String,
+      where: Option[String], splits: Int, pcOid: Int): Seq[String] = {
+    val c = new Client(conn)
+    val bounds =
+      try c.query(s"SELECT min($pc) AS lo, max($pc) AS hi FROM $table" +
+        where.map(w => s" WHERE $w").getOrElse(""))._2
+      finally c.close()
+    val base = s"SELECT * FROM $table"
+    val extra = where.map(w => s" AND ($w)").getOrElse("")
+    (bounds.headOption.map(r => (r(0), r(1))) match {
+      case Some((Some(lo), Some(hi))) =>
+        val cuts: Seq[(String, String)] = pcOid match {
+          case Oid.Date =>
+            val l = java.time.LocalDate.parse(lo).toEpochDay
+            val h = java.time.LocalDate.parse(hi).toEpochDay
+            epochCuts(l, h, splits).map { case (a, b) =>
+              (s"'${java.time.LocalDate.ofEpochDay(a)}'",
+                s"'${java.time.LocalDate.ofEpochDay(b)}'")
+            }
+          case Oid.Timestamp | Oid.Timestamptz =>
+            def ep(s: String) = java.time.LocalDateTime
+              .parse(s.replaceAll("[+-]\\d\\d(:?\\d\\d)?$", ""), TsFmt)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            epochCuts(ep(lo), ep(hi), splits).map { case (a, b) =>
+              def r(m: Long) = java.time.LocalDateTime.ofInstant(
+                java.time.Instant.ofEpochMilli(m), java.time.ZoneOffset.UTC)
+                .format(TsFmt)
+              (s"'${r(a)}'", s"'${r(b)}'")
+            }
+          case _ =>
+            val l = BigDecimal(lo); val h = BigDecimal(hi)
+            (0 until splits).map { i =>
+              (((l + (h - l) * i / splits).toString()),
+                (if (i == splits - 1) h else l + (h - l) * (i + 1) / splits)
+                  .toString())
+            }
+        }
+        cuts.zipWithIndex.map { case ((a, b), i) =>
+          val hiOp = if (i == splits - 1) "<=" else "<"
+          s"$base WHERE $pc >= $a AND $pc $hiOp $b$extra"
+        }
+      case _ => Seq(base + where.map(w => s" WHERE $w").getOrElse(""))
+    })
+  }
+
+  private def epochCuts(lo: Long, hi: Long, splits: Int): Seq[(Long, Long)] = {
+    val span = (BigInt(hi) - BigInt(lo)) + 1
+    (0 until splits).map { i =>
+      ((BigInt(lo) + span * i / splits).toLong,
+        if (i == splits - 1) hi else (BigInt(lo) + span * (i + 1) / splits).toLong)
+    }
+  }
+
+  // ---- COPY write path ----------------------------------------------------
+
+  /** The real [[graft.write.PgCopy.CopyTransport]]: one authenticated
+    * connection and one COPY stream per Spark partition. */
+  def copyTransport(conn: Conn): graft.write.PgCopy.CopyTransport =
+    new graft.write.PgCopy.CopyTransport {
+      def copyPartition(copySql: String, lines: Iterator[String]): Long = {
+        if (lines.isEmpty) return 0L
+        val c = new Client(conn)
+        try c.copyIn(copySql, lines) finally c.close()
+      }
+    }
+
+  /** Distributed COPY bulk insert (the fast path the reference takes on
+    * every PG target). Returns rows sent. */
+  def insert(df: DataFrame, conn: Conn, table: String): Long =
+    graft.write.PgCopy.bulkLoad(df, table, copyTransport(conn))
+
+  /** Run one statement (TRUNCATE, DDL, …) for its side effect. */
+  def execute(conn: Conn, sql: String): String = {
+    val c = new Client(conn)
+    try c.execute(sql) finally c.close()
+  }
+}
+
+/** SCRAM-SHA-256 (RFC 5802/7677) — the client side used by [[Pg.Client]]
+  * and the raw primitives the loopback server reuses to act as verifier.
+  * Pure JCA crypto; fully exercised offline.
+  */
+private[sources] object Scram {
+  import javax.crypto.Mac
+  import javax.crypto.spec.SecretKeySpec
+  import java.security.MessageDigest
+
+  def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(new SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg.getBytes(UTF_8))
+  }
+
+  def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+
+  def md5Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32 bytes. */
+  def saltedPassword(password: String, salt: Array[Byte],
+      iterations: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iterations, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  def clientKey(salted: Array[Byte]): Array[Byte] = hmac(salted, "Client Key")
+  def serverKey(salted: Array[Byte]): Array[Byte] = hmac(salted, "Server Key")
+
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.zip(b).map { case (x, y) => (x ^ y).toByte }
+
+  /** Client state machine: clientFirst → clientFinal(serverFirst) →
+    * verifyServerFinal(serverFinal). */
+  final class ClientSession(password: String) {
+    private val nonce = {
+      val r = new java.security.SecureRandom()
+      val b = new Array[Byte](18); r.nextBytes(b); b64(b)
+    }
+    private val clientFirstBare = s"n=,r=$nonce"
+    val clientFirst: String = "n,," + clientFirstBare
+    private var serverSignature: Array[Byte] = Array.emptyByteArray
+
+    def clientFinal(serverFirst: String): String = {
+      val attrs = serverFirst.split(",").map(_.splitAt(2))
+        .map { case (k, v) => k.charAt(0) -> v }.toMap
+      val fullNonce = attrs('r')
+      require(fullNonce.startsWith(nonce), "server nonce must extend ours")
+      val salt = unb64(attrs('s'))
+      val iters = attrs('i').toInt
+      val salted = saltedPassword(password, salt, iters)
+      val ck = clientKey(salted)
+      val withoutProof = s"c=${b64("n,,".getBytes(UTF_8))},r=$fullNonce"
+      val authMessage =
+        s"$clientFirstBare,$serverFirst,$withoutProof"
+      val proof = xor(ck, hmac(sha256(ck), authMessage))
+      serverSignature = hmac(serverKey(salted), authMessage)
+      s"$withoutProof,p=${b64(proof)}"
+    }
+
+    def verifyServerFinal(serverFinal: String): Unit = {
+      require(serverFinal.startsWith("v="), s"bad server-final: $serverFinal")
+      require(MessageDigest.isEqual(
+        unb64(serverFinal.drop(2)), serverSignature),
+        "server signature mismatch — not the server that knows the password")
+    }
+  }
+
+  /** Server-side verifier for the loopback fixture: given the stored
+    * credentials and the client messages, produce server-first /
+    * validate the proof / produce server-final. */
+  final class ServerSession(password: String, iterations: Int = 4096) {
+    private val rnd = new java.security.SecureRandom()
+    private val salt = { val b = new Array[Byte](16); rnd.nextBytes(b); b }
+    private val serverNonceExt = {
+      val b = new Array[Byte](18); rnd.nextBytes(b); b64(b)
+    }
+    private val salted = saltedPassword(password, salt, iterations)
+    private var clientFirstBare = ""
+    private var serverFirstMsg = ""
+
+    def serverFirst(clientFirst: String): String = {
+      require(clientFirst.startsWith("n,,"), s"bad gs2 header: $clientFirst")
+      clientFirstBare = clientFirst.drop(3)
+      val clientNonce = clientFirstBare.split(",")
+        .find(_.startsWith("r=")).map(_.drop(2))
+        .getOrElse(throw new IOException("client-first missing nonce"))
+      serverFirstMsg =
+        s"r=$clientNonce$serverNonceExt,s=${b64(salt)},i=$iterations"
+      serverFirstMsg
+    }
+
+    /** Validates the proof; returns server-final on success. */
+    def serverFinal(clientFinal: String): String = {
+      val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+      val proof = unb64(clientFinal.substring(clientFinal.indexOf(",p=") + 3))
+      val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof"
+      val ck = clientKey(salted)
+      val expected = xor(ck, hmac(sha256(ck), authMessage))
+      if (!MessageDigest.isEqual(proof, expected))
+        throw new IOException("SCRAM proof mismatch (wrong password)")
+      "v=" + b64(hmac(serverKey(salted), authMessage))
+    }
+  }
+}
