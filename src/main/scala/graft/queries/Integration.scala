@@ -315,6 +315,52 @@ object Integration {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // MySQL over the client/server protocol (database_mysql.go): a mysql
+    // conn with `wire_protocol: true` opts into the native client —
+    // caching_sha2 handshake, then the EXECUTED `LOAD DATA LOCAL
+    // INFILE` bulk path (the protocol's 0xFB request answered with one
+    // line stream per Spark partition, the reference's MySQL fast path,
+    // database_mysql.go:543-613), read back range-partitioned and typed
+    // from ColumnDefinition41 metadata
+    Q("op_mysql_wire",
+      (s, dir) => {
+        import graft.sources.{LoopbackMysql, Mysql}
+        val srv = new LoopbackMysql() // caching_sha2_password
+        try {
+          srv.define("region_sink", Seq(
+            "r_regionkey" -> Mysql.T.Long, "r_name" -> Mysql.T.VarString))
+          val yaml =
+            s"""connections:
+               |  MYW:
+               |    type: mysql
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    database: graft
+               |    username: graft
+               |    password: pw
+               |    wire_protocol: "true"
+               |    partition_column: r_regionkey
+               |    splits: 2
+               |source:
+               |  stream: region
+               |  select: [r_regionkey, r_name]
+               |target:
+               |  conn: MYW
+               |  object: region_sink
+               |  mode: full-refresh
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          graft.repl.TaskConfig.run(s, yaml, dir) // rerun: truncate + reload
+          val out = scratch("mysql_wire_back", dir)
+          Mysql.read(s, Mysql.Conn("127.0.0.1", srv.port, "graft",
+              user = "graft", password = "pw"), "region_sink",
+              partitionColumn = Some("r_regionkey"), splits = 2)
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("r_regionkey")
+        } finally srv.close()
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

@@ -25,25 +25,36 @@ object ProtocolRoute {
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
     "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql")
+    "postgres", "postgresql", "mysql", "mariadb")
 
   /** Kinds with no JDBC surface at all — they route here unconditionally. */
   private val wireOnly =
     Set("d1", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
-  /** Postgres has BOTH a JDBC template path and a native protocol-v3
-    * client ([[graft.sources.Pg]]: SCRAM auth, typed reads, executed
-    * COPY FROM STDIN). It keeps the JDBC path by default; an explicit
-    * `wire_protocol: true` on the connection opts into the native
-    * client — the same fast path the reference always takes on PG
-    * (`database_postgres.go:380-480` BulkImportStream via COPY). */
-  private val pgKinds = Set("postgres", "postgresql")
+  /** Postgres and MySQL have BOTH a JDBC template path and a native
+    * wire client ([[graft.sources.Pg]]: SCRAM auth + executed COPY FROM
+    * STDIN; [[graft.sources.Mysql]]: native/caching_sha2 auth + executed
+    * LOAD DATA LOCAL INFILE). They keep the JDBC path by default; an
+    * explicit `wire_protocol: true` on the connection opts into the
+    * native client — the fast paths the reference always takes on these
+    * engines (`database_postgres.go:380-480` BulkImportStream via COPY,
+    * `database_mysql.go:543-613` LoadDataLocal). */
+  private val sqlWireKinds =
+    Set("postgres", "postgresql", "mysql", "mariadb")
 
   def applies(spec: Connections.ConnSpec): Boolean =
-    if (pgKinds.contains(spec.kind))
+    if (sqlWireKinds.contains(spec.kind))
       spec.get("wire_protocol").exists(_.equalsIgnoreCase("true"))
     else kinds.contains(spec.kind) &&
       (spec.get("http_url").isDefined || wireOnly.contains(spec.kind))
+
+  private def mysqlConn(spec: Connections.ConnSpec): graft.sources.Mysql.Conn =
+    graft.sources.Mysql.Conn(
+      host = spec.get("host").getOrElse("127.0.0.1"),
+      port = spec.get("port").map(_.toInt).getOrElse(3306),
+      database = spec.get("database").getOrElse("mysql"),
+      user = spec.get("username").orElse(spec.get("user")).getOrElse("root"),
+      password = spec.get("password").getOrElse(""))
 
   private def pgConn(spec: Connections.ConnSpec): graft.sources.Pg.Conn =
     graft.sources.Pg.Conn(
@@ -145,6 +156,10 @@ object ProtocolRoute {
         graft.sources.Pg.read(spark, pgConn(spec), stream,
           partitionColumn = spec.get("partition_column"),
           splits = spec.get("splits").map(_.toInt).getOrElse(4))
+      case "mysql" | "mariadb" =>
+        graft.sources.Mysql.read(spark, mysqlConn(spec), stream,
+          partitionColumn = spec.get("partition_column"),
+          splits = spec.get("splits").map(_.toInt).getOrElse(4))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)
@@ -180,7 +195,7 @@ object ProtocolRoute {
     * skip the SQL temp-table merge and write straight to the target). */
   val writeKinds: Set[String] = Set("clickhouse", "proton",
     "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql")
+    "postgres", "postgresql", "mysql", "mariadb")
 
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
@@ -224,6 +239,14 @@ object ProtocolRoute {
           try graft.sources.Pg.execute(c, s"TRUNCATE TABLE $obj")
           catch { case _: java.io.IOException => () } // absent table
         graft.sources.Pg.insert(df, c, obj)
+      case "mysql" | "mariadb" =>
+        // executed LOAD DATA LOCAL INFILE, one stream per Spark
+        // partition (database_mysql.go:543-613 LoadDataLocal)
+        val c = mysqlConn(spec)
+        if (mode == "full-refresh")
+          try graft.sources.Mysql.execute(c, s"TRUNCATE TABLE $obj")
+          catch { case _: java.io.IOException => () } // absent table
+        graft.sources.Mysql.insert(df, c, obj)
       case "scylla" | "scylladb" | "cassandra" =>
         // CQL INSERT is natively an upsert by primary key
         // (task_run_write.go:212 upsertByInsert)

@@ -33,40 +33,28 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
   /** COPY streams accepted (for per-partition fan-out assertions). */
   val copies = new AtomicInteger(0)
 
-  private final case class Table(cols: Seq[(String, Int)]) {
-    val rows = new java.util.Vector[Seq[Option[String]]]()
-    def oidOf(c: String): Int = cols.find(_._1.equalsIgnoreCase(c))
-      .map(_._2).getOrElse(Pg.Oid.Text)
-    def idxOf(c: String): Int = {
-      val i = cols.indexWhere(_._1.equalsIgnoreCase(c))
-      if (i < 0) throw new IOException(s"column $c does not exist")
-      i
-    }
-  }
-  private val tables = new ConcurrentHashMap[String, Table]()
-
-  private def norm(name: String): String =
-    name.toLowerCase.stripPrefix("public.").replace("\"", "")
+  private val store = new MiniSql.Store(
+    numeric = Set(Pg.Oid.Int2, Pg.Oid.Int4, Pg.Oid.Int8, Pg.Oid.Float4,
+      Pg.Oid.Float8, Pg.Oid.Numeric),
+    typeOf = t => (typeOid(t), typmodOf(t)),
+    textCode = Pg.Oid.Text, countCode = Pg.Oid.Int8)
 
   // ---- fixture API --------------------------------------------------------
 
   def define(table: String, cols: Seq[(String, Int)]): Unit =
-    tables.put(norm(table), Table(cols))
+    store.define(table, cols.map { case (n, oid) => MiniSql.Col(n, oid) })
 
   /** Load typed values (rendered to PG text form per the column OID). */
   def load(table: String, rows: Seq[Seq[Any]]): Unit = {
-    val t = tables.get(norm(table))
-    rows.foreach(r => t.rows.add(r.zip(t.cols).map { case (v, (_, oid)) =>
-      Option(v).map(render(_, oid)) }))
+    val t = store.resolve(table)
+    rows.foreach(r => t.rows.add(r.zip(t.cols).map { case (v, c) =>
+      Option(v).map(render(_, c.code)) }))
   }
 
-  def rowCount(table: String): Int =
-    Option(tables.get(norm(table))).map(_.rows.size).getOrElse(0)
+  def rowCount(table: String): Int = store.rowCount(table)
 
-  def textRows(table: String): Seq[Seq[Option[String]]] = {
-    import scala.jdk.CollectionConverters._
-    tables.get(norm(table)).rows.asScala.toSeq
-  }
+  def textRows(table: String): Seq[Seq[Option[String]]] =
+    store.textRows(table)
 
   // PG always renders full seconds ("2024-01-01 00:24:00"), unlike
   // LocalDateTime.toString which elides a zero seconds field
@@ -238,15 +226,8 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
 
   // ---- SQL evaluation -----------------------------------------------------
 
-  private val SelectRe =
-    """(?is)SELECT\s+(.*?)\s+FROM\s+([\w"\.]+)(?:\s+WHERE\s+(.*?))?(?:\s+ORDER\s+BY\s+([\w"]+)(\s+DESC)?)?(?:\s+LIMIT\s+(\d+))?\s*""".r
-  private val InsertRe =
-    """(?is)INSERT\s+INTO\s+([\w"\.]+)\s*\(([^)]*)\)\s*VALUES\s*(.*)""".r
   private val CopyRe =
     """(?is)COPY\s+([\w"\.]+)\s*(?:\(([^)]*)\))?\s*FROM\s+STDIN.*""".r
-  private val CreateRe =
-    """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w"\.]+)\s*\((.*)\)\s*""".r
-  private val AggRe = """(?i)(min|max|count)\s*\(\s*([\w"\*]+)\s*\)(?:\s+AS\s+([\w"]+))?""".r
 
   private def typeOid(t: String): Int = {
     val base = t.toLowerCase.replaceAll("\\(.*", "").trim
@@ -277,42 +258,6 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
     m.map(g => ((g.group(1).toInt << 16) | g.group(2).toInt) + 4).getOrElse(-1)
   }
 
-  private def compare(a: String, b: String, oid: Int): Int = oid match {
-    case Pg.Oid.Int2 | Pg.Oid.Int4 | Pg.Oid.Int8 | Pg.Oid.Float4 |
-         Pg.Oid.Float8 | Pg.Oid.Numeric =>
-      BigDecimal(a).compare(BigDecimal(b))
-    case _ => a.compareTo(b) // ISO dates/timestamps/text sort lexically
-  }
-
-  private def parseLiteral(tok: String): Option[String] = {
-    val t = tok.trim
-    if (t.equalsIgnoreCase("null")) None
-    else if (t.startsWith("'") && t.endsWith("'"))
-      Some(t.substring(1, t.length - 1).replace("''", "'"))
-    else if (t.equalsIgnoreCase("true")) Some("t")
-    else if (t.equalsIgnoreCase("false")) Some("f")
-    else Some(t)
-  }
-
-  /** Split on top-level commas (quote-aware). */
-  private def splitTop(s: String, open: Char = '(', close: Char = ')'): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0; var inQ = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'' ) { inQ = !inQ; cur.append(c) }
-      else if (!inQ && c == open) { depth += 1; cur.append(c) }
-      else if (!inQ && c == close) { depth -= 1; cur.append(c) }
-      else if (!inQ && c == ',' && depth == 0) { out += cur.toString; cur.clear() }
-      else cur.append(c)
-      i += 1
-    }
-    if (cur.nonEmpty) out += cur.toString
-    out.toSeq
-  }
-
   private def runSql(sql: String,
       msg: (Char, Array[Byte]) => Unit,
       complete: String => Unit,
@@ -320,20 +265,14 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
       readFrame: () => (Char, ByteBuffer),
       flush: () => Unit): Unit = {
 
-    def resolve(name: String): Table = {
-      val t = tables.get(norm(name))
-      if (t == null) throw new IOException(s"""relation "$name" does not exist""")
-      t
-    }
-
-    def rowDescription(fields: Seq[(String, Int, Int)]): Unit = {
+    def rowDescription(fields: Seq[MiniSql.Col]): Unit = {
       val b = new ByteArrayOutputStream()
       b.write(ByteBuffer.allocate(2).putShort(fields.size.toShort).array())
-      fields.foreach { case (name, oid, typmod) =>
-        b.write(name.getBytes(UTF_8)); b.write(0)
+      fields.foreach { c =>
+        b.write(c.name.getBytes(UTF_8)); b.write(0)
         val fixed = ByteBuffer.allocate(18)
-        fixed.putInt(0).putShort(0.toShort).putInt(oid)
-          .putShort((-1).toShort).putInt(typmod).putShort(0.toShort)
+        fixed.putInt(0).putShort(0.toShort).putInt(c.code)
+          .putShort((-1).toShort).putInt(c.typmod).putShort(0.toShort)
         b.write(fixed.array())
       }
       msg('T', b.toByteArray)
@@ -352,37 +291,12 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
     }
 
     sql match {
-      case CreateRe(name, colsDef) =>
-        val cols = splitTop(colsDef).map(_.trim).filter(_.nonEmpty)
-          .filterNot(c => c.toUpperCase.startsWith("PRIMARY KEY") ||
-            c.toUpperCase.startsWith("CONSTRAINT"))
-          .map { c =>
-            val parts = c.split("\\s+", 2)
-            (parts(0).replace("\"", ""), parts.lift(1).getOrElse("text"))
-          }
-        tables.putIfAbsent(norm(name),
-          Table(cols.map { case (n, t) => (n, typeOid(t)) }))
-        complete("CREATE TABLE")
-
-      case d if d.toUpperCase.startsWith("DROP TABLE") =>
-        val name = d.split("\\s+").last
-        tables.remove(norm(name))
-        complete("DROP TABLE")
-
-      case t if t.toUpperCase.startsWith("TRUNCATE") =>
-        val name = t.split("\\s+").last
-        resolve(name).rows.clear()
-        complete("TRUNCATE TABLE")
-
-      case b if b.toUpperCase.matches("BEGIN|COMMIT|ROLLBACK|SET\\b.*") =>
-        complete(b.split("\\s+")(0).toUpperCase)
-
       case CopyRe(name, colsOpt) =>
-        val t = resolve(name)
+        val t = store.resolve(name)
         copies.incrementAndGet()
         val cols = Option(colsOpt).filter(_ != null).map(
           _.split(",").map(_.trim.replace("\"", "")).toSeq)
-          .getOrElse(t.cols.map(_._1))
+          .getOrElse(t.cols.map(_.name))
         val idx = cols.map(t.idxOf)
         // CopyInResponse: text format, per-column formats
         val g = new ByteArrayOutputStream()
@@ -392,40 +306,21 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
         msg('G', g.toByteArray)
         flush() // the client blocks on CopyInResponse before streaming
         // drain CopyData until CopyDone / CopyFail
-        val pending = new StringBuilder
         var rows = 0L
+        val lines = new MiniSql.LineAssembler(line => {
+          store.appendText(t,
+            line.split("\t", -1).toSeq.map(MiniSql.unescapeText), idx)
+          rows += 1
+        })
         var inCopy = true
         var failed: Option[String] = None
-        def flushLines(last: Boolean): Unit = {
-          var nl = pending.indexOf("\n")
-          while (nl >= 0) {
-            val line = pending.substring(0, nl)
-            pending.delete(0, nl + 1)
-            if (line != "\\.") {
-              val vals = line.split("\t", -1).map(unescapeCopy)
-              val full = Array.fill[Option[String]](t.cols.size)(None)
-              idx.zip(vals).foreach { case (i, v) => full(i) = v }
-              t.rows.add(full.toSeq)
-              rows += 1
-            }
-            nl = pending.indexOf("\n")
-          }
-          if (last && pending.nonEmpty && pending.toString != "\\.") {
-            val vals = pending.toString.split("\t", -1).map(unescapeCopy)
-            val full = Array.fill[Option[String]](t.cols.size)(None)
-            idx.zip(vals).foreach { case (i, v) => full(i) = v }
-            t.rows.add(full.toSeq); rows += 1
-            pending.clear()
-          }
-        }
         while (inCopy) {
           val (tpe, b) = readFrame()
           tpe match {
             case 'd' =>
               val raw = new Array[Byte](b.remaining()); b.get(raw)
-              pending.append(new String(raw, UTF_8))
-              flushLines(last = false)
-            case 'c' => flushLines(last = true); inCopy = false
+              lines.push(new String(raw, UTF_8))
+            case 'c' => lines.finish(); inCopy = false
             case 'f' => failed = Some("COPY aborted by client"); inCopy = false
             case other =>
               failed = Some(s"unexpected '$other' during COPY"); inCopy = false
@@ -436,138 +331,14 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
           case None => complete(s"COPY $rows")
         }
 
-      case InsertRe(name, colList, valuesPart) =>
-        val t = resolve(name)
-        val cols = colList.split(",").map(_.trim.replace("\"", "")).toSeq
-        val idx = cols.map(t.idxOf)
-        var n = 0
-        splitTop(valuesPart).map(_.trim).foreach { tuple =>
-          require(tuple.startsWith("(") && tuple.endsWith(")"),
-            s"bad VALUES tuple: $tuple")
-          val vals = splitTop(tuple.substring(1, tuple.length - 1))
-            .map(parseLiteral)
-          val full = Array.fill[Option[String]](t.cols.size)(None)
-          idx.zip(vals).foreach { case (i, v) => full(i) = v }
-          t.rows.add(full.toSeq)
-          n += 1
-        }
-        complete(s"INSERT 0 $n")
-
-      case SelectRe(proj, name, whereOpt, orderOpt, descOpt, limitOpt) =>
-        val t = resolve(name)
-        import scala.jdk.CollectionConverters._
-        var rows: Seq[Seq[Option[String]]] = t.rows.asScala.toSeq
-
-        // WHERE: conjunction of col-op-literal
-        Option(whereOpt).filter(_ != null).foreach { w =>
-          w.split("(?i)\\s+AND\\s+").foreach { cond =>
-            val m = """([\w"\.]+)\s*(>=|<=|<>|!=|=|>|<)\s*(.+)""".r
-              .findFirstMatchIn(cond.trim).getOrElse(
-                throw new IOException(s"unsupported predicate: $cond"))
-            val i = t.idxOf(m.group(1).replace("\"", ""))
-            val oid = t.cols(i)._2
-            val lit = parseLiteral(m.group(3)).getOrElse(
-              throw new IOException("NULL comparison unsupported"))
-            val op = m.group(2)
-            rows = rows.filter(_(i) match {
-              case None => false
-              case Some(v) =>
-                val c = compare(v, lit, oid)
-                op match {
-                  case ">=" => c >= 0
-                  case "<=" => c <= 0
-                  case ">" => c > 0
-                  case "<" => c < 0
-                  case "=" => c == 0
-                  case "<>" | "!=" => c != 0
-                }
-            })
-          }
-        }
-
-        val projTrim = proj.trim
-        if (AggRe.findFirstIn(projTrim).isDefined &&
-            !projTrim.equals("*")) {
-          // aggregate projection: min/max/count list
-          val aggs = splitTop(projTrim).map(_.trim).map { a =>
-            val m = AggRe.findFirstMatchIn(a).getOrElse(
-              throw new IOException(s"unsupported projection: $a"))
-            (m.group(1).toLowerCase, m.group(2).replace("\"", ""),
-              Option(m.group(3)).getOrElse(m.group(1).toLowerCase))
-          }
-          val fields = aggs.map { case (fn, col, alias) =>
-            if (fn == "count") (alias, Pg.Oid.Int8, -1)
-            else (alias, t.oidOf(col), -1)
-          }
-          rowDescription(fields)
-          val vals = aggs.map { case (fn, col, _) =>
-            if (fn == "count") Some(rows.size.toString)
-            else {
-              val i = t.idxOf(col)
-              val oid = t.cols(i)._2
-              val present = rows.flatMap(_(i))
-              if (present.isEmpty) None
-              else Some(if (fn == "min")
-                present.reduce((a, b) => if (compare(a, b, oid) <= 0) a else b)
-              else
-                present.reduce((a, b) => if (compare(a, b, oid) >= 0) a else b))
-            }
-          }
-          dataRow(vals)
-          complete("SELECT 1")
-        } else {
-          val (names, idx) =
-            if (projTrim == "*") (t.cols.map(_._1), t.cols.indices.toSeq)
-            else {
-              val cs = projTrim.split(",").map(_.trim.replace("\"", "")).toSeq
-              (cs, cs.map(t.idxOf))
-            }
-          Option(orderOpt).filter(_ != null).foreach { oc =>
-            val i = t.idxOf(oc.replace("\"", ""))
-            val oid = t.cols(i)._2
-            rows = rows.sortWith { (a, b) =>
-              (a(i), b(i)) match {
-                case (None, None) => false
-                case (None, _) => true
-                case (_, None) => false
-                case (Some(x), Some(y)) => compare(x, y, oid) < 0
-              }
-            }
-            if (descOpt != null) rows = rows.reverse
-          }
-          Option(limitOpt).filter(_ != null)
-            .foreach(l => rows = rows.take(l.toInt))
-          rowDescription(names.zip(idx).map { case (n, i) =>
-            (n, t.cols(i)._2, -1) })
-          rows.foreach(r => dataRow(idx.map(r(_))))
-          complete(s"SELECT ${rows.size}")
-        }
-
       case other =>
-        throw new IOException(s"unsupported statement: ${other.take(80)}")
-    }
-  }
-
-  /** COPY text-format unescape: \N → NULL, \t \n \r \\ escapes. */
-  private def unescapeCopy(s: String): Option[String] = {
-    if (s == "\\N") None
-    else if (!s.contains('\\')) Some(s)
-    else {
-      val b = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) {
-          s.charAt(i + 1) match {
-            case 't' => b.append('\t'); i += 2
-            case 'n' => b.append('\n'); i += 2
-            case 'r' => b.append('\r'); i += 2
-            case '\\' => b.append('\\'); i += 2
-            case other => b.append(other); i += 2
-          }
-        } else { b.append(c); i += 1 }
-      }
-      Some(b.toString)
+        store.run(other) match {
+          case MiniSql.Done(tag) => complete(tag)
+          case MiniSql.Rows(fields, rows, tag) =>
+            rowDescription(fields)
+            rows.foreach(dataRow)
+            complete(tag)
+        }
     }
   }
 }

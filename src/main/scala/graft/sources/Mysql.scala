@@ -1,0 +1,506 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** MySQL / MariaDB source-sink over the public client/server protocol
+  * (the wire surface every MySQL driver speaks; the reference drives
+  * MySQL through go-sql-driver, `core/dbio/database/database_mysql.go`).
+  *
+  * What this closes: the `LOAD DATA LOCAL INFILE` bulk path
+  * (`database_mysql.go:543-613` LoadDataLocal via the driver's
+  * RegisterReaderHandler) was template-rendered but never executed.
+  * [[insert]] runs it over a real socket: each Spark partition opens an
+  * authenticated connection, issues the LOAD DATA statement, receives
+  * the protocol's LOCAL INFILE request (0xFB), and streams its
+  * codegen-encoded lines ([[graft.write.MyLoadData]]) as raw packets —
+  * the reference's per-batch reader handler, fanned out per partition.
+  *
+  * Reads mirror [[Pg.read]]: min/max-probed range slices per Spark
+  * partition, rows decoded STREAMING from the text resultset, the frame
+  * typed exactly from ColumnDefinition41 metadata (type byte, charset,
+  * decimals) — no sample inference.
+  *
+  * Auth: mysql_native_password (SHA1 scramble) and caching_sha2_password
+  * (SHA256 scramble, the 8.x default) both implemented, including the
+  * AuthSwitchRequest path; caching_sha2's full-auth RSA round needs TLS
+  * and is the documented offline seam.
+  */
+object Mysql {
+
+  final case class Conn(host: String, port: Int, database: String,
+      user: String = "graft", password: String = "") extends Serializable
+
+  /** Protocol type codes (public protocol docs, Protocol::ColumnType). */
+  object T {
+    val Tiny = 0x01; val Short = 0x02; val Long = 0x03; val Float = 0x04
+    val Double = 0x05; val Timestamp = 0x07; val LongLong = 0x08
+    val Int24 = 0x09; val Date = 0x0a; val Time = 0x0b; val Datetime = 0x0c
+    val Varchar = 0x0f; val Json = 0xf5; val NewDecimal = 0xf6
+    val Blob = 0xfc; val VarString = 0xfd; val Str = 0xfe
+  }
+  private val BinaryCharset = 63
+
+  /** One ColumnDefinition41: name, type code, charset, display length,
+    * decimals. */
+  final case class Field(name: String, tpe: Int, charset: Int,
+      length: Long, decimals: Int)
+
+  final class MysqlError(val code: Int, message: String)
+    extends IOException(message)
+
+  // ---- capability flags we use (Protocol::CapabilityFlags) ---------------
+  private val CapLongPassword = 0x1
+  private val CapLongFlag = 0x4
+  private val CapConnectWithDb = 0x8
+  private val CapLocalFiles = 0x80
+  private val CapProtocol41 = 0x200
+  private val CapTransactions = 0x2000
+  private val CapSecureConnection = 0x8000
+  private val CapPluginAuth = 0x80000
+
+  /** One socket speaking the client/server protocol. Not thread-safe. */
+  final class Client(conn: Conn) extends AutoCloseable {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+    socket.setSoTimeout(120000)
+    private val in = new DataInputStream(
+      new BufferedInputStream(socket.getInputStream, 1 << 16))
+    private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    private var seq = 0
+
+    // ---- packet framing (3-byte LE length + sequence id) ----------------
+
+    private def readPacket(): Array[Byte] = {
+      val l0 = in.read(); val l1 = in.read(); val l2 = in.read()
+      val s = in.read()
+      if ((l0 | l1 | l2 | s) < 0) throw new IOException("connection closed")
+      seq = (s + 1) & 0xff
+      val len = l0 | (l1 << 8) | (l2 << 16)
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      body
+    }
+
+    private def sendPacket(body: Array[Byte]): Unit = {
+      out.write(body.length & 0xff)
+      out.write((body.length >> 8) & 0xff)
+      out.write((body.length >> 16) & 0xff)
+      out.write(seq & 0xff)
+      seq = (seq + 1) & 0xff
+      out.write(body)
+    }
+
+    // ---- little-endian + length-encoded primitives ----------------------
+
+    private final class Reader(val b: Array[Byte]) {
+      var pos = 0
+      def u1: Int = { val v = b(pos) & 0xff; pos += 1; v }
+      def u2: Int = u1 | (u1 << 8)
+      def u3: Int = u1 | (u1 << 8) | (u1 << 16)
+      def u4: Long = u2.toLong | (u2.toLong << 16)
+      def skip(n: Int): Unit = pos += n
+      def zString: String = {
+        val start = pos
+        while (b(pos) != 0) pos += 1
+        val s = new String(b, start, pos - start, UTF_8); pos += 1; s
+      }
+      def lenencInt: Long = {
+        val f = u1
+        if (f < 0xfb) f
+        else if (f == 0xfc) u2.toLong
+        else if (f == 0xfd) u3.toLong
+        else { var v = 0L; (0 until 8).foreach(i => v |= (u1.toLong << (8 * i))); v }
+      }
+      def lenencBytes: Array[Byte] = {
+        val n = lenencInt.toInt
+        val s = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; s
+      }
+      def lenencString: String = new String(lenencBytes, UTF_8)
+      def remaining: Int = b.length - pos
+      def rest: Array[Byte] = java.util.Arrays.copyOfRange(b, pos, b.length)
+    }
+
+    private def w2(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    private def w4(o: ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+
+    private def err(r: Reader): MysqlError = {
+      val code = r.u2
+      if (r.remaining > 0 && r.b(r.pos) == '#') r.skip(6) // sql state
+      new MysqlError(code,
+        s"mysql error $code: ${new String(r.rest, UTF_8)}")
+    }
+
+    // ---- handshake ------------------------------------------------------
+
+    {
+      val r = new Reader(readPacket())
+      val protocol = r.u1
+      require(protocol == 10, s"unsupported handshake protocol $protocol")
+      r.zString // server version
+      r.skip(4) // thread id
+      val nonce1 = new Array[Byte](8)
+      System.arraycopy(r.b, r.pos, nonce1, 0, 8); r.skip(8)
+      r.skip(1) // filler
+      val capLow = r.u2
+      r.skip(1 + 2) // charset, status
+      val capHigh = r.u2
+      val caps = capLow | (capHigh << 16)
+      val authLen = r.u1
+      r.skip(10) // reserved
+      val n2len = math.max(13, authLen - 8)
+      val nonce2 = new Array[Byte](math.min(n2len, r.remaining))
+      System.arraycopy(r.b, r.pos, nonce2, 0, nonce2.length); r.skip(nonce2.length)
+      val plugin =
+        if ((caps & CapPluginAuth) != 0) {
+          val raw = r.rest.takeWhile(_ != 0)
+          new String(raw, UTF_8)
+        } else "mysql_native_password"
+      // 20-byte scramble = part1(8) + part2's first 12 (the trailing byte
+      // of part2 is a NUL terminator)
+      val nonce = nonce1 ++ nonce2.take(12)
+
+      val resp = new ByteArrayOutputStream()
+      val myCaps = CapLongPassword | CapLongFlag | CapConnectWithDb |
+        CapLocalFiles | CapProtocol41 | CapTransactions |
+        CapSecureConnection | CapPluginAuth
+      w4(resp, myCaps.toLong)
+      w4(resp, 1L << 24) // max packet
+      resp.write(45) // utf8mb4
+      resp.write(new Array[Byte](23))
+      resp.write(conn.user.getBytes(UTF_8)); resp.write(0)
+      val token = scramble(plugin, conn.password, nonce)
+      resp.write(token.length); resp.write(token)
+      resp.write(conn.database.getBytes(UTF_8)); resp.write(0)
+      resp.write(plugin.getBytes(UTF_8)); resp.write(0)
+      sendPacket(resp.toByteArray); out.flush()
+      authFinish(nonce)
+    }
+
+    private def scramble(plugin: String, password: String,
+        nonce: Array[Byte]): Array[Byte] =
+      if (password.isEmpty) Array.emptyByteArray
+      else plugin match {
+        case "mysql_native_password" =>
+          // SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))
+          val sha1 = MessageDigest.getInstance("SHA-1")
+          val p1 = sha1.digest(password.getBytes(UTF_8))
+          sha1.reset(); val p2 = sha1.digest(p1)
+          sha1.reset(); sha1.update(nonce); sha1.update(p2)
+          Scram.xor(p1, sha1.digest())
+        case "caching_sha2_password" =>
+          // XOR(SHA256(pw), SHA256(SHA256(SHA256(pw)) + nonce))
+          val sha = MessageDigest.getInstance("SHA-256")
+          val p1 = sha.digest(password.getBytes(UTF_8))
+          sha.reset(); val p2 = sha.digest(p1)
+          sha.reset(); sha.update(p2); sha.update(nonce)
+          Scram.xor(p1, sha.digest())
+        case other =>
+          throw new IOException(s"unsupported auth plugin $other")
+      }
+
+    private def authFinish(nonce: Array[Byte]): Unit = {
+      var done = false
+      while (!done) {
+        val r = new Reader(readPacket())
+        r.b(0) & 0xff match {
+          case 0x00 => done = true // OK
+          case 0xff => r.skip(1); throw err(r)
+          case 0x01 => // caching_sha2 continuation
+            val status = r.b(1) & 0xff
+            if (status == 3) () // fast auth success → OK follows
+            else throw new IOException(
+              "caching_sha2 full authentication requires TLS (offline seam)")
+          case 0xfe => // AuthSwitchRequest: plugin\0 + fresh nonce
+            r.skip(1)
+            val plugin = r.zString
+            val fresh = r.rest.takeWhile(_ != 0)
+            sendPacket(scramble(plugin, conn.password, fresh)); out.flush()
+          case other =>
+            throw new IOException(f"unexpected auth packet 0x$other%02x")
+        }
+      }
+    }
+
+    // ---- COM_QUERY ------------------------------------------------------
+
+    private def sendCommand(cmd: Int, payload: Array[Byte]): Unit = {
+      seq = 0
+      val b = new ByteArrayOutputStream()
+      b.write(cmd); b.write(payload)
+      sendPacket(b.toByteArray); out.flush()
+    }
+
+    private def isEof(b: Array[Byte]): Boolean =
+      (b(0) & 0xff) == 0xfe && b.length < 9
+
+    private def readColumns(n: Int): Seq[Field] = {
+      val cols = (0 until n).map { _ =>
+        val r = new Reader(readPacket())
+        r.lenencString // "def"
+        r.lenencString; r.lenencString; r.lenencString // schema, table, org
+        val name = r.lenencString
+        r.lenencString // org name
+        r.lenencInt // fixed-length fields length (0x0c)
+        val charset = r.u2
+        val length = r.u4
+        val tpe = r.u1
+        r.u2 // flags
+        val decimals = r.u1
+        Field(name, tpe, charset, length, decimals)
+      }
+      val eof = readPacket()
+      require(isEof(eof), "expected EOF after column definitions")
+      cols
+    }
+
+    /** Run one statement; rows decode STREAMING (drain before the next
+      * command). Values are the text-protocol strings (None = NULL). */
+    def queryStream(sql: String): (Seq[Field], Iterator[Seq[Option[String]]]) = {
+      sendCommand(0x03, sql.getBytes(UTF_8))
+      val first = readPacket()
+      (first(0) & 0xff) match {
+        case 0x00 => return (Nil, Iterator.empty) // OK, no resultset
+        case 0xff => val r = new Reader(first); r.skip(1); throw err(r)
+        case _ =>
+      }
+      val nCols = new Reader(first).lenencInt.toInt
+      val fields = readColumns(nCols)
+      val it = new Iterator[Seq[Option[String]]] {
+        private var pending: Option[Seq[Option[String]]] = None
+        private var active = true
+        advance()
+        private def advance(): Unit = {
+          if (!active) { pending = None; return }
+          val p = readPacket()
+          if (isEof(p)) { pending = None; active = false }
+          else if ((p(0) & 0xff) == 0xff) {
+            val r = new Reader(p); r.skip(1); active = false; throw err(r)
+          } else {
+            val r = new Reader(p)
+            pending = Some((0 until nCols).map { _ =>
+              if ((r.b(r.pos) & 0xff) == 0xfb) { r.skip(1); None }
+              else Some(r.lenencString)
+            })
+          }
+        }
+        def hasNext: Boolean = pending.isDefined
+        def next(): Seq[Option[String]] = {
+          val v = pending.get; advance(); v
+        }
+      }
+      (fields, it)
+    }
+
+    def query(sql: String): (Seq[Field], Seq[Seq[Option[String]]]) = {
+      val (f, it) = queryStream(sql)
+      (f, it.toVector)
+    }
+
+    /** Run a statement for its side effect; returns affected rows. */
+    def execute(sql: String): Long = {
+      sendCommand(0x03, sql.getBytes(UTF_8))
+      val p = readPacket()
+      (p(0) & 0xff) match {
+        case 0x00 =>
+          val r = new Reader(p); r.skip(1); r.lenencInt
+        case 0xff => val r = new Reader(p); r.skip(1); throw err(r)
+        case _ =>
+          // statement produced a resultset; drain it
+          val nCols = new Reader(p).lenencInt.toInt
+          readColumns(nCols)
+          var eof = false
+          while (!eof) eof = isEof(readPacket())
+          0L
+      }
+    }
+
+    /** Drive one LOAD DATA LOCAL INFILE: send the statement, answer the
+      * protocol's LOCAL INFILE request (0xFB + echoed name) by streaming
+      * the encoded lines as raw packets, terminate with an empty packet,
+      * return the OK packet's affected rows. */
+    def loadData(loadSql: String, lines: Iterator[String]): Long = {
+      sendCommand(0x03, loadSql.getBytes(UTF_8))
+      val p = readPacket()
+      (p(0) & 0xff) match {
+        case 0xfb => // LOCAL INFILE request
+        case 0xff => val r = new Reader(p); r.skip(1); throw err(r)
+        case other =>
+          throw new IOException(f"expected LOCAL INFILE request, got 0x$other%02x")
+      }
+      val buf = new ByteArrayOutputStream(1 << 16)
+      lines.foreach { line =>
+        buf.write(line.getBytes(UTF_8)); buf.write('\n')
+        if (buf.size >= (1 << 16)) { sendPacket(buf.toByteArray); buf.reset() }
+      }
+      if (buf.size > 0) { sendPacket(buf.toByteArray); buf.reset() }
+      sendPacket(Array.emptyByteArray) // empty packet = EOF
+      out.flush()
+      val ok = readPacket()
+      (ok(0) & 0xff) match {
+        case 0x00 =>
+          val r = new Reader(ok); r.skip(1); r.lenencInt
+        case 0xff => val r = new Reader(ok); r.skip(1); throw err(r)
+        case other =>
+          throw new IOException(f"expected OK after LOAD DATA, got 0x$other%02x")
+      }
+    }
+
+    override def close(): Unit = {
+      try { sendCommand(0x01, Array.emptyByteArray) } // COM_QUIT
+      catch { case _: IOException => () }
+      socket.close()
+    }
+  }
+
+  // ---- type mapping -------------------------------------------------------
+
+  /** ColumnDefinition41 → Spark type. NEWDECIMAL picks precision from the
+    * display length (len − sign − point, the server's rendering rule);
+    * BLOB/VAR_STRING with the binary charset surface as binary. */
+  def sparkType(f: Field): DataType = f.tpe match {
+    case T.Tiny => ByteType
+    case T.Short => ShortType
+    case T.Int24 | T.Long => IntegerType
+    case T.LongLong => LongType
+    case T.Float => FloatType
+    case T.Double => DoubleType
+    case T.NewDecimal =>
+      val prec = (f.length - (if (f.decimals > 0) 2 else 1)).toInt
+        .max(1).min(38)
+      DecimalType(prec, f.decimals.min(37).min(prec))
+    case T.Date => DateType
+    case T.Datetime => TimestampNTZType
+    case T.Timestamp => TimestampType
+    case T.Blob | T.VarString | T.Str if f.charset == BinaryCharset =>
+      BinaryType
+    case _ => StringType
+  }
+
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .toFormatter
+
+  /** Text-protocol value → Spark external type for [[sparkType]]. */
+  def parseValue(s: String, f: Field): Any = f.tpe match {
+    case T.Tiny => s.toByte
+    case T.Short => s.toShort
+    case T.Int24 | T.Long => s.toInt
+    case T.LongLong => s.toLong
+    case T.Float => s.toFloat
+    case T.Double => s.toDouble
+    case T.NewDecimal =>
+      new java.math.BigDecimal(s).setScale(f.decimals.min(37))
+    case T.Date => java.time.LocalDate.parse(s)
+    case T.Datetime => java.time.LocalDateTime.parse(s, TsFmt)
+    case T.Timestamp =>
+      // served in session time zone; connections pin UTC
+      java.time.LocalDateTime.parse(s, TsFmt)
+        .toInstant(java.time.ZoneOffset.UTC)
+    case T.Blob | T.VarString | T.Str if f.charset == BinaryCharset =>
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    case _ => s
+  }
+
+  // ---- partitioned read ---------------------------------------------------
+
+  /** Partitioned distributed read, same shape as [[Pg.read]]: table name
+    * (+ optional partition column for min/max range slicing) or SQL text
+    * (one executor-side cursor). Rows decode streaming per partition. */
+  def read(spark: SparkSession, conn: Conn, stream: String,
+      partitionColumn: Option[String] = None, splits: Int = 4,
+      where: Option[String] = None): DataFrame = {
+    val isSql = stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")
+    val base =
+      if (isSql) stream.trim
+      else s"SELECT * FROM $stream" +
+        where.map(w => s" WHERE $w").getOrElse("")
+    val probeSql =
+      if (isSql) base.replaceAll("(?is)\\blimit\\s+\\d+\\s*$", "") + " LIMIT 0"
+      else base + " LIMIT 0"
+
+    val probe = new Client(conn)
+    val fields =
+      try probe.query(probeSql)._1
+      finally probe.close()
+    val schema = StructType(fields.map(f => StructField(f.name, sparkType(f))))
+    if (fields.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    val statements: Seq[String] = partitionColumn match {
+      case Some(pc) if !isSql && splits > 1 =>
+        val c = new Client(conn)
+        val bounds =
+          try c.query(s"SELECT min($pc) AS lo, max($pc) AS hi FROM $stream" +
+            where.map(w => s" WHERE $w").getOrElse(""))._2
+          finally c.close()
+        bounds.headOption.map(r => (r(0), r(1))) match {
+          case Some((Some(lo), Some(hi))) =>
+            val l = BigDecimal(lo); val h = BigDecimal(hi)
+            val extra = where.map(w => s" AND ($w)").getOrElse("")
+            (0 until splits).map { i =>
+              val a = l + (h - l) * i / splits
+              val b = if (i == splits - 1) h else l + (h - l) * (i + 1) / splits
+              val hiOp = if (i == splits - 1) "<=" else "<"
+              s"SELECT * FROM $stream WHERE $pc >= $a AND $pc $hiOp $b$extra"
+            }
+          case _ =>
+            Seq(base + where.map(w => s" WHERE $w").getOrElse(""))
+        }
+      case _ => Seq(base)
+    }
+
+    val connB = conn
+    val fieldsB = fields
+    val rdd = spark.sparkContext
+      .parallelize(statements.indices, statements.size)
+      .flatMap { i =>
+        val c = new Client(connB)
+        val (_, rows) = c.queryStream(statements(i))
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = rows.hasNext; if (!h) c.close(); h }
+          def next(): Row = Row.fromSeq(rows.next().zip(fieldsB).map {
+            case (v, f) => v.map(parseValue(_, f)).orNull
+          })
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Distributed LOAD DATA LOCAL bulk insert (the reference's MySQL fast
+    * path): encode every partition with the codegen'd
+    * [[graft.write.MyLoadData]] projection, stream each through its own
+    * connection. Returns rows the server acknowledged. */
+  def insert(df: DataFrame, conn: Conn, table: String): Long = {
+    val sql = graft.write.MyLoadData.renderLoadSql(table,
+      df.schema.fields.toSeq)
+    val lines = graft.write.MyLoadData.encodedLines(df)
+    import lines.sparkSession.implicits._
+    lines.as[String].rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator(0L)
+      else {
+        val c = new Client(conn)
+        try Iterator(c.loadData(sql, it)) finally c.close()
+      }
+    }.sum().toLong
+  }
+
+  /** Run one statement (TRUNCATE, DDL, …); returns affected rows. */
+  def execute(conn: Conn, sql: String): Long = {
+    val c = new Client(conn)
+    try c.execute(sql) finally c.close()
+  }
+}
