@@ -88,6 +88,52 @@ object WireProbe {
     out("cql_insert_rows_per_sec") = n / cIns
     cql.close()
 
+    // ---- postgres (wire protocol v3: SCRAM + COPY + ranged reads) ---------
+    val pg = new LoopbackPg() // scram-sha-256
+    pg.define("c", Seq("k" -> Pg.Oid.Int8, "name" -> Pg.Oid.Varchar,
+      "score" -> Pg.Oid.Float8))
+    pg.load("c", (0 until n).map(i => Seq(i.toLong, s"doc-$i", (i % 1000) / 7.0)))
+    pg.define("sink", Seq("k" -> Pg.Oid.Int8, "name" -> Pg.Oid.Varchar,
+      "score" -> Pg.Oid.Float8))
+    val pConn = Pg.Conn("127.0.0.1", pg.port, "probe", "graft", "pw")
+    val (pRead, pRows) = med3 {
+      Pg.read(spark, pConn, "c", partitionColumn = Some("k"),
+        splits = splits).count()
+    }
+    require(pRows == n, s"pg read $pRows != $n")
+    out("pg_read_sec") = pRead
+    out("pg_read_rows_per_sec") = n / pRead
+    val (pIns, _) = med3 {
+      Pg.execute(pConn, "TRUNCATE TABLE sink")
+      Pg.insert(df, pConn, "sink")
+    }
+    out("pg_copy_sec") = pIns
+    out("pg_copy_rows_per_sec") = n / pIns
+    pg.close()
+
+    // ---- mysql (client protocol: caching_sha2 + LOAD DATA LOCAL) ----------
+    val my = new LoopbackMysql()
+    my.define("c", Seq("k" -> Mysql.T.LongLong, "name" -> Mysql.T.VarString,
+      "score" -> Mysql.T.Double))
+    my.load("c", (0 until n).map(i => Seq(i.toLong, s"doc-$i", (i % 1000) / 7.0)))
+    my.define("sink", Seq("k" -> Mysql.T.LongLong,
+      "name" -> Mysql.T.VarString, "score" -> Mysql.T.Double))
+    val yConn = Mysql.Conn("127.0.0.1", my.port, "probe", "graft", "pw")
+    val (yRead, yRows) = med3 {
+      Mysql.read(spark, yConn, "c", partitionColumn = Some("k"),
+        splits = splits).count()
+    }
+    require(yRows == n, s"mysql read $yRows != $n")
+    out("mysql_read_sec") = yRead
+    out("mysql_read_rows_per_sec") = n / yRead
+    val (yIns, _) = med3 {
+      Mysql.execute(yConn, "TRUNCATE TABLE sink")
+      Mysql.insert(df, yConn, "sink")
+    }
+    out("mysql_load_sec") = yIns
+    out("mysql_load_rows_per_sec") = n / yIns
+    my.close()
+
     println(out.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString(s"""{"rows":$n,"splits":$splits,""", ",", "}"))
     spark.stop()
