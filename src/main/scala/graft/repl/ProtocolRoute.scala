@@ -200,6 +200,20 @@ object ProtocolRoute {
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
 
+  /** The NoSQL stores take every mode directly (their insert IS an
+    * upsert-by-PK). The SQL wire kinds (pg/mysql) only take the modes a
+    * bulk stream can express — full reload or plain append; merge-type
+    * modes (incremental+pk, snapshot, backfill, cdc) need the staged
+    * temp-table + in-DB merge, so the task falls back to the JDBC
+    * template path (the reference's BulkImportFlow feeds that same
+    * staged path, task_run_write.go:163-498). */
+  def supportsMode(spec: Connections.ConnSpec, mode: String,
+      primaryKey: Seq[String]): Boolean =
+    if (sqlWireKinds.contains(spec.kind))
+      mode == "full-refresh" || mode == "truncate" ||
+        (mode == "incremental" && primaryKey.isEmpty)
+    else true
+
   /** Direct insert into the target store. `full-refresh` clears the
     * object first (TRUNCATE / index delete / collection drop); every
     * other mode appends — with a primary key, the mongo `_id` / ES `_id`
@@ -235,7 +249,7 @@ object ProtocolRoute {
         // one COPY stream per Spark partition (the reference's PG bulk
         // fast path, database_postgres.go:380-480)
         val c = pgConn(spec)
-        if (mode == "full-refresh")
+        if (mode == "full-refresh" || mode == "truncate")
           try graft.sources.Pg.execute(c, s"TRUNCATE TABLE $obj")
           catch { case _: java.io.IOException => () } // absent table
         graft.sources.Pg.insert(df, c, obj)
@@ -243,7 +257,7 @@ object ProtocolRoute {
         // executed LOAD DATA LOCAL INFILE, one stream per Spark
         // partition (database_mysql.go:543-613 LoadDataLocal)
         val c = mysqlConn(spec)
-        if (mode == "full-refresh")
+        if (mode == "full-refresh" || mode == "truncate")
           try graft.sources.Mysql.execute(c, s"TRUNCATE TABLE $obj")
           catch { case _: java.io.IOException => () } // absent table
         graft.sources.Mysql.insert(df, c, obj)

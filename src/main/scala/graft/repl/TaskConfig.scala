@@ -519,7 +519,8 @@ object TaskConfig {
       // NoSQL / protocol stores write directly — no SQL temp-table merge
       // (task_run_write.go:209-226 writeDirectly; insert is upsert-by-PK
       // for the _id-routed stores)
-      case Some(spec) if ProtocolRoute.writes(spec) =>
+      case Some(spec) if ProtocolRoute.writes(spec) &&
+          ProtocolRoute.supportsMode(spec, tgt.mode, tgt.primaryKey) =>
         return ProtocolRoute.write(df, spec, tgt.obj, tgt.mode,
           tgt.primaryKey)
       case Some(spec) if spec.isDatabase =>

@@ -206,6 +206,21 @@ class PgSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-type modes fall back to the staged JDBC path (a bulk COPY " +
+      "stream cannot express an upsert)") {
+    import graft.repl.{Connections, ProtocolRoute}
+    val wire = Connections.ConnSpec("P", "postgres",
+      Map("wire_protocol" -> "true"))
+    assert(ProtocolRoute.supportsMode(wire, "full-refresh", Nil))
+    assert(ProtocolRoute.supportsMode(wire, "truncate", Nil))
+    assert(ProtocolRoute.supportsMode(wire, "incremental", Nil)) // append
+    assert(!ProtocolRoute.supportsMode(wire, "incremental", Seq("id")))
+    assert(!ProtocolRoute.supportsMode(wire, "snapshot", Nil))
+    // NoSQL stores keep every mode: their insert IS an upsert-by-PK
+    val mongo = Connections.ConnSpec("M", "mongodb", Map.empty[String, String])
+    assert(ProtocolRoute.supportsMode(mongo, "incremental", Seq("id")))
+  }
+
   test("typed roundtrip: COPY out of a frame, partitioned read back equal") {
     withServer() { (srv, conn) =>
       srv.define("rt", Seq("k" -> Pg.Oid.Int8, "b" -> Pg.Oid.Bool,
