@@ -361,6 +361,53 @@ object Integration {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // SQL Server over TDS (database_sqlserver.go): a sqlserver conn with
+    // `wire_protocol: true` opts into the native client — LOGIN7 with
+    // the spec's password obfuscation, then the EXECUTED `INSERT BULK` +
+    // BulkLoadBCP path (client-authored COLMETADATA + binary ROW tokens,
+    // one message per Spark partition — the wire flow behind the bcp
+    // binary the reference shells out to, database_sqlserver.go:655-780),
+    // read back range-partitioned and typed from the token metadata
+    Q("op_mssql_wire",
+      (s, dir) => {
+        import graft.sources.{LoopbackTds, Tds}
+        val srv = new LoopbackTds()
+        try {
+          srv.define("region_sink", Seq(
+            Tds.ColMeta("r_regionkey", Tds.T.IntN, 4),
+            Tds.ColMeta("r_name", Tds.T.NVarChar, 400)))
+          val yaml =
+            s"""connections:
+               |  MSW:
+               |    type: sqlserver
+               |    host: 127.0.0.1
+               |    port: ${srv.port}
+               |    database: graft
+               |    username: graft
+               |    password: pw
+               |    wire_protocol: "true"
+               |    partition_column: r_regionkey
+               |    splits: 2
+               |source:
+               |  stream: region
+               |  select: [r_regionkey, r_name]
+               |target:
+               |  conn: MSW
+               |  object: region_sink
+               |  mode: full-refresh
+               |""".stripMargin
+          graft.repl.TaskConfig.run(s, yaml, dir)
+          graft.repl.TaskConfig.run(s, yaml, dir) // rerun: truncate + reload
+          val out = scratch("mssql_wire_back", dir)
+          Tds.read(s, Tds.Conn("127.0.0.1", srv.port, "graft",
+              user = "graft", password = "pw"), "region_sink",
+              partitionColumn = Some("r_regionkey"), splits = 2)
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out).orderBy("r_regionkey")
+        } finally srv.close()
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // task YAML source/target options (config.go source+target options):
     // a messy CSV — junk preamble, blank lines, quoted delimiters, \N and
     // empty null markers — cleans through skip_lines/skip_blank_lines/

@@ -25,28 +25,40 @@ object ProtocolRoute {
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
     "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql", "mysql", "mariadb")
+    "postgres", "postgresql", "mysql", "mariadb", "sqlserver", "azuresql",
+    "azuredwh", "fabric")
 
   /** Kinds with no JDBC surface at all — they route here unconditionally. */
   private val wireOnly =
     Set("d1", "mongodb", "mongo", "scylla", "scylladb", "cassandra")
 
-  /** Postgres and MySQL have BOTH a JDBC template path and a native
-    * wire client ([[graft.sources.Pg]]: SCRAM auth + executed COPY FROM
-    * STDIN; [[graft.sources.Mysql]]: native/caching_sha2 auth + executed
-    * LOAD DATA LOCAL INFILE). They keep the JDBC path by default; an
-    * explicit `wire_protocol: true` on the connection opts into the
-    * native client — the fast paths the reference always takes on these
-    * engines (`database_postgres.go:380-480` BulkImportStream via COPY,
-    * `database_mysql.go:543-613` LoadDataLocal). */
+  /** Postgres, MySQL, and SQL Server have BOTH a JDBC template path and
+    * a native wire client ([[graft.sources.Pg]]: SCRAM auth + executed
+    * COPY FROM STDIN; [[graft.sources.Mysql]]: native/caching_sha2 auth
+    * + executed LOAD DATA LOCAL INFILE; [[graft.sources.Tds]]: LOGIN7 +
+    * executed INSERT BULK/BulkLoadBCP). They keep the JDBC path by
+    * default; an explicit `wire_protocol: true` on the connection opts
+    * into the native client — the fast paths the reference always takes
+    * on these engines (`database_postgres.go:380-480` BulkImportStream
+    * via COPY, `database_mysql.go:543-613` LoadDataLocal,
+    * `database_sqlserver.go:655-780` bcp). */
   private val sqlWireKinds =
-    Set("postgres", "postgresql", "mysql", "mariadb")
+    Set("postgres", "postgresql", "mysql", "mariadb", "sqlserver",
+      "azuresql", "azuredwh", "fabric")
 
   def applies(spec: Connections.ConnSpec): Boolean =
     if (sqlWireKinds.contains(spec.kind))
       spec.get("wire_protocol").exists(_.equalsIgnoreCase("true"))
     else kinds.contains(spec.kind) &&
       (spec.get("http_url").isDefined || wireOnly.contains(spec.kind))
+
+  private def tdsConn(spec: Connections.ConnSpec): graft.sources.Tds.Conn =
+    graft.sources.Tds.Conn(
+      host = spec.get("host").getOrElse("127.0.0.1"),
+      port = spec.get("port").map(_.toInt).getOrElse(1433),
+      database = spec.get("database").getOrElse("master"),
+      user = spec.get("username").orElse(spec.get("user")).getOrElse("sa"),
+      password = spec.get("password").getOrElse(""))
 
   private def mysqlConn(spec: Connections.ConnSpec): graft.sources.Mysql.Conn =
     graft.sources.Mysql.Conn(
@@ -160,6 +172,10 @@ object ProtocolRoute {
         graft.sources.Mysql.read(spark, mysqlConn(spec), stream,
           partitionColumn = spec.get("partition_column"),
           splits = spec.get("splits").map(_.toInt).getOrElse(4))
+      case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        graft.sources.Tds.read(spark, tdsConn(spec), stream,
+          partitionColumn = spec.get("partition_column"),
+          splits = spec.get("splits").map(_.toInt).getOrElse(4))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)
@@ -195,7 +211,8 @@ object ProtocolRoute {
     * skip the SQL temp-table merge and write straight to the target). */
   val writeKinds: Set[String] = Set("clickhouse", "proton",
     "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql", "mysql", "mariadb")
+    "postgres", "postgresql", "mysql", "mariadb", "sqlserver", "azuresql",
+    "azuredwh", "fabric")
 
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
@@ -253,6 +270,15 @@ object ProtocolRoute {
           try graft.sources.Pg.execute(c, s"TRUNCATE TABLE $obj")
           catch { case _: java.io.IOException => () } // absent table
         graft.sources.Pg.insert(df, c, obj)
+      case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        // executed INSERT BULK + BulkLoadBCP, one stream per Spark
+        // partition — the wire flow behind the bcp binary the reference
+        // shells out to (database_sqlserver.go:655-780)
+        val c = tdsConn(spec)
+        if (mode == "full-refresh" || mode == "truncate")
+          try graft.sources.Tds.execute(c, s"TRUNCATE TABLE $obj")
+          catch { case _: java.io.IOException => () } // absent table
+        graft.sources.Tds.insert(df, c, obj)
       case "mysql" | "mariadb" =>
         // executed LOAD DATA LOCAL INFILE, one stream per Spark
         // partition (database_mysql.go:543-613 LoadDataLocal)

@@ -210,7 +210,7 @@ private[sources] object MiniSql {
           }
           val fields = aggs.map { case (fn, col, alias) =>
             if (fn == "count") Col(alias, countCode)
-            else Col(alias, t.oidOf(col))
+            else t.cols(t.idxOf(col)).copy(name = alias) // keep the typmod
           }
           val vals = aggs.map { case (fn, col, _) =>
             if (fn == "count") Some(rows.size.toString)
