@@ -134,6 +134,31 @@ object WireProbe {
     out("mysql_load_rows_per_sec") = n / yIns
     my.close()
 
+    // ---- sql server (TDS: LOGIN7 + INSERT BULK/BulkLoadBCP) ----------------
+    val ms = new LoopbackTds()
+    ms.define("c", Seq(Tds.ColMeta("k", Tds.T.IntN, 8),
+      Tds.ColMeta("name", Tds.T.NVarChar, 400),
+      Tds.ColMeta("score", Tds.T.FltN, 8)))
+    ms.load("c", (0 until n).map(i => Seq(i.toLong, s"doc-$i", (i % 1000) / 7.0)))
+    ms.define("sink", Seq(Tds.ColMeta("k", Tds.T.IntN, 8),
+      Tds.ColMeta("name", Tds.T.NVarChar, 400),
+      Tds.ColMeta("score", Tds.T.FltN, 8)))
+    val tConn = Tds.Conn("127.0.0.1", ms.port, "probe", "graft", "pw")
+    val (tRead, tRows) = med3 {
+      Tds.read(spark, tConn, "c", partitionColumn = Some("k"),
+        splits = splits).count()
+    }
+    require(tRows == n, s"tds read $tRows != $n")
+    out("mssql_read_sec") = tRead
+    out("mssql_read_rows_per_sec") = n / tRead
+    val (tIns, _) = med3 {
+      Tds.execute(tConn, "TRUNCATE TABLE sink")
+      Tds.insert(df, tConn, "sink")
+    }
+    out("mssql_bulk_sec") = tIns
+    out("mssql_bulk_rows_per_sec") = n / tIns
+    ms.close()
+
     println(out.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString(s"""{"rows":$n,"splits":$splits,""", ",", "}"))
     spark.stop()
