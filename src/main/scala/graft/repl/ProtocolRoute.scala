@@ -52,6 +52,12 @@ object ProtocolRoute {
     else kinds.contains(spec.kind) &&
       (spec.get("http_url").isDefined || wireOnly.contains(spec.kind))
 
+  /** True when the conn routes to one of the SQL wire clients (pg /
+    * mysql / tds) — the kinds whose reads accept a server-side SQL
+    * `where` for watermark pushdown. */
+  def isSqlWire(spec: Connections.ConnSpec): Boolean =
+    sqlWireKinds.contains(spec.kind) && applies(spec)
+
   private def tdsConn(spec: Connections.ConnSpec): graft.sources.Tds.Conn =
     graft.sources.Tds.Conn(
       host = spec.get("host").getOrElse("127.0.0.1"),
@@ -164,18 +170,22 @@ object ProtocolRoute {
       case "postgres" | "postgresql" =>
         // table streams range-partition on `partition_column` (min/max
         // probe + one bounded slice per Spark partition); SQL text runs
-        // as one cursor. The task pipeline still applies a SQL `where`.
+        // as one cursor. A SQL `where` executes server-side (watermark
+        // pushdown); the task pipeline re-applies it idempotently.
         graft.sources.Pg.read(spark, pgConn(spec), stream,
           partitionColumn = spec.get("partition_column"),
-          splits = spec.get("splits").map(_.toInt).getOrElse(4))
+          splits = spec.get("splits").map(_.toInt).getOrElse(4),
+          where = where.filterNot(_.trim.startsWith("{")))
       case "mysql" | "mariadb" =>
         graft.sources.Mysql.read(spark, mysqlConn(spec), stream,
           partitionColumn = spec.get("partition_column"),
-          splits = spec.get("splits").map(_.toInt).getOrElse(4))
+          splits = spec.get("splits").map(_.toInt).getOrElse(4),
+          where = where.filterNot(_.trim.startsWith("{")))
       case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
         graft.sources.Tds.read(spark, tdsConn(spec), stream,
           partitionColumn = spec.get("partition_column"),
-          splits = spec.get("splits").map(_.toInt).getOrElse(4))
+          splits = spec.get("splits").map(_.toInt).getOrElse(4),
+          where = where.filterNot(_.trim.startsWith("{")))
       case "elasticsearch" =>
         // stream is the index name (database_elasticsearch.go reads a
         // whole index via sliced scroll)

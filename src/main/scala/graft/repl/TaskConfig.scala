@@ -212,11 +212,14 @@ object TaskConfig {
         if (ProtocolRoute.applies(spec))
           // native wire client (clickhouse HTTP, databricks/snowflake SQL
           // APIs, trino protocol, d1, bigquery, athena, ES, prometheus,
-          // mongo OP_MSG) — selected by an explicit http_url endpoint on
-          // the connection, or unconditionally for JDBC-less kinds. A
-          // JSON-object `where:` is a mongo server-side filter.
+          // mongo OP_MSG, pg/mysql/tds wire) — selected by an explicit
+          // http_url endpoint, wire_protocol: true, or unconditionally
+          // for JDBC-less kinds. A JSON-object `where:` is a mongo
+          // server-side filter; for the SQL wire kinds the where (incl.
+          // the composed incremental watermark) executes server-side.
           ProtocolRoute.read(spark, spec, src.stream,
-            src.where.filter(_.trim.startsWith("{")))
+            if (ProtocolRoute.isSqlWire(spec)) src.where
+            else src.where.filter(_.trim.startsWith("{")))
         else if (spec.isDatabase)
           graft.sources.Jdbc.read(spark, spec.jdbcUrl, src.stream)
         else {
@@ -379,6 +382,45 @@ object TaskConfig {
     }
   }
 
+  /** Wire-protocol SQL sources (pg/mysql/tds native clients) are
+    * RDD-backed — a Spark-side watermark filter has no Catalyst relation
+    * to push into, so without help an incremental run would pull the
+    * WHOLE table across the wire. Compose `update_key > <target max>`
+    * into the source-level `where` so the predicate executes inside the
+    * remote engine (the reference's incremental_where_cond contract);
+    * the write-time Spark filter re-applies it idempotently. Literals
+    * render in plain SQL (no JDBC escape syntax — there is no JDBC
+    * driver on this path). */
+  private def pushWireIncremental(spark: SparkSession, task: Task): Task = {
+    val src = task.source
+    val wireSql = src.conn.map(Connections.resolve(task.connections, _))
+      .exists(ProtocolRoute.isSqlWire)
+    if (!wireSql || task.target.mode != "incremental" ||
+        src.stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")) return task
+    task.target.updateKey.flatMap(uk =>
+      targetWatermark(spark, task, uk).map(uk -> _)) match {
+      case Some((uk, w)) =>
+        val cond = s"$uk > ${wireLiteral(w)}"
+        val where = src.where.filterNot(_.trim.startsWith("{"))
+          .map(x => s"($x) AND $cond").orElse(Some(cond))
+        task.copy(source = src.copy(where = where))
+      case None => task
+    }
+  }
+
+  /** Plain-SQL literal (valid both in the remote engine and in Spark's
+    * idempotent re-filter). */
+  private def wireLiteral(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      "'" + t.toLocalDateTime.toString.replace('T', ' ') + "'"
+    case t: java.time.LocalDateTime =>
+      "'" + t.toString.replace('T', ' ') + "'"
+    case d: java.sql.Date => s"'$d'"
+    case d: java.time.LocalDate => s"'$d'"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case n => String.valueOf(n)
+  }
+
   /** Expand `{incremental_where_cond}` / `{incremental_value}` inside a
     * custom-SQL source stream (the reference's SQL-source incremental
     * contract): the condition is `update_key > <target max>` once the
@@ -475,7 +517,8 @@ object TaskConfig {
 
   private def runInner(spark: SparkSession, task0: Task, sfDir: String): Long = {
     val hadCond = task0.source.stream.contains("{incremental_where_cond}")
-    val task = substFields(substIncremental(spark, task0))
+    val task = pushWireIncremental(spark,
+      substFields(substIncremental(spark, task0)))
     val df0 = applyPipeline(
       readSource(spark, task.source, sfDir, task.connections), task)
     val tgt = task.target

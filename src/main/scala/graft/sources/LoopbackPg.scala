@@ -32,6 +32,9 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
   val statements = new AtomicInteger(0)
   /** COPY streams accepted (for per-partition fan-out assertions). */
   val copies = new AtomicInteger(0)
+  /** DataRow frames emitted (for pushdown assertions: rows that actually
+    * crossed the wire, as opposed to rows filtered Spark-side). */
+  val rowsServed = new AtomicInteger(0)
 
   private val store = new MiniSql.Store(
     numeric = Set(Pg.Oid.Int2, Pg.Oid.Int4, Pg.Oid.Int8, Pg.Oid.Float4,
@@ -278,6 +281,7 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
       msg('T', b.toByteArray)
     }
     def dataRow(vals: Seq[Option[String]]): Unit = {
+      rowsServed.incrementAndGet()
       val b = new ByteArrayOutputStream()
       b.write(ByteBuffer.allocate(2).putShort(vals.size.toShort).array())
       vals.foreach {

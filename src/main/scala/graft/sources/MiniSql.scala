@@ -126,6 +126,23 @@ private[sources] object MiniSql {
 
     private def stripQ(s: String): String = s.replaceAll("[\"`]", "")
 
+    /** Peel balanced wrapping parens off one conjunct — clients compose
+      * watermark predicates as `(existing) AND (cond)`. */
+    private def stripParens(c0: String): String = {
+      var c = c0.trim
+      def balanced(s: String): Boolean = {
+        var depth = 0
+        s.foreach { ch =>
+          if (ch == '(') depth += 1
+          else if (ch == ')') { depth -= 1; if (depth < 0) return false }
+        }
+        depth == 0
+      }
+      while (c.startsWith("(") && c.endsWith(")") &&
+        balanced(c.substring(1, c.length - 1))) c = c.substring(1, c.length - 1).trim
+      c
+    }
+
     /** Evaluate one non-bulk statement. Bulk loads (COPY / LOAD DATA)
       * are protocol-level flows the callers handle themselves, feeding
       * lines through [[appendText]]. */
@@ -175,9 +192,10 @@ private[sources] object MiniSql {
         var rows: Seq[Seq[Option[String]]] = t.rows.asScala.toSeq
 
         Option(whereOpt).filter(_ != null).foreach { w =>
-          w.split("(?i)\\s+AND\\s+").foreach { cond =>
+          w.split("(?i)\\s+AND\\s+").foreach { cond0 =>
+            val cond = stripParens(cond0)
             val m = """([\w"`\.]+)\s*(>=|<=|<>|!=|=|>|<)\s*(.+)""".r
-              .findFirstMatchIn(cond.trim).getOrElse(
+              .findFirstMatchIn(cond).getOrElse(
                 throw new IOException(s"unsupported predicate: $cond"))
             val i = t.idxOf(stripQ(m.group(1)))
             val code = t.cols(i).code

@@ -221,6 +221,49 @@ class PgSpec extends AnyFunSuite {
     assert(ProtocolRoute.supportsMode(mongo, "incremental", Seq("id")))
   }
 
+  test("incremental watermark pushes into the wire query — only the delta " +
+      "crosses, not the whole table") {
+    import graft.repl.TaskConfig
+    withServer() { (srv, _) =>
+      srv.define("src", Seq("id" -> Pg.Oid.Int8, "v" -> Pg.Oid.Varchar))
+      srv.load("src", (0 until 100).map(i => Seq(i.toLong, s"v$i")))
+      val dir = java.nio.file.Files.createTempDirectory("pg-incr").toString
+      val target = s"$dir/out"
+      val yaml =
+        s"""connections:
+           |  PGW:
+           |    type: postgres
+           |    host: 127.0.0.1
+           |    port: ${srv.port}
+           |    database: graft
+           |    username: graft
+           |    password: pw
+           |    wire_protocol: "true"
+           |    partition_column: id
+           |    splits: 2
+           |source:
+           |  conn: PGW
+           |  stream: src
+           |target:
+           |  object: $target
+           |  mode: incremental
+           |  update_key: id
+           |""".stripMargin
+      TaskConfig.run(spark, yaml, dir)
+      assert(spark.read.parquet(target).count() == 100)
+      srv.load("src", (100 until 150).map(i => Seq(i.toLong, s"v$i")))
+      val served0 = srv.rowsServed.get
+      TaskConfig.run(spark, yaml, dir)
+      val crossed = srv.rowsServed.get - served0
+      // 50 delta rows + the min/max probe row — NOT the 150-row table
+      assert(crossed < 60, s"$crossed rows crossed the wire; pushdown broken")
+      val back = spark.read.parquet(target)
+      assert(back.count() == 150)
+      assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 150L))
+    }
+  }
+
   test("typed roundtrip: COPY out of a frame, partitioned read back equal") {
     withServer() { (srv, conn) =>
       srv.define("rt", Seq("k" -> Pg.Oid.Int8, "b" -> Pg.Oid.Bool,
