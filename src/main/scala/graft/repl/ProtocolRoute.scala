@@ -58,6 +58,16 @@ object ProtocolRoute {
   def isSqlWire(spec: Connections.ConnSpec): Boolean =
     sqlWireKinds.contains(spec.kind) && applies(spec)
 
+  /** The real COPY transport for a wire_protocol postgres conn — feeds
+    * [[graft.sources.Jdbc.bulkWrite]]'s copy_stdin fast path so staged
+    * loads behind merge modes stream COPY per partition instead of
+    * batched INSERTs. None for every other conn (bulkWrite falls back). */
+  def pgCopyTransport(spec: Connections.ConnSpec)
+      : Option[graft.write.PgCopy.CopyTransport] =
+    if (Set("postgres", "postgresql").contains(spec.kind) && applies(spec))
+      Some(graft.sources.Pg.copyTransport(pgConn(spec)))
+    else None
+
   private def tdsConn(spec: Connections.ConnSpec): graft.sources.Tds.Conn =
     graft.sources.Tds.Conn(
       host = spec.get("host").getOrElse("127.0.0.1"),

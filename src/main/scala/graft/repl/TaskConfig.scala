@@ -653,9 +653,13 @@ object TaskConfig {
               org.apache.spark.sql.SaveMode.Append,
               batchSize = tgt.options.batchLimit)
           case _ if tgt.options.useBulk =>
-            // capability-dispatched bulk path (BulkImportFlow); dialects
-            // without a wired transport fall back to batched JDBC inserts
-            graft.sources.Jdbc.bulkWrite(df, spec.jdbcUrl, tgt.obj, spec.kind)
+            // capability-dispatched bulk path (BulkImportFlow); a
+            // wire_protocol postgres conn supplies the REAL COPY
+            // transport (one authenticated stream per partition) so
+            // use_bulk loads execute COPY instead of batched INSERTs;
+            // other dialects fall back to batched JDBC inserts
+            graft.sources.Jdbc.bulkWrite(df, spec.jdbcUrl, tgt.obj, spec.kind,
+              copyTransport = ProtocolRoute.pgCopyTransport(spec))
           case _ =>
             graft.sources.Jdbc.write(df, spec.jdbcUrl, tgt.obj,
               batchSize = tgt.options.batchLimit, columnTypes = colDdl)
