@@ -447,6 +447,10 @@ object Pg {
       .parallelize(statements.indices, statements.size)
       .flatMap { i =>
         val c = new Client(connB)
+        // close on task end even if the iterator is abandoned early
+        // (limit, task failure) — not only on full drain
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => c.close()))
         val (_, rows) = c.queryStream(statements(i))
         new Iterator[Row] {
           def hasNext: Boolean = { val h = rows.hasNext; if (!h) c.close(); h }
