@@ -84,6 +84,15 @@ object ProtocolRoute {
       user = spec.get("username").orElse(spec.get("user")).getOrElse("root"),
       password = spec.get("password").getOrElse(""))
 
+  private def cqlConn(spec: Connections.ConnSpec): graft.sources.Cql.Conn =
+    graft.sources.Cql.Conn(
+      host = spec.get("host").getOrElse("127.0.0.1"),
+      port = spec.get("port").map(_.toInt).getOrElse(9042),
+      keyspace = spec.get("keyspace")
+        .orElse(spec.get("database")).getOrElse(""),
+      user = spec.get("username").orElse(spec.get("user")).getOrElse(""),
+      password = spec.get("password").getOrElse(""))
+
   private def pgConn(spec: Connections.ConnSpec): graft.sources.Pg.Conn =
     graft.sources.Pg.Conn(
       host = spec.get("host").getOrElse("127.0.0.1"),
@@ -168,11 +177,7 @@ object ProtocolRoute {
         // stream is a table name (token-range partitioned read when the
         // connection declares partition_key) or CQL text (one paged
         // cursor) — database_scylladb.go:274-340 StreamRowsContext
-        graft.sources.Cql.read(spark, graft.sources.Cql.Conn(
-            host = spec.get("host").getOrElse("127.0.0.1"),
-            port = spec.get("port").map(_.toInt).getOrElse(9042),
-            keyspace = spec.get("keyspace")
-              .orElse(spec.get("database")).getOrElse("")),
+        graft.sources.Cql.read(spark, cqlConn(spec),
           stream,
           partitionKey = spec.get("partition_key").toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
@@ -310,11 +315,7 @@ object ProtocolRoute {
       case "scylla" | "scylladb" | "cassandra" =>
         // CQL INSERT is natively an upsert by primary key
         // (task_run_write.go:212 upsertByInsert)
-        val c = graft.sources.Cql.Conn(
-          host = spec.get("host").getOrElse("127.0.0.1"),
-          port = spec.get("port").map(_.toInt).getOrElse(9042),
-          keyspace = spec.get("keyspace")
-            .orElse(spec.get("database")).getOrElse(""))
+        val c = cqlConn(spec)
         if (mode == "full-refresh")
           try graft.sources.Cql.execute(c, s"TRUNCATE $obj")
           catch { case _: java.io.IOException => () } // absent table

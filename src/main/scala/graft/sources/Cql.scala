@@ -25,13 +25,15 @@ import org.apache.spark.sql.types._
   * the reference lists scylla among its upsertByInsert direct-write
   * targets (`core/sling/task_run_write.go:212`).
   *
-  * Auth note: SASL (AUTHENTICATE) needs a live server to negotiate and
-  * is the documented offline seam, as with mongo SCRAM.
+  * Auth: the AUTHENTICATE challenge is answered with a SASL PLAIN
+  * initial response (RFC 4616) — what Cassandra/Scylla's
+  * PasswordAuthenticator expects — exercised offline against the
+  * loopback server's verifier.
   */
 object Cql {
 
-  final case class Conn(host: String, port: Int, keyspace: String)
-    extends Serializable
+  final case class Conn(host: String, port: Int, keyspace: String,
+      user: String = "", password: String = "") extends Serializable
 
   // opcodes (protocol v4 §2.4)
   private final val OpError = 0x00
@@ -40,6 +42,8 @@ object Cql {
   private final val OpQuery = 0x07
   private final val OpResult = 0x08
   private final val OpAuthenticate = 0x0e
+  private final val OpAuthResponse = 0x0f
+  private final val OpAuthSuccess = 0x10
 
   /** A parsed RESULT: column specs (name, cql type), decoded rows, and
     * the server's paging state when more pages exist. */
@@ -72,7 +76,8 @@ object Cql {
   final case class TSet(elem: CqlType) extends CqlType
 
   /** One socket speaking v4 frames. Not thread-safe. */
-  final class Client(host: String, port: Int) extends AutoCloseable {
+  final class Client(host: String, port: Int, user: String = "",
+      password: String = "") extends AutoCloseable {
     private val socket = new java.net.Socket()
     socket.connect(new java.net.InetSocketAddress(host, port), 10000)
     socket.setSoTimeout(120000)
@@ -86,10 +91,24 @@ object Cql {
       val body = new java.io.ByteArrayOutputStream()
       writeShort(body, 1)
       writeString(body, "CQL_VERSION"); writeString(body, "3.0.0")
-      val (op, _) = exchange(OpStartup, body.toByteArray)
-      if (op == OpAuthenticate) throw new java.io.IOException(
-        "server requires SASL authentication (not supported offline)")
-      require(op == OpReady, s"expected READY, got opcode $op")
+      val (op, resp) = exchange(OpStartup, body.toByteArray)
+      if (op == OpAuthenticate) {
+        // server names its authenticator (§4.2.3); answer with the SASL
+        // PLAIN initial response (RFC 4616: \0authcid\0passwd) — what
+        // PasswordAuthenticator expects
+        if (password.isEmpty) throw new java.io.IOException(
+          "server requires authentication but no credentials configured")
+        val token = new java.io.ByteArrayOutputStream()
+        token.write(0); token.write(user.getBytes(UTF_8))
+        token.write(0); token.write(password.getBytes(UTF_8))
+        val ar = new java.io.ByteArrayOutputStream()
+        writeBytes(ar, token.toByteArray)
+        // a bad-credentials ERROR surfaces from the reply reader itself
+        val (op2, _) = exchange(OpAuthResponse, ar.toByteArray)
+        require(op2 == OpAuthSuccess || op2 == OpReady,
+          s"expected AUTH_SUCCESS, got opcode $op2")
+      }
+      else require(op == OpReady, s"expected READY, got opcode $op")
     }
 
     def query(cql: String, pageSize: Int = 5000,
@@ -459,7 +478,7 @@ object Cql {
     val probeCql =
       if (base.matches("(?is)[\\s\\S]*\\blimit\\s+\\d+\\s*$")) base
       else s"$base LIMIT 1"
-    val probe = new Client(conn.host, conn.port)
+    val probe = new Client(conn.host, conn.port, conn.user, conn.password)
     val cols =
       try probe.query(probeCql, 1).columns
       finally probe.close()
@@ -485,7 +504,7 @@ object Cql {
     val rdd = spark.sparkContext
       .parallelize(statements.indices, statements.size)
       .flatMap { i =>
-        val c = new Client(conn.host, conn.port)
+        val c = new Client(conn.host, conn.port, conn.user, conn.password)
         try drain(c, statements(i), pageSize)._2.map(Row.fromSeq)
         finally c.close()
       }
@@ -504,7 +523,7 @@ object Cql {
     df.rdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator(0L)
       else {
-        val c = new Client(conn.host, conn.port)
+        val c = new Client(conn.host, conn.port, conn.user, conn.password)
         try Iterator(c.executeMany(rows.map { r =>
           (cql, types.indices.map(i => encodeValue(r.get(i), types(i))))
         })) finally c.close()
@@ -514,7 +533,7 @@ object Cql {
 
   /** Run a statement for its side effect (TRUNCATE, DDL). */
   def execute(conn: Conn, cql: String): Unit = {
-    val c = new Client(conn.host, conn.port)
+    val c = new Client(conn.host, conn.port, conn.user, conn.password)
     try c.query(cql) finally c.close()
   }
 

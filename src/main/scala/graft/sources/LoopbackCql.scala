@@ -18,7 +18,8 @@ import Cql._
   * any full-range hash exercises the same range-covering contract a
   * Murmur3 ring does. Test/fixture harness — not a database.
   */
-final class LoopbackCql extends AutoCloseable {
+final class LoopbackCql(user: String = "", password: String = "")
+  extends AutoCloseable {
 
   /** (keyspace, table) → (column specs, partition-key names, rows by pk). */
   private final case class Table(cols: Seq[(String, CqlType)], pk: Seq[String],
@@ -97,6 +98,7 @@ final class LoopbackCql extends AutoCloseable {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream))
     val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    var authed = false // per-connection PasswordAuthenticator state
     def reply(stream: Short, opcode: Int, body: Array[Byte]): Unit = {
       val head = ByteBuffer.allocate(9)
       head.put(0x84.toByte).put(0.toByte).putShort(stream)
@@ -115,9 +117,38 @@ final class LoopbackCql extends AutoCloseable {
       val body = new Array[Byte](len)
       in.readFully(body)
       opcode match {
-        case 0x01 => reply(stream, 0x02, Array.empty) // STARTUP → READY
+        case 0x01 => // STARTUP → READY, or AUTHENTICATE when configured
+          if (password.isEmpty) reply(stream, 0x02, Array.empty)
+          else {
+            val o = new java.io.ByteArrayOutputStream()
+            Cql.writeString(o,
+              "org.apache.cassandra.auth.PasswordAuthenticator")
+            reply(stream, 0x0e, o.toByteArray)
+          }
+        case 0x0f => // AUTH_RESPONSE: SASL PLAIN \0user\0pass
+          val bb = ByteBuffer.wrap(body)
+          val n = bb.getInt
+          val tok = new Array[Byte](n); bb.get(tok)
+          val parts = new String(tok, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\u0000", -1)
+          if (parts.length == 3 && parts(1) == user && parts(2) == password) {
+            authed = true
+            // AUTH_SUCCESS with a null token
+            reply(stream, 0x10,
+              ByteBuffer.allocate(4).putInt(-1).array())
+          } else {
+            val o = new java.io.ByteArrayOutputStream()
+            o.write(ByteBuffer.allocate(4).putInt(0x0100).array(), 0, 4)
+            Cql.writeString(o, "Provided username/password are incorrect")
+            reply(stream, 0x00, o.toByteArray)
+          }
         case 0x05 => // OPTIONS → SUPPORTED (empty multimap)
           reply(stream, 0x06, Array[Byte](0, 0))
+        case 0x07 if password.nonEmpty && !authed =>
+          val o = new java.io.ByteArrayOutputStream()
+          o.write(ByteBuffer.allocate(4).putInt(0x0100).array(), 0, 4)
+          Cql.writeString(o, "not authenticated")
+          reply(stream, 0x00, o.toByteArray)
         case 0x07 =>
           try reply(stream, 0x08, runQuery(ByteBuffer.wrap(body)))
           catch {

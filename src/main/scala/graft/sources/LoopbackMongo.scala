@@ -17,7 +17,8 @@ import Bson.BDoc
   * `$match`/`$sort`/`$limit` stages. Test/fixture harness — not a
   * database.
   */
-final class LoopbackMongo extends AutoCloseable {
+final class LoopbackMongo(user: String = "", password: String = "")
+  extends AutoCloseable {
 
   private val collections =
     new ConcurrentHashMap[(String, String), Vector[BDoc]]()
@@ -57,6 +58,7 @@ final class LoopbackMongo extends AutoCloseable {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(sock.getInputStream))
     val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val auth = new ConnAuth // per-connection SCRAM conversation state
     try while (true) {
       val lenBytes = new Array[Byte](4)
       in.readFully(lenBytes)
@@ -72,7 +74,7 @@ final class LoopbackMongo extends AutoCloseable {
       val kind = buf.get()
       require(kind == 0, s"only kind-0 sections supported, got $kind")
       val cmd = Bson.readDoc(buf)
-      val reply = try dispatch(cmd) catch {
+      val reply = try dispatch(cmd, auth) catch {
         case e: Exception =>
           BDoc("ok" -> 0.0, "errmsg" -> String.valueOf(e.getMessage),
             "code" -> 1)
@@ -89,12 +91,52 @@ final class LoopbackMongo extends AutoCloseable {
 
   // ---- commands ----
 
-  private def dispatch(cmd: BDoc): BDoc = {
+  /** Per-connection SCRAM-SHA-256 verifier state. */
+  private final class ConnAuth {
+    var session: Scram.ServerSession = _
+    var authed: Boolean = false
+  }
+
+  private def dispatch(cmd: BDoc, auth: ConnAuth): BDoc = {
     val db = cmd.getString("$db").getOrElse("test")
+    def utf8(b: Array[Byte]) =
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    def payloadOf(c: BDoc): Array[Byte] = c.get("payload").collect {
+      case b: Array[Byte] => b
+    }.getOrElse(Array.emptyByteArray)
     cmd.fields.headOption.map(_._1) match {
       case Some("hello") | Some("isMaster") | Some("ismaster") =>
         BDoc("helloOk" -> true, "maxWireVersion" -> 17,
           "minWireVersion" -> 0, "ok" -> 1.0)
+      case Some("saslStart") =>
+        require(cmd.getString("mechanism").contains("SCRAM-SHA-256"),
+          "loopback mongod only speaks SCRAM-SHA-256")
+        auth.session = new Scram.ServerSession(password)
+        val serverFirst = auth.session.serverFirst(utf8(payloadOf(cmd)))
+        BDoc("conversationId" -> 1,
+          "payload" -> serverFirst.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+          "done" -> false, "ok" -> 1.0)
+      case Some("saslContinue") =>
+        val p = payloadOf(cmd)
+        if (p.isEmpty) // empty final round
+          BDoc("conversationId" -> 1,
+            "payload" -> Array.emptyByteArray, "done" -> true, "ok" -> 1.0)
+        else {
+          require(auth.session != null, "saslContinue without saslStart")
+          if (auth.session.username != user)
+            throw new IllegalArgumentException("Authentication failed")
+          val serverFinal = auth.session.serverFinal(utf8(p)) // throws on bad proof
+          auth.authed = true
+          BDoc("conversationId" -> 1,
+            "payload" -> serverFinal.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+            "done" -> true, "ok" -> 1.0)
+        }
+      case Some(op) if password.nonEmpty && !auth.authed &&
+          op != "ping" && op != "endSessions" =>
+        throw new IllegalArgumentException(
+          s"command $op requires authentication")
       case Some("ping") => BDoc("ok" -> 1.0)
       case Some("endSessions") => BDoc("ok" -> 1.0)
       case Some("find") => runFind(db, cmd)

@@ -38,7 +38,8 @@ import Bson.{BDoc, ObjectId}
 object Mongo {
 
   /** Serializable connection; executors open their own sockets. */
-  final case class Conn(host: String, port: Int, database: String)
+  final case class Conn(host: String, port: Int, database: String,
+      user: String = "", password: String = "")
     extends Serializable
 
   /** A parsed mongodb:// connection string. */
@@ -99,7 +100,20 @@ object Mongo {
     val u = parseUrl(url)
     val (host, port) = u.hosts.head
     Conn(host, port,
-      u.database.orElse(u.options.get("authsource")).getOrElse("test"))
+      u.database.orElse(u.options.get("authsource")).getOrElse("test"),
+      user = u.user.getOrElse(""), password = u.password.getOrElse(""))
+  }
+
+  /** Open a connection and, when credentials are configured, run the
+    * SCRAM-SHA-256 SASL conversation against the auth database (the
+    * reference authenticates through the driver the same way;
+    * SCRAM-SHA-1's MD5 digest-password variant is legacy and omitted). */
+  private def connect(conn: Conn): Client = {
+    val c = new Client(conn.host, conn.port)
+    if (conn.password.nonEmpty)
+      try c.auth(conn.database, conn.user, conn.password)
+      catch { case e: Throwable => c.close(); throw e }
+    c
   }
 
   private final val OpMsg = 2013
@@ -115,8 +129,40 @@ object Mongo {
     private val out = new java.io.BufferedOutputStream(socket.getOutputStream)
     private var requestId = 0
 
-    /** Connection handshake; result ignored (no auth offline). */
+    /** Connection handshake. */
     def hello(db: String): BDoc = command(db, BDoc("hello" -> 1))
+
+    /** SCRAM-SHA-256 SASL conversation (saslStart/saslContinue commands
+      * carrying the RFC 7677 messages; the username travels in
+      * client-first with =/, escaped). Throws on a failed proof or a
+      * server whose signature does not verify. */
+    def auth(db: String, user: String, password: String): Unit = {
+      val sess = new Scram.ClientSession(password, user)
+      val first = command(db, BDoc(
+        "saslStart" -> 1,
+        "mechanism" -> "SCRAM-SHA-256",
+        "payload" -> sess.clientFirst.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+        "options" -> BDoc("skipEmptyExchange" -> true)))
+      val convId = first.get("conversationId").getOrElse(1)
+      val serverFirst = new String(first.get("payload").collect {
+        case b: Array[Byte] => b
+      }.getOrElse(throw new java.io.IOException("saslStart had no payload")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val fin = command(db, BDoc(
+        "saslContinue" -> 1, "conversationId" -> convId,
+        "payload" -> sess.clientFinal(serverFirst).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+      val serverFinal = new String(fin.get("payload").collect {
+        case b: Array[Byte] => b
+      }.getOrElse(Array.emptyByteArray),
+        java.nio.charset.StandardCharsets.UTF_8)
+      sess.verifyServerFinal(serverFinal)
+      val done = fin.get("done").contains(true)
+      if (!done) // servers without skipEmptyExchange want an empty round
+        command(db, BDoc("saslContinue" -> 1, "conversationId" -> convId,
+          "payload" -> Array.emptyByteArray))
+    }
 
     def command(db: String, cmd: BDoc): BDoc = {
       val body = Bson.encode(BDoc(cmd.fields :+ ("$db" -> (db: Any))))
@@ -277,7 +323,7 @@ object Mongo {
     val sampleSchema: Option[org.apache.spark.sql.types.StructType] =
       if (sampleSize <= 0) None
       else {
-        val c = new Client(conn.host, conn.port)
+        val c = connect(conn)
         c.hello(db)
         val sample =
           try findDocs(c, db, coll, filter, projection, None,
@@ -291,7 +337,7 @@ object Mongo {
 
     // driver-side bounds probe: two single-document finds, no row data
     def probe(dir: Int): Option[Any] = {
-      val c = new Client(conn.host, conn.port)
+      val c = connect(conn)
       try findDocs(c, db, coll, filter, Some(BDoc("_id" -> 1)),
           Some(BDoc("_id" -> dir)), 1L, 1)
         .toSeq.headOption.flatMap(_.get("_id"))
@@ -308,14 +354,14 @@ object Mongo {
       case Some(rs) =>
         spark.sparkContext.parallelize(rs.indices, rs.size).flatMap { i =>
           val (lo, hi, closed) = rs(i)
-          val c = new Client(conn.host, conn.port)
+          val c = connect(conn)
           c.hello(db)
           findDocs(c, db, coll, withIdRange(filter, lo, hi, closed),
             projection, None, 0L, batchSize).map(Bson.toJson)
         }
       case None =>
         spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-          val c = new Client(conn.host, conn.port)
+          val c = connect(conn)
           c.hello(db)
           findDocs(c, db, coll, filter, projection, None, limit, batchSize)
             .map(Bson.toJson)
@@ -340,7 +386,7 @@ object Mongo {
     val (db, coll) = splitName(conn, collection)
     val stages = Bson.fromJson(s"""{"p":$pipelineJson}""").getSeq("p")
     val lines = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-      val c = new Client(conn.host, conn.port)
+      val c = connect(conn)
       c.hello(db)
       val first = c.command(db, BDoc("aggregate" -> coll,
         "pipeline" -> stages, "cursor" -> BDoc("batchSize" -> batchSize)))
@@ -417,7 +463,7 @@ object Mongo {
     df.rdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator(0L)
       else {
-        val c = new Client(conn.host, conn.port)
+        val c = connect(conn)
         c.hello(db)
         var n = 0L
         try rows.grouped(chunkRows).foreach { batch =>
@@ -434,7 +480,7 @@ object Mongo {
     * (a real mongod answers "ns not found"). */
   def drop(conn: Conn, collection: String): Unit = {
     val (db, coll) = splitName(conn, collection)
-    val c = new Client(conn.host, conn.port)
+    val c = connect(conn)
     try c.command(db, BDoc("drop" -> coll))
     catch { case _: java.io.IOException => () }
     finally c.close()

@@ -585,13 +585,16 @@ private[sources] object Scram {
     a.zip(b).map { case (x, y) => (x ^ y).toByte }
 
   /** Client state machine: clientFirst → clientFinal(serverFirst) →
-    * verifyServerFinal(serverFinal). */
-  final class ClientSession(password: String) {
+    * verifyServerFinal(serverFinal). PG leaves the SCRAM username empty
+    * (it travels in the startup message); MongoDB carries it here
+    * (`=`/`,` escaped per RFC 5802). */
+  final class ClientSession(password: String, username: String = "") {
     private val nonce = {
       val r = new java.security.SecureRandom()
       val b = new Array[Byte](18); r.nextBytes(b); b64(b)
     }
-    private val clientFirstBare = s"n=,r=$nonce"
+    private val encUser = username.replace("=", "=3D").replace(",", "=2C")
+    private val clientFirstBare = s"n=$encUser,r=$nonce"
     val clientFirst: String = "n,," + clientFirstBare
     private var serverSignature: Array[Byte] = Array.emptyByteArray
 
@@ -632,10 +635,16 @@ private[sources] object Scram {
     private val salted = saltedPassword(password, salt, iterations)
     private var clientFirstBare = ""
     private var serverFirstMsg = ""
+    private var clientUser = ""
+    /** The authcid the client sent in client-first (empty for PG). */
+    def username: String = clientUser
 
     def serverFirst(clientFirst: String): String = {
       require(clientFirst.startsWith("n,,"), s"bad gs2 header: $clientFirst")
       clientFirstBare = clientFirst.drop(3)
+      clientUser = clientFirstBare.split(",").find(_.startsWith("n="))
+        .map(_.drop(2).replace("=2C", ",").replace("=3D", "="))
+        .getOrElse("")
       val clientNonce = clientFirstBare.split(",")
         .find(_.startsWith("r=")).map(_.drop(2))
         .getOrElse(throw new IOException("client-first missing nonce"))

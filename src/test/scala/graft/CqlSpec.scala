@@ -60,6 +60,30 @@ class CqlSpec extends AnyFunSuite {
     srv
   }
 
+  test("auth: PLAIN credentials satisfy PasswordAuthenticator; wrong " +
+      "password and unauthenticated queries are rejected") {
+    val srv = new LoopbackCql(user = "graft", password = "pw")
+    try {
+      srv.define("ks", "t", Seq("id" -> TBigint), pk = Seq("id"))
+      srv.load("ks", "t", Seq(Seq(5L)))
+      // right credentials → AUTH_SUCCESS → queries flow
+      val c = new Cql.Client("127.0.0.1", srv.port, "graft", "pw")
+      try assert(c.query("SELECT * FROM ks.t").rows == Seq(Seq(5L)))
+      finally c.close()
+      // wrong password → credentials error from AUTH_RESPONSE
+      val e = intercept[java.io.IOException] {
+        new Cql.Client("127.0.0.1", srv.port, "graft", "nope").close()
+      }
+      assert(e.getMessage.contains("incorrect") ||
+        e.getMessage.contains("authentication failed"))
+      // no credentials at all → informative failure, not a hang
+      val e2 = intercept[java.io.IOException] {
+        new Cql.Client("127.0.0.1", srv.port).close()
+      }
+      assert(e2.getMessage.contains("no credentials"))
+    } finally srv.close()
+  }
+
   test("client: startup, select, and multi-page paging drain exactly") {
     val srv = seedServer(25)
     try {
