@@ -31,9 +31,11 @@ import Bson.{BDoc, ObjectId}
   * (ObjectId → hex, datetime → ISO-8601, per the reference's row
   * conversions) and type through Spark's distributed JSON inference.
   *
-  * Auth note: SCRAM handshakes need a live server to negotiate with and
-  * are intentionally not implemented offline; the seam is `Client.hello`
-  * (README scope note, as with the other live-server surfaces).
+  * Auth: SCRAM-SHA-256 is implemented as the full SASL conversation
+  * ([[Client.auth]]: saslStart/saslContinue carrying the RFC 7677
+  * messages, server signature verified) and exercised offline against
+  * the loopback verifier; credentials come from the Conn or a
+  * mongodb:// URL.
   */
 object Mongo {
 
