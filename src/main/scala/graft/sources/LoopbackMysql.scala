@@ -21,7 +21,15 @@ import java.util.concurrent.atomic.AtomicInteger
   * SQL text, matching how the reference's template is tested.
   */
 final class LoopbackMysql(plugin: String = "caching_sha2_password",
-    user: String = "graft", password: String = "pw") extends AutoCloseable {
+    user: String = "graft", password: String = "pw",
+    fullAuth: Boolean = false) extends AutoCloseable {
+
+  // RSA keypair for caching_sha2's full-auth public-key exchange
+  private lazy val rsaKeys = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -213,13 +221,34 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
         authedToken = readPacket()
       }
 
-      val ok = claimedUser == user &&
-        MessageDigest.isEqual(authedToken, expectedToken(nonce))
+      val ok =
+        if (plugin == "caching_sha2_password" && fullAuth) {
+          // cache miss: demand full authentication — RSA key exchange
+          sendPacket(Array[Byte](0x01, 0x04)); out.flush()
+          val req = readPacket()
+          require(req.length == 1 && req(0) == 0x02,
+            "expected public-key request")
+          val pem = "-----BEGIN PUBLIC KEY-----\n" +
+            java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+              .encodeToString(rsaKeys.getPublic.getEncoded) +
+            "\n-----END PUBLIC KEY-----\n"
+          sendPacket(Array(0x01.toByte) ++ pem.getBytes(UTF_8)); out.flush()
+          val blob = readPacket()
+          val cipher = javax.crypto.Cipher.getInstance(
+            "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          cipher.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
+          val xored = cipher.doFinal(blob)
+          val plain = xored.indices.map(i =>
+            (xored(i) ^ nonce(i % nonce.length)).toByte).toArray
+          claimedUser == user && MessageDigest.isEqual(plain,
+            password.getBytes(UTF_8) :+ 0.toByte)
+        } else claimedUser == user &&
+          MessageDigest.isEqual(authedToken, expectedToken(nonce))
       if (!ok) {
         errPacket(1045, s"Access denied for user '$claimedUser'")
         socket.close(); return
       }
-      if (plugin == "caching_sha2_password") {
+      if (plugin == "caching_sha2_password" && !fullAuth) {
         sendPacket(Array[Byte](0x01, 0x03)) // fast auth success
       }
       okPacket(0)

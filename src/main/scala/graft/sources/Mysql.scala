@@ -28,8 +28,10 @@ import org.apache.spark.sql.types._
   *
   * Auth: mysql_native_password (SHA1 scramble) and caching_sha2_password
   * (SHA256 scramble, the 8.x default) both implemented, including the
-  * AuthSwitchRequest path; caching_sha2's full-auth RSA round needs TLS
-  * and is the documented offline seam.
+  * AuthSwitchRequest path AND caching_sha2's full-authentication round
+  * over a plain connection — the client requests the server's RSA public
+  * key and sends RSA-OAEP(password XOR nonce), the protocol's no-TLS
+  * path for cache misses. TLS-wrapped login is the remaining seam.
   */
 object Mysql {
 
@@ -219,8 +221,29 @@ object Mysql {
           case 0x01 => // caching_sha2 continuation
             val status = r.b(1) & 0xff
             if (status == 3) () // fast auth success → OK follows
+            else if (status == 4) {
+              // full authentication over a plain connection: request the
+              // server's RSA public key, then send RSA-OAEP(password\0
+              // XOR nonce) — the protocol's no-TLS path
+              sendPacket(Array(0x02.toByte)); out.flush()
+              val kr = new Reader(readPacket())
+              require((kr.u1 & 0xff) == 0x01, "expected AuthMoreData key")
+              val pem = new String(kr.rest, UTF_8)
+              val der = java.util.Base64.getMimeDecoder.decode(
+                pem.replaceAll("-----[A-Z ]+-----", "").trim)
+              val key = java.security.KeyFactory.getInstance("RSA")
+                .generatePublic(
+                  new java.security.spec.X509EncodedKeySpec(der))
+              val plain = conn.password.getBytes(UTF_8) :+ 0.toByte
+              val xored = plain.indices.map(i =>
+                (plain(i) ^ nonce(i % nonce.length)).toByte).toArray
+              val cipher = javax.crypto.Cipher.getInstance(
+                "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+              cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+              sendPacket(cipher.doFinal(xored)); out.flush()
+            }
             else throw new IOException(
-              "caching_sha2 full authentication requires TLS (offline seam)")
+              f"unknown caching_sha2 continuation 0x$status%02x")
           case 0xfe => // AuthSwitchRequest: plugin\0 + fresh nonce
             r.skip(1)
             val plugin = r.zString

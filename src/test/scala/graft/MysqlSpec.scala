@@ -45,6 +45,26 @@ class MysqlSpec extends AnyFunSuite {
     }
   }
 
+  test("caching_sha2 full authentication: RSA public-key exchange over a " +
+      "plain connection (the protocol's cache-miss, no-TLS path)") {
+    val srv = new LoopbackMysql(fullAuth = true)
+    try {
+      srv.define("t", Seq("k" -> Mysql.T.Long))
+      srv.load("t", Seq(Seq(11)))
+      val c = new Mysql.Client(Mysql.Conn("127.0.0.1", srv.port, "graft",
+        user = "graft", password = "pw"))
+      try assert(c.query("SELECT k FROM t")._2 == Seq(Seq(Some("11"))))
+      finally c.close()
+      // wrong password fails the decrypted comparison
+      val e = intercept[java.io.IOException] {
+        new Mysql.Client(Mysql.Conn("127.0.0.1", srv.port, "graft",
+          user = "graft", password = "bad")).close()
+      }
+      assert(e.getMessage.contains("1045") ||
+        e.getMessage.contains("Access denied"))
+    } finally srv.close()
+  }
+
   test("a wrong password is rejected with error 1045") {
     val srv = new LoopbackMysql()
     try {
