@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 import graft.api.Auth
@@ -86,20 +86,11 @@ object Athena {
       case _ => StringType
     }
 
-  private def convert(v: String, dt: DataType): Any =
-    if (v == null) null
-    else dt match {
-      case LongType => v.toLong
-      case DoubleType => v.toDouble
-      case BooleanType => v.toBoolean
-      case DateType => java.sql.Date.valueOf(v)
-      case TimestampType => java.sql.Timestamp.valueOf(v)
-      case _: DecimalType => new java.math.BigDecimal(v)
-      case _ => v
-    }
-
-  /** Run `sql` through the full lifecycle and return a typed frame. */
-  def read(spark: SparkSession, conn: Conn, sql: String): DataFrame = {
+  /** Run `sql` through the full lifecycle and return a typed frame.
+    * Result pages spill to JSONL staging as they arrive (bounded driver
+    * memory); Spark parses the staged parts distributed. */
+  def read(spark: SparkSession, conn: Conn, sql: String,
+      spill: Spill.Config = Spill.Config()): DataFrame = {
     val start = rpc(conn, "StartQueryExecution", mapper.writeValueAsString {
       val o = mapper.createObjectNode()
       o.put("QueryString", sql)
@@ -122,9 +113,13 @@ object Athena {
     }
     var token = ""
     var cols: Seq[(String, DataType)] = Nil
-    val rows = collection.mutable.ArrayBuffer[Row]()
+    val w = new Spill.JsonlWriter("athena", spill)
+    val line = mapper.createObjectNode()
     var first = true
     var done = false
+    // NextToken pages stream straight to JSONL staging — only the page
+    // in flight is resident on the driver (the reference's SDK stream
+    // has the same bounded shape; database_athena.go)
     while (!done) {
       val req = mapper.createObjectNode()
       req.put("QueryExecutionId", qid)
@@ -142,10 +137,21 @@ object Athena {
         if (first && i == 0) () // Athena's header row in SELECT results
         else {
           val cells = data.get(i).path("Data")
-          rows += Row.fromSeq(cols.zipWithIndex.map { case ((_, dt), j) =>
+          line.removeAll()
+          cols.zipWithIndex.foreach { case ((n, dt), j) =>
             val v = cells.path(j).path("VarCharValue")
-            convert(if (v.isMissingNode || v.isNull) null else v.asText(), dt)
-          })
+            val s = if (v.isMissingNode || v.isNull) null else v.asText()
+            (s, dt) match {
+              case (null, _) => line.putNull(n)
+              case (x, LongType) => line.put(n, x.toLong)
+              case (x, DoubleType) => line.put(n, x.toDouble)
+              case (x, BooleanType) => line.put(n, x.toBoolean)
+              // date/timestamp/decimal keep Athena's canonical render;
+              // the staged read parses against the explicit schema
+              case (x, _) => line.put(n, x)
+            }
+          }
+          w.write(mapper.writeValueAsString(line))
         }
       }
       first = false
@@ -154,6 +160,6 @@ object Athena {
     }
     val schema = StructType(cols.map { case (n, dt) =>
       StructField(n, dt, nullable = true) })
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+    Spill.readJsonl(spark, Some(schema), w.close())
   }
 }

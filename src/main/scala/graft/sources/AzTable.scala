@@ -8,17 +8,20 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * core/dbio/database/database_azuretable.go) over the Table service
   * REST surface: OData entity listing with `$filter`/`$select`/`$top`,
   * continuation-token paging (x-ms-continuation-NextPartitionKey/RowKey),
-  * per-entity inserts in reference-sized batches, and SharedKeyLite
-  * request signing — all behind the same injectable transport pattern as
-  * GSheets/GDrive/Elastic, so the offline build drives the whole
-  * protocol (signature verification included) against a loopback server.
+  * distributed `$batch` entity-group inserts in reference-sized
+  * transactions, and SharedKeyLite request signing — all behind the same
+  * injectable transport pattern as GSheets/GDrive/Elastic, so the
+  * offline build drives the whole protocol (signature verification
+  * included) against a loopback server.
   *
   * Scale posture: the Table service paginates a single logical scan
   * (1000 entities/page, no server-side slicing), so the fetch is
-  * driver-paged like the reference's own stream; rows then type through
-  * the shared inference engine and all downstream work is distributed.
-  * Range-partitioning on PartitionKey prefixes is the scale-out path
-  * when a table is large enough to matter.
+  * driver-paged like the reference's own stream — but pages spill to
+  * JSONL staging as they arrive (bounded driver memory), and typing +
+  * downstream work run distributed over the staged parts. Writes are
+  * executor-parallel `$batch` transactions. Range-partitioning on
+  * PartitionKey prefixes is the further scale-out path when a table is
+  * large enough to matter.
   */
 object AzTable {
 
@@ -79,15 +82,17 @@ object AzTable {
     }
   }
 
-  /** Entity rows as JSON strings, following continuation tokens until
-    * the scan is exhausted. */
-  def entities(conn: Conn, table: String, filter: Option[String] = None,
-      select: Seq[String] = Nil, top: Option[Int] = None): Seq[String] = {
-    val out = collection.mutable.ArrayBuffer[String]()
+  /** Walk the continuation-token scan, calling `emit` once per entity
+    * (its JSON render). Only the page in flight is resident. */
+  def walk(conn: Conn, table: String, filter: Option[String] = None,
+      select: Seq[String] = Nil, top: Option[Int] = None)
+      (emit: String => Unit): Long = {
+    var count = 0L
     var nextPk: Option[String] = None
     var nextRk: Option[String] = None
     var first = true
-    while (first || nextPk.nonEmpty || nextRk.nonEmpty) {
+    var capped = false
+    while (!capped && (first || nextPk.nonEmpty || nextRk.nonEmpty)) {
       first = false
       val params = Seq(
         filter.map(f => s"$$filter=${enc(f)}"),
@@ -105,60 +110,131 @@ object AzTable {
         headers(conn, s"$table()"))
       val root = mapper.readTree(body)
       val vals = root.path("value")
-      (0 until vals.size()).foreach(i =>
-        out += mapper.writeValueAsString(vals.get(i)))
+      var i = 0
+      while (i < vals.size() && !capped) {
+        emit(mapper.writeValueAsString(vals.get(i)))
+        count += 1
+        if (top.exists(count >= _)) capped = true
+        i += 1
+      }
       nextPk = Option(root.path("odata.nextPartitionKey").asText(null))
         .filter(_.nonEmpty)
       nextRk = Option(root.path("odata.nextRowKey").asText(null))
         .filter(_.nonEmpty)
-      if (top.exists(t => out.size >= t)) { nextPk = None; nextRk = None }
     }
-    top.map(t => out.take(t).toSeq).getOrElse(out.toSeq)
+    count
+  }
+
+  /** Entity rows as JSON strings (driver-resident — incremental-state
+    * probes and tests; [[read]] is the bounded-memory path). */
+  def entities(conn: Conn, table: String, filter: Option[String] = None,
+      select: Seq[String] = Nil, top: Option[Int] = None): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer[String]()
+    walk(conn, table, filter, select, top)(out += _)
+    out.toSeq
   }
 
   /** Distributed frame over a table scan: driver-paged fetch (the
-    * service's pagination model), then Spark's JSON typing. */
+    * service's pagination model) spilling each page to JSONL staging —
+    * bounded driver memory — then Spark's distributed JSON typing. */
   def read(spark: SparkSession, conn: Conn, table: String,
       filter: Option[String] = None, select: Seq[String] = Nil,
-      top: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    val rows = entities(conn, table, filter, select, top)
-    spark.read.json(spark.createDataset(rows))
+      top: Option[Int] = None,
+      spill: Spill.Config = Spill.Config()): DataFrame = {
+    val w = new Spill.JsonlWriter("aztable", spill)
+    walk(conn, table, filter, select, top)(w.write)
+    Spill.readJsonl(spark, None, w.close())
   }
 
-  /** Insert the frame as entities (POST per entity, the reference's
-    * 100-per-transaction batch sizing as the flush unit). Rows without
-    * PartitionKey/RowKey columns get the reference's defaults: a fixed
-    * partition and a generated row key. Returns entities written. */
+  private def entityJson(mapper: ObjectMapper,
+      row: org.apache.spark.sql.Row, cols: Seq[String],
+      pkCol: Option[String], rkCol: Option[String],
+      defaultRk: => String): (String, String) = {
+    val o = mapper.createObjectNode()
+    val pk = pkCol.map(c => String.valueOf(row.getAs[Any](c)))
+      .getOrElse("default")
+    o.put("PartitionKey", pk)
+    o.put("RowKey",
+      rkCol.map(c => String.valueOf(row.getAs[Any](c))).getOrElse(defaultRk))
+    cols.filterNot(c => pkCol.contains(c) || rkCol.contains(c)).foreach { c =>
+      row.getAs[Any](c) match {
+        case null => ()
+        case v: Int => o.put(c, v)
+        case v: Long => o.put(c, v)
+        case v: Double => o.put(c, v)
+        case v: Boolean => o.put(c, v)
+        case v => o.put(c, String.valueOf(v))
+      }
+    }
+    (pk, mapper.writeValueAsString(o))
+  }
+
+  /** One entity-group transaction: a multipart `$batch` POST whose
+    * single changeset carries up to 100 inserts sharing a PartitionKey
+    * (the service's transaction rule; the reference posts the same
+    * 100-entity transactions — database_azuretable.go). */
+  private def postBatch(conn: Conn, table: String,
+      entities: Seq[String]): Unit = {
+    val batchId = s"batch_${java.util.UUID.randomUUID()}"
+    val csId = s"changeset_${java.util.UUID.randomUUID()}"
+    val sb = new StringBuilder
+    sb ++= s"--$batchId\r\n"
+    sb ++= s"Content-Type: multipart/mixed; boundary=$csId\r\n\r\n"
+    entities.foreach { e =>
+      sb ++= s"--$csId\r\n"
+      sb ++= "Content-Type: application/http\r\n"
+      sb ++= "Content-Transfer-Encoding: binary\r\n\r\n"
+      sb ++= s"POST ${conn.baseUrl}/$table HTTP/1.1\r\n"
+      sb ++= "Content-Type: application/json\r\n"
+      sb ++= "Accept: application/json;odata=nometadata\r\n\r\n"
+      sb ++= e
+      sb ++= "\r\n"
+    }
+    sb ++= s"--$csId--\r\n"
+    sb ++= s"--$batchId--\r\n"
+    conn.transport.put(s"${conn.baseUrl}/$$batch",
+      headers(conn, "$batch") +
+        ("Content-Type" -> s"multipart/mixed; boundary=$batchId") +
+        ("X-HTTP-Method" -> "POST"),
+      sb.toString)
+  }
+
+  /** Insert the frame as entities — DISTRIBUTED: each Spark partition
+    * posts its own `$batch` entity-group transactions of `batchSize`
+    * (the reference's 100-per-transaction sizing,
+    * database_azuretable.go), grouped by PartitionKey per the service's
+    * same-partition transaction rule. Rows without PartitionKey/RowKey
+    * columns get the reference's defaults: a fixed partition and a
+    * generated (partition-unique) row key. Returns entities written. */
   def insert(df: DataFrame, conn: Conn, table: String,
       batchSize: Int = 100): Long = {
     val cols = df.columns.toSeq
     val pkCol = cols.find(_.equalsIgnoreCase("PartitionKey"))
     val rkCol = cols.find(_.equalsIgnoreCase("RowKey"))
-    var n = 0L
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      val o = mapper.createObjectNode()
-      o.put("PartitionKey",
-        pkCol.map(c => String.valueOf(row.getAs[Any](c))).getOrElse("default"))
-      o.put("RowKey",
-        rkCol.map(c => String.valueOf(row.getAs[Any](c))).getOrElse(n.toString))
-      cols.filterNot(c => pkCol.contains(c) || rkCol.contains(c)).foreach { c =>
-        row.getAs[Any](c) match {
-          case null => ()
-          case v: Int => o.put(c, v)
-          case v: Long => o.put(c, v)
-          case v: Double => o.put(c, v)
-          case v: Boolean => o.put(c, v)
-          case v => o.put(c, String.valueOf(v))
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = new ObjectMapper()
+      val buf = collection.mutable.LinkedHashMap[
+        String, collection.mutable.ArrayBuffer[String]]()
+      var n = 0L
+      var i = 0L
+      it.foreach { row =>
+        val (pk, json) =
+          entityJson(m, row, cols, pkCol, rkCol, s"$pid-$i")
+        i += 1
+        val b = buf.getOrElseUpdate(pk,
+          collection.mutable.ArrayBuffer[String]())
+        b += json
+        if (b.size >= batchSize) {
+          postBatch(conn, table, b.toSeq)
+          n += b.size
+          buf.remove(pk)
         }
       }
-      conn.transport.put(s"${conn.baseUrl}/$table",
-        headers(conn, table) + ("X-HTTP-Method" -> "POST"),
-        mapper.writeValueAsString(o))
-      n += 1
-    }
-    n
+      buf.valuesIterator.foreach { b =>
+        postBatch(conn, table, b.toSeq)
+        n += b.size
+      }
+      Iterator(n)
+    }.sum().toLong
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 /** BigQuery source over the public REST surface
@@ -56,28 +56,13 @@ object BigQueryApi {
     case _ => StringType // STRING, BYTES(base64), JSON, STRUCT renders…
   }
 
-  private def convert(v: String, dt: DataType): Any =
-    if (v == null) null
-    else dt match {
-      case LongType => v.toLong
-      case DoubleType => v.toDouble
-      case BooleanType => v.toBoolean
-      case _: DecimalType => new java.math.BigDecimal(v)
-      case TimestampType =>
-        // the API renders TIMESTAMP as epoch seconds (may be scientific)
-        val micros = (new java.math.BigDecimal(v))
-          .movePointRight(6).longValueExact()
-        new java.sql.Timestamp(micros / 1000) {
-          { setNanos(((micros % 1000000) * 1000).toInt) }
-        }
-      case DateType => java.sql.Date.valueOf(v)
-      case _ => v
-    }
-
   /** Run `sql` to completion: submit via jobs.query, poll
-    * getQueryResults until jobComplete, then follow pageToken pages. */
+    * getQueryResults until jobComplete, then follow pageToken pages.
+    * Pages spill to JSONL staging as they arrive (bounded driver
+    * memory); Spark parses the staged parts distributed. */
   def read(spark: SparkSession, conn: Conn, sql: String,
-      useLegacySql: Boolean = false): DataFrame = {
+      useLegacySql: Boolean = false,
+      spill: Spill.Config = Spill.Config()): DataFrame = {
     val tok = conn.token()
     val payload = mapper.createObjectNode()
     payload.put("query", sql)
@@ -96,16 +81,38 @@ object BigQueryApi {
       val f = fields.get(i)
       (f.path("name").asText(), sparkType(f.path("type").asText()))
     }
-    val rows = collection.mutable.ArrayBuffer[Row]()
+    val w = new Spill.JsonlWriter("bigquery", spill)
+    val line = mapper.createObjectNode()
     var done = false
+    // pageToken pages stream straight to JSONL staging — one page
+    // resident at a time, never the result set
     while (!done) {
       val data = resp.path("rows")
       (0 until data.size()).foreach { i =>
         val cells = data.get(i).path("f")
-        rows += Row.fromSeq(cols.zipWithIndex.map { case ((_, dt), j) =>
+        line.removeAll()
+        cols.zipWithIndex.foreach { case ((n, dt), j) =>
           val v = cells.get(j).path("v")
-          convert(if (v.isNull) null else v.asText(), dt)
-        })
+          val s = if (v.isNull) null else v.asText()
+          (s, dt) match {
+            case (null, _) => line.putNull(n)
+            case (x, LongType) => line.put(n, x.toLong)
+            case (x, DoubleType) => line.put(n, x.toDouble)
+            case (x, BooleanType) => line.put(n, x.toBoolean)
+            case (x, TimestampType) =>
+              // the API renders TIMESTAMP as epoch seconds (possibly
+              // scientific); stage as an ISO instant the schema'd JSON
+              // parse reads back exactly
+              val micros = (new java.math.BigDecimal(x))
+                .movePointRight(6).longValueExact()
+              line.put(n, java.time.Instant.ofEpochSecond(
+                Math.floorDiv(micros, 1000000L),
+                Math.floorMod(micros, 1000000L) * 1000L).toString)
+            // date/decimal keep the API's canonical string render
+            case (x, _) => line.put(n, x)
+          }
+        }
+        w.write(mapper.writeValueAsString(line))
       }
       val next = resp.path("pageToken").asText("")
       if (next.isEmpty) done = true
@@ -116,7 +123,6 @@ object BigQueryApi {
     }
     val schema = StructType(cols.map { case (n, dt) =>
       StructField(n, dt, nullable = true) })
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList), schema)
+    Spill.readJsonl(spark, Some(schema), w.close())
   }
 }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * database selection via query param.
   *
   * Reads append `FORMAT JSONEachRow` (unless a FORMAT is already
-  * declared) and type the NDJSON through distributed JSON inference.
-  * Writes stream `INSERT INTO t FORMAT JSONEachRow` bodies in bounded
+  * declared) and type the NDJSON through distributed JSON inference;
+  * the response streams line-by-line to JSONL staging, never
+  * materialized ([[read]]), and [[readPartitioned]] runs one
+  * WHERE-bounded cursor per Spark partition so fetch + parse never
+  * touch the driver at all — the scale path, mirroring the bounded
+  * row channel in the reference's database_clickhouse.go. Writes
+  * stream `INSERT INTO t FORMAT JSONEachRow` bodies in bounded
   * chunks — the same wire shape the reference's bulk path produces.
-  * Parallel reads come from the ChunkedRead range pattern (per-chunk
-  * WHERE predicates), as with any single-cursor SQL source.
   */
 object ClickHouseHttp {
 
@@ -28,7 +31,11 @@ object ClickHouseHttp {
       else s"$baseUrl/?database=${java.net.URLEncoder.encode(database, "UTF-8")}"
   }
 
-  private def post(conn: Conn, body: String): String = {
+  /** POST the statement; returns a line reader over the streaming
+    * response body (never materialized — the bounded-memory shape of
+    * the reference's row channel; database_clickhouse.go). Caller
+    * closes. */
+  private def openStream(conn: Conn, body: String): java.io.BufferedReader = {
     val http = new java.net.URI(conn.url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     http.setRequestMethod("POST")
@@ -39,22 +46,83 @@ object ClickHouseHttp {
     val os = http.getOutputStream
     try os.write(body.getBytes("UTF-8")) finally os.close()
     val code = http.getResponseCode
-    val is = if (code >= 400) http.getErrorStream else http.getInputStream
-    val out = new String(
-      Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
-    http.disconnect()
-    if (code >= 400)
-      throw new java.sql.SQLException(s"clickhouse $code: ${out.take(300)}")
-    out
+    if (code >= 400) {
+      val err = new String(Option(http.getErrorStream)
+        .map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+      http.disconnect()
+      throw new java.sql.SQLException(s"clickhouse $code: ${err.take(300)}")
+    }
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(http.getInputStream, "UTF-8"), 1 << 16)
   }
 
-  /** Query → typed frame: JSONEachRow lines through JSON inference. */
-  def read(spark: SparkSession, conn: Conn, sql: String): DataFrame = {
-    import spark.implicits._
+  private def postStreaming(conn: Conn, body: String)
+      (sink: java.io.BufferedReader => Unit): Unit = {
+    val rd = openStream(conn, body)
+    try sink(rd) finally rd.close()
+  }
+
+  private def post(conn: Conn, body: String): String = {
+    val sb = new StringBuilder
+    postStreaming(conn, body) { rd =>
+      val buf = new Array[Char](8192)
+      var n = rd.read(buf)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = rd.read(buf) }
+    }
+    sb.toString
+  }
+
+  /** Query → typed frame: JSONEachRow lines through distributed JSON
+    * inference. The response streams line-by-line to JSONL staging —
+    * the driver holds one line at a time, never the result set. */
+  def read(spark: SparkSession, conn: Conn, sql: String,
+      spill: Spill.Config = Spill.Config()): DataFrame = {
     val q = if (sql.toUpperCase.contains("FORMAT ")) sql.trim
       else s"${sql.trim} FORMAT JSONEachRow"
-    val lines = post(conn, q).split("\n").filter(_.nonEmpty).toSeq
-    spark.read.json(spark.createDataset(lines))
+    val w = new Spill.JsonlWriter("clickhouse", spill)
+    postStreaming(conn, q) { rd =>
+      var line = rd.readLine()
+      while (line != null) {
+        if (line.nonEmpty) w.write(line)
+        line = rd.readLine()
+      }
+    }
+    Spill.readJsonl(spark, None, w.close())
+  }
+
+  /** Executor-parallel read: split `[lo, hi]` of `column` into `chunks`
+    * half-open ranges (last inclusive) and run one `WHERE`-bounded
+    * statement per Spark partition — each executor opens its own HTTP
+    * cursor and parses its own slice, so neither fetch nor parse ever
+    * touches the driver (ChunkedRead's range pattern composed into the
+    * wire query; the scale path for large tables). `sql` must contain a
+    * `{chunk}` placeholder that receives the range predicate. */
+  def readPartitioned(spark: SparkSession, conn: Conn, sql: String,
+      column: String, lo: Long, hi: Long, chunks: Int): DataFrame = {
+    require(sql.contains("{chunk}"),
+      "readPartitioned sql needs a {chunk} placeholder for the range predicate")
+    require(chunks > 0 && hi >= lo, s"bad range [$lo,$hi] x$chunks")
+    val step = math.max((hi - lo) / chunks + 1, 1L)
+    val preds = (0 until chunks).map { i =>
+      val a = lo + i * step
+      val b = math.min(a + step, hi + 1)
+      s"$column >= $a AND $column < $b"
+    }
+    import spark.implicits._
+    val lines = spark.sparkContext.parallelize(preds, preds.size)
+      .flatMap { pred =>
+        val q0 = sql.replace("{chunk}", s"($pred)")
+        val q = if (q0.toUpperCase.contains("FORMAT ")) q0.trim
+          else s"${q0.trim} FORMAT JSONEachRow"
+        val rd = openStream(conn, q)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => rd.close()))
+        // lazy line iterator: rows decode as the executor consumes them,
+        // O(line) memory per cursor
+        Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
+      }
+    spark.read.json(lines.toDS())
   }
 
   /** Frame → `INSERT INTO table FORMAT JSONEachRow` chunks. Rows render

@@ -18,8 +18,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   */
 object GSheets {
 
-  /** Minimal HTTP seam: GET/PUT returning the response body. */
-  trait Transport {
+  /** Minimal HTTP seam: GET/PUT returning the response body.
+    * Serializable so connections embedding a transport can ride into
+    * executor closures (AzTable's distributed batch insert). */
+  trait Transport extends Serializable {
     def get(url: String, headers: Map[String, String]): String
     def put(url: String, headers: Map[String, String], body: String): String
   }

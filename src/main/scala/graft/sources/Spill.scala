@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Bounded-driver-memory staging for driver-paged REST protocols.
+  *
+  * Several engine surfaces (Trino's `nextUri` cursor, BigQuery
+  * `getQueryResults` pages, Athena `GetQueryResults` tokens, the Azure
+  * Table continuation scan, ClickHouse's single HTTP response) are
+  * driver-paged by protocol design: one logical cursor, no server-side
+  * slicing. The reference streams those cursors through bounded channels
+  * (core/dbio/database/database_trino.go, database_clickhouse.go — the
+  * result set is never held in memory); the Spark-side analogue is this
+  * stage: each page's rows are appended to rotating JSONL part files as
+  * they arrive (only the current page is ever resident on the driver),
+  * and Spark then reads the staged files distributed — executors, not
+  * the driver, do the parse/type work, and parallelism follows the part
+  * files.
+  *
+  * The staging directory defaults to a JVM temp dir (correct for
+  * local/driver-side staging); pass `dir` to land parts on any
+  * shared/scratch mount a cluster's executors can read.
+  */
+object Spill {
+
+  /** Staging knobs: rotate part files every `partBytes`, land under
+    * `dir` (temp dir when None). Small `partBytes` in tests forces
+    * rotation so specs can assert bounded residency via part counts. */
+  final case class Config(partBytes: Long = 64L << 20,
+      dir: Option[String] = None)
+
+  /** Rotating JSONL writer. One line at a time — the only driver-side
+    * state is the current buffered write, never the result set. */
+  final class JsonlWriter(prefix: String, config: Config = Config()) {
+    val dir: java.nio.file.Path = config.dir match {
+      case Some(d) =>
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.createTempDirectory(p, prefix)
+      case None => java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+    }
+    private var part = -1
+    private var partBytes = 0L
+    private var out: java.io.Writer = null
+    private var _rows = 0L
+    private val _files = collection.mutable.ArrayBuffer[String]()
+
+    private def rotate(): Unit = {
+      if (out != null) out.close()
+      part += 1
+      partBytes = 0L
+      val p = dir.resolve(f"part-$part%05d.jsonl")
+      _files += p.toString
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        java.nio.file.Files.newOutputStream(p), "UTF-8"), 1 << 16)
+    }
+
+    def write(line: String): Unit = {
+      if (out == null || partBytes >= config.partBytes) rotate()
+      out.write(line)
+      out.write('\n')
+      partBytes += line.length + 1
+      _rows += 1
+    }
+
+    def rows: Long = _rows
+    def parts: Int = _files.size
+
+    /** Flush + close; returns the part files written (possibly none). */
+    def close(): Seq[String] = {
+      if (out != null) { out.close(); out = null }
+      _files.toSeq
+    }
+  }
+
+  /** Distributed read-back of a staged spill. With a schema the parse is
+    * exact (FAILFAST — a malformed staged line is a bug, not data); with
+    * None the shape flows through Spark's distributed JSON inference
+    * (the NDJSON sources that always inferred keep doing so). Zero rows
+    * stage no files; the frame is still correctly-typed and empty. */
+  def readJsonl(spark: SparkSession, schema: Option[StructType],
+      files: Seq[String]): DataFrame = schema match {
+    case Some(s) if files.isEmpty =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    case Some(s) =>
+      spark.read.schema(s).option("mode", "FAILFAST").json(files: _*)
+    case None if files.isEmpty =>
+      spark.emptyDataFrame
+    case None =>
+      spark.read.json(files: _*)
+  }
+
+  /** Stage a page-walking cursor and hand back the distributed frame.
+    * `walk` drives the protocol cursor, calling `emit` once per row
+    * (a rendered JSONL line); nothing else is retained driver-side. */
+  def stage(spark: SparkSession, prefix: String, schema: Option[StructType],
+      config: Config)(walk: (String => Unit) => Unit): DataFrame = {
+    val w = new JsonlWriter(prefix, config)
+    walk(w.write)
+    readJsonl(spark, schema, w.close())
+  }
+}

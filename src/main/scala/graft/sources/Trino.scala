@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Trino source over the documented client REST protocol (the same wire
@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * column types for the core scalar set; everything else lands as
   * string.
   *
-  * The cursor is a single server-side stream (per protocol), so pages
-  * accumulate driver-side like the reference's own client — downstream
-  * work is distributed, and query-level parallelism comes from running
-  * per-partition predicates as separate statements (ChunkedRead's range
-  * pattern applies verbatim).
+  * The cursor is a single server-side stream (per protocol), so the
+  * driver walks the pages — but it never holds the result set: rows
+  * stream straight to [[Spill]] JSONL staging as each page arrives
+  * (bounded driver memory, the same never-buffer shape as the
+  * reference's channel-fed stream in database_trino.go) and Spark then
+  * reads the staged parts distributed. Query-level parallelism comes
+  * from running per-partition predicates as separate statements
+  * (ChunkedRead's range pattern applies verbatim).
   */
 object Trino {
 
@@ -79,14 +82,16 @@ object Trino {
       case _ => StringType // varchar, char, json, array/map renders, ...
     }
 
-  /** Run a statement to completion; returns (column names+types, rows).
-    */
-  def execute(conn: Conn, sql: String)
-      : (Seq[(String, String)], Seq[Seq[Any]]) = {
+  /** Walk the statement's page cursor, calling `onColumns` once when the
+    * protocol reports the column list and `onRow` per data row (values
+    * are the page's parsed JSON cells: Long/Double/Boolean/String/null).
+    * Only the current page is ever in memory. */
+  def walk(conn: Conn, sql: String)(
+      onColumns: Seq[(String, String)] => Unit,
+      onRow: IndexedSeq[Any] => Unit): Unit = {
     var resp = mapper.readTree(http("POST",
       s"${conn.baseUrl}/v1/statement", headers(conn), Some(sql)))
-    var cols: Seq[(String, String)] = Nil
-    val rows = collection.mutable.ArrayBuffer[Seq[Any]]()
+    var colsSeen = false
     var done = false
     while (!done) {
       if (!resp.path("error").isMissingNode) {
@@ -96,58 +101,70 @@ object Trino {
             s"(${e.path("errorName").asText()})")
       }
       val cj = resp.path("columns")
-      if (cols.isEmpty && cj.isArray && cj.size() > 0)
-        cols = (0 until cj.size()).map(i =>
-          (cj.get(i).path("name").asText(), cj.get(i).path("type").asText()))
+      if (!colsSeen && cj.isArray && cj.size() > 0) {
+        colsSeen = true
+        onColumns((0 until cj.size()).map(i =>
+          (cj.get(i).path("name").asText(), cj.get(i).path("type").asText())))
+      }
       val data = resp.path("data")
       if (data.isArray) (0 until data.size()).foreach { i =>
         val r = data.get(i)
-        rows += (0 until r.size()).map { j =>
+        onRow((0 until r.size()).map { j =>
           val v = r.get(j)
           if (v.isNull) null
           else if (v.isIntegralNumber) v.asLong()
           else if (v.isFloatingPointNumber) v.asDouble()
           else if (v.isBoolean) v.asBoolean()
           else v.asText()
-        }
+        })
       }
       val next = resp.path("nextUri").asText("")
       if (next.isEmpty) done = true
       else resp = mapper.readTree(http("GET", next, headers(conn), None))
     }
+  }
+
+  /** Run a statement to completion; returns (column names+types, rows).
+    * For control statements / small result sets only — [[read]] is the
+    * bounded-memory path for data.
+    */
+  def execute(conn: Conn, sql: String)
+      : (Seq[(String, String)], Seq[Seq[Any]]) = {
+    var cols: Seq[(String, String)] = Nil
+    val rows = collection.mutable.ArrayBuffer[Seq[Any]]()
+    walk(conn, sql)(c => cols = c, r => rows += r)
     (cols, rows.toSeq)
   }
 
   /** Statement → typed DataFrame (column types from the protocol's
     * reported types; date/timestamp/decimal parse from their canonical
-    * render). */
-  def read(spark: SparkSession, conn: Conn, sql: String): DataFrame = {
-    val (cols, rows) = execute(conn, sql)
-    require(cols.nonEmpty, "trino returned no columns")
-    val schema = StructType(cols.map { case (n, t) =>
-      StructField(n, sparkType(t), nullable = true) })
-    val data = rows.map { r =>
-      Row.fromSeq(r.zip(cols).map { case (v, (_, t)) =>
-        (v, sparkType(t)) match {
-          case (null, _) => null
-          case (x: Long, LongType) => x
-          case (x: Long, IntegerType) => x.toInt
-          case (x: Long, ShortType) => x.toShort
-          case (x: Long, ByteType) => x.toByte
-          case (x: Long, DoubleType) => x.toDouble
-          case (x: Double, DoubleType) => x
-          case (x: Double, FloatType) => x.toFloat
-          case (x: Boolean, BooleanType) => x
-          case (x, DateType) => java.sql.Date.valueOf(String.valueOf(x))
-          case (x, TimestampType) =>
-            java.sql.Timestamp.valueOf(String.valueOf(x))
-          case (x, d: DecimalType) =>
-            new java.math.BigDecimal(String.valueOf(x))
-          case (x, _) => String.valueOf(x)
+    * render). Pages stream to JSONL staging as they arrive — the driver
+    * holds one page at a time, never the result set. */
+  def read(spark: SparkSession, conn: Conn, sql: String,
+      spill: Spill.Config = Spill.Config()): DataFrame = {
+    val w = new Spill.JsonlWriter("trino", spill)
+    var cols: Seq[(String, DataType)] = Nil
+    val line = mapper.createObjectNode()
+    walk(conn, sql)(
+      cs => cols = cs.map { case (n, t) => (n, sparkType(t)) },
+      r => {
+        line.removeAll()
+        cols.zipWithIndex.foreach { case ((n, dt), j) =>
+          (r(j), dt) match {
+            case (null, _) => line.putNull(n)
+            case (x: Long, _) => line.put(n, x)
+            case (x: Double, _) => line.put(n, x)
+            case (x: Boolean, _) => line.put(n, x)
+            // date/timestamp/decimal ride their canonical string render;
+            // the staged read parses them against the explicit schema
+            case (x, _) => line.put(n, String.valueOf(x))
+          }
         }
+        w.write(mapper.writeValueAsString(line))
       })
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(data.toList), schema)
+    require(cols.nonEmpty, "trino returned no columns")
+    val schema = StructType(cols.map { case (n, dt) =>
+      StructField(n, dt, nullable = true) })
+    Spill.readJsonl(spark, Some(schema), w.close())
   }
 }

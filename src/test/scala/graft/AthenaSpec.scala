@@ -62,8 +62,8 @@ class AthenaSpec extends AnyFunSuite {
             val json = mapper.createObjectNode()
             val rs = json.putObject("ResultSet")
             val ci = rs.putObject("ResultSetMetadata").putArray("ColumnInfo")
-            Seq(("id", "bigint"), ("name", "varchar"), ("amt", "double"))
-              .foreach { case (n, t) =>
+            Seq(("id", "bigint"), ("name", "varchar"), ("amt", "double"),
+              ("ts", "timestamp")).foreach { case (n, t) =>
                 ci.addObject().put("Name", n).put("Type", t) }
             val rows = rs.putArray("Rows")
             def addRow(vals: Seq[String]): Unit = {
@@ -71,11 +71,12 @@ class AthenaSpec extends AnyFunSuite {
               vals.foreach(v => d.addObject().put("VarCharValue", v))
             }
             if (!page2) {
-              addRow(Seq("id", "name", "amt")) // Athena header row
-              addRow(Seq("1", "a", "1.5")); addRow(Seq("2", "b", "2.5"))
+              addRow(Seq("id", "name", "amt", "ts")) // Athena header row
+              addRow(Seq("1", "a", "1.5", "2024-02-01 10:30:00.25"))
+              addRow(Seq("2", "b", "2.5", "2024-02-02 10:30:00.25"))
               json.put("NextToken", "t2")
             } else {
-              addRow(Seq("3", "c", "3.5"))
+              addRow(Seq("3", "c", "3.5", "2024-02-03 10:30:00.25"))
             }
             mapper.writeValueAsString(json)
         }
@@ -102,6 +103,26 @@ class AthenaSpec extends AnyFunSuite {
       val r = df.orderBy("id").collect()
       assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
       assert(r.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5))
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      assert(df.orderBy("id")
+        .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss.SS')")
+        .head().getString(0) == "2024-02-01 10:30:00.25")
+    } finally fake.stop()
+  }
+
+  test("result pages spill to rotating JSONL staging (bounded residency)") {
+    val fake = new FakeAthena()
+    try {
+      val stage = java.nio.file.Files.createTempDirectory("athena-stage")
+      val df = Athena.read(spark, fake.conn, "SELECT * FROM t",
+        spill = graft.sources.Spill.Config(
+          partBytes = 16, dir = Some(stage.toString)))
+      assert(df.count() == 3)
+      val parts = collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(stage).iterator().forEachRemaining(p =>
+        if (p.toString.endsWith(".jsonl")) parts += p.toString)
+      assert(parts.size >= 2, s"expected part rotation, got $parts")
     } finally fake.stop()
   }
 

@@ -23,6 +23,9 @@ class AzTableSpec extends AnyFunSuite {
       account: String = "", keyB64: String = "") {
     val entities = collection.mutable.ArrayBuffer[String]()
     val authFailures = collection.mutable.ArrayBuffer[String]()
+    // one element per $batch POST: (changeset entity count, distinct
+    // PartitionKeys inside the changeset) — asserts transaction sizing
+    val batches = collection.mutable.ArrayBuffer[(Int, Set[String])]()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -37,10 +40,20 @@ class AzTableSpec extends AnyFunSuite {
           if (auth != want) authFailures += s"got $auth want $want"
         }
         val resp: String =
-          if (ex.getRequestMethod == "POST" ||
+          if (ex.getRequestURI.getPath == "/$batch") {
+            // entity-group transaction: one changeset of POSTed entities
+            val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            val posted = body.split("\r\n").filter(_.startsWith("{")).toSeq
+            this.synchronized {
+              entities ++= posted
+              batches += ((posted.size, posted.map(e =>
+                mapper.readTree(e).path("PartitionKey").asText()).toSet))
+            }
+            "accepted"
+          } else if (ex.getRequestMethod == "POST" ||
               "POST" == ex.getRequestHeaders.getFirst("X-HTTP-Method")) {
             val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-            entities += body
+            this.synchronized { entities += body }
             body
           } else {
             val query = Option(ex.getRequestURI.getQuery).getOrElse("")
@@ -136,6 +149,58 @@ class AzTableSpec extends AnyFunSuite {
       assert(back.count() == 2)
       assert(back.columns.contains("PartitionKey"))
       assert(fake.authFailures.isEmpty)
+    } finally fake.stop()
+  }
+
+  test("insert posts $batch entity-group transactions of batchSize, " +
+      "distributed per Spark partition, grouped by PartitionKey") {
+    import spark.implicits._
+    val fake = new FakeTable(pageSize = 500)
+    try {
+      // 250 rows in ONE Spark partition → changesets of [100, 100, 50]
+      val one = (1 to 250).map(i => (i, s"v$i")).toDF("id", "v")
+        .coalesce(1)
+      assert(AzTable.insert(one, fake.conn, "T3") == 250)
+      assert(fake.batches.map(_._1).sorted == Seq(50, 100, 100))
+      assert(fake.batches.forall(_._2 == Set("default")),
+        "a changeset must hold a single PartitionKey")
+      assert(fake.entities.size == 250)
+
+      // 3 Spark partitions × 2 PartitionKeys → each partition flushes its
+      // own per-pk transactions: ≥3 batches, none crossing pk boundaries
+      fake.entities.clear(); fake.batches.clear()
+      val multi = (1 to 30)
+        .map(i => (s"pk${i % 2}", s"rk$i", i)).toDF("PartitionKey", "RowKey", "n")
+        .repartition(3)
+      assert(AzTable.insert(multi, fake.conn, "T3", batchSize = 4) == 30)
+      assert(fake.batches.size >= 3)
+      assert(fake.batches.forall(_._2.size == 1),
+        "a changeset must hold a single PartitionKey")
+      assert(fake.batches.forall(_._1 <= 4))
+      assert(fake.entities.size == 30)
+      val rks = fake.entities.map(e =>
+        mapper.readTree(e).path("RowKey").asText()).toSet
+      assert(rks == (1 to 30).map(i => s"rk$i").toSet)
+    } finally fake.stop()
+  }
+
+  test("read spills pages to JSONL staging (bounded driver residency)") {
+    val fake = new FakeTable(pageSize = 100)
+    try {
+      (1 to 2000).foreach(i => fake.entities +=
+        s"""{"PartitionKey":"p","RowKey":"$i","id":$i}""")
+      val stage = java.nio.file.Files.createTempDirectory("aztable-stage")
+      val df = AzTable.read(spark, fake.conn, "T1",
+        spill = graft.sources.Spill.Config(
+          partBytes = 8 * 1024, dir = Some(stage.toString)))
+      assert(df.count() == 2000)
+      // rotation happened: the scan streamed through multiple small part
+      // files rather than accumulating in driver memory
+      val parts = java.nio.file.Files.walk(stage).iterator()
+      val partFiles = collection.mutable.ArrayBuffer[String]()
+      parts.forEachRemaining(p =>
+        if (p.toString.endsWith(".jsonl")) partFiles += p.toString)
+      assert(partFiles.size >= 2, s"expected rotation, got $partFiles")
     } finally fake.stop()
   }
 }

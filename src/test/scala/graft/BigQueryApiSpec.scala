@@ -99,4 +99,19 @@ class BigQueryApiSpec extends AnyFunSuite {
       assert(r.head.getAs[java.sql.Date]("d").toString == "2024-02-02")
     } finally fake.stop()
   }
+
+  test("result pages spill to rotating JSONL staging (bounded residency)") {
+    val fake = new FakeBq
+    try {
+      val stage = java.nio.file.Files.createTempDirectory("bq-stage")
+      val df = BigQueryApi.read(spark, fake.conn, "SELECT * FROM t",
+        spill = graft.sources.Spill.Config(
+          partBytes = 32, dir = Some(stage.toString)))
+      assert(df.count() == 5)
+      val parts = collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(stage).iterator().forEachRemaining(p =>
+        if (p.toString.endsWith(".jsonl")) parts += p.toString)
+      assert(parts.size >= 2, s"expected part rotation, got $parts")
+    } finally fake.stop()
+  }
 }

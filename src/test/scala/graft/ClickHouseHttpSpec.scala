@@ -15,8 +15,11 @@ class ClickHouseHttpSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private class FakeCh {
     val inserts = collection.mutable.ArrayBuffer[String]()
+    val selects = collection.mutable.ArrayBuffer[String]()
     var seenUser = ""
     val rows = collection.mutable.ArrayBuffer[String](
       """{"id":1,"name":"a","v":1.5}""",
@@ -31,12 +34,30 @@ class ClickHouseHttpSpec extends AnyFunSuite {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val resp: String =
           if (body.startsWith("INSERT INTO")) {
-            inserts += body
-            body.split("\n").drop(1).filter(_.nonEmpty).foreach(rows += _)
+            this.synchronized {
+              inserts += body
+              body.split("\n").drop(1).filter(_.nonEmpty).foreach(rows += _)
+            }
             ""
           } else if (body.contains("boom"))
             throw new RuntimeException("fail below") // 500 path via catch
-          else rows.mkString("\n") + "\n"
+          else this.synchronized {
+            selects += body
+            // honor a chunk range predicate when one is present
+            val range = """(\w+) >= (-?\d+) AND \1 < (-?\d+)""".r
+              .findFirstMatchIn(body)
+            val out = range match {
+              case Some(m) =>
+                val (k, lo, hi) =
+                  (m.group(1), m.group(2).toLong, m.group(3).toLong)
+                rows.filter { r =>
+                  val v = mapper.readTree(r).path(k).asLong()
+                  v >= lo && v < hi
+                }
+              case None => rows
+            }
+            out.mkString("\n") + "\n"
+          }
         val bytes = resp.getBytes("UTF-8")
         ex.sendResponseHeaders(200, bytes.length.toLong)
         ex.getResponseBody.write(bytes)
@@ -78,6 +99,45 @@ class ClickHouseHttpSpec extends AnyFunSuite {
         "INSERT INTO t FORMAT JSONEachRow\n")))
       val back = ClickHouseHttp.read(spark, fake.conn, "SELECT * FROM t")
       assert(back.count() == 5)
+    } finally fake.stop()
+  }
+
+  test("read streams the response to JSONL staging (bounded residency)") {
+    val fake = new FakeCh
+    try {
+      fake.rows.clear()
+      (1 to 1000).foreach(i =>
+        fake.rows += s"""{"id":$i,"name":"n$i","v":$i.5}""")
+      val stage = java.nio.file.Files.createTempDirectory("ch-stage")
+      val df = ClickHouseHttp.read(spark, fake.conn, "SELECT * FROM t",
+        spill = graft.sources.Spill.Config(
+          partBytes = 4 * 1024, dir = Some(stage.toString)))
+      assert(df.count() == 1000)
+      val parts = collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(stage).iterator().forEachRemaining(p =>
+        if (p.toString.endsWith(".jsonl")) parts += p.toString)
+      assert(parts.size >= 2, s"expected part rotation, got $parts")
+    } finally fake.stop()
+  }
+
+  test("readPartitioned runs one WHERE-bounded cursor per Spark partition") {
+    val fake = new FakeCh
+    try {
+      fake.rows.clear()
+      (1 to 90).foreach(i =>
+        fake.rows += s"""{"id":$i,"name":"n$i","v":$i.5}""")
+      val df = ClickHouseHttp.readPartitioned(spark, fake.conn,
+        "SELECT * FROM t WHERE {chunk}", "id", 1L, 90L, chunks = 4)
+      assert(df.count() == 90)
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (1 to 90).sum.toLong)
+      // every cursor carried its own half-open range; 4 distinct chunks
+      // cover [1, 90] exactly (re-fetches per action are the lazy-source
+      // norm, so assert the predicate set, not the request count)
+      val preds = fake.selects.toSeq.flatMap(
+        """id >= -?\d+ AND id < -?\d+""".r.findFirstIn).distinct
+      assert(preds.size == 4, s"got $preds")
+      assert(fake.selects.forall(_.contains("WHERE (id >=")))
     } finally fake.stop()
   }
 

@@ -48,7 +48,8 @@ class TrinoSpec extends AnyFunSuite {
             val cols = json.putArray("columns")
             Seq(("id", "bigint"), ("name", "varchar(25)"),
               ("score", "double"), ("ok", "boolean"),
-              ("d", "date"), ("amt", "decimal(10,2)")).foreach {
+              ("d", "date"), ("amt", "decimal(10,2)"),
+              ("ts", "timestamp(3)")).foreach {
               case (n, t) =>
                 cols.addObject().put("name", n).put("type", t)
             }
@@ -57,7 +58,9 @@ class TrinoSpec extends AnyFunSuite {
             (lo until math.min(lo + 2, 6)).foreach { i =>
               val r = data.addArray()
               r.add(i.toLong); r.add(s"row$i"); r.add(i * 1.5)
-              r.add(i % 2 == 0); r.add(s"2024-01-0$i"); r.add(s"$i.25")
+              r.add(i % 2 == 0); r.add(s"2024-01-0$i")
+              if (i == 3) r.addNull() else r.add(s"$i.25")
+              r.add(s"2024-01-0$i 10:30:00.250")
             }
           }
           if (page < 3)
@@ -90,8 +93,30 @@ class TrinoSpec extends AnyFunSuite {
       assert(r.head.getString(1) == "row1")
       assert(r.head.getAs[java.math.BigDecimal]("amt")
         .compareTo(new java.math.BigDecimal("1.25")) == 0)
+      // a NULL cell survives the staged roundtrip
+      assert(r(2).isNullAt(r(2).fieldIndex("amt")))
+      // timestamp parses from the wire's canonical render (session-tz
+      // exact: formatting back yields the same string)
+      assert(df.orderBy("id")
+        .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSS')")
+        .head().getString(0) == "2024-01-01 10:30:00.250")
       assert(fake.seenHeaders("X-Trino-User") == "tester")
       assert(fake.seenHeaders("X-Trino-Catalog") == "hive")
+    } finally fake.stop()
+  }
+
+  test("pages stream to rotating JSONL staging (bounded driver residency)") {
+    val fake = new FakeTrino()
+    try {
+      val stage = java.nio.file.Files.createTempDirectory("trino-stage")
+      val df = Trino.read(spark, fake.conn, "SELECT * FROM t",
+        spill = graft.sources.Spill.Config(
+          partBytes = 64, dir = Some(stage.toString)))
+      assert(df.count() == 5)
+      val parts = collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(stage).iterator().forEachRemaining(p =>
+        if (p.toString.endsWith(".jsonl")) parts += p.toString)
+      assert(parts.size >= 2, s"expected part rotation, got $parts")
     } finally fake.stop()
   }
 
