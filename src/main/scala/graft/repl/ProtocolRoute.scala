@@ -256,6 +256,38 @@ object ProtocolRoute {
         (mode == "incremental" && primaryKey.isEmpty)
     else true
 
+  /** Run one statement on the wire target — the `pre_sql`/`post_sql`
+    * hook surface for direct wire writes (parity with the JDBC path's
+    * `Jdbc.executeAll`; task_run_write.go runs the same hooks around
+    * writeDirectly targets that speak SQL). The document stores
+    * (mongo / elasticsearch) have no SQL surface: a configured hook
+    * there is a config error, not a silent skip. */
+  def execute(spec: Connections.ConnSpec, sql: String): Unit = {
+    def url = spec.get("http_url").getOrElse(throw new IllegalArgumentException(
+      s"connection ${spec.name} (${spec.kind}) needs http_url for protocol access"))
+    spec.kind match {
+      case "clickhouse" | "proton" =>
+        graft.sources.ClickHouseHttp.execute(
+          graft.sources.ClickHouseHttp.Conn(url,
+            user = spec.get("username").orElse(spec.get("user"))
+              .getOrElse("default"),
+            password = spec.get("password").getOrElse(""),
+            database = spec.get("database").getOrElse("")), sql)
+      case "postgres" | "postgresql" => graft.sources.Pg.execute(pgConn(spec), sql)
+      case "mysql" | "mariadb" => graft.sources.Mysql.execute(mysqlConn(spec), sql)
+      case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        graft.sources.Tds.execute(tdsConn(spec), sql)
+      case "scylla" | "scylladb" | "cassandra" =>
+        graft.sources.Cql.execute(cqlConn(spec), sql)
+      case other => throw new IllegalArgumentException(
+        s"pre_sql/post_sql unsupported on non-SQL store '$other'")
+    }
+  }
+
+  /** Multi-statement hook text, split like [[graft.sources.Jdbc.executeAll]]. */
+  def executeAll(spec: Connections.ConnSpec, sql: String): Unit =
+    graft.sources.Jdbc.splitStatements(sql).foreach(execute(spec, _))
+
   /** Direct insert into the target store. `full-refresh` clears the
     * object first (TRUNCATE / index delete / collection drop); every
     * other mode appends — with a primary key, the mongo `_id` / ES `_id`

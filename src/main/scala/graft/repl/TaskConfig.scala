@@ -564,8 +564,20 @@ object TaskConfig {
       // for the _id-routed stores)
       case Some(spec) if ProtocolRoute.writes(spec) &&
           ProtocolRoute.supportsMode(spec, tgt.mode, tgt.primaryKey) =>
-        return ProtocolRoute.write(df, spec, tgt.obj, tgt.mode,
+        // option parity with the JDBC branch below: flipping a conn to
+        // wire transport must not silently drop the existence guard or
+        // the pre/post SQL hooks
+        if (tgt.options.ignoreExisting) {
+          val existing =
+            try ProtocolRoute.read(spark, spec, tgt.obj).count()
+            catch { case _: Exception => 0L } // absent object → proceed
+          if (existing > 0) return existing
+        }
+        tgt.options.preSql.foreach(ProtocolRoute.executeAll(spec, _))
+        val written = ProtocolRoute.write(df, spec, tgt.obj, tgt.mode,
           tgt.primaryKey)
+        tgt.options.postSql.foreach(ProtocolRoute.executeAll(spec, _))
+        return written
       case Some(spec) if spec.isDatabase =>
         // existence guard parity with the file path: a non-empty DB target
         // is left untouched when ignore_existing is set

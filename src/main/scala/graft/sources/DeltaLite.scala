@@ -987,7 +987,10 @@ object DeltaLite {
     val lcp = fs.create(new Path(dir, "_last_checkpoint"), true)
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     try lcp.write(
-      s"""{"version":${snap.version},"size":${snap.entries.size}$partsField}"""
+      // size counts ALL checkpoint actions per the Delta spec — the
+      // protocol row and metaData row(s), not just the adds
+      s"""{"version":${snap.version},"size":${
+        snap.entries.size + 1 + snap.meta.size}$partsField}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally lcp.close()
   }

@@ -35,6 +35,9 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
   def port: Int = server.getLocalPort
   /** COM_QUERY statements served. */
   val statements = new AtomicInteger(0)
+  /** COM_QUERY statement texts, in arrival order (assertion surface —
+    * e.g. the session `SET time_zone` pin every connection must send). */
+  val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   /** LOAD DATA streams accepted. */
   val loads = new AtomicInteger(0)
 
@@ -265,6 +268,7 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
             val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
               .trim.stripSuffix(";").trim
             statements.incrementAndGet()
+            served.add(sql)
             try runSql(sql, sendPacket, okPacket, errPacket, eofPacket,
               lenencStr, lenencInt, readPacket, () => out.flush())
             catch {

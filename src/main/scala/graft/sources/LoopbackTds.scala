@@ -50,7 +50,8 @@ final class LoopbackTds(user: String = "graft", password: String = "pw")
   private val store = new MiniSql.Store(
     numeric = Set(T.IntN, T.FltN, T.NumericN, T.BitN),
     typeOf = t => sqlTypeOf(t),
-    textCode = T.NVarChar, countCode = T.IntN)
+    textCode = T.NVarChar, countCode = T.IntN,
+    temporal = Set(T.DateTime2N))
 
   // ---- fixture API ---------------------------------------------------------
 

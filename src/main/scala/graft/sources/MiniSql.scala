@@ -31,9 +31,15 @@ private[sources] object MiniSql {
     * @param typeOf     DDL type text → (code, typmod)
     * @param textCode   code for untyped/text columns (CREATE default)
     * @param countCode  code for count(*) results (engine's int8)
+    * @param temporal   datetime codes: text compares after normalizing
+    *                   the ISO 'T' separator to ' ', so a fixture
+    *                   storing `2024-01-01T06:30` and a client predicate
+    *                   rendering `2024-01-01 06:30:00` order the way a
+    *                   real engine's TYPED comparison would
     */
   final class Store(numeric: Int => Boolean, typeOf: String => (Int, Int),
-      textCode: Int, countCode: Int) {
+      textCode: Int, countCode: Int,
+      temporal: Int => Boolean = _ => false) {
 
     final class Table(val cols: Seq[Col]) {
       val rows = new java.util.Vector[Seq[Option[String]]]()
@@ -93,7 +99,27 @@ private[sources] object MiniSql {
 
     private def compare(a: String, b: String, code: Int): Int =
       if (numeric(code)) BigDecimal(a).compare(BigDecimal(b))
+      else if (temporal(code)) tparse(a).compareTo(tparse(b))
       else a.compareTo(b)
+
+    /** Parse a temporal text in either the fixture's ISO 'T' render or
+      * a client predicate's space render, with or without seconds /
+      * fraction — engines compare datetimes as TYPED values, so the
+      * fixture must too (prefix string-compare would rank
+      * `07:45` below `07:45:00`). */
+    private val TFlex = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm")
+      .optionalStart().appendPattern(":ss").optionalEnd()
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .toFormatter
+
+    private def tparse(s: String): java.time.LocalDateTime = {
+      val t = s.replace('T', ' ').trim
+      if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay
+      else java.time.LocalDateTime.parse(t, TFlex)
+    }
 
     private def parseLiteral(tok: String): Option[String] = {
       val t = tok.trim

@@ -187,6 +187,10 @@ object Mysql {
       resp.write(plugin.getBytes(UTF_8)); resp.write(0)
       sendPacket(resp.toByteArray); out.flush()
       authFinish(nonce)
+      // TIMESTAMP text values parse as UTC ([[parseValue]]); pin the
+      // session so that holds whatever the server's default time zone is
+      // (the protocol serves TIMESTAMP in session time)
+      execute("SET time_zone = '+00:00'")
     }
 
     private def scramble(plugin: String, password: String,
@@ -470,16 +474,15 @@ object Mysql {
           try c.query(s"SELECT min($pc) AS lo, max($pc) AS hi FROM $stream" +
             where.map(w => s" WHERE $w").getOrElse(""))._2
           finally c.close()
+        val extra = where.map(w => s" AND ($w)").getOrElse("")
         bounds.headOption.map(r => (r(0), r(1))) match {
           case Some((Some(lo), Some(hi))) =>
-            val l = BigDecimal(lo); val h = BigDecimal(hi)
-            val extra = where.map(w => s" AND ($w)").getOrElse("")
-            (0 until splits).map { i =>
-              val a = l + (h - l) * i / splits
-              val b = if (i == splits - 1) h else l + (h - l) * (i + 1) / splits
-              val hiOp = if (i == splits - 1) "<=" else "<"
-              s"SELECT * FROM $stream WHERE $pc >= $a AND $pc $hiOp $b$extra"
-            }
+            // numeric, DATE, and DATETIME/TIMESTAMP partition columns
+            // all split; anything else falls back to one statement
+            RangeSplit.predicates(pc, lo, hi, splits, extra)
+              .map(_.map(p => s"SELECT * FROM $stream WHERE $p"))
+              .getOrElse(
+                Seq(base + where.map(w => s" WHERE $w").getOrElse("")))
           case _ =>
             Seq(base + where.map(w => s" WHERE $w").getOrElse(""))
         }

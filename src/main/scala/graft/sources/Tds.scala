@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * driver-side row movement.
   *
   * Reads mirror [[Pg.read]]: min/max-probed range slices per partition,
-  * token-stream rows (COLMETADATA / ROW / DONE) decoded STREAMING and
-  * typed exactly from the column metadata. TDS is a binary protocol —
+  * token-stream rows (COLMETADATA / ROW / DONE) decoded streaming
+  * straight off the packet cursor ([[PacketLeIn]] — O(row) executor
+  * memory, a slice never reassembles) and typed exactly from the column
+  * metadata. Bulk writes stream the same way ([[Client#MessageOut]]
+  * frames packets as rows encode). TDS is a binary protocol —
   * values decode from their wire encodings (INTN/FLTN/BITN length-
   * prefixed, NVARCHAR UCS-2 with byte-length, NUMERICN sign+magnitude,
   * DATETIME2N scaled-time + days), not text.
@@ -219,20 +222,44 @@ object Tds {
       b.array()
     }
 
-    /** Run one batch; returns (columns, rows) decoded streaming-ish (the
-      * message is reassembled, tokens scanned lazily). */
-    def query(sql: String): (Seq[ColMeta], Seq[Seq[Any]]) = {
+    /** Run one batch with a STREAMING decode: tokens (and the values
+      * inside them) are read straight off the packet cursor as the
+      * returned iterator is consumed — O(row) memory, a result slice
+      * never accumulates on the executor. The connection is busy until
+      * the iterator drains (or the client closes). */
+    def queryStream(sql: String): (Seq[ColMeta], Iterator[Seq[Any]]) = {
       sendMessage(PkSqlBatch, allHeaders() ++ sql.getBytes(UTF_16LE))
-      val r = new TokenReader(readMessage())
+      val r = new TokenReader(new PacketLeIn(in))
       var cols: Seq[ColMeta] = Nil
-      val rows = Vector.newBuilder[Seq[Any]]
-      while (r.hasMore) r.next() match {
-        case Meta(m) => cols = m
-        case RowTok(v) => rows += v
-        case Err(e) => throw e
-        case _ => ()
+      var pending: Seq[Any] = null
+      def advance(): Unit = {
+        pending = null
+        var scanning = true
+        while (scanning && r.hasMore) r.next() match {
+          case Meta(m) => cols = m
+          case RowTok(v) => pending = v; scanning = false
+          case Err(e) =>
+            // drain the rest of the reply (DONE trails the ERROR) so the
+            // connection stays usable for the next command
+            while (r.hasMore) r.next() match { case _ => () }
+            throw e
+          case _ => ()
+        }
       }
-      (cols, rows.result())
+      advance()
+      (cols, new Iterator[Seq[Any]] {
+        def hasNext: Boolean = pending != null
+        def next(): Seq[Any] = {
+          val v = pending; advance(); v
+        }
+      })
+    }
+
+    /** Run one batch; returns (columns, rows) fully drained — control
+      * statements and bounded probes ([[queryStream]] is the data path). */
+    def query(sql: String): (Seq[ColMeta], Seq[Seq[Any]]) = {
+      val (cols, it) = queryStream(sql)
+      (cols, it.toVector)
     }
 
     /** Run a statement for its side effect; returns DONE's row count. */
@@ -248,16 +275,52 @@ object Tds {
       n
     }
 
+    /** Frames an outgoing message as bytes flow: full packets go to the
+      * wire as they fill, EOM goes out on [[finish]] — the bulk stream
+      * never materializes ([[bulkInsert]] encodes rows straight into
+      * this, so a partition's bulk payload is O(packet) on the
+      * executor, matching the read path's O(row)). */
+    private final class MessageOut(tpe: Int) extends java.io.OutputStream {
+      private val buf = new Array[Byte](4088)
+      private var n = 0
+      private var id = 1
+      private def packet(last: Boolean): Unit = {
+        out.write(tpe)
+        out.write(if (last) 0x01 else 0x00)
+        val len = n + 8
+        out.write((len >> 8) & 0xff); out.write(len & 0xff)
+        out.write(0); out.write(0) // spid
+        out.write(id & 0xff); out.write(0) // packet id, window
+        out.write(buf, 0, n)
+        n = 0; id += 1
+      }
+      override def write(b: Int): Unit = {
+        if (n == buf.length) packet(false)
+        buf(n) = b.toByte; n += 1
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        var o = off; var left = len
+        while (left > 0) {
+          if (n == buf.length) packet(false)
+          val take = math.min(buf.length - n, left)
+          System.arraycopy(b, o, buf, n, take)
+          n += take; o += take; left -= take
+        }
+      }
+      def finish(): Unit = { packet(true); out.flush() }
+    }
+
     /** The BCP wire path: `INSERT BULK` batch, then one BulkLoadBCP
       * message — client-authored COLMETADATA + ROW tokens + DONE
       * ([MS-TDS] Bulk Load BCP; what the bcp tool the reference shells
-      * out to actually sends). Returns the server-acknowledged count. */
+      * out to actually sends), streamed packet-by-packet as rows encode.
+      * Returns the server-acknowledged count. */
     def bulkInsert(table: String, cols: Seq[ColMeta],
         rows: Iterator[Seq[Any]]): Long = {
       val colDefs = cols.map(c => s"[${c.name}] ${sqlTypeName(c)}")
       execute(s"INSERT BULK $table (${colDefs.mkString(", ")})")
 
-      val body = new ByteArrayOutputStream(1 << 16)
+      val body = new MessageOut(PkBulkLoad)
       // COLMETADATA
       body.write(TokColMetaData)
       val hdr = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
@@ -292,7 +355,7 @@ object Tds {
       val done = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
       done.put(TokDone.toByte).putShort(0x10).putShort(0).putLong(n)
       body.write(done.array())
-      sendMessage(PkBulkLoad, body.toByteArray)
+      body.finish()
       val r2 = new TokenReader(readMessage())
       var acked = 0L
       while (r2.hasMore) r2.next() match {
@@ -316,61 +379,140 @@ object Tds {
   private[sources] final case class Err(e: TdsError) extends Token
   private[sources] case object Skip extends Token
 
-  /** Scans a reassembled TDS message token by token. Shared by the
-    * client (server replies) and the loopback server (the client-authored
-    * BulkLoadBCP message uses the same COLMETADATA/ROW/DONE layout). */
-  private[sources] final class TokenReader(msg: Array[Byte]) {
+  /** Little-endian cursor the token/value codec reads from. Two
+    * shapes: a reassembled byte array (login replies, the loopback's
+    * client-message decode) and a live packet stream ([[PacketLeIn]] —
+    * the client's data path, which never holds a result message in
+    * memory). */
+  private[sources] trait LeIn {
+    def u1(): Int
+    def i8(): Byte
+    def i16(): Short
+    def i32(): Int
+    def i64(): Long
+    def bytes(n: Int): Array[Byte]
+    def skip(n: Int): Unit
+    def hasMore: Boolean
+    final def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    final def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+  }
+
+  private[sources] final class ArrayLeIn(msg: Array[Byte]) extends LeIn {
     private val b = ByteBuffer.wrap(msg).order(ByteOrder.LITTLE_ENDIAN)
-    private var meta: Seq[ColMeta] = Nil
+    def u1(): Int = b.get() & 0xff
+    def i8(): Byte = b.get()
+    def i16(): Short = b.getShort
+    def i32(): Int = b.getInt
+    def i64(): Long = b.getLong
+    def bytes(n: Int): Array[Byte] = {
+      val raw = new Array[Byte](n); b.get(raw); raw
+    }
+    def skip(n: Int): Unit = b.position(b.position() + n)
     def hasMore: Boolean = b.remaining() > 0
+  }
 
-    private def bVarchar(): String = {
-      val n = b.get() & 0xff
-      val raw = new Array[Byte](n * 2); b.get(raw)
-      new String(raw, UTF_16LE)
-    }
-    private def usVarchar(): String = {
-      val n = b.getShort & 0xffff
-      val raw = new Array[Byte](n * 2); b.get(raw)
-      new String(raw, UTF_16LE)
-    }
+  /** Reads one server message straight off the packet stream: headers
+    * are unwrapped as bytes flow, values may span packet boundaries, and
+    * only the bytes of the value being decoded are ever resident — the
+    * O(batch) decode path ([[Client.queryStream]]). After the EOM
+    * packet's last byte, [[hasMore]] is false and the socket is ready
+    * for the next request. */
+  private[sources] final class PacketLeIn(in: DataInputStream) extends LeIn {
+    private var remaining = 0 // payload bytes left in the current packet
+    private var eom = false
 
-    def next(): Token = (b.get() & 0xff) match {
+    private def ensure(): Unit = {
+      while (remaining == 0) {
+        if (eom) throw new IOException("read past end of TDS message")
+        val tpe = in.read()
+        if (tpe < 0) throw new IOException("connection closed by server")
+        in.read() match { case s => eom = (s & 0x01) != 0 }
+        val len = (in.read() << 8) | in.read()
+        in.skipBytes(4) // spid, packet id, window
+        remaining = len - 8
+      }
+    }
+    def u1(): Int = { ensure(); remaining -= 1; in.read() & 0xff }
+    def i8(): Byte = u1().toByte
+    def i16(): Short = (u1() | (u1() << 8)).toShort
+    def i32(): Int = u1() | (u1() << 8) | (u1() << 16) | (u1() << 24)
+    def i64(): Long = {
+      var v = 0L
+      (0 until 8).foreach(i => v |= (u1().toLong << (8 * i)))
+      v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val raw = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        ensure()
+        val take = math.min(remaining, n - off)
+        in.readFully(raw, off, take)
+        remaining -= take; off += take
+      }
+      raw
+    }
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        ensure()
+        val take = math.min(remaining, left)
+        in.skipBytes(take)
+        remaining -= take; left -= take
+      }
+    }
+    def hasMore: Boolean = remaining > 0 || !eom
+  }
+
+  /** Scans a TDS message token by token — from a reassembled array or
+    * streaming off the live packet cursor. Shared by the client (server
+    * replies) and the loopback server (the client-authored BulkLoadBCP
+    * message uses the same COLMETADATA/ROW/DONE layout). */
+  private[sources] final class TokenReader(b: LeIn) {
+    def this(msg: Array[Byte]) = this(new ArrayLeIn(msg))
+    private var meta: Seq[ColMeta] = Nil
+    def hasMore: Boolean = b.hasMore
+
+    private def bVarchar(): String =
+      new String(b.bytes((b.u1()) * 2), UTF_16LE)
+    private def usVarchar(): String =
+      new String(b.bytes((b.i16() & 0xffff) * 2), UTF_16LE)
+
+    def next(): Token = b.u1() match {
       case TokLoginAck =>
-        val len = b.getShort & 0xffff
-        b.position(b.position() + len); LoginAck
+        val len = b.i16() & 0xffff
+        b.skip(len); LoginAck
       case TokEnvChange | TokInfo =>
-        val len = b.getShort & 0xffff
-        b.position(b.position() + len); Skip
+        val len = b.i16() & 0xffff
+        b.skip(len); Skip
       case TokError =>
-        val len = b.getShort & 0xffff
-        val end = b.position() + len
-        val number = b.getInt
-        b.get(); b.get() // state, class
+        val len = b.i16() & 0xffff
+        val number = b.i32()
+        b.i8(); b.i8() // state, class
         val msg = usVarchar()
-        b.position(end)
+        b.skip(len - 4 - 2 - 2 - msg.length * 2)
         Err(new TdsError(number, s"tds error $number: $msg"))
       case TokColMetaData =>
-        val n = b.getShort & 0xffff
+        val n = b.i16() & 0xffff
         meta = (0 until n).map { _ =>
-          b.getInt // usertype
-          b.getShort // flags
-          val tpe = b.get() & 0xff
+          b.i32() // usertype
+          b.i16() // flags
+          val tpe = b.u1()
           val cm = tpe match {
             case T.IntN | T.FltN | T.BitN =>
-              ColMeta("", tpe, b.get() & 0xff)
+              ColMeta("", tpe, b.u1())
             case T.DateN =>
               ColMeta("", tpe, 3)
             case T.DateTime2N =>
-              val scale = b.get() & 0xff
+              val scale = b.u1()
               ColMeta("", tpe, 0, scale = scale)
             case T.NumericN =>
-              val ml = b.get() & 0xff
-              val p = b.get() & 0xff; val sc = b.get() & 0xff
+              val ml = b.u1()
+              val p = b.u1(); val sc = b.u1()
               ColMeta("", tpe, ml, p, sc)
             case T.NVarChar =>
-              val ml = b.getShort & 0xffff
-              b.position(b.position() + 5) // collation
+              val ml = b.i16() & 0xffff
+              b.skip(5) // collation
               ColMeta("", tpe, ml)
             case other =>
               throw new IOException(f"unsupported TDS type 0x$other%02x")
@@ -381,60 +523,60 @@ object Tds {
       case TokRow =>
         RowTok(meta.map(c => readWireValue(b, c)))
       case TokDone | TokDoneProc | TokDoneInProc =>
-        b.getShort; b.getShort // status, curcmd
-        DoneTok(b.getLong)
+        b.i16(); b.i16() // status, curcmd
+        DoneTok(b.i64())
       case other =>
         throw new IOException(f"unsupported token 0x$other%02x")
     }
   }
 
   /** Decode one wire value per its column metadata. */
-  private[sources] def readWireValue(b: ByteBuffer, c: ColMeta): Any =
+  private[sources] def readWireValue(b: LeIn, c: ColMeta): Any =
     c.tpe match {
       case T.IntN =>
-        (b.get() & 0xff) match {
+        b.u1() match {
           case 0 => null
-          case 1 => b.get()
-          case 2 => b.getShort
-          case 4 => b.getInt
-          case 8 => b.getLong
+          case 1 => b.i8()
+          case 2 => b.i16()
+          case 4 => b.i32()
+          case 8 => b.i64()
         }
       case T.BitN =>
-        (b.get() & 0xff) match {
+        b.u1() match {
           case 0 => null
-          case 1 => b.get() != 0
+          case 1 => b.i8() != 0
         }
       case T.FltN =>
-        (b.get() & 0xff) match {
+        b.u1() match {
           case 0 => null
-          case 4 => b.getFloat
-          case 8 => b.getDouble
+          case 4 => b.f32()
+          case 8 => b.f64()
         }
       case T.NumericN =>
-        val n = b.get() & 0xff
+        val n = b.u1()
         if (n == 0) null
         else {
-          val sign = b.get() // 1 = positive
-          val mag = new Array[Byte](n - 1); b.get(mag)
+          val sign = b.i8() // 1 = positive
+          val mag = b.bytes(n - 1)
           val unscaled = BigInt(1, mag.reverse.toArray) // LE magnitude → BE
           val v = new java.math.BigDecimal(unscaled.bigInteger, c.scale)
           if (sign == 0) v.negate() else v
         }
       case T.DateN =>
-        val n = b.get() & 0xff
+        val n = b.u1()
         if (n == 0) null
         else {
-          val raw = new Array[Byte](3); b.get(raw)
+          val raw = b.bytes(3)
           val days = (raw(0) & 0xff) | ((raw(1) & 0xff) << 8) |
             ((raw(2) & 0xff) << 16)
           java.time.LocalDate.of(1, 1, 1).plusDays(days.toLong)
         }
       case T.DateTime2N =>
-        val n = b.get() & 0xff
+        val n = b.u1()
         if (n == 0) null
         else {
           val timeBytes = n - 3
-          val raw = new Array[Byte](n); b.get(raw)
+          val raw = b.bytes(n)
           var t = 0L
           (timeBytes - 1 to 0 by -1).foreach(i =>
             t = (t << 8) | (raw(i) & 0xff))
@@ -446,15 +588,12 @@ object Tds {
             .atStartOfDay.plusNanos(nanos)
         }
       case T.NVarChar =>
-        val n = b.getShort & 0xffff
+        val n = b.i16() & 0xffff
         if (n == 0xffff) null
-        else {
-          val raw = new Array[Byte](n); b.get(raw)
-          new String(raw, UTF_16LE)
-        }
+        else new String(b.bytes(n), UTF_16LE)
     }
 
-private[sources] def writeWireValue(o: ByteArrayOutputStream, v: Any,
+private[sources] def writeWireValue(o: java.io.OutputStream, v: Any,
       c: ColMeta): Unit = c.tpe match {
     case T.IntN =>
       if (v == null) o.write(0)
@@ -616,16 +755,21 @@ private[sources] def writeWireValue(o: ByteArrayOutputStream, v: Any,
           try c.query(s"SELECT min($pc) AS lo, max($pc) AS hi FROM $stream" +
             where.map(w => s" WHERE $w").getOrElse(""))._2
           finally c.close()
+        // decoded bounds are typed (LocalDate/LocalDateTime for the
+        // temporal wire types) — render to the text forms RangeSplit
+        // dispatches on; unsplittable columns fall back to one statement
+        def renderBound(v: Any): String = v match {
+          case t: java.time.LocalDateTime => t.format(RangeSplit.TsFmt)
+          case other => other.toString
+        }
+        val extra = where.map(w => s" AND ($w)").getOrElse("")
         bounds.headOption.map(r => (r(0), r(1))) match {
           case Some((lo, hi)) if lo != null && hi != null =>
-            val l = BigDecimal(lo.toString); val h = BigDecimal(hi.toString)
-            val extra = where.map(w => s" AND ($w)").getOrElse("")
-            (0 until splits).map { i =>
-              val a = l + (h - l) * i / splits
-              val b = if (i == splits - 1) h else l + (h - l) * (i + 1) / splits
-              val hiOp = if (i == splits - 1) "<=" else "<"
-              s"SELECT * FROM $stream WHERE $pc >= $a AND $pc $hiOp $b$extra"
-            }
+            RangeSplit.predicates(pc, renderBound(lo), renderBound(hi),
+              splits, extra)
+              .map(_.map(p => s"SELECT * FROM $stream WHERE $p"))
+              .getOrElse(
+                Seq(base + where.map(w => s" WHERE $w").getOrElse("")))
           case _ => Seq(base + where.map(w => s" WHERE $w").getOrElse(""))
         }
       case _ => Seq(base)
@@ -637,11 +781,16 @@ private[sources] def writeWireValue(o: ByteArrayOutputStream, v: Any,
       .parallelize(statements.indices, statements.size)
       .flatMap { i =>
         val c = new Client(connB)
-        try {
-          val (_, rows) = c.query(statements(i))
-          rows.iterator.map(r => Row.fromSeq(
-            r.zip(colsB).map { case (v, cm) => toExternal(v, cm) }))
-        } finally c.close()
+        // close on task end even if the iterator is abandoned early
+        // (limit, task failure) — not only on full drain
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => c.close()))
+        val (_, rows) = c.queryStream(statements(i))
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = rows.hasNext; if (!h) c.close(); h }
+          def next(): Row = Row.fromSeq(
+            rows.next().zip(colsB).map { case (v, cm) => toExternal(v, cm) })
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

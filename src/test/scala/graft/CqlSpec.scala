@@ -192,4 +192,51 @@ class CqlSpec extends AnyFunSuite {
       assert(rows.map(_.head.asInstanceOf[Long]).sorted == (1L to 8L))
     } finally srv.close()
   }
+
+  test("task yaml: wire target honors pre_sql/post_sql hooks and the " +
+      "ignore_existing guard (parity with the JDBC write path)") {
+    import graft.repl.TaskConfig
+    val srv = new LoopbackCql
+    try {
+      val cols = Seq("id" -> TBigint, "name" -> TVarchar)
+      srv.define("ks", "seed", cols, pk = Seq("id"))
+      srv.define("ks", "out", cols, pk = Seq("id"))
+      srv.define("ks", "scratch", cols, pk = Seq("id"))
+      srv.load("ks", "seed", (1 to 5).map(i => Seq(i.toLong, s"n$i")))
+      srv.load("ks", "out", Seq(Seq(99L, "stale")))
+      srv.load("ks", "scratch", Seq(Seq(1L, "x")))
+      def yaml(extra: String) =
+        s"""connections:
+           |  SC:
+           |    type: scylla
+           |    host: 127.0.0.1
+           |    port: ${srv.port}
+           |    keyspace: ks
+           |source:
+           |  conn: SC
+           |  stream: seed
+           |target:
+           |  conn: SC
+           |  object: out
+           |  mode: incremental
+           |  options:
+           |$extra
+           |""".stripMargin
+      val dir = java.nio.file.Files.createTempDirectory("cql-hooks").toString
+      // pre_sql clears the stale row BEFORE the write (append mode would
+      // otherwise keep it); post_sql observably fires after
+      TaskConfig.run(spark, yaml(
+        """    pre_sql: "TRUNCATE ks.out"
+          |    post_sql: "TRUNCATE ks.scratch"""".stripMargin), dir)
+      val outRows = srv.rowsOf("ks", "out")
+      assert(outRows.size == 5)
+      assert(!outRows.exists(_.head == 99L))
+      assert(srv.rowsOf("ks", "scratch").isEmpty)
+      // ignore_existing: a non-empty wire target is left untouched
+      val n = TaskConfig.run(spark, yaml(
+        "    ignore_existing: true"), dir)
+      assert(n == 5L) // the existing count, not a rewrite
+      assert(srv.rowsOf("ks", "out").size == 5)
+    } finally srv.close()
+  }
 }

@@ -145,8 +145,50 @@ class MysqlSpec extends AnyFunSuite {
       val rows = df.collect()
       assert(rows.length == 89)
       assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 89L))
-      // exactly: schema probe + min/max probe + 4 slices
-      assert(srv.statements.get - before == 6)
+      // exactly: schema probe + min/max probe + 4 slices, plus one
+      // session SET time_zone pin per connection (6 connections)
+      import scala.jdk.CollectionConverters._
+      val issued = srv.served.asScala.toSeq.takeRight(
+        srv.statements.get - before)
+      assert(issued.count(_.toUpperCase.startsWith("SET TIME_ZONE")) == 6)
+      assert(issued.count(!_.toUpperCase.startsWith("SET ")) == 6)
+    }
+  }
+
+  test("session pins time_zone to UTC right after auth (TIMESTAMP " +
+      "instants parse as UTC regardless of server default)") {
+    withServer() { (srv, conn) =>
+      srv.define("t", Seq("k" -> Mysql.T.Long))
+      val c = new Mysql.Client(conn)
+      try c.query("SELECT k FROM t") finally c.close()
+      import scala.jdk.CollectionConverters._
+      assert(srv.served.asScala.headOption
+        .exists(_.equalsIgnoreCase("SET time_zone = '+00:00'")))
+    }
+  }
+
+  test("read: DATE and DATETIME partition columns range-split in epoch " +
+      "space; a string column falls back to a single statement") {
+    withServer() { (srv, conn) =>
+      srv.define("tt", Seq("k" -> Mysql.T.LongLong, "d" -> Mysql.T.Date,
+        "ts" -> Mysql.T.Datetime, "s" -> Mysql.T.VarString))
+      srv.load("tt", (0 until 61).map { i =>
+        Seq(i.toLong, java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong),
+          java.time.LocalDateTime.of(2024, 1, 1, 6, 30).plusHours(i.toLong),
+          s"s$i")
+      })
+      Seq("d", "ts").foreach { pc =>
+        val df = Mysql.read(spark, conn, "tt",
+          partitionColumn = Some(pc), splits = 3)
+        assert(df.rdd.getNumPartitions == 3, s"col $pc")
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 61L),
+          s"col $pc")
+      }
+      // not range-splittable → one statement, still correct
+      val one = Mysql.read(spark, conn, "tt",
+        partitionColumn = Some("s"), splits = 3)
+      assert(one.rdd.getNumPartitions == 1)
+      assert(one.count() == 61)
     }
   }
 

@@ -145,6 +145,49 @@ class TdsSpec extends AnyFunSuite {
     }
   }
 
+  test("read: DATE and DATETIME2 partition columns range-split in epoch " +
+      "space; an NVARCHAR column falls back to a single statement") {
+    withServer { (srv, conn) =>
+      srv.define("tt", Seq(ColMeta("k", T.IntN, 8),
+        ColMeta("d", T.DateN, 3), ColMeta("ts", T.DateTime2N, 0, scale = 7),
+        ColMeta("s", T.NVarChar, 200)))
+      srv.load("tt", (0 until 57).map { i =>
+        Seq(i.toLong, java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong),
+          java.time.LocalDateTime.of(2024, 3, 1, 7, 45).plusHours(i.toLong),
+          s"s$i")
+      })
+      Seq("d", "ts").foreach { pc =>
+        val df = Tds.read(spark, conn, "tt",
+          partitionColumn = Some(pc), splits = 3)
+        assert(df.rdd.getNumPartitions == 3, s"col $pc")
+        assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 57L),
+          s"col $pc")
+      }
+      // not range-splittable → one statement, still correct
+      val one = Tds.read(spark, conn, "tt",
+        partitionColumn = Some("s"), splits = 3)
+      assert(one.rdd.getNumPartitions == 1)
+      assert(one.count() == 57)
+    }
+  }
+
+  test("values spanning packet boundaries stream-decode and stream-encode " +
+      "(a 10 KB NVARCHAR crosses the 4088-byte packet frames both ways)") {
+    withServer { (srv, conn) =>
+      srv.define("big", Seq(ColMeta("k", T.IntN, 8),
+        ColMeta("body", T.NVarChar, 0xffff)))
+      val payload = ("x" * 5000) + "¡ẞ☃" // 10 KB+ of UCS-2 on the wire
+      val df = spark.range(6).select(col("id").as("k"),
+        concat(lit(payload), col("id")).as("body")).repartition(2)
+      Tds.insert(df, conn, "big") // MessageOut frames the bulk stream
+      val back = Tds.read(spark, conn, "big") // PacketLeIn reassembles
+      val rows = back.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      assert(rows.length == 6)
+      rows.foreach { case (k, body) => assert(body == payload + k) }
+    }
+  }
+
   test("error: querying a missing table raises TdsError; the connection " +
       "recovers") {
     withServer { (srv, conn) =>
