@@ -68,13 +68,22 @@ object ProtocolRoute {
       Some(graft.sources.Pg.copyTransport(pgConn(spec)))
     else None
 
+  /** `ssl_root_cert:` points at a CA PEM file (libpq's sslrootcert /
+    * mysql's ssl-ca / the TDS trustServerCertificate=false path). */
+  private def caPem(spec: Connections.ConnSpec): Option[String] =
+    spec.get("ssl_root_cert").map(p =>
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+
   private def tdsConn(spec: Connections.ConnSpec): graft.sources.Tds.Conn =
     graft.sources.Tds.Conn(
       host = spec.get("host").getOrElse("127.0.0.1"),
       port = spec.get("port").map(_.toInt).getOrElse(1433),
       database = spec.get("database").getOrElse("master"),
       user = spec.get("username").orElse(spec.get("user")).getOrElse("sa"),
-      password = spec.get("password").getOrElse(""))
+      password = spec.get("password").getOrElse(""),
+      encrypt = spec.get("encrypt").exists(_.equalsIgnoreCase("true")),
+      caPem = caPem(spec))
 
   private def mysqlConn(spec: Connections.ConnSpec): graft.sources.Mysql.Conn =
     graft.sources.Mysql.Conn(
@@ -82,7 +91,10 @@ object ProtocolRoute {
       port = spec.get("port").map(_.toInt).getOrElse(3306),
       database = spec.get("database").getOrElse("mysql"),
       user = spec.get("username").orElse(spec.get("user")).getOrElse("root"),
-      password = spec.get("password").getOrElse(""))
+      password = spec.get("password").getOrElse(""),
+      ssl = spec.get("tls").orElse(spec.get("ssl"))
+        .exists(_.equalsIgnoreCase("true")),
+      caPem = caPem(spec))
 
   private def cqlConn(spec: Connections.ConnSpec): graft.sources.Cql.Conn =
     graft.sources.Cql.Conn(
@@ -99,7 +111,9 @@ object ProtocolRoute {
       port = spec.get("port").map(_.toInt).getOrElse(5432),
       database = spec.get("database").getOrElse("postgres"),
       user = spec.get("username").orElse(spec.get("user")).getOrElse("postgres"),
-      password = spec.get("password").getOrElse(""))
+      password = spec.get("password").getOrElse(""),
+      sslMode = spec.get("sslmode").getOrElse("disable"),
+      caPem = caPem(spec))
 
   /** Table-name streams wrap as SELECT *; SQL text passes through (the
     * reference's same dispatch — `task_run_read.go` treats a stream

@@ -22,7 +22,8 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 final class LoopbackMysql(plugin: String = "caching_sha2_password",
     user: String = "graft", password: String = "pw",
-    fullAuth: Boolean = false) extends AutoCloseable {
+    fullAuth: Boolean = false,
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   // RSA keypair for caching_sha2's full-auth public-key exchange
   private lazy val rsaKeys = {
@@ -119,11 +120,12 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
 
   // ---- per-connection protocol -------------------------------------------
 
-  private def serve(socket: Socket): Unit = {
-    socket.setSoTimeout(120000)
-    val in = new DataInputStream(
+  private def serve(socket0: Socket): Unit = {
+    socket0.setSoTimeout(120000)
+    var socket = socket0
+    var in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
-    val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    var out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
     var seq = 0
 
     def readPacket(): Array[Byte] = {
@@ -198,7 +200,20 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
       sendPacket(hs.toByteArray); out.flush()
 
       // ---- handshake response ---------------------------------------------
-      val resp = readPacket()
+      var resp = readPacket()
+      // a 32-byte response with CLIENT_SSL set is Protocol::SSLRequest:
+      // upgrade, then read the real response over TLS
+      val respCaps = (resp(0) & 0xff) | ((resp(1) & 0xff) << 8) |
+        ((resp(2) & 0xff) << 16) | ((resp(3) & 0xff) << 24)
+      if (resp.length == 32 && (respCaps & 0x800) != 0) {
+        val ctx = tls.getOrElse(
+          throw new IOException("client requested SSL on a plaintext fixture"))
+        socket = WireTls.serverWrap(socket, ctx)
+        in = new DataInputStream(
+          new BufferedInputStream(socket.getInputStream, 1 << 16))
+        out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+        resp = readPacket()
+      }
       var p = 4 + 4 + 1 + 23 // caps, max packet, charset, reserved
       val userEnd = resp.indexOf(0.toByte, p)
       val claimedUser = new String(resp, p, userEnd - p, UTF_8)

@@ -24,7 +24,8 @@ import java.util.concurrent.atomic.AtomicInteger
   * column's type OID.
   */
 final class LoopbackPg(authMode: String = "scram-sha-256",
-    user: String = "graft", password: String = "pw") extends AutoCloseable {
+    user: String = "graft", password: String = "pw",
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -96,11 +97,12 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
 
   // ---- per-connection protocol -------------------------------------------
 
-  private def serve(socket: Socket): Unit = {
-    socket.setSoTimeout(120000)
-    val in = new DataInputStream(
+  private def serve(socket0: Socket): Unit = {
+    socket0.setSoTimeout(120000)
+    var socket = socket0
+    var in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
-    val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    var out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
 
     def msg(tpe: Char, body: Array[Byte]): Unit = {
       out.write(tpe)
@@ -136,11 +138,20 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
       msg('C', tag.getBytes(UTF_8) :+ 0.toByte)
 
     try {
-      // startup (re-read after declining SSLRequest)
+      // startup (re-read after answering an SSLRequest)
       var startLen = in.readInt()
       var proto = in.readInt()
-      if (proto == 80877103) { // SSLRequest → decline, plaintext continues
-        out.write('N'); out.flush()
+      if (proto == 80877103) { // SSLRequest
+        tls match {
+          case Some(ctx) => // accept → TLS handshake → protocol continues
+            out.write('S'); out.flush()
+            socket = WireTls.serverWrap(socket, ctx)
+            in = new DataInputStream(
+              new BufferedInputStream(socket.getInputStream, 1 << 16))
+            out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+          case None => // decline, plaintext continues
+            out.write('N'); out.flush()
+        }
         startLen = in.readInt(); proto = in.readInt()
       }
       require(proto == 196608, s"unsupported protocol $proto")

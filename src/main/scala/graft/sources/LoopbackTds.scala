@@ -20,7 +20,8 @@ import java.util.concurrent.atomic.AtomicInteger
   * binary codec on emission/ingest — so a bulk-loaded table reads back
   * through real ROW-token decoding, not an in-memory shortcut.
   */
-final class LoopbackTds(user: String = "graft", password: String = "pw")
+final class LoopbackTds(user: String = "graft", password: String = "pw",
+    tls: Option[javax.net.ssl.SSLContext] = None)
   extends AutoCloseable {
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
@@ -137,11 +138,12 @@ final class LoopbackTds(user: String = "graft", password: String = "pw")
 
   // ---- per-connection protocol ----------------------------------------------
 
-  private def serve(socket: Socket): Unit = {
-    socket.setSoTimeout(120000)
-    val in = new DataInputStream(
+  private def serve(socket0: Socket): Unit = {
+    socket0.setSoTimeout(120000)
+    var socket = socket0
+    var in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
-    val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    var out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
 
     def readMessage(): (Int, Array[Byte]) = {
       val buf = new ByteArrayOutputStream()
@@ -203,16 +205,39 @@ final class LoopbackTds(user: String = "graft", password: String = "pw")
     }
 
     try {
-      // PRELOGIN → echo ENCRYPT_NOT_SUP
-      val (t0, _) = readMessage()
+      // PRELOGIN → echo the negotiated ENCRYPTION
+      val (t0, plReq) = readMessage()
       require(t0 == 0x12, s"expected PRELOGIN, got $t0")
+      // client's requested ENCRYPTION (option token 1)
+      var encClient = 2
+      var hp = 0
+      while (hp + 5 <= plReq.length && (plReq(hp) & 0xff) != 0xff) {
+        val tok = plReq(hp) & 0xff
+        val off = ((plReq(hp + 1) & 0xff) << 8) | (plReq(hp + 2) & 0xff)
+        if (tok == 1 && off < plReq.length) encClient = plReq(off) & 0xff
+        hp += 5
+      }
+      val encrypt = encClient == 1 && tls.isDefined
       val pl = new ByteArrayOutputStream()
       pl.write(0); pl.write(0); pl.write(11); pl.write(0); pl.write(6)
       pl.write(1); pl.write(0); pl.write(17); pl.write(0); pl.write(1)
       pl.write(0xff)
       pl.write(Array[Byte](16, 0, 0, 0, 0, 0)) // server version
-      pl.write(2) // ENCRYPT_NOT_SUP
+      pl.write(if (encrypt) 1 else 2) // ENCRYPT_ON / ENCRYPT_NOT_SUP
       sendMessage(0x04, pl.toByteArray)
+
+      if (encrypt) {
+        out.flush() // reply must be on the wire before the handshake
+        // TLS handshake framed in PRELOGIN-type packets, then raw TLS
+        // records carry the TDS packets ([MS-TDS] encryption)
+        val tunnel = new WireTls.TdsTunnel(socket)
+        val ssl = WireTls.serverWrap(tunnel, tls.get)
+        tunnel.framing = false
+        socket = ssl
+        in = new DataInputStream(
+          new BufferedInputStream(ssl.getInputStream, 1 << 16))
+        out = new BufferedOutputStream(ssl.getOutputStream, 1 << 16)
+      }
 
       // LOGIN7
       val (t1, login) = readMessage()

@@ -35,8 +35,15 @@ import org.apache.spark.sql.types._
   */
 object Mysql {
 
+  /** `ssl = true` upgrades the connection before credentials travel:
+    * a short CLIENT_SSL handshake response, TLS wrap, then the full
+    * login over the encrypted channel (Protocol::SSLRequest — the
+    * `tls=true` DSN option the reference's MySQL URLs carry). `caPem`
+    * pins a private CA; absent, the JVM trust store applies. */
   final case class Conn(host: String, port: Int, database: String,
-      user: String = "graft", password: String = "") extends Serializable
+      user: String = "graft", password: String = "",
+      ssl: Boolean = false, caPem: Option[String] = None)
+    extends Serializable
 
   /** Protocol type codes (public protocol docs, Protocol::ColumnType). */
   object T {
@@ -63,17 +70,21 @@ object Mysql {
   private val CapLocalFiles = 0x80
   private val CapProtocol41 = 0x200
   private val CapTransactions = 0x2000
+  private val CapSsl = 0x800
   private val CapSecureConnection = 0x8000
   private val CapPluginAuth = 0x80000
 
   /** One socket speaking the client/server protocol. Not thread-safe. */
   final class Client(conn: Conn) extends AutoCloseable {
-    private val socket = new Socket()
-    socket.connect(new InetSocketAddress(conn.host, conn.port), 10000)
-    socket.setSoTimeout(120000)
-    private val in = new DataInputStream(
+    private var socket: Socket = {
+      val s = new Socket()
+      s.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+      s.setSoTimeout(120000)
+      s
+    }
+    private var in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
-    private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    private var out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
     private var seq = 0
 
     // ---- packet framing (3-byte LE length + sequence id) ----------------
@@ -172,10 +183,29 @@ object Mysql {
       // of part2 is a NUL terminator)
       val nonce = nonce1 ++ nonce2.take(12)
 
-      val resp = new ByteArrayOutputStream()
-      val myCaps = CapLongPassword | CapLongFlag | CapConnectWithDb |
+      val myCaps = (CapLongPassword | CapLongFlag | CapConnectWithDb |
         CapLocalFiles | CapProtocol41 | CapTransactions |
-        CapSecureConnection | CapPluginAuth
+        CapSecureConnection | CapPluginAuth) |
+        (if (conn.ssl) CapSsl else 0)
+
+      if (conn.ssl) {
+        // Protocol::SSLRequest — the handshake response's fixed 32-byte
+        // head with CLIENT_SSL set, then the TLS wrap; the full login
+        // (credentials included) travels only on the encrypted channel
+        val sslReq = new ByteArrayOutputStream()
+        w4(sslReq, myCaps.toLong)
+        w4(sslReq, 1L << 24) // max packet
+        sslReq.write(45) // utf8mb4
+        sslReq.write(new Array[Byte](23))
+        sendPacket(sslReq.toByteArray); out.flush()
+        socket = WireTls.clientWrap(socket, conn.host,
+          WireTls.clientContext(conn.caPem))
+        in = new DataInputStream(
+          new BufferedInputStream(socket.getInputStream, 1 << 16))
+        out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+      }
+
+      val resp = new ByteArrayOutputStream()
       w4(resp, myCaps.toLong)
       w4(resp, 1L << 24) // max packet
       resp.write(45) // utf8mb4

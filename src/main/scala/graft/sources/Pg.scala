@@ -38,8 +38,15 @@ import org.apache.spark.sql.types._
   */
 object Pg {
 
+  /** `sslMode`: "disable" (plaintext), "prefer" (SSLRequest; fall back
+    * to plaintext if the server declines), or "require" (decline is an
+    * error) — the libpq option surface the reference's connection
+    * strings carry (`database_postgres.go` sslmode). `caPem` pins a
+    * private CA; absent, the JVM trust store applies. */
   final case class Conn(host: String, port: Int, database: String,
-      user: String = "graft", password: String = "") extends Serializable
+      user: String = "graft", password: String = "",
+      sslMode: String = "disable", caPem: Option[String] = None)
+    extends Serializable
 
   /** Type OIDs from the public pg_type catalog. */
   object Oid {
@@ -60,9 +67,31 @@ object Pg {
   /** One socket speaking protocol v3. Not thread-safe; one in-flight
     * statement at a time (simple-query protocol). */
   final class Client(conn: Conn) extends AutoCloseable {
-    private val socket = new Socket()
-    socket.connect(new InetSocketAddress(conn.host, conn.port), 10000)
-    socket.setSoTimeout(120000)
+    private val socket: Socket = {
+      val plain = new Socket()
+      plain.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+      plain.setSoTimeout(120000)
+      if (conn.sslMode == "disable") plain
+      else {
+        // SSL Session Encryption preamble (protocol v3): SSLRequest
+        // before startup; 'S' upgrades, 'N' declines
+        val o = plain.getOutputStream
+        o.write(ByteBuffer.allocate(8).putInt(8).putInt(80877103).array())
+        o.flush()
+        plain.getInputStream.read() match {
+          case 'S' =>
+            WireTls.clientWrap(plain, conn.host,
+              WireTls.clientContext(conn.caPem))
+          case 'N' if conn.sslMode != "require" => plain
+          case 'N' =>
+            plain.close()
+            throw new IOException("server declined SSL (sslmode=require)")
+          case other =>
+            plain.close()
+            throw new IOException(s"unexpected SSLRequest reply $other")
+        }
+      }
+    }
     private val in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
     private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)

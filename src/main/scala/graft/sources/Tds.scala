@@ -33,14 +33,25 @@ import org.apache.spark.sql.types._
   *
   * Auth: SQL authentication over LOGIN7 with the spec's password
   * obfuscation (nibble swap XOR 0xA5). PRELOGIN negotiates
-  * ENCRYPT_NOT_SUP — TLS-wrapped login and Entra tokens are the
-  * documented offline seams (the reference's fed_auth path shells to the
-  * Azure CLI, database_sqlserver.go:677).
+  * ENCRYPT_NOT_SUP by default; `Conn(encrypt = true)` negotiates
+  * ENCRYPT_ON and tunnels the TLS handshake inside PRELOGIN packets
+  * ([[WireTls.TdsTunnel]]), after which every packet — LOGIN7
+  * included — rides inside TLS records. Entra/fed_auth tokens remain
+  * the one documented seam (the reference shells to the Azure CLI,
+  * database_sqlserver.go:677).
   */
 object Tds {
 
+  /** `encrypt = true` negotiates ENCRYPT_ON in PRELOGIN and tunnels the
+    * TLS handshake inside PRELOGIN-type packets per [MS-TDS], after
+    * which every TDS packet (LOGIN7 included — credentials never travel
+    * plaintext) rides inside TLS records — the flow behind the
+    * reference's `encrypt=true` connection option
+    * (`database_sqlserver.go:677`). `caPem` pins a private CA. */
   final case class Conn(host: String, port: Int, database: String,
-      user: String = "graft", password: String = "") extends Serializable
+      user: String = "graft", password: String = "",
+      encrypt: Boolean = false, caPem: Option[String] = None)
+    extends Serializable
 
   /** Wire type codes we speak ([MS-TDS] TYPE_INFO). */
   object T {
@@ -81,12 +92,15 @@ object Tds {
 
   /** One socket speaking TDS 7.4. Not thread-safe. */
   final class Client(conn: Conn) extends AutoCloseable {
-    private val socket = new Socket()
-    socket.connect(new InetSocketAddress(conn.host, conn.port), 10000)
-    socket.setSoTimeout(120000)
-    private val in = new DataInputStream(
+    private var socket: Socket = {
+      val s = new Socket()
+      s.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+      s.setSoTimeout(120000)
+      s
+    }
+    private var in = new DataInputStream(
       new BufferedInputStream(socket.getInputStream, 1 << 16))
-    private val out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
+    private var out = new BufferedOutputStream(socket.getOutputStream, 1 << 16)
 
     // ---- packet framing: 8-byte header, messages span packets ------------
 
@@ -132,9 +146,9 @@ object Tds {
     // ---- pre-login + login ------------------------------------------------
 
     {
-      // PRELOGIN: VERSION + ENCRYPTION(NOT_SUP) + terminator
+      // PRELOGIN: VERSION + ENCRYPTION + terminator
       val plOpts = Seq((0, Array[Byte](12, 0, 4, 0, 0, 0)), // version 12.0.4
-        (1, Array[Byte](2))) // ENCRYPT_NOT_SUP
+        (1, Array[Byte](if (conn.encrypt) 1 else 2))) // ENCRYPT_ON / NOT_SUP
       val headerLen = plOpts.size * 5 + 1
       val pl = new ByteArrayOutputStream()
       var dataOff = headerLen
@@ -147,7 +161,22 @@ object Tds {
       pl.write(0xff)
       plOpts.foreach { case (_, data) => pl.write(data) }
       sendMessage(PkPreLogin, pl.toByteArray)
-      readMessage() // server's prelogin reply (encryption NOT_SUP)
+      readMessage() // server's prelogin reply
+
+      if (conn.encrypt) {
+        // [MS-TDS] encryption: the TLS handshake records travel inside
+        // PRELOGIN-type packets (the tunnel frames them); once complete
+        // every TDS packet rides inside raw TLS records
+        val tunnel = new WireTls.TdsTunnel(socket)
+        val ssl = WireTls.clientWrap(tunnel, conn.host,
+          WireTls.clientContext(conn.caPem),
+          protocols = Seq("TLSv1.2")) // see WireTls.clientWrap scaladoc
+        tunnel.framing = false
+        socket = ssl
+        in = new DataInputStream(
+          new BufferedInputStream(ssl.getInputStream, 1 << 16))
+        out = new BufferedOutputStream(ssl.getOutputStream, 1 << 16)
+      }
 
       // LOGIN7
       sendMessage(PkLogin7, login7Payload())

@@ -29,6 +29,24 @@ class MysqlSpec extends AnyFunSuite {
     finally srv.close()
   }
 
+  test("tls: CLIENT_SSL short response upgrades before credentials " +
+      "travel; auth + query run encrypted; a wrong CA is rejected") {
+    val srv = new LoopbackMysql(tls = Some(WireCerts.serverContext))
+    try {
+      srv.define("t", Seq("k" -> Mysql.T.LongLong))
+      srv.load("t", Seq(Seq(5L)))
+      val conn = Mysql.Conn("127.0.0.1", srv.port, "graft",
+        user = "graft", password = "pw",
+        ssl = true, caPem = Some(WireCerts.server._1))
+      val c = new Mysql.Client(conn)
+      try assert(c.query("SELECT k FROM t")._2 == Seq(Seq(Some("5"))))
+      finally c.close()
+      intercept[java.io.IOException] {
+        new Mysql.Client(conn.copy(caPem = Some(WireCerts.stranger._1)))
+      }
+    } finally srv.close()
+  }
+
   test("caching_sha2 and native scrambles both authenticate") {
     Seq("caching_sha2_password", "mysql_native_password").foreach { plugin =>
       withServer(plugin) { (srv, conn) =>

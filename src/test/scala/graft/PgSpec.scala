@@ -28,6 +28,39 @@ class PgSpec extends AnyFunSuite {
     finally srv.close()
   }
 
+  test("sslmode=require: SSLRequest upgrades to TLS, SCRAM + query run " +
+      "encrypted; a wrong CA is rejected; a declining server is an error") {
+    val srv = new LoopbackPg("scram-sha-256", "graft", "pw",
+      tls = Some(WireCerts.serverContext))
+    try {
+      srv.define("t", Seq("k" -> Pg.Oid.Int8))
+      srv.load("t", Seq(Seq(7L)))
+      val conn = Pg.Conn("127.0.0.1", srv.port, "graft",
+        user = "graft", password = "pw",
+        sslMode = "require", caPem = Some(WireCerts.server._1))
+      val c = new Pg.Client(conn)
+      try assert(c.query("SELECT k FROM t")._2 == Seq(Seq(Some("7"))))
+      finally c.close()
+      // trusting an unrelated CA must fail the handshake
+      intercept[java.io.IOException] {
+        new Pg.Client(conn.copy(caPem = Some(WireCerts.stranger._1)))
+      }
+    } finally srv.close()
+    // a plaintext-only server declining SSL fails sslmode=require…
+    withServer() { (srv2, conn2) =>
+      srv2.define("t", Seq("k" -> Pg.Oid.Int8))
+      srv2.load("t", Seq(Seq(8L)))
+      val e = intercept[java.io.IOException] {
+        new Pg.Client(conn2.copy(sslMode = "require"))
+      }
+      assert(e.getMessage.contains("declined"))
+      // …but sslmode=prefer falls back to plaintext
+      val c2 = new Pg.Client(conn2.copy(sslMode = "prefer"))
+      try assert(c2.query("SELECT k FROM t")._2 == Seq(Seq(Some("8"))))
+      finally c2.close()
+    }
+  }
+
   test("scram-sha-256 handshake authenticates and a query round-trips") {
     withServer() { (srv, conn) =>
       srv.define("t", Seq("k" -> Pg.Oid.Int8, "name" -> Pg.Oid.Varchar))

@@ -29,6 +29,33 @@ class TdsSpec extends AnyFunSuite {
     finally srv.close()
   }
 
+  test("encrypt: ENCRYPT_ON negotiation tunnels the TLS handshake in " +
+      "PRELOGIN packets; LOGIN7 + query + bulk ride inside TLS; a wrong " +
+      "CA is rejected") {
+    val srv = new LoopbackTds(tls = Some(WireCerts.serverContext))
+    try {
+      srv.define("t", Seq(ColMeta("k", T.IntN, 8),
+        ColMeta("name", T.NVarChar, 200)))
+      srv.load("t", Seq(Seq(9L, "enc")))
+      val conn = Tds.Conn("127.0.0.1", srv.port, "graft",
+        user = "graft", password = "pw",
+        encrypt = true, caPem = Some(WireCerts.server._1))
+      val c = new Tds.Client(conn)
+      try {
+        assert(c.query("SELECT k, name FROM t")._2 ==
+          Seq(Seq(9L, "enc")))
+      } finally c.close()
+      // the bulk write path works over the encrypted channel too
+      val df = spark.range(10).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("name")).repartition(2)
+      Tds.insert(df, conn, "t")
+      assert(srv.rowCount("t") == 11)
+      intercept[java.io.IOException] {
+        new Tds.Client(conn.copy(caPem = Some(WireCerts.stranger._1)))
+      }
+    } finally srv.close()
+  }
+
   test("login7 authenticates (password obfuscation round-trips) and a " +
       "typed query decodes from binary tokens") {
     withServer { (srv, conn) =>
