@@ -8,6 +8,9 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // embedded engine for EXECUTING the duckdb-dialect renders (resolves
+  // from the pre-warmed offline cache like the test deps)
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
 )
 Test / fork := true
 run / fork := true

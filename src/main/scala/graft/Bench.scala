@@ -138,13 +138,6 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg
     def medianD(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
-    // calibration before the measured queries (post-warm-up, so JIT and
-    // Spark session startup don't pollute it); spark calib is median-of-5
-    // after one discarded warm run (VERDICT r9 item 6)
-    val calibCpuStart = medianD(Seq.fill(3)(calibCpu()._1))
-    val calibSparkSec = { calibSpark(spark); medianD(Seq.fill(5)(calibSpark(spark))) }
-    val wallStart = System.nanoTime()
-    val cpuStart = procCpuSec
 
     def time(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -191,6 +184,20 @@ object Bench {
           s"jdbc:derby:$ingestBase/derbydb;create=true", "BENCH_INGEST",
           org.apache.spark.sql.SaveMode.Overwrite)
     }
+
+    // One full measurement pass: calibration, round-robin sampling,
+    // ingest rounds, metrics. Returns (flagged, jsonLine) so the ledger
+    // guard below can re-run a contended / out-of-band pass instead of
+    // committing it (VERDICT r10 item 5 — the closing artifact must be
+    // an in-band run whenever the box allows one).
+    def attemptRun(attempt: Int): (Boolean, String) = {
+    // calibration before the measured queries (post-warm-up, so JIT and
+    // Spark session startup don't pollute it); spark calib is median-of-5
+    // after one discarded warm run (VERDICT r9 item 6)
+    val calibCpuStart = medianD(Seq.fill(3)(calibCpu()._1))
+    val calibSparkSec = { calibSpark(spark); medianD(Seq.fill(5)(calibSpark(spark))) }
+    val wallStart = System.nanoTime()
+    val cpuStart = procCpuSec
 
     // round-robin over the query set
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -279,7 +286,35 @@ object Bench {
     val sparkOut = calibSparkSec < CalibSparkRefBand._1 || calibSparkSec > CalibSparkRefBand._2
     val outOfBand = cpuOut || sparkOut
     val contended = ratio < 0.5 || outOfBand
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}""")
+    (contended || outOfBand,
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
+    )
+    }
+
+    // Ledger guard: a contended / out-of-band pass is measurement noise,
+    // not a measurement — re-run after a cooldown (the window that
+    // polluted r6/r9/r10 closing artifacts is usually transient) and
+    // only emit a flagged line when every attempt stayed flagged, with
+    // a loud stderr warning so it cannot ship silently.
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    var attempt = 0
+    var emitted = false
+    while (!emitted) {
+      attempt += 1
+      val (flagged, json) = attemptRun(attempt)
+      if (flagged && attempt < maxAttempts) {
+        System.err.println(s"[bench] attempt $attempt contended/out-of-band" +
+          s" (loadavg $loadavg) — cooling down 30 s and re-running")
+        Thread.sleep(30000)
+      } else {
+        if (flagged) System.err.println(
+          s"[bench] WARNING: all $attempt attempts flagged — emitting a " +
+            "CONTENDED ledger line; re-run on an idle box before committing")
+        println(json)
+        emitted = true
+      }
+    }
     spark.stop()
   }
 }

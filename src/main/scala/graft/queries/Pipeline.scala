@@ -153,6 +153,101 @@ object Pipeline {
         FROM customer ORDER BY c_custkey""")),
 
 
+    // EXECUTED dialect merges: the rendered upsert/delete_insert
+    // statements for twelve render-only dialects run against the
+    // MiniSql store (the same evaluator behind the pg/mysql/tds
+    // loopbacks), seeded from nation — target keys 0..14 keep their
+    // names, staged source keys 10..24 carry upper-cased names, so the
+    // merged result is byte-comparable to the oracle's CASE expression.
+    // A render whose shape the evaluator can't parse, or whose
+    // semantics diverge from the upsert contract, hash-mismatches here.
+    Q("op_dialect_exec",
+      (s, dir) => {
+        import s.implicits._
+        import graft.write.DialectSql
+        val spec = DialectSql.MergeSpec("dst", "stg",
+          Seq("n_nationkey"), Seq("n_nationkey", "n_name"))
+        val strategies: Seq[(String, Seq[String])] = Seq(
+          "oracle" -> Seq(DialectSql.oracleUpsert(spec)),
+          "exasol" -> Seq(DialectSql.exasolUpsert(spec)),
+          "db2" -> Seq(DialectSql.db2Upsert(spec)),
+          "sqlserver" -> Seq(DialectSql.sqlserverUpsert(spec)),
+          "azuresql" -> Seq(DialectSql.tsqlCloudUpsert(spec)),
+          "postgres" -> Seq(DialectSql.postgresUpsert(spec)),
+          "sqlite" -> Seq(DialectSql.sqliteUpsert(spec)),
+          "mysql" -> Seq(DialectSql.mysqlUpsert(spec)),
+          "redshift" -> DialectSql.redshiftDeleteInsert(spec),
+          "mariadb" -> DialectSql.mariadbDeleteInsert(spec),
+          "starrocks" -> DialectSql.starrocksDeleteInsert(spec),
+          "clickhouse" -> DialectSql.clickhouseDeleteInsert(spec))
+        // 25-row dimension table — a bounded driver-side fixture seed
+        val nations = Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name").collect()
+          .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+          .sortBy(_._1)
+        val merged = strategies.flatMap { case (dialect, stmts) =>
+          val st = new graft.sources.MiniSql.Store(
+            numeric = Set(20), typeOf = _ => (25, -1), textCode = 25,
+            countCode = 20)
+          Seq("dst", "stg").foreach(t => st.define(t,
+            Seq(graft.sources.MiniSql.Col("n_nationkey", 20),
+              graft.sources.MiniSql.Col("n_name", 25))))
+          st.definePk("dst", Seq("n_nationkey"))
+          val d = st.resolve("dst"); val g = st.resolve("stg")
+          nations.filter(_._1 <= 14).foreach { case (k, n) =>
+            st.appendText(d, Seq(Some(k.toString), Some(n)), Seq(0, 1)) }
+          nations.filter(_._1 >= 10).foreach { case (k, n) =>
+            st.appendText(g,
+              Seq(Some(k.toString), Some(n.toUpperCase)), Seq(0, 1)) }
+          stmts.foreach(st.run)
+          st.textRows("dst").map(r =>
+            (dialect, r(0).get.toLong, r(1).get))
+        }
+        merged.toDF("dialect", "n_nationkey", "n_name")
+          .orderBy("dialect", "n_nationkey")
+      },
+      Some("""WITH dialects(dialect) AS (VALUES ('oracle'), ('exasol'),
+        |  ('db2'), ('sqlserver'), ('azuresql'), ('postgres'), ('sqlite'),
+        |  ('mysql'), ('redshift'), ('mariadb'), ('starrocks'),
+        |  ('clickhouse')),
+        |merged AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
+        |      AS n_name
+        |  FROM nation)
+        |SELECT dialect, n_nationkey, n_name
+        |FROM dialects CROSS JOIN merged
+        |ORDER BY dialect, n_nationkey""".stripMargin)),
+
+    // The duckdb dialect EXECUTED against a real embedded DuckDB
+    // (duckdb_jdbc): Spark JDBC staging write + the in-DB delete_insert
+    // merge (duckdb's default strategy, duckdb.yaml) + distributed JDBC
+    // read-back — the same staged-load flow the Derby rows gate,
+    // proving the duckdb family's statements run on their own engine.
+    Q("op_duckdb_exec",
+      (s, dir) => {
+        import graft.sources.Jdbc
+        val workDir = new java.io.File(scratch("duckdb_exec", dir))
+        workDir.mkdirs()
+        val db = new java.io.File(workDir, "t.duckdb")
+        db.delete(); new java.io.File(workDir, "t.duckdb.wal").delete()
+        val url = s"jdbc:duckdb:$db"
+        val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+        val tgt = nation.filter(col("n_nationkey") <= 14)
+        val stg = nation.filter(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), upper(col("n_name")).as("n_name"))
+        Jdbc.write(tgt, url, "facts")
+        Jdbc.mergeStrategy(stg, url, "facts", Seq("n_nationkey"),
+          "delete_insert")
+        Jdbc.read(s, url, "facts")
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+        |  CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
+        |    AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // Per-dialect native-type DDL for the orders schema across every
     // reference dialect with a real general_type_map (25 dialects x 6
     // columns). The oracle VALUES literal was generated directly from the

@@ -43,6 +43,21 @@ object Jdbc {
         case _ => None
       }
     })
+    // DuckDB: its SQLExceptions carry no SQLState, so Spark 4's
+    // tableExists cannot classify a missing-table probe as not-found and
+    // rethrows it — classify by the engine's Catalog Error message
+    JdbcDialects.registerDialect(new JdbcDialect {
+      override def canHandle(url: String): Boolean =
+        url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb")
+      override def isObjectNotFoundException(
+          e: java.sql.SQLException): Boolean =
+        Option(e.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("Catalog Error"))
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR", java.sql.Types.VARCHAR))
+        case _ => None
+      }
+    })
   }
 
   def write(df: DataFrame, url: String, table: String,

@@ -15,7 +15,7 @@ import java.io.IOException
   * engine-specific type code, where the only distinction that matters is
   * numeric-vs-lexical (ISO dates/timestamps compare lexically).
   */
-private[sources] object MiniSql {
+private[graft] object MiniSql {
 
   /** name, engine type code, engine type modifier (-1 = none). */
   final case class Col(name: String, code: Int, typmod: Int = -1)
@@ -54,6 +54,11 @@ private[sources] object MiniSql {
 
     private val tables =
       new java.util.concurrent.ConcurrentHashMap[String, Table]()
+    /** Declared primary keys (CREATE's PRIMARY KEY clause or
+      * [[definePk]]) — what ON DUPLICATE KEY / implicit-upsert shapes
+      * merge on. */
+    private val pks =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
     private def norm(name: String): String =
       name.toLowerCase.stripPrefix("public.").replaceAll("[\"`]", "")
@@ -61,6 +66,9 @@ private[sources] object MiniSql {
 
     def define(table: String, cols: Seq[Col]): Unit =
       tables.put(norm(table), new Table(cols))
+
+    def definePk(table: String, pk: Seq[String]): Unit =
+      pks.put(norm(table), pk)
 
     def resolve(name: String): Table = {
       val t = tables.get(norm(name))
@@ -169,19 +177,141 @@ private[sources] object MiniSql {
       c
     }
 
+    // ---- merge-statement grammar (the rendered dialect shapes) ------------
+    //
+    // [[graft.write.DialectSql]] renders each reference dialect's
+    // upsert / delete_insert statements; these cases EXECUTE those
+    // shapes — ANSI/Oracle/DB2/Exasol/T-SQL MERGE, UPDATE…FROM, the
+    // EXISTS / USING / tuple-IN deletes (redshift, mariadb, starrocks,
+    // clickhouse's mutation form), INSERT…SELECT with anti-join guards,
+    // and the ON CONFLICT / ON DUPLICATE KEY upserts — so golden-string
+    // renders become executed semantics against the fixture store.
+    private val MergeRe =
+      """(?is)\s*MERGE\s+INTO\s+([\w"`\.]+)\s*(?:WITH\s*\([^)]*\)\s*)?(?:(\w+)\s+)?USING\s+(?:\(\s*SELECT\s+[\w"`\.,\s]+?\s+FROM\s+([\w"`\.]+)\s*\)|([\w"`\.]+))\s+\w+\s+ON\s*\((.*?)\)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*;?\s*""".r
+    private val UpdateFromRe =
+      """(?is)\s*UPDATE\s+([\w"`\.]+)(?:\s+(\w+))?\s+SET\s+(.*?)\s+FROM\s+([\w"`\.]+)(?:\s+(\w+))?\s+WHERE\s+(.*?)\s*;?\s*""".r
+    private val DeleteExistsRe =
+      """(?is)\s*DELETE\s+(?:(\w+)\s+)?FROM\s+([\w"`\.]+)(?:\s+(\w+))?\s+WHERE\s+EXISTS\s*\(\s*SELECT\s+1\s+FROM\s+([\w"`\.]+)(?:\s+(\w+))?\s+WHERE\s+(.*?)\s*\)\s*;?\s*""".r
+    private val DeleteUsingRe =
+      """(?is)\s*DELETE\s+FROM\s+([\w"`\.]+)\s+USING\s+([\w"`\.]+)(?:\s+(\w+))?\s+WHERE\s+(.*?)\s*;?\s*""".r
+    private val DeleteInRe =
+      """(?is)\s*(?:ALTER\s+TABLE\s+([\w"`\.]+)\s+DELETE|DELETE\s+FROM\s+([\w"`\.]+))\s+WHERE\s*\(([^)]*)\)\s+IN\s*\(\s*SELECT\s+[^)]*?\s+FROM\s+([\w"`\.]+)\s*\)\s*(?:SETTINGS\s+.*?)?\s*;?\s*""".r
+    private val InsertSelectRe =
+      """(?is)\s*INSERT\s+INTO\s+([\w"`\.]+)\s*\(([^)]*)\)\s*SELECT\s+([\w"`\.,\s]+?)\s+FROM\s+([\w"`\.]+)(?:\s+(?!WHERE\b|ON\b)(\w+))?\s*(.*?)\s*;?\s*""".r
+    private val NotExistsTailRe =
+      """(?is)\s*WHERE\s+NOT\s+EXISTS\s*\(\s*SELECT\s+1\s+FROM\s+[\w"`\.]+(?:\s+\w+)?\s+WHERE\s+(.*?)\s*\)\s*""".r
+    private val NotInTailRe =
+      """(?is)\s*WHERE\s*\(([^)]*)\)\s+NOT\s+IN\s*\(\s*SELECT\s+[^)]*?\s+FROM\s+[\w"`\.]+\s*\)\s*""".r
+    private val OnConflictTailRe =
+      """(?is)\s*(?:WHERE\s+true\s+)?ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+UPDATE\s+SET\s+(.*?)\s*""".r
+    private val OnDupKeyTailRe =
+      """(?is)\s*ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*?)\s*""".r
+
+    /** Last path segment, unquoted: `src.k` / `"T"."K"` / `k` → `k`. */
+    private def colName(ref: String): String =
+      stripQ(ref.trim).split("\\.").last
+
+    /** Equality conjunction (`src.k = tgt.k AND …`) → the key columns.
+      * Both sides always name the same column in the rendered shapes. */
+    private def pkOfConds(conds: String): Seq[String] =
+      conds.split("(?i)\\s+AND\\s+").toSeq.map { c0 =>
+        val c = stripParens(c0)
+        val m = """([\w"`\.]+)\s*=\s*([\w"`\.]+)""".r.findFirstMatchIn(c)
+          .getOrElse(throw new IOException(s"unsupported join cond: $c"))
+        colName(m.group(1))
+      }
+
+    /** SET assigns (`c = src.c`, `tgt.c = src.c`, `c = EXCLUDED.c`,
+      * `c = VALUES(c)`) → the assigned column names. */
+    private def setCols(assigns: String): Seq[String] =
+      splitTop(assigns).map(a => colName(a.split("=")(0)))
+
+    private def keyFn(t: Table, pk: Seq[String]): Seq[Option[String]] => String = {
+      val idx = pk.map(t.idxOf)
+      row => idx.map(i => row(i).getOrElse(" ")).mkString("")
+    }
+
+    /** Upsert src into tgt on pk: matched rows get `sets` overwritten,
+      * unmatched append `inserts` (both copied by column NAME from the
+      * src row — the invariant every rendered template holds). */
+    private def doUpsert(tgtT: Table, srcT: Table, pk: Seq[String],
+        sets: Seq[String], inserts: Seq[String]): Int = {
+      import scala.jdk.CollectionConverters._
+      val tKey = keyFn(tgtT, pk); val sKey = keyFn(srcT, pk)
+      val index = collection.mutable.HashMap[String, Int]()
+      tgtT.rows.asScala.zipWithIndex.foreach { case (r, i) =>
+        index(tKey(r)) = i }
+      var n = 0
+      srcT.rows.asScala.toSeq.foreach { sr =>
+        index.get(sKey(sr)) match {
+          case Some(i) =>
+            val cur = tgtT.rows.get(i).toArray
+            sets.foreach(c => cur(tgtT.idxOf(c)) = sr(srcT.idxOf(c)))
+            tgtT.rows.set(i, cur.toSeq)
+          case None =>
+            val full = Array.fill[Option[String]](tgtT.cols.size)(None)
+            inserts.foreach(c => full(tgtT.idxOf(c)) = sr(srcT.idxOf(c)))
+            tgtT.rows.add(full.toSeq)
+            index(sKey(sr)) = tgtT.rows.size - 1
+        }
+        n += 1
+      }
+      n
+    }
+
+    /** Delete tgt rows whose pk tuple appears in src. */
+    private def doDeleteMatching(tgtT: Table, srcT: Table,
+        pk: Seq[String]): Int = {
+      import scala.jdk.CollectionConverters._
+      val sKeys = srcT.rows.asScala.map(keyFn(srcT, pk)).toSet
+      val tKey = keyFn(tgtT, pk)
+      val keep = tgtT.rows.asScala.toSeq.filterNot(r => sKeys(tKey(r)))
+      val removed = tgtT.rows.size - keep.size
+      tgtT.rows.clear(); keep.foreach(tgtT.rows.add)
+      removed
+    }
+
+    /** Append src rows into tgt (cols by name); with `anti` pk, only
+      * rows whose key is absent from tgt. */
+    private def doInsertSelect(tgtT: Table, srcT: Table,
+        inserts: Seq[String], anti: Option[Seq[String]]): Int = {
+      import scala.jdk.CollectionConverters._
+      val existing = anti.map { pk =>
+        tgtT.rows.asScala.map(keyFn(tgtT, pk))
+          .to(collection.mutable.Set)
+      }
+      var n = 0
+      srcT.rows.asScala.toSeq.foreach { sr =>
+        val key = anti.map(pk => keyFn(srcT, pk)(sr))
+        if (key.isEmpty || !existing.get(key.get)) {
+          val full = Array.fill[Option[String]](tgtT.cols.size)(None)
+          inserts.foreach(c => full(tgtT.idxOf(c)) = sr(srcT.idxOf(c)))
+          tgtT.rows.add(full.toSeq)
+          key.foreach(existing.get += _)
+          n += 1
+        }
+      }
+      n
+    }
+
     /** Evaluate one non-bulk statement. Bulk loads (COPY / LOAD DATA)
       * are protocol-level flows the callers handle themselves, feeding
       * lines through [[appendText]]. */
     def run(sql: String): Result = sql match {
       case CreateRe(name, colsDef) =>
         if (!exists(name)) {
-          val cols = splitTop(colsDef).map(_.trim).filter(_.nonEmpty)
+          val parts = splitTop(colsDef).map(_.trim).filter(_.nonEmpty)
+          parts.find(_.toUpperCase.startsWith("PRIMARY KEY")).foreach { pk =>
+            "\\(([^)]*)\\)".r.findFirstMatchIn(pk).foreach(m => definePk(
+              name, m.group(1).split(",").map(c => stripQ(c.trim)).toSeq))
+          }
+          val cols = parts
             .filterNot(c => c.toUpperCase.startsWith("PRIMARY KEY") ||
               c.toUpperCase.startsWith("CONSTRAINT"))
             .map { c =>
-              val parts = c.split("\\s+", 2)
-              val (code, typmod) = typeOf(parts.lift(1).getOrElse("text"))
-              Col(stripQ(parts(0)), code, typmod)
+              val ps = c.split("\\s+", 2)
+              val (code, typmod) = typeOf(ps.lift(1).getOrElse("text"))
+              Col(stripQ(ps(0)), code, typmod)
             }
           define(name, cols)
         }
@@ -209,6 +339,69 @@ private[sources] object MiniSql {
             splitTop(tuple.substring(1, tuple.length - 1)).map(parseLiteral),
             idx)
           n += 1
+        }
+        Done(s"INSERT 0 $n")
+
+      case MergeRe(tgt, _, srcSub, srcTab, conds, assigns, insCols, _) =>
+        val srcT = resolve(if (srcSub != null) srcSub else srcTab)
+        val n = doUpsert(resolve(tgt), srcT, pkOfConds(conds),
+          setCols(assigns), insCols.split(",").map(c => stripQ(c.trim)).toSeq)
+        Done(s"MERGE $n")
+
+      case UpdateFromRe(tgt, _, assigns, src, _, conds) =>
+        val pk = pkOfConds(conds)
+        val tgtT = resolve(tgt); val srcT = resolve(src)
+        // matched-only upsert: the insert half is the empty set
+        import scala.jdk.CollectionConverters._
+        val sIdx = srcT.rows.asScala.map(r => keyFn(srcT, pk)(r) -> r).toMap
+        val tKey = keyFn(tgtT, pk)
+        val sets = setCols(assigns)
+        var n = 0
+        (0 until tgtT.rows.size).foreach { i =>
+          sIdx.get(tKey(tgtT.rows.get(i))).foreach { sr =>
+            val cur = tgtT.rows.get(i).toArray
+            sets.foreach(c => cur(tgtT.idxOf(c)) = sr(srcT.idxOf(c)))
+            tgtT.rows.set(i, cur.toSeq)
+            n += 1
+          }
+        }
+        Done(s"UPDATE $n")
+
+      case DeleteExistsRe(_, tgt, _, src, _, conds) =>
+        Done(s"DELETE ${doDeleteMatching(resolve(tgt), resolve(src),
+          pkOfConds(conds))}")
+
+      case DeleteUsingRe(tgt, src, _, conds) =>
+        Done(s"DELETE ${doDeleteMatching(resolve(tgt), resolve(src),
+          pkOfConds(conds))}")
+
+      case DeleteInRe(alterTgt, delTgt, pkList, src) =>
+        val tgt = if (alterTgt != null) alterTgt else delTgt
+        val pk = pkList.split(",").map(c => stripQ(c.trim)).toSeq
+        Done(s"DELETE ${doDeleteMatching(resolve(tgt), resolve(src), pk)}")
+
+      case InsertSelectRe(tgt, colList, _, src, _, tail) =>
+        val tgtT = resolve(tgt); val srcT = resolve(src)
+        val inserts = colList.split(",").map(c => stripQ(c.trim)).toSeq
+        val n = tail match {
+          case "" => doInsertSelect(tgtT, srcT, inserts, None)
+          case NotExistsTailRe(conds) =>
+            doInsertSelect(tgtT, srcT, inserts, Some(pkOfConds(conds)))
+          case NotInTailRe(pkList, _*) =>
+            doInsertSelect(tgtT, srcT, inserts,
+              Some(pkList.split(",").map(c => stripQ(c.trim)).toSeq))
+          case OnConflictTailRe(pkList, assigns) =>
+            doUpsert(tgtT, srcT,
+              pkList.split(",").map(c => stripQ(c.trim)).toSeq,
+              setCols(assigns), inserts)
+          case OnDupKeyTailRe(assigns) =>
+            val pk = Option(pks.get(norm(tgt))).getOrElse(
+              throw new IOException(
+                s"ON DUPLICATE KEY needs a declared PRIMARY KEY on $tgt"))
+            doUpsert(tgtT, srcT, pk, setCols(assigns), inserts)
+          case other =>
+            throw new IOException(
+              s"unsupported INSERT…SELECT tail: ${other.take(60)}")
         }
         Done(s"INSERT 0 $n")
 
