@@ -579,6 +579,83 @@ object FileOps {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    // Bigtable v2 REST surface (database_bigtable.go through the JSON
+    // mapping of the same protos): a loopback instance serves nation as
+    // CellChunk streams; the reader samples row keys, fans contiguous
+    // ranges across partitions, and lands the reference's row shape
+    // (default_* string cells + _bigtable_key). Chunk carry-over, split
+    // cells, resetRow, filters, and mutateRows are covered in BigtableSpec.
+    Q("op_bigtable",
+      (s, dir) => {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        def b64(x: String): String = java.util.Base64.getEncoder
+          .encodeToString(x.getBytes("UTF-8"))
+        def unb64(x: String): String =
+          new String(java.util.Base64.getDecoder.decode(x), "UTF-8")
+        val rows = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey").collect().toSeq
+          .map(r => (f"r${r.getAs[Number](0).longValue()}%03d",
+            Seq("n_nationkey" -> r.getAs[Number](0).toString,
+              "n_name" -> r.getString(1),
+              "n_regionkey" -> r.getAs[Number](2).toString)))
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        try {
+          server.createContext("/",
+            (ex: com.sun.net.httpserver.HttpExchange) => {
+              val path = ex.getRequestURI.getPath
+              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              val resp: String =
+                if (path.endsWith(":sampleRowKeys")) {
+                  val arr = mapper.createArrayNode()
+                  Seq("r008", "r016").foreach(k =>
+                    arr.addObject().put("rowKey", b64(k)))
+                  mapper.writeValueAsString(arr)
+                } else {
+                  val r = mapper.readTree(body).path("rows")
+                    .path("rowRanges").get(0)
+                  val lo = Option(r.path("startKeyClosed").asText(null))
+                    .map(unb64).getOrElse("")
+                  val hi = Option(r.path("endKeyOpen").asText(null))
+                    .map(unb64).getOrElse("")
+                  val out = mapper.createArrayNode()
+                  val chunks = out.addObject().putArray("chunks")
+                  rows.filter { case (k, _) =>
+                    (lo.isEmpty || k >= lo) && (hi.isEmpty || k < hi)
+                  }.foreach { case (k, cells) =>
+                    cells.zipWithIndex.foreach { case ((q, v), i) =>
+                      val c = chunks.addObject()
+                      if (i == 0) {
+                        c.put("rowKey", b64(k))
+                        c.put("familyName", "default")
+                      }
+                      c.put("qualifier", b64(q))
+                      c.put("value", b64(v))
+                      if (i == cells.size - 1) c.put("commitRow", true)
+                    }
+                  }
+                  mapper.writeValueAsString(out)
+                }
+              val bytes = resp.getBytes("UTF-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              try ex.getResponseBody.write(bytes) finally ex.close()
+            })
+          server.start()
+          val conn = graft.sources.Bigtable.Conn(
+            s"http://127.0.0.1:${server.getAddress.getPort}")
+          graft.sources.Bigtable.read(s, conn,
+            "projects/p/instances/i/tables/nation")
+            .localCheckpoint(true)
+            .select(col("default_n_nationkey").cast(LongType)
+              .as("n_nationkey"),
+              col("default_n_name").as("n_name"),
+              col("default_n_regionkey").cast(LongType).as("n_regionkey"))
+            .orderBy("n_nationkey")
+        } finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     // Athena JSON-RPC lifecycle (database_athena.go's API): SigV4-signed
     // StartQueryExecution -> poll -> paged GetQueryResults over a loopback
     // endpoint; header row dropped, NextToken paging

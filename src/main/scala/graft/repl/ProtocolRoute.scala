@@ -24,9 +24,9 @@ object ProtocolRoute {
   /** Kinds with a native client in `graft.sources`. */
   val kinds: Set[String] = Set("clickhouse", "proton", "databricks",
     "snowflake", "trino", "d1", "bigquery", "athena", "elasticsearch",
-    "prometheus", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql", "mysql", "mariadb", "sqlserver", "azuresql",
-    "azuredwh", "fabric")
+    "prometheus", "bigtable", "mongodb", "mongo", "scylla", "scylladb",
+    "cassandra", "postgres", "postgresql", "mysql", "mariadb", "sqlserver",
+    "azuresql", "azuredwh", "fabric")
 
   /** Kinds with no JDBC surface at all — they route here unconditionally. */
   private val wireOnly =
@@ -225,6 +225,17 @@ object ProtocolRoute {
         // source's parseQuery understands)
         Prometheus.read(spark, Prometheus.Conn(url, token), stream,
           chunks = spec.get("chunks").map(_.toInt).getOrElse(4))
+      case "bigtable" =>
+        // stream is the table id; project/instance come from the conn
+        // (database_bigtable.go Init). start_time (unix seconds or ISO
+        // instant) reproduces the reference's TimestampRangeFilter.
+        Bigtable.read(spark, Bigtable.Conn(url, token),
+          bigtablePath(spec, stream),
+          maxRanges = spec.get("splits").map(_.toInt).getOrElse(32),
+          startTimeMicros = spec.get("start_time").map { s =>
+            s.toLongOption.map(_ * 1000000L).getOrElse(
+              java.time.Instant.parse(s).toEpochMilli * 1000L)
+          })
       case other =>
         throw new IllegalArgumentException(s"no protocol client for '$other'")
     }
@@ -244,14 +255,24 @@ object ProtocolRoute {
     spec.get("database").map(d => base.copy(database = d)).getOrElse(base)
   }
 
+  /** `projects/{p}/instances/{i}` from the conn's project/instance
+    * props (the reference's required Bigtable conn properties,
+    * database_bigtable.go Init). */
+  private def bigtableInstance(spec: Connections.ConnSpec): String =
+    s"projects/${spec.get("project").orElse(spec.get("project_id"))
+      .getOrElse("p")}/instances/${spec.get("instance").getOrElse("i")}"
+
+  private def bigtablePath(spec: Connections.ConnSpec,
+      table: String): String = s"${bigtableInstance(spec)}/tables/$table"
+
   /** Kinds with a native direct-insert write path — the reference's
     * writeDirectly set minus the live-only stores
     * (`task_run_write.go:209-226`: iceberg/mongo/ES/azuretable/scylla
     * skip the SQL temp-table merge and write straight to the target). */
   val writeKinds: Set[String] = Set("clickhouse", "proton",
-    "elasticsearch", "mongodb", "mongo", "scylla", "scylladb", "cassandra",
-    "postgres", "postgresql", "mysql", "mariadb", "sqlserver", "azuresql",
-    "azuredwh", "fabric")
+    "elasticsearch", "bigtable", "mongodb", "mongo", "scylla", "scylladb",
+    "cassandra", "postgres", "postgresql", "mysql", "mariadb", "sqlserver",
+    "azuresql", "azuredwh", "fabric")
 
   def writes(spec: Connections.ConnSpec): Boolean =
     applies(spec) && writeKinds.contains(spec.kind)
@@ -332,6 +353,21 @@ object ProtocolRoute {
         if (mode == "full-refresh") graft.sources.Mongo.drop(c, obj)
         graft.sources.Mongo.insert(df, c, obj,
           idCol = primaryKey.headOption)
+      case "bigtable" =>
+        // per-partition mutateRows SetCell batches (the reference's
+        // ApplyBulk path, database_bigtable.go:601-660); full-refresh
+        // drops and recreates the table through the admin verbs
+        val c = graft.sources.Bigtable.Conn(url, token)
+        val inst = bigtableInstance(spec)
+        if (mode == "full-refresh") {
+          try graft.sources.Bigtable.exec(c, inst,
+            s"""{"action":"delete_table","table":"$obj"}""")
+          catch { case _: java.io.IOException => () } // absent table
+          graft.sources.Bigtable.exec(c, inst,
+            s"""{"action":"create_table","table":"$obj"}""")
+        }
+        graft.sources.Bigtable.insert(df, c, bigtablePath(spec, obj),
+          batchSize = spec.get("batch_values").map(_.toInt).getOrElse(500))
       case "postgres" | "postgresql" =>
         // executed COPY FROM STDIN — one authenticated connection and
         // one COPY stream per Spark partition (the reference's PG bulk

@@ -322,12 +322,18 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
             val t = store.resolve(table)
             val tr = new Tds.TokenReader(msg)
             var cols: Seq[ColMeta] = Nil
+            // column order is fixed once COLMETADATA arrives — resolving
+            // names per ROW token dominated bulk ingest at the 1.6M-row
+            // probe step (a measurement-infrastructure artifact, not a
+            // client cost)
+            var idx: Seq[Int] = Nil
             var n = 0L
             var declared = -1L
             while (tr.hasMore) tr.next() match {
-              case Tds.Meta(m) => cols = m
+              case Tds.Meta(m) =>
+                cols = m
+                idx = cols.map(c => t.idxOf(c.name))
               case Tds.RowTok(vals) =>
-                val idx = cols.map(c => t.idxOf(c.name))
                 store.appendText(t,
                   vals.map(v => Option(v).map(toText)), idx)
                 n += 1

@@ -228,4 +228,53 @@ class ProtocolRouteSpec extends AnyFunSuite {
       assert(seenSql.startsWith("select count(*) as n from t"))
     } finally server.stop(0)
   }
+
+  test("bigtable http_url conn: stream is the table id, project/instance " +
+      "props shape the resource path; writes route with batch_values") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def b64(x: String) = java.util.Base64.getEncoder
+      .encodeToString(x.getBytes("UTF-8"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val paths = collection.mutable.ArrayBuffer[String]()
+    val batchSizes = collection.mutable.ArrayBuffer[Int]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      this.synchronized { paths += path }
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resp: String =
+        if (path.endsWith(":sampleRowKeys")) "[]"
+        else if (path.endsWith(":readRows"))
+          s"""[{"chunks":[{"rowKey":"${b64("r1")}","familyName":"default",
+             "qualifier":"${b64("v")}","value":"${b64("7")}",
+             "commitRow":true}]}]"""
+        else if (path.endsWith(":mutateRows")) {
+          val n = mapper.readTree(body).path("entries").size()
+          this.synchronized { batchSizes += n }
+          """[{"entries":[{"index":0,"status":{"code":0}}]}]"""
+        } else "{}"
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    server.start()
+    try {
+      val s = spec("bigtable",
+        "http_url" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+        "project" -> "pr", "instance" -> "in", "batch_values" -> "3")
+      assert(ProtocolRoute.applies(s))
+      assert(ProtocolRoute.writes(s))
+      val df = ProtocolRoute.read(spark, s, "tbl").localCheckpoint(true)
+      assert(df.count() == 1)
+      assert(df.columns.contains("default_v"))
+      assert(paths.exists(
+        _ == "/v2/projects/pr/instances/in/tables/tbl:readRows"))
+      import spark.implicits._
+      val n = ProtocolRoute.write(
+        (1 to 7).map(i => (i, s"x$i")).toDF("a", "b").coalesce(1),
+        s, "tbl", mode = "append")
+      assert(n == 7)
+      assert(batchSizes.toSeq.sorted == Seq(1, 3, 3)) // 7 rows at 3/batch
+    } finally server.stop(0)
+  }
 }
