@@ -24,18 +24,28 @@ final class LoopbackCql(user: String = "", password: String = "")
   /** (keyspace, table) → (column specs, partition-key names, rows by pk). */
   private final case class Table(cols: Seq[(String, CqlType)], pk: Seq[String],
       rows: scala.collection.concurrent.TrieMap[Seq[Any], Seq[Any]]) {
-    // ring-ordered snapshot, recomputed only when the row set changes —
-    // a fresh full sort per range select made the fixture O(splits·n·log n)
-    @volatile private var sortedCache: (Int, Seq[Seq[Any]]) = (-1, Nil)
-    def sortedRows(tokenOf: Seq[Any] => Long,
-        pkOf: Seq[Any] => Seq[Any]): Seq[Seq[Any]] = {
+    // ring-ordered snapshot with its token array, recomputed only when
+    // the row set changes. The tokens are kept alongside the rows so a
+    // range select binary-searches its bounds instead of re-hashing all
+    // n rows per select — at the 16M probe step the per-select full scan
+    // (and a per-select full sort before it) blew past the client's
+    // 120 s read timeout.
+    @volatile private var sortedCache
+        : (Int, Array[Long], Array[Seq[Any]]) = (-1, Array.empty, Array.empty)
+    def sortedSnapshot(tokenOf: Seq[Any] => Long,
+        pkOf: Seq[Any] => Seq[Any]): (Array[Long], Array[Seq[Any]]) = {
       val size = rows.size
       val cached = sortedCache
-      if (cached._1 == size) cached._2
+      if (cached._1 == size) (cached._2, cached._3)
       else {
-        val sorted = rows.values.toSeq.sortBy(r => tokenOf(pkOf(r)))
-        sortedCache = (size, sorted)
-        sorted
+        val pairs = rows.values.iterator
+          .map(r => (tokenOf(pkOf(r)), r)).toArray
+        java.util.Arrays.sort(pairs,
+          Ordering.by[(Long, Seq[Any]), Long](_._1))
+        val toks = pairs.map(_._1)
+        val rws = pairs.map(_._2)
+        sortedCache = (size, toks, rws)
+        (toks, rws)
       }
     }
   }
@@ -89,6 +99,19 @@ final class LoopbackCql(user: String = "", password: String = "")
   }, "loopback-cql-accept")
   acceptor.setDaemon(true)
   acceptor.start()
+
+  /** Probe hygiene: free fixture rows even while lingering serve
+    * threads pin this instance. */
+  def clear(): Unit = {
+    import scala.jdk.CollectionConverters._
+    // fresh Table per entry: clearing rows alone would leave the sorted
+    // snapshot arrays cached on the old instance
+    tables.keySet.asScala.toSeq.foreach { k =>
+      val t = tables.get(k)
+      tables.put(k, Table(t.cols, t.pk,
+        scala.collection.concurrent.TrieMap.empty))
+    }
+  }
 
   override def close(): Unit = server.close()
 
@@ -229,15 +252,32 @@ final class LoopbackCql(user: String = "", password: String = "")
         val tail = LimitRe.replaceFirstIn(
           cql.substring(FromRe.findFirstMatchIn(cql).get.end), "").trim
         val t = resolve(name)
-        var rows = t.sortedRows(tokenOf, pkOf(t, _)) // ring order, stable paging
+        // ring order, stable paging; token bounds binary-search the
+        // cached snapshot (O(log n + k) per range select)
+        val (toks, all) = t.sortedSnapshot(tokenOf, pkOf(t, _))
+        var rows: Seq[Seq[Any]] = scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(all)
         if (tail.nonEmpty) TokenRangeRe.findFirstMatchIn(tail) match {
           case Some(m) =>
             val (op, lo, hi) =
               (m.group(2), m.group(3).toLong, m.group(4).toLong)
-            rows = rows.filter { r =>
-              val tk = tokenOf(pkOf(t, r))
-              (if (op == ">=") tk >= lo else tk > lo) && tk <= hi
+            // first index with token satisfying the lower bound
+            def lowerIdx(bound: Long, inclusive: Boolean): Int = {
+              var a = 0; var b = toks.length
+              while (a < b) {
+                val mid = (a + b) >>> 1
+                val ok = if (inclusive) toks(mid) >= bound
+                  else toks(mid) > bound
+                if (ok) b = mid else a = mid + 1
+              }
+              a
             }
+            val from = lowerIdx(lo, op == ">=")
+            val until = lowerIdx(hi, inclusive = false) // tk <= hi
+            rows = scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(java.util.Arrays.copyOfRange(
+                all.asInstanceOf[Array[AnyRef]], from, math.max(from, until))
+                .asInstanceOf[Array[Seq[Any]]])
           case None =>
             throw new IllegalArgumentException(s"unsupported where: $tail")
         }

@@ -50,6 +50,10 @@ final class LoopbackMongo(user: String = "", password: String = "")
   acceptor.setDaemon(true)
   acceptor.start()
 
+  /** Probe hygiene: free fixture docs even while lingering serve
+    * threads pin this instance (listener close alone doesn't). */
+  def clear(): Unit = collections.clear()
+
   override def close(): Unit = server.close()
 
   // ---- wire ----

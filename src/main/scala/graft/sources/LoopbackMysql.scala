@@ -116,6 +116,10 @@ final class LoopbackMysql(plugin: String = "caching_sha2_password",
   acceptor.setDaemon(true)
   acceptor.start()
 
+  /** Probe hygiene: free fixture rows even while lingering serve
+    * threads pin this instance. */
+  def clear(): Unit = store.clearAll()
+
   override def close(): Unit = server.close()
 
   // ---- per-connection protocol -------------------------------------------

@@ -93,6 +93,10 @@ final class LoopbackPg(authMode: String = "scram-sha-256",
   acceptor.setDaemon(true)
   acceptor.start()
 
+  /** Probe hygiene: free fixture rows even while lingering serve
+    * threads pin this instance (listener close alone doesn't). */
+  def clear(): Unit = store.clearAll()
+
   override def close(): Unit = server.close()
 
   // ---- per-connection protocol -------------------------------------------

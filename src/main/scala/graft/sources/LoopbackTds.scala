@@ -134,6 +134,10 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
   acceptor.setDaemon(true)
   acceptor.start()
 
+  /** Probe hygiene: free fixture rows even while lingering serve
+    * threads pin this instance. */
+  def clear(): Unit = store.clearAll()
+
   override def close(): Unit = server.close()
 
   // ---- per-connection protocol ----------------------------------------------
@@ -306,12 +310,17 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
                 doneToken(0, o)
                 sendMessage(0x04, o.toByteArray)
               case _ =>
-                try sendMessage(0x04, runSql(sql, doneToken))
+                val po = new PacketOut(out)
+                try { runSql(sql, doneToken, po); po.finish() }
                 catch {
+                  // statement errors surface before any token streams
+                  // (parse + table resolution precede the row loop); a
+                  // mid-stream codec failure appends ERROR + DONE, which
+                  // the protocol allows after rows
                   case e: IOException =>
-                    sendMessage(0x04, errorReply(208, e.getMessage))
+                    po.write(errorReply(208, e.getMessage)); po.finish()
                   case e: IllegalArgumentException =>
-                    sendMessage(0x04, errorReply(102, e.getMessage))
+                    po.write(errorReply(102, e.getMessage)); po.finish()
                 }
             }
           case 0x07 => // BulkLoadBCP: client-authored COLMETADATA + ROWs
@@ -357,8 +366,52 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
 
   // ---- SQL → token stream ----------------------------------------------------
 
+  /** Packet-framed streaming reply writer: token bytes buffer into 4088-
+    * byte TDS packets and each full packet flushes to the socket as the
+    * result encodes — like a real server, the client sees steady bytes
+    * instead of a single reply materialized after the whole scan+encode
+    * (which starved its read timeout at the 16M-row probe step). */
+  private final class PacketOut(raw: java.io.OutputStream, tpe: Int = 0x04)
+      extends java.io.OutputStream {
+    private val max = 4088
+    private var buf = new ByteArrayOutputStream(max * 2)
+    var sentAny = false
+    override def write(b: Int): Unit = { buf.write(b); drain() }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      buf.write(b, off, len); drain()
+    }
+    private def sendPacket(p: Array[Byte], off: Int, len: Int,
+        last: Boolean): Unit = {
+      sentAny = true
+      raw.write(tpe); raw.write(if (last) 0x01 else 0x00)
+      val l = len + 8
+      raw.write((l >> 8) & 0xff); raw.write(l & 0xff)
+      raw.write(0); raw.write(0); raw.write(1); raw.write(0)
+      raw.write(p, off, len)
+      if (!last) raw.flush()
+    }
+    private def drain(): Unit = if (buf.size >= max) {
+      val a = buf.toByteArray
+      var off = 0
+      while (a.length - off >= max) {
+        sendPacket(a, off, max, last = false); off += max
+      }
+      buf = new ByteArrayOutputStream(max * 2)
+      buf.write(a, off, a.length - off)
+    }
+    def finish(): Unit = {
+      val a = buf.toByteArray
+      sendPacket(a, 0, a.length, last = true)
+      raw.flush()
+      buf.reset()
+    }
+  }
+
+  /** Run one statement, streaming the token reply into `po` (packets
+    * flush as they fill; the caller finishes the message). */
   private def runSql(sqlIn: String,
-      doneToken: (Long, ByteArrayOutputStream) => Unit): Array[Byte] = {
+      doneToken: (Long, ByteArrayOutputStream) => Unit,
+      po: PacketOut): Unit = {
     // T-SQL TOP n → the store's LIMIT grammar
     val topRe = """(?is)^SELECT\s+TOP\s+(\d+)\s+""".r
     val sql = topRe.findFirstMatchIn(sqlIn) match {
@@ -372,13 +425,12 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
         val affected = """INSERT 0 (\d+)""".r.findFirstMatchIn(tag)
           .map(_.group(1).toLong).getOrElse(0L)
         doneToken(affected, o)
-        o.toByteArray
+        o.writeTo(po)
       case MiniSql.Rows(fields, rows, _) =>
         val metas = fields.map(f => metaOf(f.name, f.code, f.typmod))
-        val o = new ByteArrayOutputStream()
         // COLMETADATA
-        o.write(0x81)
-        o.write(metas.size & 0xff); o.write((metas.size >> 8) & 0xff)
+        po.write(0x81)
+        po.write(metas.size & 0xff); po.write((metas.size >> 8) & 0xff)
         metas.foreach { c =>
           val b = ByteBuffer.allocate(48 + c.name.length * 2)
             .order(ByteOrder.LITTLE_ENDIAN)
@@ -396,17 +448,25 @@ final class LoopbackTds(user: String = "graft", password: String = "pw",
           }
           val name = c.name.getBytes(UTF_16LE)
           b.put((name.length / 2).toByte); b.put(name)
-          o.write(b.array(), 0, b.position())
+          po.write(b.array(), 0, b.position())
         }
-        // ROWs through the shared binary codec
+        // ROWs through the shared binary codec, metas pre-indexed so the
+        // per-row path allocates no zipped pairs
+        val metaArr = metas.toArray
         rows.foreach { r =>
-          o.write(0xd1)
-          r.zip(metas).foreach { case (v, c) =>
-            Tds.writeWireValue(o, v.map(fromText(_, c)).orNull, c)
+          po.write(0xd1)
+          var i = 0
+          val it = r.iterator
+          while (it.hasNext) {
+            val v = it.next()
+            val c = metaArr(i)
+            Tds.writeWireValue(po, v.map(fromText(_, c)).orNull, c)
+            i += 1
           }
         }
+        val o = new ByteArrayOutputStream()
         doneToken(rows.size.toLong, o)
-        o.toByteArray
+        o.writeTo(po)
     }
   }
 }

@@ -79,6 +79,15 @@ private[graft] object MiniSql {
     def exists(name: String): Boolean = tables.containsKey(norm(name))
     def drop(name: String): Unit = tables.remove(norm(name))
 
+    /** Drop every table's rows — probe hygiene between engine sections:
+      * a lingering per-connection serve thread (blocked in a socket
+      * read until its soTimeout) pins the whole server instance, so
+      * closing the listener alone does not free a large fixture. */
+    def clearAll(): Unit = {
+      import scala.jdk.CollectionConverters._
+      tables.values.asScala.foreach(_.rows.clear())
+    }
+
     def rowCount(table: String): Int =
       Option(tables.get(norm(table))).map(_.rows.size).getOrElse(0)
 
