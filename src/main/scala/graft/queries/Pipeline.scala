@@ -167,19 +167,22 @@ object Pipeline {
         import graft.write.DialectSql
         val spec = DialectSql.MergeSpec("dst", "stg",
           Seq("n_nationkey"), Seq("n_nationkey", "n_name"))
-        val strategies: Seq[(String, Seq[String])] = Seq(
-          "oracle" -> Seq(DialectSql.oracleUpsert(spec)),
-          "exasol" -> Seq(DialectSql.exasolUpsert(spec)),
-          "db2" -> Seq(DialectSql.db2Upsert(spec)),
-          "sqlserver" -> Seq(DialectSql.sqlserverUpsert(spec)),
-          "azuresql" -> Seq(DialectSql.tsqlCloudUpsert(spec)),
-          "postgres" -> Seq(DialectSql.postgresUpsert(spec)),
-          "sqlite" -> Seq(DialectSql.sqliteUpsert(spec)),
-          "mysql" -> Seq(DialectSql.mysqlUpsert(spec)),
-          "redshift" -> DialectSql.redshiftDeleteInsert(spec),
-          "mariadb" -> DialectSql.mariadbDeleteInsert(spec),
-          "starrocks" -> DialectSql.starrocksDeleteInsert(spec),
-          "clickhouse" -> DialectSql.clickhouseDeleteInsert(spec))
+        // every dialect whose DEFAULT merge strategy implements the
+        // upsert contract executes its own rendered statements
+        // (upsertFor dispatch); starrocks pins its delete_insert
+        // strategy (its default is the engine's PK-table native upsert,
+        // which plain SQL can't express — DialectExecSpec asserts that
+        // semantic separately, alongside athena's insert-missing and
+        // proton's append-only strategies)
+        val dialects = Seq("oracle", "exasol", "db2", "sqlserver",
+          "azuresql", "azuredwh", "fabric", "postgres", "sqlite", "d1",
+          "mysql", "redshift", "mariadb", "clickhouse", "snowflake",
+          "bigquery", "trino", "databricks", "firebird", "derby",
+          "motherduck", "ducklake", "vertica", "hive", "spark",
+          "iceberg")
+        val strategies: Seq[(String, Seq[String])] =
+          dialects.map(d => d -> DialectSql.upsertFor(d, spec)) :+
+            ("starrocks" -> DialectSql.starrocksDeleteInsert(spec))
         // 25-row dimension table — a bounded driver-side fixture seed
         val nations = Tables(s, dir, "nation")
           .select("n_nationkey", "n_name").collect()
@@ -207,9 +210,12 @@ object Pipeline {
           .orderBy("dialect", "n_nationkey")
       },
       Some("""WITH dialects(dialect) AS (VALUES ('oracle'), ('exasol'),
-        |  ('db2'), ('sqlserver'), ('azuresql'), ('postgres'), ('sqlite'),
-        |  ('mysql'), ('redshift'), ('mariadb'), ('starrocks'),
-        |  ('clickhouse')),
+        |  ('db2'), ('sqlserver'), ('azuresql'), ('azuredwh'), ('fabric'),
+        |  ('postgres'), ('sqlite'), ('d1'), ('mysql'), ('redshift'),
+        |  ('mariadb'), ('clickhouse'), ('snowflake'), ('bigquery'),
+        |  ('trino'), ('databricks'), ('firebird'), ('derby'),
+        |  ('motherduck'), ('ducklake'), ('vertica'), ('hive'), ('spark'),
+        |  ('iceberg'), ('starrocks')),
         |merged AS (
         |  SELECT n_nationkey,
         |    CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
