@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * type through distributed JSON inference, matching D1's dynamic
   * (SQLite) typing. Pure REST behind the usual injectable base URL, so
   * the offline build drives the protocol against a loopback server.
+  *
+  * Scale posture: /raw returns one bounded response per statement (D1
+  * enforces its own response-size cap), so the driver holds one result
+  * body at a time — an inherently bounded surface, unlike the paged
+  * cursors that spill to staging (Trino/BigQuery/Athena).
   */
 object D1 {
 
