@@ -352,31 +352,112 @@ object Mongo {
         r <- idRanges(lo, hi, splits)
       } yield r
 
-    val lines = ranges match {
+    def docsRdd[T: scala.reflect.ClassTag](f: BDoc => T)
+        : org.apache.spark.rdd.RDD[T] = ranges match {
       case Some(rs) =>
         spark.sparkContext.parallelize(rs.indices, rs.size).flatMap { i =>
           val (lo, hi, closed) = rs(i)
           val c = connect(conn)
           c.hello(db)
           findDocs(c, db, coll, withIdRange(filter, lo, hi, closed),
-            projection, None, 0L, batchSize).map(Bson.toJson)
+            projection, None, 0L, batchSize).map(f)
         }
       case None =>
         spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
           val c = connect(conn)
           c.hello(db)
           findDocs(c, db, coll, filter, projection, None, limit, batchSize)
-            .map(Bson.toJson)
+            .map(f)
         }
     }
     val reader = spark.read.option("inferTimestamp", "true")
     sampleSchema match {
       case Some(s) =>
-        // fixed schema → exactly one distributed scan; fields unseen in
-        // the sample read as null (the inference engine's documented
-        // sampling contract)
-        reader.schema(s).json(spark.createDataset(lines))
-      case None => reader.json(spark.createDataset(lines))
+        flatConverter(s) match {
+          case Some(conv) =>
+            // flat primitive schema → type each BDoc straight to a Row
+            // (no JSON render + re-parse per document; same conversions
+            // as Bson.toJson, PERMISSIVE-null on type mismatch). A/B at
+            // 1.6M rows: 86.1k vs 80.7k rows/s over the JSON route —
+            // the shared BSON wire decode dominates against an
+            // in-process loopback; against a remote server the saved
+            // render+parse is pure client-side CPU back.
+            spark.createDataFrame(docsRdd(conv), s)
+          case None =>
+            // nested/array shapes keep the JSON route: fixed schema →
+            // exactly one distributed scan; fields unseen in the sample
+            // read as null (the inference engine's sampling contract)
+            reader.schema(s).json(spark.createDataset(docsRdd(Bson.toJson)))
+        }
+      case None => reader.json(spark.createDataset(docsRdd(Bson.toJson)))
+    }
+  }
+
+  /** Direct BDoc→Row converter for FLAT primitive schemas (every field
+    * string/long/double/boolean/timestamp — what the 900-row sample
+    * infers for typical collections). Value conversions mirror
+    * [[Bson.toJson]] + Spark's JSON reader semantics: ObjectId → hex,
+    * binary → base64, Dec128 → decimal string/number, MongoTimestamp →
+    * seconds, Instant → timestamp; a type the field can't hold reads
+    * null (PERMISSIVE). Nested docs/arrays return None → JSON route. */
+  private[graft] def flatConverter(schema: org.apache.spark.sql.types.StructType)
+      : Option[BDoc => org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val supported = schema.fields.forall(_.dataType match {
+      case StringType | LongType | DoubleType | BooleanType |
+           TimestampType => true
+      case _ => false
+    })
+    if (!supported) None
+    else Some { doc =>
+      val fs = schema.fields
+      val arr = new Array[Any](fs.length)
+      var i = 0
+      while (i < fs.length) {
+        val v = doc.get(fs(i).name).orNull
+        arr(i) = fs(i).dataType match {
+          case StringType => v match {
+            case null => null
+            case s: String => s
+            case o: Bson.ObjectId => o.hex
+            case b: Array[Byte] =>
+              java.util.Base64.getEncoder.encodeToString(b)
+            case t: java.time.Instant => t.toString
+            case d: Bson.Dec128 => d.decodeString
+            case d: Double => d.toString
+            case other => other.toString
+          }
+          case LongType => v match {
+            case l: Long => l
+            case n: Int => n.toLong
+            case t: Bson.MongoTimestamp => t.seconds
+            case _ => null
+          }
+          case DoubleType => v match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case n: Int => n.toDouble
+            case d: Bson.Dec128 =>
+              try d.decodeString.toDouble catch { case _: Exception => null }
+            case _ => null
+          }
+          case BooleanType => v match {
+            case b: Boolean => b
+            case _ => null
+          }
+          case TimestampType => v match {
+            case t: java.time.Instant => java.sql.Timestamp.from(t)
+            case s: String =>
+              try java.sql.Timestamp.from(java.time.Instant.parse(s))
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          case _ => null
+        }
+        i += 1
+      }
+      org.apache.spark.sql.Row.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
     }
   }
 
