@@ -46,8 +46,22 @@ object Bigtable {
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64b(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private def unb64b(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Bigtable row keys are raw bytes and the server orders them by
+    * unsigned byte comparison — NOT UTF-16 code units. Keys are carried
+    * as `Array[Byte]` end-to-end (sample → range bounds → readRows body)
+    * and only UTF-8-decoded for the `_bigtable_key` display column, so
+    * non-UTF-8 and supplementary-plane keys neither corrupt nor cross
+    * range boundaries. The reference keeps keys as Go strings, whose
+    * comparison is byte-exact (database_bigtable.go). */
+  private val keyOrder: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   /** POST returning the raw response stream — executor-side JDK HTTP;
     * the caller must exhaust or close the stream. */
@@ -99,10 +113,10 @@ object Bigtable {
     out
   }
 
-  /** Sampled row-key split points (UTF-8-decoded), in key order. The
-    * service returns them roughly tablet-aligned, so ranges cut here
+  /** Sampled row-key split points as raw bytes, in unsigned byte order.
+    * The service returns them roughly tablet-aligned, so ranges cut here
     * balance bytes, not row counts. */
-  def sampleRowKeys(conn: Conn, tablePath: String): Seq[String] = {
+  def sampleRowKeys(conn: Conn, tablePath: String): Seq[Array[Byte]] = {
     val mapper = new ObjectMapper()
     val body = call("POST",
       s"${conn.baseUrl}/v2/$tablePath:sampleRowKeys", conn.headers)
@@ -110,33 +124,44 @@ object Bigtable {
     val arr = if (root.isArray) root else mapper.createArrayNode().add(root)
     (0 until arr.size()).flatMap { i =>
       Option(arr.get(i).path("rowKey").asText(null))
-        .filter(_.nonEmpty).map(unb64)
+        .filter(_.nonEmpty).map(unb64b)
     }
   }
 
   /** Contiguous half-open key ranges covering the whole table from the
-    * sampled split points, capped at `maxRanges`. Empty string = open
-    * bound. Always at least one (full-table) range. */
-  def keyRanges(samples: Seq[String], maxRanges: Int): Seq[(String, String)] = {
-    val pts0 = samples.filter(_.nonEmpty).distinct.sorted
+    * sampled split points, capped at `maxRanges`. Bounds are raw key
+    * bytes compared unsigned-lexicographically (the server's order);
+    * empty array = open bound. Always at least one (full-table) range. */
+  def keyRanges(samples: Seq[Array[Byte]],
+      maxRanges: Int): Seq[(Array[Byte], Array[Byte])] = {
+    val sorted = samples.filter(_.nonEmpty).sorted(keyOrder)
+    // structural dedupe of adjacent equal byte arrays (Array == is ref eq)
+    val pts0 = sorted.foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+      if (acc.nonEmpty && java.util.Arrays.equals(acc.last, k)) acc
+      else acc :+ k
+    }
     // thin evenly when the table has more tablets than wanted ranges
     val pts = if (pts0.size <= maxRanges - 1) pts0
       else (1 until maxRanges).map(i => pts0((i * pts0.size) / maxRanges))
-        .distinct
-    val bounds = "" +: pts :+ ""
+        .foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+          if (acc.nonEmpty && java.util.Arrays.equals(acc.last, k)) acc
+          else acc :+ k
+        }
+    val bounds = Array.empty[Byte] +: pts :+ Array.empty[Byte]
     bounds.zip(bounds.tail)
   }
 
   /** JSON body for one `readRows` call over `[startKey, endKey)` with the
     * reference's optional start-time filter (TimestampRangeFilter,
-    * database_bigtable.go:442-445). */
-  def readRowsBody(startKey: String, endKey: String,
+    * database_bigtable.go:442-445). Key bounds are raw bytes, base64'd
+    * verbatim — no string round trip. */
+  def readRowsBody(startKey: Array[Byte], endKey: Array[Byte],
       startTimeMicros: Option[Long]): String = {
     val mapper = new ObjectMapper()
     val o = mapper.createObjectNode()
     val range = o.putObject("rows").putArray("rowRanges").addObject()
-    if (startKey.nonEmpty) range.put("startKeyClosed", b64(startKey))
-    if (endKey.nonEmpty) range.put("endKeyOpen", b64(endKey))
+    if (startKey.nonEmpty) range.put("startKeyClosed", b64b(startKey))
+    if (endKey.nonEmpty) range.put("endKeyOpen", b64b(endKey))
     startTimeMicros.foreach { t =>
       o.putObject("filter").putObject("timestampRangeFilter")
         .put("startTimestampMicros", t)
@@ -252,8 +277,8 @@ object Bigtable {
   }
 
   /** One range's rows as JSON strings — executor-side. */
-  def readRange(conn: Conn, tablePath: String, startKey: String,
-      endKey: String, startTimeMicros: Option[Long]): Iterator[String] =
+  def readRange(conn: Conn, tablePath: String, startKey: Array[Byte],
+      endKey: Array[Byte], startTimeMicros: Option[Long]): Iterator[String] =
     decodeReadRows(postStream(
       s"${conn.baseUrl}/v2/$tablePath:readRows", conn.headers,
       readRowsBody(startKey, endKey, startTimeMicros)))
@@ -275,10 +300,14 @@ object Bigtable {
     // column set is row-dependent (the reference discovers columns
     // incrementally across all rows, :521-533) — persist the fetched
     // lines so the SERVICE is read exactly once and the second pass
-    // replays locally, spilling past memory
+    // replays locally, spilling past memory. The typed frame is then
+    // localCheckpoint-ed (cuts lineage back to the HTTP fetch) so the
+    // staging dataset can be unpersisted immediately instead of pinning
+    // cache blocks for the life of the returned frame.
     val ds = spark.createDataset(lines)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.read.json(ds)
+    try spark.read.json(ds).localCheckpoint(true)
+    finally ds.unpersist(blocking = false)
   }
 
   /** `mutateRows` body for one batch: every column SetCell into the

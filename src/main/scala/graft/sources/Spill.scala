@@ -40,6 +40,10 @@ object Spill {
         java.nio.file.Files.createTempDirectory(p, prefix)
       case None => java.nio.file.Files.createTempDirectory(s"graft-$prefix")
     }
+    // staged parts live until the frame is consumed (the read is lazy),
+    // so cleanup is at JVM exit: dir registered before its files —
+    // deleteOnExit deletes LIFO, files first, then the emptied dir
+    dir.toFile.deleteOnExit()
     private var part = -1
     private var partBytes = 0L
     private var out: java.io.Writer = null
@@ -51,6 +55,7 @@ object Spill {
       part += 1
       partBytes = 0L
       val p = dir.resolve(f"part-$part%05d.jsonl")
+      p.toFile.deleteOnExit()
       _files += p.toString
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         java.nio.file.Files.newOutputStream(p), "UTF-8"), 1 << 16)

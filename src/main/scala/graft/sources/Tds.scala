@@ -461,7 +461,14 @@ object Tds {
         remaining = len - 8
       }
     }
-    def u1(): Int = { ensure(); remaining -= 1; in.read() & 0xff }
+    def u1(): Int = {
+      ensure()
+      val b = in.read()
+      if (b < 0) // mid-packet EOF must fail loudly, not decode as 0xff
+        throw new java.io.EOFException("connection closed by server")
+      remaining -= 1
+      b
+    }
     def i8(): Byte = u1().toByte
     def i16(): Short = (u1() | (u1() << 8)).toShort
     def i32(): Int = u1() | (u1() << 8) | (u1() << 16) | (u1() << 24)

@@ -65,6 +65,12 @@ object MyLoadData {
       // BoolAsInt: LOAD DATA doesn't coerce true/false (database_mysql.go:552)
       case BooleanType => when(c === true, "1").when(c === false, "0")
       case BinaryType => lower(hex(c)) // BinaryAsHex → UNHEX on load
+      // the MySQL session is pinned to UTC (Mysql.scala SET time_zone),
+      // so instants must render as their UTC wall clock — a plain string
+      // cast renders in spark.sql.session.timeZone and would shift by
+      // the session offset on a write/read round trip
+      case TimestampType =>
+        to_utc_timestamp(c, current_timezone()).cast(StringType)
       case _ => c.cast(StringType)
     }
   }

@@ -56,6 +56,12 @@ object PgCopy {
       // would swallow it as false) so encodeColumn's \N coalesce fires
       case BooleanType => when(c === true, "t").when(c === false, "f")
       case BinaryType => concat(lit("\\x"), lower(hex(c))) // bytea hex form
+      // instants render as UTC wall clock WITH an explicit +00 offset, so
+      // the stored value is independent of both spark.sql.session.timeZone
+      // and the PG session TimeZone (a bare cast renders session-local
+      // with no offset and the server would reinterpret it)
+      case TimestampType => concat(
+        to_utc_timestamp(c, current_timezone()).cast(StringType), lit("+00"))
       case _ => c.cast(StringType)
     }
   }

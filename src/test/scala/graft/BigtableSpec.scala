@@ -167,12 +167,33 @@ class BigtableSpec extends AnyFunSuite {
   }
 
   test("keyRanges thins oversampled split points but stays contiguous") {
-    val ranges = Bigtable.keyRanges((1 to 100).map(i => f"k$i%03d"), 4)
+    val ranges = Bigtable.keyRanges(
+      (1 to 100).map(i => f"k$i%03d".getBytes("UTF-8")), 4)
     assert(ranges.size == 4)
-    assert(ranges.head._1 == "" && ranges.last._2 == "")
-    assert(ranges.map(_._2).dropRight(1) == ranges.map(_._1).drop(1))
+    assert(ranges.head._1.isEmpty && ranges.last._2.isEmpty)
+    assert(ranges.map(_._2.toSeq).dropRight(1) == ranges.map(_._1.toSeq).drop(1))
     // no samples -> single full range
-    assert(Bigtable.keyRanges(Nil, 8) == Seq(("", "")))
+    val full = Bigtable.keyRanges(Nil, 8)
+    assert(full.size == 1 && full.head._1.isEmpty && full.head._2.isEmpty)
+  }
+
+  test("keyRanges orders by unsigned bytes, not UTF-16 code units") {
+    // U+FFFF (UTF-8 EF BF BF) vs U+10000 (UTF-8 F0 90 80 80): Java String
+    // compare puts the surrogate pair (𐀀) BEFORE ￿, but
+    // the server's byte order puts it AFTER. Also a raw non-UTF-8 key
+    // (0xFF) must survive byte-exactly and sort last.
+    val kSupp = "𐀀".getBytes("UTF-8") // F0 90 80 80
+    val kBmp = "￿".getBytes("UTF-8")        // EF BF BF
+    val kRaw = Array(0xFF.toByte, 0x01.toByte)   // not valid UTF-8
+    val ranges = Bigtable.keyRanges(Seq(kRaw, kSupp, kBmp), 16)
+    val pts = ranges.map(_._2.toSeq).dropRight(1)
+    assert(pts == Seq(kBmp.toSeq, kSupp.toSeq, kRaw.toSeq))
+    // bounds land base64'd verbatim in the readRows body — no decode trip
+    val body = mapper.readTree(
+      Bigtable.readRowsBody(kRaw, Array.empty, None))
+    val sent = java.util.Base64.getDecoder.decode(body.path("rows")
+      .path("rowRanges").get(0).path("startKeyClosed").asText())
+    assert(sent.toSeq == kRaw.toSeq)
   }
 
   test("start_time option becomes a timestampRangeFilter the server sees") {

@@ -49,6 +49,28 @@ class PgCopySpec extends AnyFunSuite {
       "3\ttab\\there\\nand\\rand\\\\slash\tt\t\\N\t0.25"))
   }
 
+  test("timestamps render as UTC wall clock + explicit offset, in ANY session tz") {
+    // a bare string cast renders in spark.sql.session.timeZone with no
+    // offset, so a non-UTC session would shift instants on load; the
+    // encoder must pin the rendering to UTC and say so with +00
+    val tsSchema = StructType(Seq(StructField("ts", TimestampType)))
+    val inst = java.sql.Timestamp.from(
+      java.time.Instant.parse("2021-06-01T12:30:45.500Z"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(inst)), 1), tsSchema)
+        val pg = PgCopy.encodedLines(df).collect().map(_.getString(0)).toSeq
+        assert(pg == Seq("2021-06-01 12:30:45.5+00"), s"pg copy in $tz")
+        val my = graft.write.MyLoadData.encodedLines(df)
+          .collect().map(_.getString(0)).toSeq
+        assert(my == Seq("2021-06-01 12:30:45.5"), s"load data in $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("null boolean encodes \\N, not 'f'") {
     // when(c, t).otherwise(f) would swallow NULL into false — data
     // corruption the driver can't see; NULL must reach the \N coalesce
