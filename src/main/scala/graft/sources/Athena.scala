@@ -39,6 +39,11 @@ object Athena {
 
   /** One signed JSON-RPC call (X-Amz-Target dispatch, x-amz-json-1.1). */
   def rpc(conn: Conn, target: String, payload: String)
+      : com.fasterxml.jackson.databind.JsonNode =
+    // whole-call retry: signing (x-amz-date) recomputes per attempt
+    HttpRetry.retry(target)(rpcOnce(conn, target, payload))
+
+  private def rpcOnce(conn: Conn, target: String, payload: String)
       : com.fasterxml.jackson.databind.JsonNode = {
     val u = java.net.URI.create(conn.endpoint)
     val host = u.getHost + (if (u.getPort > 0) s":${u.getPort}" else "")
@@ -71,7 +76,8 @@ object Athena {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"athena $code [$target]: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"athena $code [$target]: ${out.take(300)}")
     mapper.readTree(out)
   }
 

@@ -217,6 +217,12 @@ object AzTable {
         String, collection.mutable.ArrayBuffer[String]]()
       var n = 0L
       var i = 0L
+      var buffered = 0
+      // same-partition transaction rule forces grouping by PartitionKey,
+      // but a task may see unboundedly many distinct keys — cap TOTAL
+      // buffered entities and flush the largest group when exceeded, so
+      // executor residency is O(cap), not O(distinct keys × batchSize)
+      val maxBuffered = batchSize * 16
       it.foreach { row =>
         val (pk, json) =
           entityJson(m, row, cols, pkCol, rkCol, s"$pid-$i")
@@ -224,10 +230,18 @@ object AzTable {
         val b = buf.getOrElseUpdate(pk,
           collection.mutable.ArrayBuffer[String]())
         b += json
+        buffered += 1
         if (b.size >= batchSize) {
           postBatch(conn, table, b.toSeq)
           n += b.size
+          buffered -= b.size
           buf.remove(pk)
+        } else if (buffered >= maxBuffered) {
+          val (bigPk, big) = buf.maxBy(_._2.size)
+          postBatch(conn, table, big.toSeq)
+          n += big.size
+          buffered -= big.size
+          buf.remove(bigPk)
         }
       }
       buf.valuesIterator.foreach { b =>

@@ -22,6 +22,10 @@ object BigQueryApi {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def call(method: String, url: String, token: String,
+      body: Option[String]): com.fasterxml.jackson.databind.JsonNode =
+    HttpRetry.retry(url)(callOnce(method, url, token, body))
+
+  private def callOnce(method: String, url: String, token: String,
       body: Option[String]): com.fasterxml.jackson.databind.JsonNode = {
     val http = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -42,7 +46,8 @@ object BigQueryApi {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"bigquery $code: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"bigquery $code: ${out.take(300)}")
     mapper.readTree(out)
   }
 

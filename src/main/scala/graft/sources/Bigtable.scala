@@ -64,8 +64,15 @@ object Bigtable {
     (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   /** POST returning the raw response stream — executor-side JDK HTTP;
-    * the caller must exhaust or close the stream. */
+    * the caller must exhaust or close the stream. The OPEN (connect +
+    * status) retries transient failures; a stream dying mid-consumption
+    * propagates (rows may already be emitted — Spark task retry owns
+    * that case). */
   private def postStream(url: String, headers: Map[String, String],
+      body: String): java.io.InputStream =
+    HttpRetry.retry(url)(postStreamOnce(url, headers, body))
+
+  private def postStreamOnce(url: String, headers: Map[String, String],
       body: String): java.io.InputStream = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -83,14 +90,18 @@ object Bigtable {
       val err = new String(Option(conn.getErrorStream)
         .map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
       conn.disconnect()
-      throw new java.io.IOException(
+      throw new HttpRetry.HttpStatusException(code,
         s"bigtable $code for $url: ${err.take(300)}")
     }
     conn.getInputStream
   }
 
   private def call(method: String, url: String,
-      headers: Map[String, String], body: String = ""): String = {
+      headers: Map[String, String], body: String = ""): String =
+    HttpRetry.retry(url)(callOnce(method, url, headers, body))
+
+  private def callOnce(method: String, url: String,
+      headers: Map[String, String], body: String): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
@@ -108,7 +119,7 @@ object Bigtable {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     conn.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(
+      throw new HttpRetry.HttpStatusException(code,
         s"bigtable $code for $url: ${out.take(300)}")
     out
   }
@@ -296,18 +307,12 @@ object Bigtable {
       .parallelize(ranges, ranges.size)
       .flatMap { case (lo, hi) =>
         readRange(conn, tablePath, lo, hi, startTimeMicros) }
-    // JSON typing needs an inference pass before the data pass, and the
-    // column set is row-dependent (the reference discovers columns
-    // incrementally across all rows, :521-533) — persist the fetched
-    // lines so the SERVICE is read exactly once and the second pass
-    // replays locally, spilling past memory. The typed frame is then
-    // localCheckpoint-ed (cuts lineage back to the HTTP fetch) so the
-    // staging dataset can be unpersisted immediately instead of pinning
-    // cache blocks for the life of the returned frame.
-    val ds = spark.createDataset(lines)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try spark.read.json(ds).localCheckpoint(true)
-    finally ds.unpersist(blocking = false)
+    // the column set is row-dependent (the reference discovers columns
+    // incrementally across all rows, :521-533), so typing goes through
+    // the inference path of Spill.typed — the SERVICE is read exactly
+    // once, the staged lines spill past memory, and the staging blocks
+    // are released as soon as the typed frame materializes
+    Spill.typed(spark, None, spark.createDataset(lines))
   }
 
   /** `mutateRows` body for one batch: every column SetCell into the

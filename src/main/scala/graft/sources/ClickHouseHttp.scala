@@ -31,11 +31,20 @@ object ClickHouseHttp {
       else s"$baseUrl/?database=${java.net.URLEncoder.encode(database, "UTF-8")}"
   }
 
+  /** Engine error carrying the HTTP status — still an SQLException (the
+    * engine-error contract) and classified by [[HttpRetry.transient]]. */
+  final class ChStatusException(val statusCode: Int, msg: String)
+      extends java.sql.SQLException(msg) with HttpRetry.HttpStatus
+
   /** POST the statement; returns a line reader over the streaming
     * response body (never materialized — the bounded-memory shape of
     * the reference's row channel; database_clickhouse.go). Caller
-    * closes. */
-  private def openStream(conn: Conn, body: String): java.io.BufferedReader = {
+    * closes. The OPEN retries transient failures; mid-stream failures
+    * propagate (Spark task retry owns re-emission). */
+  private def openStream(conn: Conn, body: String): java.io.BufferedReader =
+    HttpRetry.retry(conn.url)(openStreamOnce(conn, body))
+
+  private def openStreamOnce(conn: Conn, body: String): java.io.BufferedReader = {
     val http = new java.net.URI(conn.url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     http.setRequestMethod("POST")
@@ -50,7 +59,7 @@ object ClickHouseHttp {
       val err = new String(Option(http.getErrorStream)
         .map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
       http.disconnect()
-      throw new java.sql.SQLException(s"clickhouse $code: ${err.take(300)}")
+      throw new ChStatusException(code, s"clickhouse $code: ${err.take(300)}")
     }
     new java.io.BufferedReader(
       new java.io.InputStreamReader(http.getInputStream, "UTF-8"), 1 << 16)
@@ -96,9 +105,13 @@ object ClickHouseHttp {
     * cursor and parses its own slice, so neither fetch nor parse ever
     * touches the driver (ChunkedRead's range pattern composed into the
     * wire query; the scale path for large tables). `sql` must contain a
-    * `{chunk}` placeholder that receives the range predicate. */
+    * `{chunk}` placeholder that receives the range predicate. Pass
+    * `schema` when known for a single streaming pass; without it the
+    * fetched lines persist across Spark's inference + data scans so each
+    * cursor still runs exactly once ([[Spill.typed]]). */
   def readPartitioned(spark: SparkSession, conn: Conn, sql: String,
-      column: String, lo: Long, hi: Long, chunks: Int): DataFrame = {
+      column: String, lo: Long, hi: Long, chunks: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     require(sql.contains("{chunk}"),
       "readPartitioned sql needs a {chunk} placeholder for the range predicate")
     require(chunks > 0 && hi >= lo, s"bad range [$lo,$hi] x$chunks")
@@ -122,7 +135,7 @@ object ClickHouseHttp {
         Iterator.continually(rd.readLine()).takeWhile(_ != null)
           .filter(_.nonEmpty)
       }
-    spark.read.json(lines.toDS())
+    Spill.typed(spark, schema, lines.toDS())
   }
 
   /** Frame → `INSERT INTO table FORMAT JSONEachRow` chunks. Rows render

@@ -26,7 +26,11 @@ object D1 {
 
   /** POST /raw; returns (columns, rows-as-JsonNode). */
   def raw(conn: Conn, sql: String,
-      params: Seq[String] = Nil): (Seq[String], Seq[Seq[com.fasterxml.jackson.databind.JsonNode]]) = {
+      params: Seq[String] = Nil): (Seq[String], Seq[Seq[com.fasterxml.jackson.databind.JsonNode]]) =
+    HttpRetry.retry("d1")(rawOnce(conn, sql, params))
+
+  private def rawOnce(conn: Conn, sql: String,
+      params: Seq[String]): (Seq[String], Seq[Seq[com.fasterxml.jackson.databind.JsonNode]]) = {
     val payload = mapper.createObjectNode()
     payload.put("sql", sql)
     val ps = payload.putArray("params")
@@ -49,7 +53,7 @@ object D1 {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"d1 $code: ${body.take(300)}")
+      throw new HttpRetry.HttpStatusException(code, s"d1 $code: ${body.take(300)}")
     val root = mapper.readTree(body)
     if (!root.path("success").asBoolean(true)) {
       val errs = root.path("errors")

@@ -24,6 +24,10 @@ object DatabricksSql {
   }
 
   private def call(method: String, url: String,
+      headers: Map[String, String], body: Option[String]): String =
+    HttpRetry.retry(url)(callOnce(method, url, headers, body))
+
+  private def callOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {
     val http = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -42,7 +46,8 @@ object DatabricksSql {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"databricks $code: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"databricks $code: ${out.take(300)}")
     out
   }
 

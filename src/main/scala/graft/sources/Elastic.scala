@@ -34,6 +34,10 @@ object Elastic {
       body: String): String = request("POST", url, headers, body)
 
   private def request(method: String, url: String,
+      headers: Map[String, String], body: String): String =
+    HttpRetry.retry(url)(requestOnce(method, url, headers, body))
+
+  private def requestOnce(method: String, url: String,
       headers: Map[String, String], body: String): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -52,7 +56,8 @@ object Elastic {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     conn.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"elastic $code for $url: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"elastic $code for $url: ${out.take(300)}")
     out
   }
 
@@ -87,34 +92,41 @@ object Elastic {
     val first = mapper.readTree(post(
       s"${conn.baseUrl}/$index/_search?scroll=1m",
       conn.headers, mapper.writeValueAsString(root)))
-    val out = collection.mutable.ArrayBuffer[String]()
-    out ++= hitsOf(first)
+    // LAZY page walk: only the current page is resident on the executor
+    // (a whole slice can be arbitrarily large; the page is bounded by
+    // `size`), mirroring the reference's channel-paced scroll
     var scrollId = first.path("_scroll_id").asText("")
-    var last = hitsOf(first).size
-    while (scrollId.nonEmpty && last > 0) {
-      val next = mapper.readTree(post(s"${conn.baseUrl}/_search/scroll",
-        conn.headers,
-        s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
-          mapper.getNodeFactory.textNode(scrollId))}}"""))
-      val page = hitsOf(next)
-      out ++= page
-      last = page.size
-      scrollId = next.path("_scroll_id").asText(scrollId)
+    var page = hitsOf(first)
+    new Iterator[String] {
+      private var i = 0
+      private def advance(): Unit =
+        while (i >= page.size && page.nonEmpty && scrollId.nonEmpty) {
+          val next = mapper.readTree(post(s"${conn.baseUrl}/_search/scroll",
+            conn.headers,
+            s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
+              mapper.getNodeFactory.textNode(scrollId))}}"""))
+          page = hitsOf(next)
+          scrollId = next.path("_scroll_id").asText(scrollId)
+          i = 0
+        }
+      override def hasNext: Boolean = { advance(); i < page.size }
+      override def next(): String = { advance(); i += 1; page(i - 1) }
     }
-    out.iterator
   }
 
   /** Distributed read of an index: `slices` Spark partitions each scroll
     * their own server-side slice; docs type through Spark's JSON reader.
-    */
+    * Pass `schema` when known for a single streaming pass; without it
+    * the docs persist across the inference + data scans so each slice
+    * scrolls exactly once ([[Spill.typed]]). */
   def read(spark: SparkSession, conn: Conn, index: String,
-      body: String = queryBody(), slices: Int = 4,
-      pageSize: Int = 1000): DataFrame = {
+      body: String = queryBody(), slices: Int = 4, pageSize: Int = 1000,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     val lines = spark.sparkContext
       .parallelize(0 until slices, slices)
       .flatMap(i => scrollSlice(conn, index, body, i, slices, pageSize))
-    spark.read.json(spark.createDataset(lines))
+    Spill.typed(spark, schema, spark.createDataset(lines))
   }
 
   /** NDJSON `_bulk` index encoder (the write-side wire format): action

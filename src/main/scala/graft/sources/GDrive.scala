@@ -25,6 +25,10 @@ object GDrive {
 
   final class HttpByteTransport extends ByteTransport {
     private def call(method: String, url: String,
+        headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] =
+      HttpRetry.retry(url)(callOnce(method, url, headers, body))
+
+    private def callOnce(method: String, url: String,
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] = {
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
@@ -42,7 +46,7 @@ object GDrive {
       val out = Option(is).map(_.readAllBytes()).getOrElse(Array.empty[Byte])
       conn.disconnect()
       if (code >= 400)
-        throw new java.io.IOException(
+        throw new HttpRetry.HttpStatusException(code,
           s"drive api $code for $url: ${new String(out.take(300), "UTF-8")}")
       out
     }

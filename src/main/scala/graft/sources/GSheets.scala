@@ -29,6 +29,10 @@ object GSheets {
   /** Default transport over HttpURLConnection (like HttpSource). */
   final class HttpTransport extends Transport {
     private def call(method: String, url: String,
+        headers: Map[String, String], body: Option[String]): String =
+      HttpRetry.retry(url)(callOnce(method, url, headers, body))
+
+    private def callOnce(method: String, url: String,
         headers: Map[String, String], body: Option[String]): String = {
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
@@ -47,7 +51,8 @@ object GSheets {
         Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
       conn.disconnect()
       if (code >= 400)
-        throw new java.io.IOException(s"sheets api $code for $url: ${out.take(300)}")
+        throw new HttpRetry.HttpStatusException(code,
+          s"sheets api $code for $url: ${out.take(300)}")
       out
     }
     def get(url: String, headers: Map[String, String]): String =

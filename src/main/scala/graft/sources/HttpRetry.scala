@@ -1,0 +1,80 @@
+package graft.sources
+
+/** Bounded retry for the engine REST sources' HTTP calls.
+  *
+  * The reference's API framework retries per its response rules
+  * (core/dbio/api/spec.go:1370-1399 — mirrored in [[graft.api.ApiSpec]]);
+  * its engine connectors lean on each vendor SDK's built-in retry. The
+  * from-scratch HTTP sources here get the same production posture via
+  * this shared policy: transient statuses (408/429/5xx except 501) and
+  * connect-phase network failures back off exponentially and re-attempt;
+  * permanent statuses (4xx) fail immediately.
+  *
+  * Scale rationale: on a wide cluster a single task failure re-runs the
+  * WHOLE partition fetch (and fails the stage after
+  * spark.task.maxFailures) — absorbing a blip at the call site is
+  * orders of magnitude cheaper than absorbing it at the task level.
+  * Only whole-call units are retried: a bounded request/response, or
+  * the OPEN of a streaming response (connect + status line). A stream
+  * that dies mid-consumption is NOT silently re-fetched — rows may
+  * already be emitted, so dedup belongs to Spark's task retry, not here.
+  *
+  * Backoff is exponential with deterministic per-attempt jitter (hash of
+  * label and attempt — reproducible, and de-synchronized across the
+  * executor fleet so a 429'd service isn't re-hit by every task in the
+  * same millisecond).
+  */
+object HttpRetry {
+
+  /** Marker for HTTP-status-bearing exceptions so engine-specific
+    * exception types (SQLException for ClickHouse, IOException
+    * elsewhere) all classify the same way. */
+  trait HttpStatus { def statusCode: Int }
+
+  /** Generic status failure: an IOException carrying the code. */
+  final class HttpStatusException(val statusCode: Int, message: String)
+      extends java.io.IOException(message) with HttpStatus
+
+  /** Transient = worth re-attempting: throttle/overload statuses and
+    * connect-phase network failures. 501 and other 4xx are permanent;
+    * SSL failures are configuration, not weather. */
+  def transient(e: Throwable): Boolean = e match {
+    case s: HttpStatus =>
+      s.statusCode == 408 || s.statusCode == 429 ||
+        (s.statusCode >= 500 && s.statusCode != 501)
+    case _: javax.net.ssl.SSLException => false
+    case _: java.net.ConnectException => true
+    case _: java.net.SocketTimeoutException => true
+    case _: java.net.UnknownHostException => true
+    case _: java.net.SocketException => true
+    case _ => false
+  }
+
+  /** Deterministic jitter in [0, cap): splitmix of (label, attempt). */
+  private def jitterMs(label: String, attempt: Int, cap: Long): Long = {
+    var z = label.hashCode.toLong * 0x9E3779B97F4A7C15L + attempt
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    math.floorMod(z ^ (z >>> 31), math.max(cap, 1L))
+  }
+
+  /** Run `op`, re-attempting transient failures up to `attempts` total
+    * tries with exponential backoff (base·2^k + jitter, capped at
+    * `maxDelayMs`). Non-transient failures and the final attempt's
+    * failure propagate unchanged. */
+  def retry[T](label: String, attempts: Int = 4, baseDelayMs: Long = 200,
+      maxDelayMs: Long = 5000)(op: => T): T = {
+    var k = 0
+    while (true) {
+      try return op
+      catch {
+        case e: Throwable if k < attempts - 1 && transient(e) =>
+          val backoff = math.min(baseDelayMs << k, maxDelayMs)
+          Thread.sleep(math.min(backoff + jitterMs(label, k, backoff / 2 + 1),
+            maxDelayMs))
+          k += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -26,11 +26,12 @@ object HttpSource {
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
-    url => {
+    url => HttpRetry.retry(url) {
       val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-      require(resp.statusCode() / 100 == 2,
-        s"GET $url returned HTTP ${resp.statusCode()}")
+      if (resp.statusCode() / 100 != 2)
+        throw new HttpRetry.HttpStatusException(resp.statusCode(),
+          s"GET $url returned HTTP ${resp.statusCode()}")
       resp.body()
     }
   }

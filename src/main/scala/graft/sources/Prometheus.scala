@@ -80,6 +80,11 @@ object Prometheus {
     * (labels + ts + value). Half-open [start, end): chunk boundaries
     * never double-count a sample. */
   private[sources] def queryRange(conn: Conn, expr: String, start: Long,
+      end: Long, step: String): Seq[String] =
+    // idempotent bounded read: whole-call retry
+    HttpRetry.retry("prom-range")(queryRangeOnce(conn, expr, start, end, step))
+
+  private def queryRangeOnce(conn: Conn, expr: String, start: Long,
       end: Long, step: String): Seq[String] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def enc(s: String) =
@@ -97,7 +102,8 @@ object Prometheus {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"prometheus $code: ${body.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"prometheus $code: ${body.take(300)}")
     val root = mapper.readTree(body)
     require(root.path("status").asText() == "success",
       s"prometheus error: ${body.take(300)}")
@@ -139,6 +145,8 @@ object Prometheus {
     }
     val lines = spark.sparkContext.parallelize(bounds, n)
       .flatMap { case (lo, hi) => queryRange(conn, expr, lo, hi, step) }
-    spark.read.json(spark.createDataset(lines))
+    // label sets vary per series -> inference; Spill.typed persists the
+    // fetched lines so each range window is queried exactly once
+    Spill.typed(spark, None, spark.createDataset(lines))
   }
 }

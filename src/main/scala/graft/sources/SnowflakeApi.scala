@@ -58,6 +58,10 @@ object SnowflakeApi {
   }
 
   private def call(method: String, url: String,
+      headers: Map[String, String], body: Option[String]): (Int, String) =
+    HttpRetry.retry(url)(callOnce(method, url, headers, body))
+
+  private def callOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): (Int, String) = {
     val http = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -76,7 +80,8 @@ object SnowflakeApi {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     http.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"snowflake $code: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"snowflake $code: ${out.take(300)}")
     (code, out)
   }
 

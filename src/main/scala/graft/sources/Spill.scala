@@ -97,6 +97,27 @@ object Spill {
       spark.read.json(files: _*)
   }
 
+  /** Type a distributed dataset of JSONL lines fetched from a remote
+    * service, contacting the service EXACTLY ONCE. With a schema the
+    * read is a single streaming pass (no inference scan). Without one,
+    * Spark's JSON inference needs a scan before the data scan — the
+    * lines persist (memory, spilling to executor disk) across the two
+    * passes, the typed frame is localCheckpoint-ed to cut lineage back
+    * to the fetch, and the staging blocks are released immediately.
+    * Every re-fetchable-but-expensive source (Bigtable readRows,
+    * ClickHouse partitioned cursors, Elasticsearch scrolls, Prometheus
+    * range windows) types through here so a schema-inference pass never
+    * doubles wire traffic. */
+  def typed(spark: SparkSession, schema: Option[StructType],
+      lines: org.apache.spark.sql.Dataset[String]): DataFrame = schema match {
+    case Some(s) =>
+      spark.read.schema(s).option("mode", "FAILFAST").json(lines)
+    case None =>
+      val ds = lines.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try spark.read.json(ds).localCheckpoint(true)
+      finally ds.unpersist(blocking = false)
+  }
+
   /** Stage a page-walking cursor and hand back the distributed frame.
     * `walk` drives the protocol cursor, calling `emit` once per row
     * (a rendered JSONL line); nothing else is retained driver-side. */

@@ -29,6 +29,10 @@ object Trino {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def http(method: String, url: String,
+      headers: Map[String, String], body: Option[String]): String =
+    HttpRetry.retry(url)(httpOnce(method, url, headers, body))
+
+  private def httpOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -47,7 +51,8 @@ object Trino {
       Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
     conn.disconnect()
     if (code >= 400)
-      throw new java.io.IOException(s"trino $code for $url: ${out.take(300)}")
+      throw new HttpRetry.HttpStatusException(code,
+        s"trino $code for $url: ${out.take(300)}")
     out
   }
 

@@ -82,9 +82,13 @@ private[sources] object WireTls {
         if (pos >= buf.length) {
           val tpe = rawIn.read()
           if (tpe < 0) return -1
-          rawIn.read() // status
-          val plen = (rawIn.read() << 8) | rawIn.read()
-          rawIn.skipBytes(4) // spid, packet id, window
+          // remaining 7 header bytes read atomically: a mid-header EOF
+          // must fail as a closed connection, not decode a garbage length
+          val hdr = new Array[Byte](7)
+          rawIn.readFully(hdr)
+          val plen = ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+          if (plen < 8)
+            throw new java.io.IOException(s"bad TDS tunnel frame length $plen")
           buf = new Array[Byte](plen - 8)
           rawIn.readFully(buf)
           pos = 0

@@ -132,11 +132,13 @@ class ClickHouseHttpSpec extends AnyFunSuite {
       assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
         == (1 to 90).sum.toLong)
       // every cursor carried its own half-open range; 4 distinct chunks
-      // cover [1, 90] exactly (re-fetches per action are the lazy-source
-      // norm, so assert the predicate set, not the request count)
+      // cover [1, 90] exactly, and — because Spill.typed persists the
+      // fetched lines across the inference + data scans and both actions
+      // above — each cursor ran EXACTLY once: 4 requests total
       val preds = fake.selects.toSeq.flatMap(
-        """id >= -?\d+ AND id < -?\d+""".r.findFirstIn).distinct
+        """id >= -?\d+ AND id < -?\d+""".r.findFirstIn)
       assert(preds.size == 4, s"got $preds")
+      assert(preds.distinct.size == 4, s"got $preds")
       assert(fake.selects.forall(_.contains("WHERE (id >=")))
     } finally fake.stop()
   }

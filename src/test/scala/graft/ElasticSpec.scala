@@ -99,6 +99,9 @@ class ElasticSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType)
       val got = df.orderBy("id").collect().map(_.getAs[Long]("id"))
       assert(got.toSeq == (1L to 97L))
+      // Spill.typed persists the docs across the inference pass and both
+      // actions above, so each slice opened EXACTLY one scroll: 4 total
+      assert(fake.nextScroll.get() == 4, s"got ${fake.nextScroll.get()}")
     } finally fake.stop()
   }
 

@@ -83,10 +83,11 @@ class PrometheusSpec extends AnyFunSuite {
         chunks = 4, nowEpoch = t0 + 30 * 60)
       // 2 series x 30 samples; chunk-boundary samples must appear once
       assert(df.count() == 60)
-      // the json reader runs one schema-inference pass plus the action, so
-      // ranges repeat across executions — but each execution must cover
-      // exactly the 4 distinct half-open windows
+      // Spill.typed persists the fetched lines across the inference pass
+      // and the actions, so each of the 4 half-open windows is queried
+      // EXACTLY once
       assert(fake.seenRanges.toSet.size == 4)
+      assert(fake.seenRanges.size == 4, s"got ${fake.seenRanges}")
       assert(df.columns.sorted.toSeq == Seq("__name__", "job", "ts", "value"))
       val sums = df.groupBy("job")
         .sum("value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
