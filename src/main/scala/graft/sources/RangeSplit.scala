@@ -10,7 +10,7 @@ package graft.sources
   * and callers fall back to a single unpartitioned statement rather
   * than crash — the same task YAML must work across engines.
   */
-private[sources] object RangeSplit {
+private[graft] object RangeSplit {
 
   private def epochCuts(lo: Long, hi: Long, splits: Int): Seq[(Long, Long)] = {
     val span = (BigInt(hi) - BigInt(lo)) + 1
@@ -27,7 +27,7 @@ private[sources] object RangeSplit {
     s"$pc >= $a AND $pc $hiOp $b$extra"
   }
 
-  private[sources] val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+  private[graft] val TsFmt = new java.time.format.DateTimeFormatterBuilder()
     .appendPattern("yyyy-MM-dd HH:mm:ss")
     .optionalStart()
     .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
