@@ -91,6 +91,141 @@ object Multimodal {
     BinaryFeatures(bytes.length.toLong, md5hex, head, sniffFormat(bytes), w, h)
   }
 
+  // ---- resize -------------------------------------------------------------
+
+  /** Pixel-level codec seam. Real image decoding/scaling libraries are
+    * not in this jar set, so the default implementation is the
+    * header-faithful stub below — swap in a real codec here and the
+    * Spark-side plumbing (schema, partitioning, batch shape) is already
+    * done. The seam is the trait, not the operator. */
+  trait ImageCodec extends Serializable {
+    /** Return the payload re-encoded at `w`×`h`. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB codec: rewrites the container header's dimension fields in
+    * place (PNG IHDR, JPEG SOFn, GIF logical screen, BMP DIB) and leaves
+    * every other byte untouched — deterministic, format-faithful at the
+    * header level, NO pixel work. The output round-trips through
+    * [[dimensions]] at the new size. Unknown formats pass through. */
+  object StubImageCodec extends ImageCodec {
+    private def putBe16(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = ((v >> 8) & 0xff).toByte; b(i + 1) = (v & 0xff).toByte
+    }
+    private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+    }
+    private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = payload.clone()
+      sniffFormat(out) match {
+        case "png" if out.length >= 24 &&
+            new String(out.slice(12, 16)) == "IHDR" =>
+          putBe32(out, 16, w); putBe32(out, 20, h)
+        case "jpeg" =>
+          // walk to the first SOFn exactly like dimensions()
+          var i = 2
+          var done = false
+          while (!done && i + 9 < out.length) {
+            if ((out(i) & 0xff) != 0xff) done = true
+            else if ((out(i + 1) & 0xff) == 0xff) i += 1
+            else {
+              val marker = out(i + 1) & 0xff
+              if (marker >= 0xc0 && marker <= 0xcf &&
+                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+                putBe16(out, i + 5, h); putBe16(out, i + 7, w)
+                done = true
+              } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
+                i += 2
+              else i += 2 + be16(out, i + 2)
+            }
+          }
+        case "gif" if out.length >= 10 =>
+          putLe16(out, 6, w); putLe16(out, 8, h)
+        case "bmp" if out.length >= 26 =>
+          putLe32(out, 18, w); putLe32(out, 22, h)
+        case _ => // unknown container: pass through unchanged
+      }
+      out
+    }
+  }
+
+  /** Resize every payload in `binaryCol` to `w`×`h` via the codec —
+    * partition-wise batch operator, one pass, no shuffle (the Scala
+    * analogue of a Pandas-UDF batch). The column is replaced in place;
+    * everything else flows through untouched. */
+  def resize(df: DataFrame, binaryCol: String, w: Int, h: Int,
+      codec: ImageCodec = StubImageCodec): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val vals = r.toSeq.toArray
+        if (bytes != null) vals(idx) = codec.resize(bytes, w, h)
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(enc)
+  }
+
+  // ---- frame sampling -------------------------------------------------------
+
+  /** Frame-extraction seam for video/animation payloads. Container
+    * demuxers aren't in this jar set; the stub derives a deterministic
+    * frame count from the header (so tests and oracles can mirror it)
+    * and fabricates frame bytes. A real demuxer drops in here. */
+  trait FrameSampler extends Serializable {
+    def frameCount(payload: Array[Byte]): Int
+    /** Bytes of frame `idx` (0-based) and its presentation time in ms. */
+    def frame(payload: Array[Byte], idx: Int): (Array[Byte], Long)
+  }
+
+  /** STUB sampler: frameCount = 1 + (header width | byte length) mod 5;
+    * frame bytes are the payload with the first byte XOR'd by the index
+    * (deterministic, distinct per frame); pts advances at 25 fps. */
+  object StubFrameSampler extends FrameSampler {
+    def frameCount(payload: Array[Byte]): Int =
+      1 + dimensions(payload)._1.getOrElse(payload.length) % 5
+    def frame(payload: Array[Byte], idx: Int): (Array[Byte], Long) = {
+      val f = payload.clone()
+      if (f.nonEmpty) f(0) = (f(0) ^ idx).toByte
+      (f, idx * 40L)
+    }
+  }
+
+  /** Sample every `every`-th frame of each payload: one OUTPUT ROW per
+    * sampled frame (`frame_idx`, `pts_ms`, `frame`), original columns
+    * carried through. flatMap-shaped partition-wise operator — the fan-out
+    * happens executor-side with no shuffle, so a 100×-frames clip costs
+    * its own partition only. */
+  def frameSample(df: DataFrame, binaryCol: String, every: Int = 1,
+      sampler: FrameSampler = StubFrameSampler): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("pts_ms", LongType),
+      StructField("frame", BinaryType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        if (bytes == null) Iterator.empty
+        else (0 until sampler.frameCount(bytes) by every).iterator.map { f =>
+          val (fb, pts) = sampler.frame(bytes, f)
+          Row.fromSeq(r.toSeq ++ Seq(f, pts, fb))
+        }
+      }
+    }(enc)
+  }
+
   /** Attach features extracted from `binaryCol` via the batch decoder.
     * One pass, no shuffle.
     */

@@ -485,11 +485,72 @@ object TrainingData {
     // that ignores the bytes cannot pass
     Q("td_multimodal",
       (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), mmPayload(col("doc_id")).as("payload"))
+        Multimodal.extractFeatures(bin, "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("byte_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CAST(16 + doc_id % 1024 AS INT) AS width,
+        CAST(16 + doc_id % 768 AS INT) AS height,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
+        FROM documents ORDER BY doc_id""")),
+
+    // header-level resize through the codec seam: payloads re-encode at
+    // 64×48 and the REAL header parser must read the new dimensions back
+    // out of the rewritten PNG IHDR / JPEG SOFn / GIF screen bytes —
+    // byte_len must not change (header rewrite in place)
+    Q("td_mm_resize",
+      (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), mmPayload(col("doc_id")).as("payload"))
+        val resized = Multimodal.resize(bin, "payload", 64, 48)
+        Multimodal.extractFeatures(resized, "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("byte_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
+        FROM documents ORDER BY doc_id""")),
+
+    // frame sampling through the demuxer seam: the stub's frame count
+    // derives from the parsed header width (1 + width % 5), every 2nd
+    // frame is emitted executor-side (flatMap fan-out, no shuffle), and
+    // the oracle mirrors the arithmetic — a sampler that doesn't parse
+    // the header can't produce the right row multiplicity
+    Q("td_mm_frames",
+      (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), mmPayload(col("doc_id")).as("payload"))
+        Multimodal.frameSample(bin, "payload", every = 2)
+          .select(col("doc_id"), col("frame_idx"), col("pts_ms"),
+            length(col("frame")).cast("long").as("frame_len"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT d.doc_id, CAST(s.i AS INT) AS frame_idx,
+        CAST(s.i * 40 AS BIGINT) AS pts_ms,
+        CAST(CASE d.doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS frame_len
+        FROM documents d JOIN (VALUES (0),(1),(2),(3),(4)) s(i)
+          ON s.i < 1 + (16 + d.doc_id % 1024) % 5 AND s.i % 2 = 0
+        ORDER BY d.doc_id, frame_idx"""))
+  )
+
+  /** Deterministic minimal media payloads keyed by doc_id (PNG / JPEG /
+    * GIF headers whose dimensions derive from the id) — shared by the
+    * td_multimodal / td_mm_resize / td_mm_frames oracles, which recompute
+    * the expected values arithmetically. */
+  private val mmPayload = {
         def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
         def be32(v: Int) = Array((v >> 24).toByte, ((v >> 16) & 0xff).toByte,
           ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
         def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-        val mkPayload = udf { (d: Long) =>
+        udf { (d: Long) =>
           val w = 16 + (d % 1024).toInt
           val h = 16 + (d % 768).toInt
           (d % 3) match {
@@ -508,18 +569,5 @@ object TrainingData {
               "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
           }
         }
-        val bin = Tables(s, dir, "documents")
-          .select(col("doc_id"), mkPayload(col("doc_id")).as("payload"))
-        Multimodal.extractFeatures(bin, "payload")
-          .select(col("doc_id"), col("format"), col("width"), col("height"),
-            col("byte_len"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id,
-        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        CAST(16 + doc_id % 1024 AS INT) AS width,
-        CAST(16 + doc_id % 768 AS INT) AS height,
-        CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
-        FROM documents ORDER BY doc_id"""))
-  )
+  }
 }

@@ -107,7 +107,14 @@ object Spill {
     * Every re-fetchable-but-expensive source (Bigtable readRows,
     * ClickHouse partitioned cursors, Elasticsearch scrolls, Prometheus
     * range windows) types through here so a schema-inference pass never
-    * doubles wire traffic. */
+    * doubles wire traffic.
+    *
+    * Durability tradeoff, by design: localCheckpoint blocks are not
+    * recomputable after an executor loss (the lineage back to the HTTP
+    * fetch is cut — which is the point: the fetch is the expensive,
+    * sometimes non-idempotent part). Jobs that need executor-loss
+    * resilience should pass an explicit schema (single pass, lineage
+    * preserved) or land the fetch in a staged table first. */
   def typed(spark: SparkSession, schema: Option[StructType],
       lines: org.apache.spark.sql.Dataset[String]): DataFrame = schema match {
     case Some(s) =>
