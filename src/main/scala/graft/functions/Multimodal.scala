@@ -46,6 +46,31 @@ object Multimodal {
         && new String(b.slice(8, 12)) == "WAVE") "wav"
     else "unknown"
 
+  /** Offset of the first SOFn marker's 0xff byte (C0–CF minus C4/C8/CC),
+    * walking the segment chain past APPn/COM/fill bytes — the ONE walker
+    * shared by [[dimensions]] (reads h/w at +5/+7) and
+    * [[StubImageCodec.resize]] (writes them), so the two can't drift. */
+  private def jpegSofOffset(b: Array[Byte]): Option[Int] =
+    try {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        // any number of 0xFF fill bytes may pad before a marker; consume
+        // them one at a time or the real marker byte is read as a length
+        if ((b(i + 1) & 0xff) == 0xff) i += 1
+        else {
+          val marker = b(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some(i)
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
+            i += 2 // standalone markers carry no length
+          else i += 2 + be16(b, i + 2)
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+
   /** Header-only dimension extraction.
     *
     *   - PNG: IHDR width/height, big-endian u32 at offsets 16/20;
@@ -59,24 +84,11 @@ object Multimodal {
       case "png" if b.length >= 24 &&
           new String(b.slice(12, 16)) == "IHDR" =>
         (Some(be32(b, 16)), Some(be32(b, 20)))
-      case "jpeg" =>
-        var i = 2
-        while (i + 9 < b.length) {
-          if ((b(i) & 0xff) != 0xff) return (None, None)
-          // any number of 0xFF fill bytes may pad before a marker; consume
-          // them one at a time or the real marker byte is read as a length
-          if ((b(i + 1) & 0xff) == 0xff) i += 1
-          else {
-            val marker = b(i + 1) & 0xff
-            if (marker >= 0xc0 && marker <= 0xcf &&
-                marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-              return (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
-            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
-              i += 2 // standalone markers carry no length
-            else i += 2 + be16(b, i + 2)
-          }
-        }
-        (None, None)
+      case "jpeg" => jpegSofOffset(b) match {
+        case Some(i) if i + 9 <= b.length - 1 =>
+          (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
+        case _ => (None, None)
+      }
       case "gif" if b.length >= 10 => (Some(le16(b, 6)), Some(le16(b, 8)))
       case "bmp" if b.length >= 26 => (Some(le32(b, 18)), Some(le32(b, 22)))
       case _ => (None, None)
@@ -130,22 +142,10 @@ object Multimodal {
             new String(out.slice(12, 16)) == "IHDR" =>
           putBe32(out, 16, w); putBe32(out, 20, h)
         case "jpeg" =>
-          // walk to the first SOFn exactly like dimensions()
-          var i = 2
-          var done = false
-          while (!done && i + 9 < out.length) {
-            if ((out(i) & 0xff) != 0xff) done = true
-            else if ((out(i + 1) & 0xff) == 0xff) i += 1
-            else {
-              val marker = out(i + 1) & 0xff
-              if (marker >= 0xc0 && marker <= 0xcf &&
-                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-                putBe16(out, i + 5, h); putBe16(out, i + 7, w)
-                done = true
-              } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
-                i += 2
-              else i += 2 + be16(out, i + 2)
-            }
+          // the same walker dimensions() reads through, so read and
+          // write offsets cannot drift
+          jpegSofOffset(out).foreach { i =>
+            putBe16(out, i + 5, h); putBe16(out, i + 7, w)
           }
         case "gif" if out.length >= 10 =>
           putLe16(out, 6, w); putLe16(out, 8, h)

@@ -100,6 +100,10 @@ object Athena {
     val start = rpc(conn, "StartQueryExecution", mapper.writeValueAsString {
       val o = mapper.createObjectNode()
       o.put("QueryString", sql)
+      // the service's own idempotency token: HttpRetry can safely replay
+      // the submit — a duplicate start with the same token is dedup'd
+      // server-side (AWS Athena StartQueryExecution.ClientRequestToken)
+      o.put("ClientRequestToken", java.util.UUID.randomUUID().toString)
       o.putObject("ResultConfiguration")
         .put("OutputLocation", conn.outputLocation)
       o

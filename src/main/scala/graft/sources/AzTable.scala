@@ -192,7 +192,8 @@ object AzTable {
     }
     sb ++= s"--$csId--\r\n"
     sb ++= s"--$batchId--\r\n"
-    conn.transport.put(s"${conn.baseUrl}/$$batch",
+    // $batch tunnels POST changesets: non-idempotent, never retried
+    conn.transport.putOnce(s"${conn.baseUrl}/$$batch",
       headers(conn, "$batch") +
         ("Content-Type" -> s"multipart/mixed; boundary=$batchId") +
         ("X-HTTP-Method" -> "POST"),

@@ -72,6 +72,9 @@ object BigQueryApi {
     val payload = mapper.createObjectNode()
     payload.put("query", sql)
     payload.put("useLegacySql", useLegacySql)
+    // jobs.query requestId: duplicate submissions with the same id are
+    // dedup'd server-side, making HttpRetry's replay of the POST safe
+    payload.put("requestId", java.util.UUID.randomUUID().toString)
     var resp = call("POST",
       s"${conn.baseUrl}/bigquery/v2/projects/${conn.projectId}/queries",
       tok, Some(mapper.writeValueAsString(payload)))

@@ -96,9 +96,15 @@ object Bigtable {
     conn.getInputStream
   }
 
+  /** `retriable = false` for mutateRows (a lost response after the
+    * server applied the batch would re-write cells at new server
+    * timestamps) and the admin verbs (a replayed create/delete turns
+    * success into already-exists/not-found). */
   private def call(method: String, url: String,
-      headers: Map[String, String], body: String = ""): String =
-    HttpRetry.retry(url)(callOnce(method, url, headers, body))
+      headers: Map[String, String], body: String = "",
+      retriable: Boolean = true): String =
+    if (retriable) HttpRetry.retry(url)(callOnce(method, url, headers, body))
+    else callOnce(method, url, headers, body)
 
   private def callOnce(method: String, url: String,
       headers: Map[String, String], body: String): String = {
@@ -355,7 +361,7 @@ object Bigtable {
       def flush(): Unit = if (buf.nonEmpty) {
         val resp = call("POST",
           s"${conn.baseUrl}/v2/$tablePath:mutateRows", conn.headers,
-          mutateRowsBody(buf.toSeq))
+          mutateRowsBody(buf.toSeq), retriable = false)
         val root = mapper.readTree(resp)
         val arr = if (root.isArray) root else
           mapper.createArrayNode().add(root)
@@ -427,7 +433,7 @@ object Bigtable {
         (if (famNames.nonEmpty) famNames else Seq("default"))
           .foreach(cf.putObject)
         call("POST", s"${conn.baseUrl}/v2/$instancePath/tables",
-          conn.headers, mapper.writeValueAsString(body))
+          conn.headers, mapper.writeValueAsString(body), retriable = false)
       case "create_column_family" =>
         val body = mapper.createObjectNode()
         val mods = body.putArray("modifications")
@@ -438,10 +444,10 @@ object Bigtable {
         }
         call("POST",
           s"${conn.baseUrl}/v2/$instancePath/tables/$table:modifyColumnFamilies",
-          conn.headers, mapper.writeValueAsString(body))
+          conn.headers, mapper.writeValueAsString(body), retriable = false)
       case "delete_table" =>
         call("DELETE", s"${conn.baseUrl}/v2/$instancePath/tables/$table",
-          conn.headers)
+          conn.headers, retriable = false)
       case other =>
         throw new IllegalArgumentException(s"bigtable action: $other")
     }

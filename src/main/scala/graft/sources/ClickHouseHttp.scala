@@ -39,10 +39,14 @@ object ClickHouseHttp {
   /** POST the statement; returns a line reader over the streaming
     * response body (never materialized — the bounded-memory shape of
     * the reference's row channel; database_clickhouse.go). Caller
-    * closes. The OPEN retries transient failures; mid-stream failures
-    * propagate (Spark task retry owns re-emission). */
-  private def openStream(conn: Conn, body: String): java.io.BufferedReader =
-    HttpRetry.retry(conn.url)(openStreamOnce(conn, body))
+    * closes. For SELECTs the OPEN retries transient failures (mid-stream
+    * failures propagate — Spark task retry owns re-emission);
+    * `retriable = false` for INSERT/DDL bodies, where a lost response
+    * after a server-side commit must error, not silently re-run. */
+  private def openStream(conn: Conn, body: String,
+      retriable: Boolean = true): java.io.BufferedReader =
+    if (retriable) HttpRetry.retry(conn.url)(openStreamOnce(conn, body))
+    else openStreamOnce(conn, body)
 
   private def openStreamOnce(conn: Conn, body: String): java.io.BufferedReader = {
     val http = new java.net.URI(conn.url).toURL.openConnection()
@@ -65,15 +69,17 @@ object ClickHouseHttp {
       new java.io.InputStreamReader(http.getInputStream, "UTF-8"), 1 << 16)
   }
 
-  private def postStreaming(conn: Conn, body: String)
+  private def postStreaming(conn: Conn, body: String,
+      retriable: Boolean = true)
       (sink: java.io.BufferedReader => Unit): Unit = {
-    val rd = openStream(conn, body)
+    val rd = openStream(conn, body, retriable)
     try sink(rd) finally rd.close()
   }
 
-  private def post(conn: Conn, body: String): String = {
+  private def post(conn: Conn, body: String,
+      retriable: Boolean = true): String = {
     val sb = new StringBuilder
-    postStreaming(conn, body) { rd =>
+    postStreaming(conn, body, retriable) { rd =>
       val buf = new Array[Char](8192)
       var n = rd.read(buf)
       while (n >= 0) { sb.appendAll(buf, 0, n); n = rd.read(buf) }
@@ -151,13 +157,16 @@ object ClickHouseHttp {
       var n = 0L
       it.grouped(chunkRows).foreach { batch =>
         post(conn, s"INSERT INTO $table FORMAT JSONEachRow\n" +
-          batch.mkString("\n") + "\n")
+          batch.mkString("\n") + "\n", retriable = false)
         n += batch.size
       }
       Iterator(n)
     }.sum().toLong
 
   /** Run a statement for its side effect (TRUNCATE before a
-    * full-refresh insert, DDL); returns the raw response body. */
-  def execute(conn: Conn, sql: String): String = post(conn, sql)
+    * full-refresh insert, DDL); returns the raw response body. Not
+    * retried — a replayed DDL after a lost-response commit would turn
+    * success into an already-exists error or re-run the side effect. */
+  def execute(conn: Conn, sql: String): String =
+    post(conn, sql, retriable = false)
 }

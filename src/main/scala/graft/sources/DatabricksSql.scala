@@ -23,9 +23,14 @@ object DatabricksSql {
          else Map("Authorization" -> s"Bearer $token"))
   }
 
+  /** The Statement Execution API has no idempotency token, so the
+    * submit POST must not replay on a lost response (it could be DML);
+    * status/result-chunk GETs always retry. */
   private def call(method: String, url: String,
-      headers: Map[String, String], body: Option[String]): String =
-    HttpRetry.retry(url)(callOnce(method, url, headers, body))
+      headers: Map[String, String], body: Option[String],
+      retriable: Boolean = true): String =
+    if (retriable) HttpRetry.retry(url)(callOnce(method, url, headers, body))
+    else callOnce(method, url, headers, body)
 
   private def callOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {
@@ -88,7 +93,7 @@ object DatabricksSql {
     payload.put("format", "JSON_ARRAY")
     var root = mapper.readTree(call("POST",
       s"${conn.baseUrl}/api/2.0/sql/statements", conn.headers,
-      Some(mapper.writeValueAsString(payload))))
+      Some(mapper.writeValueAsString(payload)), retriable = false))
     val sid = root.path("statement_id").asText()
     var state = root.path("status").path("state").asText()
     while (state == "PENDING" || state == "RUNNING") {

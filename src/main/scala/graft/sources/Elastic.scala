@@ -31,11 +31,19 @@ object Elastic {
 
   /** POST returning the response body — executor-side, plain JDK HTTP. */
   private def post(url: String, headers: Map[String, String],
-      body: String): String = request("POST", url, headers, body)
+      body: String, retriable: Boolean = true): String =
+    request("POST", url, headers, body, retriable)
 
+  /** `retriable = false` for calls that are NOT safe to replay: a
+    * `_search/scroll` continuation advances the server-side cursor (a
+    * replay would skip the lost page), and `_bulk` without ids would
+    * re-index documents. The initial `_search` IS safe — a replay just
+    * opens a fresh scroll context from page 0. */
   private def request(method: String, url: String,
-      headers: Map[String, String], body: String): String =
-    HttpRetry.retry(url)(requestOnce(method, url, headers, body))
+      headers: Map[String, String], body: String,
+      retriable: Boolean = true): String =
+    if (retriable) HttpRetry.retry(url)(requestOnce(method, url, headers, body))
+    else requestOnce(method, url, headers, body)
 
   private def requestOnce(method: String, url: String,
       headers: Map[String, String], body: String): String = {
@@ -102,7 +110,7 @@ object Elastic {
       private def advance(): Unit =
         while (i >= page.size && page.nonEmpty && scrollId.nonEmpty) {
           val next = mapper.readTree(post(s"${conn.baseUrl}/_search/scroll",
-            conn.headers,
+            conn.headers, retriable = false, body =
             s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
               mapper.getNodeFactory.textNode(scrollId))}}"""))
           page = hitsOf(next)
@@ -164,7 +172,7 @@ object Elastic {
         val docs = batch.map(_.getString(0))
         val ids = if (withIds) batch.map(_.getString(1)) else Nil
         val resp = post(s"${conn.baseUrl}/_bulk", hdrs,
-          bulkEncode(docs, index, ids))
+          bulkEncode(docs, index, ids), retriable = false)
         if (resp.contains("\"errors\":true")) throw new java.io.IOException(
           s"elastic bulk reported item errors: ${resp.take(300)}")
         n += docs.size

@@ -28,6 +28,10 @@ object GDrive {
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] =
       HttpRetry.retry(url)(callOnce(method, url, headers, body))
 
+    private def callNoRetry(method: String, url: String,
+        headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] =
+      callOnce(method, url, headers, body)
+
     private def callOnce(method: String, url: String,
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] = {
       val conn = new java.net.URI(url).toURL.openConnection()
@@ -52,9 +56,11 @@ object GDrive {
     }
     def get(url: String, headers: Map[String, String]): Array[Byte] =
       call("GET", url, headers, None)
+    // uploads create files: a lost response after the server committed
+    // would duplicate on replay, so POSTs run once
     def post(url: String, headers: Map[String, String],
         body: Array[Byte]): Array[Byte] =
-      call("POST", url, headers, Some(body))
+      callNoRetry("POST", url, headers, Some(body))
   }
 
   /** Connection: base URL + bearer token + root folder (FOLDER_ID). */

@@ -24,6 +24,12 @@ object GSheets {
   trait Transport extends Serializable {
     def get(url: String, headers: Map[String, String]): String
     def put(url: String, headers: Map[String, String], body: String): String
+    /** Like [[put]] but NEVER retried — for callers tunneling
+      * non-idempotent verbs through PUT (AzTable's `$batch` changesets),
+      * where a replay after a lost-response commit would duplicate or
+      * conflict. Defaults to [[put]] so test fakes are unaffected. */
+    def putOnce(url: String, headers: Map[String, String],
+        body: String): String = put(url, headers, body)
   }
 
   /** Default transport over HttpURLConnection (like HttpSource). */
@@ -57,8 +63,11 @@ object GSheets {
     }
     def get(url: String, headers: Map[String, String]): String =
       call("GET", url, headers, None)
+    // a values-range PUT is an idempotent overwrite: retry is safe
     def put(url: String, headers: Map[String, String], body: String): String =
       call("PUT", url, headers, Some(body))
+    override def putOnce(url: String, headers: Map[String, String],
+        body: String): String = callOnce("PUT", url, headers, Some(body))
   }
 
   /** Connection: base URL + bearer token + transport. `forToken` obtains

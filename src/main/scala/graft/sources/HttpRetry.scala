@@ -19,10 +19,19 @@ package graft.sources
   * that dies mid-consumption is NOT silently re-fetched — rows may
   * already be emitted, so dedup belongs to Spark's task retry, not here.
   *
-  * Backoff is exponential with deterministic per-attempt jitter (hash of
-  * label and attempt — reproducible, and de-synchronized across the
-  * executor fleet so a 429'd service isn't re-hit by every task in the
-  * same millisecond).
+  * Backoff is exponential with per-attempt jitter hashed from (label,
+  * attempt, task identity) — the task identity (Spark taskAttemptId, or
+  * thread id off-task) is what de-synchronizes the executor fleet, so a
+  * 429'd service isn't re-hit by every partition in the same
+  * millisecond; label and attempt keep a single task's schedule stable.
+  *
+  * Idempotency: retry is only wired to calls that are safe to replay —
+  * reads, polls, stream OPENs, and submissions that carry a service-side
+  * idempotency token (Athena ClientRequestToken, BigQuery requestId,
+  * Snowflake requestId&retry=true). Non-idempotent writes (ES _bulk,
+  * ClickHouse INSERT, Bigtable mutateRows, AzTable $batch, Drive upload,
+  * Databricks/Trino plain submits) run once: a lost response after a
+  * server-side commit must surface as an error, not silently duplicate.
   */
 object HttpRetry {
 
@@ -50,9 +59,14 @@ object HttpRetry {
     case _ => false
   }
 
-  /** Deterministic jitter in [0, cap): splitmix of (label, attempt). */
+  /** Jitter in [0, cap): splitmix of (label, attempt, task identity).
+    * Task identity makes CONCURRENT tasks hitting the same label sleep
+    * different amounts; a given task's schedule stays reproducible. */
   private def jitterMs(label: String, attempt: Int, cap: Long): Long = {
-    var z = label.hashCode.toLong * 0x9E3779B97F4A7C15L + attempt
+    val task = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(Thread.currentThread().getId)
+    var z = label.hashCode.toLong * 0x9E3779B97F4A7C15L + attempt +
+      task * 0xD1B54A32D192ED03L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     math.floorMod(z ^ (z >>> 31), math.max(cap, 1L))

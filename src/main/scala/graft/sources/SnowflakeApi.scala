@@ -121,7 +121,11 @@ object SnowflakeApi {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = mapper.createObjectNode()
     payload.put("statement", statement)
-    var (code, body) = call("POST", s"${conn.baseUrl}/api/v2/statements",
+    // requestId + retry=true is the SQL API's own resubmission dedup:
+    // a replayed POST with the same id does not re-execute the statement
+    var (code, body) = call("POST",
+      s"${conn.baseUrl}/api/v2/statements?requestId=" +
+        s"${java.util.UUID.randomUUID()}&retry=true",
       conn.headers, Some(mapper.writeValueAsString(payload)))
     var root = mapper.readTree(body)
     val handle = root.path("statementHandle").asText()

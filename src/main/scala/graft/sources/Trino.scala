@@ -29,8 +29,10 @@ object Trino {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def http(method: String, url: String,
-      headers: Map[String, String], body: Option[String]): String =
-    HttpRetry.retry(url)(httpOnce(method, url, headers, body))
+      headers: Map[String, String], body: Option[String],
+      retriable: Boolean = true): String =
+    if (retriable) HttpRetry.retry(url)(httpOnce(method, url, headers, body))
+    else httpOnce(method, url, headers, body)
 
   private def httpOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {
@@ -90,12 +92,20 @@ object Trino {
   /** Walk the statement's page cursor, calling `onColumns` once when the
     * protocol reports the column list and `onRow` per data row (values
     * are the page's parsed JSON cells: Long/Double/Boolean/String/null).
-    * Only the current page is ever in memory. */
-  def walk(conn: Conn, sql: String)(
+    * Only the current page is ever in memory.
+    *
+    * `retrySubmit` guards the initial POST: SELECT reads replay safely (a
+    * lost-response query is simply abandoned server-side and superseded),
+    * but the protocol has no idempotency token, so DML/DDL submitted
+    * through [[execute]] must not re-run on a lost response. `nextUri`
+    * page GETs always retry — re-fetching an unacknowledged page is the
+    * protocol's own recovery mechanism. */
+  def walk(conn: Conn, sql: String, retrySubmit: Boolean = true)(
       onColumns: Seq[(String, String)] => Unit,
       onRow: IndexedSeq[Any] => Unit): Unit = {
     var resp = mapper.readTree(http("POST",
-      s"${conn.baseUrl}/v1/statement", headers(conn), Some(sql)))
+      s"${conn.baseUrl}/v1/statement", headers(conn), Some(sql),
+      retriable = retrySubmit))
     var colsSeen = false
     var done = false
     while (!done) {
@@ -137,7 +147,9 @@ object Trino {
       : (Seq[(String, String)], Seq[Seq[Any]]) = {
     var cols: Seq[(String, String)] = Nil
     val rows = collection.mutable.ArrayBuffer[Seq[Any]]()
-    walk(conn, sql)(c => cols = c, r => rows += r)
+    // control statements may be DML/DDL: no idempotency token in the
+    // protocol, so the submit must not replay on a lost response
+    walk(conn, sql, retrySubmit = false)(c => cols = c, r => rows += r)
     (cols, rows.toSeq)
   }
 

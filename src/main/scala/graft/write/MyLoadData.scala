@@ -68,9 +68,9 @@ object MyLoadData {
       // the MySQL session is pinned to UTC (Mysql.scala SET time_zone),
       // so instants must render as their UTC wall clock — a plain string
       // cast renders in spark.sql.session.timeZone and would shift by
-      // the session offset on a write/read round trip
-      case TimestampType =>
-        to_utc_timestamp(c, current_timezone()).cast(StringType)
+      // the session offset on a write/read round trip; TimeText's epoch
+      // arithmetic also sidesteps DST-window double offset resolution
+      case TimestampType => TimeText.utcText(c)
       case _ => c.cast(StringType)
     }
   }

@@ -59,9 +59,10 @@ object PgCopy {
       // instants render as UTC wall clock WITH an explicit +00 offset, so
       // the stored value is independent of both spark.sql.session.timeZone
       // and the PG session TimeZone (a bare cast renders session-local
-      // with no offset and the server would reinterpret it)
-      case TimestampType => concat(
-        to_utc_timestamp(c, current_timezone()).cast(StringType), lit("+00"))
+      // with no offset and the server would reinterpret it); TimeText
+      // avoids zone-rule lookups entirely, so DST transition windows of
+      // the session zone cannot shift the render either
+      case TimestampType => concat(TimeText.utcText(c), lit("+00"))
       case _ => c.cast(StringType)
     }
   }

@@ -54,19 +54,27 @@ class PgCopySpec extends AnyFunSuite {
     // offset, so a non-UTC session would shift instants on load; the
     // encoder must pin the rendering to UTC and say so with +00
     val tsSchema = StructType(Seq(StructField("ts", TimestampType)))
-    val inst = java.sql.Timestamp.from(
-      java.time.Instant.parse("2021-06-01T12:30:45.500Z"))
+    def t(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    // the second instant sits in America/New_York's fall-back window
+    // (01:30 local, ambiguous EST/EDT): a renderer that resolves the
+    // zone offset twice shifts it by an hour; epoch arithmetic cannot
+    val cases = Seq(
+      t("2021-06-01T12:30:45.500Z") -> "2021-06-01 12:30:45.500000",
+      t("2025-11-02T05:30:00Z") -> "2025-11-02 05:30:00.000000",
+      t("1969-12-31T23:59:59.000001Z") -> "1969-12-31 23:59:59.000001")
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
         spark.conf.set("spark.sql.session.timeZone", tz)
         val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(Row(inst)), 1), tsSchema)
-        val pg = PgCopy.encodedLines(df).collect().map(_.getString(0)).toSeq
-        assert(pg == Seq("2021-06-01 12:30:45.5+00"), s"pg copy in $tz")
+          spark.sparkContext.parallelize(cases.map(c => Row(c._1)), 1),
+          tsSchema)
+        val pg = PgCopy.encodedLines(df).collect().map(_.getString(0)).toSet
+        assert(pg == cases.map(_._2 + "+00").toSet, s"pg copy in $tz")
         val my = graft.write.MyLoadData.encodedLines(df)
-          .collect().map(_.getString(0)).toSeq
-        assert(my == Seq("2021-06-01 12:30:45.5"), s"load data in $tz")
+          .collect().map(_.getString(0)).toSet
+        assert(my == cases.map(_._2).toSet, s"load data in $tz")
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
