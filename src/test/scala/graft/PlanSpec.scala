@@ -35,6 +35,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
   }
 
+  test("bulk encoders stay one codegen'd projection: no exchange, no UDF") {
+    // the COPY/LOAD DATA line encoders (incl. TimeText's epoch-arithmetic
+    // timestamp render) must remain a pure projection over the scan —
+    // a shuffle or interpreted eval here would throttle every bulk write
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+    for (enc <- Seq(graft.write.PgCopy.encodedLines(df),
+        graft.write.MyLoadData.encodedLines(df))) {
+      val plan = formatted(enc)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("[codegen id : 1]"), plan) // one codegen span
+      assert(!plan.contains("[codegen id : 2]"), plan)
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        plan)
+    }
+  }
+
   test("bucketed join reads bucketed scans without a join-side shuffle") {
     import org.apache.spark.sql.functions._
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
