@@ -84,10 +84,10 @@ object Multimodal {
       case "png" if b.length >= 24 &&
           new String(b.slice(12, 16)) == "IHDR" =>
         (Some(be32(b, 16)), Some(be32(b, 20)))
+      // the walker only returns offsets with 10 readable bytes
       case "jpeg" => jpegSofOffset(b) match {
-        case Some(i) if i + 9 <= b.length - 1 =>
-          (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
-        case _ => (None, None)
+        case Some(i) => (Some(be16(b, i + 7)), Some(be16(b, i + 5)))
+        case None => (None, None)
       }
       case "gif" if b.length >= 10 => (Some(le16(b, 6)), Some(le16(b, 8)))
       case "bmp" if b.length >= 26 => (Some(le32(b, 18)), Some(le32(b, 22)))

@@ -99,12 +99,13 @@ object Bigtable {
   /** `retriable = false` for mutateRows (a lost response after the
     * server applied the batch would re-write cells at new server
     * timestamps) and the admin verbs (a replayed create/delete turns
-    * success into already-exists/not-found). */
+    * success into already-exists/not-found) — connect-phase failures
+    * still re-attempt for those (request never sent → nothing applied). */
   private def call(method: String, url: String,
       headers: Map[String, String], body: String = "",
       retriable: Boolean = true): String =
     if (retriable) HttpRetry.retry(url)(callOnce(method, url, headers, body))
-    else callOnce(method, url, headers, body)
+    else HttpRetry.retryConnectOnly(url)(callOnce(method, url, headers, body))
 
   private def callOnce(method: String, url: String,
       headers: Map[String, String], body: String): String = {

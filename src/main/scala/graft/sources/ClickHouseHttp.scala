@@ -42,11 +42,12 @@ object ClickHouseHttp {
     * closes. For SELECTs the OPEN retries transient failures (mid-stream
     * failures propagate — Spark task retry owns re-emission);
     * `retriable = false` for INSERT/DDL bodies, where a lost response
-    * after a server-side commit must error, not silently re-run. */
+    * after a server-side commit must error, not silently re-run —
+    * connect-phase failures (statement never sent) still re-attempt. */
   private def openStream(conn: Conn, body: String,
       retriable: Boolean = true): java.io.BufferedReader =
     if (retriable) HttpRetry.retry(conn.url)(openStreamOnce(conn, body))
-    else openStreamOnce(conn, body)
+    else HttpRetry.retryConnectOnly(conn.url)(openStreamOnce(conn, body))
 
   private def openStreamOnce(conn: Conn, body: String): java.io.BufferedReader = {
     val http = new java.net.URI(conn.url).toURL.openConnection()

@@ -23,14 +23,15 @@ object DatabricksSql {
          else Map("Authorization" -> s"Bearer $token"))
   }
 
-  /** The Statement Execution API has no idempotency token, so the
-    * submit POST must not replay on a lost response (it could be DML);
-    * status/result-chunk GETs always retry. */
+  /** The Statement Execution API has no idempotency token, so a DML
+    * submit must not replay on a lost response; status/result-chunk
+    * GETs always retry, and non-replayable calls still retry
+    * connect-phase failures (request never reached the warehouse). */
   private def call(method: String, url: String,
       headers: Map[String, String], body: Option[String],
       retriable: Boolean = true): String =
     if (retriable) HttpRetry.retry(url)(callOnce(method, url, headers, body))
-    else callOnce(method, url, headers, body)
+    else HttpRetry.retryConnectOnly(url)(callOnce(method, url, headers, body))
 
   private def callOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {
@@ -83,7 +84,7 @@ object DatabricksSql {
   /** Run a statement: submit, poll to SUCCEEDED, fan chunk fetches out
     * to executors. */
   def read(spark: SparkSession, conn: Conn, statement: String,
-      pollMs: Long = 200): DataFrame = {
+      pollMs: Long = 200, retrySubmit: Boolean = true): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = mapper.createObjectNode()
     payload.put("statement", statement)
@@ -91,9 +92,12 @@ object DatabricksSql {
       payload.put("warehouse_id", conn.warehouseId)
     payload.put("disposition", "INLINE")
     payload.put("format", "JSON_ARRAY")
+    // SELECT submits replay safely (an abandoned duplicate query just
+    // expires warehouse-side); pass retrySubmit=false for DML text —
+    // the API has no idempotency token (Trino.walk's same contract)
     var root = mapper.readTree(call("POST",
       s"${conn.baseUrl}/api/2.0/sql/statements", conn.headers,
-      Some(mapper.writeValueAsString(payload)), retriable = false))
+      Some(mapper.writeValueAsString(payload)), retriable = retrySubmit))
     val sid = root.path("statement_id").asText()
     var state = root.path("status").path("state").asText()
     while (state == "PENDING" || state == "RUNNING") {

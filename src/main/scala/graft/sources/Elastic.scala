@@ -34,16 +34,19 @@ object Elastic {
       body: String, retriable: Boolean = true): String =
     request("POST", url, headers, body, retriable)
 
-  /** `retriable = false` for calls that are NOT safe to replay: a
-    * `_search/scroll` continuation advances the server-side cursor (a
-    * replay would skip the lost page), and `_bulk` without ids would
-    * re-index documents. The initial `_search` IS safe — a replay just
-    * opens a fresh scroll context from page 0. */
+  /** `retriable = false` for calls that are NOT safe to replay after
+    * reaching the server: a `_search/scroll` continuation advances the
+    * server-side cursor (a replay would skip the lost page), and `_bulk`
+    * without ids would re-index documents — those still retry
+    * connect-phase failures (request never sent → nothing advanced or
+    * indexed). The initial `_search` IS fully replayable — a replay just
+    * opens a fresh scroll context from page 0 — and `_bulk` WITH ids is
+    * an idempotent upsert, so both keep full retry. */
   private def request(method: String, url: String,
       headers: Map[String, String], body: String,
       retriable: Boolean = true): String =
     if (retriable) HttpRetry.retry(url)(requestOnce(method, url, headers, body))
-    else requestOnce(method, url, headers, body)
+    else HttpRetry.retryConnectOnly(url)(requestOnce(method, url, headers, body))
 
   private def requestOnce(method: String, url: String,
       headers: Map[String, String], body: String): String = {
@@ -171,8 +174,10 @@ object Elastic {
       it.grouped(chunkRows).foreach { batch =>
         val docs = batch.map(_.getString(0))
         val ids = if (withIds) batch.map(_.getString(1)) else Nil
+        // with ids the bulk is an idempotent upsert-by-_id: full retry;
+        // id-less bulks would duplicate on replay: connect-only retry
         val resp = post(s"${conn.baseUrl}/_bulk", hdrs,
-          bulkEncode(docs, index, ids), retriable = false)
+          bulkEncode(docs, index, ids), retriable = withIds)
         if (resp.contains("\"errors\":true")) throw new java.io.IOException(
           s"elastic bulk reported item errors: ${resp.take(300)}")
         n += docs.size

@@ -28,9 +28,9 @@ object GDrive {
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] =
       HttpRetry.retry(url)(callOnce(method, url, headers, body))
 
-    private def callNoRetry(method: String, url: String,
+    private def callConnectRetry(method: String, url: String,
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] =
-      callOnce(method, url, headers, body)
+      HttpRetry.retryConnectOnly(url)(callOnce(method, url, headers, body))
 
     private def callOnce(method: String, url: String,
         headers: Map[String, String], body: Option[Array[Byte]]): Array[Byte] = {
@@ -57,10 +57,11 @@ object GDrive {
     def get(url: String, headers: Map[String, String]): Array[Byte] =
       call("GET", url, headers, None)
     // uploads create files: a lost response after the server committed
-    // would duplicate on replay, so POSTs run once
+    // would duplicate on replay, so POSTs only retry connect-phase
+    // failures (request never sent)
     def post(url: String, headers: Map[String, String],
         body: Array[Byte]): Array[Byte] =
-      callNoRetry("POST", url, headers, Some(body))
+      callConnectRetry("POST", url, headers, Some(body))
   }
 
   /** Connection: base URL + bearer token + root folder (FOLDER_ID). */

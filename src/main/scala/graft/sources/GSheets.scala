@@ -24,12 +24,15 @@ object GSheets {
   trait Transport extends Serializable {
     def get(url: String, headers: Map[String, String]): String
     def put(url: String, headers: Map[String, String], body: String): String
-    /** Like [[put]] but NEVER retried — for callers tunneling
-      * non-idempotent verbs through PUT (AzTable's `$batch` changesets),
-      * where a replay after a lost-response commit would duplicate or
-      * conflict. Defaults to [[put]] so test fakes are unaffected. */
+    /** Like [[put]] but never REPLAYED once the request may have reached
+      * the server — for callers tunneling non-idempotent verbs through
+      * PUT (AzTable's `$batch` changesets), where a replay after a
+      * lost-response commit would duplicate or conflict. ABSTRACT on
+      * purpose: a transport whose put() retries must consciously provide
+      * the non-replaying variant (a delegating default would silently
+      * inherit the retry and violate the contract). */
     def putOnce(url: String, headers: Map[String, String],
-        body: String): String = put(url, headers, body)
+        body: String): String
   }
 
   /** Default transport over HttpURLConnection (like HttpSource). */
@@ -66,8 +69,10 @@ object GSheets {
     // a values-range PUT is an idempotent overwrite: retry is safe
     def put(url: String, headers: Map[String, String], body: String): String =
       call("PUT", url, headers, Some(body))
+    // connect-phase failures (request never sent) still re-attempt
     override def putOnce(url: String, headers: Map[String, String],
-        body: String): String = callOnce("PUT", url, headers, Some(body))
+        body: String): String =
+      HttpRetry.retryConnectOnly(url)(callOnce("PUT", url, headers, Some(body)))
   }
 
   /** Connection: base URL + bearer token + transport. `forToken` obtains

@@ -25,13 +25,17 @@ package graft.sources
   * 429'd service isn't re-hit by every partition in the same
   * millisecond; label and attempt keep a single task's schedule stable.
   *
-  * Idempotency: retry is only wired to calls that are safe to replay —
-  * reads, polls, stream OPENs, and submissions that carry a service-side
-  * idempotency token (Athena ClientRequestToken, BigQuery requestId,
-  * Snowflake requestId&retry=true). Non-idempotent writes (ES _bulk,
-  * ClickHouse INSERT, Bigtable mutateRows, AzTable $batch, Drive upload,
-  * Databricks/Trino plain submits) run once: a lost response after a
-  * server-side commit must surface as an error, not silently duplicate.
+  * Idempotency — two tiers. [[retry]] (full transient retry) is wired
+  * to calls that are safe to REPLAY: reads, polls, stream OPENs, and
+  * submissions carrying a service-side idempotency token (Athena
+  * ClientRequestToken, BigQuery requestId, Snowflake
+  * requestId&retry=true). Non-idempotent calls (ES id-less _bulk +
+  * scroll continuations, ClickHouse INSERT/DDL, Bigtable mutateRows +
+  * admin verbs, AzTable $batch, Drive upload, Trino DML submits) get
+  * [[retryConnectOnly]]: failures where the request provably never
+  * reached the server still re-attempt (free resilience), but a lost
+  * response after a possible server-side commit surfaces as an error
+  * instead of silently duplicating.
   */
 object HttpRetry {
 
@@ -72,17 +76,29 @@ object HttpRetry {
     math.floorMod(z ^ (z >>> 31), math.max(cap, 1L))
   }
 
-  /** Run `op`, re-attempting transient failures up to `attempts` total
-    * tries with exponential backoff (base·2^k + jitter, capped at
-    * `maxDelayMs`). Non-transient failures and the final attempt's
-    * failure propagate unchanged. */
-  def retry[T](label: String, attempts: Int = 4, baseDelayMs: Long = 200,
-      maxDelayMs: Long = 5000)(op: => T): T = {
+  /** Failures where the request provably NEVER REACHED the server — no
+    * connection was established (or no route/host existed), so replaying
+    * is safe even for non-idempotent writes. A SocketTimeoutException
+    * counts only in its connect phase (the JDK message distinguishes
+    * "connect timed out" from "Read timed out"); once bytes may have
+    * been sent, a timeout means the response — and the server's commit
+    * state — is unknown. */
+  def neverSent(e: Throwable): Boolean = e match {
+    case _: java.net.ConnectException => true
+    case _: java.net.UnknownHostException => true
+    case _: java.net.NoRouteToHostException => true
+    case t: java.net.SocketTimeoutException =>
+      Option(t.getMessage).exists(_.toLowerCase.contains("connect"))
+    case _ => false
+  }
+
+  private def run[T](label: String, attempts: Int, baseDelayMs: Long,
+      maxDelayMs: Long, shouldRetry: Throwable => Boolean)(op: => T): T = {
     var k = 0
     while (true) {
       try return op
       catch {
-        case e: Throwable if k < attempts - 1 && transient(e) =>
+        case e: Throwable if k < attempts - 1 && shouldRetry(e) =>
           val backoff = math.min(baseDelayMs << k, maxDelayMs)
           Thread.sleep(math.min(backoff + jitterMs(label, k, backoff / 2 + 1),
             maxDelayMs))
@@ -91,4 +107,22 @@ object HttpRetry {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Run `op`, re-attempting transient failures up to `attempts` total
+    * tries with exponential backoff (base·2^k + jitter, capped at
+    * `maxDelayMs`). Non-transient failures and the final attempt's
+    * failure propagate unchanged. For calls that are safe to REPLAY
+    * (reads, polls, token-carrying submits). */
+  def retry[T](label: String, attempts: Int = 4, baseDelayMs: Long = 200,
+      maxDelayMs: Long = 5000)(op: => T): T =
+    run(label, attempts, baseDelayMs, maxDelayMs, transient)(op)
+
+  /** Like [[retry]] but re-attempts ONLY [[neverSent]] failures — the
+    * resilience tier for non-idempotent writes: a connection refusal
+    * costs nothing to replay, while a lost response after a possible
+    * server-side commit propagates (duplication decisions belong to the
+    * caller / Spark task retry, not this layer). */
+  def retryConnectOnly[T](label: String, attempts: Int = 4,
+      baseDelayMs: Long = 200, maxDelayMs: Long = 5000)(op: => T): T =
+    run(label, attempts, baseDelayMs, maxDelayMs, neverSent)(op)
 }

@@ -32,7 +32,7 @@ object Trino {
       headers: Map[String, String], body: Option[String],
       retriable: Boolean = true): String =
     if (retriable) HttpRetry.retry(url)(httpOnce(method, url, headers, body))
-    else httpOnce(method, url, headers, body)
+    else HttpRetry.retryConnectOnly(url)(httpOnce(method, url, headers, body))
 
   private def httpOnce(method: String, url: String,
       headers: Map[String, String], body: Option[String]): String = {

@@ -81,4 +81,32 @@ class HttpRetrySpec extends AnyFunSuite {
     val out = HttpRetry.retry("clean") { runs += 1; 42 }
     assert(out == 42 && runs == 1)
   }
+
+  test("connect-only tier: never-sent failures retry, lost-response failures don't") {
+    // request provably never reached the server -> safe for any write
+    var runs = 0
+    val out = HttpRetry.retryConnectOnly("w", baseDelayMs = 1) {
+      runs += 1
+      if (runs < 3) throw new java.net.ConnectException("refused")
+      "ok"
+    }
+    assert(out == "ok" && runs == 3)
+    // a 503 means the server may have committed: must NOT replay
+    var calls = 0
+    intercept[java.io.IOException] {
+      HttpRetry.retryConnectOnly("w2", baseDelayMs = 1) {
+        calls += 1
+        throw new HttpRetry.HttpStatusException(503, "maybe committed")
+      }
+    }
+    assert(calls == 1)
+    // a READ timeout is response-lost (not never-sent); a CONNECT
+    // timeout is never-sent — the JDK message distinguishes them
+    assert(!HttpRetry.neverSent(
+      new java.net.SocketTimeoutException("Read timed out")))
+    assert(HttpRetry.neverSent(
+      new java.net.SocketTimeoutException("connect timed out")))
+    assert(HttpRetry.neverSent(new java.net.NoRouteToHostException("x")))
+    assert(!HttpRetry.neverSent(new java.net.SocketException("reset")))
+  }
 }

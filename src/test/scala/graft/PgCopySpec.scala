@@ -65,16 +65,18 @@ class PgCopySpec extends AnyFunSuite {
       t("1969-12-31T23:59:59.000001Z") -> "1969-12-31 23:59:59.000001")
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
-      for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo");
+           (inst, expect) <- cases) {
+        // one row per case keeps the input→render pairing exact (a set
+        // compare would accept renders swapped between rows)
         spark.conf.set("spark.sql.session.timeZone", tz)
         val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(cases.map(c => Row(c._1)), 1),
-          tsSchema)
-        val pg = PgCopy.encodedLines(df).collect().map(_.getString(0)).toSet
-        assert(pg == cases.map(_._2 + "+00").toSet, s"pg copy in $tz")
+          spark.sparkContext.parallelize(Seq(Row(inst)), 1), tsSchema)
+        val pg = PgCopy.encodedLines(df).collect().map(_.getString(0)).toSeq
+        assert(pg == Seq(expect + "+00"), s"pg copy of $inst in $tz")
         val my = graft.write.MyLoadData.encodedLines(df)
-          .collect().map(_.getString(0)).toSet
-        assert(my == cases.map(_._2).toSet, s"load data in $tz")
+          .collect().map(_.getString(0)).toSeq
+        assert(my == Seq(expect), s"load data of $inst in $tz")
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
