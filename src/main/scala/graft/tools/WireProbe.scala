@@ -185,6 +185,50 @@ object WireProbe {
       ms.clear(); ms.close()
     }
 
+    // ---- clickhouse (REST tier: HTTP + JSONEachRow + Spill.typed) ----------
+    // Exercises the round-12 REST scale path end-to-end: distributed
+    // INSERT chunks in, then (a) the driver-staged streaming read and
+    // (b) the executor-partitioned WHERE-bounded cursors, typing through
+    // Spill.typed (the persist proves each cursor ran exactly once —
+    // asserted via the loopback's statement counter).
+    locally {
+      val ch = new LoopbackClickHouse()
+      ch.define("c", Seq("k" -> ch.Num, "name" -> ch.Txt, "score" -> ch.Num))
+      ch.load("c", fixture(n))
+      ch.define("sink", Seq("k" -> ch.Num, "name" -> ch.Txt,
+        "score" -> ch.Num))
+      val cConn = ch.conn
+      val (cPart, cRows) = med3 {
+        ClickHouseHttp.readPartitioned(spark, cConn,
+          "SELECT * FROM c WHERE {chunk}", "k", 0L, (n - 1).toLong,
+          chunks = splits).count()
+      }
+      require(cRows == n, s"clickhouse partitioned read $cRows != $n")
+      out("clickhouse_part_read_sec") = cPart
+      out("clickhouse_part_read_rows_per_sec") = n / cPart
+      val before = ch.statements.get()
+      val frame = ClickHouseHttp.readPartitioned(spark, cConn,
+        "SELECT * FROM c WHERE {chunk}", "k", 0L, (n - 1).toLong,
+        chunks = splits)
+      require(frame.count() == n && frame.count() == n)
+      require(ch.statements.get() - before == splits,
+        s"expected exactly $splits cursors, saw ${ch.statements.get() - before}")
+      val (cRead, cRows2) = med3 {
+        ClickHouseHttp.read(spark, cConn, "SELECT * FROM c").count()
+      }
+      require(cRows2 == n, s"clickhouse staged read $cRows2 != $n")
+      out("clickhouse_read_sec") = cRead
+      out("clickhouse_read_rows_per_sec") = n / cRead
+      val (cIns, _) = med3 {
+        ClickHouseHttp.execute(cConn, "TRUNCATE TABLE sink")
+        ClickHouseHttp.insert(df, cConn, "sink")
+      }
+      require(ch.rowCount("sink") == n, s"sink ${ch.rowCount("sink")} != $n")
+      out("clickhouse_insert_sec") = cIns
+      out("clickhouse_insert_rows_per_sec") = n / cIns
+      ch.clear(); ch.close()
+    }
+
     println(out.map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString(s"""{"rows":$n,"splits":$splits,""", ",", "}"))
     spark.stop()

@@ -143,6 +143,33 @@ class ClickHouseHttpSpec extends AnyFunSuite {
     } finally fake.stop()
   }
 
+  test("LoopbackClickHouse serves the full probe surface: typed reads, " +
+      "partitioned cursors, distributed insert, truncate") {
+    val ch = new graft.sources.LoopbackClickHouse()
+    try {
+      ch.define("c", Seq("k" -> ch.Num, "name" -> ch.Txt, "score" -> ch.Num))
+      ch.load("c", (0 until 200).map(i => Seq(i.toLong, s"d-$i", i / 7.0)))
+      ch.define("sink", Seq("k" -> ch.Num, "name" -> ch.Txt,
+        "score" -> ch.Num))
+      // staged streaming read types numbers as numbers
+      val df = ClickHouseHttp.read(spark, ch.conn, "SELECT * FROM c")
+      assert(df.count() == 200)
+      assert(df.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(df.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+        == (0 until 200).sum.toLong)
+      // partitioned cursors: every row exactly once across 4 chunks
+      val part = ClickHouseHttp.readPartitioned(spark, ch.conn,
+        "SELECT * FROM c WHERE {chunk}", "k", 0L, 199L, chunks = 4)
+      assert(part.count() == 200)
+      // distributed insert + truncate round-trip
+      ClickHouseHttp.insert(df, ch.conn, "sink", chunkRows = 64)
+      assert(ch.rowCount("sink") == 200)
+      ClickHouseHttp.execute(ch.conn, "TRUNCATE TABLE sink")
+      assert(ch.rowCount("sink") == 0)
+    } finally ch.close()
+  }
+
   test("engine errors surface with clickhouse's message") {
     val fake = new FakeCh
     try {
