@@ -170,6 +170,26 @@ class ClickHouseHttpSpec extends AnyFunSuite {
     } finally ch.close()
   }
 
+  test("explicit schema: single streaming pass per action, typed exactly") {
+    import org.apache.spark.sql.types._
+    val ch = new graft.sources.LoopbackClickHouse()
+    try {
+      ch.define("c", Seq("k" -> ch.Num, "name" -> ch.Txt, "score" -> ch.Num))
+      ch.load("c", (0 until 50).map(i => Seq(i.toLong, s"d-$i", i / 7.0)))
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("name", StringType), StructField("score", DoubleType)))
+      val before = ch.statements.get()
+      val df = ClickHouseHttp.readPartitioned(spark, ch.conn,
+        "SELECT * FROM c WHERE {chunk}", "k", 0L, 49L, chunks = 2,
+        schema = Some(schema))
+      assert(df.count() == 50)
+      // no inference pass with a schema: one action = one cursor set
+      assert(ch.statements.get() - before == 2,
+        s"got ${ch.statements.get() - before}")
+      assert(df.schema == schema)
+    } finally ch.close()
+  }
+
   test("engine errors surface with clickhouse's message") {
     val fake = new FakeCh
     try {
