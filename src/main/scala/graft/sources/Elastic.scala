@@ -108,9 +108,22 @@ object Elastic {
     // `size`), mirroring the reference's channel-paced scroll
     var scrollId = first.path("_scroll_id").asText("")
     var page = hitsOf(first)
+    var cleared = false
+    // release the server-side scroll context instead of pinning it for
+    // the keep-alive: on exhaustion, and (for early termination — a
+    // LIMIT that stops mid-slice, a killed task) at task completion
+    def clearScroll(): Unit = if (!cleared && scrollId.nonEmpty) {
+      cleared = true
+      try request("DELETE", s"${conn.baseUrl}/_search/scroll", conn.headers,
+        s"""{"scroll_id":[${mapper.writeValueAsString(
+          mapper.getNodeFactory.textNode(scrollId))}]}""", retriable = false)
+      catch { case _: Exception => () } // best-effort hygiene
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => clearScroll()))
     new Iterator[String] {
       private var i = 0
-      private def advance(): Unit =
+      private def advance(): Unit = {
         while (i >= page.size && page.nonEmpty && scrollId.nonEmpty) {
           val next = mapper.readTree(post(s"${conn.baseUrl}/_search/scroll",
             conn.headers, retriable = false, body =
@@ -120,6 +133,8 @@ object Elastic {
           scrollId = next.path("_scroll_id").asText(scrollId)
           i = 0
         }
+        if (i >= page.size) clearScroll() // exhausted
+      }
       override def hasNext: Boolean = { advance(); i < page.size }
       override def next(): String = { advance(); i += 1; page(i - 1) }
     }

@@ -27,6 +27,8 @@ class ElasticSpec extends AnyFunSuite {
     val scrolls = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.ArrayDeque[Seq[String]]]()
     val nextScroll = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clearedScrolls =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -45,7 +47,16 @@ class ElasticSpec extends AnyFunSuite {
           ex.sendResponseHeaders(200, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
         }
-        if (path == "/_search/scroll") {
+        if (path == "/_search/scroll" &&
+            ex.getRequestMethod == "DELETE") {
+          // clear-scroll: body carries {"scroll_id":[ids...]}
+          val ids = body.path("scroll_id")
+          (0 until ids.size()).foreach(i =>
+            clearedScrolls.add(ids.get(i).asText()))
+          val bytes = """{"succeeded":true}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        } else if (path == "/_search/scroll") {
           val sid = body.path("scroll_id").asText()
           val q = scrolls.get(sid)
           val page = Option(if (q == null) null else q.pollFirst())
@@ -102,6 +113,10 @@ class ElasticSpec extends AnyFunSuite {
       // Spill.typed persists the docs across the inference pass and both
       // actions above, so each slice opened EXACTLY one scroll: 4 total
       assert(fake.nextScroll.get() == 4, s"got ${fake.nextScroll.get()}")
+      // and every scroll context was released server-side (clear-scroll
+      // on exhaustion — contexts must not pin the keep-alive window)
+      assert(fake.clearedScrolls.size() == 4,
+        s"cleared ${fake.clearedScrolls}")
     } finally fake.stop()
   }
 
