@@ -26,11 +26,9 @@ object Cli {
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     // JSON string escape for interpolated free text (exception messages,
     // stream names): a quote or backslash would otherwise break consumers
-    def j(s: String): String = Option(s).getOrElse("").flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+    def j(s: String): String = {
+      val quoted = graft.model.JsonText.quote(s)
+      quoted.substring(1, quoted.length - 1)
     }
     def readFile(p: String): String =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),

@@ -49,12 +49,13 @@ object Elastic {
     else HttpRetry.retryConnectOnly(url)(requestOnce(method, url, headers, body))
 
   private def requestOnce(method: String, url: String,
-      headers: Map[String, String], body: String): String = {
+      headers: Map[String, String], body: String,
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000): String = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(120000)
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     if (body.nonEmpty) {
       conn.setDoOutput(true)
@@ -114,10 +115,18 @@ object Elastic {
     // LIMIT that stops mid-slice, a killed task) at task completion
     def clearScroll(): Unit = if (!cleared && scrollId.nonEmpty) {
       cleared = true
-      try request("DELETE", s"${conn.baseUrl}/_search/scroll", conn.headers,
+      // ONE attempt with tight timeouts, no retry: this runs inside the
+      // task-completion listener, where a dead endpoint must not stall
+      // teardown (the context expires with the keep-alive anyway); an
+      // InterruptedException from a task kill must also pass through
+      try requestOnce("DELETE", s"${conn.baseUrl}/_search/scroll",
+        conn.headers,
         s"""{"scroll_id":[${mapper.writeValueAsString(
-          mapper.getNodeFactory.textNode(scrollId))}]}""", retriable = false)
-      catch { case _: Exception => () } // best-effort hygiene
+          mapper.getNodeFactory.textNode(scrollId))}]}""",
+        connectTimeoutMs = 2000, readTimeoutMs = 2000)
+      catch {
+        case _: java.io.IOException => () // best-effort hygiene
+      }
     }
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => clearScroll()))

@@ -27,9 +27,8 @@ final class LoopbackClickHouse extends AutoCloseable {
         .exists(t.toLowerCase.startsWith)) Num else Txt, -1),
     textCode = Txt, countCode = Num)
 
+  /** SELECT/DDL statements served — the probe's exactly-once counter. */
   val statements = new AtomicInteger(0)
-  val insertPosts = new AtomicInteger(0)
-  val rowsServed = new AtomicInteger(0)
 
   def define(table: String, cols: Seq[(String, Int)]): Unit =
     store.define(table, cols.map { case (n, c) => MiniSql.Col(n, c) })
@@ -42,48 +41,15 @@ final class LoopbackClickHouse extends AutoCloseable {
   def rowCount(table: String): Int = store.rowCount(table)
   def clear(): Unit = store.clearAll()
 
-  private def jsonEscape(sb: java.lang.StringBuilder, s: String): Unit = {
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      c match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
-        case x => sb.append(x)
-      }
-      i += 1
-    }
-  }
+  private def jsonEscape(sb: java.lang.StringBuilder, s: String): Unit =
+    graft.model.JsonText.appendEscaped(sb, s)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** `WHERE (a AND b)` → `WHERE a AND b`: [[ClickHouseHttp.readPartitioned]]
-    * parenthesizes its chunk predicate; MiniSql splits conjuncts before
-    * stripping parens, so the wrapper must come off whole. */
-  private def normalizeWhere(sql: String): String = {
-    val re = """(?is)(.*\bWHERE\s+)(\(.*\))(\s*)""".r
-    def balanced(s: String): Boolean = {
-      var d = 0
-      s.foreach { ch =>
-        if (ch == '(') d += 1
-        else if (ch == ')') { d -= 1; if (d < 0) return false }
-      }
-      d == 0
-    }
-    sql match {
-      case re(pre, w, post) if balanced(w.substring(1, w.length - 1)) =>
-        pre + w.substring(1, w.length - 1) + post
-      case _ => sql
-    }
-  }
-
   private val server = com.sun.net.httpserver.HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 64)
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
   server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
     try {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -98,7 +64,6 @@ final class LoopbackClickHouse extends AutoCloseable {
         """(?is)INSERT\s+INTO\s+([\w`"\.]+)\s+FORMAT\s+JSONEachRow\s*""".r
       head match {
         case insertRe(table) =>
-          insertPosts.incrementAndGet()
           val t = store.resolve(table)
           val idx = t.cols.indices
           var line = in.readLine()
@@ -123,8 +88,8 @@ final class LoopbackClickHouse extends AutoCloseable {
           var line = in.readLine()
           while (line != null) { rest.append(' ').append(line); line = in.readLine() }
           val sql0 = rest.toString.trim
-          val sql = normalizeWhere("""(?is)\s+FORMAT\s+JSONEachRow\s*$""".r
-            .replaceAllIn(sql0, ""))
+          val sql = """(?is)\s+FORMAT\s+JSONEachRow\s*$""".r
+            .replaceAllIn(sql0, "")
           store.run(sql) match {
             case MiniSql.Done(_) =>
               ex.sendResponseHeaders(200, -1)
@@ -150,7 +115,6 @@ final class LoopbackClickHouse extends AutoCloseable {
                 }
                 sb.append("}\n")
                 os.write(sb.toString.getBytes("UTF-8"))
-                rowsServed.incrementAndGet()
               }
               os.flush()
           }
@@ -170,5 +134,8 @@ final class LoopbackClickHouse extends AutoCloseable {
   def conn: ClickHouseHttp.Conn =
     ClickHouseHttp.Conn(s"http://127.0.0.1:$port")
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    pool.shutdownNow() // non-daemon workers must not outlive the fixture
+  }
 }

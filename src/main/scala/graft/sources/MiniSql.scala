@@ -419,7 +419,12 @@ private[graft] object MiniSql {
         import scala.jdk.CollectionConverters._
         var rows: Seq[Seq[Option[String]]] = t.rows.asScala.toSeq
 
-        Option(whereOpt).filter(_ != null).foreach { w =>
+        Option(whereOpt).filter(_ != null).foreach { w0 =>
+          // peel a balanced wrapper off the WHOLE clause first — clients
+          // parenthesize compound chunk predicates ("WHERE (a AND b)",
+          // ClickHouseHttp.readPartitioned) and a conjunct-level strip
+          // would see unbalanced halves
+          val w = stripParens(w0)
           w.split("(?i)\\s+AND\\s+").foreach { cond0 =>
             val cond = stripParens(cond0)
             val m = """([\w"`\.]+)\s*(>=|<=|<>|!=|=|>|<)\s*(.+)""".r
