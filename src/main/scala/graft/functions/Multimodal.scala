@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * exactly as they would through a Pandas-UDF batch in PySpark; no shuffle,
   * no driver collection, so the operator scales linearly with partitions.
   *
-  * The decoder is a real pure-JVM header parser: magic-byte format sniff
-  * plus width×height extraction from PNG IHDR, JPEG SOFn, GIF logical
-  * screen, and BMP DIB headers — no codec dependencies, no pixel decode.
-  * Full-pixel decode/resize/frame-sample would slot into [[decode]]
-  * unchanged (the seam is the function, not the plumbing).
+  * Two decode tiers, both real:
+  *   - header tier ([[decode]]/[[extractFeatures]]): pure-JVM magic-byte
+  *     sniff plus width×height from PNG IHDR, JPEG SOFn, GIF logical
+  *     screen, and BMP DIB headers — no pixel work, scan-speed;
+  *   - pixel tier ([[ImageIoCodec]]/[[GifFrameSampler]]/[[pixelStats]]):
+  *     full raster decode, bilinear resample, GIF frame demux with
+  *     compositing, all on the JDK's headless `javax.imageio` +
+  *     `java.awt.image` — no external codec jars.
   */
 object Multimodal {
 
@@ -47,9 +50,8 @@ object Multimodal {
     else "unknown"
 
   /** Offset of the first SOFn marker's 0xff byte (C0–CF minus C4/C8/CC),
-    * walking the segment chain past APPn/COM/fill bytes — the ONE walker
-    * shared by [[dimensions]] (reads h/w at +5/+7) and
-    * [[StubImageCodec.resize]] (writes them), so the two can't drift. */
+    * walking the segment chain past APPn/COM/fill bytes; [[dimensions]]
+    * reads h/w at +5/+7 past it. */
   private def jpegSofOffset(b: Array[Byte]): Option[Int] =
     try {
       var i = 2
@@ -105,55 +107,52 @@ object Multimodal {
 
   // ---- resize -------------------------------------------------------------
 
-  /** Pixel-level codec seam. Real image decoding/scaling libraries are
-    * not in this jar set, so the default implementation is the
-    * header-faithful stub below — swap in a real codec here and the
-    * Spark-side plumbing (schema, partitioning, batch shape) is already
-    * done. The seam is the trait, not the operator. */
+  /** Pixel-level codec seam. The default implementation is the real
+    * JDK codec below ([[ImageIoCodec]] — `javax.imageio` decode,
+    * Java2D bilinear resample, same-format re-encode); the trait stays
+    * the drop-in point for codecs with wider format support. */
   trait ImageCodec extends Serializable {
     /** Return the payload re-encoded at `w`×`h`. */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
-  /** STUB codec: rewrites the container header's dimension fields in
-    * place (PNG IHDR, JPEG SOFn, GIF logical screen, BMP DIB) and leaves
-    * every other byte untouched — deterministic, format-faithful at the
-    * header level, NO pixel work. The output round-trips through
-    * [[dimensions]] at the new size. Unknown formats pass through. */
-  object StubImageCodec extends ImageCodec {
-    private def putBe16(b: Array[Byte], i: Int, v: Int): Unit = {
-      b(i) = ((v >> 8) & 0xff).toByte; b(i + 1) = (v & 0xff).toByte
-    }
-    private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
-      b(i) = (v >>> 24).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
-      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
-    }
-    private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
-      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
-    }
-    private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
-      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
-      b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = (v >>> 24).toByte
-    }
+  /** Real still-image codec on the JDK's built-in readers/writers
+    * (PNG/JPEG/GIF/BMP, headless): decode the payload, bilinear-resample
+    * onto a `w`×`h` raster via Java2D, re-encode in the SAME container
+    * format. Payloads ImageIO can't decode (unknown magic, corrupt
+    * stream) pass through unchanged — resize is best-effort on opaque
+    * media columns, like the reference's binary passthrough
+    * (core/dbio/iop/datatype.go:927-932 never fakes payloads).
+    *
+    * Animated GIFs collapse to their first frame here by ImageIO.read
+    * semantics — frame-level work goes through [[frameSample]]. */
+  object ImageIoCodec extends ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val out = payload.clone()
-      sniffFormat(out) match {
-        case "png" if out.length >= 24 &&
-            new String(out.slice(12, 16)) == "IHDR" =>
-          putBe32(out, 16, w); putBe32(out, 20, h)
-        case "jpeg" =>
-          // the same walker dimensions() reads through, so read and
-          // write offsets cannot drift
-          jpegSofOffset(out).foreach { i =>
-            putBe16(out, i + 5, h); putBe16(out, i + 7, w)
-          }
-        case "gif" if out.length >= 10 =>
-          putLe16(out, 6, w); putLe16(out, 8, h)
-        case "bmp" if out.length >= 26 =>
-          putLe32(out, 18, w); putLe32(out, 22, h)
-        case _ => // unknown container: pass through unchanged
-      }
-      out
+      import java.awt.image.BufferedImage
+      val fmt = sniffFormat(payload)
+      if (fmt != "png" && fmt != "jpeg" && fmt != "gif" && fmt != "bmp")
+        return payload
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (src == null) return payload
+      // JPEG/BMP writers reject alpha rasters; keep ARGB only where the
+      // source had it and the container can carry it
+      val imgType =
+        if ((fmt == "png" || fmt == "gif") && src.getColorModel.hasAlpha)
+          BufferedImage.TYPE_INT_ARGB
+        else BufferedImage.TYPE_INT_RGB
+      val dst = new BufferedImage(w, h, imgType)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      val written = javax.imageio.ImageIO.write(dst,
+        if (fmt == "jpeg") "jpg" else fmt, out)
+      if (written) out.toByteArray else payload
     }
   }
 
@@ -162,7 +161,7 @@ object Multimodal {
     * analogue of a Pandas-UDF batch). The column is replaced in place;
     * everything else flows through untouched. */
   def resize(df: DataFrame, binaryCol: String, w: Int, h: Int,
-      codec: ImageCodec = StubImageCodec): DataFrame = {
+      codec: ImageCodec = ImageIoCodec): DataFrame = {
     val idx = df.schema.fieldIndex(binaryCol)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
     df.mapPartitions { it =>
@@ -177,26 +176,110 @@ object Multimodal {
 
   // ---- frame sampling -------------------------------------------------------
 
-  /** Frame-extraction seam for video/animation payloads. Container
-    * demuxers aren't in this jar set; the stub derives a deterministic
-    * frame count from the header (so tests and oracles can mirror it)
-    * and fabricates frame bytes. A real demuxer drops in here. */
+  /** Frame-extraction seam for video/animation payloads. The demux is a
+    * sequential pass (how real demuxers deliver frames), so the seam is
+    * a streaming method: decode the container once, emit every
+    * `every`-th frame. The default [[GifFrameSampler]] is a real GIF
+    * demuxer on the JDK's ImageIO reader; a video demuxer with external
+    * codecs drops in behind the same trait. */
   trait FrameSampler extends Serializable {
-    def frameCount(payload: Array[Byte]): Int
-    /** Bytes of frame `idx` (0-based) and its presentation time in ms. */
-    def frame(payload: Array[Byte], idx: Int): (Array[Byte], Long)
+    /** Demux `payload`, emitting `(frameIdx, ptsMs, frameBytes)` for
+      * every `every`-th frame (0, every, 2·every, …). Undecodable
+      * payloads emit nothing. */
+    def frames(payload: Array[Byte], every: Int): Seq[(Int, Long, Array[Byte])]
   }
 
-  /** STUB sampler: frameCount = 1 + (header width | byte length) mod 5;
-    * frame bytes are the payload with the first byte XOR'd by the index
-    * (deterministic, distinct per frame); pts advances at 25 fps. */
-  object StubFrameSampler extends FrameSampler {
-    def frameCount(payload: Array[Byte]): Int =
-      1 + dimensions(payload)._1.getOrElse(payload.length) % 5
-    def frame(payload: Array[Byte], idx: Int): (Array[Byte], Long) = {
-      val f = payload.clone()
-      if (f.nonEmpty) f(0) = (f(0) ^ idx).toByte
-      (f, idx * 40L)
+  /** Real GIF demuxer via the JDK's ImageIO GIF reader: walks the frame
+    * sequence once, composites each frame onto the logical-screen canvas
+    * (honoring per-frame left/top offsets and `none` /
+    * `restoreToBackgroundColor` disposal — GIF frames are often partial
+    * patches), reads per-frame delays from the GraphicControlExtension,
+    * and emits sampled frames re-encoded as standalone PNGs (lossless,
+    * self-contained). `ptsMs` is the sum of the delays of all preceding
+    * frames. Still images (png/jpeg/bmp) demux as a single frame 0 —
+    * the payload itself, unchanged. Anything else emits nothing.
+    *
+    * Sampled frames for ONE payload are materialized (resource-safe
+    * reader lifecycle); only one clip is resident per task at a time. */
+  object GifFrameSampler extends FrameSampler {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def attr(meta: javax.imageio.metadata.IIOMetadata,
+        tag: String, name: String, dflt: String): String = {
+      val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val nodes = root.getElementsByTagName(tag)
+      if (nodes.getLength == 0) dflt
+      else {
+        val v = nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .getAttribute(name)
+        if (v == null || v.isEmpty) dflt else v
+      }
+    }
+
+    def frames(payload: Array[Byte], every: Int): Seq[(Int, Long, Array[Byte])] =
+      sniffFormat(payload) match {
+        case "gif" => demuxGif(payload, every)
+        case "png" | "jpeg" | "bmp" => Seq((0, 0L, payload))
+        case _ => Seq.empty
+      }
+
+    private def demuxGif(payload: Array[Byte],
+        every: Int): Seq[(Int, Long, Array[Byte])] = {
+      import java.awt.image.BufferedImage
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return Seq.empty
+        // logical screen from the header (the canvas all frames patch)
+        val (sw, sh) = dimensions(payload) match {
+          case (Some(w), Some(h)) if w > 0 && h > 0 => (w, h)
+          case _ => val f0 = reader.read(0); (f0.getWidth, f0.getHeight)
+        }
+        val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        val out = Seq.newBuilder[(Int, Long, Array[Byte])]
+        var ptsMs = 0L
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val meta = reader.getImageMetadata(i)
+          val left = attr(meta, "ImageDescriptor", "imageLeftPosition", "0").toInt
+          val top = attr(meta, "ImageDescriptor", "imageTopPosition", "0").toInt
+          val delayCs =
+            attr(meta, "GraphicControlExtension", "delayTime", "0").toInt
+          val disposal = attr(meta, "GraphicControlExtension",
+            "disposalMethod", "none")
+          g.drawImage(img, left, top, null)
+          if (i % every == 0) {
+            val copy = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+            val cg = copy.createGraphics()
+            cg.drawImage(canvas, 0, 0, null)
+            cg.dispose()
+            val bo = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(copy, "png", bo)
+            out += ((i, ptsMs, bo.toByteArray))
+          }
+          if (disposal == "restoreToBackgroundColor") {
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Clear)
+            g.fillRect(left, top, img.getWidth, img.getHeight)
+            g.setComposite(comp)
+          }
+          ptsMs += delayCs * 10L
+          i += 1
+        }
+        g.dispose()
+        out.result()
+      } catch {
+        case _: Exception => Seq.empty // corrupt stream: nothing to demux
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
     }
   }
 
@@ -206,7 +289,7 @@ object Multimodal {
     * happens executor-side with no shuffle, so a 100×-frames clip costs
     * its own partition only. */
   def frameSample(df: DataFrame, binaryCol: String, every: Int = 1,
-      sampler: FrameSampler = StubFrameSampler): DataFrame = {
+      sampler: FrameSampler = GifFrameSampler): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
     val idx = df.schema.fieldIndex(binaryCol)
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -218,12 +301,141 @@ object Multimodal {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         if (bytes == null) Iterator.empty
-        else (0 until sampler.frameCount(bytes) by every).iterator.map { f =>
-          val (fb, pts) = sampler.frame(bytes, f)
+        else sampler.frames(bytes, every).iterator.map { case (f, pts, fb) =>
           Row.fromSeq(r.toSeq ++ Seq(f, pts, fb))
         }
       }
     }(enc)
+  }
+
+  // ---- decoded pixel statistics --------------------------------------------
+
+  /** Per-payload raster statistics, from a REAL pixel decode
+    * (`javax.imageio`): decoded width/height and integer mean of each
+    * channel over every pixel. Unlike [[extractFeatures]] (header-only),
+    * this decodes the raster — a payload whose header claims one size
+    * but whose pixel data is another decodes at the TRUE size, so
+    * downstream checks can't be fooled by header rewrites. Undecodable
+    * payloads yield nulls. */
+  final case class PixelStats(width: Int, height: Int,
+      meanR: Int, meanG: Int, meanB: Int)
+
+  def decodePixelStats(bytes: Array[Byte]): Option[PixelStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val np = img.getWidth.toLong * img.getHeight
+      Some(PixelStats(img.getWidth, img.getHeight,
+        (sr / np).toInt, (sg / np).toInt, (sb / np).toInt))
+    }
+  }
+
+  /** Attach decoded-raster stats from `binaryCol`: `decoded_width`,
+    * `decoded_height`, `mean_r`, `mean_g`, `mean_b` (nulls when the
+    * payload doesn't decode). Partition-wise, one pass, no shuffle. */
+  def pixelStats(df: DataFrame, binaryCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("decoded_width", IntegerType),
+      StructField("decoded_height", IntegerType),
+      StructField("mean_r", IntegerType),
+      StructField("mean_g", IntegerType),
+      StructField("mean_b", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val s = if (bytes == null) None else decodePixelStats(bytes)
+        Row.fromSeq(r.toSeq ++ (s match {
+          case Some(p) => Seq(p.width, p.height, p.meanR, p.meanG, p.meanB)
+          case None => Seq(null, null, null, null, null)
+        }))
+      }
+    }(enc)
+  }
+
+  // ---- deterministic raster synthesis ---------------------------------------
+
+  /** Encode a `w`×`h` solid-`rgb` raster in `fmt` (png/gif/bmp/jpg) via
+    * ImageIO — real container bytes with real pixel data. Fixture and
+    * spec helper: solid fills make resample-invariant expectations
+    * (any correct resampler of a constant image is that constant). */
+  def encodeSolid(fmt: String, w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no writer for $fmt")
+    out.toByteArray
+  }
+
+  /** Encode an animated GIF of solid gray frames (one per entry of
+    * `grays`) at `delayCs` centiseconds each — a real multi-frame
+    * container with real GraphicControlExtension timing, via the JDK's
+    * GIF sequence writer. */
+  def encodeAnimatedGif(w: Int, h: Int, grays: Seq[Int],
+      delayCs: Int = 4): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bo = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { gray =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(gray, gray, gray))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = {
+          var found: IIOMetadataNode = null
+          var i = 0
+          while (i < root.getLength && found == null) {
+            if (root.item(i).getNodeName == "GraphicControlExtension")
+              found = root.item(i).asInstanceOf[IIOMetadataNode]
+            i += 1
+          }
+          if (found == null) {
+            val n = new IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(n); n
+          } else found
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bo.toByteArray
   }
 
   /** Attach features extracted from `binaryCol` via the batch decoder.

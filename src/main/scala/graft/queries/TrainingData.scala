@@ -499,51 +499,82 @@ object TrainingData {
         CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
         FROM documents ORDER BY doc_id""")),
 
-    // header-level resize through the codec seam: payloads re-encode at
-    // 64×48 and the REAL header parser must read the new dimensions back
-    // out of the rewritten PNG IHDR / JPEG SOFn / GIF screen bytes —
-    // byte_len must not change (header rewrite in place)
+    // REAL pixel resize (javax.imageio decode → bilinear resample →
+    // same-format re-encode): fixtures are real solid-fill rasters whose
+    // color derives from doc_id, the check DECODES the resized payload's
+    // pixels (decoded dims + channel means — resample-invariant for a
+    // constant image), and the oracle computes both independently from
+    // the planted-color arithmetic. A codec that only patches headers
+    // fails: the pixel decode sees the true raster, not the header.
+    // Lossless formats only here (png/gif/bmp) so the means are exact;
+    // jpeg resize is spec-asserted with tolerance in MultimodalSpec.
     Q("td_mm_resize",
       (s, dir) => {
         val bin = Tables(s, dir, "documents")
-          .select(col("doc_id"), mmPayload(col("doc_id")).as("payload"))
-        val resized = Multimodal.resize(bin, "payload", 64, 48)
-        Multimodal.extractFeatures(resized, "payload")
-          .select(col("doc_id"), col("format"), col("width"), col("height"),
-            col("byte_len"))
+          .select(col("doc_id"), mmRaster(col("doc_id")).as("payload"))
+        val resized = Multimodal.resize(bin, "payload", 24, 16)
+        Multimodal.pixelStats(resized, "payload")
+          .select(col("doc_id"), mmSniff(col("payload")).as("format"),
+            col("decoded_width").as("width"), col("decoded_height").as("height"),
+            col("mean_r"), col("mean_g"), col("mean_b"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
-        CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS byte_len
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        CAST((doc_id * 3 + 17) % 256 AS INT) AS mean_r,
+        CAST((doc_id * 7 + 31) % 256 AS INT) AS mean_g,
+        CAST((doc_id * 13 + 101) % 256 AS INT) AS mean_b
         FROM documents ORDER BY doc_id""")),
 
-    // frame sampling through the demuxer seam: the stub's frame count
-    // derives from the parsed header width (1 + width % 5), every 2nd
-    // frame is emitted executor-side (flatMap fan-out, no shuffle), and
-    // the oracle mirrors the arithmetic — a sampler that doesn't parse
-    // the header can't produce the right row multiplicity
+    // REAL GIF frame demux (ImageIO reader, frame compositing, GCE
+    // delays): fixtures are real animated GIFs with 1 + doc_id % 5
+    // solid-gray frames at 40 ms each, every 2nd frame is emitted
+    // executor-side (flatMap fan-out, no shuffle) re-encoded as PNG, and
+    // the check decodes each emitted frame's pixels — frame count, pts,
+    // and per-frame gray all verified against independent arithmetic.
     Q("td_mm_frames",
       (s, dir) => {
         val bin = Tables(s, dir, "documents")
-          .select(col("doc_id"), mmPayload(col("doc_id")).as("payload"))
-        Multimodal.frameSample(bin, "payload", every = 2)
+          .select(col("doc_id"), mmClip(col("doc_id")).as("payload"))
+        val frames = Multimodal.frameSample(bin, "payload", every = 2)
+        Multimodal.pixelStats(frames, "frame")
           .select(col("doc_id"), col("frame_idx"), col("pts_ms"),
-            length(col("frame")).cast("long").as("frame_len"))
+            col("mean_r").as("mean_gray"))
           .orderBy("doc_id", "frame_idx")
       },
       Some("""SELECT d.doc_id, CAST(s.i AS INT) AS frame_idx,
         CAST(s.i * 40 AS BIGINT) AS pts_ms,
-        CAST(CASE d.doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 23 ELSE 13 END AS BIGINT) AS frame_len
+        CAST((d.doc_id * 31 + s.i * 47) % 256 AS INT) AS mean_gray
         FROM documents d JOIN (VALUES (0),(1),(2),(3),(4)) s(i)
-          ON s.i < 1 + (16 + d.doc_id % 1024) % 5 AND s.i % 2 = 0
+          ON s.i < 1 + d.doc_id % 5 AND s.i % 2 = 0
         ORDER BY d.doc_id, frame_idx"""))
   )
 
+  /** Real solid-fill rasters keyed by doc_id (png/gif/bmp — lossless, so
+    * pixel means are exactly the planted color): fixtures for the
+    * pixel-level resize row. */
+  private val mmRaster = udf { (d: Long) =>
+    val fmt = (d % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
+    Multimodal.encodeSolid(fmt, 8 + (d % 24).toInt, 8 + (d % 16).toInt,
+      (((d * 3 + 17) % 256).toInt, ((d * 7 + 31) % 256).toInt,
+        ((d * 13 + 101) % 256).toInt))
+  }
+
+  /** Real animated GIFs keyed by doc_id: 1 + doc_id % 5 solid-gray
+    * frames ((doc_id·31 + f·47) mod 256) at 4 cs each. */
+  private val mmClip = udf { (d: Long) =>
+    Multimodal.encodeAnimatedGif(16, 10,
+      (0 until (1 + (d % 5).toInt)).map(f => ((d * 31 + f * 47) % 256).toInt))
+  }
+
+  /** Container sniff as a column (format of the RESIZED bytes — must
+    * match the source container, not just decode). */
+  private val mmSniff = udf { (b: Array[Byte]) => Multimodal.sniffFormat(b) }
+
   /** Deterministic minimal media payloads keyed by doc_id (PNG / JPEG /
-    * GIF headers whose dimensions derive from the id) — shared by the
-    * td_multimodal / td_mm_resize / td_mm_frames oracles, which recompute
+    * GIF headers whose dimensions derive from the id) — used by the
+    * td_multimodal header-decode oracle, which recomputes
     * the expected values arithmetically. */
   private val mmPayload = {
         def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
