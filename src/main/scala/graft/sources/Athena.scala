@@ -123,7 +123,7 @@ object Athena {
     }
     var token = ""
     var cols: Seq[(String, DataType)] = Nil
-    val w = new Spill.JsonlWriter("athena", spill)
+    val w = new Spill.JsonlWriter(spark, "athena", spill)
     val line = mapper.createObjectNode()
     var first = true
     var done = false

@@ -141,7 +141,7 @@ object AzTable {
       filter: Option[String] = None, select: Seq[String] = Nil,
       top: Option[Int] = None,
       spill: Spill.Config = Spill.Config()): DataFrame = {
-    val w = new Spill.JsonlWriter("aztable", spill)
+    val w = new Spill.JsonlWriter(spark, "aztable", spill)
     walk(conn, table, filter, select, top)(w.write)
     Spill.readJsonl(spark, None, w.close())
   }

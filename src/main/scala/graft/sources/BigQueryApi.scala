@@ -89,7 +89,7 @@ object BigQueryApi {
       val f = fields.get(i)
       (f.path("name").asText(), sparkType(f.path("type").asText()))
     }
-    val w = new Spill.JsonlWriter("bigquery", spill)
+    val w = new Spill.JsonlWriter(spark, "bigquery", spill)
     val line = mapper.createObjectNode()
     var done = false
     // pageToken pages stream straight to JSONL staging — one page

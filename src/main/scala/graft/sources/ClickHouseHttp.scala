@@ -95,7 +95,7 @@ object ClickHouseHttp {
       spill: Spill.Config = Spill.Config()): DataFrame = {
     val q = if (sql.toUpperCase.contains("FORMAT ")) sql.trim
       else s"${sql.trim} FORMAT JSONEachRow"
-    val w = new Spill.JsonlWriter("clickhouse", spill)
+    val w = new Spill.JsonlWriter(spark, "clickhouse", spill)
     postStreaming(conn, q) { rd =>
       var line = rd.readLine()
       while (line != null) {

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -18,32 +19,85 @@ import org.apache.spark.sql.types.StructType
   * the driver, do the parse/type work, and parallelism follows the part
   * files.
   *
-  * The staging directory defaults to a JVM temp dir (correct for
-  * local/driver-side staging); pass `dir` to land parts on any
-  * shared/scratch mount a cluster's executors can read.
+  * Staging writes through the Hadoop FS API, so the root can be any
+  * filesystem Spark can read back (`hdfs://`, `s3a://`, a shared mount,
+  * `file:`). Root resolution, in order: explicit `Config.dir`, the
+  * session conf `spark.graft.spill.dir`, then — ONLY on a `local[*]`
+  * master, where driver temp is readable by every "executor" — a JVM
+  * temp directory. On any other master an unset root is refused up
+  * front: a driver-local landing zone would stage files the executors
+  * can't open, and that must fail at plan time, not as a
+  * FileNotFoundException mid-job.
   */
 object Spill {
 
+  /** Session conf naming the shared staging root for spill files. */
+  val DirKey = "spark.graft.spill.dir"
+
   /** Staging knobs: rotate part files every `partBytes`, land under
-    * `dir` (temp dir when None). Small `partBytes` in tests forces
-    * rotation so specs can assert bounded residency via part counts. */
+    * `dir` (root resolution above when None). Small `partBytes` in tests
+    * forces rotation so specs can assert bounded residency via part
+    * counts. */
   final case class Config(partBytes: Long = 64L << 20,
       dir: Option[String] = None)
 
-  /** Rotating JSONL writer. One line at a time — the only driver-side
-    * state is the current buffered write, never the result set. */
-  final class JsonlWriter(prefix: String, config: Config = Config()) {
-    val dir: java.nio.file.Path = config.dir match {
-      case Some(d) =>
-        val p = java.nio.file.Paths.get(d)
-        java.nio.file.Files.createDirectories(p)
-        java.nio.file.Files.createTempDirectory(p, prefix)
-      case None => java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+  /** Resolve the staging root: explicit dir > session conf > (local
+    * master only) JVM temp. Factored for direct spec coverage of the
+    * non-local refusal without standing up a cluster master. */
+  def resolveRoot(master: String, confDir: Option[String],
+      explicit: Option[String], prefix: String): String =
+    explicit.orElse(confDir.filter(_.nonEmpty)).getOrElse {
+      if (!master.startsWith("local"))
+        throw new IllegalStateException(
+          s"Spill staging has no shared root configured: executors on " +
+            s"master '$master' cannot read a driver-local temp directory. " +
+            s"Set $DirKey (or pass Spill.Config(dir = ...)) to a filesystem " +
+            s"all executors can read — hdfs://, s3a://, or a shared mount.")
+      java.nio.file.Files.createTempDirectory(s"graft-$prefix").toUri.toString
     }
-    // staged parts live until the frame is consumed (the read is lazy),
-    // so cleanup is at JVM exit: dir registered before its files —
-    // deleteOnExit deletes LIFO, files first, then the emptied dir
-    dir.toFile.deleteOnExit()
+
+  // ---- staged-directory cleanup registry ------------------------------------
+  // ONE JVM shutdown hook over a removable set — staged dirs purge eagerly
+  // via purge()/JsonlWriter.purge() and fall out of the registry; the hook
+  // is only the backstop for dirs still live at exit. (Per-file
+  // File.deleteOnExit would grow the JVM's hook set unboundedly on a
+  // long-running driver and is local-FS-only.)
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      pending.forEach(d => try deleteDir(d) catch { case _: Exception => () })))
+  private def deleteDir(dir: String): Unit = {
+    val p = new Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+  }
+  private def register(dir: String): Unit = { hookInstalled; pending.add(dir) }
+
+  /** Eagerly delete a staged directory and drop it from the exit-time
+    * backstop. Call once the staged frame has been fully consumed. */
+  def purge(dir: String): Unit = {
+    pending.remove(dir)
+    try deleteDir(dir) catch { case _: Exception => () }
+  }
+
+  /** Rotating JSONL writer over the Hadoop FS API. One line at a time —
+    * the only driver-side state is the current buffered write, never the
+    * result set. */
+  final class JsonlWriter(spark: SparkSession, prefix: String,
+      config: Config = Config()) {
+    private val hconf = spark.sessionState.newHadoopConf()
+    val dir: Path = {
+      val root = new Path(resolveRoot(spark.sparkContext.master,
+        Option(spark.conf.get(DirKey, null)), config.dir, prefix))
+      val fs = root.getFileSystem(hconf)
+      val d = new Path(fs.makeQualified(root),
+        s"$prefix-${java.util.UUID.randomUUID}")
+      fs.mkdirs(d)
+      d
+    }
+    private val fs: FileSystem = dir.getFileSystem(hconf)
+    register(dir.toString)
+
     private var part = -1
     private var partBytes = 0L
     private var out: java.io.Writer = null
@@ -54,11 +108,10 @@ object Spill {
       if (out != null) out.close()
       part += 1
       partBytes = 0L
-      val p = dir.resolve(f"part-$part%05d.jsonl")
-      p.toFile.deleteOnExit()
+      val p = new Path(dir, f"part-$part%05d.jsonl")
       _files += p.toString
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        java.nio.file.Files.newOutputStream(p), "UTF-8"), 1 << 16)
+        fs.create(p), "UTF-8"), 1 << 16)
     }
 
     def write(line: String): Unit = {
@@ -77,6 +130,11 @@ object Spill {
       if (out != null) { out.close(); out = null }
       _files.toSeq
     }
+
+    /** Eagerly delete this writer's staged directory (drops it from the
+      * exit backstop too). Only after the staged frame is consumed —
+      * the read is lazy and may scan the files more than once. */
+    def purge(): Unit = Spill.purge(dir.toString)
   }
 
   /** Distributed read-back of a staged spill. With a schema the parse is
@@ -130,7 +188,7 @@ object Spill {
     * (a rendered JSONL line); nothing else is retained driver-side. */
   def stage(spark: SparkSession, prefix: String, schema: Option[StructType],
       config: Config)(walk: (String => Unit) => Unit): DataFrame = {
-    val w = new JsonlWriter(prefix, config)
+    val w = new JsonlWriter(spark, prefix, config)
     walk(w.write)
     readJsonl(spark, schema, w.close())
   }

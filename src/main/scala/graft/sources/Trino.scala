@@ -159,7 +159,7 @@ object Trino {
     * holds one page at a time, never the result set. */
   def read(spark: SparkSession, conn: Conn, sql: String,
       spill: Spill.Config = Spill.Config()): DataFrame = {
-    val w = new Spill.JsonlWriter("trino", spill)
+    val w = new Spill.JsonlWriter(spark, "trino", spill)
     var cols: Seq[(String, DataType)] = Nil
     val line = mapper.createObjectNode()
     walk(conn, sql)(
