@@ -80,8 +80,9 @@ object Bigtable {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (body.nonEmpty) conn.setDoOutput(true) // config precedes connect
+    HttpRetry.connecting(conn.connect())
     if (body.nonEmpty) {
-      conn.setDoOutput(true)
       val os = conn.getOutputStream
       try os.write(body.getBytes("UTF-8")) finally os.close()
     }
@@ -115,8 +116,9 @@ object Bigtable {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (body.nonEmpty) conn.setDoOutput(true) // config precedes connect
+    HttpRetry.connecting(conn.connect())
     if (body.nonEmpty) {
-      conn.setDoOutput(true)
       val os = conn.getOutputStream
       try os.write(body.getBytes("UTF-8")) finally os.close()
     }

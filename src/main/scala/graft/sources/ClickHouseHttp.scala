@@ -56,7 +56,8 @@ object ClickHouseHttp {
     http.setConnectTimeout(10000)
     http.setReadTimeout(300000)
     conn.headers.foreach { case (k, v) => http.setRequestProperty(k, v) }
-    http.setDoOutput(true)
+    http.setDoOutput(true) // config precedes connect
+    HttpRetry.connecting(http.connect())
     val os = http.getOutputStream
     try os.write(body.getBytes("UTF-8")) finally os.close()
     val code = http.getResponseCode

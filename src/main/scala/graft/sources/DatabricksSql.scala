@@ -41,8 +41,9 @@ object DatabricksSql {
     http.setConnectTimeout(10000)
     http.setReadTimeout(120000)
     headers.foreach { case (k, v) => http.setRequestProperty(k, v) }
+    body.foreach(_ => http.setDoOutput(true)) // config precedes connect
+    HttpRetry.connecting(http.connect())
     body.foreach { b =>
-      http.setDoOutput(true)
       val os = http.getOutputStream
       try os.write(b.getBytes("UTF-8")) finally os.close()
     }

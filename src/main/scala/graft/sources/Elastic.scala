@@ -57,8 +57,9 @@ object Elastic {
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    if (body.nonEmpty) conn.setDoOutput(true) // config precedes connect
+    HttpRetry.connecting(conn.connect())
     if (body.nonEmpty) {
-      conn.setDoOutput(true)
       val os = conn.getOutputStream
       try os.write(body.getBytes("UTF-8")) finally os.close()
     }
@@ -101,6 +102,14 @@ object Elastic {
       (0 until hits.size()).map(i =>
         mapper.writeValueAsString(hits.get(i).path("_source")))
     }
+    // The initial _search keeps FULL transient retry (it's replay-safe:
+    // no rows have been emitted yet). Accepted corner: if an attempt
+    // succeeds server-side but its response is lost, the replay opens a
+    // second scroll context and the orphan stays pinned until the 1m
+    // keep-alive lapses — only the context we hold is cleared below.
+    // Deliberately not mitigated by a shorter first TTL: the first
+    // context must survive until the first continuation renews it, and
+    // a busy executor can take tens of seconds to get there.
     val first = mapper.readTree(post(
       s"${conn.baseUrl}/$index/_search?scroll=1m",
       conn.headers, mapper.writeValueAsString(root)))

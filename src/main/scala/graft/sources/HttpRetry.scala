@@ -76,14 +76,37 @@ object HttpRetry {
     math.floorMod(z ^ (z >>> 31), math.max(cap, 1L))
   }
 
+  /** SocketTimeoutException subtype marking a CONNECT-phase timeout.
+    * Thrown by [[connecting]], so [[neverSent]] classifies the phase
+    * structurally — the call site, not the JDK's exception message,
+    * says the timeout fired before any request byte went out. */
+  final class ConnectTimeoutException(cause: java.net.SocketTimeoutException)
+      extends java.net.SocketTimeoutException(
+        s"connect: ${Option(cause.getMessage).getOrElse("timed out")}") {
+    initCause(cause)
+  }
+
+  /** Wrap connection establishment (`conn.connect()` — a no-op if
+    * already connected): a SocketTimeoutException raised inside provably
+    * predates the request, so it re-throws as the replay-safe
+    * [[ConnectTimeoutException]]. Every `*Once` HTTP helper calls this
+    * before its first I/O. */
+  def connecting[T](op: => T): T =
+    try op catch {
+      case t: java.net.SocketTimeoutException =>
+        throw new ConnectTimeoutException(t)
+    }
+
   /** Failures where the request provably NEVER REACHED the server — no
     * connection was established (or no route/host existed), so replaying
     * is safe even for non-idempotent writes. A SocketTimeoutException
-    * counts only in its connect phase (the JDK message distinguishes
-    * "connect timed out" from "Read timed out"); once bytes may have
-    * been sent, a timeout means the response — and the server's commit
-    * state — is unknown. */
+    * counts only in its connect phase — primarily the structural
+    * [[ConnectTimeoutException]] marker from [[connecting]]; the JDK
+    * message sniff remains only as a fallback for unwrapped call sites.
+    * Once bytes may have been sent, a timeout means the response — and
+    * the server's commit state — is unknown. */
   def neverSent(e: Throwable): Boolean = e match {
+    case _: ConnectTimeoutException => true
     case _: java.net.ConnectException => true
     case _: java.net.UnknownHostException => true
     case _: java.net.NoRouteToHostException => true

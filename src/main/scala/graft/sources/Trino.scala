@@ -42,8 +42,9 @@ object Trino {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(120000)
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach(_ => conn.setDoOutput(true)) // config precedes connect
+    HttpRetry.connecting(conn.connect())
     body.foreach { b =>
-      conn.setDoOutput(true)
       val os = conn.getOutputStream
       try os.write(b.getBytes("UTF-8")) finally os.close()
     }

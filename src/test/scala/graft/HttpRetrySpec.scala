@@ -109,4 +109,26 @@ class HttpRetrySpec extends AnyFunSuite {
     assert(HttpRetry.neverSent(new java.net.NoRouteToHostException("x")))
     assert(!HttpRetry.neverSent(new java.net.SocketException("reset")))
   }
+
+  test("connecting() marks the connect phase structurally, not by message") {
+    // a timeout raised inside connecting() classifies never-sent even
+    // with a message the sniff would miss (JDK wording changes, locales)
+    val e = intercept[java.net.SocketTimeoutException] {
+      HttpRetry.connecting {
+        throw new java.net.SocketTimeoutException("timed out") // no "connect"
+      }
+    }
+    assert(e.isInstanceOf[HttpRetry.ConnectTimeoutException])
+    assert(HttpRetry.neverSent(e))
+    assert(e.getCause.isInstanceOf[java.net.SocketTimeoutException])
+    // outside the connect phase the same message stays non-replayable
+    assert(!HttpRetry.neverSent(new java.net.SocketTimeoutException("timed out")))
+    // non-timeout failures pass through connecting() untouched
+    val c = intercept[java.net.ConnectException] {
+      HttpRetry.connecting { throw new java.net.ConnectException("refused") }
+    }
+    assert(HttpRetry.neverSent(c))
+    // and the happy path returns the value
+    assert(HttpRetry.connecting("ok") == "ok")
+  }
 }
