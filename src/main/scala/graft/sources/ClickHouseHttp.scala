@@ -146,6 +146,41 @@ object ClickHouseHttp {
     Spill.typed(spark, schema, lines.toDS())
   }
 
+  /** Table read routed through the executor-parallel path: one tiny
+    * driver-side `min/max` probe of `column`, then [[readPartitioned]]
+    * with one WHERE-bounded cursor per chunk. The scale default for
+    * table streams that declare a numeric chunk column — the round-12
+    * loopback probe measured it at 3.3× the driver-paged [[read]]'s
+    * throughput (332k vs 102k rows/s at 1.6M rows, BASELINE.md).
+    * Falls back to the single-cursor [[read]] when the table is empty
+    * or the probed bounds aren't integral (non-numeric column). */
+  def readChunked(spark: SparkSession, conn: Conn, table: String,
+      column: String, chunks: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val body = post(conn,
+      s"SELECT min($column) AS lo, max($column) AS hi FROM $table" +
+        " FORMAT JSONEachRow").trim
+    val bounds = body.linesIterator.find(_.nonEmpty).flatMap { line =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      (node.path("lo"), node.path("hi")) match {
+        case (lo, hi) if lo.isNumber || hi.isNumber ||
+            (lo.isTextual && lo.asText.toLongOption.isDefined) =>
+          for {
+            l <- lo.asText.toLongOption
+            h <- hi.asText.toLongOption
+          } yield (l, h)
+        case _ => None
+      }
+    }
+    bounds match {
+      case Some((lo, hi)) =>
+        readPartitioned(spark, conn,
+          s"SELECT * FROM $table WHERE {chunk}", column, lo, hi,
+          math.max(chunks, 1), schema)
+      case None => read(spark, conn, s"SELECT * FROM $table")
+    }
+  }
+
   /** Frame → `INSERT INTO table FORMAT JSONEachRow` chunks. Rows render
     * via Spark's own JSON writer semantics (toJSON), so types match what
     * a file export would carry. DISTRIBUTED: each Spark partition posts

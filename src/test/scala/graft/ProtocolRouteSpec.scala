@@ -69,6 +69,40 @@ class ProtocolRouteSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("clickhouse conn with partition_column routes the table stream to " +
+      "the executor-parallel cursors") {
+    val ch = new graft.sources.LoopbackClickHouse()
+    try {
+      ch.define("big", Seq("id" -> ch.Num, "v" -> ch.Txt))
+      ch.load("big", (1 to 90).map(i => Seq(i, s"v$i")))
+      val conns = Connections.parse(
+        s"""connections:
+           |  CH:
+           |    type: clickhouse
+           |    http_url: http://127.0.0.1:${ch.port}
+           |    partition_column: id
+           |    splits: "4"
+           |""".stripMargin)
+      ch.statements.set(0)
+      val df = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "big", conn = Some("CH")), "/tmp", conns)
+      assert(df.count() == 90)
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        == (1 to 90).sum.toLong)
+      // one min/max probe + one WHERE-bounded cursor per chunk, and —
+      // because Spill.typed persists the fetched lines across the
+      // inference + data scans — each cursor ran exactly once
+      assert(ch.statements.get == 5, s"statements=${ch.statements.get}")
+      // a SQL-text stream on the same conn keeps the single staged cursor
+      ch.statements.set(0)
+      val sqlDf = TaskConfig.readSource(spark,
+        TaskConfig.Source(stream = "select id from big", conn = Some("CH")),
+        "/tmp", conns)
+      assert(sqlDf.count() == 90)
+      assert(ch.statements.get == 1, s"statements=${ch.statements.get}")
+    } finally ch.close()
+  }
+
   test("elasticsearch http_url conn: stream is the index, sliced scroll") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val server = com.sun.net.httpserver.HttpServer.create(
