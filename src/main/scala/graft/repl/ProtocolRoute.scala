@@ -240,14 +240,20 @@ object ProtocolRoute {
       case "bigtable" =>
         // stream is the table id; project/instance come from the conn
         // (database_bigtable.go Init). start_time (unix seconds or ISO
-        // instant) reproduces the reference's TimestampRangeFilter.
+        // instant) reproduces the reference's TimestampRangeFilter;
+        // row_key_prefix / row_key_start / row_key_end reproduce its key
+        // window scans (:420-470) — pushed into every readRows request
+        // and pruning non-overlapping partitions outright.
         Bigtable.read(spark, Bigtable.Conn(url, token),
           bigtablePath(spec, stream),
           maxRanges = spec.get("splits").map(_.toInt).getOrElse(32),
           startTimeMicros = spec.get("start_time").map { s =>
             s.toLongOption.map(_ * 1000000L).getOrElse(
               java.time.Instant.parse(s).toEpochMilli * 1000L)
-          })
+          },
+          keyStart = spec.get("row_key_start").map(_.getBytes("UTF-8")),
+          keyEnd = spec.get("row_key_end").map(_.getBytes("UTF-8")),
+          keyPrefix = spec.get("row_key_prefix").map(_.getBytes("UTF-8")))
       case other =>
         throw new IllegalArgumentException(s"no protocol client for '$other'")
     }

@@ -171,6 +171,37 @@ object Bigtable {
     bounds.zip(bounds.tail)
   }
 
+  /** Smallest key strictly greater than every key with prefix `p` — the
+    * half-open end bound of a prefix scan: drop trailing 0xff bytes and
+    * increment the last remaining one (Bigtable's own prefix-range rule).
+    * All-0xff (or empty) prefixes have no successor → open end. */
+  def prefixSuccessor(p: Array[Byte]): Array[Byte] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) Array.empty[Byte]
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      out
+    }
+  }
+
+  /** Intersect a sampled partition range with the user's key window —
+    * both half-open `[lo, hi)`, empty array = open bound. None when the
+    * intersection is empty (the partition is skipped entirely: the
+    * pushdown prunes work, it doesn't just filter rows). */
+  def intersectRange(plo: Array[Byte], phi: Array[Byte],
+      ulo: Array[Byte], uhi: Array[Byte]): Option[(Array[Byte], Array[Byte])] = {
+    val lo = if (plo.isEmpty) ulo
+      else if (ulo.isEmpty) plo
+      else if (keyOrder.compare(plo, ulo) >= 0) plo else ulo
+    val hi = if (phi.isEmpty) uhi
+      else if (uhi.isEmpty) phi
+      else if (keyOrder.compare(phi, uhi) <= 0) phi else uhi
+    if (lo.nonEmpty && hi.nonEmpty && keyOrder.compare(lo, hi) >= 0) None
+    else Some((lo, hi))
+  }
+
   /** JSON body for one `readRows` call over `[startKey, endKey)` with the
     * reference's optional start-time filter (TimestampRangeFilter,
     * database_bigtable.go:442-445). Key bounds are raw bytes, base64'd
@@ -306,12 +337,26 @@ object Bigtable {
   /** Distributed table scan: sample row keys once on the driver, then
     * each Spark partition streams `readRows` for its own contiguous key
     * range. `startTimeMicros` reproduces the reference's `start_time`
-    * incremental filter. */
+    * incremental filter; `keyPrefix` / `keyStart`+`keyEnd` reproduce its
+    * user key-window scans (database_bigtable.go:420-470 RowRange /
+    * PrefixRange) — the window intersects every sampled range, so
+    * non-overlapping partitions are PRUNED before any request and the
+    * server only scans the window, never the whole table. */
   def read(spark: SparkSession, conn: Conn, tablePath: String,
       maxRanges: Int = 32,
-      startTimeMicros: Option[Long] = None): DataFrame = {
+      startTimeMicros: Option[Long] = None,
+      keyStart: Option[Array[Byte]] = None,
+      keyEnd: Option[Array[Byte]] = None,
+      keyPrefix: Option[Array[Byte]] = None): DataFrame = {
     import spark.implicits._
+    val (ulo, uhi) = keyPrefix.filter(_.nonEmpty) match {
+      case Some(p) => (p, prefixSuccessor(p))
+      case None => (keyStart.getOrElse(Array.empty[Byte]),
+        keyEnd.getOrElse(Array.empty[Byte]))
+    }
     val ranges = keyRanges(sampleRowKeys(conn, tablePath), maxRanges)
+      .flatMap { case (lo, hi) => intersectRange(lo, hi, ulo, uhi) }
+    if (ranges.isEmpty) return spark.emptyDataFrame // window past the table
     val lines = spark.sparkContext
       .parallelize(ranges, ranges.size)
       .flatMap { case (lo, hi) =>

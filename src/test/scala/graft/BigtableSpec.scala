@@ -196,6 +196,51 @@ class BigtableSpec extends AnyFunSuite {
     assert(sent.toSeq == kRaw.toSeq)
   }
 
+  test("prefixSuccessor: increment, 0xff carry, all-0xff open end") {
+    assert(Bigtable.prefixSuccessor("r01".getBytes("UTF-8")).toSeq
+      == "r02".getBytes("UTF-8").toSeq)
+    assert(Bigtable.prefixSuccessor(
+      Array(0x61.toByte, 0xff.toByte, 0xff.toByte)).toSeq
+      == Seq(0x62.toByte))
+    assert(Bigtable.prefixSuccessor(Array(0xff.toByte, 0xff.toByte)).isEmpty)
+    assert(Bigtable.prefixSuccessor(Array.empty[Byte]).isEmpty)
+  }
+
+  test("row_key_prefix pushes the window into every readRows request " +
+      "and prunes non-overlapping partitions") {
+    val fake = new FakeBigtable(30, Seq("r010", "r020"))
+    try {
+      val df = Bigtable.read(spark, fake.conn, tablePath,
+        keyPrefix = Some("r01".getBytes("UTF-8"))).localCheckpoint(true)
+      assert(df.count() == 10) // r010..r019
+      // sampled ranges ["",r010) [r010,r020) [r020,"") intersect the
+      // window [r01, r02): two clipped requests, third range pruned —
+      // the server never sees an unbounded scan
+      assert(fake.rangeRequests.sortBy(_._1) ==
+        Seq(("r01", "r010"), ("r010", "r02")))
+    } finally fake.stop()
+  }
+
+  test("row_key start/end window clips to one request; empty window " +
+      "reads nothing") {
+    val fake = new FakeBigtable(30, Seq("r010", "r020"))
+    try {
+      val df = Bigtable.read(spark, fake.conn, tablePath,
+        keyStart = Some("r005".getBytes("UTF-8")),
+        keyEnd = Some("r008".getBytes("UTF-8"))).localCheckpoint(true)
+      assert(df.count() == 3) // r005, r006, r007
+      assert(fake.rangeRequests.toSeq == Seq(("r005", "r008")))
+      // a window beyond the last key prunes EVERY partition: zero
+      // requests, empty typed frame
+      fake.rangeRequests.clear()
+      val none = Bigtable.read(spark, fake.conn, tablePath,
+        keyStart = Some("zzz".getBytes("UTF-8")))
+      assert(none.count() == 0)
+      // only the [r020,"") tail range overlaps [zzz, inf)
+      assert(fake.rangeRequests.toSeq == Seq(("zzz", "")))
+    } finally fake.stop()
+  }
+
   test("start_time option becomes a timestampRangeFilter the server sees") {
     val fake = new FakeBigtable(20, Nil)
     try {
