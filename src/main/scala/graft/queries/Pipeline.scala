@@ -225,6 +225,105 @@ object Pipeline {
         |FROM dialects CROSS JOIN merged
         |ORDER BY dialect, n_nationkey""".stripMargin)),
 
+    // The FULL strategy×dialect matrix EXECUTED: every (dialect,
+    // strategy) pair the reference's templates define — update_insert /
+    // delete_insert / merge_update / merge_insert / append across 30
+    // dialects (DialectSql.strategyFor; pairs the templates null are
+    // excluded in both the Scala dispatch and the oracle's anti-join
+    // predicates, so the PAIR LIST itself is hash-gated). Same fixture
+    // shape as op_dialect_exec: dst keys 0..14 original, staged keys
+    // 10..24 upper-cased; each strategy has its own arithmetic oracle.
+    Q("op_dialect_strategies",
+      (s, dir) => {
+        import s.implicits._
+        import graft.write.DialectSql
+        val spec = DialectSql.MergeSpec("dst", "stg",
+          Seq("n_nationkey"), Seq("n_nationkey", "n_name"))
+        val dialects = Seq("oracle", "exasol", "db2", "sqlserver",
+          "azuresql", "azuredwh", "fabric", "postgres", "sqlite", "d1",
+          "mysql", "redshift", "mariadb", "clickhouse", "snowflake",
+          "bigquery", "trino", "databricks", "firebird", "derby",
+          "motherduck", "ducklake", "vertica", "hive", "spark",
+          "iceberg", "starrocks", "athena", "proton", "duckdb")
+        val strategies = Seq("update_insert", "delete_insert",
+          "merge_update", "merge_insert", "append")
+        val nations = Tables(s, dir, "nation")
+          .select("n_nationkey", "n_name").collect()
+          .map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+          .sortBy(_._1)
+        val out = for {
+          dialect <- dialects
+          strategy <- strategies
+          stmts <- DialectSql.strategyFor(dialect, strategy, spec).toSeq
+          row <- {
+            val st = new graft.sources.MiniSql.Store(
+              numeric = Set(20), typeOf = _ => (25, -1), textCode = 25,
+              countCode = 20)
+            Seq("dst", "stg").foreach(t => st.define(t,
+              Seq(graft.sources.MiniSql.Col("n_nationkey", 20),
+                graft.sources.MiniSql.Col("n_name", 25))))
+            st.definePk("dst", Seq("n_nationkey"))
+            val d = st.resolve("dst"); val g = st.resolve("stg")
+            nations.filter(_._1 <= 14).foreach { case (k, n) =>
+              st.appendText(d, Seq(Some(k.toString), Some(n)), Seq(0, 1)) }
+            nations.filter(_._1 >= 10).foreach { case (k, n) =>
+              st.appendText(g,
+                Seq(Some(k.toString), Some(n.toUpperCase)), Seq(0, 1)) }
+            stmts.foreach(st.run)
+            st.textRows("dst").map(r =>
+              (dialect, strategy, r(0).get.toLong, r(1).get))
+          }
+        } yield row
+        out.toDF("dialect", "strategy", "n_nationkey", "n_name")
+          .orderBy("dialect", "strategy", "n_nationkey", "n_name")
+      },
+      Some("""WITH dialects(dialect) AS (VALUES ('oracle'), ('exasol'),
+        |  ('db2'), ('sqlserver'), ('azuresql'), ('azuredwh'), ('fabric'),
+        |  ('postgres'), ('sqlite'), ('d1'), ('mysql'), ('redshift'),
+        |  ('mariadb'), ('clickhouse'), ('snowflake'), ('bigquery'),
+        |  ('trino'), ('databricks'), ('firebird'), ('derby'),
+        |  ('motherduck'), ('ducklake'), ('vertica'), ('hive'), ('spark'),
+        |  ('iceberg'), ('starrocks'), ('athena'), ('proton'), ('duckdb')),
+        |strategies(strategy) AS (VALUES ('update_insert'),
+        |  ('delete_insert'), ('merge_update'), ('merge_insert'),
+        |  ('append')),
+        |pairs AS (
+        |  SELECT dialect, strategy FROM dialects CROSS JOIN strategies
+        |  WHERE NOT (strategy = 'update_insert' AND dialect IN
+        |    ('clickhouse','redshift','mariadb','duckdb','motherduck',
+        |     'ducklake','starrocks','athena','proton'))
+        |  AND NOT (strategy = 'delete_insert' AND dialect IN
+        |    ('athena','proton'))
+        |  AND NOT (strategy = 'merge_update' AND dialect IN
+        |    ('clickhouse','starrocks','athena','proton'))
+        |  AND NOT (strategy = 'merge_insert' AND dialect = 'proton')),
+        |results AS (
+        |  SELECT 'update_insert' AS strategy, n_nationkey,
+        |    CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
+        |      AS n_name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'delete_insert', n_nationkey,
+        |    CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'merge_update', n_nationkey,
+        |    CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
+        |  FROM nation WHERE n_nationkey <= 14
+        |  UNION ALL
+        |  SELECT 'merge_insert', n_nationkey,
+        |    CASE WHEN n_nationkey >= 15 THEN upper(n_name) ELSE n_name END
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'append', n_nationkey, n_name
+        |  FROM nation WHERE n_nationkey <= 14
+        |  UNION ALL
+        |  SELECT 'append', n_nationkey, upper(n_name)
+        |  FROM nation WHERE n_nationkey >= 10)
+        |SELECT p.dialect, p.strategy, r.n_nationkey, r.n_name
+        |FROM pairs p JOIN results r ON r.strategy = p.strategy
+        |ORDER BY p.dialect, p.strategy, n_nationkey, n_name""".stripMargin)),
+
     // The duckdb dialect EXECUTED against a real embedded DuckDB
     // (duckdb_jdbc): Spark JDBC staging write + the in-DB delete_insert
     // merge (duckdb's default strategy, duckdb.yaml) + distributed JDBC
@@ -242,17 +341,35 @@ object Pipeline {
         val tgt = nation.filter(col("n_nationkey") <= 14)
         val stg = nation.filter(col("n_nationkey") >= 10)
           .select(col("n_nationkey"), upper(col("n_name")).as("n_name"))
-        Jdbc.write(tgt, url, "facts")
-        Jdbc.mergeStrategy(stg, url, "facts", Seq("n_nationkey"),
-          "delete_insert")
-        Jdbc.read(s, url, "facts")
-          .select(col("n_nationkey").cast("long"), col("n_name"))
-          .orderBy("n_nationkey")
+        // default strategy (delete_insert, duckdb.yaml) AND the
+        // non-default insert-missing strategy, both on the real engine.
+        // The MERGE-based strategies (update_insert/update) need
+        // DuckDB >= 1.4 (MERGE INTO landed there); the offline cache
+        // carries duckdb_jdbc 1.0.0, where the MiniSql matrix row
+        // (op_dialect_strategies) carries those semantics instead.
+        Seq("delete_insert" -> "facts", "insert" -> "facts_ins")
+          .foreach { case (strategy, table) =>
+            Jdbc.write(tgt, url, table)
+            Jdbc.mergeStrategy(stg, url, table, Seq("n_nationkey"), strategy)
+          }
+        val byStrategy = Seq("delete_insert" -> "facts",
+          "insert" -> "facts_ins").map { case (strategy, table) =>
+          Jdbc.read(s, url, table)
+            .select(lit(strategy).as("strategy"),
+              col("n_nationkey").cast("long"), col("n_name"))
+        }
+        byStrategy.reduce(_ unionByName _)
+          .orderBy("strategy", "n_nationkey")
       },
-      Some("""SELECT n_nationkey,
+      Some("""SELECT 'delete_insert' AS strategy, n_nationkey,
         |  CASE WHEN n_nationkey >= 10 THEN upper(n_name) ELSE n_name END
         |    AS n_name
-        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+        |FROM nation
+        |UNION ALL
+        |SELECT 'insert', n_nationkey,
+        |  CASE WHEN n_nationkey >= 15 THEN upper(n_name) ELSE n_name END
+        |FROM nation
+        |ORDER BY strategy, n_nationkey""".stripMargin)),
 
     // Per-dialect native-type DDL for the orders schema across every
     // reference dialect with a real general_type_map (25 dialects x 6

@@ -418,6 +418,50 @@ object DialectSql {
     case _ => "update_insert" // base.yaml:473
   }
 
+  /** Executable strategy × dialect matrix: Some(statements) when the
+    * reference's template defines the strategy for the dialect, None
+    * where the template nulls it — clickhouse/redshift/mariadb and the
+    * duckdb family null merge_update_insert (clickhouse.yaml:44-46,
+    * redshift.yaml:709-710, duckdb.yaml:53-55), starrocks' upsert is the
+    * engine's PK-table native insert (starrocks.yaml:506 — not
+    * expressible as portable SQL), athena nulls everything but
+    * merge_insert (athena.yaml:74-78), and proton is append-only
+    * (proton.yaml:269). Strategy names follow templates/base.yaml:52-80.
+    */
+  def strategyFor(dialect: String, strategy: String,
+      s: MergeSpec): Option[Seq[String]] = strategy match {
+    case "update_insert" => dialect match {
+      case "clickhouse" | "redshift" | "mariadb" | "duckdb" | "motherduck" |
+          "ducklake" | "starrocks" | "athena" | "proton" => None
+      case d => Some(upsertFor(d, s))
+    }
+    case "delete_insert" => dialect match {
+      case "sqlserver" | "azuresql" | "azuredwh" | "fabric" =>
+        Some(sqlserverDeleteInsert(s))
+      case "redshift" => Some(redshiftDeleteInsert(s))
+      case "mariadb" => Some(mariadbDeleteInsert(s))
+      case "starrocks" => Some(starrocksDeleteInsert(s))
+      case "clickhouse" => Some(clickhouseDeleteInsert(s))
+      case "athena" | "proton" => None
+      case _ => Some(mergeDeleteInsert(s))
+    }
+    case "merge_update" => dialect match {
+      // no correlated UPDATE (clickhouse mutations can't join; starrocks
+      // PK tables update via insert; athena/proton null it)
+      case "clickhouse" | "starrocks" | "athena" | "proton" => None
+      case _ => Some(Seq(mergeUpdate(s)))
+    }
+    case "merge_insert" => dialect match {
+      case "clickhouse" => Some(Seq(clickhouseInsertMissing(s)))
+      case "athena" => Some(Seq(athenaInsertMissing(s)))
+      case "proton" => None
+      case _ => Some(Seq(mergeInsert(s)))
+    }
+    // plain INSERT…SELECT appends on every SQL engine
+    case "append" => Some(Seq(protonInsert(s)))
+    case _ => None
+  }
+
   /** Dialect dispatch for the default merge strategy. */
   def upsertFor(dialect: String, s: MergeSpec): Seq[String] = dialect match {
     case "postgres" => Seq(postgresUpsert(s))
