@@ -219,6 +219,12 @@ object Elastic {
     }.sum().toLong
   }
 
+  /** Force a refresh so indexed docs are immediately searchable —
+    * read-after-write smoke checks against a real server need it (ES
+    * indexing is near-real-time; the default refresh interval is 1s). */
+  def refresh(conn: Conn, index: String): Unit =
+    post(s"${conn.baseUrl}/$index/_refresh", conn.headers, "")
+
   /** Delete an index (full-refresh prep); 404 on an absent index is fine. */
   def deleteIndex(conn: Conn, index: String): Unit =
     try request("DELETE", s"${conn.baseUrl}/$index", conn.headers, "")
