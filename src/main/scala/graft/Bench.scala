@@ -52,6 +52,27 @@ object Bench {
   // band-exit, not on a fixed ±20% of a single reading.
   val CalibCpuRefBand = (0.85, 1.00)
   val CalibSparkRefBand = (0.30, 0.46)
+
+  // ---- per-query reference bands (VERDICT r12 item 3) ----------------------
+  // The round-robin spread detector is blind to a SUSTAINED pressure
+  // window covering every interleaved sample of one query: r12's
+  // td_dedup_ngram shipped at ~8.1 s raw against its 3.89–4.82 s box
+  // band with spread 1.02. Second detector: each committed NORMALIZED
+  // median must sit under its recorded idle-box reference median ×
+  // BandHiFactor (BASELINE.md "Per-query reference bands", r13). A
+  // query that exits gets re-sampled isolated; if it stays out, the
+  // pass is flagged and re-run like a contended one. One-sided — a
+  // faster box is never an error.
+  val RefQueryNormMed: Map[String, Double] = Map(
+    "q1_agg" -> 1.29, "q2_filter_project" -> 0.37, "q3_join_agg" -> 1.52,
+    "q4_window_topn" -> 0.48, "q5_topk" -> 0.18, "q13_custom_sql" -> 0.87,
+    "mode_upsert" -> 1.02, "mode_cdc_apply" -> 1.38, "t_asof_join" -> 1.04,
+    "t_sessionize" -> 0.62, "t_stream_window" -> 1.51,
+    "td_text_stats" -> 0.34, "td_dedup_near" -> 1.65, "td_sim_topk" -> 1.45,
+    "td_dedup_ngram" -> 4.40, "op_delta_skipping" -> 1.19,
+    "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
+    "bench_ingest_db" -> 3.10)
+  val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2
 
@@ -229,6 +250,34 @@ object Bench {
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val orderedNames = querySelected ++ ingestSelected
+
+    // normalization factor is known as soon as calibration ran — the
+    // band check below compares normalized medians against the
+    // recorded reference medians
+    val sparkFactor = CalibSparkRefSec / calibSparkSec
+    def runBody(name: String): Unit =
+      if (ingestSelected.contains(name)) ingestBody(name) else runOnce(name)
+    def isBandOut(name: String): Boolean =
+      RefQueryNormMed.get(name).exists { ref =>
+        median(samples(name)) * sparkFactor > ref * BandHiFactor }
+    def isSpreadPolluted(name: String): Boolean = {
+      val xs = samples(name)
+      val med = median(xs)
+      xs.length >= 3 && xs.min > 0 && med / xs.min > 2.0 && med - xs.min > 0.3
+    }
+    // RE-SAMPLE offenders before judging (VERDICT r12 item 3): three
+    // extra isolated samples fold into the median — a transient window
+    // that polluted the interleaved samples washes out; real slowness
+    // survives and flags the pass
+    val offenders = orderedNames.filter(n =>
+      isBandOut(n) || isSpreadPolluted(n))
+    offenders.foreach { n =>
+      (1 to 3).foreach { _ => samples(n) = samples(n) :+ time(n)(runBody(n)) }
+    }
+    val resampledJson = offenders.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bandOut = orderedNames.filter(isBandOut)
+    val bandOutJson = bandOut.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val results = orderedNames.map { name =>
       val xs = samples(name)
       (name, median(xs), xs.min, xs.length)
@@ -269,9 +318,9 @@ object Bench {
     val calibCpuEnd = calibCpu()._1
     // normalized numbers: what this run WOULD have measured on the box the
     // reference band was recorded on. Spark factor normalizes the query
-    // timings (they are Spark workloads); the CPU factor is reported for
-    // diagnosis. Factors < 1 mean this box ran faster than reference.
-    val sparkFactor = CalibSparkRefSec / calibSparkSec
+    // timings (they are Spark workloads; defined above, before the band
+    // check); the CPU factor is reported for diagnosis. Factors < 1 mean
+    // this box ran faster than reference.
     val cpuFactor = CalibCpuRefSec / medianD(Seq(calibCpuStart, calibCpuEnd))
     val totalNorm = total * sparkFactor
     val qsNorm = results.map { case (k, med, _, _) =>
@@ -286,8 +335,11 @@ object Bench {
     val sparkOut = calibSparkSec < CalibSparkRefBand._1 || calibSparkSec > CalibSparkRefBand._2
     val outOfBand = cpuOut || sparkOut
     val contended = ratio < 0.5 || outOfBand
-    (contended || outOfBand,
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
+    // the full gate (VERDICT r12 item 3): calibration bands AND the
+    // spread detector AND the per-query reference bands — a pass ships
+    // clean only when all three agree it was a measurement
+    (contended || outOfBand || polluted != "[]" || bandOut.nonEmpty,
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"band_out":$bandOutJson,"resampled":$resampledJson,"band_hi_factor":$BandHiFactor%.2f,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
     )
     }
 
