@@ -289,18 +289,19 @@ object Bench {
     val ns = results.map { case (k, _, _, n) => "\"" + k + s"""\":$n""" }
       .mkString("{", ",", "}")
     // per-query spread = median/min: an honest query sits near 1; a query
-    // whose median was polluted by box pressure shows a large spread. Any
-    // spread > 2 with an absolute gap > 0.3 s self-identifies in `polluted`
-    // so a bad number can't ship silently (VERDICT r9 item 1).
+    // whose median was polluted by box pressure shows a large spread.
+    // `polluted` uses the SAME isSpreadPolluted predicate that triggered
+    // re-sampling above (one set of thresholds: spread > 2, gap > 0.3 s,
+    // n >= 3 — fewer samples measure jitter, not pollution), evaluated on
+    // the post-resample samples, so "re-sample offenders before judging"
+    // can't drift out of sync with the shipped gate (VERDICT r9 item 1,
+    // r12 item 3).
     val spreads = results.map { case (k, med, mn, n) =>
       (k, if (mn > 0) med / mn else 1.0, med - mn, n) }
     val spreadJson = spreads.map { case (k, sp, _, _) => "\"" + k + f"\":$sp%.2f" }
       .mkString("{", ",", "}")
-    // n >= 3: with fewer samples "median" is just the other sample, so the
-    // ratio measures jitter, not pollution
-    val polluted = spreads.collect {
-      case (k, sp, gap, n) if sp > 2.0 && gap > 0.3 && n >= 3 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val polluted = orderedNames.filter(isSpreadPolluted)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val ingestRates = if (ingestSelected.nonEmpty) {
       results.filter(r => ingestSelected.contains(r._1)).map {
         case (k, med, _, _) =>

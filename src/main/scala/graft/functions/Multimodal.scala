@@ -253,6 +253,17 @@ object Multimodal {
             attr(meta, "GraphicControlExtension", "delayTime", "0").toInt
           val disposal = attr(meta, "GraphicControlExtension",
             "disposalMethod", "none")
+          // restoreToPrevious (disposal 3): the canvas must revert to
+          // its pre-frame state after this frame displays — snapshot it
+          // BEFORE compositing or later frames carry stale patch pixels
+          val prev =
+            if (disposal == "restoreToPrevious") {
+              val c = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+              val cg = c.createGraphics()
+              cg.drawImage(canvas, 0, 0, null)
+              cg.dispose()
+              c
+            } else null
           g.drawImage(img, left, top, null)
           if (i % every == 0) {
             val copy = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
@@ -267,6 +278,13 @@ object Multimodal {
             val comp = g.getComposite
             g.setComposite(java.awt.AlphaComposite.Clear)
             g.fillRect(left, top, img.getWidth, img.getHeight)
+            g.setComposite(comp)
+          } else if (prev != null) {
+            // Src replaces every canvas pixel (alpha included) with the
+            // pre-frame snapshot
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Src)
+            g.drawImage(prev, 0, 0, null)
             g.setComposite(comp)
           }
           ptsMs += delayCs * 10L
@@ -326,19 +344,26 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
+      // bulk row reads into a reused buffer: per-pixel getRGB(x, y) is
+      // the slowest access path (a ColorModel call per pixel) and this
+      // runs per ROW of a media table
+      val w = img.getWidth
+      val h = img.getHeight
+      val buf = new Array[Int](w)
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
-      while (y < img.getHeight) {
+      while (y < h) {
+        img.getRGB(0, y, w, 1, buf, 0, w)
         var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
+        while (x < w) {
+          val p = buf(x)
           sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
           x += 1
         }
         y += 1
       }
-      val np = img.getWidth.toLong * img.getHeight
-      Some(PixelStats(img.getWidth, img.getHeight,
+      val np = w.toLong * h
+      Some(PixelStats(w, h,
         (sr / np).toInt, (sg / np).toInt, (sb / np).toInt))
     }
   }

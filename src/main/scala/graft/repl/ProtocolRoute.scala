@@ -115,11 +115,17 @@ object ProtocolRoute {
       sslMode = spec.get("sslmode").getOrElse("disable"),
       caPem = caPem(spec))
 
+  /** The ONE SQL-text detector — shared by [[sqlFor]] and the
+    * chunk-routing guard so the two can never disagree on whether a
+    * stream is a table (probe-able) or custom SQL. */
+  private def isSqlText(stream: String): Boolean =
+    stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")
+
   /** Table-name streams wrap as SELECT *; SQL text passes through (the
     * reference's same dispatch — `task_run_read.go` treats a stream
     * containing whitespace/`select` as custom SQL). */
   private def sqlFor(stream: String): String =
-    if (stream.matches("(?is)\\s*(select|with)\\b[\\s\\S]*")) stream
+    if (isSqlText(stream)) stream
     else s"SELECT * FROM $stream"
 
   /** `where` carries a stream-level mongo JSON filter when the kind is
@@ -146,8 +152,7 @@ object ProtocolRoute {
         // throughput); SQL-text streams and undeclared tables keep the
         // single staged cursor
         spec.get("partition_column").orElse(spec.get("chunk_column")) match {
-          case Some(col) if !stream
-              .matches("(?is)\\s*(select|with)\\b[\\s\\S]*") =>
+          case Some(col) if !isSqlText(stream) =>
             ClickHouseHttp.readChunked(spark, c, stream, col,
               chunks = spec.get("splits").map(_.toInt).getOrElse(4))
           case _ => ClickHouseHttp.read(spark, c, sqlFor(stream))

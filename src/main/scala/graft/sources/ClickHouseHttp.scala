@@ -158,19 +158,19 @@ object ClickHouseHttp {
       column: String, chunks: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val body = post(conn,
-      s"SELECT min($column) AS lo, max($column) AS hi FROM $table" +
-        " FORMAT JSONEachRow").trim
+      s"SELECT min($column) AS lo, max($column) AS hi, count(*) AS n" +
+        s" FROM $table FORMAT JSONEachRow").trim
+    // count rides the same probe statement: ClickHouse returns min=0 on
+    // an EMPTY non-Nullable column (not NULL), so bounds alone can't
+    // tell "empty table" from "all zeros" — n = 0 routes to the plain
+    // read instead of issuing `chunks` pointless cursors
     val bounds = body.linesIterator.find(_.nonEmpty).flatMap { line =>
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-      (node.path("lo"), node.path("hi")) match {
-        case (lo, hi) if lo.isNumber || hi.isNumber ||
-            (lo.isTextual && lo.asText.toLongOption.isDefined) =>
-          for {
-            l <- lo.asText.toLongOption
-            h <- hi.asText.toLongOption
-          } yield (l, h)
-        case _ => None
-      }
+      for {
+        n <- node.path("n").asText.toLongOption if n > 0
+        l <- node.path("lo").asText.toLongOption
+        h <- node.path("hi").asText.toLongOption
+      } yield (l, h)
     }
     bounds match {
       case Some((lo, hi)) =>

@@ -57,27 +57,37 @@ object Spill {
     }
 
   // ---- staged-directory cleanup registry ------------------------------------
-  // ONE JVM shutdown hook over a removable set — staged dirs purge eagerly
+  // ONE JVM shutdown hook over a removable map — staged dirs purge eagerly
   // via purge()/JsonlWriter.purge() and fall out of the registry; the hook
   // is only the backstop for dirs still live at exit. (Per-file
   // File.deleteOnExit would grow the JVM's hook set unboundedly on a
-  // long-running driver and is local-FS-only.)
-  private val pending =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // long-running driver and is local-FS-only.) Each entry carries the
+  // Hadoop conf THE WRITER USED — a bare `new Configuration()` would miss
+  // session-only settings (spark.hadoop.fs.s3a.* credentials, custom
+  // scheme impls) and silently fail to delete on exactly the shared
+  // stores this staging exists for.
+  private val pending = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]()
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      pending.forEach(d => try deleteDir(d) catch { case _: Exception => () })))
-  private def deleteDir(dir: String): Unit = {
+      pending.forEach((d, c) =>
+        try deleteDir(d, c) catch { case _: Exception => () })))
+  private def deleteDir(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new Path(dir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    p.getFileSystem(conf).delete(p, true)
   }
-  private def register(dir: String): Unit = { hookInstalled; pending.add(dir) }
+  private def register(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    hookInstalled; pending.put(dir, conf)
+  }
 
   /** Eagerly delete a staged directory and drop it from the exit-time
     * backstop. Call once the staged frame has been fully consumed. */
   def purge(dir: String): Unit = {
-    pending.remove(dir)
-    try deleteDir(dir) catch { case _: Exception => () }
+    val conf = Option(pending.remove(dir))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    try deleteDir(dir, conf) catch { case _: Exception => () }
   }
 
   /** Rotating JSONL writer over the Hadoop FS API. One line at a time —
@@ -87,16 +97,30 @@ object Spill {
       config: Config = Config()) {
     private val hconf = spark.sessionState.newHadoopConf()
     val dir: Path = {
-      val root = new Path(resolveRoot(spark.sparkContext.master,
-        Option(spark.conf.get(DirKey, null)), config.dir, prefix))
-      val fs = root.getFileSystem(hconf)
-      val d = new Path(fs.makeQualified(root),
-        s"$prefix-${java.util.UUID.randomUUID}")
-      fs.mkdirs(d)
-      d
+      val shared = config.dir.orElse(
+        Option(spark.conf.get(DirKey, null)).filter(_.nonEmpty))
+      shared match {
+        case Some(root0) =>
+          // shared root: stage under a per-writer subdirectory so
+          // concurrent writers never collide and purge stays scoped
+          val root = new Path(root0)
+          val fs = root.getFileSystem(hconf)
+          val d = new Path(fs.makeQualified(root),
+            s"$prefix-${java.util.UUID.randomUUID}")
+          fs.mkdirs(d)
+          d
+        case None =>
+          // default local temp: resolveRoot enforces the local-only
+          // guard and creates the directory — it IS the staging dir
+          // (a nested level would leave the outer temp dir behind
+          // after purge/exit, leaking one empty dir per read)
+          val d = new Path(resolveRoot(spark.sparkContext.master,
+            None, None, prefix))
+          d.getFileSystem(hconf).makeQualified(d)
+      }
     }
     private val fs: FileSystem = dir.getFileSystem(hconf)
-    register(dir.toString)
+    register(dir.toString, hconf)
 
     private var part = -1
     private var partBytes = 0L
