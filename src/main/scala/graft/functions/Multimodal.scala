@@ -463,6 +463,112 @@ object Multimodal {
     bo.toByteArray
   }
 
+  // ---- audio (WAV/PCM) ------------------------------------------------------
+
+  /** Decoded audio features from a RIFF/WAVE PCM payload: format chunk
+    * fields plus SAMPLE-LEVEL statistics (every PCM16 frame is decoded
+    * — rms and peak come from the actual waveform, not the header). */
+  final case class AudioFeatures(sampleRate: Int, channels: Int,
+      frames: Long, durationMs: Long, rms: Int, peak: Int)
+
+  /** Parse a RIFF/WAVE payload: walk the chunk chain to `fmt ` (PCM16
+    * only) and `data`, then decode every little-endian sample. None for
+    * non-WAV / compressed / truncated payloads. */
+  def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
+    try {
+      if (sniffFormat(b) != "wav") return None
+      var i = 12 // past RIFF<size>WAVE
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= b.length) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          val codec = le16(b, i + 8)
+          if (codec != 1) return None // PCM only
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          bits = le16(b, i + 22)
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = math.min(len, b.length - dataOff)
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+      val n = dataLen / 2
+      var (sumSq, peak) = (0.0, 0)
+      var j = 0
+      while (j < n) {
+        val s = (le16(b, dataOff + j * 2) << 16) >> 16 // sign-extend
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        j += 1
+      }
+      val frames = n.toLong / channels
+      Some(AudioFeatures(rate, channels, frames,
+        frames * 1000L / rate,
+        if (n == 0) 0 else math.round(math.sqrt(sumSq / n)).toInt, peak))
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Attach decoded audio features from `binaryCol`: `sample_rate`,
+    * `channels`, `frames`, `duration_ms`, `rms`, `peak` (nulls when the
+    * payload isn't decodable PCM WAV). Partition-wise, one pass, no
+    * shuffle — the audio leg of the media column family. */
+  def audioFeatures(df: DataFrame, binaryCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms", IntegerType),
+      StructField("peak", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val f = if (bytes == null) None else decodeAudio(bytes)
+        // Seq[Any] pins each element's own type — a bare Seq(Int, Long)
+        // harmonizes the Ints to Long, which the INT columns reject
+        Row.fromSeq(r.toSeq ++ (f match {
+          case Some(a) => Seq[Any](a.sampleRate, a.channels, a.frames,
+            a.durationMs, a.rms, a.peak)
+          case None => Seq[Any](null, null, null, null, null, null)
+        }))
+      }
+    }(enc)
+  }
+
+  /** Encode a PCM16 WAV of `frames` frames at `rate` Hz: a ±`amplitude`
+    * square wave alternating per frame, identical on every channel —
+    * every sample's square is amplitude², so RMS == |amplitude| exactly
+    * and oracles can compute it arithmetically. Fixture/spec helper. */
+  def encodeWavPcm16(rate: Int, channels: Int, frames: Int,
+      amplitude: Int): Array[Byte] = {
+    require(math.abs(amplitude) <= 32767, s"pcm16 amplitude: $amplitude")
+    val dataLen = frames * channels * 2
+    val bo = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bo.put("RIFF".getBytes); bo.putInt(36 + dataLen); bo.put("WAVE".getBytes)
+    bo.put("fmt ".getBytes); bo.putInt(16)
+    bo.putShort(1) // PCM
+    bo.putShort(channels.toShort)
+    bo.putInt(rate)
+    bo.putInt(rate * channels * 2) // byte rate
+    bo.putShort((channels * 2).toShort) // block align
+    bo.putShort(16) // bits
+    bo.put("data".getBytes); bo.putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      val v = (if (f % 2 == 0) amplitude else -amplitude).toShort
+      var c = 0
+      while (c < channels) { bo.putShort(v); c += 1 }
+      f += 1
+    }
+    bo.array()
+  }
+
   /** Attach features extracted from `binaryCol` via the batch decoder.
     * One pass, no shuffle.
     */

@@ -548,7 +548,31 @@ object TrainingData {
         CAST((d.doc_id * 31 + s.i * 47) % 256 AS INT) AS mean_gray
         FROM documents d JOIN (VALUES (0),(1),(2),(3),(4)) s(i)
           ON s.i < 1 + d.doc_id % 5 AND s.i % 2 = 0
-        ORDER BY d.doc_id, frame_idx"""))
+        ORDER BY d.doc_id, frame_idx""")),
+
+    // REAL audio decode (RIFF chunk walk + every PCM16 sample): fixtures
+    // are real WAVs carrying a ±amplitude square wave whose parameters
+    // derive from doc_id; the operator decodes the WAVEFORM (rms/peak
+    // come from the samples, not the header — a square wave's RMS is
+    // exactly its amplitude), and the oracle computes every output
+    // column arithmetically. A header-only reader can't produce rms.
+    Q("td_mm_audio",
+      (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), mmWav(col("doc_id")).as("payload"))
+        Multimodal.audioFeatures(bin, "payload")
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("frames"), col("duration_ms"), col("rms"), col("peak"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS INT) AS channels,
+        CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS frames,
+        CAST(100 + (doc_id % 5) * 10 AS BIGINT) AS duration_ms,
+        CAST(1000 + (doc_id % 100) * 10 AS INT) AS rms,
+        CAST(1000 + (doc_id % 100) * 10 AS INT) AS peak
+        FROM documents ORDER BY doc_id"""))
   )
 
   /** Real solid-fill rasters keyed by doc_id (png/gif/bmp — lossless, so
@@ -571,6 +595,14 @@ object TrainingData {
   /** Container sniff as a column (format of the RESIZED bytes — must
     * match the source container, not just decode). */
   private val mmSniff = udf { (b: Array[Byte]) => Multimodal.sniffFormat(b) }
+
+  /** Real PCM16 WAVs keyed by doc_id: 8 kHz, 1 + doc_id % 2 channels,
+    * 800 + (doc_id % 5)·80 frames of a ±(1000 + (doc_id % 100)·10)
+    * square wave — RMS == peak == amplitude exactly. */
+  private val mmWav = udf { (d: Long) =>
+    Multimodal.encodeWavPcm16(8000, 1 + (d % 2).toInt,
+      800 + (d % 5).toInt * 80, 1000 + (d % 100).toInt * 10)
+  }
 
   /** Deterministic minimal media payloads keyed by doc_id (PNG / JPEG /
     * GIF headers whose dimensions derive from the id) — used by the
