@@ -166,6 +166,118 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  // ---- product quantization ------------------------------------------------
+
+  /** Deterministic Lloyd k-means over driver-side sample rows: init =
+    * first `k` rows, L2 assignment with ties to the lowest centroid,
+    * mean update, empty cells keep their previous centroid. PQ codebooks
+    * train on a bounded sample by standard practice — the sample is the
+    * only data that ever leaves the executors at train time. */
+  private def lloydSample(rows: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    var cents = rows.take(k).map(_.toSeq).toSeq
+    def l2sq(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until iters).foreach { _ =>
+      val assigned = rows.map(r => (cents.indices.minBy(j =>
+        (l2sq(r, cents(j)), j)), r))
+      cents = cents.indices.map { j =>
+        val mine = assigned.filter(_._1 == j).map(_._2)
+        if (mine.isEmpty) cents(j)
+        else mine.transpose.map(xs => xs.sum / xs.length).toSeq
+      }
+    }
+    cents
+  }
+
+  /** 1-row broadcast relation carrying the PQ codebooks as
+    * `__cb: array<array<array<double>>>` (subspace → code → centroid) —
+    * same plan-size rationale as [[centroidsRow]]. */
+  private def codebookRow(spark: org.apache.spark.sql.SparkSession,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    broadcast(Seq(Tuple1(cb)).toDF("__cb"))
+  }
+
+  /** Product-quantization ANN (ADC scan + exact refine).
+    *
+    *   1. TRAIN: `m` per-subspace codebooks of `ksub` centroids, Lloyd
+    *      on a bounded driver-side sample (first `sampleN` rows by id —
+    *      deterministic; PQ codebooks conventionally train on a sample).
+    *   2. ENCODE: one corpus pass maps each vector to `m` small codes
+    *      (argmin-L2 per subspace) — the representation PQ exists for:
+    *      m bytes instead of 4·d, so a 100 TB corpus's index fits in a
+    *      fraction of the space.
+    *   3. ADC SCAN: each query precomputes its `m × ksub` lookup table
+    *      ONCE (broadcast side); scoring a code is then `m` array
+    *      lookups instead of `d` multiplies.
+    *   4. REFINE: the top `k·refine` candidates per query by
+    *      approximate dot re-score EXACTLY (one bounded join back to
+    *      the original vectors) and rank by true cosine.
+    *
+    * Codebooks and query LUTs travel in broadcasts, never plan
+    * literals; the corpus is scanned once to encode and once more only
+    * for the bounded refine set. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, ksub: Int = 16, sampleN: Int = 1024,
+      kmeansIters: Int = 3, refine: Int = 4): DataFrame = {
+    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol))
+      .limit(sampleN).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTopK needs a non-empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val ds = d / m
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      lloydSample(sample.map(_.slice(mi * ds, (mi + 1) * ds)),
+        ksub, kmeansIters)
+    }
+    val cbRow = codebookRow(corpus.sparkSession, cb)
+
+    def subVec(v: Column, mi: Int): Column = slice(v, mi * ds + 1, ds)
+    def l2sqCol(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // argmin-L2 code for subspace mi: sort (d2, j) structs, take j
+    def codeFor(v: Column, mi: Int): Column =
+      element_at(array_sort(transform(element_at(col("__cb"), mi + 1),
+        (cent, j) => struct(l2sqCol(subVec(v, mi), cent).as("d2"),
+          j.as("j")))), 1).getField("j")
+
+    val coded = corpus.crossJoin(cbRow).select(
+      col(idCol).as("neighbor_id"),
+      array((0 until m).map(codeFor(col(vecCol), _)): _*).as("__code"))
+    // per-query LUT: __lut(mi)(j) = dot(query subvector mi, centroid j)
+    val qlut = broadcast(queries.crossJoin(cbRow).select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      array((0 until m).map(mi =>
+        transform(element_at(col("__cb"), mi + 1),
+          cent => dot(subVec(col(vecCol), mi), cent))): _*).as("__lut")))
+    val approx = qlut.join(coded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", (0 until m).map(mi =>
+        element_at(element_at(col("__lut"), mi + 1),
+          element_at(col("__code"), mi + 1) + 1)).reduce(_ + _))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = approx.withColumn("__r", row_number().over(candW))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "__qv", "neighbor_id")
+    val scored = cand.join(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN top-k: multi-table LSH candidate generation with exact re-scoring.
     * Candidates = pairs sharing a bucket in >= 1 of `tables` hash tables.
     */
