@@ -70,6 +70,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    val corpus = e.unionByName(planted)
+    val pq = Similarity.pqTopK(q, corpus, "vec_id", "embedding", 5,
+      m = 8, ksub = 32, kmeansIters = 3, refine = 16)
+    // an identical vector encodes to the query's own code, maxes the ADC
+    // score for that code, and wins the exact refine at cosine 1.0
+    val top1 = pq.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 10000, r)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, r)
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairSet(Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "embedding", 5))
+    val recall = (bf intersect pairSet(pq)).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+
   test("exact checksum aggregator wraps like uint64 addition") {
     import spark.implicits._
     import graft.functions.expressions.ExactChecksum
