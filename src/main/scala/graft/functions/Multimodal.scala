@@ -326,6 +326,28 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- decode-and-append scaffold --------------------------------------------
+
+  /** Shared shape of every decode-and-append operator (extractFeatures /
+    * pixelStats / audioFeatures): ONE partition-wise pass mapping
+    * `binaryCol`'s bytes through `decode` and appending `fields`;
+    * `nullRow` is emitted for null payloads. Decoders must box values to
+    * each field's exact type (return Seq[Any] — a bare Seq(Int, Long)
+    * harmonizes the Ints to Long, which INT columns reject). */
+  private def appendDecoded(df: DataFrame, binaryCol: String,
+      fields: Seq[StructField], nullRow: Seq[Any])(
+      decode: Array[Byte] => Seq[Any]): DataFrame = {
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = StructType(df.schema.fields ++ fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq ++ (if (bytes == null) nullRow else decode(bytes)))
+      }
+    }(enc)
+  }
+
   // ---- decoded pixel statistics --------------------------------------------
 
   /** Per-payload raster statistics, from a REAL pixel decode
@@ -372,24 +394,18 @@ object Multimodal {
     * `decoded_height`, `mean_r`, `mean_g`, `mean_b` (nulls when the
     * payload doesn't decode). Partition-wise, one pass, no shuffle. */
   def pixelStats(df: DataFrame, binaryCol: String): DataFrame = {
-    val idx = df.schema.fieldIndex(binaryCol)
-    val outSchema = StructType(df.schema.fields ++ Seq(
+    val nulls = Seq.fill[Any](5)(null)
+    appendDecoded(df, binaryCol, Seq(
       StructField("decoded_width", IntegerType),
       StructField("decoded_height", IntegerType),
       StructField("mean_r", IntegerType),
       StructField("mean_g", IntegerType),
-      StructField("mean_b", IntegerType)))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    df.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        val s = if (bytes == null) None else decodePixelStats(bytes)
-        Row.fromSeq(r.toSeq ++ (s match {
-          case Some(p) => Seq(p.width, p.height, p.meanR, p.meanG, p.meanB)
-          case None => Seq(null, null, null, null, null)
-        }))
+      StructField("mean_b", IntegerType)), nulls) { bytes =>
+      decodePixelStats(bytes) match {
+        case Some(p) => Seq[Any](p.width, p.height, p.meanR, p.meanG, p.meanB)
+        case None => nulls
       }
-    }(enc)
+    }
   }
 
   // ---- deterministic raster synthesis ---------------------------------------
@@ -473,7 +489,9 @@ object Multimodal {
 
   /** Parse a RIFF/WAVE payload: walk the chunk chain to `fmt ` (PCM16
     * only) and `data`, then decode every little-endian sample. None for
-    * non-WAV / compressed / truncated payloads. */
+    * non-WAV / compressed / truncated payloads — a data chunk whose
+    * declared size runs past the payload means the file was cut, and a
+    * confidently-wrong partial rms is worse than a null. */
   def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
     try {
       if (sniffFormat(b) != "wav") return None
@@ -483,6 +501,11 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val id = new String(b.slice(i, i + 4), "US-ASCII")
         val len = le32(b, i + 4)
+        // chunk sizes are unsigned on the wire but le32 is signed: a
+        // negative read means a corrupt/hostile header — without this
+        // guard the advance below could be zero and the walk would spin
+        // forever on one bad row
+        if (len < 0) return None
         if (id == "fmt " && i + 24 <= b.length) {
           val codec = le16(b, i + 8)
           if (codec != 1) return None // PCM only
@@ -490,8 +513,9 @@ object Multimodal {
           rate = le32(b, i + 12)
           bits = le16(b, i + 22)
         } else if (id == "data") {
+          if (len > b.length - (i + 8)) return None // truncated payload
           dataOff = i + 8
-          dataLen = math.min(len, b.length - dataOff)
+          dataLen = len
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
@@ -516,28 +540,20 @@ object Multimodal {
     * payload isn't decodable PCM WAV). Partition-wise, one pass, no
     * shuffle — the audio leg of the media column family. */
   def audioFeatures(df: DataFrame, binaryCol: String): DataFrame = {
-    val idx = df.schema.fieldIndex(binaryCol)
-    val outSchema = StructType(df.schema.fields ++ Seq(
+    val nulls = Seq.fill[Any](6)(null)
+    appendDecoded(df, binaryCol, Seq(
       StructField("sample_rate", IntegerType),
       StructField("channels", IntegerType),
       StructField("frames", LongType),
       StructField("duration_ms", LongType),
       StructField("rms", IntegerType),
-      StructField("peak", IntegerType)))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    df.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        val f = if (bytes == null) None else decodeAudio(bytes)
-        // Seq[Any] pins each element's own type — a bare Seq(Int, Long)
-        // harmonizes the Ints to Long, which the INT columns reject
-        Row.fromSeq(r.toSeq ++ (f match {
-          case Some(a) => Seq[Any](a.sampleRate, a.channels, a.frames,
-            a.durationMs, a.rms, a.peak)
-          case None => Seq[Any](null, null, null, null, null, null)
-        }))
+      StructField("peak", IntegerType)), nulls) { bytes =>
+      decodeAudio(bytes) match {
+        case Some(a) => Seq[Any](a.sampleRate, a.channels, a.frames,
+          a.durationMs, a.rms, a.peak)
+        case None => nulls
       }
-    }(enc)
+    }
   }
 
   /** Encode a PCM16 WAV of `frames` frames at `rate` Hz: a ±`amplitude`
@@ -570,28 +586,21 @@ object Multimodal {
   }
 
   /** Attach features extracted from `binaryCol` via the batch decoder.
-    * One pass, no shuffle.
-    */
+    * One pass, no shuffle. Null payloads keep their historical shape
+    * (byte_len 0, format "unknown") — byte-level features are total. */
   def extractFeatures(df: DataFrame, binaryCol: String): DataFrame = {
-    val idx = df.schema.fieldIndex(binaryCol)
-    val outSchema = StructType(df.schema.fields ++ Seq(
+    def rowOf(f: BinaryFeatures): Seq[Any] =
+      Seq[Any](f.byteLen, f.contentMd5, f.headHex, f.format,
+        f.width.map(Int.box).orNull, f.height.map(Int.box).orNull)
+    appendDecoded(df, binaryCol, Seq(
       StructField("byte_len", LongType),
       StructField("content_md5", StringType),
       StructField("head_hex", StringType),
       StructField("format", StringType),
       StructField("width", IntegerType),
-      StructField("height", IntegerType)))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    df.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        val f =
-          if (bytes == null)
-            BinaryFeatures(0L, null, null, "unknown", None, None)
-          else decode(bytes)
-        Row.fromSeq(r.toSeq ++ Seq(f.byteLen, f.contentMd5, f.headHex,
-          f.format, f.width.map(Int.box).orNull, f.height.map(Int.box).orNull))
-      }
-    }(enc)
+      StructField("height", IntegerType)),
+      rowOf(BinaryFeatures(0L, null, null, "unknown", None, None))) { bytes =>
+      rowOf(decode(bytes))
+    }
   }
 }

@@ -252,9 +252,12 @@ object Similarity {
     val coded = corpus.crossJoin(cbRow).select(
       col(idCol).as("neighbor_id"),
       array((0 until m).map(codeFor(col(vecCol), _)): _*).as("__code"))
-    // per-query LUT: __lut(mi)(j) = dot(query subvector mi, centroid j)
+    // per-query LUT: __lut(mi)(j) = dot(query subvector mi, centroid j).
+    // The scan carries ONLY (query_id, __lut) × (neighbor_id, __code) —
+    // no vectors — so per-pair payload stays m-scale; the full query
+    // vector rejoins for the bounded refine set only.
     val qlut = broadcast(queries.crossJoin(cbRow).select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(idCol).as("query_id"),
       array((0 until m).map(mi =>
         transform(element_at(col("__cb"), mi + 1),
           cent => dot(subVec(col(vecCol), mi), cent))): _*).as("__lut")))
@@ -266,10 +269,13 @@ object Similarity {
       .orderBy(col("__approx").desc, col("neighbor_id"))
     val cand = approx.withColumn("__r", row_number().over(candW))
       .filter(col("__r") <= k * refine)
-      .select("query_id", "__qv", "neighbor_id")
-    val scored = cand.join(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      Seq("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val qvs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = cand.join(qvs, Seq("query_id"))
+      .join(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
