@@ -503,9 +503,11 @@ object Multimodal {
         val len = le32(b, i + 4)
         // chunk sizes are unsigned on the wire but le32 is signed: a
         // negative read means a corrupt/hostile header — without this
-        // guard the advance below could be zero and the walk would spin
-        // forever on one bad row
-        if (len < 0) return None
+        // guard the advance below could be zero (or wrap on a huge
+        // positive len) and the walk would spin forever on one bad row;
+        // any declared size past the payload also bails (nothing left
+        // to walk, and Int overflow in the advance becomes impossible)
+        if (len < 0 || len > b.length - (i + 8)) return None
         if (id == "fmt " && i + 24 <= b.length) {
           val codec = le16(b, i + 8)
           if (codec != 1) return None // PCM only
@@ -513,9 +515,8 @@ object Multimodal {
           rate = le32(b, i + 12)
           bits = le16(b, i + 22)
         } else if (id == "data") {
-          if (len > b.length - (i + 8)) return None // truncated payload
           dataOff = i + 8
-          dataLen = len
+          dataLen = len // the guard above already rejected truncation
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
