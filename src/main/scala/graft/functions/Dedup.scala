@@ -189,6 +189,34 @@ object Dedup {
     verifyPairs(cands, sets.withColumnRenamed("__sh", "__shingles"), threshold)
   }
 
+  /** Benchmark decontamination: (corpus doc, eval doc) pairs sharing at
+    * least `minShared` DISTINCT token n-grams — the standard eval-set
+    * leak check run over a training corpus before training. The EVAL
+    * side is broadcast (benchmark suites are thousands of documents;
+    * the corpus is the 100 TB side), so the only corpus-scaling work is
+    * one shingle explode + one broadcast hash join against the eval
+    * postings — no pairwise product, no corpus shuffle beyond the
+    * per-pair count aggregation (bounded by true overlaps). Shingles
+    * are distinct per doc on both sides, so the joined row count per
+    * (doc, eval) pair IS the intersection size.
+    *
+    * Output: (idCol, eval_id, shared_grams), shared_grams >= minShared.
+    */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String,
+      n: Int = 3, minShared: Int = 8): DataFrame = {
+    val cg = corpus.select(col(idCol).as("__cid"),
+      explode(shingleCol(col(textCol), n)).as("__g"))
+    val eg = broadcast(evalSet.select(col(evalIdCol).as("eval_id"),
+      explode(shingleCol(col(evalTextCol), n)).as("__g")))
+    cg.join(eg, Seq("__g"))
+      .groupBy("__cid", "eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("__cid").as(idCol), col("eval_id"), col("shared_grams"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH candidate buckets
     * (pairs must share a (table, bucket) posting) + exact cosine verify.
     * The bucket self-join is the only pairwise work — O(candidates), not

@@ -477,6 +477,31 @@ object TrainingData {
       Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
+    // Benchmark decontamination: every doc whose doc_id % 50 == 0 plays
+    // the eval set VERBATIM, so each eval doc is guaranteed to flag its
+    // own corpus copy (full shingle overlap) alongside any organic
+    // overlap; the oracle recomputes the distinct-shingle intersection
+    // with DuckDB list ops. Eval side broadcast — the corpus is the
+    // scaling side and is never reshuffled.
+    Q("td_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val evalSet = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("text"))
+        Dedup.contaminationPairs(docs, evalSet, "doc_id", "text",
+          "eval_id", "text", n = 3, minShared = 5)
+          .orderBy("doc_id", "eval_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        g AS (SELECT doc_id,
+          list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) sh
+          FROM toks),
+        ev AS (SELECT doc_id AS eval_id, sh FROM g WHERE doc_id % 50 = 0)
+        SELECT c.doc_id, e.eval_id,
+          CAST(len(list_intersect(c.sh, e.sh)) AS BIGINT) AS shared_grams
+        FROM g c JOIN ev e ON len(list_intersect(c.sh, e.sh)) >= 5
+        ORDER BY doc_id, eval_id""")),
+
     // Product-quantization ANN, same derived gate: the planted exact copy
     // encodes to the query's own PQ code (identical vector => identical
     // argmin per subspace), so its ADC score ties the maximum for that
