@@ -70,6 +70,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("decontamination flags docs by distinct shared n-grams only") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    // doc 1 contains the eval text verbatim (plus noise), doc 2 shares
+    // a REPEATED trigram (distinct count 1 — must not inflate), doc 3
+    // is clean
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("eval_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "quick brown fox and quick brown fox and quick brown fox"),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, evalSet, "doc_id", "text",
+      "eval_id", "text", n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares all 7 eval trigrams; doc 2's distinct overlap is just
+    // "quick brown fox" (1 < 3); doc 3 shares none
+    assert(out.toSeq == Seq((1L, 100L, 7L)))
+    // lowering the bar to 1 admits doc 2 with its DISTINCT count of 1
+    val loose = Dedup.contaminationPairs(corpus, evalSet, "doc_id", "text",
+      "eval_id", "text", n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(loose.toSeq == Seq((1L, 7L), (2L, 1L)))
+  }
+
   test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
