@@ -229,6 +229,34 @@ object TextAnalysis {
     PiiPattern("ipv4", Ipv4Re, "<IP>"))
 
   /** Count of pattern matches (distributed, codegen regexp). */
+  // ---- C4-style cleaning (Raffel et al. 2020, public heuristics) ----------
+
+  /** True for a line the C4 pipeline KEEPS: ends in terminal punctuation
+    * (. ! ? or a closing double quote), carries at least `minWords`
+    * whitespace words, and doesn't mention javascript (the cookie/JS
+    * boilerplate rule). Pure codegen built-ins. */
+  def c4LineKeep(line: Column, minWords: Int = 5): Column =
+    line.rlike("[.!?\"]$") &&
+      size(split(line, " ")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** Document-level C4 gate: drop pages containing "lorem ipsum" (filler
+    * boilerplate) or a curly brace (leaked code). */
+  def c4DocKeep(text: Column): Column =
+    !lower(text).contains("lorem ipsum") && !text.contains("{")
+
+  /** C4 clean of a newline-delimited document: the text with only the
+    * kept lines (joined with newlines), plus kept/dropped line counts —
+    * per-row expressions, no shuffle, scan-speed over a 100 TB corpus. */
+  def c4CleanedText(text: Column, minWords: Int = 5): Column =
+    array_join(filter(split(text, "\n"), l => c4LineKeep(l, minWords)), "\n")
+
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    size(filter(split(text, "\n"), l => c4LineKeep(l, minWords)))
+
+  def c4DroppedLines(text: Column, minWords: Int = 5): Column =
+    size(split(text, "\n")) - c4KeptLines(text, minWords)
+
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 

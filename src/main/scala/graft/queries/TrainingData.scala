@@ -477,6 +477,61 @@ object TrainingData {
       Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
+    // C4-style cleaning (Raffel et al. 2020 heuristics, public): both
+    // sides build the SAME multi-line page from the doc (planted
+    // boilerplate lines keyed by doc_id), then each INDEPENDENTLY
+    // implements the C4 rules — terminal-punctuation + >=5-word +
+    // no-javascript line gates, lorem-ipsum / curly-brace page gates —
+    // Spark with codegen built-ins, the oracle with DuckDB list ops.
+    Q("td_quality_c4",
+      (s, dir) => {
+        val multi = concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("too short."),
+          lit("this line has five words."),
+          when(col("doc_id") % 7 === 0,
+            lit("please enable javascript to continue."))
+            .otherwise(lit("a perfectly fine closing sentence.")),
+          when(col("doc_id") % 11 === 0,
+            lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("another good line with enough words.")),
+          when(col("doc_id") % 13 === 0, lit("var x = {1};"))
+            .otherwise(lit("the final line ends properly.")))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), multi.as("__t"))
+          .select(col("doc_id"),
+            TA.c4DocKeep(col("__t")).as("doc_keep"),
+            TA.c4KeptLines(col("__t")).as("kept_lines"),
+            TA.c4DroppedLines(col("__t")).as("dropped_lines"),
+            length(TA.c4CleanedText(col("__t"))).as("cleaned_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH built AS (SELECT doc_id,
+        |  text || '.' || chr(10) ||
+        |  'too short.' || chr(10) ||
+        |  'this line has five words.' || chr(10) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to continue.'
+        |       ELSE 'a perfectly fine closing sentence.' END || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |       ELSE 'another good line with enough words.' END || chr(10) ||
+        |  CASE WHEN doc_id % 13 = 0 THEN 'var x = {1};'
+        |       ELSE 'the final line ends properly.' END AS t
+        |  FROM documents),
+        |k AS (SELECT doc_id, t,
+        |  list_filter(string_split(t, chr(10)),
+        |    l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) kept,
+        |  len(string_split(t, chr(10))) total
+        |  FROM built)
+        |SELECT doc_id,
+        |  (NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{'))
+        |    AS doc_keep,
+        |  CAST(len(kept) AS INT) AS kept_lines,
+        |  CAST(total - len(kept) AS INT) AS dropped_lines,
+        |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS cleaned_chars
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: every doc whose doc_id % 50 == 0 plays
     // the eval set VERBATIM, so each eval doc is guaranteed to flag its
     // own corpus copy (full shingle overlap) alongside any organic
