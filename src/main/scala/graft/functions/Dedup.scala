@@ -206,10 +206,16 @@ object Dedup {
       idCol: String, textCol: String,
       evalIdCol: String, evalTextCol: String,
       n: Int = 3, minShared: Int = 8): DataFrame = {
-    val cg = corpus.select(col(idCol).as("__cid"),
-      explode(shingleCol(col(textCol), n)).as("__g"))
-    val eg = broadcast(evalSet.select(col(evalIdCol).as("eval_id"),
-      explode(shingleCol(col(evalTextCol), n)).as("__g")))
+    // sub-n-token texts carry no real n-grams; shingleCol's whole-text
+    // fallback (built for similarity joins) would turn two identical short
+    // docs into a pseudo-gram match here, diverging from the documented
+    // distinct-n-gram semantics — exclude them on both sides
+    val cg = corpus.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("__cid"),
+        explode(shingleCol(col(textCol), n)).as("__g"))
+    val eg = broadcast(evalSet.filter(size(split(col(evalTextCol), " ")) >= n)
+      .select(col(evalIdCol).as("eval_id"),
+        explode(shingleCol(col(evalTextCol), n)).as("__g")))
     cg.join(eg, Seq("__g"))
       .groupBy("__cid", "eval_id")
       .agg(count(lit(1)).as("shared_grams"))

@@ -508,7 +508,11 @@ object Multimodal {
         // any declared size past the payload also bails (nothing left
         // to walk, and Int overflow in the advance becomes impossible)
         if (len < 0 || len > b.length - (i + 8)) return None
-        if (id == "fmt " && i + 24 <= b.length) {
+        // the fmt fields live inside the chunk's DECLARED extent: a
+        // malformed fmt with len < 16 must reject, not read codec/rate/
+        // bits out of whatever chunk happens to follow
+        if (id == "fmt ") {
+          if (len < 16 || i + 24 > b.length) return None
           val codec = le16(b, i + 8)
           if (codec != 1) return None // PCM only
           channels = le16(b, i + 10)

@@ -423,32 +423,46 @@ private[graft] object MiniSql {
           // peel a balanced wrapper off the WHOLE clause first — clients
           // parenthesize compound chunk predicates ("WHERE (a AND b)",
           // ClickHouseHttp.readPartitioned) and a conjunct-level strip
-          // would see unbalanced halves
+          // would see unbalanced halves. Standard precedence: the clause
+          // splits on OR into disjuncts, each an AND chain of simple
+          // conditions — the shape NULL-covering chunk readers emit
+          // ("k >= a AND k < b OR k IS NULL"). Conditions compile ONCE
+          // (index/literal resolution outside the row loop) so big-probe
+          // scans stay linear in rows.
           val w = stripParens(w0)
-          w.split("(?i)\\s+AND\\s+").foreach { cond0 =>
-            val cond = stripParens(cond0)
-            val m = """([\w"`\.]+)\s*(>=|<=|<>|!=|=|>|<)\s*(.+)""".r
-              .findFirstMatchIn(cond).getOrElse(
-                throw new IOException(s"unsupported predicate: $cond"))
-            val i = t.idxOf(stripQ(m.group(1)))
-            val code = t.cols(i).code
-            val lit = parseLiteral(m.group(3)).getOrElse(
-              throw new IOException("NULL comparison unsupported"))
-            val op = m.group(2)
-            rows = rows.filter(_(i) match {
-              case None => false
-              case Some(v) =>
-                val c = compare(v, lit, code)
-                op match {
-                  case ">=" => c >= 0
-                  case "<=" => c <= 0
-                  case ">" => c > 0
-                  case "<" => c < 0
-                  case "=" => c == 0
-                  case "<>" | "!=" => c != 0
+          val IsNullRe = """(?i)([\w"`\.]+)\s+IS\s+(NOT\s+)?NULL\s*""".r
+          def compile(cond: String): Seq[Option[String]] => Boolean =
+            cond match {
+              case IsNullRe(colName, not) =>
+                val i = t.idxOf(stripQ(colName))
+                if (not == null) r => r(i).isEmpty else r => r(i).nonEmpty
+              case _ =>
+                val m = """([\w"`\.]+)\s*(>=|<=|<>|!=|=|>|<)\s*(.+)""".r
+                  .findFirstMatchIn(cond).getOrElse(
+                    throw new IOException(s"unsupported predicate: $cond"))
+                val i = t.idxOf(stripQ(m.group(1)))
+                val code = t.cols(i).code
+                val lit = parseLiteral(m.group(3)).getOrElse(
+                  throw new IOException("NULL comparison unsupported"))
+                val op = m.group(2)
+                r => r(i) match {
+                  case None => false
+                  case Some(v) =>
+                    val c = compare(v, lit, code)
+                    op match {
+                      case ">=" => c >= 0
+                      case "<=" => c <= 0
+                      case ">" => c > 0
+                      case "<" => c < 0
+                      case "=" => c == 0
+                      case _ => c != 0 // <> / !=
+                    }
                 }
-            })
-          }
+            }
+          val disjuncts = w.split("(?i)\\s+OR\\s+").toSeq.map(d =>
+            stripParens(d).split("(?i)\\s+AND\\s+").toSeq
+              .map(c => compile(stripParens(c))))
+          rows = rows.filter(r => disjuncts.exists(_.forall(_(r))))
         }
 
         val projTrim = proj.trim

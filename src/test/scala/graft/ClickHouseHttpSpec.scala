@@ -170,6 +170,24 @@ class ClickHouseHttpSpec extends AnyFunSuite {
     } finally ch.close()
   }
 
+  test("readChunked covers NULL chunk-column rows exactly once") {
+    val ch = new graft.sources.LoopbackClickHouse()
+    try {
+      ch.define("n", Seq("k" -> ch.Num, "name" -> ch.Txt))
+      // Nullable chunk column: range predicates never match NULL — without
+      // the IS NULL sweep on chunk 0 these three rows silently vanish
+      ch.load("n", (0 until 60).map(i => Seq(i.toLong, s"d-$i")) ++
+        Seq(Seq(null, "null-a"), Seq(null, "null-b"), Seq(null, "null-c")))
+      val df = ClickHouseHttp.readChunked(spark, ch.conn, "n", "k", chunks = 3)
+      assert(df.count() == 63)
+      assert(df.filter(df("k").isNull).count() == 3)
+      // non-null rows still exactly once (no double-count from the OR arm)
+      assert(df.filter(df("k").isNotNull)
+        .agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+        == (0 until 60).sum.toLong)
+    } finally ch.close()
+  }
+
   test("explicit schema: single streaming pass per action, typed exactly") {
     import org.apache.spark.sql.types._
     val ch = new graft.sources.LoopbackClickHouse()
