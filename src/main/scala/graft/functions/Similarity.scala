@@ -105,11 +105,19 @@ object Similarity {
     * iteration the shuffle is |corpus|·dim value rows — the standard
     * distributed-k-means cost, linear in data size.
     */
+  /** First `n` vectors by id as driver-side doubles — the bounded sample
+    * every trainer here starts from. The cast makes element type
+    * irrelevant (array<float> and array<double> corpora both work). */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(n)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    var cents: Seq[Seq[Double]] =
+      sampleVectors(corpus, idCol, vecCol, k).map(_.toSeq).toSeq
     (0 until iters).foreach { _ =>
       val assigned = corpus
         .crossJoin(centroidsRow(corpus.sparkSession, cents))
@@ -142,9 +150,7 @@ object Similarity {
     val cents: Seq[Seq[Double]] =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-      else corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      else sampleVectors(corpus, idCol, vecCol, nlist).map(_.toSeq).toSeq
     val cRow = centroidsRow(corpus.sparkSession, cents)
     // top-nprobe cell ids per query: sort (-sim, cell) structs, take n
     def probeCells(v: Column): Column =
@@ -225,9 +231,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 4, ksub: Int = 16, sampleN: Int = 1024,
       kmeansIters: Int = 3, refine: Int = 4): DataFrame = {
-    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol))
-      .limit(sampleN).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample: Array[Array[Double]] =
+      sampleVectors(corpus, idCol, vecCol, sampleN)
     require(sample.nonEmpty, "pqTopK needs a non-empty corpus")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -282,6 +287,151 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  // ---- IVF-PQ (coarse quantizer + residual product codes) -------------------
+
+  /** Internal pieces of [[ivfpqTopK]], split out so specs can assert the
+    * scan bound: `adc` is the candidate frame BEFORE ranking — its row
+    * count is exactly Σ_q Σ_{cell ∈ probes(q)} |list(cell)| (minus
+    * query-self rows), i.e. the probed posting lists and nothing else.
+    * `coded` = (neighbor_id, __cell, __code), `probes` = one row per
+    * (query_id, probed __cell). */
+  private[graft] final case class IvfPq(coded: DataFrame, probes: DataFrame,
+      adc: DataFrame, topK: DataFrame)
+
+  /** IVF-PQ ANN: the standard 100 TB ANN architecture (Jégou et al. 2011,
+    * IVFADC) — a coarse quantizer of `nlist` centroids prunes each query
+    * to `nprobe` posting lists, and within those lists scoring runs over
+    * `m`-byte PQ codes of the RESIDUAL (vector − assigned centroid), not
+    * the vectors.
+    *
+    * Dot products decompose exactly over the residual:
+    * `dot(q, x) = dot(q, c_cell) + dot(q, x − c_cell)`, so the approximate
+    * score is the (per probed cell) centroid dot plus `m` LUT lookups —
+    * no vector ever rides the scan.
+    *
+    * Scale shape:
+    *   - TRAIN driver-side on a bounded `sampleN` sample (standard
+    *     practice): coarse centroids (Lloyd/L2) + shared residual
+    *     codebooks per subspace.
+    *   - ENCODE: one corpus pass → (id, cell, m codes). The index is
+    *     m bytes + a cell id per vector; at 100 TB this is the artifact
+    *     you'd persist bucketed BY CELL so probes prune whole files.
+    *   - PROBE: queries broadcast with their `nprobe` cells, per-cell
+    *     centroid dots, and the m×ksub LUT.
+    *   - ADC SCAN: an equi-join on cell — a BroadcastHashJoin whose
+    *     OUTPUT is exactly the probed lists' codes (unprobed rows cost a
+    *     hash-miss, never an m-lookup score), unlike [[pqTopK]]'s
+    *     exhaustive query×corpus scan.
+    *   - REFINE: top `k·refine` by approximate dot re-score exactly and
+    *     rank by true cosine (bounded join back to the vectors).
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 32, sampleN: Int = 1024,
+      kmeansIters: Int = 3, refine: Int = 8): DataFrame =
+    ivfpqParts(queries, corpus, idCol, vecCol, k, nlist, nprobe, m, ksub,
+      sampleN, kmeansIters, refine).topK
+
+  private[graft] def ivfpqParts(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, sampleN: Int,
+      kmeansIters: Int, refine: Int): IvfPq = {
+    val spark = corpus.sparkSession
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleN)
+    require(sample.nonEmpty, "ivfpqTopK needs a non-empty corpus")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val ds = d / m
+
+    // coarse quantizer: Lloyd on the sample; assignment below is the same
+    // cosine-argmax rule everywhere, so an exact copy of a query vector
+    // always lands in the cell the query probes first
+    val cents = lloydSample(sample, nlist, kmeansIters)
+    val cRow = centroidsRow(spark, cents)
+    def cosTo(v: Array[Double], c: Seq[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1
+      }
+      dot / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    // shared residual codebooks, trained on the sample's residuals under
+    // the same assignment rule the distributed encode uses
+    val residuals = sample.map { v =>
+      val cell = cents.indices.minBy(j => (-cosTo(v, cents(j)), j))
+      v.indices.map(i => v(i) - cents(cell)(i)).toArray
+    }
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      lloydSample(residuals.map(_.slice(mi * ds, (mi + 1) * ds)),
+        ksub, kmeansIters)
+    }
+    val cbRow = codebookRow(spark, cb)
+
+    def subVec(v: Column, mi: Int): Column = slice(v, mi * ds + 1, ds)
+    def l2sqCol(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def centVec(cell: Column): Column =
+      element_at(col("__cents"), cell).getField("cvec")
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, centVec(cell), (x, c) => x.cast("double") - c)
+    def codeFor(r: Column, mi: Int): Column =
+      element_at(array_sort(transform(element_at(col("__cb"), mi + 1),
+        (cent, j) => struct(l2sqCol(slice(r, mi * ds + 1, ds), cent).as("d2"),
+          j.as("j")))), 1).getField("j")
+
+    // ENCODE: one corpus pass → (neighbor_id, __cell, __code[m])
+    val coded = corpus.crossJoin(cRow).crossJoin(cbRow)
+      .withColumn("__cell", bestCellCol(col(vecCol)).cast("int"))
+      .withColumn("__res", residual(col(vecCol), col("__cell")))
+      .select(col(idCol).as("neighbor_id"), col("__cell"),
+        array((0 until m).map(codeFor(col("__res"), _)): _*).as("__code"))
+
+    // PROBE side: nprobe cells per query, dot(q, centroid) per probed
+    // cell, and the residual LUT — all broadcast, never plan literals
+    def probeCells(v: Column): Column =
+      slice(transform(array_sort(negSimCells(v)), x => x.getField("cell")),
+        1, nprobe)
+    val probes = broadcast(queries.crossJoin(cRow).crossJoin(cbRow)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("__cents"),
+        explode(probeCells(col(vecCol))).as("__cell"),
+        array((0 until m).map(mi =>
+          transform(element_at(col("__cb"), mi + 1),
+            cent => dot(subVec(col(vecCol), mi), cent))): _*).as("__lut"))
+      .withColumn("__qc", dot(col("__qv"), centVec(col("__cell"))))
+      .drop("__qv", "__cents"))
+
+    // ADC SCAN: equi-join on the probed cell — output rows == probed
+    // posting lists only; approx = centroid dot + m LUT lookups
+    val adc = probes.join(coded, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx", col("__qc") + (0 until m).map(mi =>
+        element_at(element_at(col("__lut"), mi + 1),
+          element_at(col("__code"), mi + 1) + 1)).reduce(_ + _))
+
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = adc.withColumn("__r", row_number().over(candW))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val qvs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = cand.join(qvs, Seq("query_id"))
+      .join(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topK = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+    IvfPq(coded, probes, adc, topK)
   }
 
   /** ANN top-k: multi-table LSH candidate generation with exact re-scoring.

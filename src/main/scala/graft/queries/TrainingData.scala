@@ -584,6 +584,38 @@ object TrainingData {
       Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
         FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
 
+    // IVF-PQ ANN (coarse quantizer pruning + residual product codes —
+    // the 100 TB composition of td_sim_ivf and td_sim_pq), same derived
+    // gate: the planted exact copy lands in the query's own first-probe
+    // cell under the shared cosine-argmax rule and encodes to the
+    // residual code nearest its own residual, so it survives the ADC cut
+    // and the exact refine ranks it 1 by true cosine. Recall vs brute
+    // force asserted with the family's 0.7 floor, and the scan-bound
+    // property (ADC rows == probed posting lists only) is spec-pinned in
+    // OperatorSpec.
+    Q("td_sim_ivfpq",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        val planted = qs.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        val corpus = e.select("vec_id", "embedding").unionByName(planted)
+        val ivfpq = Similarity.ivfpqTopK(qs, corpus, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32,
+          kmeansIters = 3, refine = 16)
+        val bf = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", k = 5)
+        val recall = ivfpq.select("query_id", "neighbor_id")
+          .join(bf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi").count().toDouble /
+          bf.count()
+        ivfpq.filter(col("rank") === 1)
+          .select(col("query_id"),
+            (col("neighbor_id") === col("query_id") + 10000).as("planted_hit"),
+            lit(recall >= 0.7).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, true AS planted_hit, true AS recall_ok
+        FROM embeddings WHERE vec_id < 20 ORDER BY query_id""")),
+
     // binary decode plumbing with a REAL pure-JVM header decoder: each doc
     // gets a planted PNG/JPEG/GIF header whose dimensions derive from
     // doc_id; the partition-wise decoder must sniff the format and recover

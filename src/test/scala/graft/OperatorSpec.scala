@@ -124,6 +124,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("ivf-pq: planted copy ranks 1, ADC scan bounded by probed lists") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    val corpus = e.unionByName(planted)
+    val parts = Similarity.ivfpqParts(q, corpus, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, m = 8, ksub = 16, sampleN = 1024,
+      kmeansIters = 2, refine = 16)
+    // identical vector => same coarse cell (shared argmax rule) => probed
+    // first by its own query; residual code survives the ADC cut; exact
+    // refine ranks it 1 at cosine 1.0
+    val top1 = parts.topK.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 10000, r)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, r)
+    }
+    // SCAN BOUND: the ADC candidate frame carries exactly the probed
+    // posting lists (minus query-self rows) — the pruning that makes
+    // IVF-PQ the 100 TB shape, vs pqTopK's exhaustive query×corpus scan
+    val cellSizes = parts.coded.groupBy("__cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val codedCells = parts.coded.select("neighbor_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probePairs = parts.probes.select("query_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected = probePairs.map { case (qid, c) =>
+      cellSizes.getOrElse(c, 0L) -
+        (if (codedCells.get(qid).contains(c)) 1L else 0L)
+    }.sum
+    assert(parts.adc.count() == expected,
+      s"adc rows ${parts.adc.count()} != probed-list bound $expected")
+    assert(expected < q.count() * (corpus.count() - 1),
+      "ADC scan did not prune below the exhaustive pair count")
+    // the scan is an equi-join on the probed cell (hash, never nested-loop)
+    val plan = parts.adc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // recall floor vs brute force, same gate as the rest of the family
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairSet(Similarity.bruteForceTopK(q, corpus,
+      "vec_id", "embedding", 5))
+    val recall = (bf intersect pairSet(parts.topK)).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+
   test("exact checksum aggregator wraps like uint64 addition") {
     import spark.implicits._
     import graft.functions.expressions.ExactChecksum
