@@ -205,7 +205,33 @@ object Dedup {
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String,
       evalIdCol: String, evalTextCol: String,
-      n: Int = 3, minShared: Int = 8): DataFrame = {
+      n: Int = 3, minShared: Int = 8,
+      maxEvalDocFrac: Double = 1.0): DataFrame =
+    contaminationCandidates(corpus, evalSet, idCol, textCol,
+      evalIdCol, evalTextCol, n, maxEvalDocFrac)
+      .groupBy("__cid", "eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("__cid").as(idCol), col("eval_id"), col("shared_grams"))
+
+  /** The pre-aggregation candidate rows of [[contaminationPairs]]: one row
+    * per (corpus doc, eval doc, shared gram). Split out so specs can
+    * assert the high-DF rail's candidate bound directly.
+    *
+    * `maxEvalDocFrac` is the rail: grams present in more than that
+    * fraction of eval documents are dropped BEFORE the broadcast. A
+    * stop-phrase gram carried by a large share of both sides multiplies
+    * candidate rows as |corpus docs with g| × |eval docs with g| before
+    * any aggregation collapses them — CPU-bound blowup on exactly the
+    * grams that carry no contamination signal; production decontamination
+    * caps or drops high-DF grams. The document frequency computes on the
+    * EVAL side only, which is small by contract (it is the broadcast
+    * side), so the rail costs one tiny aggregate and no corpus work.
+    */
+  private[graft] def contaminationCandidates(corpus: DataFrame,
+      evalSet: DataFrame, idCol: String, textCol: String,
+      evalIdCol: String, evalTextCol: String,
+      n: Int, maxEvalDocFrac: Double): DataFrame = {
     // sub-n-token texts carry no real n-grams; shingleCol's whole-text
     // fallback (built for similarity joins) would turn two identical short
     // docs into a pseudo-gram match here, diverging from the documented
@@ -213,14 +239,21 @@ object Dedup {
     val cg = corpus.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("__cid"),
         explode(shingleCol(col(textCol), n)).as("__g"))
-    val eg = broadcast(evalSet.filter(size(split(col(evalTextCol), " ")) >= n)
-      .select(col(evalIdCol).as("eval_id"),
-        explode(shingleCol(col(evalTextCol), n)).as("__g")))
-    cg.join(eg, Seq("__g"))
-      .groupBy("__cid", "eval_id")
-      .agg(count(lit(1)).as("shared_grams"))
-      .filter(col("shared_grams") >= minShared)
-      .select(col("__cid").as(idCol), col("eval_id"), col("shared_grams"))
+    val evalDocs = evalSet.filter(size(split(col(evalTextCol), " ")) >= n)
+    val eg0 = evalDocs.select(col(evalIdCol).as("eval_id"),
+      explode(shingleCol(col(evalTextCol), n)).as("__g"))
+    val eg1 =
+      if (maxEvalDocFrac >= 1.0) eg0
+      else {
+        // shingles are distinct per doc, so count(*) per gram IS the
+        // eval document frequency
+        val nEval = evalDocs.select(col(evalIdCol)).distinct().count()
+        val cap = math.max(1L, math.floor(maxEvalDocFrac * nEval).toLong)
+        val keep = eg0.groupBy("__g").agg(count(lit(1)).as("__edf"))
+          .filter(col("__edf") <= cap).select("__g")
+        eg0.join(keep, Seq("__g"))
+      }
+    cg.join(broadcast(eg1), Seq("__g"))
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH candidate buckets

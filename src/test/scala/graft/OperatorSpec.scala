@@ -96,6 +96,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(loose.toSeq == Seq((1L, 7L), (2L, 1L)))
   }
 
+  test("decontamination high-DF rail bounds stop-phrase candidate blowup") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    // the stop phrase rides EVERY doc on both sides; each eval doc also
+    // carries a unique marker phrase, and corpus doc i verbatim-contains
+    // eval doc i%4's text (true contamination) plus noise
+    val stop = "as a matter of fact"
+    val evalSet = (0 until 4).map(i =>
+      (100L + i, s"$stop unique marker phrase number $i here")).toDF("eval_id", "text")
+    val corpus = (0 until 40).map { i =>
+      val leaked = s"$stop unique marker phrase number ${i % 4} here"
+      (i.toLong, s"prefix noise $i $leaked suffix noise")
+    }.toDF("doc_id", "text")
+    // without the rail the stop-phrase trigrams alone contribute
+    // |corpus| x |eval| rows per shared gram; with it, candidates are
+    // bounded by the true (doc, eval) gram overlaps of RARE grams only
+    val unrailed = Dedup.contaminationCandidates(corpus, evalSet,
+      "doc_id", "text", "eval_id", "text", n = 3, maxEvalDocFrac = 1.0).count()
+    val railed = Dedup.contaminationCandidates(corpus, evalSet,
+      "doc_id", "text", "eval_id", "text", n = 3, maxEvalDocFrac = 0.5).count()
+    // 7 trigrams ("as a matter" … "marker phrase number") live in all 4
+    // eval docs (DF 4 > cap 2) and all 40 corpus docs: 7 x 40 x 4 = 1120
+    // candidate rows the rail must remove; the per-doc "phrase number {i}"
+    // / "number {i} here" grams (DF 1) survive
+    assert(unrailed - railed == 1120, s"unrailed=$unrailed railed=$railed")
+    // the rail keeps every TRUE contamination pair flaggable: rare marker
+    // grams still carry each corpus doc to its leaked eval doc
+    val pairs = Dedup.contaminationPairs(corpus, evalSet, "doc_id", "text",
+      "eval_id", "text", n = 3, minShared = 2, maxEvalDocFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 40).map(i => (i.toLong, 100L + i % 4)).toSet)
+  }
+
   test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
