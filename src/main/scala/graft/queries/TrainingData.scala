@@ -51,6 +51,35 @@ object TrainingData {
         CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS INT) AS re_vocab
         FROM documents ORDER BY doc_id""")),
 
+    // REAL merge-ranks byte-level BPE (GPT-2-style algorithm): the fixture
+    // text plants merge CHAINS keyed by doc_id — a run of k 'a's under
+    // merges (a,a)->(aa), (aa,aa)->(aaaa) tokenizes to exactly
+    // k/4 + (k/2)%2 + k%2 pieces, so the DuckDB oracle derives every
+    // count arithmetically; byte_tokens (empty vocab) pins the no-merge
+    // base case. The encode-decode roundtrip property is spec-pinned in
+    // BpeSpec.
+    Q("td_token_bpe",
+      (s, dir) => {
+        import graft.functions.Bpe
+        val vocab = Bpe.Vocab(Seq(("a", "a"), ("aa", "aa"), ("b", "c")))
+        val fixture = concat(
+          repeat(lit("a"), (lit(1) + col("doc_id") % 9).cast("int")),
+          lit(" bc "),
+          repeat(lit("d"), (lit(1) + col("doc_id") % 3).cast("int")))
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), fixture.as("__t"))
+        val counted = Bpe.tokenCount(
+          Bpe.tokenCount(base, "__t", vocab, "bpe_tokens"),
+          "__t", Bpe.Vocab(Seq.empty), "byte_tokens")
+        counted.select(col("doc_id"), col("bpe_tokens"), col("byte_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST((k1 // 4) + ((k1 // 2) % 2) + (k1 % 2) + k3 + 3 AS INT) AS bpe_tokens,
+        CAST(k1 + k3 + 4 AS INT) AS byte_tokens
+        FROM (SELECT doc_id, 1 + doc_id % 9 AS k1, 1 + doc_id % 3 AS k3
+              FROM documents) ORDER BY doc_id""")),
+
     Q("td_quality_langid",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
