@@ -561,6 +561,43 @@ object TrainingData {
         |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS cleaned_chars
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // C4 §2.2 cross-document span dedup: every doc carries the SAME
+    // 3-line boilerplate block between two unique lines, so exactly one
+    // 3-line span per doc is a global duplicate — kept only by the
+    // lowest doc_id. The oracle derives kept text, span counts, and
+    // removed-line counts arithmetically from that construction (a
+    // dedup that kept the wrong occurrence, miscounted spans, or removed
+    // the wrong lines hash-mismatches).
+    Q("td_quality_c4_spans",
+      (s, dir) => {
+        val multi = concat_ws("\n",
+          concat(lit("unique opening line "), col("doc_id")),
+          lit("shared boilerplate alpha"),
+          lit("shared boilerplate beta"),
+          lit("shared boilerplate gamma"),
+          concat(lit("unique closing line "), col("doc_id")))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), multi.as("__t"))
+        TA.c4SpanDedup(docs, "doc_id", "__t", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT min(doc_id) AS mn FROM documents)
+        SELECT doc_id,
+          CASE WHEN doc_id = m.mn THEN
+            'unique opening line ' || doc_id || chr(10) ||
+            'shared boilerplate alpha' || chr(10) ||
+            'shared boilerplate beta' || chr(10) ||
+            'shared boilerplate gamma' || chr(10) ||
+            'unique closing line ' || doc_id
+          ELSE
+            'unique opening line ' || doc_id || chr(10) ||
+            'unique closing line ' || doc_id
+          END AS kept_text,
+          CAST(3 AS BIGINT) AS n_spans,
+          CAST(CASE WHEN doc_id = m.mn THEN 0 ELSE 1 END AS BIGINT) AS dup_spans,
+          CAST(CASE WHEN doc_id = m.mn THEN 0 ELSE 3 END AS INT) AS removed_lines
+        FROM documents, m ORDER BY doc_id""")),
+
     // Benchmark decontamination: every doc whose doc_id % 50 == 0 plays
     // the eval set VERBATIM, so each eval doc is guaranteed to flag its
     // own corpus copy (full shingle overlap) alongside any organic

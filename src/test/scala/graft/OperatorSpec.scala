@@ -129,6 +129,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs == (0 until 40).map(i => (i.toLong, 100L + i % 4)).toSet)
   }
 
+  test("c4 span dedup keeps first occurrence, handles overlap and short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\nB\nC\nD"),      // spans [A,B,C],[B,C,D] — both first
+      (2L, "A\nB\nC"),          // [A,B,C] duplicates doc 1 pos 0 → all removed
+      (3L, "short\nonly"),      // < 3 lines → no spans, passes through
+      (4L, "X\nX\nX\nX\nX"))    // within-doc: pos 0 first, pos 1/2 dup
+      .toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis
+      .c4SpanDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("A\nB\nC\nD", 2L, 0L, 0)))
+    assert(out(2L) == (("", 1L, 1L, 3)))
+    assert(out(3L) == (("short\nonly", 0L, 0L, 0)))
+    // doc 4: dup spans at pos 1,2 cover line indices 1..4 → one line kept
+    assert(out(4L) == (("X", 3L, 2L, 4)))
+  }
+
   test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
