@@ -610,6 +610,52 @@ object Integration {
       },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // dbt profiles.yml connection resolution end-to-end
+    // (connection.go:1154-1191; merge order connection_local.go:117-148):
+    // nation preloaded into embedded Derby; the task names
+    // `dbt_profiles_file:` and resolves `source.conn: analytics_dev` as
+    // profile "analytics" target "dev" (name PROFILE_TARGET), reads over
+    // JDBC, lands parquet. The profiles fixture carries dbt's top-level
+    // config: section (skipped) and a second postgres-typed target
+    // (parsed, unused) so resolution picks among real alternatives.
+    Q("op_conns_dbt",
+      (s, dir) => {
+        val db = s"conndbt${Scratch.tag(dir)}"
+        val url = s"jdbc:derby:memory:$db;create=true"
+        graft.sources.Jdbc.write(Tables(s, dir, "nation"), url, "NATION_C")
+        val out = scratch("conns_dbt", dir)
+        val pdir = scratch("dbt_profiles", dir)
+        Files.createDirectories(Paths.get(pdir))
+        val profilesPath = s"$pdir/profiles.yml"
+        Files.writeString(Paths.get(profilesPath),
+          s"""config:
+             |  send_anonymous_usage_stats: false
+             |analytics:
+             |  target: dev
+             |  outputs:
+             |    dev:
+             |      type: derby
+             |      instance: "memory:$db"
+             |    prod:
+             |      type: postgres
+             |      host: db.prod.internal
+             |      user: app
+             |      dbname: warehouse
+             |""".stripMargin)
+        val yaml =
+          s"""dbt_profiles_file: $profilesPath
+             |source:
+             |  conn: analytics_dev
+             |  stream: NATION_C
+             |target:
+             |  object: $out
+             |  mode: full-refresh
+             |""".stripMargin
+        graft.repl.TaskConfig.run(s, yaml, dir)
+        s.read.parquet(out).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     // endpoint DAG: producer endpoint's collected ids drive a dependent
     // per-id iteration endpoint; both stages through retrying transport
     Q("op_api_dag",

@@ -184,6 +184,60 @@ object Connections {
     }
   }
 
+  /** dbt `profiles.yml` → registry entries (connection.go:1154-1191):
+    * every profile's every output target becomes a connection named
+    * `PROFILE_TARGET` (upper; the reference joins with "/" then maps it
+    * to "_"), typed by the output's `type`, with `{{ env_var('NAME') }}`
+    * jinja expanded from the environment (left verbatim when the
+    * variable is absent — the reference warns and keeps going). Entries
+    * carry a `dbt -> true` marker prop like the reference's
+    * `data["dbt"] = true`. Profiles without an `outputs` map (dbt's
+    * top-level `config:` section) are skipped.
+    */
+  def parseDbtProfiles(yamlText: String,
+      env: Map[String, String] = sys.env): Map[String, ConnSpec] = {
+    def asMap(o: Object): Map[String, Object] = o match {
+      case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+      case _ => Map.empty
+    }
+    val EnvVar =
+      """\{\{ *env_var\(['"]+([0-9a-zA-Z_-]+)['"]+\) *\}\}""".r
+    val root = new Yaml().load[java.util.Map[String, Object]](yamlText)
+      .asScala.toMap
+    root.flatMap { case (profile, raw) =>
+      val outputs = asMap(raw).get("outputs").map(asMap).getOrElse(Map.empty)
+      outputs.flatMap { case (target, data) =>
+        val dm = asMap(data)
+        dm.get("type").map { t =>
+          val props = dm.map { case (k, v) =>
+            val s = EnvVar.replaceAllIn(String.valueOf(v), m =>
+              java.util.regex.Matcher.quoteReplacement(
+                env.getOrElse(m.group(1), m.matched)))
+            k.toString.toLowerCase -> s
+          } + ("dbt" -> "true")
+          val kind0 = String.valueOf(t)
+          val kind = if (kind0 == "postgresql") "postgres" else kind0
+          val name = s"${profile}_${target}".toUpperCase
+          name -> ConnSpec(name, kind, props - "type")
+        }
+      }
+    }
+  }
+
+  /** Locate and parse the user's dbt profiles: `$DBT_PROFILES_DIR/
+    * profiles.yml`, defaulting to `~/.dbt/profiles.yml`; empty when the
+    * file is absent (most environments). */
+  def loadDbtProfiles(env: Map[String, String] = sys.env): Map[String, ConnSpec] = {
+    val dir = env.get("DBT_PROFILES_DIR").map(_.stripSuffix("/"))
+      .getOrElse(env.getOrElse("HOME",
+        System.getProperty("user.home", ".")) + "/.dbt")
+    val p = java.nio.file.Paths.get(dir, "profiles.yml")
+    if (java.nio.file.Files.isRegularFile(p))
+      parseDbtProfiles(java.nio.file.Files.readString(p), env)
+    else Map.empty
+  }
+
   def resolve(registry: Map[String, ConnSpec], name: String): ConnSpec =
     registry.getOrElse(name.toUpperCase,
       throw new IllegalArgumentException(

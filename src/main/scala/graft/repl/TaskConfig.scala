@@ -154,7 +154,11 @@ object TaskConfig {
       postCountCheck = bool(to, "post_count_check"),
       onConstraintFailure = to.get("on_constraint_failure").map(_.toString))
     // connection registry: inline `connections:` block (env.yaml shape) or
-    // an `env_file:` path to a standalone env.yaml (connection.go:600-616)
+    // an `env_file:` path to a standalone env.yaml (connection.go:600-616),
+    // layered over dbt profiles (an explicit `dbt_profiles_file:` path, or
+    // $DBT_PROFILES_DIR/~/.dbt discovery). Precedence follows the
+    // reference's GetLocalConns merge order (connection_local.go:117-148):
+    // dbt loads FIRST and sling env-yaml entries overwrite on collision.
     val conns: Map[String, Connections.ConnSpec] = {
       val inline =
         if (root.contains("connections")) Connections.parse(yamlText)
@@ -163,7 +167,11 @@ object TaskConfig {
         Connections.parse(java.nio.file.Files.readString(
           java.nio.file.Paths.get(p.toString)))
       }.getOrElse(Map.empty)
-      fromFile ++ inline
+      val dbt = root.get("dbt_profiles_file").map { p =>
+        Connections.parseDbtProfiles(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p.toString)))
+      }.getOrElse(Connections.loadDbtProfiles())
+      dbt ++ fromFile ++ inline
     }
     Task(
       Source(

@@ -38,6 +38,63 @@ class ConnectionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Connections.resolve(reg, "B") }
   }
 
+  test("dbt profiles: PROFILE_TARGET names, env_var jinja, config skipped") {
+    val reg = Connections.parseDbtProfiles(
+      """config:
+        |  send_anonymous_usage_stats: false
+        |analytics:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: postgresql
+        |      host: db.dev
+        |      user: app
+        |      password: "{{ env_var('DBT_PW') }}"
+        |      dbname: warehouse
+        |      port: 5439
+        |    prod:
+        |      type: snowflake
+        |      account: "{{ env_var('MISSING_VAR') }}"
+        |""".stripMargin,
+      env = Map("DBT_PW" -> "s3cret"))
+    // config: has no outputs -> skipped; two targets -> two connections
+    assert(reg.keySet == Set("ANALYTICS_DEV", "ANALYTICS_PROD"))
+    val dev = Connections.resolve(reg, "analytics_dev")
+    assert(dev.kind == "postgres") // postgresql normalizes
+    assert(dev.get("password").contains("s3cret")) // jinja expanded
+    assert(dev.get("dbt").contains("true")) // reference's dbt marker
+    assert(dev.get("port").contains("5439"))
+    // missing env_var left verbatim (reference warns and keeps going)
+    assert(Connections.resolve(reg, "ANALYTICS_PROD").get("account")
+      .contains("{{ env_var('MISSING_VAR') }}"))
+    // dbt's user/dbname keys feed the same JDBC template aliases
+    assert(dev.jdbcUrl.startsWith("jdbc:postgresql://db.dev:5439/warehouse?user=app"))
+  }
+
+  test("dbt profiles merge UNDER env.yaml entries (env.yaml wins on collision)") {
+    val dbt = Connections.parseDbtProfiles(
+      """wh:
+        |  outputs:
+        |    main:
+        |      type: postgres
+        |      host: from-dbt
+        |""".stripMargin, env = Map.empty)
+    val envYaml = Connections.parse(
+      """connections:
+        |  WH_MAIN:
+        |    type: postgres
+        |    host: from-env-yaml
+        |""".stripMargin, env = Map.empty)
+    // the reference loads dbt first and overwrites with sling env yaml
+    // (connection_local.go:117-148) — same merge order as TaskConfig
+    val merged = dbt ++ envYaml
+    assert(Connections.resolve(merged, "WH_MAIN").get("host")
+      .contains("from-env-yaml"))
+    // absent profiles file -> empty registry, no error
+    assert(Connections.loadDbtProfiles(
+      Map("DBT_PROFILES_DIR" -> "/nonexistent/dir")).isEmpty)
+  }
+
   test("url shorthand infers type from scheme") {
     val reg = Connections.parse(
       """connections:
