@@ -481,22 +481,26 @@ object Multimodal {
 
   // ---- audio (WAV/PCM) ------------------------------------------------------
 
-  /** Decoded audio features from a RIFF/WAVE PCM payload: format chunk
-    * fields plus SAMPLE-LEVEL statistics (every PCM16 frame is decoded
-    * — rms and peak come from the actual waveform, not the header). */
+  /** Decoded audio features from a RIFF/WAVE payload: format chunk
+    * fields plus SAMPLE-LEVEL statistics (every frame is decoded — rms
+    * and peak come from the actual waveform, not the header), in NATIVE
+    * sample units: integer amplitudes for PCM (8-bit after removing the
+    * unsigned 128 offset, 16/24/32-bit signed), [-1,1] for IEEE float. */
   final case class AudioFeatures(sampleRate: Int, channels: Int,
-      frames: Long, durationMs: Long, rms: Int, peak: Int)
+      frames: Long, durationMs: Long, rms: Double, peak: Double,
+      bits: Int, codec: String)
 
-  /** Parse a RIFF/WAVE payload: walk the chunk chain to `fmt ` (PCM16
-    * only) and `data`, then decode every little-endian sample. None for
-    * non-WAV / compressed / truncated payloads — a data chunk whose
-    * declared size runs past the payload means the file was cut, and a
-    * confidently-wrong partial rms is worse than a null. */
+  /** Parse a RIFF/WAVE payload: walk the chunk chain to `fmt ` and
+    * `data`, then decode every little-endian sample. Accepts PCM
+    * (format 1) at 8/16/24/32 bits and IEEE float (format 3) at 32.
+    * None for non-WAV / compressed / truncated payloads — a data chunk
+    * whose declared size runs past the payload means the file was cut,
+    * and a confidently-wrong partial rms is worse than a null. */
   def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
     try {
       if (sniffFormat(b) != "wav") return None
       var i = 12 // past RIFF<size>WAVE
-      var rate = 0; var channels = 0; var bits = 0
+      var rate = 0; var channels = 0; var bits = 0; var codec = 0
       var dataOff = -1; var dataLen = 0
       while (i + 8 <= b.length) {
         val id = new String(b.slice(i, i + 4), "US-ASCII")
@@ -513,8 +517,7 @@ object Multimodal {
         // bits out of whatever chunk happens to follow
         if (id == "fmt ") {
           if (len < 16 || i + 24 > b.length) return None
-          val codec = le16(b, i + 8)
-          if (codec != 1) return None // PCM only
+          codec = le16(b, i + 8)
           channels = le16(b, i + 10)
           rate = le32(b, i + 12)
           bits = le16(b, i + 22)
@@ -524,20 +527,36 @@ object Multimodal {
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
-      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
-      val n = dataLen / 2
-      var (sumSq, peak) = (0.0, 0)
+      val supported =
+        (codec == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+          (codec == 3 && bits == 32)
+      if (rate <= 0 || channels <= 0 || !supported || dataOff < 0) return None
+      val bytesPer = bits / 8
+      val n = dataLen / bytesPer
+      var sumSq = 0.0
+      var peak = 0.0
       var j = 0
       while (j < n) {
-        val s = (le16(b, dataOff + j * 2) << 16) >> 16 // sign-extend
-        sumSq += s.toDouble * s
-        if (math.abs(s) > peak) peak = math.abs(s)
+        val off = dataOff + j * bytesPer
+        val s: Double =
+          if (codec == 3) java.lang.Float.intBitsToFloat(le32(b, off)).toDouble
+          else bits match {
+            case 8 => ((b(off) & 0xff) - 128).toDouble // unsigned, 128 offset
+            case 16 => ((le16(b, off) << 16) >> 16).toDouble // sign-extend
+            case 24 => ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+              (b(off + 2) << 16)).toDouble // high byte carries the sign
+            case _ => le32(b, off).toDouble
+          }
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
         j += 1
       }
       val frames = n.toLong / channels
       Some(AudioFeatures(rate, channels, frames,
         frames * 1000L / rate,
-        if (n == 0) 0 else math.round(math.sqrt(sumSq / n)).toInt, peak))
+        if (n == 0) 0.0 else math.sqrt(sumSq / n), peak,
+        bits, if (codec == 3) "float" else "pcm"))
     } catch { case _: IndexOutOfBoundsException => None }
 
   /** Attach decoded audio features from `binaryCol`: `sample_rate`,
@@ -545,30 +564,40 @@ object Multimodal {
     * payload isn't decodable PCM WAV). Partition-wise, one pass, no
     * shuffle — the audio leg of the media column family. */
   def audioFeatures(df: DataFrame, binaryCol: String): DataFrame = {
-    val nulls = Seq.fill[Any](6)(null)
+    val nulls = Seq.fill[Any](8)(null)
     appendDecoded(df, binaryCol, Seq(
       StructField("sample_rate", IntegerType),
       StructField("channels", IntegerType),
       StructField("frames", LongType),
       StructField("duration_ms", LongType),
-      StructField("rms", IntegerType),
-      StructField("peak", IntegerType)), nulls) { bytes =>
+      StructField("rms", DoubleType),
+      StructField("peak", DoubleType),
+      StructField("bits", IntegerType),
+      StructField("codec", StringType)), nulls) { bytes =>
       decodeAudio(bytes) match {
         case Some(a) => Seq[Any](a.sampleRate, a.channels, a.frames,
-          a.durationMs, a.rms, a.peak)
+          a.durationMs, a.rms, a.peak, a.bits, a.codec)
         case None => nulls
       }
     }
   }
 
-  /** Encode a PCM16 WAV of `frames` frames at `rate` Hz: a ±`amplitude`
-    * square wave alternating per frame, identical on every channel —
-    * every sample's square is amplitude², so RMS == |amplitude| exactly
-    * and oracles can compute it arithmetically. Fixture/spec helper. */
-  def encodeWavPcm16(rate: Int, channels: Int, frames: Int,
-      amplitude: Int): Array[Byte] = {
-    require(math.abs(amplitude) <= 32767, s"pcm16 amplitude: $amplitude")
-    val dataLen = frames * channels * 2
+  /** Encode a PCM WAV of `frames` frames at `rate` Hz and `bits` depth
+    * (8/16/24/32): a ±`amplitude` square wave alternating per frame,
+    * identical on every channel — every sample's square is amplitude²,
+    * so RMS == |amplitude| exactly and oracles can compute it
+    * arithmetically. 8-bit stores the standard unsigned 128-offset form.
+    * Fixture/spec helper. */
+  def encodeWavPcm(rate: Int, channels: Int, frames: Int,
+      amplitude: Int, bits: Int): Array[Byte] = {
+    val lim = bits match {
+      case 8 => 127L; case 16 => 32767L; case 24 => 8388607L
+      case 32 => Int.MaxValue.toLong
+      case other => throw new IllegalArgumentException(s"pcm bits: $other")
+    }
+    require(math.abs(amplitude.toLong) <= lim, s"pcm$bits amplitude: $amplitude")
+    val bp = bits / 8
+    val dataLen = frames * channels * bp
     val bo = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bo.put("RIFF".getBytes); bo.putInt(36 + dataLen); bo.put("WAVE".getBytes)
@@ -576,15 +605,60 @@ object Multimodal {
     bo.putShort(1) // PCM
     bo.putShort(channels.toShort)
     bo.putInt(rate)
-    bo.putInt(rate * channels * 2) // byte rate
-    bo.putShort((channels * 2).toShort) // block align
-    bo.putShort(16) // bits
+    bo.putInt(rate * channels * bp) // byte rate
+    bo.putShort((channels * bp).toShort) // block align
+    bo.putShort(bits.toShort)
     bo.put("data".getBytes); bo.putInt(dataLen)
     var f = 0
     while (f < frames) {
-      val v = (if (f % 2 == 0) amplitude else -amplitude).toShort
+      val v = if (f % 2 == 0) amplitude else -amplitude
       var c = 0
-      while (c < channels) { bo.putShort(v); c += 1 }
+      while (c < channels) {
+        bits match {
+          case 8 => bo.put((v + 128).toByte)
+          case 16 => bo.putShort(v.toShort)
+          case 24 =>
+            bo.put((v & 0xff).toByte); bo.put(((v >> 8) & 0xff).toByte)
+            bo.put(((v >> 16) & 0xff).toByte)
+          case _ => bo.putInt(v)
+        }
+        c += 1
+      }
+      f += 1
+    }
+    bo.array()
+  }
+
+  def encodeWavPcm16(rate: Int, channels: Int, frames: Int,
+      amplitude: Int): Array[Byte] =
+    encodeWavPcm(rate, channels, frames, amplitude, 16)
+
+  /** Encode an IEEE-float (format 3) WAV square wave. Written with the
+    * canonical fmt extension (len 18, cbSize 0) plus a `fact` chunk —
+    * the shape real float WAVs carry — so decoders must walk chunks,
+    * not assume the 44-byte PCM layout. */
+  def encodeWavFloat32(rate: Int, channels: Int, frames: Int,
+      amplitude: Float): Array[Byte] = {
+    val dataLen = frames * channels * 4
+    val bo = java.nio.ByteBuffer.allocate(12 + 26 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bo.put("RIFF".getBytes); bo.putInt(4 + 26 + 12 + 8 + dataLen)
+    bo.put("WAVE".getBytes)
+    bo.put("fmt ".getBytes); bo.putInt(18)
+    bo.putShort(3) // IEEE float
+    bo.putShort(channels.toShort)
+    bo.putInt(rate)
+    bo.putInt(rate * channels * 4)
+    bo.putShort((channels * 4).toShort)
+    bo.putShort(32)
+    bo.putShort(0) // cbSize
+    bo.put("fact".getBytes); bo.putInt(4); bo.putInt(frames)
+    bo.put("data".getBytes); bo.putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      val v = if (f % 2 == 0) amplitude else -amplitude
+      var c = 0
+      while (c < channels) { bo.putFloat(v); c += 1 }
       f += 1
     }
     bo.array()

@@ -775,10 +775,57 @@ object TrainingData {
         CAST(1 + doc_id % 2 AS INT) AS channels,
         CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS frames,
         CAST(100 + (doc_id % 5) * 10 AS BIGINT) AS duration_ms,
-        CAST(1000 + (doc_id % 100) * 10 AS INT) AS rms,
-        CAST(1000 + (doc_id % 100) * 10 AS INT) AS peak
+        CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS rms,
+        CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS peak
+        FROM documents ORDER BY doc_id""")),
+
+    // Audio decode across sample formats (WAVE format 1 PCM at 8/24 bits
+    // and format 3 IEEE float32, cycled by doc_id): square-wave fixtures
+    // make rms == peak == |amplitude| exactly in each depth's NATIVE
+    // units — 8-bit after the unsigned-128 offset, 24-bit signed, float
+    // in [-1,1] (amplitudes k/1024 so every value is dyadic-exact in
+    // both engines). The float fixture carries the canonical fmt-18 +
+    // fact chunk layout, so a 44-byte-header assumption fails here.
+    Q("td_mm_audio_depths",
+      (s, dir) => {
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), mmWavDepth(col("doc_id")).as("payload"))
+        Multimodal.audioFeatures(bin, "payload")
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("frames"), col("duration_ms"), col("rms"), col("peak"),
+            col("bits"), col("codec"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(8000 AS INT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS INT) AS channels,
+        CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS frames,
+        CAST(100 + (doc_id % 5) * 10 AS BIGINT) AS duration_ms,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 127
+             WHEN 1 THEN (1 + doc_id % 100) * 1000
+             ELSE (1 + doc_id % 1024) / 1024.0 END AS DOUBLE) AS rms,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 127
+             WHEN 1 THEN (1 + doc_id % 100) * 1000
+             ELSE (1 + doc_id % 1024) / 1024.0 END AS DOUBLE) AS peak,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END AS INT) AS bits,
+        CASE WHEN doc_id % 3 = 2 THEN 'float' ELSE 'pcm' END AS codec
         FROM documents ORDER BY doc_id"""))
   )
+
+  /** Square-wave WAVs cycling the sample format by doc_id: 8-bit PCM,
+    * 24-bit PCM, float32 — amplitudes chosen so rms/peak are exact in
+    * double on both engines. */
+  private val mmWavDepth = udf { (d: Long) =>
+    val ch = 1 + (d % 2).toInt
+    val fr = 800 + (d % 5).toInt * 80
+    (d % 3) match {
+      case 0 => Multimodal.encodeWavPcm(8000, ch, fr, (1 + d % 127).toInt, 8)
+      case 1 => Multimodal.encodeWavPcm(8000, ch, fr,
+        (1 + d % 100).toInt * 1000, 24)
+      case _ => Multimodal.encodeWavFloat32(8000, ch, fr,
+        (1 + d % 1024).toInt / 1024.0f)
+    }
+  }
 
   /** Real solid-fill rasters keyed by doc_id (png/gif/bmp — lossless, so
     * pixel means are exactly the planted color): fixtures for the
