@@ -22,6 +22,19 @@ object Bench {
     "t_sessionize", "t_stream_window", "td_text_stats", "td_dedup_near",
     "td_sim_topk", "td_dedup_ngram", "op_delta_skipping")
 
+  /** Round-14 additions (VERDICT r13 item 7): the shipped LLM-pipeline
+    * family joins the gated set — decontamination (broadcast eval join),
+    * IVF-PQ (its oracle-gate query: encode + probed ADC scan + refine +
+    * in-query brute-force recall check), byte-level BPE counting
+    * (partition-wise CPU), and C4 span dedup (span-hash groupBy).
+    * Kept OUTSIDE `headline` so `total_legacy16` stays comparable
+    * across rounds; their idle-box bands live in [[RefQueryNormMed]]
+    * and BASELINE.md like everyone else's.
+    */
+  val extendedHeadline: Seq[String] = Seq(
+    "td_decontaminate", "td_sim_ivfpq", "td_token_bpe",
+    "td_quality_c4_spans")
+
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked
     * rows/sec. Workload shape follows the reference's own tuning
@@ -71,7 +84,10 @@ object Bench {
     "td_text_stats" -> 0.34, "td_dedup_near" -> 1.65, "td_sim_topk" -> 1.45,
     "td_dedup_ngram" -> 4.40, "op_delta_skipping" -> 1.19,
     "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
-    "bench_ingest_db" -> 3.10)
+    "bench_ingest_db" -> 3.10,
+    // round-14 extended headline (idle-box 2026-08-15, spreads <= 1.21)
+    "td_decontaminate" -> 2.30, "td_sim_ivfpq" -> 8.70,
+    "td_token_bpe" -> 0.27, "td_quality_c4_spans" -> 0.91)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2
@@ -141,7 +157,7 @@ object Bench {
     val fastCutoffSec = 2.0
     // optional comma-separated subset for targeted profiling
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').toSeq).getOrElse(headline)
+      .map(_.split(',').toSeq).getOrElse(headline ++ extendedHeadline)
     val ingestSelected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(ingestHeadline.contains))
       .getOrElse(ingestHeadline)
