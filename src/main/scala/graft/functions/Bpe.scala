@@ -180,10 +180,17 @@ object Bpe {
     Vocab(merges.result())
   }
 
+  /** Max distinct pre-tokens a partition caches: natural text repeats
+    * words heavily (the cache earns its memory), but an ID/hash-heavy
+    * corpus would otherwise grow the map without bound — past the cap,
+    * new words compute uncached (correctness unchanged, bounded RAM). */
+  private val WordCacheCap = 65536
+
   /** Append a BPE token count column: the merge table rides a broadcast,
-    * each partition compiles the rank map once and keeps a word cache —
-    * no shuffle, no driver involvement, linear in corpus bytes. NULL
-    * text counts as NULL.
+    * each partition compiles the rank map once and keeps a SIZE-CAPPED
+    * word cache — no shuffle, no driver involvement, linear in corpus
+    * bytes, bounded executor residency even on high-cardinality token
+    * streams. NULL text counts as NULL.
     */
   def tokenCount(df: DataFrame, textCol: String,
       vocab: Vocab, outCol: String = "bpe_tokens"): DataFrame = {
@@ -196,9 +203,23 @@ object Bpe {
     df.mapPartitions { it =>
       val v = bc.value
       val cache = scala.collection.mutable.Map[String, Seq[String]]()
+      def countCapped(t: String): Int = {
+        val pts = preTokenize(t)
+        var n = 0
+        pts.foreach { w =>
+          n += (cache.get(w) match {
+            case Some(enc) => enc.length
+            case None =>
+              val enc = encodeWord(w, v)
+              if (cache.size < WordCacheCap) cache(w) = enc
+              enc.length
+          })
+        }
+        n
+      }
       it.map { r =>
         val t = if (r.isNullAt(idx)) null else r.getString(idx)
-        val n: Any = if (t == null) null else countTokens(t, v, cache)
+        val n: Any = if (t == null) null else countCapped(t)
         Row.fromSeq(r.toSeq :+ n)
       }
     }(enc)

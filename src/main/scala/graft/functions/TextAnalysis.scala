@@ -291,11 +291,13 @@ object TextAnalysis {
     val perDoc = flagged.groupBy("__id").agg(
       count(lit(1)).as("n_spans"),
       sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_spans"))
-    // line indices covered by any duplicate span occurrence
+    // line indices covered by any duplicate span occurrence —
+    // collect_set already dedups overlapping spans' indices, so no
+    // distinct() (it would add a whole extra shuffle over the exploded
+    // rows on exactly the duplicate-heavy corpora this targets)
     val removed = flagged.filter(col("__dup"))
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__li"))
-      .distinct()
       .groupBy("__id").agg(collect_set("__li").as("__rm"))
     lines.join(perDoc, Seq("__id"), "left").join(removed, Seq("__id"), "left")
       .select(col("__id").as(idCol),

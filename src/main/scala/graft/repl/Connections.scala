@@ -201,10 +201,15 @@ object Connections {
         m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
       case _ => Map.empty
     }
+    // dbt's documented forms: env_var('NAME') and env_var('NAME',
+    // 'default') — absent variable takes the default when given, else
+    // the jinja stays verbatim (the reference warns and keeps going)
     val EnvVar =
-      """\{\{ *env_var\(['"]+([0-9a-zA-Z_-]+)['"]+\) *\}\}""".r
-    val root = new Yaml().load[java.util.Map[String, Object]](yamlText)
-      .asScala.toMap
+      """\{\{ *env_var\(['"]+([0-9a-zA-Z_-]+)['"]+(?: *, *['"]([^'"]*)['"])? *\) *\}\}""".r
+    // an empty or comments-only yaml loads as null — an empty registry,
+    // not an NPE
+    val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
+      .map(_.asScala.toMap).getOrElse(Map.empty)
     root.flatMap { case (profile, raw) =>
       val outputs = asMap(raw).get("outputs").map(asMap).getOrElse(Map.empty)
       outputs.flatMap { case (target, data) =>
@@ -213,7 +218,8 @@ object Connections {
           val props = dm.map { case (k, v) =>
             val s = EnvVar.replaceAllIn(String.valueOf(v), m =>
               java.util.regex.Matcher.quoteReplacement(
-                env.getOrElse(m.group(1), m.matched)))
+                env.get(m.group(1)).orElse(Option(m.group(2)))
+                  .getOrElse(m.matched)))
             k.toString.toLowerCase -> s
           } + ("dbt" -> "true")
           val kind0 = String.valueOf(t)
@@ -227,15 +233,24 @@ object Connections {
 
   /** Locate and parse the user's dbt profiles: `$DBT_PROFILES_DIR/
     * profiles.yml`, defaulting to `~/.dbt/profiles.yml`; empty when the
-    * file is absent (most environments). */
+    * file is absent (most environments). DISCOVERY is best-effort like
+    * the reference's GetLocalConns (log + continue): a malformed
+    * profiles file on the box must not break task runs that never
+    * reference a dbt connection. An EXPLICIT `dbt_profiles_file:` goes
+    * through [[parseDbtProfiles]] directly and still fails loudly. */
   def loadDbtProfiles(env: Map[String, String] = sys.env): Map[String, ConnSpec] = {
     val dir = env.get("DBT_PROFILES_DIR").map(_.stripSuffix("/"))
       .getOrElse(env.getOrElse("HOME",
         System.getProperty("user.home", ".")) + "/.dbt")
     val p = java.nio.file.Paths.get(dir, "profiles.yml")
-    if (java.nio.file.Files.isRegularFile(p))
-      parseDbtProfiles(java.nio.file.Files.readString(p), env)
-    else Map.empty
+    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+    else try parseDbtProfiles(java.nio.file.Files.readString(p), env)
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft] ignoring unparseable dbt profiles $p: " +
+          e.getMessage)
+        Map.empty
+    }
   }
 
   def resolve(registry: Map[String, ConnSpec], name: String): ConnSpec =

@@ -423,12 +423,15 @@ private[graft] object MiniSql {
           // peel a balanced wrapper off the WHOLE clause first — clients
           // parenthesize compound chunk predicates ("WHERE (a AND b)",
           // ClickHouseHttp.readPartitioned) and a conjunct-level strip
-          // would see unbalanced halves. Standard precedence: the clause
-          // splits on OR into disjuncts, each an AND chain of simple
-          // conditions — the shape NULL-covering chunk readers emit
-          // ("k >= a AND k < b OR k IS NULL"). Conditions compile ONCE
-          // (index/literal resolution outside the row loop) so big-probe
-          // scans stay linear in rows.
+          // would see unbalanced halves. Grammar note: OR/AND split as
+          // raw text (no tokenizer), so the accepted shape is a flat
+          // OR-of-AND-chains over simple conditions — exactly what the
+          // NULL-covering chunk readers emit ("k >= a AND k < b OR k IS
+          // NULL"); parenthesized OR groups or literals containing
+          // " OR "/" AND " are out of scope for this test fixture and
+          // fail loudly. Conditions compile ONCE (index/literal
+          // resolution outside the row loop) so big-probe scans stay
+          // linear in rows.
           val w = stripParens(w0)
           val IsNullRe = """(?i)([\w"`\.]+)\s+IS\s+(NOT\s+)?NULL\s*""".r
           def compile(cond: String): Seq[Option[String]] => Boolean =

@@ -95,6 +95,37 @@ class ConnectionsSpec extends AnyFunSuite {
       Map("DBT_PROFILES_DIR" -> "/nonexistent/dir")).isEmpty)
   }
 
+  test("dbt profiles: env_var defaults, empty yaml, malformed discovery") {
+    // two-arg env_var: variable wins when set, default applies when not
+    val reg = Connections.parseDbtProfiles(
+      """p:
+        |  outputs:
+        |    t:
+        |      type: postgres
+        |      password: "{{ env_var('SET_VAR', 'fallback') }}"
+        |      host: "{{ env_var('UNSET_VAR', 'default-host') }}"
+        |      schema: "{{ env_var('UNSET_NO_DEFAULT') }}"
+        |""".stripMargin,
+      env = Map("SET_VAR" -> "from-env"))
+    val t = Connections.resolve(reg, "P_T")
+    assert(t.get("password").contains("from-env"))
+    assert(t.get("host").contains("default-host"))
+    assert(t.get("schema").contains("{{ env_var('UNSET_NO_DEFAULT') }}"))
+    // empty / comments-only yaml -> empty registry, never an NPE
+    assert(Connections.parseDbtProfiles("", Map.empty).isEmpty)
+    assert(Connections.parseDbtProfiles("# just a comment\n", Map.empty).isEmpty)
+    // DISCOVERY of a malformed file logs and continues (task runs that
+    // never name a dbt connection must not break); explicit parse throws
+    val dir = java.nio.file.Files.createTempDirectory("dbtbad")
+    java.nio.file.Files.writeString(dir.resolve("profiles.yml"),
+      "p:\n  outputs:\n - broken [yaml\n")
+    assert(Connections.loadDbtProfiles(
+      Map("DBT_PROFILES_DIR" -> dir.toString)).isEmpty)
+    intercept[Exception] {
+      Connections.parseDbtProfiles("p:\n  outputs:\n - broken [yaml\n", Map.empty)
+    }
+  }
+
   test("url shorthand infers type from scheme") {
     val reg = Connections.parse(
       """connections:
