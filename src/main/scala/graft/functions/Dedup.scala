@@ -321,6 +321,75 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
   }
 
+  /** Shared first-occurrence window-dedup engine behind
+    * [[TextAnalysis.c4SpanDedup]] (newline-delimited sentence units) and
+    * [[exactSubstrDedup]] (whitespace token units): explode the sliding
+    * `n`-unit windows, ONE map-side-combinable hash-groupBy picking the
+    * first (doc id, position) occurrence of each window, a keyed join
+    * back to flag later occurrences, and a per-doc rebuild of the text
+    * with the covered units removed. Linear in total units; the window
+    * shuffle is the only corpus-sized exchange and no pairwise work
+    * exists anywhere.
+    */
+  private[functions] def firstOccurrenceDedup(df: DataFrame, idCol: String,
+      textCol: String, n: Int, delim: String,
+      nName: String, dupName: String, rmName: String): DataFrame = {
+    val units = df.select(col(idCol).as("__id"),
+      split(col(textCol), delim).as("__us"))
+    val wins = units.select(col("__id"),
+      posexplode(when(size(col("__us")) >= n,
+        transform(sequence(lit(0), size(col("__us")) - n),
+          i => xxhash64(concat_ws(delim, slice(col("__us"), i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__h")))
+    val first = wins.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
+    val flagged = wins.join(first, Seq("__h"))
+      .withColumn("__dup",
+        !(col("__f.__id") === col("__id") && col("__f.__pos") === col("__pos")))
+    val perDoc = flagged.groupBy("__id").agg(
+      count(lit(1)).as(nName),
+      sum(when(col("__dup"), 1L).otherwise(0L)).as(dupName))
+    // unit indices covered by any duplicate window occurrence —
+    // collect_set already dedups overlapping windows' indices, so no
+    // distinct() (it would add a whole extra shuffle over the exploded
+    // rows on exactly the duplicate-heavy corpora this targets)
+    val removed = flagged.filter(col("__dup"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__ui"))
+      .groupBy("__id").agg(collect_set("__ui").as("__rm"))
+    units.join(perDoc, Seq("__id"), "left").join(removed, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        array_join(filter(col("__us"),
+          (_, i) => !array_contains(coalesce(col("__rm"),
+            array().cast("array<int>")), i)), delim).as("kept_text"),
+        coalesce(col(nName), lit(0L)).as(nName),
+        coalesce(col(dupName), lit(0L)).as(dupName),
+        coalesce(size(col("__rm")), lit(0)).as(rmName))
+  }
+
+  /** Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499): any run of `w`
+    * whitespace tokens occurring verbatim more than once in the corpus
+    * keeps only its FIRST occurrence — lowest (doc id, position) — and the
+    * tokens covered by every later occurrence are removed from the text.
+    * The paper builds a corpus-wide suffix array (a single-node
+    * structure); the distributed equivalent slides a w-token window with
+    * stride 1 and hash-groups the windows. Any shared run of length
+    * >= w is covered exactly by its overlapping duplicate windows, so the
+    * interval union removed per doc equals the paper's duplicated-range
+    * semantics at window granularity.
+    *
+    * Scale shape = [[exact]]: one corpus-linear window explode, one
+    * hash-groupBy, a keyed join back, a per-doc rebuild — no suffix
+    * array, no pairwise product.
+    *
+    * Output: (idCol, kept_text, n_windows, dup_windows, removed_tokens).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 50): DataFrame =
+    firstOccurrenceDedup(df, idCol, textCol, w, " ",
+      "n_windows", "dup_windows", "removed_tokens")
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Implemented as explode → bit-position aggregation (2 shuffles, both
     * keyed on doc id — no pairwise work).

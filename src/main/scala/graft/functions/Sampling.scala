@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and splitting for corpus curation:
+  * domain-mixture downsampling (keep each stratum at its target rate —
+  * the knob behind every public pre-training data recipe's "X% web, Y%
+  * code" mixture) and train/holdout splits that are stable across runs,
+  * machines, and engines.
+  *
+  * The uniform variate is the first 8 hex chars of md5(key): fixed-width
+  * lowercase hex compares lexicographically exactly like the 32-bit
+  * number it encodes, and md5 is bit-identical everywhere — so the SAME
+  * rows are kept by any engine that can compute md5 (the DuckDB oracle
+  * replays the predicate verbatim), and re-running a 100 TB job after a
+  * failure reselects the identical sample. No RNG state, no seed
+  * plumbing, no shuffle: a pure codegen projection/filter, linear scan at
+  * any scale.
+  */
+object Sampling {
+
+  /** Zero-padded 8-hex-digit keep threshold for `rate` (clamped to
+    * [0,1]): keys whose md5 prefix sorts strictly below it are kept.
+    * rate >= 1 returns "g" — above every hex digit, so everything keeps
+    * (0xffffffff would need 9 digits and break the width invariant).
+    */
+  def hexThreshold(rate: Double): String = {
+    val clamped = math.max(0.0, math.min(1.0, rate))
+    if (clamped >= 1.0) "g"
+    else f"${math.round(clamped * 4294967296.0)}%08x"
+  }
+
+  /** The uniform-in-[0,1) variate for a key, as comparable hex. */
+  def uniformHex(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Keep predicate for a single flat rate. */
+  def sampleKeep(key: Column, rate: Double): Column =
+    uniformHex(key) < lit(hexThreshold(rate))
+
+  /** Stratified keep predicate: each stratum keeps at its own target
+    * rate (strata absent from `rates` keep at `default`). One when-chain
+    * over the stratum column — stays in whole-stage codegen.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+      rates: Map[String, Double], default: Double = 1.0): Column = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(default))) {
+      case (acc, (s, r)) => when(stratum === s, lit(hexThreshold(r))).otherwise(acc)
+    }
+    uniformHex(key) < thr
+  }
+
+  /** Deterministic split assignment by cumulative rate bands, e.g.
+    * Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)) — every key gets
+    * exactly one label, the bands tile [0,1), and membership depends only
+    * on the key (adding rows never moves an existing row between splits).
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    val u = uniformHex(key)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val banded = splits.map(_._1).zip(cums)
+    val chain = banded.init.foldLeft(Option.empty[Column]) {
+      case (acc, (name, c)) =>
+        val cond = u < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    chain.fold(lit(banded.last._1): Column)(_.otherwise(lit(banded.last._1)))
+  }
+}

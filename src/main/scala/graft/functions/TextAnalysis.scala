@@ -275,39 +275,9 @@ object TextAnalysis {
     * docs with fewer than `n` lines pass through with zero spans.
     */
   def c4SpanDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val lines = df.select(col(idCol).as("__id"),
-      split(col(textCol), "\n").as("__ls"))
-    val spans = lines.select(col("__id"),
-      posexplode(when(size(col("__ls")) >= n,
-        transform(sequence(lit(0), size(col("__ls")) - n),
-          i => xxhash64(concat_ws("\n", slice(col("__ls"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__h")))
-    val first = spans.groupBy("__h")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
-    val flagged = spans.join(first, Seq("__h"))
-      .withColumn("__dup",
-        !(col("__f.__id") === col("__id") && col("__f.__pos") === col("__pos")))
-    val perDoc = flagged.groupBy("__id").agg(
-      count(lit(1)).as("n_spans"),
-      sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_spans"))
-    // line indices covered by any duplicate span occurrence —
-    // collect_set already dedups overlapping spans' indices, so no
-    // distinct() (it would add a whole extra shuffle over the exploded
-    // rows on exactly the duplicate-heavy corpora this targets)
-    val removed = flagged.filter(col("__dup"))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__li"))
-      .groupBy("__id").agg(collect_set("__li").as("__rm"))
-    lines.join(perDoc, Seq("__id"), "left").join(removed, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        array_join(filter(col("__ls"),
-          (_, i) => !array_contains(coalesce(col("__rm"),
-            array().cast("array<int>")), i)), "\n").as("kept_text"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        coalesce(size(col("__rm")), lit(0)).as("removed_lines"))
-  }
+      n: Int = 3): DataFrame =
+    Dedup.firstOccurrenceDedup(df, idCol, textCol, n, "\n",
+      "n_spans", "dup_spans", "removed_lines")
 
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.functions.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Beyond-reference operators for LLM training-data pipelines: text analysis,
@@ -809,6 +809,115 @@ object TrainingData {
              ELSE (1 + doc_id % 1024) / 1024.0 END AS DOUBLE) AS peak,
         CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END AS INT) AS bits,
         CASE WHEN doc_id % 3 = 2 THEN 'float' ELSE 'pcm' END AS codec
+        FROM documents ORDER BY doc_id""")),
+
+    // Exact-substring dedup (Lee et al. 2021, arXiv:2107.06499): every
+    // doc carries the SAME 6-token boilerplate run between unique prefix
+    // (1 + doc_id % 3 tokens) and suffix (1 + doc_id % 2 tokens) tokens,
+    // so with w = 4 exactly the 3 windows fully inside the run are global
+    // duplicates — kept only by the lowest doc_id, whose copy survives
+    // intact; every other doc loses the full 6-token run. The oracle
+    // rebuilds kept text and all counts arithmetically from that
+    // construction (keeping the wrong occurrence, removing the wrong
+    // tokens, or miscounting windows hash-mismatches).
+    Q("td_dedup_substr",
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val pre = transform(
+          sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int")),
+          j => concat(lit("u"), id, lit("x"), j.cast("string")))
+        val bl = array(lit("b1"), lit("b2"), lit("b3"),
+          lit("b4"), lit("b5"), lit("b6"))
+        val suf = transform(
+          sequence(lit(1), (lit(1) + col("doc_id") % 2).cast("int")),
+          j => concat(lit("v"), id, lit("x"), j.cast("string")))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), array_join(concat(pre, bl, suf), " ").as("__t"))
+        Dedup.exactSubstrDedup(docs, "doc_id", "__t", w = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT min(doc_id) AS mn FROM documents),
+        f AS (SELECT doc_id, 1 + doc_id % 3 AS p, 1 + doc_id % 2 AS q
+              FROM documents),
+        tk AS (SELECT doc_id, p, q,
+          [concat('u', doc_id, 'x', j) for j in range(1, p + 1)] AS pre,
+          ['b1','b2','b3','b4','b5','b6'] AS bl,
+          [concat('v', doc_id, 'x', j) for j in range(1, q + 1)] AS suf
+          FROM f)
+        SELECT tk.doc_id,
+          CASE WHEN tk.doc_id = m.mn
+            THEN array_to_string(pre || bl || suf, ' ')
+            ELSE array_to_string(pre || suf, ' ') END AS kept_text,
+          CAST(p + q + 3 AS BIGINT) AS n_windows,
+          CAST(CASE WHEN tk.doc_id = m.mn THEN 0 ELSE 3 END AS BIGINT)
+            AS dup_windows,
+          CAST(CASE WHEN tk.doc_id = m.mn THEN 0 ELSE 6 END AS INT)
+            AS removed_tokens
+        FROM tk, m ORDER BY doc_id""")),
+
+    // Concat-and-chunk sequence packing over the DISTRIBUTED prefix sum
+    // (a single-task `sum() over (order by)` global window is the one
+    // shape that cannot survive 100 TB — Packing.prefixSum is the
+    // two-pass scan instead). ctx = 512 whitespace tokens. The oracle
+    // replays the identical layout with DuckDB's window sum, so every
+    // stream offset and sequence index must match exactly.
+    Q("td_pack_sequences",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+        Packing.packChunks(docs, "doc_id", "n_toks", ctx = 512)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        SELECT doc_id, n_tokens,
+          cum - n_tokens AS start_off,
+          (cum - n_tokens) // 512 AS first_seq,
+          (cum - 1) // 512 AS last_seq,
+          ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_seqs
+        FROM c ORDER BY doc_id""")),
+
+    // Deterministic stratified sampling (domain mixing): per-lang keep
+    // rates as md5-prefix thresholds. The DuckDB oracle replays the
+    // predicate verbatim from the SAME hexThreshold constants, so both
+    // engines must keep the identical row set — any RNG, seed, or hash
+    // divergence hash-mismatches.
+    Q("td_sample_stratified",
+      (s, dir) => {
+        val rates = Map("en" -> 0.75, "fr" -> 0.5, "es" -> 0.5,
+          "de" -> 0.25, "zh" -> 0.25)
+        Tables(s, dir, "documents")
+          .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), rates))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '${Sampling.hexThreshold(0.75)}'
+            WHEN 'fr' THEN '${Sampling.hexThreshold(0.5)}'
+            WHEN 'es' THEN '${Sampling.hexThreshold(0.5)}'
+            WHEN 'de' THEN '${Sampling.hexThreshold(0.25)}'
+            WHEN 'zh' THEN '${Sampling.hexThreshold(0.25)}'
+            ELSE 'g' END
+        ORDER BY doc_id""")),
+
+    // Deterministic train/valid/test split by cumulative md5-threshold
+    // bands — stable across runs and engines, membership depends only on
+    // the key. Oracle replays the same band predicate per row.
+    Q("td_sample_split",
+      (s, dir) => Tables(s, dir, "documents").select(col("doc_id"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))).as("split"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               '${Sampling.hexThreshold(0.8)}' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'valid'
+             ELSE 'test' END AS split
         FROM documents ORDER BY doc_id"""))
   )
 

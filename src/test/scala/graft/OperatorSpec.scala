@@ -148,6 +148,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == (("X", 3L, 2L, 4)))
   }
 
+  test("exact-substring dedup removes later window occurrences, token unit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t"),          // windows [pqrs],[qrst] — both first
+      (2L, "a b p q r s t z"),    // both doc-1 windows recur → p..t removed
+      (3L, "x y z"),              // < w tokens → no windows, passes through
+      (4L, "k k k k k k"))        // within-doc: pos 0 first, pos 1/2 dup
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("p q r s t", 2L, 0L, 0)))
+    // doc 2: dup windows at pos 2,3 cover token indices 2..6 → a b z kept
+    assert(out(2L) == (("a b z", 5L, 2L, 5)))
+    assert(out(3L) == (("x y z", 0L, 0L, 0)))
+    // doc 4: dup windows at pos 1,2 cover indices 1..5 → one token kept
+    assert(out(4L) == (("k", 3L, 2L, 5)))
+  }
+
+  test("exact-substring dedup keeps the lowest (doc, pos) across docs") {
+    import spark.implicits._
+    // the shared run sits at different positions; doc 5 has the LOWER id
+    // but the higher position is irrelevant — first key is doc id
+    val docs = Seq(
+      (5L, "n1 n2 n3 c1 c2 c3 c4"),
+      (9L, "c1 c2 c3 c4 m1"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(5L) == "n1 n2 n3 c1 c2 c3 c4")
+    assert(out(9L) == "m1")
+  }
+
   test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

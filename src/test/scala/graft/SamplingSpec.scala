@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sampling
+
+/** Deterministic md5-threshold sampling: threshold encoding edges, nested
+  * samples, exhaustive-and-exclusive split bands, and cross-run stability.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hexThreshold encodes rates as fixed-width comparable hex") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(1.0) == "g")   // above every hex digit
+    assert(Sampling.hexThreshold(-3.0) == "00000000") // clamped
+    assert(Sampling.hexThreshold(7.0) == "g")         // clamped
+    assert(Sampling.hexThreshold(0.75).length == 8)
+  }
+
+  test("rate 1 keeps everything, rate 0 keeps nothing") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("k")
+    assert(df.filter(Sampling.sampleKeep(col("k"), 1.0)).count() == 200)
+    assert(df.filter(Sampling.sampleKeep(col("k"), 0.0)).count() == 0)
+  }
+
+  test("samples are nested: a lower rate selects a subset of a higher one") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("k")
+    def kept(r: Double) = df.filter(Sampling.sampleKeep(col("k"), r))
+      .collect().map(_.getLong(0)).toSet
+    val k25 = kept(0.25); val k50 = kept(0.5); val k75 = kept(0.75)
+    assert(k25.subsetOf(k50) && k50.subsetOf(k75))
+    // uniformity sanity: each rate lands within 5 points of its target
+    assert(math.abs(k25.size / 2000.0 - 0.25) < 0.05, k25.size)
+    assert(math.abs(k50.size / 2000.0 - 0.50) < 0.05, k50.size)
+  }
+
+  test("stratifiedKeep applies per-stratum rates with a default") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(k => (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c"))
+      .toDF("k", "s")
+    val kept = df.filter(Sampling.stratifiedKeep(col("k"), col("s"),
+      Map("a" -> 1.0, "b" -> 0.0)))
+    val byStratum = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.getOrElse("a", 0L) == 1000L)  // rate 1: all of a
+    assert(!byStratum.contains("b"))               // rate 0: none of b
+    assert(byStratum("c") == 1000L)                // default 1.0: all of c
+  }
+
+  test("splitAssign covers every key exactly once, near target proportions") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("k")
+    val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+    val assigned = df.select(col("k"),
+      Sampling.splitAssign(col("k"), splits).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)  // exhaustive and exclusive
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03, counts)
+    assert(math.abs(counts("valid") / 5000.0 - 0.1) < 0.03, counts)
+    assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.03, counts)
+    // stability: re-evaluating yields the identical assignment
+    val a1 = assigned.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val a2 = df.select(col("k"), Sampling.splitAssign(col("k"), splits).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a1 == a2)
+  }
+
+  test("split membership is insertion-stable: adding rows never moves one") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+    def assign(n: Long) = (1L to n).toDF("k")
+      .select(col("k"), Sampling.splitAssign(col("k"), splits).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val small = assign(500); val big = assign(1500)
+    small.foreach { case (k, s) => assert(big(k) == s, s"key $k moved") }
+  }
+}
