@@ -276,6 +276,47 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * k-means-cluster the embedding space, then deduplicate INSIDE each
+    * cluster — a document drops when a lower-id document in the same
+    * cluster has cosine similarity >= `eps`. The paper breaks duplicate
+    * groups by distance-to-centroid; keeping the lowest id instead makes
+    * the decision engine-replayable while preserving the paper's
+    * one-survivor-per-group semantics.
+    *
+    * Scale shape: the clustering bounds ALL pairwise work to within-cell
+    * pairs — the self-join is equi-keyed on the cell id (a shuffle-hash
+    * join on cells, never a cartesian), so cost is Σ|cell|², not
+    * |corpus|². Centroids ride a 1-row broadcast ([[Similarity]]'s
+    * plan-size rationale) and assignment is a map-side argmax. At 100 TB
+    * nlist scales up to keep cells bounded (the paper's regime: tens of
+    * thousands of clusters), which only widens the same equi-join key
+    * space.
+    *
+    * Output: (idCol, kept) — kept = no lower-id in-cell neighbor at
+    * >= eps. Exact duplicates always land in the same cell (assignment is
+    * a deterministic function of the vector), so recall on true copies
+    * is 1 regardless of the clustering.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      eps: Double, nlist: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents =
+      Similarity.kmeansCentroids(df, idCol, vecCol, nlist, kmeansIters)
+    val cRow = Similarity.centroidsRow(df.sparkSession, cents)
+    val assigned = df.crossJoin(cRow)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.bestCellCol(col(vecCol)).cast("int").as("__cell"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .filter(Similarity.cosine(col("a.__v"), col("b.__v")) >= eps)
+      .select(col("b.__id").as("__id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dups, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** Connected components over a duplicate-pair edge list: every node gets
     * the minimum node id reachable from it (the canonical document of its
     * duplicate cluster). This is the step that turns pairwise dedup output

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling", arXiv:2302.03169): score
+  * every raw-corpus document by the log-likelihood ratio of a TARGET
+  * distribution vs the RAW distribution over hashed n-gram buckets, so a
+  * 100 TB web crawl can be re-weighted toward a curated target domain
+  * (the paper's hashed unigram+bigram feature space).
+  *
+  * Engine-portable by construction, like [[Sampling]]:
+  *
+  *   - the bucket hash is the first 4 hex chars of md5(gram) parsed as a
+  *     16-bit integer mod `nBuckets` — md5 is bit-identical everywhere
+  *     and the per-char ascii() arithmetic replays in any engine (no
+  *     xxhash/murmur divergence, no hex-cast dialect differences);
+  *   - per-bucket log ratios are quantized to integer MICRO-units
+  *     (floor(lr·1e6 + 0.5)) before any summation, so document weights
+  *     are exact 64-bit integer sums — no float fold-order dependence
+  *     between partial aggregates or engines.
+  *
+  * Scale shape: two fit aggregates (groupBy bucket, map-side combinable,
+  * output bounded by `nBuckets` rows — THAT is what gets collected, never
+  * the corpus), a driver-computed log-ratio table broadcast as one row,
+  * and a ZERO-SHUFFLE scoring pass: each document folds its own gram
+  * array against the broadcast table inside one projection.
+  */
+object Dsir {
+
+  /** Unigrams + bigrams of whitespace tokens, as one array (occurrence
+    * bag, not a set — DSIR counts occurrences).
+    */
+  def grams(text: Column): Column = {
+    val toks = split(text, " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** 0-15 value of one lowercase hex char: '0'-'9' → 48-57, 'a'-'f' →
+    * 97-102, so value = ascii − 48 − (39 if letter). */
+  private def hexVal(c: Column): Column =
+    ascii(c) - lit(48) - when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
+
+  /** Hash bucket for a gram: first 4 hex chars of md5 as a 16-bit value,
+    * mod `nBuckets` (so nBuckets <= 65536; non-power-of-two sizes get the
+    * usual negligible mod bias).
+    */
+  def gramBucket(gram: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets must be in (0, 65536], got $nBuckets")
+    val hex = md5(gram)
+    val v16 = (1 to 4).map(i => hexVal(substring(hex, i, 1)))
+      .reduce((a, b) => a * lit(16) + b)
+    pmod(v16, lit(nBuckets))
+  }
+
+  /** Per-bucket gram-OCCURRENCE counts over `df`'s text column. The
+    * aggregate output is bounded by `nBuckets` (never by the corpus);
+    * only that bounded table is collected. Index = bucket id.
+    */
+  def bucketCounts(df: DataFrame, textCol: String,
+      nBuckets: Int): Array[Long] = {
+    val rows = df.select(explode(grams(col(textCol))).as("__g"))
+      .select(gramBucket(col("__g"), nBuckets).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val arr = new Array[Long](nBuckets)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Quantized log-likelihood-ratio table: for each bucket b,
+    * floor(1e6 · ln(p_target(b) / p_raw(b)) + 0.5) with add-0.5
+    * smoothing, i.e. ln(((t_b+0.5)·(R+0.5·n)) / ((r_b+0.5)·(T+0.5·n)))
+    * computed as ONE ln call (halves the cross-engine ulp exposure vs
+    * subtracting two logs). Every arithmetic step is IEEE-deterministic;
+    * the micro-unit quantization makes downstream sums integer-exact.
+    */
+  def logRatioMicro(target: Array[Long], raw: Array[Long]): Array[Long] = {
+    require(target.length == raw.length, "bucket tables must align")
+    val n = target.length
+    val tTot = target.sum.toDouble + 0.5 * n
+    val rTot = raw.sum.toDouble + 0.5 * n
+    target.indices.map { b =>
+      val lr = math.log(((target(b) + 0.5) * rTot) / ((raw(b) + 0.5) * tTot))
+      math.floor(lr * 1e6 + 0.5).toLong
+    }.toArray
+  }
+
+  /** DSIR importance weights: fit target/raw bucket distributions, then
+    * score every raw document as the integer-micro sum of its grams'
+    * log ratios. Output: (idCol, n_grams, weight_micro) — weight_micro =
+    * 1e6 · estimated ln(p_target(doc)/p_raw(doc)). Selection is a
+    * downstream top-k or threshold on weight_micro (the paper resamples
+    * with Gumbel noise; a deterministic top-k keeps the pipeline
+    * replayable).
+    *
+    * The scoring pass attaches the (bounded) log-ratio table via a 1-row
+    * broadcast and folds each document's own gram array in a single
+    * projection — zero shuffle over the corpus, plan size flat in
+    * nBuckets ([[Similarity]]'s broadcast-not-literal rationale).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 8192): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val lrm = logRatioMicro(
+      bucketCounts(target, textCol, nBuckets),
+      bucketCounts(raw, textCol, nBuckets))
+    val lrRow = broadcast(Seq(Tuple1(lrm.toSeq)).toDF("__lrm"))
+    raw.crossJoin(lrRow)
+      .select(col(idCol),
+        size(grams(col(textCol))).cast("long").as("n_grams"),
+        aggregate(
+          transform(grams(col(textCol)),
+            g => element_at(col("__lrm"), gramBucket(g, nBuckets) + 1)),
+          lit(0L), (acc, v) => acc + v).as("weight_micro"))
+  }
+}

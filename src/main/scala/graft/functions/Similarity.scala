@@ -76,7 +76,7 @@ object Similarity {
     * the plan). Cross-joining this 1-row frame is a broadcast nested-loop
     * join of one row: effectively a map-side attach.
     */
-  private def centroidsRow(spark: org.apache.spark.sql.SparkSession,
+  private[functions] def centroidsRow(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Seq[Double]]): DataFrame = {
     import spark.implicits._
     broadcast(cents.zipWithIndex
@@ -95,7 +95,7 @@ object Similarity {
         (norm(v) * c.getField("cnorm")))).as("negs"),
         c.getField("cell").as("cell")))
 
-  private def bestCellCol(v: Column): Column =
+  private[functions] def bestCellCol(v: Column): Column =
     element_at(array_sort(negSimCells(v)), 1).getField("cell")
 
   /** Deterministic Lloyd k-means coarse quantizer: init = first `k` corpus

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.functions.{Dedup, Dsir, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Beyond-reference operators for LLM training-data pipelines: text analysis,
@@ -918,7 +918,86 @@ object TrainingData {
              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
                '${Sampling.hexThreshold(0.8 + 0.1)}' THEN 'valid'
              ELSE 'test' END AS split
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup in embedding
+    // space. The corpus has no natural near-dups (max background cosine
+    // 0.51), so at eps = 0.95 the ONLY duplicate pairs are the planted
+    // exact copies (cosine 1), and exact copies always share a k-means
+    // cell (assignment is a function of the vector) — so the clustered
+    // operator must agree with the oracle's ALL-PAIRS rule exactly: a
+    // vector drops iff a lower-id vector at >= eps exists anywhere.
+    // Missing a planted copy (recall) or dropping a non-dup (precision)
+    // both hash-mismatch.
+    Q("td_dedup_semantic",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val planted = e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        Dedup.semDedup(
+            e.select("vec_id", "embedding").unionByName(planted),
+            "vec_id", "embedding", eps = 0.95, nlist = 8, kmeansIters = 2)
+          .orderBy("vec_id")
+      },
+      Some("""WITH av AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+        d AS (SELECT b.vec_id FROM av a JOIN av b ON a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+           sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+            i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.95)
+        SELECT av.vec_id, av.vec_id NOT IN (SELECT vec_id FROM d) AS kept
+        FROM av ORDER BY vec_id""")),
+
+    // DSIR importance weights (Xie et al. 2023): raw = all documents,
+    // target = the English slice; 1024 hashed unigram+bigram buckets.
+    // The DuckDB oracle REPLAYS the entire computation — gram
+    // extraction, md5-hex bucket hash, both fit distributions, the
+    // single-ln log ratio, micro-unit quantization, and the per-doc
+    // integer sum — so the engines must agree bucket-for-bucket and
+    // micro-for-micro.
+    Q("td_dsir_weights",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dsir.importanceWeights(
+            docs.select("doc_id", "text"),
+            docs.filter(col("lang") === "en").select("doc_id", "text"),
+            "doc_id", "text", nBuckets = 1024)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents),
+        g AS (SELECT doc_id, lang, unnest(t ||
+          CASE WHEN len(t) >= 2
+            THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+            ELSE []::VARCHAR[] END) AS gram FROM toks),
+        b AS (SELECT doc_id, lang,
+          ((ascii(substr(md5(gram),1,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+         + (ascii(substr(md5(gram),2,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+         + (ascii(substr(md5(gram),3,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+         + (ascii(substr(md5(gram),4,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),4,1)) >= 97 THEN 39 ELSE 0 END))
+          % 1024 AS bkt FROM g),
+        tc AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        rc AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS tt,
+                       (SELECT count(*) FROM b) AS rt),
+        lr AS (SELECT rc.bkt,
+          CAST(floor(ln(((coalesce(tc.c, 0) + 0.5) * (tot.rt + 512.0)) /
+                        ((rc.c + 0.5) * (tot.tt + 512.0))) * 1000000 + 0.5)
+            AS BIGINT) AS lrm
+          FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt, tot)
+        SELECT b.doc_id, count(*) AS n_grams,
+          CAST(sum(lr.lrm) AS BIGINT) AS weight_micro
+        FROM b JOIN lr ON b.bkt = lr.bkt
+        GROUP BY b.doc_id ORDER BY doc_id"""))
   )
 
   /** Square-wave WAVs cycling the sample format by doc_id: 8-bit PCM,

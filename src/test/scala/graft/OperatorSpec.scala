@@ -181,6 +181,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(9L) == "m1")
   }
 
+  test("semDedup drops higher-id in-cluster near-dups, keeps the rest") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.7, 0.7)),    // cos 0.707 to both axes — no dup partner
+      (11L, Seq(2.0, 0.0)),   // same direction as 1 → cosine 1 → drops
+      (12L, Seq(0.0, 3.0)))   // same direction as 2 → drops
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding",
+        eps = 0.99, nlist = 2, kmeansIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true,
+      11L -> false, 12L -> false))
+  }
+
+  test("semDedup's pairwise work is cell-bounded: equi-join, no cartesian") {
+    import spark.implicits._
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1)))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, "vec_id", "embedding",
+      eps = 0.999, nlist = 4, kmeansIters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    out.collect() // and it executes
+  }
+
   test("pq ADC scan + exact refine: planted copy ranks 1, decent recall") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
