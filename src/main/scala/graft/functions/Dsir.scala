@@ -41,22 +41,19 @@ object Dsir {
     concat(toks, bigrams)
   }
 
-  /** 0-15 value of one lowercase hex char: '0'-'9' → 48-57, 'a'-'f' →
-    * 97-102, so value = ascii − 48 − (39 if letter). */
-  private def hexVal(c: Column): Column =
-    ascii(c) - lit(48) - when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
-
   /** Hash bucket for a gram: first 4 hex chars of md5 as a 16-bit value,
     * mod `nBuckets` (so nBuckets <= 65536; non-power-of-two sizes get the
-    * usual negligible mod bias).
+    * usual negligible mod bias). ONE md5 + one base-16 `conv` per gram —
+    * inside `transform` lambdas there is no common-subexpression
+    * elimination, so a per-char parse would recompute md5 four times.
+    * Engines without `conv` replay it as per-char ascii arithmetic on
+    * the same md5 prefix (see the td_dsir_weights oracle) — the VALUE is
+    * the contract, not the expression shape.
     */
   def gramBucket(gram: Column, nBuckets: Int): Column = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets must be in (0, 65536], got $nBuckets")
-    val hex = md5(gram)
-    val v16 = (1 to 4).map(i => hexVal(substring(hex, i, 1)))
-      .reduce((a, b) => a * lit(16) + b)
-    pmod(v16, lit(nBuckets))
+    pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast("int"), lit(nBuckets))
   }
 
   /** Per-bucket gram-OCCURRENCE counts over `df`'s text column. The
@@ -113,11 +110,14 @@ object Dsir {
       bucketCounts(target, textCol, nBuckets),
       bucketCounts(raw, textCol, nBuckets))
     val lrRow = broadcast(Seq(Tuple1(lrm.toSeq)).toDF("__lrm"))
+    // grams materialize once per row (two projections; CollapseProject
+    // keeps them apart rather than duplicate a non-cheap expression)
     raw.crossJoin(lrRow)
+      .select(col(idCol), grams(col(textCol)).as("__gs"), col("__lrm"))
       .select(col(idCol),
-        size(grams(col(textCol))).cast("long").as("n_grams"),
+        size(col("__gs")).cast("long").as("n_grams"),
         aggregate(
-          transform(grams(col(textCol)),
+          transform(col("__gs"),
             g => element_at(col("__lrm"), gramBucket(g, nBuckets) + 1)),
           lit(0L), (acc, v) => acc + v).as("weight_micro"))
   }
