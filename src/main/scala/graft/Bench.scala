@@ -33,7 +33,14 @@ object Bench {
     */
   val extendedHeadline: Seq[String] = Seq(
     "td_decontaminate", "td_sim_ivfpq", "td_token_bpe",
-    "td_quality_c4_spans")
+    "td_quality_c4_spans",
+    // second round-14 batch: exact-substring dedup (the family's largest
+    // corpus-keyed shuffle), prefix-sum packing (the RDD two-pass scan),
+    // and DSIR scoring (md5-bound CPU) — the three new operators whose
+    // regressions would matter at scale. The samplers are trivial scans
+    // and td_dedup_semantic runs on the fixed-size embeddings table, so
+    // they stay out of the bench budget.
+    "td_dedup_substr", "td_pack_sequences", "td_dsir_weights")
 
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked
@@ -63,7 +70,13 @@ object Bench {
   // median-of-5 observed across idle-box runs (BASELINE.md "Calibration").
   // Normalized totals use the band midpoint; `contended` fires on
   // band-exit, not on a fixed ±20% of a single reading.
-  val CalibCpuRefBand = (0.85, 1.00)
+  // Low edge widened 0.85 → 0.70 on 2026-08-16: after a box restart the
+  // single-thread spin reads 0.73-0.77 s across three idle runs (loadavg
+  // < 1.2, spark calib in-band, per-query spreads <= 1.25) — the HOST got
+  // faster, which is not contention; normalization (spark-calib-driven)
+  // already rescales totals for comparability. The slow edge (1.00) — the
+  // side that actually detects a loaded box — is unchanged.
+  val CalibCpuRefBand = (0.70, 1.00)
   val CalibSparkRefBand = (0.30, 0.46)
 
   // ---- per-query reference bands (VERDICT r12 item 3) ----------------------
@@ -87,7 +100,12 @@ object Bench {
     "bench_ingest_db" -> 3.10,
     // round-14 extended headline (idle-box 2026-08-15, spreads <= 1.21)
     "td_decontaminate" -> 2.30, "td_sim_ivfpq" -> 8.70,
-    "td_token_bpe" -> 0.27, "td_quality_c4_spans" -> 0.91)
+    "td_token_bpe" -> 0.27, "td_quality_c4_spans" -> 0.91,
+    // second round-14 batch (midpoint of two idle-box runs 2026-08-16,
+    // raw medians consistent to 2%; the normalized spread is spark-calib
+    // variance between the runs)
+    "td_dedup_substr" -> 0.72, "td_pack_sequences" -> 0.36,
+    "td_dsir_weights" -> 8.92)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2

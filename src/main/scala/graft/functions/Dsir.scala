@@ -102,6 +102,34 @@ object Dsir {
     * projection — zero shuffle over the corpus, plan size flat in
     * nBuckets ([[Similarity]]'s broadcast-not-literal rationale).
     */
+  /** Gumbel-top-k selection over importance weights (the paper's
+    * sampling-without-replacement trick: adding Gumbel(0,1) noise to the
+    * log-weights and taking the top k draws k documents with probability
+    * proportional to their softmax weights). The noise is DETERMINISTIC —
+    * u = (16-bit md5 prefix of the key + 0.5) / 65536, g = −ln(−ln u) —
+    * so the same corpus re-selects the same rows on any engine and any
+    * rerun, like everything else in this module. `temperatureMicro`
+    * scales the weight→noise balance (1e6 ≡ the paper's temperature 1).
+    *
+    * The k-selection is a TakeOrderedAndProject-shaped global top-k
+    * (partial per-partition top-k, then one bounded merge), never a full
+    * sort of the corpus.
+    */
+  def gumbelTopK(weighted: DataFrame, idCol: String, weightMicroCol: String,
+      k: Int, temperatureMicro: Long = 1000000L): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + lit(0.5)) / lit(65536.0)
+    // the noise quantizes to micro-units like the weights, so the
+    // selection key is an exact integer and ordering can't flip on a
+    // float fold; ties (same score) break on the id
+    val gMicro = floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+    val scaledW = floor(col(weightMicroCol).cast("double") * lit(1e6) /
+      lit(temperatureMicro.toDouble) + lit(0.5)).cast("long")
+    weighted.withColumn("gumbel_micro", scaledW + gMicro)
+      .orderBy(col("gumbel_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 8192): DataFrame = {
     val spark = raw.sparkSession

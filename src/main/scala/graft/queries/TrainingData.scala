@@ -997,7 +997,115 @@ object TrainingData {
         SELECT b.doc_id, count(*) AS n_grams,
           CAST(sum(lr.lrm) AS BIGINT) AS weight_micro
         FROM b JOIN lr ON b.bkt = lr.bkt
-        GROUP BY b.doc_id ORDER BY doc_id"""))
+        GROUP BY b.doc_id ORDER BY doc_id""")),
+
+    // DSIR selection: Gumbel-top-k over the importance weights (the
+    // paper's without-replacement resampling, made deterministic —
+    // md5-derived uniform → quantized Gumbel noise → integer selection
+    // key). temperature = 1e6 micro ≡ 1.0, k = 50. The oracle replays
+    // weights AND noise and must select the identical 50 documents.
+    Q("td_dsir_select",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val w = Dsir.importanceWeights(
+          docs.select("doc_id", "text"),
+          docs.filter(col("lang") === "en").select("doc_id", "text"),
+          "doc_id", "text", nBuckets = 1024)
+        Dsir.gumbelTopK(w, "doc_id", "weight_micro", k = 50)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents),
+        g AS (SELECT doc_id, lang, unnest(t ||
+          CASE WHEN len(t) >= 2
+            THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+            ELSE []::VARCHAR[] END) AS gram FROM toks),
+        b AS (SELECT doc_id, lang,
+          ((ascii(substr(md5(gram),1,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+         + (ascii(substr(md5(gram),2,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+         + (ascii(substr(md5(gram),3,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+         + (ascii(substr(md5(gram),4,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),4,1)) >= 97 THEN 39 ELSE 0 END))
+          % 1024 AS bkt FROM g),
+        tc AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        rc AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS tt,
+                       (SELECT count(*) FROM b) AS rt),
+        lr AS (SELECT rc.bkt,
+          CAST(floor(ln(((coalesce(tc.c, 0) + 0.5) * (tot.rt + 512.0)) /
+                        ((rc.c + 0.5) * (tot.tt + 512.0))) * 1000000 + 0.5)
+            AS BIGINT) AS lrm
+          FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt, tot),
+        w AS (SELECT b.doc_id, count(*) AS n_grams,
+            CAST(sum(lr.lrm) AS BIGINT) AS weight_micro
+          FROM b JOIN lr ON b.bkt = lr.bkt GROUP BY b.doc_id),
+        hm AS (SELECT doc_id, n_grams, weight_micro, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM w),
+        sc AS (SELECT doc_id, n_grams, weight_micro,
+          weight_micro +
+          CAST(floor(-ln(-ln((
+            ((ascii(substr(h,1,1)) - 48 -
+                CASE WHEN ascii(substr(h,1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+           + (ascii(substr(h,2,1)) - 48 -
+                CASE WHEN ascii(substr(h,2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+           + (ascii(substr(h,3,1)) - 48 -
+                CASE WHEN ascii(substr(h,3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+           + (ascii(substr(h,4,1)) - 48 -
+                CASE WHEN ascii(substr(h,4,1)) >= 97 THEN 39 ELSE 0 END))
+            + 0.5) / 65536.0)) * 1000000 + 0.5) AS BIGINT) AS gumbel_micro
+          FROM hm),
+        sel AS (SELECT * FROM sc ORDER BY gumbel_micro DESC, doc_id LIMIT 50)
+        SELECT doc_id, n_grams, weight_micro, gumbel_micro
+        FROM sel ORDER BY doc_id""")),
+
+    // End-to-end curation pipeline — the composition a real pre-training
+    // data run executes, as ONE hash-gated row: C4 doc gate + min-length
+    // filter → exact dedup (keep lowest doc_id per md5(text) group) →
+    // deterministic train split (md5-threshold band) → concat-and-chunk
+    // packing of the survivors. Every stage is engine-replayable, so the
+    // DuckDB oracle runs the identical four-stage recipe; a divergence in
+    // ANY stage (wrong survivor, wrong split membership, wrong stream
+    // offset) shifts every downstream row and hash-mismatches.
+    Q("td_pipeline_curate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val quality = docs.filter(TA.c4DocKeep(col("text")) &&
+          size(split(col("text"), " ")) >= 10)
+        val firstIds = quality
+          .select(col("doc_id"), md5(col("text")).as("__h"))
+          .groupBy("__h").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val deduped = quality.join(firstIds, Seq("doc_id"), "left_semi")
+        val train = deduped.filter(Sampling.splitAssign(col("doc_id"),
+          Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))) === "train")
+        Packing.packChunks(
+            train.select(col("doc_id"),
+              size(split(col("text"), " ")).as("n_toks")),
+            "doc_id", "n_toks", ctx = 256)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text FROM documents
+          WHERE len(string_split(text, ' ')) >= 10
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')),
+        d AS (SELECT doc_id, text FROM q
+          WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+        t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM d
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            '${Sampling.hexThreshold(0.8)}'),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        SELECT doc_id, n_tokens,
+          cum - n_tokens AS start_off,
+          (cum - n_tokens) // 256 AS first_seq,
+          (cum - 1) // 256 AS last_seq,
+          ((cum - 1) // 256) - ((cum - n_tokens) // 256) + 1 AS n_seqs
+        FROM c ORDER BY doc_id"""))
   )
 
   /** Square-wave WAVs cycling the sample format by doc_id: 8-bit PCM,

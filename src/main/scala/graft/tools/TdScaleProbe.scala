@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Dsir, Packing, Sampling}
+
+/** Scaling-evidence probe for the round-14 text-family surfaces
+  * (exact-substring dedup, prefix-sum packing, DSIR scoring,
+  * deterministic sampling): each runs end-to-end over the `documents`
+  * table of the given scale dir, so sf0.1 vs the ScaleGen-synthesized
+  * sf1 gives the 10×-rows wall ratio. All four are corpus-linear by
+  * design (one keyed shuffle for substr dedup, one range shuffle for
+  * the prefix sum, zero shuffles for DSIR scoring and sampling), so
+  * the ratio must stay ~linear. Median-of-3 warm runs; one JSON line.
+  *
+  * Usage: runMain graft.tools.TdScaleProbe [sfDir]
+  */
+object TdScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def med3(f: => Unit): Double = {
+      f // warm
+      val xs = Seq.fill(3) {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      xs.sorted.apply(1)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val nDocs = docs.count()
+    val out = collection.mutable.LinkedHashMap[String, Double]()
+
+    out("dedup_substr") = med3 {
+      noop(Dedup.exactSubstrDedup(docs, "doc_id", "text", w = 50))
+    }
+    out("pack_sequences") = med3 {
+      noop(Packing.packChunks(
+        docs.select(col("doc_id"), size(split(col("text"), " ")).as("n")),
+        "doc_id", "n", ctx = 512))
+    }
+    out("dsir_weights") = med3 {
+      noop(Dsir.importanceWeights(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "en").select("doc_id", "text"),
+        "doc_id", "text", nBuckets = 1024))
+    }
+    out("sample_stratified") = med3 {
+      noop(docs.filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+        Map("en" -> 0.75, "fr" -> 0.5, "de" -> 0.25))))
+    }
+
+    val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"td_scale","docs":$nDocs,"probes":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -72,6 +72,21 @@ class DsirSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(3L)._2)
   }
 
+  test("gumbelTopK: deterministic, size-k, weight-dominant selection") {
+    import spark.implicits._
+    // one doc carries an overwhelming weight → always selected; the rest
+    // tie at 0 and are picked purely by the deterministic noise
+    val w = ((1L to 100L).map(i => (i, 0L)) :+ (999L, 1000000000L))
+      .toDF("doc_id", "weight_micro")
+    val pick = Dsir.gumbelTopK(w, "doc_id", "weight_micro", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick.size == 10)
+    assert(pick.contains(999L))
+    val again = Dsir.gumbelTopK(w, "doc_id", "weight_micro", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick == again)
+  }
+
   test("importanceWeights scoring pass plans with zero corpus shuffle") {
     import spark.implicits._
     val raw = (1L to 50L).map(i => (i, s"w$i common tok$i")).toDF("doc_id", "text")
