@@ -317,6 +317,43 @@ object Dedup {
         coalesce(!col("__drop"), lit(true)).as("kept"))
   }
 
+  /** Incremental dedup of a new batch against a HISTORICAL corpus — the
+    * 100 TB ingest pattern: the history is scanned but NEVER shuffled or
+    * joined at its own scale. Three stages, exact final semantics:
+    *
+    *   1. build a Bloom filter over the history's text column
+    *      (`df.stat.bloomFilter` — distributed scan, sketches merged on
+    *      the driver; size the filter by `expectedItems`/`fpp`);
+    *   2. bloom-prefilter the batch (broadcast probe — the only UDF in
+    *      this module, kept because no built-in Bloom-probe expression
+    *      exists; one byte-array test per row, far cheaper than any
+    *      join). False positives survive to stage 3; false negatives
+    *      cannot exist, so no true duplicate escapes;
+    *   3. exact verify: the candidate TEXTS (tiny — true dups + the fpp
+    *      share of the batch) broadcast against the history scan, and
+    *      the confirmed texts broadcast back onto the batch. Both joins
+    *      build on the small side, so the history contributes only its
+    *      scan and the batch only one broadcast-hash probe each.
+    *
+    * Output: (idCol, kept) — kept = the row's text does NOT appear in
+    * the history (exact, bloom-invisible in the result).
+    */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = history.stat.bloomFilter(textCol, expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((t: String) => t != null && bc.value.mightContainString(t))
+    val candTexts = batch.filter(mightContain(col(textCol)))
+      .select(col(textCol).as("__t")).distinct()
+    val seenTexts = history.select(col(textCol).as("__t"))
+      .join(broadcast(candTexts), Seq("__t"), "left_semi").distinct()
+    batch.select(col(idCol), col(textCol).as("__t"))
+      .join(broadcast(seenTexts.withColumn("__dup", lit(true))), Seq("__t"), "left")
+      .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
+
   /** Connected components over a duplicate-pair edge list: every node gets
     * the minimum node id reachable from it (the canonical document of its
     * duplicate cluster). This is the step that turns pairwise dedup output

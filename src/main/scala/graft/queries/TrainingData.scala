@@ -999,6 +999,26 @@ object TrainingData {
         FROM b JOIN lr ON b.bkt = lr.bkt
         GROUP BY b.doc_id ORDER BY doc_id""")),
 
+    // Incremental dedup against a historical corpus: history = every
+    // 7th document's text; the new batch = all documents. The Bloom
+    // prefilter + broadcast exact verify must produce EXACT anti-join
+    // semantics (the bloom is invisible in the result), so the DuckDB
+    // oracle is the plain text-membership test — a false negative
+    // (escaped dup) or an unverified false positive both hash-mismatch.
+    Q("td_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val history = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("text"))
+        Dedup.dedupAgainstHistory(docs.select("doc_id", "text"), history,
+            "doc_id", "text", expectedItems = 10000L, fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          text NOT IN (SELECT text FROM documents WHERE doc_id % 7 = 0)
+            AS kept
+        FROM documents ORDER BY doc_id""")),
+
     // DSIR selection: Gumbel-top-k over the importance weights (the
     // paper's without-replacement resampling, made deterministic —
     // md5-derived uniform → quantized Gumbel noise → integer selection

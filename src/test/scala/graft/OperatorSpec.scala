@@ -181,6 +181,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(9L) == "m1")
   }
 
+  test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
+    import spark.implicits._
+    val history = Seq("seen one", "seen two").toDF("text")
+    val batch = Seq(
+      (1L, "seen one"),   // true dup → dropped
+      (2L, "fresh a"),
+      (3L, "seen two"),   // true dup → dropped
+      (4L, "fresh b"),
+      (5L, "seen one"))   // dup text repeated in batch → dropped too
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(batch, history, "doc_id", "text",
+        expectedItems = 100L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false))
+  }
+
+  test("dedupAgainstHistory: history side joins only via broadcast") {
+    import spark.implicits._
+    val history = (1L to 200L).map(i => s"hist $i").toDF("text")
+    val batch = (1L to 50L).map(i =>
+      (i, if (i % 10 == 0) s"hist $i" else s"new $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(batch, history, "doc_id", "text",
+      expectedItems = 1000L, fpp = 0.01)
+    val plan = out.queryExecution.executedPlan.toString
+    // both verify joins must build on the broadcast (small) side: no
+    // sort-merge or shuffled-hash join may touch the history scan
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    out.collect()
+  }
+
   test("semDedup drops higher-id in-cluster near-dups, keeps the rest") {
     import spark.implicits._
     val vecs = Seq(
