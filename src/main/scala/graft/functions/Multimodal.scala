@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (binary) column plumbing.
@@ -406,6 +407,112 @@ object Multimodal {
         case None => nulls
       }
     }
+  }
+
+  // ---- perceptual hashing ---------------------------------------------------
+
+  /** 64-bit average hash (aHash) of a decoded raster: bilinear-resample
+    * to 8×8 (skipped when the source already is 8×8, keeping planted
+    * fixtures integer-exact), integer grayscale (r+g+b)/3 per cell, and
+    * bit r·8+c set when the cell sits strictly above the mean — tested
+    * as `px·64 > sum` so the comparison is exact integer arithmetic
+    * with no division rounding (replayable in any engine). None for
+    * undecodable payloads.
+    */
+  def aHash64(payload: Array[Byte]): Option[Long] = {
+    import java.awt.image.BufferedImage
+    val fmt = sniffFormat(payload)
+    if (fmt != "png" && fmt != "jpeg" && fmt != "gif" && fmt != "bmp")
+      return None
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (src == null) return None
+    val small =
+      if (src.getWidth == 8 && src.getHeight == 8) src
+      else {
+        val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, 8, 8, null)
+        g.dispose()
+        dst
+      }
+    val px = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      px(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+      sum += px(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) * 64L > sum) hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Append `ahash: long` (null for undecodable payloads) — partition-wise
+    * map over the scan, no shuffle. */
+  def imageHash(df: DataFrame, binaryCol: String): DataFrame =
+    appendDecoded(df, binaryCol, Seq(StructField("ahash", LongType)),
+      Seq(null)) { bytes =>
+      Seq(aHash64(bytes).map(Long.box).orNull)
+    }
+
+  /** Image near-duplicate pairs by perceptual hash: aHash per payload,
+    * the 64-bit hash split into `nBands` contiguous bands, a self-join
+    * keyed on (band index, band value), and an exact Hamming filter.
+    * Pigeonhole guarantee: any pair with Hamming distance < nBands
+    * shares at least one untouched band, so recall on pairs within
+    * `maxHamming` <= nBands−1 is COMPLETE; pairwise work is bounded by
+    * band-bucket sizes, never all-pairs. Output:
+    * (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64: $nBands")
+    require(maxHamming < nBands,
+      s"complete recall needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashed = imageHash(df, binaryCol)
+      .filter(col("ahash").isNotNull)
+      .select(col(idCol).as("__id"), col("ahash"))
+    val bands = hashed.select(col("__id"), col("ahash"),
+      explode(array((0 until nBands).map(k =>
+        struct(lit(k).as("k"),
+          (shiftrightunsigned(col("ahash"), k * width)
+            .bitwiseAND(lit(mask))).as("v"))): _*)).as("__b"))
+    bands.as("a").join(bands.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("int")
+          .as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Encode an 8×8 grayscale raster (row-major `values`, 0-255) as a
+    * real `fmt` container — the integer-exact fixture for
+    * [[aHash64]]-family oracles (lossless containers return the planted
+    * bytes verbatim and the 8×8 input skips resampling). */
+  def encodeGray8x8(fmt: String, values: Seq[Int]): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    require(values.length == 64, s"need 64 values, got ${values.length}")
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    values.zipWithIndex.foreach { case (v, i) =>
+      val c = v & 0xFF
+      img.setRGB(i % 8, i / 8, (c << 16) | (c << 8) | c)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no writer for $fmt")
+    out.toByteArray
   }
 
   // ---- deterministic raster synthesis ---------------------------------------

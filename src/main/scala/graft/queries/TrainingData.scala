@@ -999,6 +999,48 @@ object TrainingData {
         FROM b JOIN lr ON b.bkt = lr.bkt
         GROUP BY b.doc_id ORDER BY doc_id""")),
 
+    // Image near-dup by perceptual hash: docs < 50 carry REAL 8x8 gray
+    // PNGs — even doc_ids a descending vertical gradient, odd a
+    // descending horizontal one. Every same-family pair hashes
+    // identically (the +0 perturbation-free gradients make aHash an
+    // exact integer function of the pattern), cross-family Hamming is
+    // 32 — far over the threshold. The oracle recomputes the hash from
+    // the planted pixel arithmetic (value*64 > sum bit test, bit
+    // weights as exact BIGINT shifts) and derives the full pair set;
+    // wrong grayscale math, wrong bit order, or a recall hole in the
+    // banded join all hash-mismatch.
+    Q("td_mm_imagedup",
+      (s, dir) => {
+        val enc = udf { (d: Long) =>
+          val vals = (0 until 64).map { i =>
+            val (r, c) = (i / 8, i % 8)
+            if (d % 2 == 0) (7 - r) * 30 else (7 - c) * 30
+          }
+          Multimodal.encodeGray8x8("png", vals)
+        }
+        val imgs = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), enc(col("doc_id")).as("payload"))
+        Multimodal.imageNearDupPairs(imgs, "doc_id", "payload",
+            maxHamming = 3, nBands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        px AS (SELECT doc_id, t1.r, t2.c,
+            CASE WHEN doc_id % 2 = 0 THEN (7 - t1.r) * 30
+                 ELSE (7 - t2.c) * 30 END AS v
+          FROM ids, range(0, 8) t1(r), range(0, 8) t2(c)),
+        tot AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id),
+        h AS (SELECT px.doc_id,
+            sum(CASE WHEN px.v * 64 > tot.s
+              THEN (CAST(1 AS BIGINT) << CAST(px.r * 8 + px.c AS INT))
+              ELSE 0 END) AS ahash
+          FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // Incremental dedup against a historical corpus: history = every
     // 7th document's text; the new batch = all documents. The Bloom
     // prefilter + broadcast exact verify must produce EXACT anti-join

@@ -181,6 +181,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(9L) == "m1")
   }
 
+  test("imageNearDupPairs: banded hash join finds planted twins only") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val vert = (0 until 64).map(i => (7 - i / 8) * 30)
+    val horiz = (0 until 64).map(i => (7 - i % 8) * 30)
+    val rows = Seq(
+      (1L, Multimodal.encodeGray8x8("png", vert)),
+      (2L, Multimodal.encodeGray8x8("png", horiz)),
+      (3L, Multimodal.encodeGray8x8("bmp", vert)),   // same raster, other container
+      (4L, Array[Byte](9, 9, 9)))                    // undecodable → excluded
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageNearDupPairs(rows, "doc_id", "payload",
+        maxHamming = 3, nBands = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 3L, 0)))
+    val plan = Multimodal.imageNearDupPairs(rows, "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
     import spark.implicits._
     val history = Seq("seen one", "seen two").toDF("text")
