@@ -202,17 +202,19 @@ object Bpe {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       val v = bc.value
-      val cache = scala.collection.mutable.Map[String, Seq[String]]()
+      // only the LENGTH is ever read here — caching the token Seq itself
+      // would hold 65k boxed-string sequences per partition for nothing
+      val cache = scala.collection.mutable.Map[String, Int]()
       def countCapped(t: String): Int = {
         val pts = preTokenize(t)
         var n = 0
         pts.foreach { w =>
           n += (cache.get(w) match {
-            case Some(enc) => enc.length
+            case Some(len) => len
             case None =>
-              val enc = encodeWord(w, v)
-              if (cache.size < WordCacheCap) cache(w) = enc
-              enc.length
+              val len = encodeWord(w, v).length
+              if (cache.size < WordCacheCap) cache(w) = len
+              len
           })
         }
         n

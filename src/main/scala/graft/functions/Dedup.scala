@@ -304,9 +304,13 @@ object Dedup {
     val cents =
       Similarity.kmeansCentroids(df, idCol, vecCol, nlist, kmeansIters)
     val cRow = Similarity.centroidsRow(df.sparkSession, cents)
+    // the argmax assignment (O(|corpus|·nlist·dim)) feeds three plan
+    // subtrees (both self-join sides + the final keep/drop join) —
+    // materialize it once instead of re-deriving it per subtree
     val assigned = df.crossJoin(cRow)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         Similarity.bestCellCol(col(vecCol)).cast("int").as("__cell"))
+      .localCheckpoint()
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
       .filter(Similarity.cosine(col("a.__v"), col("b.__v")) >= eps)
@@ -340,17 +344,29 @@ object Dedup {
     */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
       idCol: String, textCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+      expectedItems: Long = 1000000L, fpp: Double = 0.03,
+      maxBroadcastCandidates: Long = 1000000L): DataFrame = {
     val bf = history.stat.bloomFilter(textCol, expectedItems, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val mightContain =
       udf((t: String) => t != null && bc.value.mightContainString(t))
     val candTexts = batch.filter(mightContain(col(textCol)))
       .select(col(textCol).as("__t")).distinct()
+    // Sizing rail: an UNDERSIZED filter (expectedItems far below the
+    // true history cardinality) saturates toward fpp≈1 and the
+    // "tiny" candidate set degrades toward the whole batch — counting
+    // it is one cheap job, and past the threshold the verify joins
+    // fall back to shuffle joins instead of blowing the 8 GB broadcast
+    // limit. The count also pins the bloom guarantee in specs.
+    val candCount = candTexts.count()
+    val useBroadcast = candCount <= maxBroadcastCandidates
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
     val seenTexts = history.select(col(textCol).as("__t"))
-      .join(broadcast(candTexts), Seq("__t"), "left_semi").distinct()
+      .join(maybeBroadcast(candTexts), Seq("__t"), "left_semi").distinct()
     batch.select(col(idCol), col(textCol).as("__t"))
-      .join(broadcast(seenTexts.withColumn("__dup", lit(true))), Seq("__t"), "left")
+      .join(maybeBroadcast(seenTexts.withColumn("__dup", lit(true))),
+        Seq("__t"), "left")
       .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("kept"))
   }
 
@@ -402,16 +418,17 @@ object Dedup {
   /** Shared first-occurrence window-dedup engine behind
     * [[TextAnalysis.c4SpanDedup]] (newline-delimited sentence units) and
     * [[exactSubstrDedup]] (whitespace token units): explode the sliding
-    * `n`-unit windows, ONE map-side-combinable hash-groupBy picking the
-    * first (doc id, position) occurrence of each window, a keyed join
-    * back to flag later occurrences, and a per-doc rebuild of the text
-    * with the covered units removed. Linear in total units; the window
-    * shuffle is the only corpus-sized exchange and no pairwise work
-    * exists anywhere.
+    * `n`-unit windows, flag later occurrences with ONE window-function
+    * pass (min(doc, pos) over each window hash — no self-join, so the
+    * exploded frame is computed exactly once), fold counts and covered
+    * unit indices in ONE per-doc aggregation, and rebuild the text.
+    * Linear in total units; three keyed exchanges total (window hash,
+    * doc id, rebuild join) and no pairwise work anywhere.
     */
   private[functions] def firstOccurrenceDedup(df: DataFrame, idCol: String,
       textCol: String, n: Int, delim: String,
       nName: String, dupName: String, rmName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val units = df.select(col(idCol).as("__id"),
       split(col(textCol), delim).as("__us"))
     val wins = units.select(col("__id"),
@@ -419,23 +436,26 @@ object Dedup {
         transform(sequence(lit(0), size(col("__us")) - n),
           i => xxhash64(concat_ws(delim, slice(col("__us"), i + 1, lit(n))))))
         .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__h")))
-    val first = wins.groupBy("__h")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
-    val flagged = wins.join(first, Seq("__h"))
+    val flagged = wins.withColumn("__f",
+        min(struct(col("__id"), col("__pos"))).over(Window.partitionBy("__h")))
       .withColumn("__dup",
         !(col("__f.__id") === col("__id") && col("__f.__pos") === col("__pos")))
+    // one aggregation carries counts AND the covered unit indices:
+    // per-row sequences of covered indices collect (nulls skipped for
+    // non-dup rows), flatten, and array_distinct collapses the overlap
+    // between adjacent duplicate windows. The per-group buffer is
+    // bounded by dup_windows·n ints before the distinct (factor n over
+    // the final covered set on pathologically dup-heavy docs) — the
+    // object-hash aggregate spills to sort-based if a group outgrows
+    // memory, and the win is that nothing here re-evaluates the
+    // corpus-sized explode
     val perDoc = flagged.groupBy("__id").agg(
       count(lit(1)).as(nName),
-      sum(when(col("__dup"), 1L).otherwise(0L)).as(dupName))
-    // unit indices covered by any duplicate window occurrence —
-    // collect_set already dedups overlapping windows' indices, so no
-    // distinct() (it would add a whole extra shuffle over the exploded
-    // rows on exactly the duplicate-heavy corpora this targets)
-    val removed = flagged.filter(col("__dup"))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__ui"))
-      .groupBy("__id").agg(collect_set("__ui").as("__rm"))
-    units.join(perDoc, Seq("__id"), "left").join(removed, Seq("__id"), "left")
+      sum(when(col("__dup"), 1L).otherwise(0L)).as(dupName),
+      array_distinct(flatten(collect_list(
+        when(col("__dup"), sequence(col("__pos"), col("__pos") + (n - 1))))))
+        .as("__rm"))
+    units.join(perDoc, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         array_join(filter(col("__us"),
           (_, i) => !array_contains(coalesce(col("__rm"),

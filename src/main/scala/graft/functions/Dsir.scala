@@ -89,19 +89,6 @@ object Dsir {
     }.toArray
   }
 
-  /** DSIR importance weights: fit target/raw bucket distributions, then
-    * score every raw document as the integer-micro sum of its grams'
-    * log ratios. Output: (idCol, n_grams, weight_micro) — weight_micro =
-    * 1e6 · estimated ln(p_target(doc)/p_raw(doc)). Selection is a
-    * downstream top-k or threshold on weight_micro (the paper resamples
-    * with Gumbel noise; a deterministic top-k keeps the pipeline
-    * replayable).
-    *
-    * The scoring pass attaches the (bounded) log-ratio table via a 1-row
-    * broadcast and folds each document's own gram array in a single
-    * projection — zero shuffle over the corpus, plan size flat in
-    * nBuckets ([[Similarity]]'s broadcast-not-literal rationale).
-    */
   /** Gumbel-top-k selection over importance weights (the paper's
     * sampling-without-replacement trick: adding Gumbel(0,1) noise to the
     * log-weights and taking the top k draws k documents with probability
@@ -130,6 +117,17 @@ object Dsir {
       .limit(k)
   }
 
+  /** DSIR importance weights: fit target/raw bucket distributions, then
+    * score every raw document as the integer-micro sum of its grams'
+    * log ratios. Output: (idCol, n_grams, weight_micro) — weight_micro =
+    * 1e6 · estimated ln(p_target(doc)/p_raw(doc)). Selection is
+    * [[gumbelTopK]] or a plain threshold on weight_micro.
+    *
+    * The scoring pass attaches the (bounded) log-ratio table via a 1-row
+    * broadcast and folds each document's own gram array in a single
+    * projection — zero shuffle over the corpus, plan size flat in
+    * nBuckets ([[Similarity]]'s broadcast-not-literal rationale).
+    */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 8192): DataFrame = {
     val spark = raw.sparkSession

@@ -77,11 +77,17 @@ object Packing {
     require(ctx > 0, s"ctx must be positive, got $ctx")
     val base = df.select(col(orderCol),
       col(tokensCol).cast(LongType).as("n_tokens"))
+    // (__cum - 1) div ctx is only meaningful for n_tokens > 0 (where
+    // __cum >= 1, so truncating div == floor div and every engine
+    // agrees); a zero-token document occupies no sequence — its
+    // last_seq pins to first_seq - 1 so n_seqs lands at 0 instead of
+    // the engine-dependent div(-1) result
     prefixSum(base, orderCol, "n_tokens", "__cum")
       .select(col(orderCol), col("n_tokens"),
         (col("__cum") - col("n_tokens")).as("start_off"),
         expr(s"(__cum - n_tokens) div $ctx").as("first_seq"),
-        expr(s"(__cum - 1) div $ctx").as("last_seq"))
+        when(col("n_tokens") > 0, expr(s"(__cum - 1) div $ctx"))
+          .otherwise(expr(s"(__cum - n_tokens) div $ctx") - 1).as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 }

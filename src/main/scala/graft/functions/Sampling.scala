@@ -27,8 +27,12 @@ object Sampling {
     */
   def hexThreshold(rate: Double): String = {
     val clamped = math.max(0.0, math.min(1.0, rate))
+    // rates within ~1.2e-10 of 1 round UP to 2^32, which would format as
+    // the 9-char "100000000" and break the fixed-width compare (most md5
+    // prefixes sort above "1...") — cap at the largest 8-digit value
+    val scaled = math.min(math.round(clamped * 4294967296.0), 0xFFFFFFFFL)
     if (clamped >= 1.0) "g"
-    else f"${math.round(clamped * 4294967296.0)}%08x"
+    else f"$scaled%08x"
   }
 
   /** The uniform-in-[0,1) variate for a key, as comparable hex. */

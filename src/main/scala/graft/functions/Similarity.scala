@@ -98,13 +98,6 @@ object Similarity {
   private[functions] def bestCellCol(v: Column): Column =
     element_at(array_sort(negSimCells(v)), 1).getField("cell")
 
-  /** Deterministic Lloyd k-means coarse quantizer: init = first `k` corpus
-    * rows by id, then `iters` assign-update rounds. The update is an
-    * element-wise mean via posexplode → groupBy(cell, dim) in exact DECIMAL
-    * (so partial-agg order cannot perturb centroids between runs); per
-    * iteration the shuffle is |corpus|·dim value rows — the standard
-    * distributed-k-means cost, linear in data size.
-    */
   /** First `n` vectors by id as driver-side doubles — the bounded sample
     * every trainer here starts from. The cast makes element type
     * irrelevant (array<float> and array<double> corpora both work). */
@@ -114,6 +107,13 @@ object Similarity {
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Deterministic Lloyd k-means coarse quantizer: init = first `k` corpus
+    * rows by id, then `iters` assign-update rounds. The update is an
+    * element-wise mean via posexplode → groupBy(cell, dim) in exact DECIMAL
+    * (so partial-agg order cannot perturb centroids between runs); per
+    * iteration the shuffle is |corpus|·dim value rows — the standard
+    * distributed-k-means cost, linear in data size.
+    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] =

@@ -72,6 +72,18 @@ class PackingSpec extends AnyFunSuite {
       (20L, 2L, 2L, 1L)))
   }
 
+  test("zero-token documents occupy no sequence, anywhere in the stream") {
+    import spark.implicits._
+    // doc 1 empty at offset 0 (the div(-1) corner), doc 3 empty at a
+    // ctx-aligned offset — both must report n_seqs = 0
+    val df = Seq((1L, 0L), (2L, 512L), (3L, 0L), (4L, 100L))
+      .toDF("doc_id", "n")
+    val got = Packing.packChunks(df, "doc_id", "n", ctx = 512)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_seqs")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("prefixSum plans no single-task global window") {
     import spark.implicits._
     withoutCoalesce {

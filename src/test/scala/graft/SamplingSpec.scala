@@ -25,6 +25,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hexThreshold(-3.0) == "00000000") // clamped
     assert(Sampling.hexThreshold(7.0) == "g")         // clamped
     assert(Sampling.hexThreshold(0.75).length == 8)
+    // rates within rounding distance of 1 must NOT round up to the
+    // 9-char "100000000" (which would sort below most prefixes and
+    // silently collapse the keep rate) — they cap at the widest 8-digit
+    // value and keep ~everything
+    assert(Sampling.hexThreshold(0.9999999999) == "ffffffff")
+    assert(Sampling.hexThreshold(math.nextDown(1.0)) == "ffffffff")
   }
 
   test("rate 1 keeps everything, rate 0 keeps nothing") {
