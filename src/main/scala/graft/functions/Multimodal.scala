@@ -475,28 +475,56 @@ object Multimodal {
     * (id_a, id_b, hamming), id_a < id_b.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      imageHash(df, binaryCol).filter(col("ahash").isNotNull)
+        .select(col(idCol).as("__id"), col("ahash").as("__hash")),
+      maxHamming, nBands)
+
+  /** Shared banded-Hamming self-join over (`__id`, `__hash`) frames —
+    * the candidate engine behind [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]. Pigeonhole: Hamming < nBands ⟹ at least
+    * one untouched band, so recall within `maxHamming` <= nBands−1 is
+    * complete; work is band-bucket-bounded. */
+  private def bandedHammingPairs(hashed: DataFrame,
+      maxHamming: Int, nBands: Int): DataFrame = {
     require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64: $nBands")
     require(maxHamming < nBands,
       s"complete recall needs maxHamming < nBands ($maxHamming >= $nBands)")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashed = imageHash(df, binaryCol)
-      .filter(col("ahash").isNotNull)
-      .select(col(idCol).as("__id"), col("ahash"))
-    val bands = hashed.select(col("__id"), col("ahash"),
+    val bands = hashed.select(col("__id"), col("__hash"),
       explode(array((0 until nBands).map(k =>
         struct(lit(k).as("k"),
-          (shiftrightunsigned(col("ahash"), k * width)
+          (shiftrightunsigned(col("__hash"), k * width)
             .bitwiseAND(lit(mask))).as("v"))): _*)).as("__b"))
     bands.as("a").join(bands.as("b"),
         col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("int")
+        bit_count(col("a.__hash").bitwiseXOR(col("b.__hash"))).cast("int")
           .as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Append `afp: long` (the energy-envelope fingerprint; null for
+    * undecodable payloads) — partition-wise map, no shuffle. */
+  def audioHash(df: DataFrame, binaryCol: String): DataFrame =
+    appendDecoded(df, binaryCol, Seq(StructField("afp", LongType)),
+      Seq(null)) { bytes =>
+      Seq(audioFingerprint64(bytes).map(Long.box).orNull)
+    }
+
+  /** Audio near-duplicate pairs by envelope fingerprint — the audio
+    * member of the perceptual-dedup family, same banded self-join and
+    * recall guarantee as [[imageNearDupPairs]]. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      audioHash(df, binaryCol).filter(col("afp").isNotNull)
+        .select(col(idCol).as("__id"), col("afp").as("__hash")),
+      maxHamming, nBands)
 
   /** Encode an 8×8 grayscale raster (row-major `values`, 0-255) as a
     * real `fmt` container — the integer-exact fixture for
@@ -603,67 +631,122 @@ object Multimodal {
     * None for non-WAV / compressed / truncated payloads — a data chunk
     * whose declared size runs past the payload means the file was cut,
     * and a confidently-wrong partial rms is worse than a null. */
-  def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
-    try {
-      if (sniffFormat(b) != "wav") return None
-      var i = 12 // past RIFF<size>WAVE
-      var rate = 0; var channels = 0; var bits = 0; var codec = 0
-      var dataOff = -1; var dataLen = 0
-      while (i + 8 <= b.length) {
-        val id = new String(b.slice(i, i + 4), "US-ASCII")
-        val len = le32(b, i + 4)
-        // chunk sizes are unsigned on the wire but le32 is signed: a
-        // negative read means a corrupt/hostile header — without this
-        // guard the advance below could be zero (or wrap on a huge
-        // positive len) and the walk would spin forever on one bad row;
-        // any declared size past the payload also bails (nothing left
-        // to walk, and Int overflow in the advance becomes impossible)
-        if (len < 0 || len > b.length - (i + 8)) return None
-        // the fmt fields live inside the chunk's DECLARED extent: a
-        // malformed fmt with len < 16 must reject, not read codec/rate/
-        // bits out of whatever chunk happens to follow
-        if (id == "fmt ") {
-          if (len < 16 || i + 24 > b.length) return None
-          codec = le16(b, i + 8)
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12)
-          bits = le16(b, i + 22)
-        } else if (id == "data") {
-          dataOff = i + 8
-          dataLen = len // the guard above already rejected truncation
-        }
-        i += 8 + len + (len & 1) // chunks are word-aligned
+  /** Parsed WAV layout: codec (1 = PCM, 3 = IEEE float), channel count,
+    * rate, bit depth, and the data chunk's extent. */
+  private final case class WavLayout(codec: Int, channels: Int, rate: Int,
+      bits: Int, dataOff: Int, dataLen: Int) {
+    def bytesPer: Int = bits / 8
+    def samples: Int = dataLen / bytesPer
+  }
+
+  /** Chunk-walk a RIFF/WAVE payload to its fmt + data layout, with the
+    * hostile-header guards (negative/overlong declared sizes, fmt
+    * shorter than its 16 mandatory bytes). None for anything that
+    * isn't a supported PCM 8/16/24/32 or float32 WAV. */
+  private def parseWav(b: Array[Byte]): Option[WavLayout] = {
+    if (sniffFormat(b) != "wav") return None
+    var i = 12 // past RIFF<size>WAVE
+    var rate = 0; var channels = 0; var bits = 0; var codec = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val len = le32(b, i + 4)
+      // chunk sizes are unsigned on the wire but le32 is signed: a
+      // negative read means a corrupt/hostile header — without this
+      // guard the advance below could be zero (or wrap on a huge
+      // positive len) and the walk would spin forever on one bad row;
+      // any declared size past the payload also bails (nothing left
+      // to walk, and Int overflow in the advance becomes impossible)
+      if (len < 0 || len > b.length - (i + 8)) return None
+      // the fmt fields live inside the chunk's DECLARED extent: a
+      // malformed fmt with len < 16 must reject, not read codec/rate/
+      // bits out of whatever chunk happens to follow
+      if (id == "fmt ") {
+        if (len < 16 || i + 24 > b.length) return None
+        codec = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = len // the guard above already rejected truncation
       }
-      val supported =
-        (codec == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
-          (codec == 3 && bits == 32)
-      if (rate <= 0 || channels <= 0 || !supported || dataOff < 0) return None
-      val bytesPer = bits / 8
-      val n = dataLen / bytesPer
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    val supported =
+      (codec == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+        (codec == 3 && bits == 32)
+    if (rate <= 0 || channels <= 0 || !supported || dataOff < 0) None
+    else Some(WavLayout(codec, channels, rate, bits, dataOff, dataLen))
+  }
+
+  /** Sample j of a parsed payload, in native units. */
+  private def wavSample(b: Array[Byte], w: WavLayout, j: Int): Double = {
+    val off = w.dataOff + j * w.bytesPer
+    if (w.codec == 3) java.lang.Float.intBitsToFloat(le32(b, off)).toDouble
+    else w.bits match {
+      case 8 => ((b(off) & 0xff) - 128).toDouble // unsigned, 128 offset
+      case 16 => ((le16(b, off) << 16) >> 16).toDouble // sign-extend
+      case 24 => ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        (b(off + 2) << 16)).toDouble // high byte carries the sign
+      case _ => le32(b, off).toDouble
+    }
+  }
+
+  def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
+    try parseWav(b).map { w =>
+      val n = w.samples
       var sumSq = 0.0
       var peak = 0.0
       var j = 0
       while (j < n) {
-        val off = dataOff + j * bytesPer
-        val s: Double =
-          if (codec == 3) java.lang.Float.intBitsToFloat(le32(b, off)).toDouble
-          else bits match {
-            case 8 => ((b(off) & 0xff) - 128).toDouble // unsigned, 128 offset
-            case 16 => ((le16(b, off) << 16) >> 16).toDouble // sign-extend
-            case 24 => ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-              (b(off + 2) << 16)).toDouble // high byte carries the sign
-            case _ => le32(b, off).toDouble
-          }
+        val s = wavSample(b, w, j)
         sumSq += s * s
         val a = math.abs(s)
         if (a > peak) peak = a
         j += 1
       }
-      val frames = n.toLong / channels
-      Some(AudioFeatures(rate, channels, frames,
-        frames * 1000L / rate,
+      val frames = n.toLong / w.channels
+      AudioFeatures(w.rate, w.channels, frames,
+        frames * 1000L / w.rate,
         if (n == 0) 0.0 else math.sqrt(sumSq / n), peak,
-        bits, if (codec == 3) "float" else "pcm"))
+        w.bits, if (w.codec == 3) "float" else "pcm")
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** 64-bit energy-envelope fingerprint of a decoded WAV: the sample
+    * stream cut into 64 contiguous windows (boundary k·n/64), bit k set
+    * when the window's mean |sample| sits strictly above the overall
+    * mean — tested cross-multiplied (`sum_k·n > total·len_k`) so the
+    * decision is exact for integer PCM (sums of integers are exact in
+    * double far past any real payload size). The audio analogue of
+    * [[aHash64]]: amplitude-envelope shape, robust to level-preserving
+    * re-encodes. None for undecodable payloads or fewer than 64
+    * samples. */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] =
+    try parseWav(b).flatMap { w =>
+      val n = w.samples
+      if (n < 64) return None
+      val sums = new Array[Double](64)
+      var total = 0.0
+      var k = 0
+      while (k < 64) {
+        val lo = (k.toLong * n / 64).toInt
+        val hi = ((k + 1).toLong * n / 64).toInt
+        var s = 0.0
+        var j = lo
+        while (j < hi) { s += math.abs(wavSample(b, w, j)); j += 1 }
+        sums(k) = s
+        total += s
+        k += 1
+      }
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        val len = ((k + 1).toLong * n / 64) - (k.toLong * n / 64)
+        if (sums(k) * n > total * len) hash |= (1L << k)
+        k += 1
+      }
+      Some(hash)
     } catch { case _: IndexOutOfBoundsException => None }
 
   /** Attach decoded audio features from `binaryCol`: `sample_rate`,
@@ -739,6 +822,34 @@ object Multimodal {
   def encodeWavPcm16(rate: Int, channels: Int, frames: Int,
       amplitude: Int): Array[Byte] =
     encodeWavPcm(rate, channels, frames, amplitude, 16)
+
+  /** Encode a mono PCM16 WAV whose amplitude steps per window:
+    * `framesPerWindow` frames of a ±amps(k) square wave for each k.
+    * Every sample's |value| inside window k is exactly amps(k), so
+    * [[audioFingerprint64]] bits reduce to the pure integer predicate
+    * amps(k)·64 > Σamps (equal windows) — the arithmetic fixture for
+    * envelope-hash oracles. */
+  def encodeWavPcm16Amps(rate: Int, framesPerWindow: Int,
+      amps: Seq[Int]): Array[Byte] = {
+    require(amps.nonEmpty && amps.forall(a => a >= 0 && a <= 32767),
+      "amps must be 0..32767")
+    val frames = framesPerWindow * amps.length
+    val dataLen = frames * 2
+    val bo = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bo.put("RIFF".getBytes); bo.putInt(36 + dataLen); bo.put("WAVE".getBytes)
+    bo.put("fmt ".getBytes); bo.putInt(16)
+    bo.putShort(1); bo.putShort(1) // PCM, mono
+    bo.putInt(rate); bo.putInt(rate * 2); bo.putShort(2); bo.putShort(16)
+    bo.put("data".getBytes); bo.putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      val a = amps(f / framesPerWindow)
+      bo.putShort((if (f % 2 == 0) a else -a).toShort)
+      f += 1
+    }
+    bo.array()
+  }
 
   /** Encode an IEEE-float (format 3) WAV square wave. Written with the
     * canonical fmt extension (len 18, cbSize 0) plus a `fact` chunk —

@@ -1041,6 +1041,47 @@ object TrainingData {
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // Audio near-dup by envelope fingerprint: docs < 50 carry REAL
+    // PCM16 WAVs whose square-wave amplitude steps per 64-window plan —
+    // even doc_ids loud in the first half, odd loud in every 8-window
+    // cycle's first 4. Within a family every fingerprint is identical
+    // (bits reduce to amps(k)*64 > sum(amps), pure integer arithmetic);
+    // across families Hamming is 32. Oracle recomputes fingerprints
+    // from the planted amplitude arithmetic and derives the pair set.
+    Q("td_mm_audiodup",
+      (s, dir) => {
+        val enc = udf { (d: Long) =>
+          val amps = (0 until 64).map { k =>
+            val loud = if (d % 2 == 0) k < 32 else k % 8 < 4
+            if (loud) 1000 else 100
+          }
+          Multimodal.encodeWavPcm16Amps(8000, 50, amps)
+        }
+        val wavs = Tables(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), enc(col("doc_id")).as("payload"))
+        Multimodal.audioNearDupPairs(wavs, "doc_id", "payload",
+            maxHamming = 3, nBands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        wnd AS (SELECT doc_id, t.k,
+            CASE WHEN doc_id % 2 = 0
+              THEN CASE WHEN t.k < 32 THEN 1000 ELSE 100 END
+              ELSE CASE WHEN t.k % 8 < 4 THEN 1000 ELSE 100 END
+            END AS amp
+          FROM ids, range(0, 64) t(k)),
+        tot AS (SELECT doc_id, sum(amp) AS s FROM wnd GROUP BY doc_id),
+        h AS (SELECT wnd.doc_id,
+            sum(CASE WHEN wnd.amp * 64 > tot.s
+              THEN (CAST(1 AS BIGINT) << CAST(wnd.k AS INT)) ELSE 0 END)
+              AS afp
+          FROM wnd JOIN tot USING (doc_id) GROUP BY wnd.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // Incremental dedup against a historical corpus: history = every
     // 7th document's text; the new batch = all documents. The Bloom
     // prefilter + broadcast exact verify must produce EXACT anti-join
