@@ -503,8 +503,11 @@ object Multimodal {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         bit_count(col("a.__hash").bitwiseXOR(col("b.__hash"))).cast("int")
           .as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is deterministic per pair, so filtering BEFORE the
+      // dedup aggregate is identical — and the chance same-band pairs
+      // (the large majority) never reach the dropDuplicates shuffle
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Append `afp: long` (the energy-envelope fingerprint; null for
@@ -625,12 +628,6 @@ object Multimodal {
       frames: Long, durationMs: Long, rms: Double, peak: Double,
       bits: Int, codec: String)
 
-  /** Parse a RIFF/WAVE payload: walk the chunk chain to `fmt ` and
-    * `data`, then decode every little-endian sample. Accepts PCM
-    * (format 1) at 8/16/24/32 bits and IEEE float (format 3) at 32.
-    * None for non-WAV / compressed / truncated payloads — a data chunk
-    * whose declared size runs past the payload means the file was cut,
-    * and a confidently-wrong partial rms is worse than a null. */
   /** Parsed WAV layout: codec (1 = PCM, 3 = IEEE float), channel count,
     * rate, bit depth, and the data chunk's extent. */
   private final case class WavLayout(codec: Int, channels: Int, rate: Int,
@@ -693,6 +690,12 @@ object Multimodal {
     }
   }
 
+  /** Decode a RIFF/WAVE payload to its audio features: every
+    * little-endian sample folds into rms/peak. Accepts PCM (format 1)
+    * at 8/16/24/32 bits and IEEE float (format 3) at 32. None for
+    * non-WAV / compressed / truncated payloads — a data chunk whose
+    * declared size runs past the payload means the file was cut, and a
+    * confidently-wrong partial rms is worse than a null. */
   def decodeAudio(b: Array[Byte]): Option[AudioFeatures] =
     try parseWav(b).map { w =>
       val n = w.samples
@@ -716,34 +719,49 @@ object Multimodal {
   /** 64-bit energy-envelope fingerprint of a decoded WAV: the sample
     * stream cut into 64 contiguous windows (boundary k·n/64), bit k set
     * when the window's mean |sample| sits strictly above the overall
-    * mean — tested cross-multiplied (`sum_k·n > total·len_k`) so the
-    * decision is exact for integer PCM (sums of integers are exact in
-    * double far past any real payload size). The audio analogue of
-    * [[aHash64]]: amplitude-envelope shape, robust to level-preserving
-    * re-encodes. None for undecodable payloads or fewer than 64
-    * samples. */
+    * mean. For integer PCM the |sample| sums accumulate in Long (window
+    * sums stay far under 2^63 for any real payload) and the
+    * cross-multiplied comparison `sum_k·n > total·len_k` runs in BigInt
+    * — EXACT at every payload length, so a replay engine using true
+    * integer arithmetic always agrees (a double cross-product would
+    * start flipping boundary bits past ~4M samples). Float WAVs use the
+    * double path (their samples aren't integers to begin with). The
+    * audio analogue of [[aHash64]]: amplitude-envelope shape, robust to
+    * level-preserving re-encodes. None for undecodable payloads or
+    * fewer than 64 samples. */
   def audioFingerprint64(b: Array[Byte]): Option[Long] =
     try parseWav(b).flatMap { w =>
       val n = w.samples
       if (n < 64) return None
-      val sums = new Array[Double](64)
-      var total = 0.0
+      val isInt = w.codec == 1
+      val sumsL = new Array[Long](64)
+      val sumsD = new Array[Double](64)
+      var totalL = 0L
+      var totalD = 0.0
       var k = 0
       while (k < 64) {
         val lo = (k.toLong * n / 64).toInt
         val hi = ((k + 1).toLong * n / 64).toInt
-        var s = 0.0
         var j = lo
-        while (j < hi) { s += math.abs(wavSample(b, w, j)); j += 1 }
-        sums(k) = s
-        total += s
+        if (isInt) {
+          var s = 0L
+          while (j < hi) { s += math.abs(wavSample(b, w, j)).toLong; j += 1 }
+          sumsL(k) = s; totalL += s
+        } else {
+          var s = 0.0
+          while (j < hi) { s += math.abs(wavSample(b, w, j)); j += 1 }
+          sumsD(k) = s; totalD += s
+        }
         k += 1
       }
       var hash = 0L
       k = 0
       while (k < 64) {
         val len = ((k + 1).toLong * n / 64) - (k.toLong * n / 64)
-        if (sums(k) * n > total * len) hash |= (1L << k)
+        val above =
+          if (isInt) BigInt(sumsL(k)) * n > BigInt(totalL) * len
+          else sumsD(k) * n > totalD * len
+        if (above) hash |= (1L << k)
         k += 1
       }
       Some(hash)
@@ -831,8 +849,10 @@ object Multimodal {
     * envelope-hash oracles. */
   def encodeWavPcm16Amps(rate: Int, framesPerWindow: Int,
       amps: Seq[Int]): Array[Byte] = {
-    require(amps.nonEmpty && amps.forall(a => a >= 0 && a <= 32767),
-      "amps must be 0..32767")
+    // the documented bit arithmetic assumes windows align 1:1 with the
+    // fingerprint's 64 cuts — any other count silently de-aligns them
+    require(amps.length == 64, s"need exactly 64 amps, got ${amps.length}")
+    require(amps.forall(a => a >= 0 && a <= 32767), "amps must be 0..32767")
     val frames = framesPerWindow * amps.length
     val dataLen = frames * 2
     val bo = java.nio.ByteBuffer.allocate(44 + dataLen)
