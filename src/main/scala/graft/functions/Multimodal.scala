@@ -481,33 +481,39 @@ object Multimodal {
         .select(col(idCol).as("__id"), col("ahash").as("__hash")),
       maxHamming, nBands)
 
-  /** Shared banded-Hamming self-join over (`__id`, `__hash`) frames —
-    * the candidate engine behind [[imageNearDupPairs]] and
-    * [[audioNearDupPairs]]. Pigeonhole: Hamming < nBands ⟹ at least
+  /** Shared banded-Hamming self-join over (`__id`, `__hash` [, align
+    * cols]) frames — the candidate engine behind [[imageNearDupPairs]],
+    * [[audioNearDupPairs]], and (per aligned frame)
+    * [[videoNearDupPairs]]. Pigeonhole: Hamming < nBands ⟹ at least
     * one untouched band, so recall within `maxHamming` <= nBands−1 is
-    * complete; work is band-bucket-bounded. */
+    * complete; work is band-bucket-bounded. `alignCols` join as extra
+    * equi-keys and pass through from side a. */
   private def bandedHammingPairs(hashed: DataFrame,
-      maxHamming: Int, nBands: Int): DataFrame = {
+      maxHamming: Int, nBands: Int,
+      alignCols: Seq[String] = Nil): DataFrame = {
     require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64: $nBands")
     require(maxHamming < nBands,
       s"complete recall needs maxHamming < nBands ($maxHamming >= $nBands)")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val bands = hashed.select(col("__id"), col("__hash"),
-      explode(array((0 until nBands).map(k =>
-        struct(lit(k).as("k"),
-          (shiftrightunsigned(col("__hash"), k * width)
-            .bitwiseAND(lit(mask))).as("v"))): _*)).as("__b"))
-    bands.as("a").join(bands.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+    val bands = hashed.select(
+      (Seq(col("__id"), col("__hash")) ++ alignCols.map(col) :+
+        explode(array((0 until nBands).map(k =>
+          struct(lit(k).as("k"),
+            (shiftrightunsigned(col("__hash"), k * width)
+              .bitwiseAND(lit(mask))).as("v"))): _*)).as("__b")): _*)
+    val joinCond = (Seq(col("a.__b") === col("b.__b"),
+        col("a.__id") < col("b.__id")) ++
+      alignCols.map(c => col(s"a.$c") === col(s"b.$c"))).reduce(_ && _)
+    bands.as("a").join(bands.as("b"), joinCond)
+      .select(col("a.__id").as("id_a") +: col("b.__id").as("id_b") +:
         bit_count(col("a.__hash").bitwiseXOR(col("b.__hash"))).cast("int")
-          .as("hamming"))
+          .as("hamming") +: alignCols.map(c => col(s"a.$c")): _*)
       // hamming is deterministic per pair, so filtering BEFORE the
       // dedup aggregate is identical — and the chance same-band pairs
       // (the large majority) never reach the dropDuplicates shuffle
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_a" +: "id_b" +: alignCols)
   }
 
   /** Append `afp: long` (the energy-envelope fingerprint; null for
@@ -528,6 +534,39 @@ object Multimodal {
       audioHash(df, binaryCol).filter(col("afp").isNotNull)
         .select(col(idCol).as("__id"), col("afp").as("__hash")),
       maxHamming, nBands)
+
+  /** Video near-duplicate pairs: demux every `every`-th frame
+    * ([[frameSample]]'s executor-side fan-out), aHash each frame, run
+    * the banded-Hamming self-join PER ALIGNED FRAME INDEX, and keep
+    * video pairs where at least `minMatchFrac` of the smaller side's
+    * sampled frames match. Frame-index alignment makes this robust to
+    * re-encodes and palette shifts but not to trimming — the standard
+    * fixed-stride video fingerprint. Every stage is partition-wise or
+    * band-bucket-bounded; the per-pair aggregation is keyed on the
+    * candidate pairs only. Output:
+    * (id_a, id_b, matched_frames, frames_a, frames_b), id_a < id_b.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      every: Int = 1, maxHamming: Int = 3, nBands: Int = 4,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    val frames = frameSample(df.select(col(idCol), col(binaryCol)),
+      binaryCol, every)
+    val hashed = imageHash(frames, "frame").filter(col("ahash").isNotNull)
+      .select(col(idCol).as("__id"), col("frame_idx").as("__fi"),
+        col("ahash").as("__hash"))
+    val counts = hashed.groupBy("__id").agg(count(lit(1)).as("__nf"))
+    val matched = bandedHammingPairs(hashed, maxHamming, nBands,
+        alignCols = Seq("__fi"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("matched_frames"))
+    matched
+      .join(counts.select(col("__id").as("id_a"), col("__nf").as("frames_a")),
+        Seq("id_a"))
+      .join(counts.select(col("__id").as("id_b"), col("__nf").as("frames_b")),
+        Seq("id_b"))
+      .filter(col("matched_frames") >=
+        least(col("frames_a"), col("frames_b")) * lit(minMatchFrac))
+      .select("id_a", "id_b", "matched_frames", "frames_a", "frames_b")
+  }
 
   /** Encode an 8×8 grayscale raster (row-major `values`, 0-255) as a
     * real `fmt` container — the integer-exact fixture for
@@ -569,21 +608,32 @@ object Multimodal {
     * container with real GraphicControlExtension timing, via the JDK's
     * GIF sequence writer. */
   def encodeAnimatedGif(w: Int, h: Int, grays: Seq[Int],
+      delayCs: Int = 4): Array[Byte] =
+    encodeAnimatedGifRasters(w, h,
+      grays.map(gr => Seq.fill(w * h)(gr)), delayCs)
+
+  /** Encode an animated GIF from per-frame gray RASTERS (row-major
+    * w·h values each) — the fixture for per-frame perceptual-hash
+    * oracles, where solid frames won't do (a solid frame's aHash is 0).
+    * Grays stay exact through the GIF palette for <= 256 distinct
+    * values. */
+  def encodeAnimatedGifRasters(w: Int, h: Int, frames: Seq[Seq[Int]],
       delayCs: Int = 4): Array[Byte] = {
     import java.awt.image.BufferedImage
     import javax.imageio.metadata.IIOMetadataNode
+    require(frames.forall(_.length == w * h), s"each frame needs ${w * h} values")
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bo = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      grays.foreach { gray =>
+      frames.foreach { vals =>
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        g.setColor(new java.awt.Color(gray, gray, gray))
-        g.fillRect(0, 0, w, h)
-        g.dispose()
+        vals.zipWithIndex.foreach { case (v, i) =>
+          val c = v & 0xFF
+          img.setRGB(i % w, i / w, (c << 16) | (c << 8) | c)
+        }
         val meta = writer.getDefaultImageMetadata(
           new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
         val fmt = meta.getNativeMetadataFormatName

@@ -1041,6 +1041,55 @@ object TrainingData {
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // Video near-dup by aligned per-frame perceptual hashes: docs < 30
+    // carry REAL 3-frame animated GIFs whose frame-j raster is a
+    // vertical gradient when (doc_id + j) is even, horizontal when odd
+    // — so same-parity videos match on EVERY aligned frame and
+    // opposite-parity videos match on NONE (each aligned pair differs
+    // by Hamming 32). An unaligned matcher would find cross-parity
+    // matches at shifted indices, so the fixture exercises the
+    // alignment for real. The oracle re-derives every frame hash from
+    // the planted pixel arithmetic and replays the aligned match +
+    // majority threshold.
+    Q("td_mm_videodup",
+      (s, dir) => {
+        val enc = udf { (d: Long) =>
+          val frames = (0 until 3).map { j =>
+            (0 until 64).map { i =>
+              val (r, c) = (i / 8, i % 8)
+              if ((d + j) % 2 == 0) (7 - r) * 30 else (7 - c) * 30
+            }
+          }
+          Multimodal.encodeAnimatedGifRasters(8, 8, frames)
+        }
+        val vids = Tables(s, dir, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"), enc(col("doc_id")).as("payload"))
+        Multimodal.videoNearDupPairs(vids, "doc_id", "payload",
+            every = 1, maxHamming = 3, nBands = 4, minMatchFrac = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        fr AS (SELECT doc_id, f.j FROM ids, range(0, 3) f(j)),
+        px AS (SELECT doc_id, j, t1.r, t2.c,
+            CASE WHEN (doc_id + j) % 2 = 0 THEN (7 - t1.r) * 30
+                 ELSE (7 - t2.c) * 30 END AS v
+          FROM fr, range(0, 8) t1(r), range(0, 8) t2(c)),
+        tot AS (SELECT doc_id, j, sum(v) AS s FROM px GROUP BY doc_id, j),
+        h AS (SELECT px.doc_id, px.j,
+            sum(CASE WHEN px.v * 64 > tot.s
+              THEN (CAST(1 AS BIGINT) << CAST(px.r * 8 + px.c AS INT))
+              ELSE 0 END) AS fh
+          FROM px JOIN tot USING (doc_id, j) GROUP BY px.doc_id, px.j),
+        fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.j
+          FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.j = b.j
+          WHERE bit_count(xor(a.fh, b.fh)) <= 3),
+        m AS (SELECT id_a, id_b, count(*) AS matched_frames
+          FROM fp GROUP BY id_a, id_b)
+        SELECT id_a, id_b, matched_frames,
+          CAST(3 AS BIGINT) AS frames_a, CAST(3 AS BIGINT) AS frames_b
+        FROM m WHERE matched_frames >= 0.5 * 3
+        ORDER BY id_a, id_b""")),
+
     // Audio near-dup by envelope fingerprint: docs < 50 carry REAL
     // PCM16 WAVs whose square-wave amplitude steps per 64-window plan —
     // even doc_ids loud in the first half, odd loud in every 8-window

@@ -202,6 +202,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("videoNearDupPairs: aligned frame hashes, majority threshold") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val vert = (0 until 64).map(i => (7 - i / 8) * 30)
+    val horiz = (0 until 64).map(i => (7 - i % 8) * 30)
+    val rows = Seq(
+      (1L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(vert, horiz, vert))),
+      (2L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(vert, horiz, vert))),
+      // same frames SHIFTED by one: aligned matches are 0/3 — an
+      // unaligned matcher would report 2 or 3
+      (3L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(horiz, vert, horiz))),
+      // matches 1 and 2 on frames 0 and 2 only → 2/3 >= 0.5 passes
+      (4L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(vert, vert, vert))))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.videoNearDupPairs(rows, "doc_id", "payload",
+        minMatchFrac = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 4L, 2L), (2L, 4L, 2L)))
+  }
+
   test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
     import spark.implicits._
     val history = Seq("seen one", "seen two").toDF("text")
