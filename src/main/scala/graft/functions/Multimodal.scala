@@ -549,11 +549,22 @@ object Multimodal {
   def videoNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
       every: Int = 1, maxHamming: Int = 3, nBands: Int = 4,
       minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
     val frames = frameSample(df.select(col(idCol), col(binaryCol)),
       binaryCol, every)
+      // drop the full video payload between the two opaque row-level
+      // stages — mapPartitions hides column usage from Catalyst, so
+      // without this every per-frame row would carry the whole clip
+      // through the hash stage
+      .select(col(idCol), col("frame_idx"), col("frame"))
+    // the demux+hash lineage (ImageIO decode, compositing, PNG
+    // re-encode, aHash — the expensive part) feeds both the per-video
+    // counts and the pair join: materialize it once
     val hashed = imageHash(frames, "frame").filter(col("ahash").isNotNull)
       .select(col(idCol).as("__id"), col("frame_idx").as("__fi"),
         col("ahash").as("__hash"))
+      .localCheckpoint()
     val counts = hashed.groupBy("__id").agg(count(lit(1)).as("__nf"))
     val matched = bandedHammingPairs(hashed, maxHamming, nBands,
         alignCols = Seq("__fi"))
@@ -622,6 +633,10 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import javax.imageio.metadata.IIOMetadataNode
     require(frames.forall(_.length == w * h), s"each frame needs ${w * h} values")
+    // the old solid-gray writer threw from java.awt.Color on bad values;
+    // setRGB would silently mask instead — keep the loud failure
+    require(frames.forall(_.forall(v => v >= 0 && v <= 255)),
+      "gray values must be 0..255")
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bo = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
