@@ -95,7 +95,18 @@ object Dedup {
 
   /** Near-duplicate pairs with exact Jaccard >= threshold, found via
     * MinHash-LSH candidate generation then exact verification.
-    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * EXACT-duplicate texts (same md5) collapse to their min-id
+    * representative BEFORE signatures: web corpora carry huge
+    * identical-text groups (boilerplate pages), and every member of such
+    * a group collides in every LSH band — C(N,2) candidate and output
+    * pairs for one group of N. Each group instead emits N−1 star edges
+    * (rep, member, 1.0) and only representatives are signed, banded, and
+    * verified — candidate and output rows linear in group size, the
+    * per-group signature work paid once, and connected components over
+    * the edge list (the keep/drop decision) unchanged: the star spans
+    * what the clique spanned and the rep carries the group's cross-group
+    * edges. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   /** Default banding (16x4) targets high-margin corpora: recall ~1-1.5e-7 at
     * J=0.89 while J<=0.1 background yields ~0 candidates per pair; raise
@@ -104,7 +115,16 @@ object Dedup {
   def nearDupPairs(df0: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val df = widen(df0)
-    val sig = signatures(df, idCol, textCol, n, bands, rowsPerBand)
+    val hashed = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      md5(col(textCol)).as("__ch"))
+    val groups = hashed.groupBy("__ch").agg(min("__id").as("__rep"))
+    val tagged = hashed.join(groups, "__ch")
+    val star = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val reps = tagged.filter(col("__id") === col("__rep"))
+      .select(col("__id").as(idCol), col("__t").as(textCol))
+    val sig = signatures(reps, idCol, textCol, n, bands, rowsPerBand)
     val bandStruct = posexplode(array((0 until bands).map(b => col(s"__band_$b")): _*))
     val buckets = sig.select(col("__id"), bandStruct.as(Seq("__band_idx", "__band_hash")))
     val cands = buckets.as("a").join(buckets.as("b"),
@@ -113,9 +133,9 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val sets = df.select(col(idCol).as("__id"),
+    val sets = reps.select(col(idCol).as("__id"),
       shingleCol(col(textCol), n).as("__shingles"))
-    verifyPairs(cands, sets, threshold)
+    verifyPairs(cands, sets, threshold).unionByName(star)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
@@ -350,8 +370,13 @@ object Dedup {
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val mightContain =
       udf((t: String) => t != null && bc.value.mightContainString(t))
+    // materialize once: the bloom-probe scan over the whole batch feeds
+    // the sizing count AND both verify joins — three full passes without
+    // this (the count alone justifies the checkpoint; the candidate set
+    // is small by the bloom contract, and oversized sets hit the rail)
     val candTexts = batch.filter(mightContain(col(textCol)))
       .select(col(textCol).as("__t")).distinct()
+      .localCheckpoint()
     // Sizing rail: an UNDERSIZED filter (expectedItems far below the
     // true history cardinality) saturates toward fpp≈1 and the
     // "tiny" candidate set degrades toward the whole batch — counting
@@ -380,8 +405,10 @@ object Dedup {
     * keyed aggregation. Iterations needed = O(component diameter); dedup
     * clusters are shallow (near-clique), so 2-3 rounds in practice. Each
     * round is shuffle-on-node-id, never pairwise; `localCheckpoint` cuts
-    * the iterative lineage so plans stay bounded. Labels only decrease, so
-    * a non-decreasing label sum is a correct (and cheap) fixpoint test.
+    * the iterative lineage so plans stay bounded. Convergence = zero rows
+    * changed their label this round — an exact test (labels only
+    * decrease, so "no row changed" IS the fixpoint) at the same cost as
+    * any other whole-frame aggregate.
     * At 1000-executor scale the same loop holds — the state per round is
     * one (node, label) row per node; for graphs with giant high-diameter
     * components switch to alternating large-star/small-star, which this
@@ -396,21 +423,21 @@ object Dedup {
         col("id_a").cast("long").as("__v")))
     var labels = nodes.select(col("__id"), col("__id").as("__lbl"))
       .localCheckpoint(true)
-    var lblSum = labels.agg(sum("__lbl")).head.getLong(0)
     var converged = false
     while (!converged) {
       val nb = sym.join(labels, sym("__v") === labels("__id"))
         .groupBy("__u").agg(min("__lbl").as("__nl"))
-      val next = labels.alias("l")
+      // carry the old label through the checkpoint so the convergence
+      // probe (count of changed rows) reads the materialized frame
+      // instead of re-running the round's join
+      val stepped = labels.alias("l")
         .join(nb.alias("n"), col("l.__id") === col("n.__u"), "left")
-        .select(col("l.__id"),
+        .select(col("l.__id"), col("l.__lbl").as("__old"),
           least(col("l.__lbl"), coalesce(col("n.__nl"), col("l.__lbl")))
             .as("__lbl"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("__lbl")).head.getLong(0)
-      converged = nextSum == lblSum
-      lblSum = nextSum
-      labels = next
+      converged = stepped.filter(col("__lbl") =!= col("__old")).isEmpty
+      labels = stepped.select("__id", "__lbl")
     }
     labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
   }

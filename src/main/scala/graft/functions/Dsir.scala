@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *   - per-bucket log ratios are quantized to integer MICRO-units
   *     (floor(lr·1e6 + 0.5)) before any summation, so document weights
   *     are exact 64-bit integer sums — no float fold-order dependence
-  *     between partial aggregates or engines.
+  *     between partial aggregates or engines. The residual cross-engine
+  *     exposure is the ln/−ln(−ln u) calls feeding the quantizer (libm
+  *     transcendentals are not correctly rounded; see [[logRatioMicro]]) —
+  *     inject the computed tables when bit-exact replay on another
+  *     engine matters.
   *
   * Scale shape: two fit aggregates (groupBy bucket, map-side combinable,
   * output bounded by `nBuckets` rows — THAT is what gets collected, never
@@ -75,8 +79,15 @@ object Dsir {
     * floor(1e6 · ln(p_target(b) / p_raw(b)) + 0.5) with add-0.5
     * smoothing, i.e. ln(((t_b+0.5)·(R+0.5·n)) / ((r_b+0.5)·(T+0.5·n)))
     * computed as ONE ln call (halves the cross-engine ulp exposure vs
-    * subtracting two logs). Every arithmetic step is IEEE-deterministic;
-    * the micro-unit quantization makes downstream sums integer-exact.
+    * subtracting two logs). The micro-unit quantization makes downstream
+    * SUMS integer-exact (no float fold-order dependence), but the
+    * quantization itself is only as portable as ln: IEEE 754 does not
+    * require correctly-rounded transcendentals, so when lr·1e6 lands
+    * within an ulp of a .5 boundary, floor(·+0.5) can differ by one
+    * micro-unit between libm implementations (JVM Math.log vs another
+    * engine's ln). Same-engine reruns are exactly reproducible; for
+    * bit-exact CROSS-engine replay, export this table and inject the
+    * constants into the other engine rather than recomputing ln there.
     */
   def logRatioMicro(target: Array[Long], raw: Array[Long]): Array[Long] = {
     require(target.length == raw.length, "bucket tables must align")

@@ -471,15 +471,47 @@ object Multimodal {
     * Pigeonhole guarantee: any pair with Hamming distance < nBands
     * shares at least one untouched band, so recall on pairs within
     * `maxHamming` <= nBands−1 is COMPLETE; pairwise work is bounded by
-    * band-bucket sizes, never all-pairs. Output:
-    * (id_a, id_b, hamming), id_a < id_b.
+    * band-bucket sizes, never all-pairs.
+    *
+    * Identical-hash groups are collapsed to their min-id REPRESENTATIVE
+    * before the banded join ([[hashCollapse]]): web-scale corpora carry
+    * huge exact-duplicate groups (every blank/solid-color image aHashes
+    * to the same 64 bits), and emitting all C(N,2) intra-group pairs
+    * would be quadratic OUTPUT — a million identical thumbnails is
+    * 5·10¹¹ pairs. Instead each group emits N−1 star edges
+    * (rep, member, 0) and only representatives enter the pair join, so
+    * both candidate and output rows are linear in group size while
+    * connected components over the edge list — the downstream keep/drop
+    * decision — is unchanged (a star spans exactly what the clique
+    * spanned, and the rep carries the group's cross-group edges).
+    * Output: (id_a, id_b, hamming), id_a < id_b.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
-    bandedHammingPairs(
-      imageHash(df, binaryCol).filter(col("ahash").isNotNull)
-        .select(col(idCol).as("__id"), col("ahash").as("__hash")),
-      maxHamming, nBands)
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    // the decode lineage feeds the collapse groupBy AND the band join —
+    // materialize the (id, hash) frame once so ImageIO never runs twice
+    val hashed = imageHash(df, binaryCol).filter(col("ahash").isNotNull)
+      .select(col(idCol).as("__id"), col("ahash").as("__hash"))
+      .localCheckpoint()
+    val (reps, star) = hashCollapse(hashed)
+    bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
+  }
+
+  /** Collapse identical `__hash` values of an (`__id`, `__hash`) frame to
+    * their min-`__id` representative. Returns (reps, star): one
+    * representative row per distinct hash, plus (id_a=rep, id_b=member,
+    * hamming=0) star edges for the collapsed members. One hash-keyed
+    * groupBy + one hash-keyed join — linear in rows, never pairwise. */
+  private[graft] def hashCollapse(hashed: DataFrame): (DataFrame, DataFrame) = {
+    val groups = hashed.groupBy("__hash").agg(min("__id").as("__rep"))
+    val tagged = hashed.join(groups, "__hash")
+    val reps = tagged.filter(col("__id") === col("__rep"))
+      .select("__id", "__hash")
+    val star = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(0).as("hamming"))
+    (reps, star)
+  }
 
   /** Shared banded-Hamming self-join over (`__id`, `__hash` [, align
     * cols]) frames — the candidate engine behind [[imageNearDupPairs]],
@@ -525,15 +557,20 @@ object Multimodal {
     }
 
   /** Audio near-duplicate pairs by envelope fingerprint — the audio
-    * member of the perceptual-dedup family, same banded self-join and
-    * recall guarantee as [[imageNearDupPairs]]. Output:
-    * (id_a, id_b, hamming), id_a < id_b. */
+    * member of the perceptual-dedup family, same banded self-join,
+    * recall guarantee, and identical-hash representative collapse as
+    * [[imageNearDupPairs]] (star edges at hamming 0, O(N) output per
+    * identical group). Output: (id_a, id_b, hamming), id_a < id_b. */
   def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
-    bandedHammingPairs(
-      audioHash(df, binaryCol).filter(col("afp").isNotNull)
-        .select(col(idCol).as("__id"), col("afp").as("__hash")),
-      maxHamming, nBands)
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    // materialize once: the WAV chunk walk otherwise runs on both sides
+    // of the collapse join and the band join
+    val hashed = audioHash(df, binaryCol).filter(col("afp").isNotNull)
+      .select(col(idCol).as("__id"), col("afp").as("__hash"))
+      .localCheckpoint()
+    val (reps, star) = hashCollapse(hashed)
+    bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
+  }
 
   /** Video near-duplicate pairs: demux every `every`-th frame
     * ([[frameSample]]'s executor-side fan-out), aHash each frame, run
@@ -543,7 +580,11 @@ object Multimodal {
     * re-encodes and palette shifts but not to trimming — the standard
     * fixed-stride video fingerprint. Every stage is partition-wise or
     * band-bucket-bounded; the per-pair aggregation is keyed on the
-    * candidate pairs only. Output:
+    * candidate pairs only. Videos with IDENTICAL frame-hash sequences
+    * collapse to a min-id representative before the join (star edges at
+    * full match — the video analogue of [[imageNearDupPairs]]'s
+    * identical-hash collapse), so N identical clips cost O(N) output
+    * rows, not C(N,2). Output:
     * (id_a, id_b, matched_frames, frames_a, frames_b), id_a < id_b.
     */
   def videoNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
@@ -565,8 +606,32 @@ object Multimodal {
       .select(col(idCol).as("__id"), col("frame_idx").as("__fi"),
         col("ahash").as("__hash"))
       .localCheckpoint()
-    val counts = hashed.groupBy("__id").agg(count(lit(1)).as("__nf"))
-    val matched = bandedHammingPairs(hashed, maxHamming, nBands,
+    // Identical-SEQUENCE collapse (the video analogue of
+    // [[hashCollapse]]): videos whose full ordered frame-hash sequences
+    // are equal form one group with a min-id representative. Without it
+    // N identical clips put N copies of every frame hash in each band
+    // bucket — C(N,2) candidate AND output pairs; with it the group
+    // costs N−1 star edges and one representative in the join. The
+    // sequence key is frames·12 bytes per video, shuffled once. Residual
+    // hazard (documented, not handled): videos sharing SOME frames —
+    // e.g. a common intro — still meet in those frames' buckets, which
+    // is the genuine candidate set, bounded per bucket.
+    val sigs = hashed.groupBy("__id").agg(
+      sort_array(collect_list(struct(col("__fi"), col("__hash")))).as("__seq"),
+      count(lit(1)).as("__nf"))
+    val groups = sigs.groupBy("__seq").agg(min("__id").as("__rep"))
+    val tagged = sigs.join(groups, "__seq")
+      .select(col("__id"), col("__nf"), col("__rep"))
+    // members match their rep on every frame (identical sequences), so
+    // the star edge is a full match at the group's frame count
+    val star = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        col("__nf").as("matched_frames"), col("__nf").as("frames_a"),
+        col("__nf").as("frames_b"))
+    val counts = tagged.filter(col("__id") === col("__rep"))
+      .select(col("__id"), col("__nf"))
+    val repFrames = hashed.join(counts.select("__id"), Seq("__id"), "left_semi")
+    val matched = bandedHammingPairs(repFrames, maxHamming, nBands,
         alignCols = Seq("__fi"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("matched_frames"))
     matched
@@ -577,6 +642,7 @@ object Multimodal {
       .filter(col("matched_frames") >=
         least(col("frames_a"), col("frames_b")) * lit(minMatchFrac))
       .select("id_a", "id_b", "matched_frames", "frames_a", "frames_b")
+      .unionByName(star)
   }
 
   /** Encode an 8×8 grayscale raster (row-major `values`, 0-255) as a

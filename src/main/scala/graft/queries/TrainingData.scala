@@ -310,21 +310,34 @@ object TrainingData {
         ORDER BY content_hash""")),
 
     // MinHash-LSH candidates, exact-Jaccard verified — oracle is the full
-    // O(n^2) exact computation, so this checks LSH recall too
+    // O(n^2) exact computation over the identical-text REPRESENTATIVES
+    // (min doc_id per md5(text); members emit (rep, member, 1.0) star
+    // edges instead of C(N,2) intra-group pairs), so this checks LSH
+    // recall AND the collapse contract. This corpus has no exact-dup
+    // texts (star is empty here; the collapse's star path is
+    // fixture-exercised by td_mm_imagedup/audiodup/videodup, whose
+    // families ARE identical-hash groups).
     Q("td_dedup_near",
       (s, dir) => Dedup.nearDupPairs(Tables(s, dir, "documents"),
           "doc_id", "text", threshold = 0.8)
         .orderBy("id_a", "id_b"),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+      Some("""WITH grp AS (SELECT doc_id, text,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+        toks AS (SELECT doc_id, string_split(text,' ') t FROM grp
+          WHERE doc_id = rep),
         g AS (SELECT doc_id,
           list_distinct([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]) sh
           FROM toks)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM grp WHERE doc_id <> rep
+          UNION ALL
+          SELECT a.doc_id, b.doc_id,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh)))
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
         ORDER BY id_a, id_b""")),
 
     // n-gram Jaccard dedup, EXACT: prefix-filtered set-similarity join
@@ -1006,9 +1019,13 @@ object TrainingData {
     // exact integer function of the pattern), cross-family Hamming is
     // 32 — far over the threshold. The oracle recomputes the hash from
     // the planted pixel arithmetic (value*64 > sum bit test, bit
-    // weights as exact BIGINT shifts) and derives the full pair set;
-    // wrong grayscale math, wrong bit order, or a recall hole in the
-    // banded join all hash-mismatch.
+    // weights as exact BIGINT shifts) and replays the identical-hash
+    // representative collapse: each 25-member family emits 24 star
+    // edges (min-id rep → member, hamming 0) and only the two reps
+    // enter the pair join (cross-family Hamming 32 → no rep pair).
+    // Wrong grayscale math, wrong bit order, a recall hole in the
+    // banded join, or a C(N,2) blowup of an identical group all
+    // hash-mismatch.
     Q("td_mm_imagedup",
       (s, dir) => {
         val enc = udf { (d: Long) =>
@@ -1034,11 +1051,18 @@ object TrainingData {
             sum(CASE WHEN px.v * 64 > tot.s
               THEN (CAST(1 AS BIGINT) << CAST(px.r * 8 + px.c AS INT))
               ELSE 0 END) AS ahash
-          FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
-        FROM h a JOIN h b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+          FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+        g AS (SELECT doc_id, ahash,
+            min(doc_id) OVER (PARTITION BY ahash) AS rep FROM h),
+        reps AS (SELECT doc_id, ahash FROM g WHERE doc_id = rep)
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS INT) AS hamming
+          FROM g WHERE doc_id <> rep
+          UNION ALL
+          SELECT a.doc_id, b.doc_id,
+            CAST(bit_count(xor(a.ahash, b.ahash)) AS INT)
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
         ORDER BY id_a, id_b""")),
 
     // Video near-dup by aligned per-frame perceptual hashes: docs < 30
@@ -1049,8 +1073,10 @@ object TrainingData {
     // by Hamming 32). An unaligned matcher would find cross-parity
     // matches at shifted indices, so the fixture exercises the
     // alignment for real. The oracle re-derives every frame hash from
-    // the planted pixel arithmetic and replays the aligned match +
-    // majority threshold.
+    // the planted pixel arithmetic and replays the identical-SEQUENCE
+    // representative collapse (each 15-member parity family → 14
+    // full-match star edges + one rep) plus the aligned match +
+    // majority threshold over the two reps.
     Q("td_mm_videodup",
       (s, dir) => {
         val enc = udf { (d: Long) =>
@@ -1080,14 +1106,27 @@ object TrainingData {
               THEN (CAST(1 AS BIGINT) << CAST(px.r * 8 + px.c AS INT))
               ELSE 0 END) AS fh
           FROM px JOIN tot USING (doc_id, j) GROUP BY px.doc_id, px.j),
+        seqs AS (SELECT doc_id, list(fh ORDER BY j) AS sq,
+            count(*) AS nf FROM h GROUP BY doc_id),
+        g AS (SELECT doc_id, nf,
+            min(doc_id) OVER (PARTITION BY sq) AS rep FROM seqs),
+        reps AS (SELECT doc_id, nf FROM g WHERE doc_id = rep),
         fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.j
           FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.j = b.j
+          JOIN reps ra ON ra.doc_id = a.doc_id
+          JOIN reps rb ON rb.doc_id = b.doc_id
           WHERE bit_count(xor(a.fh, b.fh)) <= 3),
         m AS (SELECT id_a, id_b, count(*) AS matched_frames
           FROM fp GROUP BY id_a, id_b)
-        SELECT id_a, id_b, matched_frames,
-          CAST(3 AS BIGINT) AS frames_a, CAST(3 AS BIGINT) AS frames_b
-        FROM m WHERE matched_frames >= 0.5 * 3
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, nf AS matched_frames,
+            nf AS frames_a, nf AS frames_b
+          FROM g WHERE doc_id <> rep
+          UNION ALL
+          SELECT m.id_a, m.id_b, m.matched_frames, ra.nf, rb.nf
+          FROM m JOIN reps ra ON ra.doc_id = m.id_a
+                 JOIN reps rb ON rb.doc_id = m.id_b
+          WHERE m.matched_frames >= 0.5 * least(ra.nf, rb.nf))
         ORDER BY id_a, id_b""")),
 
     // Audio near-dup by envelope fingerprint: docs < 50 carry REAL
@@ -1096,7 +1135,9 @@ object TrainingData {
     // cycle's first 4. Within a family every fingerprint is identical
     // (bits reduce to amps(k)*64 > sum(amps), pure integer arithmetic);
     // across families Hamming is 32. Oracle recomputes fingerprints
-    // from the planted amplitude arithmetic and derives the pair set.
+    // from the planted amplitude arithmetic and replays the
+    // identical-hash representative collapse (24 star edges per family,
+    // reps-only pair join).
     Q("td_mm_audiodup",
       (s, dir) => {
         val enc = udf { (d: Long) =>
@@ -1124,11 +1165,18 @@ object TrainingData {
             sum(CASE WHEN wnd.amp * 64 > tot.s
               THEN (CAST(1 AS BIGINT) << CAST(wnd.k AS INT)) ELSE 0 END)
               AS afp
-          FROM wnd JOIN tot USING (doc_id) GROUP BY wnd.doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
-        FROM h a JOIN h b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.afp, b.afp)) <= 3
+          FROM wnd JOIN tot USING (doc_id) GROUP BY wnd.doc_id),
+        g AS (SELECT doc_id, afp,
+            min(doc_id) OVER (PARTITION BY afp) AS rep FROM h),
+        reps AS (SELECT doc_id, afp FROM g WHERE doc_id = rep)
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS INT) AS hamming
+          FROM g WHERE doc_id <> rep
+          UNION ALL
+          SELECT a.doc_id, b.doc_id,
+            CAST(bit_count(xor(a.afp, b.afp)) AS INT)
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.afp, b.afp)) <= 3)
         ORDER BY id_a, id_b""")),
 
     // Incremental dedup against a historical corpus: history = every

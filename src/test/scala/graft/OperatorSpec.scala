@@ -220,7 +220,64 @@ class OperatorSpec extends AnyFunSuite {
         minMatchFrac = 0.5)
       .orderBy("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 4L, 2L), (2L, 4L, 2L)))
+    // 1 and 2 have IDENTICAL frame sequences → one full-match star edge
+    // (1,2,3) and only rep 1 enters the pair join; 2's relation to 4
+    // rides through its representative (connected components unchanged)
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 4L, 2L)))
+  }
+
+  test("near-dup identical groups cost O(N) output, not C(N,2)") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val vert = (0 until 64).map(i => (7 - i / 8) * 30)
+    val horiz = (0 until 64).map(i => (7 - i % 8) * 30)
+    val n = 40
+    // N identical payloads + one far (Hamming 32) outlier
+    val rows = ((1L to n.toLong).map(i =>
+        (i, Multimodal.encodeGray8x8("png", vert))) :+
+      (100L, Multimodal.encodeGray8x8("png", horiz)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageNearDupPairs(rows, "doc_id", "payload",
+        maxHamming = 3, nBands = 4)
+      .orderBy("id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // output: exactly N-1 star edges from the min-id representative —
+    // the full-pair contract would have emitted C(40,2) = 780 rows
+    assert(out.toSeq == (2L to n.toLong).map(i => (1L, i, 0)))
+    // candidate bound: the banded join sees ONE row per distinct hash,
+    // so candidate generation is independent of the group size
+    val hashed = Multimodal.imageHash(rows, "payload")
+      .filter(col("ahash").isNotNull)
+      .select(col("doc_id").as("__id"), col("ahash").as("__hash"))
+    val (reps, star) = Multimodal.hashCollapse(hashed)
+    assert(reps.count() == 2)
+    assert(star.count() == n - 1)
+    // downstream keep/drop is unchanged: the star spans the clique
+    val cc = Dedup.connectedComponents(
+      Multimodal.imageNearDupPairs(rows, "doc_id", "payload"),
+      rows.select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(cc(_) == 1L) && cc(100L) == 100L)
+  }
+
+  test("minhash near-dup collapses identical texts to star edges") {
+    import spark.implicits._
+    val n = 30
+    // N identical docs, one true near-dup of them, one unrelated doc
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = ((1L to n.toLong).map(i => (i, base)) ++ Seq(
+      (50L, base + " w13"),   // high-Jaccard neighbor of the group
+      (99L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val star = (2L to n.toLong).map(i => (1L, i, 1.0)).toSet
+    // the group emits N-1 star edges; its NEIGHBOR pairs only with the
+    // representative (one verified pair, not one per member)
+    val repPair = out -- star
+    assert(out.size == n - 1 + 1, s"got ${out.size} rows")
+    assert(repPair.map(p => (p._1, p._2)) == Set((1L, 50L)))
+    assert(repPair.head._3 > 0.7)
   }
 
   test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
