@@ -32,14 +32,20 @@ object Bpe {
       merges.zipWithIndex.toMap
   }
 
-  /** GPT-2's pre-tokenizer shape (ASCII classes; the published pattern's
-    * \p{L}/\p{N} generalization matters only for non-ASCII word boundaries
-    * — non-ASCII bytes still tokenize losslessly through the catch-all
-    * class): contractions, space-prefixed letter/digit/punct runs, and
-    * whitespace runs (the final space before a word attaches to the word).
+  /** GPT-2's published pre-tokenizer (Radford et al. 2019): contractions,
+    * space-prefixed letter/number/punct runs (the Unicode categories
+    * \p{L}/\p{N}, so "naïve" or "café" is ONE word — an ASCII class would
+    * split at every non-ASCII letter, inflating token counts on
+    * multilingual text, the operator's whole purpose for training
+    * budgets), and whitespace runs (the final space before a word
+    * attaches to the word). UNICODE_CHARACTER_CLASS makes \s match
+    * Unicode whitespace like Python's `regex` module does in the
+    * reference implementation. Losslessness is structural either way:
+    * every code point is letter, number, whitespace, or catch-all.
     */
   private val PreToken = java.util.regex.Pattern.compile(
-    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+(?!\\S)|\\s+")
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** Partition the text into pre-tokens; concatenation reproduces the
     * input (the pattern's alternatives cover every character class). */

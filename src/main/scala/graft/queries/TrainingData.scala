@@ -56,16 +56,22 @@ object TrainingData {
     // merges (a,a)->(aa), (aa,aa)->(aaaa) tokenizes to exactly
     // k/4 + (k/2)%2 + k%2 pieces, so the DuckDB oracle derives every
     // count arithmetically; byte_tokens (empty vocab) pins the no-merge
-    // base case. The encode-decode roundtrip property is spec-pinned in
-    // BpeSpec.
+    // base case. The " xé" suffix plants a UNICODE merge chain: é is
+    // bytes C3 A9, and the (x, C3) merge only fires because the \p{L}
+    // pre-tokenizer keeps " xé" as ONE word — an ASCII-class
+    // pre-tokenizer would split x|é and count 4, not 3 (boundary blocks
+    // the merge). The encode-decode roundtrip property is spec-pinned
+    // in BpeSpec.
     Q("td_token_bpe",
       (s, dir) => {
         import graft.functions.Bpe
-        val vocab = Bpe.Vocab(Seq(("a", "a"), ("aa", "aa"), ("b", "c")))
+        val vocab = Bpe.Vocab(Seq(
+          ("a", "a"), ("aa", "aa"), ("b", "c"), ("x", "Ã")))
         val fixture = concat(
           repeat(lit("a"), (lit(1) + col("doc_id") % 9).cast("int")),
           lit(" bc "),
-          repeat(lit("d"), (lit(1) + col("doc_id") % 3).cast("int")))
+          repeat(lit("d"), (lit(1) + col("doc_id") % 3).cast("int")),
+          lit(" xé"))
         val base = Tables(s, dir, "documents")
           .select(col("doc_id"), fixture.as("__t"))
         val counted = Bpe.tokenCount(
@@ -74,9 +80,11 @@ object TrainingData {
         counted.select(col("doc_id"), col("bpe_tokens"), col("byte_tokens"))
           .orderBy("doc_id")
       },
+      // " xé" = 4 bytes (20 78 C3 A9): one (x,C3) merge → 3 bpe tokens,
+      // 4 byte tokens
       Some("""SELECT doc_id,
-        CAST((k1 // 4) + ((k1 // 2) % 2) + (k1 % 2) + k3 + 3 AS INT) AS bpe_tokens,
-        CAST(k1 + k3 + 4 AS INT) AS byte_tokens
+        CAST((k1 // 4) + ((k1 // 2) % 2) + (k1 % 2) + k3 + 6 AS INT) AS bpe_tokens,
+        CAST(k1 + k3 + 8 AS INT) AS byte_tokens
         FROM (SELECT doc_id, 1 + doc_id % 9 AS k1, 1 + doc_id % 3 AS k3
               FROM documents) ORDER BY doc_id""")),
 

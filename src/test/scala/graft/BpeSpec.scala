@@ -29,6 +29,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-tokenizer uses Unicode word boundaries (GPT-2 \\p{L}/\\p{N})") {
+    // one WORD per accented/CJK run — an ASCII-class pattern would cut
+    // "naïve" into "na" + "ï" + "ve" and triple the token count
+    assert(Bpe.preTokenize("naïve café") == Seq("naïve", " café"))
+    assert(Bpe.preTokenize("aé1 中文") == Seq("aé", "1", " 中文"))
+    // merges can cross the former ASCII/non-ASCII split: é = C3 A9, so
+    // (x, Ã) only applies when "xé" is ONE pre-token
+    val v = Bpe.Vocab(Seq(("x", "Ã")))
+    assert(Bpe.encode("xé", v) == Seq("xÃ", "©"))
+    assert(Bpe.decode(Bpe.encode("xé", v)) == "xé")
+    // Unicode whitespace (NBSP) classifies as whitespace, not punctuation
+    assert(Bpe.preTokenize("a\u00A0b") == Seq("a", "\u00A0", "b"))
+  }
+
   test("encode-decode roundtrip is byte-exact, with and without merges") {
     val learned = Bpe.learn(Seq("the quick brown fox", "the lazy dog",
       "the the the quick quick"), numMerges = 30)
