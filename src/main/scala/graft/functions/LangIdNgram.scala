@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language identification — Cavnar & Trenkle 1994
+  * ("N-Gram-Based Text Categorization"): each language is a RANK-ORDERED
+  * profile of its most frequent character n-grams; a document is scored
+  * against each profile by the out-of-place measure (sum over the
+  * document's own top-k grams of the rank displacement, with a fixed
+  * k penalty for grams absent from the language profile) and classified
+  * to the minimum. Marker-word language ID ([[TextAnalysis.langId]])
+  * misclassifies short and noisy documents — the majority of web-crawl
+  * text; character n-grams degrade gracefully because every substring
+  * votes.
+  *
+  * Deterministic and engine-replayable by construction: gram extraction
+  * is plain substring arithmetic, ranking ties break (count desc, gram
+  * asc) on binary UTF-8 order, and the out-of-place score is an exact
+  * integer sum — no floats anywhere, so identical ranking and argmin in
+  * any engine.
+  *
+  * Scale shape: the FIT aggregates per-language gram counts (map-side
+  * combinable; output bounded by k·|langs| after the rank filter — only
+  * THAT is collected). CLASSIFICATION is linear in corpus grams: one
+  * doc-keyed groupBy for gram counts, one doc-keyed window for the
+  * document profile, a broadcast join against the (k·|langs|)-row
+  * profile table, and one doc-keyed aggregation — no pairwise work, no
+  * corpus-scale collect.
+  */
+object LangIdNgram {
+
+  /** Sliding character n-grams of `text` (character-based positions, so
+    * multi-byte code points count as one). Empty array below n chars. */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - n + 1),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One language profile row: gram + its 1-based frequency rank. */
+  final case class ProfileEntry(lang: String, gram: String, rank: Int)
+
+  /** Fit rank-order profiles from a labeled corpus: per language, the
+    * top-`k` character n-grams by count, ranked (count desc, gram asc).
+    * Only the bounded k·|langs| profile is collected. */
+  def fitProfiles(df: DataFrame, langCol: String, textCol: String,
+      n: Int = 3, k: Int = 40): Seq[ProfileEntry] = {
+    val counts = df
+      .select(col(langCol).as("__lang"),
+        explode(charGrams(col(textCol), n)).as("__g"))
+      .groupBy("__lang", "__g").agg(count(lit(1)).as("__c"))
+    counts
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__lang").orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__r") <= k)
+      .collect()
+      .map(r => ProfileEntry(r.getString(0), r.getString(1), r.getInt(3)))
+      .toSeq
+  }
+
+  /** Classify each document against the fitted profiles.
+    *
+    * oop(doc, lang) = Σ over the doc's top-k grams of
+    * |doc_rank − lang_rank|, or k when the gram is absent from the
+    * language profile — computed as k·|doc profile| minus the matched
+    * bonus Σ(k − |Δrank|), so absent (gram, lang) combinations never
+    * materialize as rows. Prediction = argmin score, ties to the
+    * lexically smallest language. Documents with no grams (shorter than
+    * n chars) predict NULL with score NULL.
+    * Output: (idCol, pred_lang, oop_score).
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      profiles: Seq[ProfileEntry], n: Int = 3, k: Int = 40): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(profiles.nonEmpty, "empty profile set")
+    val profDf = broadcast(
+      profiles.map(p => (p.lang, p.gram, p.rank)).toDF("__lang", "__g", "__lr"))
+    val langsDf = broadcast(
+      profiles.map(_.lang).distinct.toDF("__lang"))
+    val docProf = df
+      .select(col(idCol).as("__id"),
+        explode(charGrams(col(textCol), n)).as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+      .withColumn("__dr", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__dr") <= k)
+    val nDoc = docProf.groupBy("__id").agg(count(lit(1)).as("__ng"))
+    val bonus = docProf.join(profDf, "__g")
+      .groupBy("__id", "__lang")
+      .agg(sum(lit(k.toLong) - abs(col("__dr") - col("__lr"))).as("__bonus"))
+    val scored = nDoc.crossJoin(langsDf)
+      .join(bonus, Seq("__id", "__lang"), "left")
+      .select(col("__id"), col("__lang"),
+        (lit(k.toLong) * col("__ng") - coalesce(col("__bonus"), lit(0L)))
+          .as("__score"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__score"), col("__lang"))))
+      .filter(col("__rk") === 1)
+    df.select(col(idCol))
+      .join(scored.select(col("__id").as(idCol), col("__lang"), col("__score")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("__lang").as("pred_lang"),
+        col("__score").as("oop_score"))
+  }
+}

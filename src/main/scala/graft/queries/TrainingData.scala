@@ -114,6 +114,101 @@ object TrainingData {
             (CASE WHEN meanlen >= 3.0 AND meanlen <= 10.0 THEN 1.0 ELSE 0.0 END * 0.3) AS quality
         FROM sc ORDER BY doc_id""")),
 
+    // Cavnar–Trenkle 1994 rank-order character-trigram language ID:
+    // profiles fit per labeled language (top-40 grams by count, ties on
+    // binary gram order), docs scored by the out-of-place measure.
+    // Everything is exact integer arithmetic, so the oracle replays the
+    // FIT and the CLASSIFICATION and must agree doc-for-doc — a ranking
+    // tie-break divergence, a gram-extraction off-by-one, or a wrong
+    // absent-gram penalty all hash-mismatch.
+    Q("td_quality_langid_ngram",
+      (s, dir) => {
+        import graft.functions.LangIdNgram
+        val docs = Tables(s, dir, "documents")
+        val profiles = LangIdNgram.fitProfiles(docs, "lang", "text",
+          n = 3, k = 40)
+        LangIdNgram.classify(docs.select("doc_id", "text"),
+            "doc_id", "text", profiles, n = 3, k = 40)
+          .orderBy("doc_id")
+      },
+      Some("""WITH g0 AS (SELECT doc_id, lang, unnest(
+            [substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+          FROM documents),
+        lc AS (SELECT lang, g, count(*) c FROM g0 GROUP BY lang, g),
+        lp AS (SELECT lang, g, row_number() OVER
+            (PARTITION BY lang ORDER BY c DESC, g) AS lr
+          FROM lc QUALIFY lr <= 40),
+        dc AS (SELECT doc_id, g, count(*) c FROM g0 GROUP BY doc_id, g),
+        dp AS (SELECT doc_id, g, row_number() OVER
+            (PARTITION BY doc_id ORDER BY c DESC, g) AS dr
+          FROM dc QUALIFY dr <= 40),
+        nd AS (SELECT doc_id, count(*) ng FROM dp GROUP BY doc_id),
+        bon AS (SELECT dp.doc_id, lp.lang, sum(40 - abs(dp.dr - lp.lr)) AS b
+          FROM dp JOIN lp ON dp.g = lp.g GROUP BY dp.doc_id, lp.lang),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        sc AS (SELECT nd.doc_id, langs.lang,
+            40 * nd.ng - coalesce(bon.b, 0) AS score
+          FROM nd CROSS JOIN langs
+          LEFT JOIN bon ON bon.doc_id = nd.doc_id AND bon.lang = langs.lang),
+        best AS (SELECT doc_id, lang, score, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score, lang) rk
+          FROM sc QUALIFY rk = 1)
+        SELECT d.doc_id, best.lang AS pred_lang,
+          CAST(best.score AS BIGINT) AS oop_score
+        FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // Hashed bag-of-grams linear quality classifier (the fastText-shaped
+    // gate of CCNet/GPT-3 data recipes), fit as closed-form per-bucket
+    // log-odds on the labeled sample (en = keep class) and scored as an
+    // integer micro-unit w·x fold — DSIR's portable machinery, so the
+    // oracle replays buckets, WEIGHTS, and every per-doc score/keep
+    // decision exactly.
+    Q("td_quality_model",
+      (s, dir) => {
+        import graft.functions.QualityModel
+        val docs = Tables(s, dir, "documents")
+        val w = QualityModel.fitLogOddsMicro(
+          docs.filter(col("lang") === "en").select("text"),
+          docs.filter(col("lang") =!= "en").select("text"),
+          "text", nBuckets = 1024)
+        QualityModel.score(docs.select("doc_id", "text"), "doc_id", "text",
+            w, nBuckets = 1024, thresholdMicroPerGram = 0L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents),
+        g AS (SELECT doc_id, lang, unnest(t ||
+          CASE WHEN len(t) >= 2
+            THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+            ELSE []::VARCHAR[] END) AS gram FROM toks),
+        b AS (SELECT doc_id, lang,
+          ((ascii(substr(md5(gram),1,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+         + (ascii(substr(md5(gram),2,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+         + (ascii(substr(md5(gram),3,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+         + (ascii(substr(md5(gram),4,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),4,1)) >= 97 THEN 39 ELSE 0 END))
+          % 1024 AS bkt FROM g),
+        pc AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+        nc AS (SELECT bkt, count(*) AS c FROM b WHERE lang <> 'en' GROUP BY bkt),
+        tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS pt,
+                       (SELECT count(*) FROM b WHERE lang <> 'en') AS nt),
+        ub AS (SELECT DISTINCT bkt FROM b),
+        w AS (SELECT ub.bkt,
+          CAST(floor(ln(((coalesce(pc.c, 0) + 0.5) * (tot.nt + 512.0)) /
+                        ((coalesce(nc.c, 0) + 0.5) * (tot.pt + 512.0)))
+            * 1000000 + 0.5) AS BIGINT) AS wm
+          FROM ub LEFT JOIN pc ON ub.bkt = pc.bkt
+                  LEFT JOIN nc ON ub.bkt = nc.bkt, tot)
+        SELECT b.doc_id, count(*) AS n_grams,
+          CAST(sum(w.wm) AS BIGINT) AS score_micro,
+          CAST(sum(w.wm) AS BIGINT) >= 0 AS keep
+        FROM b JOIN w ON b.bkt = w.bkt
+        GROUP BY b.doc_id ORDER BY doc_id""")),
+
     Q("td_fingerprint",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"),
