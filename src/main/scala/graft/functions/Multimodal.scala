@@ -519,17 +519,21 @@ object Multimodal {
     * [[videoNearDupPairs]]. Pigeonhole: Hamming < nBands ⟹ at least
     * one untouched band, so recall within `maxHamming` <= nBands−1 is
     * complete; work is band-bucket-bounded. `alignCols` join as extra
-    * equi-keys and pass through from side a. */
+    * equi-keys and pass through from side a; `carryCols` pass through
+    * from BOTH sides (as `<c>_a`/`<c>_b`) without constraining the
+    * join — the offset-voting video matcher reads frame indices from
+    * them. */
   private def bandedHammingPairs(hashed: DataFrame,
       maxHamming: Int, nBands: Int,
-      alignCols: Seq[String] = Nil): DataFrame = {
+      alignCols: Seq[String] = Nil,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64: $nBands")
     require(maxHamming < nBands,
       s"complete recall needs maxHamming < nBands ($maxHamming >= $nBands)")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bands = hashed.select(
-      (Seq(col("__id"), col("__hash")) ++ alignCols.map(col) :+
+      (Seq(col("__id"), col("__hash")) ++ (alignCols ++ carryCols).map(col) :+
         explode(array((0 until nBands).map(k =>
           struct(lit(k).as("k"),
             (shiftrightunsigned(col("__hash"), k * width)
@@ -540,12 +544,15 @@ object Multimodal {
     bands.as("a").join(bands.as("b"), joinCond)
       .select(col("a.__id").as("id_a") +: col("b.__id").as("id_b") +:
         bit_count(col("a.__hash").bitwiseXOR(col("b.__hash"))).cast("int")
-          .as("hamming") +: alignCols.map(c => col(s"a.$c")): _*)
+          .as("hamming") +: (alignCols.map(c => col(s"a.$c")) ++
+        carryCols.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))): _*)
       // hamming is deterministic per pair, so filtering BEFORE the
       // dedup aggregate is identical — and the chance same-band pairs
       // (the large majority) never reach the dropDuplicates shuffle
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a" +: "id_b" +: alignCols)
+      .dropDuplicates("id_a" +: "id_b" +: (alignCols ++
+        carryCols.flatMap(c => Seq(s"${c}_a", s"${c}_b"))))
   }
 
   /** Append `afp: long` (the energy-envelope fingerprint; null for
@@ -592,45 +599,13 @@ object Multimodal {
       minMatchFrac: Double = 0.5): DataFrame = {
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
-    val frames = frameSample(df.select(col(idCol), col(binaryCol)),
-      binaryCol, every)
-      // drop the full video payload between the two opaque row-level
-      // stages — mapPartitions hides column usage from Catalyst, so
-      // without this every per-frame row would carry the whole clip
-      // through the hash stage
-      .select(col(idCol), col("frame_idx"), col("frame"))
-    // the demux+hash lineage (ImageIO decode, compositing, PNG
-    // re-encode, aHash — the expensive part) feeds both the per-video
-    // counts and the pair join: materialize it once
-    val hashed = imageHash(frames, "frame").filter(col("ahash").isNotNull)
-      .select(col(idCol).as("__id"), col("frame_idx").as("__fi"),
-        col("ahash").as("__hash"))
-      .localCheckpoint()
-    // Identical-SEQUENCE collapse (the video analogue of
-    // [[hashCollapse]]): videos whose full ordered frame-hash sequences
-    // are equal form one group with a min-id representative. Without it
-    // N identical clips put N copies of every frame hash in each band
-    // bucket — C(N,2) candidate AND output pairs; with it the group
-    // costs N−1 star edges and one representative in the join. The
-    // sequence key is frames·12 bytes per video, shuffled once. Residual
-    // hazard (documented, not handled): videos sharing SOME frames —
-    // e.g. a common intro — still meet in those frames' buckets, which
-    // is the genuine candidate set, bounded per bucket.
-    val sigs = hashed.groupBy("__id").agg(
-      sort_array(collect_list(struct(col("__fi"), col("__hash")))).as("__seq"),
-      count(lit(1)).as("__nf"))
-    val groups = sigs.groupBy("__seq").agg(min("__id").as("__rep"))
-    val tagged = sigs.join(groups, "__seq")
-      .select(col("__id"), col("__nf"), col("__rep"))
+    val (repFrames, counts, starBase) =
+      videoRepFrames(df, idCol, binaryCol, every)
     // members match their rep on every frame (identical sequences), so
     // the star edge is a full match at the group's frame count
-    val star = tagged.filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
-        col("__nf").as("matched_frames"), col("__nf").as("frames_a"),
-        col("__nf").as("frames_b"))
-    val counts = tagged.filter(col("__id") === col("__rep"))
-      .select(col("__id"), col("__nf"))
-    val repFrames = hashed.join(counts.select("__id"), Seq("__id"), "left_semi")
+    val star = starBase.select(col("id_a"), col("id_b"),
+      col("__nf").as("matched_frames"), col("__nf").as("frames_a"),
+      col("__nf").as("frames_b"))
     val matched = bandedHammingPairs(repFrames, maxHamming, nBands,
         alignCols = Seq("__fi"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("matched_frames"))
@@ -642,6 +617,106 @@ object Multimodal {
       .filter(col("matched_frames") >=
         least(col("frames_a"), col("frames_b")) * lit(minMatchFrac))
       .select("id_a", "id_b", "matched_frames", "frames_a", "frames_b")
+      .unionByName(star)
+  }
+
+  /** Shared demux → per-frame aHash → identical-SEQUENCE collapse stage
+    * behind both video matchers (the video analogue of [[hashCollapse]]):
+    * videos whose full ordered frame-hash sequences are equal form one
+    * group with a min-id representative. Without it N identical clips
+    * put N copies of every frame hash in each band bucket — C(N,2)
+    * candidate AND output pairs; with it the group costs N−1 star rows
+    * and one representative in the join. The sequence key is frames·12
+    * bytes per video, shuffled once. Residual hazard (documented, not
+    * handled): videos sharing SOME frames — e.g. a common intro — still
+    * meet in those frames' buckets, which is the genuine candidate set,
+    * bounded per bucket.
+    *
+    * Returns (repFrames, counts, starBase): per-frame (__id, __fi,
+    * __hash) rows of representatives only, (rep __id, __nf frame
+    * count), and (id_a=rep, id_b=member, __nf) rows for collapsed
+    * members. */
+  private def videoRepFrames(df: DataFrame, idCol: String,
+      binaryCol: String, every: Int): (DataFrame, DataFrame, DataFrame) = {
+    val frames = frameSample(df.select(col(idCol), col(binaryCol)),
+      binaryCol, every)
+      // drop the full video payload between the two opaque row-level
+      // stages — mapPartitions hides column usage from Catalyst, so
+      // without this every per-frame row would carry the whole clip
+      // through the hash stage
+      .select(col(idCol), col("frame_idx"), col("frame"))
+    // the demux+hash lineage (ImageIO decode, compositing, PNG
+    // re-encode, aHash — the expensive part) feeds the collapse, the
+    // counts, and the pair join: materialize it once
+    val hashed = imageHash(frames, "frame").filter(col("ahash").isNotNull)
+      .select(col(idCol).as("__id"), col("frame_idx").as("__fi"),
+        col("ahash").as("__hash"))
+      .localCheckpoint()
+    val sigs = hashed.groupBy("__id").agg(
+      sort_array(collect_list(struct(col("__fi"), col("__hash")))).as("__seq"),
+      count(lit(1)).as("__nf"))
+    val groups = sigs.groupBy("__seq").agg(min("__id").as("__rep"))
+    val tagged = sigs.join(groups, "__seq")
+      .select(col("__id"), col("__nf"), col("__rep"))
+    val starBase = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"), col("__nf"))
+    val counts = tagged.filter(col("__id") === col("__rep"))
+      .select(col("__id"), col("__nf"))
+    val repFrames = hashed.join(counts.select("__id"), Seq("__id"), "left_semi")
+    (repFrames, counts, starBase)
+  }
+
+  /** Trim-robust video near-duplicate pairs: the fixed-stride aligned
+    * matcher ([[videoNearDupPairs]]) misses clips that were trimmed or
+    * offset, because frame j is only compared to frame j. This variant
+    * is OFFSET-INVARIANT: candidate frame pairs come from the same
+    * banded-Hamming join but WITHOUT the frame-index equi-key; each
+    * matching frame pair (fa, fb) votes for offset fb−fa, the
+    * best-supported offset wins per video pair (ties to the smallest
+    * offset), and the pair is kept when the winning offset's vote count
+    * covers `minMatchFrac` of the smaller side's frames — so a clip
+    * trimmed by k frames still matches its source at offset −k with
+    * every remaining frame voting.
+    *
+    * Scale shape: identical to the aligned matcher plus one extra keyed
+    * aggregation (the offset vote, keyed on candidate pairs). Dropping
+    * the frame-index key widens each band bucket by the
+    * repeated-hash-across-time factor, not by corpus size — candidates
+    * stay bucket-bounded and the identical-sequence collapse still caps
+    * exact-duplicate groups at O(N). Output: (id_a, id_b, best_offset,
+    * matched_frames, frames_a, frames_b), id_a < id_b; collapsed
+    * members report offset 0 at full match.
+    */
+  def videoNearDupPairsOffset(df: DataFrame, idCol: String, binaryCol: String,
+      every: Int = 1, maxHamming: Int = 3, nBands: Int = 4,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val (repFrames, counts, starBase) =
+      videoRepFrames(df, idCol, binaryCol, every)
+    val star = starBase.select(col("id_a"), col("id_b"),
+      lit(0).as("best_offset"), col("__nf").as("matched_frames"),
+      col("__nf").as("frames_a"), col("__nf").as("frames_b"))
+    val votes = bandedHammingPairs(repFrames, maxHamming, nBands,
+        carryCols = Seq("__fi"))
+      .select(col("id_a"), col("id_b"),
+        (col("__fi_b") - col("__fi_a")).as("best_offset"))
+      .groupBy("id_a", "id_b", "best_offset")
+      .agg(count(lit(1)).as("matched_frames"))
+    val best = votes.withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a", "id_b")
+          .orderBy(col("matched_frames").desc, col("best_offset"))))
+      .filter(col("__rk") === 1).drop("__rk")
+    best
+      .join(counts.select(col("__id").as("id_a"), col("__nf").as("frames_a")),
+        Seq("id_a"))
+      .join(counts.select(col("__id").as("id_b"), col("__nf").as("frames_b")),
+        Seq("id_b"))
+      .filter(col("matched_frames") >=
+        least(col("frames_a"), col("frames_b")) * lit(minMatchFrac))
+      .select("id_a", "id_b", "best_offset", "matched_frames",
+        "frames_a", "frames_b")
       .unionByName(star)
   }
 

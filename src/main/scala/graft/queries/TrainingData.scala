@@ -1232,6 +1232,79 @@ object TrainingData {
           WHERE m.matched_frames >= 0.5 * least(ra.nf, rb.nf))
         ORDER BY id_a, id_b""")),
 
+    // Trim-robust video near-dup (offset vote): docs < 24 carry REAL
+    // animated GIFs; frame p's raster is a ROTATED gradient ((7-axis+p)
+    // mod 8)*30, axis = row for even doc_ids / column for odd, so every
+    // frame of a clip hashes differently and cross-parity frames never
+    // match. Docs 0-11 are 4-frame originals (p = 0..3); docs 12-23 are
+    // TRIMMED copies of the same-parity original (first frame dropped,
+    // p = 1..3). The ALIGNED matcher finds nothing between original and
+    // trim (frame j vs j never matches); the offset vote recovers them
+    // at offset -1 with all 3 remaining frames voting. The oracle
+    // re-derives frame hashes from the planted arithmetic and replays
+    // the sequence collapse (four 6-member identical groups → 5 star
+    // rows each), the offset vote, the (votes desc, offset asc)
+    // tie-break, and the majority threshold.
+    Q("td_mm_videodup_trim",
+      (s, dir) => {
+        val enc = udf { (d: Long) =>
+          val (nF, jOff) = if (d < 12) (4, 0) else (3, 1)
+          val frames = (0 until nF).map { j =>
+            val p = j + jOff
+            (0 until 64).map { i =>
+              val axis = if (d % 2 == 0) i / 8 else i % 8
+              ((7 - axis + p) % 8) * 30
+            }
+          }
+          Multimodal.encodeAnimatedGifRasters(8, 8, frames)
+        }
+        val vids = Tables(s, dir, "documents").filter(col("doc_id") < 24)
+          .select(col("doc_id"), enc(col("doc_id")).as("payload"))
+        Multimodal.videoNearDupPairsOffset(vids, "doc_id", "payload",
+            every = 1, maxHamming = 3, nBands = 4, minMatchFrac = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+        fr AS (SELECT doc_id, f.j,
+            CASE WHEN doc_id < 12 THEN f.j ELSE f.j + 1 END AS p
+          FROM ids, range(0, 4) f(j) WHERE doc_id < 12 OR f.j < 3),
+        px AS (SELECT doc_id, j, t1.r, t2.c,
+            ((7 - CASE WHEN doc_id % 2 = 0 THEN t1.r ELSE t2.c END + p) % 8)
+              * 30 AS v
+          FROM fr, range(0, 8) t1(r), range(0, 8) t2(c)),
+        tot AS (SELECT doc_id, j, sum(v) AS s FROM px GROUP BY doc_id, j),
+        h AS (SELECT px.doc_id, px.j,
+            sum(CASE WHEN px.v * 64 > tot.s
+              THEN (CAST(1 AS BIGINT) << CAST(px.r * 8 + px.c AS INT))
+              ELSE 0 END) AS fh
+          FROM px JOIN tot USING (doc_id, j) GROUP BY px.doc_id, px.j),
+        seqs AS (SELECT doc_id, list(fh ORDER BY j) AS sq,
+            count(*) AS nf FROM h GROUP BY doc_id),
+        g AS (SELECT doc_id, nf,
+            min(doc_id) OVER (PARTITION BY sq) AS rep FROM seqs),
+        reps AS (SELECT doc_id, nf FROM g WHERE doc_id = rep),
+        fp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(b.j - a.j AS INT) AS off
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          JOIN reps ra ON ra.doc_id = a.doc_id
+          JOIN reps rb ON rb.doc_id = b.doc_id
+          WHERE bit_count(xor(a.fh, b.fh)) <= 3),
+        v AS (SELECT id_a, id_b, off, count(*) AS m
+          FROM fp GROUP BY id_a, id_b, off),
+        bestv AS (SELECT id_a, id_b, off, m, row_number() OVER
+            (PARTITION BY id_a, id_b ORDER BY m DESC, off) AS rk
+          FROM v QUALIFY rk = 1)
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS INT) AS best_offset,
+            nf AS matched_frames, nf AS frames_a, nf AS frames_b
+          FROM g WHERE doc_id <> rep
+          UNION ALL
+          SELECT bestv.id_a, bestv.id_b, bestv.off, bestv.m, ra.nf, rb.nf
+          FROM bestv JOIN reps ra ON ra.doc_id = bestv.id_a
+                     JOIN reps rb ON rb.doc_id = bestv.id_b
+          WHERE bestv.m >= 0.5 * least(ra.nf, rb.nf))
+        ORDER BY id_a, id_b""")),
+
     // Audio near-dup by envelope fingerprint: docs < 50 carry REAL
     // PCM16 WAVs whose square-wave amplitude steps per 64-window plan —
     // even doc_ids loud in the first half, odd loud in every 8-window

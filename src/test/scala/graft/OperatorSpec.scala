@@ -226,6 +226,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 4L, 2L)))
   }
 
+  test("videoNearDupPairsOffset: offset vote recovers trimmed clips") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // rotated gradients: frame p hashes differently for each p mod 8
+    def f(p: Int) = (0 until 64).map(i => ((7 - i / 8 + p) % 8) * 30)
+    def g(p: Int) = (0 until 64).map(i => ((7 - i % 8 + p) % 8) * 30)
+    val rows = Seq(
+      (1L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(f(0), f(1), f(2), f(3)))),
+      // first frame trimmed → every aligned index mismatches, but all 3
+      // remaining frames vote offset -1
+      (2L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(f(1), f(2), f(3)))),
+      // unrelated axis → no frame matches at any offset
+      (3L, Multimodal.encodeAnimatedGifRasters(8, 8, Seq(g(0), g(1), g(2)))))
+      .toDF("doc_id", "payload")
+    // the aligned matcher misses the trimmed copy entirely
+    val aligned = Multimodal.videoNearDupPairs(rows, "doc_id", "payload")
+      .collect()
+    assert(aligned.isEmpty, aligned.mkString(","))
+    val out = Multimodal.videoNearDupPairsOffset(rows, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 2L, -1, 3L, 4L, 3L)))
+  }
+
   test("near-dup identical groups cost O(N) output, not C(N,2)") {
     import spark.implicits._
     import graft.functions.Multimodal
