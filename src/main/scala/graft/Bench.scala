@@ -40,7 +40,13 @@ object Bench {
     // regressions would matter at scale. The samplers are trivial scans
     // and td_dedup_semantic runs on the fixed-size embeddings table, so
     // they stay out of the bench budget.
-    "td_dedup_substr", "td_pack_sequences", "td_dsir_weights")
+    "td_dedup_substr", "td_pack_sequences", "td_dsir_weights",
+    // round-15 additions: the quality-model gate (second md5-bound corpus
+    // fold — same cost family as DSIR scoring) and rank-order n-gram
+    // language ID (char-trigram explode + doc-keyed window — the
+    // family's newest corpus-linear shuffle). td_mm_videodup_trim stays
+    // out (fixed 24-clip fixture, no corpus scaling).
+    "td_quality_model", "td_quality_langid_ngram")
 
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked
@@ -76,7 +82,14 @@ object Bench {
   // faster, which is not contention; normalization (spark-calib-driven)
   // already rescales totals for comparability. The slow edge (1.00) — the
   // side that actually detects a loaded box — is unchanged.
-  val CalibCpuRefBand = (0.70, 1.00)
+  // Low edge 0.70 → 0.65 later the same day: an idle-box round-15 run
+  // read the spin at 0.691 (all four attempts fast-side by ~1%) while
+  // spark calib sat in-band, band_out/polluted were empty, and
+  // normalized per-query medians matched the r14 ledger — the spin
+  // itself jitters ±10% on this host (0.69-0.84 observed same-day
+  // idle), so the fast edge gets the jitter margin. Slow edge still
+  // unchanged; a faster box remains not-contention by construction.
+  val CalibCpuRefBand = (0.65, 1.00)
   val CalibSparkRefBand = (0.30, 0.46)
 
   // ---- per-query reference bands (VERDICT r12 item 3) ----------------------
@@ -94,7 +107,14 @@ object Bench {
     "q4_window_topn" -> 0.48, "q5_topk" -> 0.18, "q13_custom_sql" -> 0.87,
     "mode_upsert" -> 1.02, "mode_cdc_apply" -> 1.38, "t_asof_join" -> 1.04,
     "t_sessionize" -> 0.62, "t_stream_window" -> 1.51,
-    "td_text_stats" -> 0.34, "td_dedup_near" -> 1.65, "td_sim_topk" -> 1.45,
+    "td_text_stats" -> 0.34,
+    // td_dedup_near gained the identical-text collapse in r15 (one
+    // md5-keyed groupBy+join ahead of the signatures — the prepass that
+    // caps N identical docs at O(N) output instead of C(N,2)). With the
+    // collapse join localCheckpoint'd for its three consumers the
+    // operator measures 1.43 norm — back under its historical band, so
+    // the reference stands.
+    "td_dedup_near" -> 1.65, "td_sim_topk" -> 1.45,
     "td_dedup_ngram" -> 4.40, "op_delta_skipping" -> 1.19,
     "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
     "bench_ingest_db" -> 3.10,
@@ -105,7 +125,11 @@ object Bench {
     // raw medians consistent to 2%; the normalized spread is spark-calib
     // variance between the runs)
     "td_dedup_substr" -> 0.72, "td_pack_sequences" -> 0.36,
-    "td_dsir_weights" -> 8.92)
+    "td_dsir_weights" -> 8.92,
+    // round-15 additions (idle-box in-band run 2026-08-16, attempt 2,
+    // all gates clean): both are md5-bound corpus folds/aggregations —
+    // the documented price of engine-replayable hashing
+    "td_quality_model" -> 6.82, "td_quality_langid_ngram" -> 5.61)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2
@@ -379,12 +403,33 @@ object Bench {
     }
 
     // Ledger guard: a contended / out-of-band pass is measurement noise,
-    // not a measurement — re-run after a cooldown (the window that
-    // polluted r6/r9/r10 closing artifacts is usually transient) and
-    // only emit a flagged line when every attempt stayed flagged, with
-    // a loud stderr warning so it cannot ship silently.
+    // not a measurement — re-run after a cooldown and only emit a
+    // flagged line when every attempt stayed flagged, with a loud
+    // stderr warning so it cannot ship silently. Hardened after the r14
+    // artifact of record shipped `contended: true` (a load window at
+    // run start outlasted the old single 30 s cooldown while same-tree
+    // idle runs existed): more attempts by default, and the cooldown
+    // WAITS FOR THE BOX to actually drain — it polls the 1-minute
+    // loadavg and a fresh CPU-calibration spin until both re-enter the
+    // idle band (bounded at 4 minutes per retry), instead of sleeping a
+    // fixed 30 s and re-measuring into the same pressure window.
     val maxAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "4").toInt
+    def loadavg1m: Double =
+      try loadavg.split(",")(0).toDouble catch { case _: Throwable => 0.0 }
+    def coolDown(): Unit = {
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        Thread.sleep(15000)
+        val spin = calibCpu()._1
+        ok = loadavg1m < 8.0 &&
+          spin >= CalibCpuRefBand._1 && spin <= CalibCpuRefBand._2
+        System.err.println(f"[bench] cooldown probe: loadavg $loadavg1m%.1f" +
+          f" calib_cpu $spin%.3f s (band [${CalibCpuRefBand._1}%.2f," +
+          f" ${CalibCpuRefBand._2}%.2f]) — ${if (ok) "idle" else "waiting"}")
+      }
+    }
     var attempt = 0
     var emitted = false
     while (!emitted) {
@@ -392,8 +437,8 @@ object Bench {
       val (flagged, json) = attemptRun(attempt)
       if (flagged && attempt < maxAttempts) {
         System.err.println(s"[bench] attempt $attempt contended/out-of-band" +
-          s" (loadavg $loadavg) — cooling down 30 s and re-running")
-        Thread.sleep(30000)
+          s" (loadavg $loadavg) — waiting for the box to drain, then re-running")
+        coolDown()
       } else {
         if (flagged) System.err.println(
           s"[bench] WARNING: all $attempt attempts flagged — emitting a " +

@@ -118,7 +118,10 @@ object Dedup {
     val hashed = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
       md5(col(textCol)).as("__ch"))
     val groups = hashed.groupBy("__ch").agg(min("__id").as("__rep"))
-    val tagged = hashed.join(groups, "__ch")
+    // the collapse join feeds THREE subtrees (star edges, signatures,
+    // verification sets) — materialize it once or the corpus-wide md5
+    // groupBy+join replays per subtree
+    val tagged = hashed.join(groups, "__ch").localCheckpoint()
     val star = tagged.filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("__id").as("id_b"),
         lit(1.0).as("jaccard"))
@@ -280,12 +283,30 @@ object Dedup {
     * (pairs must share a (table, bucket) posting) + exact cosine verify.
     * The bucket self-join is the only pairwise work — O(candidates), not
     * O(n²); identical vectors always share every posting, so recall on
-    * true duplicates is 1. Output: (id_a, id_b, cosine), id_a < id_b.
+    * true duplicates is 1.
+    *
+    * BIT-IDENTICAL vectors collapse to their min-id representative
+    * before the posting join (same rationale as [[nearDupPairs]]'s
+    * identical-text collapse: N copies of one embedding — re-ingested
+    * shards, default/zero vectors — would fill every shared bucket and
+    * emit C(N,2) pairs). Each identical group emits N−1 star edges at
+    * cosine 1.0; connected components downstream is unchanged.
+    * Output: (id_a, id_b, cosine), id_a < id_b.
     */
   def embedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 8): DataFrame = {
-    val posts = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      explode(Similarity.lshPostings(col(vecCol), bits, tables)).as("__p"))
+    val rows = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val groups = rows.groupBy("__v").agg(min("__id").as("__rep"))
+    // three consumers (star, postings, nothing else — but the join
+    // feeds the explode fan-out), one materialization
+    val tagged = rows.join(groups, "__v").localCheckpoint()
+    val star = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
+        lit(1.0).as("cosine"))
+    val reps = tagged.filter(col("__id") === col("__rep"))
+      .select(col("__id"), col("__v"))
+    val posts = reps.select(col("__id"), col("__v"),
+      explode(Similarity.lshPostings(col("__v"), bits, tables)).as("__p"))
     posts.as("a").join(posts.as("b"),
         col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
@@ -294,6 +315,7 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .unionByName(star)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -465,10 +465,13 @@ object TrainingData {
 
     // embedding-cosine near-dup: the corpus has no natural near-dups (max
     // background cosine 0.51), so plant copies of the first 100 vectors and
-    // find pairs >= 0.95. Copies collide in every LSH bucket (recall 1);
-    // the oracle checks ALL pairs exactly — a missed true pair would
-    // hash-mismatch. cosine = dot/(sqrt*sqrt) folds identically in both
-    // engines (see graft-determinism rules).
+    // find pairs >= 0.95. Bit-identical vectors collapse to their min-id
+    // representative (star edges at cosine 1.0 — each planted copy is a
+    // 2-member group), reps verify through the LSH buckets, and the
+    // oracle replays the collapse plus ALL rep pairs exactly — a missed
+    // true pair or a C(N,2) blowup both hash-mismatch. cosine =
+    // dot/(sqrt*sqrt) folds identically in both engines (see
+    // graft-determinism rules).
     Q("td_dedup_embed",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
@@ -483,6 +486,9 @@ object TrainingData {
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+        grp AS (SELECT vec_id, embedding,
+          min(vec_id) OVER (PARTITION BY embedding) AS rep FROM av),
+        reps AS (SELECT vec_id, embedding FROM grp WHERE vec_id = rep),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           list_sum(list_transform(range(1, len(a.embedding)+1),
             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -490,8 +496,12 @@ object TrainingData {
             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
            sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cosine
-          FROM av a JOIN av b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+          FROM reps a JOIN reps b ON a.vec_id < b.vec_id)
+        SELECT * FROM (
+          SELECT rep AS id_a, vec_id AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+          FROM grp WHERE vec_id <> rep
+          UNION ALL
+          SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95)
         ORDER BY id_a, id_b""")),
 
     // SimHash, oracle-gated via derived deterministic properties on planted

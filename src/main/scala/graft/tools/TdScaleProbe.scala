@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Dsir, Packing, Sampling}
+import graft.functions.{Dedup, Dsir, LangIdNgram, Packing, QualityModel, Sampling}
 
 /** Scaling-evidence probe for the round-14 text-family surfaces
   * (exact-substring dedup, prefix-sum packing, DSIR scoring,
@@ -59,6 +59,25 @@ object TdScaleProbe {
     out("sample_stratified") = med3 {
       noop(docs.filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
         Map("en" -> 0.75, "fr" -> 0.5, "de" -> 0.25))))
+    }
+    // round-15 additions: the quality-model SCORING fold (the fit is
+    // bounded by contract — measured separately so the corpus-linear
+    // part is what the ratio tracks) and the full langid classify
+    // (fit + corpus classification; the fit aggregate is corpus-linear
+    // too, so it belongs in the measured body)
+    val qmWeights = QualityModel.fitLogOddsMicro(
+      docs.filter(col("lang") === "en").select("text"),
+      docs.filter(col("lang") =!= "en").select("text"),
+      "text", nBuckets = 1024)
+    out("quality_model_score") = med3 {
+      noop(QualityModel.score(docs.select("doc_id", "text"),
+        "doc_id", "text", qmWeights, nBuckets = 1024))
+    }
+    out("langid_ngram") = med3 {
+      val profiles = LangIdNgram.fitProfiles(docs, "lang", "text",
+        n = 3, k = 40)
+      noop(LangIdNgram.classify(docs.select("doc_id", "text"),
+        "doc_id", "text", profiles, n = 3, k = 40))
     }
 
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

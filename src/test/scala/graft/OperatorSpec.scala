@@ -284,6 +284,21 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to n.toLong).forall(cc(_) == 1L) && cc(100L) == 100L)
   }
 
+  test("embed near-dup collapses bit-identical vectors to star edges") {
+    import spark.implicits._
+    val n = 25
+    val v = Seq(1.0f, 0.5f, -0.25f, 0.125f)
+    val w = Seq(-1.0f, 0.5f, 0.25f, 0.125f)  // cosine(v,w) well below 0.9
+    val rows = ((1L to n.toLong).map(i => (i, v)) :+ (99L, w))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.Dedup.embedNearDupPairs(rows,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // N identical vectors → N-1 star edges at exactly 1.0, not C(25,2)
+    assert(out.toSeq == (2L to n.toLong).map(i => (1L, i, 1.0)))
+  }
+
   test("minhash near-dup collapses identical texts to star edges") {
     import spark.implicits._
     val n = 30
