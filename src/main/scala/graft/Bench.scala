@@ -42,11 +42,13 @@ object Bench {
     // they stay out of the bench budget.
     "td_dedup_substr", "td_pack_sequences", "td_dsir_weights",
     // round-15 additions: the quality-model gate (second md5-bound corpus
-    // fold — same cost family as DSIR scoring) and rank-order n-gram
+    // fold — same cost family as DSIR scoring), rank-order n-gram
     // language ID (char-trigram explode + doc-keyed window — the
-    // family's newest corpus-linear shuffle). td_mm_videodup_trim stays
-    // out (fixed 24-clip fixture, no corpus scaling).
-    "td_quality_model", "td_quality_langid_ngram")
+    // family's newest corpus-linear shuffle), and the LM-perplexity
+    // gate (distributed bigram counts + three-way keyed score join).
+    // td_mm_videodup_trim stays out (fixed 24-clip fixture, no corpus
+    // scaling).
+    "td_quality_model", "td_quality_langid_ngram", "td_quality_ppl")
 
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked
@@ -129,7 +131,10 @@ object Bench {
     // round-15 additions (idle-box in-band run 2026-08-16, attempt 2,
     // all gates clean): both are md5-bound corpus folds/aggregations —
     // the documented price of engine-replayable hashing
-    "td_quality_model" -> 6.82, "td_quality_langid_ngram" -> 5.61)
+    "td_quality_model" -> 6.82, "td_quality_langid_ngram" -> 5.61,
+    // ppl gate: three keyed joins over token transitions — cheap next
+    // to the md5-bound folds (no cryptographic hashing anywhere)
+    "td_quality_ppl" -> 1.30)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2

@@ -209,6 +209,62 @@ object TrainingData {
         FROM b JOIN w ON b.bkt = w.bkt
         GROUP BY b.doc_id ORDER BY doc_id""")),
 
+    // CCNet-style LM-perplexity gate (Wenzek 2019): Stupid-Backoff
+    // bigram LM (Brants 2007 — count arithmetic only) fit on the en
+    // documents, every document scored by its integer-micro per-token
+    // average log-prob and bucketed head/middle/tail (cut points sit
+    // inside this corpus's observed -3.77..-3.23 nats/token range so
+    // all three buckets are populated and oracle-checked). The LM tables
+    // stay DISTRIBUTED (vocab is corpus-sized — three keyed joins, no
+    // broadcast/collect); the oracle replays counts, all three backoff
+    // tiers, the micro quantization, and both bucket cut points.
+    Q("td_quality_ppl",
+      (s, dir) => {
+        import graft.functions.NgramLm
+        val docs = Tables(s, dir, "documents")
+        val lm = NgramLm.fit(
+          docs.filter(col("lang") === "en").select("text"), "text")
+        NgramLm.score(docs.select("doc_id", "text"), "doc_id", "text", lm)
+          .withColumn("ppl_bucket", NgramLm.pplBucket(
+            col("avg_logprob_micro"), -3400000L, -3600000L))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') tk
+          FROM documents),
+        big AS (SELECT doc_id, lang,
+            unnest([{'w1': tk[i], 'w2': tk[i+1]}
+                    for i in range(1, len(tk))]) AS b
+          FROM t),
+        uni AS (SELECT w, count(*) AS c1 FROM
+            (SELECT unnest(tk) AS w FROM t WHERE lang = 'en') GROUP BY w),
+        n AS (SELECT CAST(sum(c1) AS DOUBLE) AS nn FROM uni),
+        bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+          FROM big WHERE lang = 'en' GROUP BY b.w1, b.w2),
+        j AS (SELECT big.doc_id,
+            CAST(floor(ln(
+              CASE WHEN bi.c12 IS NOT NULL THEN bi.c12::DOUBLE / u1.c1
+                   WHEN u2.c1 IS NOT NULL THEN 0.4 * u2.c1 / n.nn
+                   ELSE 0.4 / (n.nn + 1) END) * 1000000 + 0.5) AS BIGINT)
+              AS lp
+          FROM big
+          LEFT JOIN bi ON big.b.w1 = bi.w1 AND big.b.w2 = bi.w2
+          LEFT JOIN uni u1 ON big.b.w1 = u1.w
+          LEFT JOIN uni u2 ON big.b.w2 = u2.w, n),
+        agg AS (SELECT doc_id, count(*) AS ns, sum(lp) AS lpm
+          FROM j GROUP BY doc_id),
+        res AS (SELECT d.doc_id,
+            coalesce(agg.ns, 0) AS n_scored,
+            CAST(coalesce(agg.lpm, 0) AS BIGINT) AS logprob_micro,
+            CAST(floor(agg.lpm::DOUBLE / agg.ns) AS BIGINT)
+              AS avg_logprob_micro
+          FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
+        SELECT doc_id, n_scored, logprob_micro, avg_logprob_micro,
+          CASE WHEN avg_logprob_micro IS NULL THEN 'tail'
+               WHEN avg_logprob_micro >= -3400000 THEN 'head'
+               WHEN avg_logprob_micro < -3600000 THEN 'tail'
+               ELSE 'middle' END AS ppl_bucket
+        FROM res ORDER BY doc_id""")),
+
     Q("td_fingerprint",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"),

@@ -79,6 +79,20 @@ object TdScaleProbe {
       noop(LangIdNgram.classify(docs.select("doc_id", "text"),
         "doc_id", "text", profiles, n = 3, k = 40))
     }
+    // the headline minhash near-dup (collapse prepass + signatures +
+    // banded self-join + exact verify) — the family's other
+    // corpus-keyed shuffle chain, probed end-to-end
+    out("dedup_near") = med3 {
+      noop(Dedup.nearDupPairs(docs.select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8))
+    }
+    // perplexity gate: fit (two distributed counts) + join-based score
+    out("ngram_ppl") = med3 {
+      val lm = graft.functions.NgramLm.fit(
+        docs.filter(col("lang") === "en").select("text"), "text")
+      noop(graft.functions.NgramLm.score(docs.select("doc_id", "text"),
+        "doc_id", "text", lm))
+    }
 
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
