@@ -389,20 +389,27 @@ object Bench {
     val totalNorm = total * sparkFactor
     val qsNorm = results.map { case (k, med, _, _) =>
       "\"" + k + f"\":${med * sparkFactor}%.3f" }.mkString("{", ",", "}")
-    // contended when EITHER calibration exits its idle-box band — box-speed
-    // variance that per-process cpu/wall ratio cannot see — or the process
-    // itself was starved (< 0.5 cores average). calib_dev reports distance
-    // from the band midpoint for trend-watching.
+    // contended when a calibration exits its idle-box band on the SLOW
+    // side — box-speed variance that per-process cpu/wall ratio cannot
+    // see — or the process itself was starved (< 0.5 cores average).
+    // FAST-side exits are reported in calib_out_of_band (so band drift
+    // stays visible in the ledger) but do not flag the pass: a faster
+    // box is not contention by construction — normalization rescales
+    // totals, the per-query band gate still judges the normalized
+    // medians, and a drain-wait can never make a fast box slower (the
+    // r15 failure mode: four attempts burned on a 1% fast-side exit).
     val calibDev = math.max(math.abs(calibCpuStart / CalibCpuRefSec - 1.0),
       math.abs(calibSparkSec / CalibSparkRefSec - 1.0))
     val cpuOut = calibCpuStart < CalibCpuRefBand._1 || calibCpuStart > CalibCpuRefBand._2
     val sparkOut = calibSparkSec < CalibSparkRefBand._1 || calibSparkSec > CalibSparkRefBand._2
     val outOfBand = cpuOut || sparkOut
-    val contended = ratio < 0.5 || outOfBand
-    // the full gate (VERDICT r12 item 3): calibration bands AND the
-    // spread detector AND the per-query reference bands — a pass ships
-    // clean only when all three agree it was a measurement
-    (contended || outOfBand || polluted != "[]" || bandOut.nonEmpty,
+    val slowOut = calibCpuStart > CalibCpuRefBand._2 ||
+      calibSparkSec > CalibSparkRefBand._2
+    val contended = ratio < 0.5 || slowOut
+    // the full gate (VERDICT r12 item 3): calibration bands (slow side)
+    // AND the spread detector AND the per-query reference bands — a
+    // pass ships clean only when all three agree it was a measurement
+    (contended || polluted != "[]" || bandOut.nonEmpty,
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"band_out":$bandOutJson,"resampled":$resampledJson,"band_hi_factor":$BandHiFactor%.2f,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
     )
     }
@@ -420,6 +427,8 @@ object Bench {
     // fixed 30 s and re-measuring into the same pressure window.
     val maxAttempts =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "4").toInt
+    // unparseable loadavg (non-Linux) reads as 0.0 = "unknown, don't
+    // block" — the spin probe below still gates on actual slowness
     def loadavg1m: Double =
       try loadavg.split(",")(0).toDouble catch { case _: Throwable => 0.0 }
     def coolDown(): Unit = {
@@ -428,11 +437,14 @@ object Bench {
       while (!ok && System.nanoTime() < deadline) {
         Thread.sleep(15000)
         val spin = calibCpu()._1
-        ok = loadavg1m < 8.0 &&
-          spin >= CalibCpuRefBand._1 && spin <= CalibCpuRefBand._2
+        // only the SLOW edge blocks: a spin under the fast edge means
+        // the box is faster than the band, which is exactly the
+        // condition a drain wait can never clear — waiting for the
+        // machine to slow down would burn the full deadline for nothing
+        ok = loadavg1m < 8.0 && spin <= CalibCpuRefBand._2
         System.err.println(f"[bench] cooldown probe: loadavg $loadavg1m%.1f" +
-          f" calib_cpu $spin%.3f s (band [${CalibCpuRefBand._1}%.2f," +
-          f" ${CalibCpuRefBand._2}%.2f]) — ${if (ok) "idle" else "waiting"}")
+          f" calib_cpu $spin%.3f s (slow edge ${CalibCpuRefBand._2}%.2f)" +
+          f" — ${if (ok) "drained" else "waiting"}")
       }
     }
     var attempt = 0

@@ -106,8 +106,36 @@ object Dedup {
     * per-group signature work paid once, and connected components over
     * the edge list (the keep/drop decision) unchanged: the star spans
     * what the clique spanned and the rep carries the group's cross-group
-    * edges. Output: (id_a, id_b, jaccard), id_a < id_b.
+    * edges. NULL texts form one identical group like any other (the
+    * collapse join is null-safe, so they star-collapse instead of
+    * silently vanishing); their representative carries no shingles and
+    * never matches real text. Output: (id_a, id_b, jaccard), id_a < id_b.
     */
+  /** Generic identical-key representative collapse shared by the
+    * near-dup family: group `rows` (which must carry an `__id` column)
+    * by `keyCol` NULL-SAFELY (a null key is one group like any other —
+    * an equi-join would silently drop those rows from the pair
+    * universe), take the min-id representative per group, and return
+    * (reps, star): the representative rows (full original columns) and
+    * the (id_a = rep, id_b = member) edges for collapsed members. The
+    * collapse join is localCheckpoint-materialized because every caller
+    * feeds it to 2-3 plan subtrees. */
+  private[graft] def collapseByKey(rows: DataFrame,
+      keyCol: String): (DataFrame, DataFrame) = {
+    // rename the aggregated key: groupBy preserves the grouping
+    // attribute, so joining rows to its own aggregate on the same name
+    // would be an ambiguous self-join reference
+    val groups = rows.groupBy(keyCol).agg(min("__id").as("__rep"))
+      .withColumnRenamed(keyCol, "__gk")
+    val tagged = rows.join(groups, col(keyCol) <=> col("__gk"))
+      .drop("__gk")
+      .localCheckpoint()
+    val reps = tagged.filter(col("__id") === col("__rep")).drop("__rep")
+    val star = tagged.filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    (reps, star)
+  }
+
   /** Default banding (16x4) targets high-margin corpora: recall ~1-1.5e-7 at
     * J=0.89 while J<=0.1 background yields ~0 candidates per pair; raise
     * bands/rows for thresholds close to the background similarity.
@@ -117,16 +145,9 @@ object Dedup {
     val df = widen(df0)
     val hashed = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
       md5(col(textCol)).as("__ch"))
-    val groups = hashed.groupBy("__ch").agg(min("__id").as("__rep"))
-    // the collapse join feeds THREE subtrees (star edges, signatures,
-    // verification sets) — materialize it once or the corpus-wide md5
-    // groupBy+join replays per subtree
-    val tagged = hashed.join(groups, "__ch").localCheckpoint()
-    val star = tagged.filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    val reps = tagged.filter(col("__id") === col("__rep"))
-      .select(col("__id").as(idCol), col("__t").as(textCol))
+    val (repRows, starBase) = collapseByKey(hashed, "__ch")
+    val star = starBase.withColumn("jaccard", lit(1.0))
+    val reps = repRows.select(col("__id").as(idCol), col("__t").as(textCol))
     val sig = signatures(reps, idCol, textCol, n, bands, rowsPerBand)
     val bandStruct = posexplode(array((0 until bands).map(b => col(s"__band_$b")): _*))
     val buckets = sig.select(col("__id"), bandStruct.as(Seq("__band_idx", "__band_hash")))
@@ -287,25 +308,29 @@ object Dedup {
     *
     * BIT-IDENTICAL vectors collapse to their min-id representative
     * before the posting join (same rationale as [[nearDupPairs]]'s
-    * identical-text collapse: N copies of one embedding — re-ingested
-    * shards, default/zero vectors — would fill every shared bucket and
-    * emit C(N,2) pairs). Each identical group emits N−1 star edges at
-    * cosine 1.0; connected components downstream is unchanged.
+    * identical-text collapse: N re-ingested copies of one embedding
+    * would fill every shared bucket and emit C(N,2) pairs). Each
+    * identical group emits N−1 star edges at cosine 1.0; connected
+    * components downstream is unchanged. Null and all-zero vectors are
+    * excluded — cosine is undefined for them, so they can neither pair
+    * nor collapse (matching their pre-collapse NaN-drop behavior).
     * Output: (id_a, id_b, cosine), id_a < id_b.
     */
   def embedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 4, tables: Int = 8): DataFrame = {
-    val rows = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val groups = rows.groupBy("__v").agg(min("__id").as("__rep"))
-    // three consumers (star, postings, nothing else — but the join
-    // feeds the explode fan-out), one materialization
-    val tagged = rows.join(groups, "__v").localCheckpoint()
-    val star = tagged.filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
-        lit(1.0).as("cosine"))
-    val reps = tagged.filter(col("__id") === col("__rep"))
-      .select(col("__id"), col("__v"))
-    val posts = reps.select(col("__id"), col("__v"),
+    // DEGENERATE vectors (null, or all-zero — the typical
+    // failed-to-embed placeholder) are EXCLUDED up front: cosine is
+    // undefined for them, they matched nothing before the collapse
+    // either (the NaN similarity failed every threshold), and
+    // star-collapsing them would fabricate 1.0 similarities between
+    // unrelated documents and delete real data downstream
+    val rows = df
+      .filter(col(vecCol).isNotNull &&
+        exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val (repRows, starBase) = collapseByKey(rows, "__v")
+    val star = starBase.withColumn("cosine", lit(1.0))
+    val posts = repRows.select(col("__id"), col("__v"),
       explode(Similarity.lshPostings(col("__v"), bits, tables)).as("__p"))
     posts.as("a").join(posts.as("b"),
         col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id"))

@@ -498,19 +498,15 @@ object Multimodal {
   }
 
   /** Collapse identical `__hash` values of an (`__id`, `__hash`) frame to
-    * their min-`__id` representative. Returns (reps, star): one
+    * their min-`__id` representative ([[Dedup.collapseByKey]] — the one
+    * shared collapse implementation). Returns (reps, star): one
     * representative row per distinct hash, plus (id_a=rep, id_b=member,
     * hamming=0) star edges for the collapsed members. One hash-keyed
     * groupBy + one hash-keyed join — linear in rows, never pairwise. */
   private[graft] def hashCollapse(hashed: DataFrame): (DataFrame, DataFrame) = {
-    val groups = hashed.groupBy("__hash").agg(min("__id").as("__rep"))
-    val tagged = hashed.join(groups, "__hash")
-    val reps = tagged.filter(col("__id") === col("__rep"))
-      .select("__id", "__hash")
-    val star = tagged.filter(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"),
-        lit(0).as("hamming"))
-    (reps, star)
+    val (repRows, starBase) = Dedup.collapseByKey(hashed, "__hash")
+    (repRows.select("__id", "__hash"),
+      starBase.withColumn("hamming", lit(0)))
   }
 
   /** Shared banded-Hamming self-join over (`__id`, `__hash` [, align

@@ -46,14 +46,22 @@ object NgramLm {
     * are map-side combinable; their outputs remain DataFrames. */
   def fit(target: DataFrame, textCol: String): Model = {
     val toks = target.select(tokens(col(textCol)).as("__tk"))
+    // materialize both tables: uni feeds the totalTokens action here
+    // plus TWO joins per score() call and bi one more — without this
+    // each consumer re-tokenizes and re-aggregates the target corpus
+    // (exchange reuse only kicks in when physical subplans match
+    // exactly). For cross-job reuse at scale, persist them bucketed
+    // by gram instead (see [[Model]]).
     val uni = toks.select(explode(col("__tk")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint()
     val bi = toks.filter(size(col("__tk")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("__tk")) - 1),
         i => struct(element_at(col("__tk"), i).as("__w1"),
           element_at(col("__tk"), i + 1).as("__w2")))).as("__b"))
       .select(col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint()
     val n = uni.agg(sum("__c1")).head.getLong(0)
     Model(uni, bi, n)
   }
@@ -121,9 +129,14 @@ object NgramLm {
     * unscored docs (NULL avg) → "tail" (the conservative crawl
     * default). Exact integer comparisons — engine-portable. */
   def pplBucket(avgLogProbMicro: Column, headMin: Long,
-      tailMax: Long): Column =
+      tailMax: Long): Column = {
+    require(headMin >= tailMax,
+      s"headMin ($headMin) must be >= tailMax ($tailMax): buckets are " +
+        "head >= headMin > middle >= tailMax > tail on the avg log-prob " +
+        "axis — swapped cut points would silently empty the middle bucket")
     when(avgLogProbMicro.isNull, lit("tail"))
       .when(avgLogProbMicro >= headMin, lit("head"))
       .when(avgLogProbMicro < tailMax, lit("tail"))
       .otherwise(lit("middle"))
+  }
 }

@@ -47,7 +47,13 @@ object QualityModel {
     * The weight table rides a 1-row broadcast ([[Similarity]]'s
     * plan-size rationale) and each row folds its own gram array in one
     * codegen projection — zero corpus shuffle.
-    * Output: (idCol, n_grams, score_micro, keep).
+    *
+    * The contract is TOTAL and two-valued: NULL-text documents score
+    * (0 grams, 0 micro) and keep follows the same exact comparison
+    * (trivially true at threshold <= 0) — never a NULL keep that both
+    * `filter(keep)` and `filter(!keep)` would drop. Run a length/
+    * emptiness gate ahead of this one if empty documents should not
+    * pass by default. Output: (idCol, n_grams, score_micro, keep).
     */
   def score(df: DataFrame, idCol: String, textCol: String,
       weightsMicro: Array[Long], nBuckets: Int,
@@ -60,11 +66,11 @@ object QualityModel {
     df.crossJoin(wRow)
       .select(col(idCol), Dsir.grams(col(textCol)).as("__gs"), col("__w"))
       .select(col(idCol),
-        size(col("__gs")).cast("long").as("n_grams"),
-        aggregate(
+        coalesce(size(col("__gs")).cast("long"), lit(0L)).as("n_grams"),
+        coalesce(aggregate(
           transform(col("__gs"),
             g => element_at(col("__w"), Dsir.gramBucket(g, nBuckets) + 1)),
-          lit(0L), (acc, v) => acc + v).as("score_micro"))
+          lit(0L), (acc, v) => acc + v), lit(0L)).as("score_micro"))
       .withColumn("keep",
         col("score_micro") >= col("n_grams") * lit(thresholdMicroPerGram))
   }

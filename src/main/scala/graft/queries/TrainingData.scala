@@ -202,12 +202,15 @@ object TrainingData {
                         ((coalesce(nc.c, 0) + 0.5) * (tot.pt + 512.0)))
             * 1000000 + 0.5) AS BIGINT) AS wm
           FROM ub LEFT JOIN pc ON ub.bkt = pc.bkt
-                  LEFT JOIN nc ON ub.bkt = nc.bkt, tot)
-        SELECT b.doc_id, count(*) AS n_grams,
-          CAST(sum(w.wm) AS BIGINT) AS score_micro,
-          CAST(sum(w.wm) AS BIGINT) >= 0 AS keep
-        FROM b JOIN w ON b.bkt = w.bkt
-        GROUP BY b.doc_id ORDER BY doc_id""")),
+                  LEFT JOIN nc ON ub.bkt = nc.bkt, tot),
+        agg AS (SELECT b.doc_id, count(*) AS ng,
+            CAST(sum(w.wm) AS BIGINT) AS sm
+          FROM b JOIN w ON b.bkt = w.bkt GROUP BY b.doc_id)
+        SELECT d.doc_id, coalesce(agg.ng, 0) AS n_grams,
+          coalesce(agg.sm, 0) AS score_micro,
+          coalesce(agg.sm, 0) >= 0 AS keep
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
 
     // CCNet-style LM-perplexity gate (Wenzek 2019): Stupid-Backoff
     // bigram LM (Brants 2007 — count arithmetic only) fit on the en

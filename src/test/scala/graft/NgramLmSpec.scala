@@ -45,6 +45,12 @@ class NgramLmSpec extends AnyFunSuite {
       3L -> "tail", 4L -> "tail"))
   }
 
+  test("pplBucket rejects swapped cut points at plan build") {
+    intercept[IllegalArgumentException] {
+      NgramLm.pplBucket(lit(0L), headMin = -100L, tailMax = -50L)
+    }
+  }
+
   test("per-doc sums are exact integer aggregates of per-token quanta") {
     import spark.implicits._
     val target = Seq("x y x y x z").toDF("text")

@@ -284,6 +284,28 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to n.toLong).forall(cc(_) == 1L) && cc(100L) == 100L)
   }
 
+  test("near-dup null texts star-collapse instead of vanishing; degenerate vectors are excluded") {
+    import spark.implicits._
+    // null texts are one identical group (null-safe collapse join) —
+    // an equi-join would silently drop them from the pair universe
+    val docs = Seq((1L, null: String), (2L, null: String),
+      (3L, null: String), (9L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 1.0), (1L, 3L, 1.0)))
+    // zero/null vectors: cosine is undefined — they neither pair nor
+    // collapse (star-collapsing them would fabricate 1.0 similarities
+    // between unrelated failed-to-embed docs)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, null: Seq[Float]),
+      (4L, Seq(1.0f, 0.0f)), (5L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((4L, 5L, 1.0)))
+  }
+
   test("embed near-dup collapses bit-identical vectors to star edges") {
     import spark.implicits._
     val n = 25

@@ -48,6 +48,21 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out(1L)._1 == 3 + 2)
   }
 
+  test("null-text docs score (0, 0) with a real boolean keep, never NULL") {
+    import spark.implicits._
+    val (pos, neg) = fixtures
+    val w = QualityModel.fitLogOddsMicro(pos, neg, "text", nBuckets = 256)
+    val docs = Seq((1L, "clear prose"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = QualityModel.score(docs, "doc_id", "text", w, 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(3), r.getBoolean(3)))).toMap
+    // the gate is total and two-valued: a NULL keep would vanish from
+    // BOTH filter(keep) and filter(!keep)
+    assert(out(2L) == ((0L, 0L, false, true)))
+    assert(!out(1L)._3)
+  }
+
   test("fit is deterministic; threshold is an exact integer cross-multiply") {
     import spark.implicits._
     val (pos, neg) = fixtures
