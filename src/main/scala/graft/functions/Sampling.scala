@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and splitting for corpus curation:
@@ -53,6 +53,39 @@ object Sampling {
       case (acc, (s, r)) => when(stratum === s, lit(hexThreshold(r))).otherwise(acc)
     }
     uniformHex(key) < thr
+  }
+
+  /** Deterministic token-budget corpus cut: shuffle the corpus into the
+    * engine-portable training order (ascending md5(id) — the global
+    * deterministic shuffle every pre-training run applies before
+    * packing; uncorrelated with ingestion order, identical on any
+    * engine and any rerun) and keep every document whose inclusion
+    * keeps the running token total within `budgetTokens` ("give me
+    * exactly ~B tokens of this corpus"). The cut point is a pure
+    * function of the ids, so a failed 100 TB job reselects the
+    * identical documents.
+    *
+    * Scale shape: the running total is [[Packing.prefixSum]]'s two-pass
+    * distributed scan — one range shuffle on the md5 key (which IS the
+    * training-order shuffle, so it's work the pipeline owes anyway),
+    * two partition-wise passes over its reused map output, and a
+    * codegen filter. Never a single-task global window. Token counts
+    * are non-negative, so the running total is monotone and the filter
+    * IS the order prefix (zero-token documents at the boundary ride
+    * along — they add nothing).
+    *
+    * Output: (idCol, tokensCol, shuffle_key, cum_tokens) for the
+    * selected documents — shuffle_key orders them for downstream
+    * packing, cum_tokens is the running total through each document.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val keyed = df.select(col(idCol), col(tokensCol),
+      md5(col(idCol).cast("string")).as("shuffle_key"))
+    Packing.prefixSum(keyed, "shuffle_key", tokensCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(idCol, tokensCol, "shuffle_key", "cum_tokens")
   }
 
   /** Deterministic split assignment by cumulative rate bands, e.g.

@@ -1444,6 +1444,28 @@ object TrainingData {
             AS kept
         FROM documents ORDER BY doc_id""")),
 
+    // Deterministic token-budget cut: md5(id) IS the training-order
+    // shuffle, the running total is the two-pass distributed prefix
+    // sum, and the cut is a pure function of the ids — the oracle
+    // replays shuffle order, running totals, and the exact boundary
+    // (budget 15000 bites at sf0.01: ~190 of 500 docs selected).
+    Q("td_sample_budget",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        Sampling.budgetSelect(docs, "doc_id", "n_tokens",
+            budgetTokens = 15000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+          md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+        c AS (SELECT doc_id, n_tokens, shuffle_key,
+          CAST(sum(n_tokens) OVER (ORDER BY shuffle_key) AS BIGINT)
+            AS cum_tokens FROM k)
+        SELECT doc_id, n_tokens, shuffle_key, cum_tokens
+        FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""")),
+
     // DSIR selection: Gumbel-top-k over the importance weights (the
     // paper's without-replacement resampling, made deterministic —
     // md5-derived uniform → quantized Gumbel noise → integer selection

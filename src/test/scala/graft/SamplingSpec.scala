@@ -84,6 +84,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("budgetSelect takes the exact md5-order prefix within budget") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val out = Sampling.budgetSelect(docs, "doc_id", "n", budgetTokens = 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // replay the contract independently: sort by md5(id), accumulate,
+    // cut at the budget
+    val expected = (1L to 200L).map { i =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (i, 10L + i % 7, md5)
+    }.sortBy(_._3)
+      .scanLeft((0L, 0L, "", 0L)) { case ((_, _, _, cum), (id, n, k)) =>
+        (id, n, k, cum + n) }
+      .tail.takeWhile(_._4 <= 600L)
+    assert(out.sortBy(_._3).toSeq == expected)
+    // selected set is a PREFIX of the shuffle order: every kept key
+    // sorts below every dropped key
+    val keptMax = out.map(_._3).max
+    val dropped = docs.join(Sampling.budgetSelect(docs, "doc_id", "n", 600L)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(md5(col("doc_id").cast("string"))).collect().map(_.getString(0))
+    assert(dropped.forall(_ > keptMax))
+    // re-runs under different partitioning reselect identically
+    val again = Sampling.budgetSelect(docs.repartition(7), "doc_id", "n", 600L)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(again.toSeq == out.map(_._1).sorted.toSeq)
+  }
+
   test("split membership is insertion-stable: adding rows never moves one") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
