@@ -33,11 +33,21 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** Tokens = maximal non-whitespace runs: split on `\s+` and drop the
+    * empty fragments a leading/trailing run produces. This matches the
+    * published CCNet/DSIR recipes on crawl text — splitting on a single
+    * space would glue newline-separated words into one pseudo-token and
+    * admit empty tokens between consecutive spaces, skewing the bucket
+    * distributions. NULL text stays NULL (split and filter propagate).
+    */
+  private[functions] def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
   /** Unigrams + bigrams of whitespace tokens, as one array (occurrence
     * bag, not a set — DSIR counts occurrences).
     */
   def grams(text: Column): Column = {
-    val toks = split(text, " ")
+    val toks = tokens(text)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))

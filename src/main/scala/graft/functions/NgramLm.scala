@@ -39,7 +39,9 @@ object NgramLm {
     * fit across many scoring runs. */
   final case class Model(uni: DataFrame, bi: DataFrame, totalTokens: Long)
 
-  private def tokens(text: Column): Column = split(text, " ")
+  // tokens = maximal non-whitespace runs ([[Dsir.tokens]] — the shared
+  // CCNet-recipe tokenization: `\s+` split, empty fragments dropped)
+  private def tokens(text: Column): Column = Dsir.tokens(text)
 
   /** Fit the LM on a target corpus (the curated side — e.g. the same
     * labeled sample the [[QualityModel]] fit uses). The two aggregates

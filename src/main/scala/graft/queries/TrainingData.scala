@@ -176,7 +176,8 @@ object TrainingData {
             w, nBuckets = 1024, thresholdMicroPerGram = 0L)
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2
@@ -232,7 +233,8 @@ object TrainingData {
             col("avg_logprob_micro"), -3400000L, -3600000L))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') tk
+      Some("""WITH t AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
           FROM documents),
         big AS (SELECT doc_id, lang,
             unnest([{'w1': tk[i], 'w2': tk[i+1]}
@@ -1154,7 +1156,8 @@ object TrainingData {
             "doc_id", "text", nBuckets = 1024)
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2
@@ -1481,7 +1484,8 @@ object TrainingData {
         Dsir.gumbelTopK(w, "doc_id", "weight_micro", k = 50)
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2

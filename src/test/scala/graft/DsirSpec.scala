@@ -25,6 +25,30 @@ class DsirSpec extends AnyFunSuite {
     assert(out(2) == Seq("a", "a", "a a"))     // occurrences, not a set
   }
 
+  test("grams: whitespace RUNS tokenize like single spaces (CCNet recipe)") {
+    import spark.implicits._
+    // crawl text carries newlines, tabs, and doubled spaces: the
+    // tokenizer must neither glue "b\nc" into one pseudo-token nor admit
+    // empty tokens between consecutive separators, and leading/trailing
+    // whitespace must not produce an empty first/last token
+    val out = Seq(
+      Tuple1("a  b\nc\t d "),    // double space, newline, tab, trailing
+      Tuple1("  x"),             // leading run
+      Tuple1("a b c"))           // control: single spaces
+      .toDF("text")
+      .select(Dsir.grams(col("text")).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a", "b", "c", "d", "a b", "b c", "c d"))
+    assert(out(1) == Seq("x"))
+    assert(out(2) == Seq("a", "b", "c", "a b", "b c"))
+    // and the gram bag is IDENTICAL to the single-space spelling of the
+    // same token sequence — whitespace shape is invisible to the model
+    val norm = Seq(Tuple1("a b c d")).toDF("text")
+      .select(Dsir.grams(col("text")).as("g"))
+      .head.getSeq[String](0)
+    assert(out(0) == norm)
+  }
+
   test("gramBucket: stable, in range, md5-derived") {
     import spark.implicits._
     val grams = Seq("hello", "world", "a b", "ümlaut", "").map(Tuple1(_))

@@ -45,6 +45,25 @@ class NgramLmSpec extends AnyFunSuite {
       3L -> "tail", 4L -> "tail"))
   }
 
+  test("whitespace runs tokenize like single spaces (fit AND score)") {
+    import spark.implicits._
+    // crawl text: the target carries a newline and a double space — the
+    // fitted counts must equal the single-space spelling's (no empty or
+    // glued tokens entering the vocab), and scoring a doc with embedded
+    // runs must equal scoring its normalized spelling
+    val messy = NgramLm.fit(Seq("a b\na  b").toDF("text"), "text")
+    val clean = NgramLm.fit(Seq("a b a b").toDF("text"), "text")
+    assert(messy.totalTokens == clean.totalTokens)
+    assert(messy.uni.orderBy("__w").collect().toSeq ==
+      clean.uni.orderBy("__w").collect().toSeq)
+    assert(messy.bi.orderBy("__w1", "__w2").collect().toSeq ==
+      clean.bi.orderBy("__w1", "__w2").collect().toSeq)
+    val docs = Seq((1L, " a\tb\n"), (2L, "a b")).toDF("doc_id", "text")
+    val out = NgramLm.score(docs, "doc_id", "text", clean)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == out(2L))
+  }
+
   test("pplBucket rejects swapped cut points at plan build") {
     intercept[IllegalArgumentException] {
       NgramLm.pplBucket(lit(0L), headMin = -100L, tailMax = -50L)
