@@ -167,6 +167,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // ---- in-band ledger (VERDICT r15 item 1) --------------------------------
+  // The artifact of record must be self-adjudicating: two rounds running,
+  // the driver's closing bench landed inside a host-degradation window and
+  // the committed JSON carried `contended: true`, leaving the
+  // round-over-round comparison to prose notes in BASELINE.md. Now every
+  // all-gates-clean FULL run persists its medians to this ledger file, and
+  // a run that exhausts its attempts still flagged embeds the ledger's
+  // last clean entry as `last_inband` in the emitted JSON — the flagged
+  // artifact carries its own in-band reference. Subset runs
+  // (SPARK_GRAFT_BENCH_ONLY) never write the ledger: their totals aren't
+  // comparable to a full pass.
+  def ledgerPath: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER",
+    "/root/repo/.bench_ledger.json")
+  def writeLedger(entry: String): Unit =
+    try java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),
+      (entry + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ledger write failed: $e") }
+  def readLedger(): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get(ledgerPath)
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        if (s.startsWith("{")) Some(s) else None
+      } else None
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -274,7 +301,7 @@ object Bench {
     // guard below can re-run a contended / out-of-band pass instead of
     // committing it (VERDICT r10 item 5 — the closing artifact must be
     // an in-band run whenever the box allows one).
-    def attemptRun(attempt: Int): (Boolean, String) = {
+    def attemptRun(attempt: Int): (Boolean, String, String) = {
     // calibration before the measured queries (post-warm-up, so JIT and
     // Spark session startup don't pollute it); spark calib is median-of-5
     // after one discarded warm run (VERDICT r9 item 6)
@@ -405,11 +432,26 @@ object Bench {
     val outOfBand = cpuOut || sparkOut
     val slowOut = calibCpuStart > CalibCpuRefBand._2 ||
       calibSparkSec > CalibSparkRefBand._2
+    // fast-side exits never flag (a faster box is not contention), but
+    // they must be VISIBLE at run time, not only as calib_out_of_band in
+    // the ledger: sustained fast-side drift (changed spin code, CPU
+    // governor change) is how a stale band gets noticed (ADVICE r15)
+    if (outOfBand && !slowOut) System.err.println(
+      f"[bench] NOTICE: fast-side calibration exit (cpu $calibCpuStart%.3f" +
+        f" band [${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f], spark" +
+        f" $calibSparkSec%.3f band [${CalibSparkRefBand._1}%.2f," +
+        f"${CalibSparkRefBand._2}%.2f]) — not flagging, but if this repeats" +
+        " across days the reference band is stale; re-read it on an idle box")
     val contended = ratio < 0.5 || slowOut
+    // the ledger entry this pass would record if it ships clean: the
+    // normalized medians that next round's flagged artifacts fall back to
+    val inbandEntry =
+      f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"ts":"${java.time.Instant.now()}"}"""
     // the full gate (VERDICT r12 item 3): calibration bands (slow side)
     // AND the spread detector AND the per-query reference bands — a
     // pass ships clean only when all three agree it was a measurement
     (contended || polluted != "[]" || bandOut.nonEmpty,
+      inbandEntry,
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"band_out":$bandOutJson,"resampled":$resampledJson,"band_hi_factor":$BandHiFactor%.2f,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
     )
     }
@@ -447,19 +489,31 @@ object Bench {
           f" — ${if (ok) "drained" else "waiting"}")
       }
     }
+    val fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
     var attempt = 0
     var emitted = false
     while (!emitted) {
       attempt += 1
-      val (flagged, json) = attemptRun(attempt)
+      val (flagged, inband, json) = attemptRun(attempt)
       if (flagged && attempt < maxAttempts) {
         System.err.println(s"[bench] attempt $attempt contended/out-of-band" +
           s" (loadavg $loadavg) — waiting for the box to drain, then re-running")
         coolDown()
-      } else {
-        if (flagged) System.err.println(
+      } else if (flagged) {
+        // attempts exhausted while flagged: emit the honest flagged line
+        // WITH the ledger's last all-gates-clean medians inline, so the
+        // artifact of record adjudicates itself (VERDICT r15 item 1)
+        System.err.println(
           s"[bench] WARNING: all $attempt attempts flagged — emitting a " +
             "CONTENDED ledger line; re-run on an idle box before committing")
+        val withRef = readLedger() match {
+          case Some(entry) => json.dropRight(1) + s""","last_inband":$entry}"""
+          case None => json
+        }
+        println(withRef)
+        emitted = true
+      } else {
+        if (fullRun) writeLedger(inband)
         println(json)
         emitted = true
       }
