@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level deduplication — the stage every crawl pipeline runs BEFORE
+  * text dedup (RefinedWeb, Penedo et al. 2023 §3.1: strict per-URL
+  * dedup of the fetched corpus; the same normalization underlies C4's
+  * and Gopher's URL filters). Two copies of one page usually differ in
+  * URL spelling only (scheme case, www, default port, fragment, query
+  * order), so exact dedup on the RAW url misses most re-fetches.
+  *
+  * Everything is codegen string expressions (regexp_extract /
+  * regexp_replace / array_sort) — no UDF, no shuffle for the
+  * normalization itself, replayable in any engine with the same
+  * regexes. The dedup is one hash-groupBy + one keyed join, exactly
+  * [[Dedup.exact]]'s scale shape; skewed URLs (one page fetched
+  * millions of times) are AQE-split like any skewed join key.
+  */
+object Urls {
+
+  /** One RFC-3986-shaped pattern: scheme://authority path ?query #frag.
+    * Group 1 = scheme, 2 = authority, 3 = path, 4 = query (no '?'). */
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Canonical form of a URL, as a pure column expression. The rule set
+    * (each a published crawl-pipeline normalization; all are
+    * equivalence-preserving for HTTP semantics except the www/query
+    * rules, which encode the crawl convention that those variants serve
+    * the same page):
+    *
+    *   1. trim surrounding whitespace;
+    *   2. scheme and authority lowercase (RFC 3986 §6.2.2.1 — path and
+    *      query stay case-sensitive);
+    *   3. leading `www.` stripped from the host;
+    *   4. default port stripped (`:80` for http, `:443` for https);
+    *   5. fragment dropped (never sent to the server);
+    *   6. query parameters sorted bytewise (`?b=2&a=1` ≡ `?a=1&b=2`);
+    *      an EMPTY query (`...?`) drops its `?`;
+    *   7. trailing slashes stripped from the path (so `/dir/` ≡ `/dir`
+    *      and `https://h/` ≡ `https://h`).
+    *
+    * Strings that don't parse as scheme://... URLs pass through
+    * trimmed-only (a relative path or a bare host is not rewritten);
+    * NULL stays NULL.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, UrlRe, 1))
+    val auth0 = lower(regexp_extract(u, UrlRe, 2))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val path = regexp_replace(regexp_extract(u, UrlRe, 3), "/+$", "")
+    val query = regexp_extract(u, UrlRe, 4)
+    val queryPart = when(query === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+    when(u.isNull, lit(null).cast("string"))
+      .when(scheme === "", u) // not a scheme://… URL: trimmed passthrough
+      .otherwise(concat(scheme, lit("://"), auth, path, queryPart))
+  }
+
+  /** Exact dedup keyed on the NORMALIZED URL: every row gets its
+    * group's canonical (min-id) row and the group size. Output: the
+    * input columns + (url_norm, canonical_id, n_copies); a row is the
+    * keeper iff idCol == canonical_id. One groupBy + one equi-join,
+    * both keyed on url_norm — corpus-linear, no pairwise work. NULL
+    * urls form one group like any other (null-safe join), matching
+    * [[Dedup.collapseByKey]]'s policy.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withNorm = df.withColumn("url_norm", normalizeUrl(col(urlCol)))
+    val groups = withNorm
+      .groupBy(col("url_norm").as("__gk"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+    withNorm.join(groups, col("url_norm") <=> col("__gk")).drop("__gk")
+  }
+}

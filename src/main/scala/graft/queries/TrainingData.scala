@@ -1447,6 +1447,70 @@ object TrainingData {
             AS kept
         FROM documents ORDER BY doc_id""")),
 
+    // URL-level dedup (RefinedWeb §3.1 — the stage crawl pipelines run
+    // BEFORE text dedup): doc_ids map to five URL spellings of the same
+    // page in rotation (host case, www + trailing slash, default port +
+    // fragment, scheme case + unsorted query, sorted query), so each
+    // base page forms two normalized groups — {0,1,2} (no query) and
+    // {3,4} (query). The oracle replays the whole normalization with
+    // the same regexes (RE2/Java agree on these patterns) plus the
+    // min-id grouping; a wrong rule (unsorted query, kept fragment,
+    // surviving www/port, over-stripped path case) hash-mismatches.
+    Q("td_dedup_url",
+      (s, dir) => {
+        import graft.functions.Urls
+        val k = floor(col("doc_id") / 5).cast("long").cast("string")
+        val v = pmod(col("doc_id"), lit(5))
+        val url = when(v === 0, concat(lit("https://Example.COM/P"), k))
+          .when(v === 1, concat(lit("https://www.example.com/P"), k, lit("/")))
+          .when(v === 2, concat(lit("https://example.com:443/P"), k, lit("#sec")))
+          .when(v === 3, concat(lit("HTTPS://example.com/P"), k, lit("?b=2&a=1")))
+          .otherwise(concat(lit("https://example.com/P"), k, lit("?a=1&b=2")))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+        Urls.dedupByUrl(docs, "doc_id", "url")
+          .select("doc_id", "url", "url_norm", "canonical_id", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://Example.COM/P' || CAST(doc_id // 5 AS VARCHAR)
+            WHEN 1 THEN 'https://www.example.com/P' || CAST(doc_id // 5 AS VARCHAR) || '/'
+            WHEN 2 THEN 'https://example.com:443/P' || CAST(doc_id // 5 AS VARCHAR) || '#sec'
+            WHEN 3 THEN 'HTTPS://example.com/P' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+            ELSE 'https://example.com/P' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+          END AS url FROM documents),
+        n AS (SELECT doc_id, url,
+          lower(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS sch,
+          lower(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS a0,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS p0,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q0
+          FROM u),
+        m AS (SELECT doc_id, url, sch,
+          CASE WHEN sch = 'http'
+                 THEN regexp_replace(regexp_replace(a0, '^www\.', ''), ':80$', '')
+               WHEN sch = 'https'
+                 THEN regexp_replace(regexp_replace(a0, '^www\.', ''), ':443$', '')
+               ELSE regexp_replace(a0, '^www\.', '') END AS auth,
+          regexp_replace(p0, '/+$', '') AS path,
+          CASE WHEN q0 = '' THEN ''
+               ELSE '?' || array_to_string(list_sort(string_split(q0, '&')), '&')
+          END AS qp FROM n),
+        norm AS (SELECT doc_id, url,
+          CASE WHEN sch = '' THEN trim(url)
+               ELSE sch || '://' || auth || path || qp END AS url_norm
+          FROM m),
+        g AS (SELECT url_norm, min(doc_id) AS canonical_id,
+            count(*) AS n_copies
+          FROM norm GROUP BY url_norm)
+        SELECT norm.doc_id, norm.url, norm.url_norm, g.canonical_id,
+          g.n_copies
+        FROM norm JOIN g USING (url_norm) ORDER BY doc_id""")),
+
     // Deterministic token-budget cut: md5(id) IS the training-order
     // shuffle, the running total is the two-pass distributed prefix
     // sum, and the cut is a pure function of the ids — the oracle
