@@ -1596,6 +1596,140 @@ object TrainingData {
         SELECT doc_id, n_grams, weight_micro, gumbel_micro
         FROM sel ORDER BY doc_id""")),
 
+    // Composed CCNet-style pipeline (Wenzek 2019's full gate order) as
+    // ONE hash-gated row: rank-order n-gram language ID → LM-perplexity
+    // head/middle/tail bucket → quality-model keep, with a total
+    // keep_final = (pred 'en') AND (bucket not tail) AND (model keep).
+    // The three stages are individually oracle-verified
+    // (td_quality_langid_ngram / td_quality_ppl / td_quality_model);
+    // THIS row pins their interactions — null pred_lang on gram-less
+    // docs folded through coalesce, the always-total bucket, and the
+    // two-valued keep — so a stage contract change that breaks the
+    // composition hash-mismatches even if each stage row stays green.
+    Q("td_pipeline_ccnet",
+      (s, dir) => {
+        import graft.functions.{LangIdNgram, NgramLm, QualityModel}
+        val docs = Tables(s, dir, "documents")
+        val profiles = LangIdNgram.fitProfiles(docs, "lang", "text",
+          n = 3, k = 40)
+        val lid = LangIdNgram.classify(docs.select("doc_id", "text"),
+            "doc_id", "text", profiles, n = 3, k = 40)
+          .select("doc_id", "pred_lang")
+        val lm = NgramLm.fit(
+          docs.filter(col("lang") === "en").select("text"), "text")
+        val ppl = NgramLm.score(docs.select("doc_id", "text"),
+            "doc_id", "text", lm)
+          .withColumn("ppl_bucket", NgramLm.pplBucket(
+            col("avg_logprob_micro"), -3400000L, -3600000L))
+          .select("doc_id", "ppl_bucket")
+        val w = QualityModel.fitLogOddsMicro(
+          docs.filter(col("lang") === "en").select("text"),
+          docs.filter(col("lang") =!= "en").select("text"),
+          "text", nBuckets = 1024)
+        val qm = QualityModel.score(docs.select("doc_id", "text"),
+            "doc_id", "text", w, nBuckets = 1024).select("doc_id", "keep")
+        docs.select("doc_id").join(lid, Seq("doc_id"), "left")
+          .join(ppl, Seq("doc_id"), "left")
+          .join(qm, Seq("doc_id"), "left")
+          .withColumn("keep_final",
+            coalesce(col("pred_lang") === "en", lit(false)) &&
+              col("ppl_bucket") =!= "tail" && col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH l_g0 AS (SELECT doc_id, lang, unnest(
+            [substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+          FROM documents),
+        l_lc AS (SELECT lang, g, count(*) c FROM l_g0 GROUP BY lang, g),
+        l_lp AS (SELECT lang, g, row_number() OVER
+            (PARTITION BY lang ORDER BY c DESC, g) AS lr
+          FROM l_lc QUALIFY lr <= 40),
+        l_dc AS (SELECT doc_id, g, count(*) c FROM l_g0 GROUP BY doc_id, g),
+        l_dp AS (SELECT doc_id, g, row_number() OVER
+            (PARTITION BY doc_id ORDER BY c DESC, g) AS dr
+          FROM l_dc QUALIFY dr <= 40),
+        l_nd AS (SELECT doc_id, count(*) ng FROM l_dp GROUP BY doc_id),
+        l_bon AS (SELECT l_dp.doc_id, l_lp.lang, sum(40 - abs(l_dp.dr - l_lp.lr)) AS b
+          FROM l_dp JOIN l_lp ON l_dp.g = l_lp.g GROUP BY l_dp.doc_id, l_lp.lang),
+        l_langs AS (SELECT DISTINCT lang FROM documents),
+        l_sc AS (SELECT l_nd.doc_id, l_langs.lang,
+            40 * l_nd.ng - coalesce(l_bon.b, 0) AS score
+          FROM l_nd CROSS JOIN l_langs
+          LEFT JOIN l_bon ON l_bon.doc_id = l_nd.doc_id
+            AND l_bon.lang = l_langs.lang),
+        l_best AS (SELECT doc_id, lang, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score, lang) rk
+          FROM l_sc QUALIFY rk = 1),
+        tk AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') t
+          FROM documents),
+        p_big AS (SELECT doc_id, lang,
+            unnest([{'w1': t[i], 'w2': t[i+1]}
+                    for i in range(1, len(t))]) AS b
+          FROM tk),
+        p_uni AS (SELECT w, count(*) AS c1 FROM
+            (SELECT unnest(t) AS w FROM tk WHERE lang = 'en') GROUP BY w),
+        p_n AS (SELECT CAST(sum(c1) AS DOUBLE) AS nn FROM p_uni),
+        p_bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+          FROM p_big WHERE lang = 'en' GROUP BY b.w1, b.w2),
+        p_j AS (SELECT p_big.doc_id,
+            CAST(floor(ln(
+              CASE WHEN p_bi.c12 IS NOT NULL THEN p_bi.c12::DOUBLE / u1.c1
+                   WHEN u2.c1 IS NOT NULL THEN 0.4 * u2.c1 / p_n.nn
+                   ELSE 0.4 / (p_n.nn + 1) END) * 1000000 + 0.5) AS BIGINT)
+              AS lp
+          FROM p_big
+          LEFT JOIN p_bi ON p_big.b.w1 = p_bi.w1 AND p_big.b.w2 = p_bi.w2
+          LEFT JOIN p_uni u1 ON p_big.b.w1 = u1.w
+          LEFT JOIN p_uni u2 ON p_big.b.w2 = u2.w, p_n),
+        p_agg AS (SELECT doc_id, count(*) AS ns, sum(lp) AS lpm
+          FROM p_j GROUP BY doc_id),
+        p_res AS (SELECT d.doc_id,
+            CASE WHEN p_agg.ns IS NULL THEN 'tail'
+                 WHEN CAST(floor(p_agg.lpm::DOUBLE / p_agg.ns) AS BIGINT)
+                   >= -3400000 THEN 'head'
+                 WHEN CAST(floor(p_agg.lpm::DOUBLE / p_agg.ns) AS BIGINT)
+                   < -3600000 THEN 'tail'
+                 ELSE 'middle' END AS ppl_bucket
+          FROM documents d LEFT JOIN p_agg ON p_agg.doc_id = d.doc_id),
+        q_g AS (SELECT doc_id, lang, unnest(t ||
+          CASE WHEN len(t) >= 2
+            THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+            ELSE []::VARCHAR[] END) AS gram FROM tk),
+        q_b AS (SELECT doc_id, lang,
+          ((ascii(substr(md5(gram),1,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+         + (ascii(substr(md5(gram),2,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+         + (ascii(substr(md5(gram),3,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+         + (ascii(substr(md5(gram),4,1)) - 48 -
+              CASE WHEN ascii(substr(md5(gram),4,1)) >= 97 THEN 39 ELSE 0 END))
+          % 1024 AS bkt FROM q_g),
+        q_pc AS (SELECT bkt, count(*) AS c FROM q_b WHERE lang = 'en' GROUP BY bkt),
+        q_nc AS (SELECT bkt, count(*) AS c FROM q_b WHERE lang <> 'en' GROUP BY bkt),
+        q_tot AS (SELECT (SELECT count(*) FROM q_b WHERE lang = 'en') AS pt,
+                         (SELECT count(*) FROM q_b WHERE lang <> 'en') AS nt),
+        q_ub AS (SELECT DISTINCT bkt FROM q_b),
+        q_w AS (SELECT q_ub.bkt,
+          CAST(floor(ln(((coalesce(q_pc.c, 0) + 0.5) * (q_tot.nt + 512.0)) /
+                        ((coalesce(q_nc.c, 0) + 0.5) * (q_tot.pt + 512.0)))
+            * 1000000 + 0.5) AS BIGINT) AS wm
+          FROM q_ub LEFT JOIN q_pc ON q_ub.bkt = q_pc.bkt
+                    LEFT JOIN q_nc ON q_ub.bkt = q_nc.bkt, q_tot),
+        q_agg AS (SELECT q_b.doc_id, CAST(sum(q_w.wm) AS BIGINT) AS sm
+          FROM q_b JOIN q_w ON q_b.bkt = q_w.bkt GROUP BY q_b.doc_id),
+        q_res AS (SELECT d.doc_id, coalesce(q_agg.sm, 0) >= 0 AS keep
+          FROM documents d LEFT JOIN q_agg ON q_agg.doc_id = d.doc_id)
+        SELECT d.doc_id, l_best.lang AS pred_lang, p_res.ppl_bucket,
+          q_res.keep,
+          (coalesce(l_best.lang = 'en', FALSE)
+            AND p_res.ppl_bucket <> 'tail' AND q_res.keep) AS keep_final
+        FROM documents d
+        LEFT JOIN l_best ON l_best.doc_id = d.doc_id
+        LEFT JOIN p_res ON p_res.doc_id = d.doc_id
+        LEFT JOIN q_res ON q_res.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // End-to-end curation pipeline — the composition a real pre-training
     // data run executes, as ONE hash-gated row: C4 doc gate + min-length
     // filter → exact dedup (keep lowest doc_id per md5(text) group) →
