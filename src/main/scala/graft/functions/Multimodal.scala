@@ -457,6 +457,118 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Q14 integer DCT-II basis for [[pHash64]]: T(k)(x) =
+    * floor(cos(π(2x+1)k/64)·2^14 + 0.5), k = 0..7 output frequencies
+    * over 32 samples. Quantizing the cosines to integers makes every
+    * downstream coefficient an EXACT 64-bit integer — fold order and
+    * engine cannot flip a bit — and the quantization itself is safe to
+    * recompute anywhere: the closest any cos(π(2x+1)k/64)·2^14 comes to
+    * a .5 rounding boundary is ~0.0105 (checked over all 256 entries),
+    * ten orders of magnitude above libm's ulp differences. */
+  private lazy val DctT: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (k, x) =>
+      math.floor(math.cos(math.Pi * (2 * x + 1) * k / 64) * 16384 + 0.5).toLong
+    }
+
+  /** 64-bit perceptual DCT hash (the public pHash construction: 32×32
+    * grayscale → 2D DCT-II → the 8×8 low-frequency block → sign-of-
+    * median bits). Robust to monotonic brightness/gamma shifts that
+    * break [[aHash64]]: aHash thresholds raw pixels against their mean,
+    * so a nonlinear tone curve moves pixels across the mean, while the
+    * low-frequency DCT STRUCTURE (which regions are brighter than
+    * others) survives the curve — the spec plants gamma-shifted copies
+    * that pHash pairs within Hamming 3 and aHash misses at 8.
+    *
+    * Deterministic/engine-replayable by construction, unlike the
+    * classical float pipeline: nearest-neighbor resample to 32×32
+    * (src = floor(x·W/32) — no interpolation arithmetic to diverge),
+    * integer grayscale (r+g+b)/3, the Q14 integer basis [[DctT]]
+    * (separable: vertical pass then horizontal, every partial ≤ 2^47 so
+    * all sums are exact longs), median = the 32nd-smallest (lower
+    * median) of the 64 block coefficients, bit k·8+l set iff
+    * C(k)(l) > median. None for undecodable payloads.
+    */
+  def pHash64(payload: Array[Byte]): Option[Long] = {
+    val fmt = sniffFormat(payload)
+    if (fmt != "png" && fmt != "jpeg" && fmt != "gif" && fmt != "bmp")
+      return None
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (src == null) return None
+    val (w, h) = (src.getWidth, src.getHeight)
+    val g32 = Array.ofDim[Long](32, 32)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val rgb = src.getRGB(x * w / 32, y * h / 32)
+        g32(y)(x) =
+          ((((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3).toLong
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT: tmp(k)(x) = Σ_y T(k)(y)·g32(y)(x), then
+    // C(k)(l) = Σ_x tmp(k)(x)·T(l)(x)
+    val tmp = Array.ofDim[Long](8, 32)
+    var k = 0
+    while (k < 8) {
+      var x = 0
+      while (x < 32) {
+        var s = 0L
+        var yy = 0
+        while (yy < 32) { s += DctT(k)(yy) * g32(yy)(x); yy += 1 }
+        tmp(k)(x) = s
+        x += 1
+      }
+      k += 1
+    }
+    val coef = new Array[Long](64)
+    k = 0
+    while (k < 8) {
+      var l = 0
+      while (l < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += tmp(k)(x) * DctT(l)(x); x += 1 }
+        coef(k * 8 + l) = s
+        l += 1
+      }
+      k += 1
+    }
+    val med = { val sorted = coef.clone(); java.util.Arrays.sort(sorted); sorted(31) }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (coef(i) > med) hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Append `phash: long` (null for undecodable payloads) —
+    * partition-wise map over the scan, no shuffle. */
+  def imagePHash(df: DataFrame, binaryCol: String): DataFrame =
+    appendDecoded(df, binaryCol, Seq(StructField("phash", LongType)),
+      Seq(null)) { bytes =>
+      Seq(pHash64(bytes).map(Long.box).orNull)
+    }
+
+  /** [[imageNearDupPairs]] with the DCT hash: same identical-hash
+    * representative collapse and banded-Hamming candidate join, keyed
+    * on [[pHash64]] — catches brightness/gamma-shifted near-copies the
+    * aHash matcher misses. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairsPhash(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    val hashed = imagePHash(df, binaryCol).filter(col("phash").isNotNull)
+      .select(col(idCol).as("__id"), col("phash").as("__hash"))
+      .localCheckpoint()
+    val (reps, star) = hashCollapse(hashed)
+    bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
+  }
+
   /** Append `ahash: long` (null for undecodable payloads) — partition-wise
     * map over the scan, no shuffle. */
   def imageHash(df: DataFrame, binaryCol: String): DataFrame =

@@ -1240,6 +1240,76 @@ object TrainingData {
           WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
         ORDER BY id_a, id_b""")),
 
+    // Image near-dup by DCT pHash: docs < 60 carry REAL 8x8 gray PNGs in
+    // four variants — vertical/horizontal gradient (doc_id % 2) crossed
+    // with identity/gamma tone curve (doc_id % 4 >= 2, the exact integer
+    // curve v -> (2v^2+255)//510 ~ gamma 2). The gamma shift moves
+    // pixels across the image mean, so aHash lands at Hamming 8 from
+    // its identity sibling (provably missed at threshold 3 — spec-pinned
+    // in MultimodalSpec), while the low-frequency DCT structure
+    // survives: pHash pairs identity~gamma at Hamming 3 and keeps the
+    // two axes apart (>= 8). The oracle re-derives the ENTIRE integer
+    // pipeline — the planted pixels, the Q14 cosine table (floor
+    // rounding is safe: no entry within 0.01 of a .5 boundary), the
+    // separable DCT as exact integer sums, the lower-median bit
+    // threshold — plus the identical-hash collapse (4 families x 14
+    // star edges) and the banded rep join (exactly two pairs).
+    Q("td_mm_imagedup_phash",
+      (s, dir) => {
+        val enc = udf { (d: Long) =>
+          val vals = (0 until 64).map { i =>
+            val (r, c) = (i / 8, i % 8)
+            val v0 = (7 - (if (d % 2 == 0) r else c)) * 30
+            if (d % 4 >= 2) (2 * v0 * v0 + 255) / 510 else v0
+          }
+          Multimodal.encodeGray8x8("png", vals)
+        }
+        val imgs = Tables(s, dir, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id"), enc(col("doc_id")).as("payload"))
+        Multimodal.imageNearDupPairsPhash(imgs, "doc_id", "payload",
+            maxHamming = 3, nBands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        px0 AS (SELECT doc_id, t1.r, t2.c,
+            (7 - CASE WHEN doc_id % 2 = 0 THEN t1.r ELSE t2.c END) * 30 AS v0
+          FROM ids, range(0, 8) t1(r), range(0, 8) t2(c)),
+        px AS (SELECT doc_id, r, c,
+            CASE WHEN doc_id % 4 >= 2 THEN (2 * v0 * v0 + 255) // 510
+                 ELSE v0 END AS v
+          FROM px0),
+        tb AS (SELECT kk.k, yy.y,
+            CAST(floor(cos(pi() * (2 * yy.y + 1) * kk.k / 64) * 16384 + 0.5)
+              AS BIGINT) AS t
+          FROM range(0, 8) kk(k), range(0, 32) yy(y)),
+        s AS (SELECT k, y // 4 AS r, CAST(sum(t) AS BIGINT) AS sv
+          FROM tb GROUP BY k, y // 4),
+        coef AS (SELECT px.doc_id, sk.k AS k, sl.k AS l,
+            CAST(sum(px.v * sk.sv * sl.sv) AS BIGINT) AS cv
+          FROM px JOIN s sk ON sk.r = px.r JOIN s sl ON sl.r = px.c
+          GROUP BY px.doc_id, sk.k, sl.k),
+        med AS (SELECT doc_id, cv AS m FROM (
+            SELECT doc_id, cv,
+              row_number() OVER (PARTITION BY doc_id ORDER BY cv) rn
+            FROM coef) WHERE rn = 32),
+        h AS (SELECT coef.doc_id,
+            CAST(sum(CASE WHEN coef.cv > med.m
+              THEN (CAST(1 AS BIGINT) << CAST(coef.k * 8 + coef.l AS INT))
+              ELSE 0 END) AS BIGINT) AS ph
+          FROM coef JOIN med USING (doc_id) GROUP BY coef.doc_id),
+        g AS (SELECT doc_id, ph,
+            min(doc_id) OVER (PARTITION BY ph) AS rep FROM h),
+        reps AS (SELECT doc_id, ph FROM g WHERE doc_id = rep)
+        SELECT * FROM (
+          SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS INT) AS hamming
+          FROM g WHERE doc_id <> rep
+          UNION ALL
+          SELECT a.doc_id, b.doc_id,
+            CAST(bit_count(xor(a.ph, b.ph)) AS INT)
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3)
+        ORDER BY id_a, id_b""")),
+
     // Video near-dup by aligned per-frame perceptual hashes: docs < 30
     // carry REAL 3-frame animated GIFs whose frame-j raster is a
     // vertical gradient when (doc_id + j) is even, horizontal when odd
