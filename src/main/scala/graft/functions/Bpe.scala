@@ -161,21 +161,16 @@ object Bpe {
       if (pairCounts.isEmpty) exhausted = true
       else {
         val maxC = pairCounts.values.max
-        val (a, b) = pairCounts.collect {
+        // toSeq BEFORE collect: collecting (sym, sym) tuples straight off
+        // the Map rebuilds a MAP keyed on the LEFT symbol, silently
+        // deduplicating tied candidates that share it (hash-order pick
+        // instead of the documented lexicographic tie-break) — caught by
+        // the learnDistributed parity spec
+        val (a, b) = pairCounts.toSeq.collect {
           case (p, c) if c == maxC => p
-        }.toSeq.min // lexicographically smallest among the most frequent
+        }.min // lexicographically smallest among the most frequent
         merges += ((a, b))
-        val merged = a + b
-        val updated = words.toSeq.map { case (w, c) =>
-          val nb = Vector.newBuilder[String]
-          var j = 0
-          while (j < w.length) {
-            if (j < w.length - 1 && w(j) == a && w(j + 1) == b) {
-              nb += merged; j += 2
-            } else { nb += w(j); j += 1 }
-          }
-          (nb.result(), c)
-        }
+        val updated = words.toSeq.map { case (w, c) => (mergeWord(w, a, b), c) }
         words.clear()
         updated.foreach { case (w, c) =>
           if (w.length > 1) words(w) = words.getOrElse(w, 0L) + c
@@ -185,6 +180,86 @@ object Bpe {
     }
     Vocab(merges.result())
   }
+
+  /** One left-to-right non-overlapping application of merge (a,b) to a
+    * symbol sequence — the step both [[learn]] variants share. */
+  private def mergeWord(w: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val nb = Vector.newBuilder[String]
+    var j = 0
+    while (j < w.length) {
+      if (j < w.length - 1 && w(j) == a && w(j + 1) == b) {
+        nb += (a + b); j += 2
+      } else { nb += w(j); j += 1 }
+    }
+    nb.result()
+  }
+
+  /** DISTRIBUTED merge learning — [[learn]]'s exact semantics when the
+    * fitting sample is itself corpus-scale (learn() holds the word
+    * multiset on the driver; a multi-TB sample cannot land there).
+    * Returns the ranked merges with their winning pair counts;
+    * [[vocabFrom]] turns the result into a [[Vocab]].
+    *
+    * Scale shape: ONE corpus-linear pass builds the distinct-word
+    * multiset (pre-tokenize + byte symbols, a map-side-combinable
+    * groupBy — the multiset is bounded by distinct pre-tokens, far
+    * smaller than the corpus). Each of the `numMerges` rounds is then
+    * one adjacent-pair count over that multiset (map-side combinable,
+    * output bounded by distinct pairs), ONE collected row (the argmax,
+    * ties broken like learn(): lexicographically smallest pair — for
+    * these byte-symbol strings Spark's UTF-8 binary sort order equals
+    * Scala's string order, both being code-point order below U+0800),
+    * and a partition-wise merge application. The evolving multiset is
+    * localCheckpoint'd per round so lineage stays flat across rounds;
+    * words reduced to one symbol drop out (they can never pair again).
+    * Distinct byte strings can never converge to the same symbol
+    * sequence (merges preserve the underlying bytes), so no re-group
+    * is needed after a merge.
+    */
+  def learnDistributed(corpus: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, desc, lit, sum}
+    var words = corpus.select(col(textCol)).as[String]
+      .flatMap(t => if (t == null) Iterator.empty else preTokenize(t).iterator)
+      .map(w => byteSymbols(w): Seq[String])
+      .filter(_.length > 1)
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var iter = 0
+    var exhausted = false
+    while (iter < numMerges && !exhausted) {
+      val top = words
+        .flatMap { case (syms, c) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((a, b, cnt))
+        words = words
+          .map { case (syms, c) => (mergeWord(syms.toVector, a, b): Seq[String], c) }
+          .filter(_._1.length > 1)
+          .localCheckpoint()
+        iter += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The [[Vocab]] a [[learnDistributed]] result denotes. */
+  def vocabFrom(merges: Seq[(String, String, Long)]): Vocab =
+    Vocab(merges.map(m => (m._1, m._2)))
 
   /** Max distinct pre-tokens a partition caches: natural text repeats
     * words heavily (the cache earns its memory), but an ID/hash-heavy

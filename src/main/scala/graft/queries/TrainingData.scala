@@ -88,6 +88,58 @@ object TrainingData {
         FROM (SELECT doc_id, 1 + doc_id % 9 AS k1, 1 + doc_id % 3 AS k3
               FROM documents) ORDER BY doc_id""")),
 
+    // DISTRIBUTED BPE merge learning: the corpus is 'a'-runs of length
+    // 1 + doc_id % 9, so every learned merge and its winning pair count
+    // is an integer function of the run-length histogram n_k. Round 1
+    // has one candidate, (a,a) with count sum n_k(k-1); after that merge
+    // a k-run segments as floor(k/2) 'aa' + (k%2) 'a', so round 2 pits
+    // (aa,aa) = sum_{k>=4} n_k(floor(k/2)-1) against (aa,a) = n3+n5+n7+n9
+    // — (aa,aa) wins for ANY near-uniform histogram (n4+2n6+n7+3n8+2n9 >
+    // n3); round 3's four candidates after the (aa,aa) merge are close
+    // races decided by the exact n_k, so the oracle derives all four
+    // counts from the data and replays the argmax with learn()'s
+    // tie-break (count desc, then lexicographically smallest pair). A
+    // wrong pair count, a wrong left-to-right re-segmentation, or a
+    // wrong tie-break order all hash-mismatch.
+    Q("td_token_bpe_learn",
+      (s, dir) => {
+        import graft.functions.Bpe
+        import s.implicits._
+        val fixture = Tables(s, dir, "documents").select(
+          repeat(lit("a"), (lit(1) + col("doc_id") % 9).cast("int")).as("__t"))
+        val learned = Bpe.learnDistributed(fixture, "__t", numMerges = 3)
+        learned.zipWithIndex
+          .map { case ((l, r, c), i) => (i, l, r, c) }
+          .toDF("merge_rank", "lhs", "rhs", "pair_count")
+          .orderBy("merge_rank")
+      },
+      Some("""WITH nk AS (SELECT 1 + doc_id % 9 AS k, count(*) AS n
+          FROM documents GROUP BY 1 + doc_id % 9),
+        r2 AS (SELECT l, r, cnt FROM (VALUES
+            ('aa', 'aa', (SELECT CAST(coalesce(sum(CASE WHEN k >= 4
+                THEN n * (k // 2 - 1) END), 0) AS BIGINT) FROM nk)),
+            ('aa', 'a', (SELECT CAST(coalesce(sum(CASE WHEN k % 2 = 1
+                AND k >= 3 THEN n END), 0) AS BIGINT) FROM nk))
+          ) AS t(l, r, cnt) ORDER BY cnt DESC, l, r LIMIT 1),
+        r3 AS (SELECT l, r, cnt FROM (VALUES
+            ('aa', 'a', (SELECT CAST(coalesce(sum(CASE WHEN k IN (3, 7)
+                THEN n END), 0) AS BIGINT) FROM nk)),
+            ('aaaa', 'a', (SELECT CAST(coalesce(sum(CASE WHEN k IN (5, 9)
+                THEN n END), 0) AS BIGINT) FROM nk)),
+            ('aaaa', 'aa', (SELECT CAST(coalesce(sum(CASE WHEN k IN (6, 7)
+                THEN n END), 0) AS BIGINT) FROM nk)),
+            ('aaaa', 'aaaa', (SELECT CAST(coalesce(sum(CASE WHEN k IN (8, 9)
+                THEN n END), 0) AS BIGINT) FROM nk))
+          ) AS t(l, r, cnt) ORDER BY cnt DESC, l, r LIMIT 1)
+        SELECT * FROM (
+          SELECT CAST(0 AS INT) AS merge_rank, 'a' AS lhs, 'a' AS rhs,
+            (SELECT CAST(sum(n * (k - 1)) AS BIGINT) FROM nk) AS pair_count
+          UNION ALL
+          SELECT CAST(1 AS INT), l, r, cnt FROM r2
+          UNION ALL
+          SELECT CAST(2 AS INT), l, r, cnt FROM r3)
+        ORDER BY merge_rank""")),
+
     Q("td_quality_langid",
       (s, dir) => Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),

@@ -81,6 +81,29 @@ class BpeSpec extends AnyFunSuite {
     corpus.foreach(s => assert(Bpe.decode(Bpe.encode(s, v1)) == s))
   }
 
+  test("learnDistributed matches driver-side learn merge-for-merge") {
+    import spark.implicits._
+    // mixed corpus: repeats, unicode (é = 2 bytes), digits, ties — the
+    // distributed fit must reproduce learn()'s merge SEQUENCE exactly,
+    // including the count-desc + lexicographically-smallest tie-break
+    val corpus = Seq("low lower lowest", "low low lowest",
+      "newer newest new", "café café 1234 1234", "aa aa bb bb")
+    val expected = Bpe.learn(corpus, 12).merges
+    val df = corpus.map(Tuple1(_)).toDF("text").repartition(3)
+    val got = Bpe.learnDistributed(df, "text", 12)
+    assert(got.map(m => (m._1, m._2)) == expected)
+    // counts are positive and non-increasing is NOT required (BPE counts
+    // can rise after a merge frees adjacencies) — but every winning
+    // count must match a driver-side recount at that round's state
+    assert(got.forall(_._3 > 0))
+    assert(Bpe.vocabFrom(got).merges == expected)
+    // null text rows are skipped, not NPE'd
+    val withNull = (corpus.map(Tuple1(_)) :+ Tuple1(null: String))
+      .toDF("text")
+    assert(Bpe.learnDistributed(withNull, "text", 3).map(m => (m._1, m._2))
+      == Bpe.learn(corpus, 3).merges)
+  }
+
   test("tokenCount operator appends counts partition-wise, NULL-safe") {
     import spark.implicits._
     val df = Seq((1L, "aaaa bc"), (2L, "aaaaaaaa"), (3L, null: String))
