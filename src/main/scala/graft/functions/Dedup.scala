@@ -109,7 +109,15 @@ object Dedup {
     * edges. NULL texts form one identical group like any other (the
     * collapse join is null-safe, so they star-collapse instead of
     * silently vanishing); their representative carries no shingles and
-    * never matches real text. Output: (id_a, id_b, jaccard), id_a < id_b.
+    * never matches real text. CAVEAT for crawl corpora with many failed
+    * extractions: those star edges carry jaccard = 1.0 BY FIAT (two
+    * null-text documents are "identical"), so downstream connected
+    * components will keep one failed extraction and drop the rest — run
+    * an emptiness/length gate ahead of this operator if that is not the
+    * intent ([[embedNearDupPairs]] instead EXCLUDES degenerate vectors,
+    * because cosine is undefined for them; null TEXT equality is
+    * well-defined, hence the asymmetry — see README "Pair-list
+    * contract"). Output: (id_a, id_b, jaccard), id_a < id_b.
     */
   /** Generic identical-key representative collapse shared by the
     * near-dup family: group `rows` (which must carry an `__id` column)
