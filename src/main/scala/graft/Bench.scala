@@ -48,7 +48,15 @@ object Bench {
     // gate (distributed bigram counts + three-way keyed score join).
     // td_mm_videodup_trim stays out (fixed 24-clip fixture, no corpus
     // scaling).
-    "td_quality_model", "td_quality_langid_ngram", "td_quality_ppl")
+    "td_quality_model", "td_quality_langid_ngram", "td_quality_ppl",
+    // round-16 additions: URL dedup (corpus-linear normalize + groupBy —
+    // the stage crawl pipelines run before text dedup) and the composed
+    // CCNet gate (langid + ppl + quality model chained — the composition
+    // is the workload a real curation run executes, and a regression in
+    // any stage or in their join shape shows up here). The fixed-fixture
+    // rows (td_mm_imagedup_phash, td_token_bpe_learn's 9-word multiset)
+    // stay out: no corpus scaling to track.
+    "td_dedup_url", "td_pipeline_ccnet")
 
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked

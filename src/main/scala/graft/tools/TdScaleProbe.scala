@@ -94,6 +94,25 @@ object TdScaleProbe {
         "doc_id", "text", lm))
     }
 
+    // round-16 additions: URL dedup (normalize expressions + one
+    // url_norm-keyed groupBy + join — the crawl pipeline's first stage)
+    // and the distributed BPE multiset build + 3 merge rounds (the
+    // build pass is the corpus-linear part; the rounds work on the
+    // bounded distinct-word multiset)
+    out("url_dedup") = med3 {
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://www.Example.com/p/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("#f")))
+          .as("url"))
+      noop(graft.functions.Urls.dedupByUrl(urls, "doc_id", "url"))
+    }
+    out("bpe_learn") = med3 {
+      val fx = docs.select(
+        repeat(lit("a"), (lit(1) + col("doc_id") % 9).cast("int")).as("t"))
+      graft.functions.Bpe.learnDistributed(fx, "t", numMerges = 3)
+    }
+
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"td_scale","docs":$nDocs,"probes":$qs,"sf":"$sfDir"}""")
