@@ -120,11 +120,14 @@ object Bench {
     "td_text_stats" -> 0.34,
     // td_dedup_near gained the identical-text collapse in r15 (one
     // md5-keyed groupBy+join ahead of the signatures — the prepass that
-    // caps N identical docs at O(N) output instead of C(N,2)). With the
-    // collapse join localCheckpoint'd for its three consumers the
-    // operator measures 1.43 norm — back under its historical band, so
-    // the reference stands.
-    "td_dedup_near" -> 1.65, "td_sim_topk" -> 1.45,
+    // caps N identical docs at O(N) output instead of C(N,2)).
+    // Re-read on r16's all-gates-clean run per VERDICT r15 #7: the
+    // round's idle-box readings sit at 2.22-2.28 norm (the 1.43 r15
+    // reading was a one-off isolated measurement) — the prepass costs
+    // ~30% normalized on this DUP-FREE corpus, the documented insurance
+    // premium. Reference moved 1.65 → 2.22 to track the operator as
+    // shipped.
+    "td_dedup_near" -> 2.22, "td_sim_topk" -> 1.45,
     "td_dedup_ngram" -> 4.40, "op_delta_skipping" -> 1.19,
     "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
     "bench_ingest_db" -> 3.10,
@@ -135,14 +138,24 @@ object Bench {
     // raw medians consistent to 2%; the normalized spread is spark-calib
     // variance between the runs)
     "td_dedup_substr" -> 0.72, "td_pack_sequences" -> 0.36,
-    "td_dsir_weights" -> 8.92,
-    // round-15 additions (idle-box in-band run 2026-08-16, attempt 2,
-    // all gates clean): both are md5-bound corpus folds/aggregations —
-    // the documented price of engine-replayable hashing
-    "td_quality_model" -> 6.82, "td_quality_langid_ngram" -> 5.61,
-    // ppl gate: three keyed joins over token transitions — cheap next
-    // to the md5-bound folds (no cryptographic hashing anywhere)
-    "td_quality_ppl" -> 1.30)
+    // td_dsir_weights / td_quality_model re-read after the r16 zip_with
+    // bigram fix: the old references (8.92 / 6.82) were recorded with
+    // the bigram builder re-running the tokenizer once per token inside
+    // its transform lambda (no CSE across the lambda boundary) — with
+    // every token-array reference outside lambdas the md5 fold is what
+    // remains, ~3x under the old bands (r16 clean run, 2026-08-16)
+    "td_dsir_weights" -> 2.69,
+    "td_quality_model" -> 2.76, "td_quality_langid_ngram" -> 5.61,
+    // ppl gate: three keyed joins over token transitions; 1.30 → 1.65
+    // with the r16 whitespace-RUN tokenizer (one regex split + filter
+    // per row replaces the single-space split — the genuine cost of the
+    // published CCNet tokenization; both r16 runs read 1.65 exactly)
+    "td_quality_ppl" -> 1.65,
+    // round-16 additions (clean run 2026-08-16): URL normalize+dedup is
+    // string codegen + one keyed groupBy/join; the ccnet row is the
+    // composed three-stage gate (langid + ppl + quality model), priced
+    // accordingly
+    "td_dedup_url" -> 0.62, "td_pipeline_ccnet" -> 9.14)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2
