@@ -318,10 +318,12 @@ object Bench {
     }
 
     // One full measurement pass: calibration, round-robin sampling,
-    // ingest rounds, metrics. Returns (flagged, jsonLine) so the ledger
-    // guard below can re-run a contended / out-of-band pass instead of
-    // committing it (VERDICT r10 item 5 — the closing artifact must be
-    // an in-band run whenever the box allows one).
+    // ingest rounds, metrics. Returns (flagged, inbandLedgerEntry,
+    // jsonLine) so the ledger guard below can re-run a contended /
+    // out-of-band pass instead of committing it (VERDICT r10 item 5 —
+    // the closing artifact must be an in-band run whenever the box
+    // allows one) and persist a clean pass's medians for later flagged
+    // artifacts to reference.
     def attemptRun(attempt: Int): (Boolean, String, String) = {
     // calibration before the measured queries (post-warm-up, so JIT and
     // Spark session startup don't pollute it); spark calib is median-of-5
@@ -467,7 +469,7 @@ object Bench {
     // the ledger entry this pass would record if it ships clean: the
     // normalized medians that next round's flagged artifacts fall back to
     val inbandEntry =
-      f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"ts":"${java.time.Instant.now()}"}"""
+      f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
     // the full gate (VERDICT r12 item 3): calibration bands (slow side)
     // AND the spread detector AND the per-query reference bands — a
     // pass ships clean only when all three agree it was a measurement
@@ -523,13 +525,19 @@ object Bench {
       } else if (flagged) {
         // attempts exhausted while flagged: emit the honest flagged line
         // WITH the ledger's last all-gates-clean medians inline, so the
-        // artifact of record adjudicates itself (VERDICT r15 item 1)
+        // artifact of record adjudicates itself (VERDICT r15 item 1).
+        // Embed ONLY when the reference is comparable: this must be a
+        // full run (a subset's totals mean nothing next to a full
+        // pass's) at the same scale dir the ledger entry was recorded
+        // on — an sf mismatch or subset run emits without a reference
+        // rather than with an incomparable one.
         System.err.println(
           s"[bench] WARNING: all $attempt attempts flagged — emitting a " +
             "CONTENDED ledger line; re-run on an idle box before committing")
         val withRef = readLedger() match {
-          case Some(entry) => json.dropRight(1) + s""","last_inband":$entry}"""
-          case None => json
+          case Some(entry) if fullRun && entry.contains(s""""sf":"$sfDir"""") =>
+            json.dropRight(1) + s""","last_inband":$entry}"""
+          case _ => json
         }
         println(withRef)
         emitted = true

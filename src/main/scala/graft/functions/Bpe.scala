@@ -247,10 +247,17 @@ object Bpe {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((a, b, cnt))
+        val prev = words
         words = words
           .map { case (syms, c) => (mergeWord(syms.toVector, a, b): Seq[String], c) }
           .filter(_._1.length > 1)
           .localCheckpoint()
+        // the new checkpoint is EAGER, so its blocks no longer depend on
+        // the previous round's — release them now instead of letting
+        // numMerges copies of the multiset pile up in executor storage
+        // until driver GC gets around to them (a 32k-merge vocab fit
+        // would otherwise hold 32k cached copies)
+        prev.unpersist()
         iter += 1
       }
     }

@@ -33,15 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Tokens = maximal non-whitespace runs: split on `\s+` and drop the
-    * empty fragments a leading/trailing run produces. This matches the
-    * published CCNet/DSIR recipes on crawl text — splitting on a single
-    * space would glue newline-separated words into one pseudo-token and
-    * admit empty tokens between consecutive spaces, skewing the bucket
-    * distributions. NULL text stays NULL (split and filter propagate).
+  /** Tokens = maximal non-whitespace runs: split on ASCII-whitespace
+    * runs and drop the empty fragments a leading/trailing run produces.
+    * This matches the published CCNet/DSIR recipes on crawl text —
+    * splitting on a single space would glue newline-separated words
+    * into one pseudo-token and admit empty tokens between consecutive
+    * spaces, skewing the bucket distributions. The class is spelled out
+    * instead of `\s` because the ENGINES DISAGREE on `\s`: Java's
+    * (Spark) includes vertical tab 0x0B, RE2's (the DuckDB oracles)
+    * does not — an explicit `[ \t\n\x0B\f\r]` means both engines
+    * tokenize VT-bearing crawl text identically. NULL text stays NULL
+    * (split and filter propagate).
     */
   private[functions] def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    filter(split(text, "[ \\t\\n\\x0B\\f\\r]+"), t => t =!= lit(""))
 
   /** Unigrams + bigrams of whitespace tokens, as one array (occurrence
     * bag, not a set — DSIR counts occurrences).

@@ -561,9 +561,21 @@ object Multimodal {
     * aHash matcher misses. Output: (id_a, id_b, hamming), id_a < id_b.
     */
   def imageNearDupPairsPhash(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
-    val hashed = imagePHash(df, binaryCol).filter(col("phash").isNotNull)
-      .select(col(idCol).as("__id"), col("phash").as("__hash"))
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    collapsedHashPairs(imagePHash(df, binaryCol), idCol, "phash",
+      maxHamming, nBands)
+
+  /** Shared tail of the single-hash near-dup operators (aHash, pHash,
+    * audio fingerprint): materialize the (id, hash) frame ONCE (the
+    * decode lineage otherwise re-runs on both sides of the collapse
+    * join and again in the band join), collapse identical hashes to
+    * min-id representatives, banded-join the representatives, and
+    * re-attach the star edges. One implementation so a checkpoint or
+    * band-policy fix can never land in one matcher and miss another. */
+  private def collapsedHashPairs(hashedWithNulls: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, nBands: Int): DataFrame = {
+    val hashed = hashedWithNulls.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__hash"))
       .localCheckpoint()
     val (reps, star) = hashCollapse(hashed)
     bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
@@ -599,15 +611,9 @@ object Multimodal {
     * Output: (id_a, id_b, hamming), id_a < id_b.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
-    // the decode lineage feeds the collapse groupBy AND the band join —
-    // materialize the (id, hash) frame once so ImageIO never runs twice
-    val hashed = imageHash(df, binaryCol).filter(col("ahash").isNotNull)
-      .select(col(idCol).as("__id"), col("ahash").as("__hash"))
-      .localCheckpoint()
-    val (reps, star) = hashCollapse(hashed)
-    bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
-  }
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    collapsedHashPairs(imageHash(df, binaryCol), idCol, "ahash",
+      maxHamming, nBands)
 
   /** Collapse identical `__hash` values of an (`__id`, `__hash`) frame to
     * their min-`__id` representative ([[Dedup.collapseByKey]] — the one
@@ -677,15 +683,9 @@ object Multimodal {
     * [[imageNearDupPairs]] (star edges at hamming 0, O(N) output per
     * identical group). Output: (id_a, id_b, hamming), id_a < id_b. */
   def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
-    // materialize once: the WAV chunk walk otherwise runs on both sides
-    // of the collapse join and the band join
-    val hashed = audioHash(df, binaryCol).filter(col("afp").isNotNull)
-      .select(col(idCol).as("__id"), col("afp").as("__hash"))
-      .localCheckpoint()
-    val (reps, star) = hashCollapse(hashed)
-    bandedHammingPairs(reps, maxHamming, nBands).unionByName(star)
-  }
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    collapsedHashPairs(audioHash(df, binaryCol), idCol, "afp",
+      maxHamming, nBands)
 
   /** Video near-duplicate pairs: demux every `every`-th frame
     * ([[frameSample]]'s executor-side fan-out), aHash each frame, run

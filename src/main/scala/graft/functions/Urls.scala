@@ -31,9 +31,11 @@ object Urls {
     * the same page):
     *
     *   1. trim surrounding whitespace;
-    *   2. scheme and authority lowercase (RFC 3986 §6.2.2.1 — path and
-    *      query stay case-sensitive);
-    *   3. leading `www.` stripped from the host;
+    *   2. scheme and host[:port] lowercase (RFC 3986 §6.2.2.1 — path,
+    *      query, and userinfo stay case-sensitive);
+    *   3. leading `www.` stripped from the HOST (never from userinfo),
+    *      and only when a dotted domain remains — `www.example.com` →
+    *      `example.com`, but the real site `www.com` keeps its host;
     *   4. default port stripped (`:80` for http, `:443` for https);
     *   5. fragment dropped (never sent to the server);
     *   6. query parameters sorted bytewise (`?b=2&a=1` ≡ `?a=1&b=2`);
@@ -48,11 +50,25 @@ object Urls {
   def normalizeUrl(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, UrlRe, 1))
-    val auth0 = lower(regexp_extract(u, UrlRe, 2))
-    val auth1 = regexp_replace(auth0, "^www\\.", "")
-    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
-      .otherwise(auth1)
+    val authRaw = regexp_extract(u, UrlRe, 2)
+    // userinfo ("user:pass@") is case-SENSITIVE per RFC 3986 §6.2.2.1 —
+    // split it off before lowercasing, and never apply the host rules
+    // (www strip, default ports) to it: 'www.pw@example.com' must keep
+    // its userinfo intact and 'user@www.example.com' must still lose
+    // the host's www
+    val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(authRaw, "^[^@]*@", ""))
+    // strip www. only when a dotted domain remains: www.example.com →
+    // example.com, but the REAL site www.com keeps its host (stripping
+    // would conflate it with a nonexistent host 'com'). Spelled as a
+    // conditional match instead of a lookahead because RE2 (the DuckDB
+    // oracle) has no lookahead.
+    val hostNoWww = when(hostPort.rlike("^www\\..+\\."),
+      regexp_replace(hostPort, "^www\\.", "")).otherwise(hostPort)
+    val auth = concat(userinfo,
+      when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+        .otherwise(hostNoWww))
     val path = regexp_replace(regexp_extract(u, UrlRe, 3), "/+$", "")
     val query = regexp_extract(u, UrlRe, 4)
     val queryPart = when(query === "", lit(""))
@@ -71,6 +87,12 @@ object Urls {
     * [[Dedup.collapseByKey]]'s policy.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("url_norm", "canonical_id", "n_copies"))
+    require(clash.isEmpty,
+      s"dedupByUrl appends url_norm/canonical_id/n_copies; the input " +
+        s"already carries ${clash.mkString(", ")} — rename before deduping " +
+        "(silently overwriting a prior stage's columns hides real data)")
     val withNorm = df.withColumn("url_norm", normalizeUrl(col(urlCol)))
     val groups = withNorm
       .groupBy(col("url_norm").as("__gk"))

@@ -229,7 +229,7 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+            list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2
@@ -286,7 +286,7 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') tk
+            list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') tk
           FROM documents),
         big AS (SELECT doc_id, lang,
             unnest([{'w1': tk[i], 'w2': tk[i+1]}
@@ -1209,7 +1209,7 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+            list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2
@@ -1605,23 +1605,28 @@ object TrainingData {
         n AS (SELECT doc_id, url,
           lower(regexp_extract(url,
             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS sch,
-          lower(regexp_extract(url,
-            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS a0,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2) AS a0,
           regexp_extract(url,
             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS p0,
           regexp_extract(url,
             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q0
           FROM u),
+        m1 AS (SELECT doc_id, url, sch, p0, q0,
+          regexp_extract(a0, '^([^@]*@)', 1) AS ui,
+          lower(regexp_replace(a0, '^[^@]*@', '')) AS hp FROM n),
+        m2 AS (SELECT doc_id, url, sch, p0, q0, ui,
+          CASE WHEN regexp_matches(hp, '^www\..+\.')
+               THEN regexp_replace(hp, '^www\.', '') ELSE hp END AS hw
+          FROM m1),
         m AS (SELECT doc_id, url, sch,
-          CASE WHEN sch = 'http'
-                 THEN regexp_replace(regexp_replace(a0, '^www\.', ''), ':80$', '')
-               WHEN sch = 'https'
-                 THEN regexp_replace(regexp_replace(a0, '^www\.', ''), ':443$', '')
-               ELSE regexp_replace(a0, '^www\.', '') END AS auth,
+          ui || CASE WHEN sch = 'http' THEN regexp_replace(hw, ':80$', '')
+                     WHEN sch = 'https' THEN regexp_replace(hw, ':443$', '')
+                     ELSE hw END AS auth,
           regexp_replace(p0, '/+$', '') AS path,
           CASE WHEN q0 = '' THEN ''
                ELSE '?' || array_to_string(list_sort(string_split(q0, '&')), '&')
-          END AS qp FROM n),
+          END AS qp FROM m2),
         norm AS (SELECT doc_id, url,
           CASE WHEN sch = '' THEN trim(url)
                ELSE sch || '://' || auth || path || qp END AS url_norm
@@ -1671,7 +1676,7 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+            list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
           FROM documents),
         g AS (SELECT doc_id, lang, unnest(t ||
           CASE WHEN len(t) >= 2
@@ -1782,7 +1787,7 @@ object TrainingData {
             (PARTITION BY doc_id ORDER BY score, lang) rk
           FROM l_sc QUALIFY rk = 1),
         tk AS (SELECT doc_id, lang,
-            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') t
+            list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') t
           FROM documents),
         p_big AS (SELECT doc_id, lang,
             unnest([{'w1': t[i], 'w2': t[i+1]}

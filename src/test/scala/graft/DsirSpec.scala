@@ -32,9 +32,12 @@ class DsirSpec extends AnyFunSuite {
     // empty tokens between consecutive separators, and leading/trailing
     // whitespace must not produce an empty first/last token
     val out = Seq(
-      Tuple1("a  b\nc\t d "),    // double space, newline, tab, trailing
-      Tuple1("  x"),             // leading run
-      Tuple1("a b c"))           // control: single spaces
+      Tuple1("a  b\nc\u000B d "), // double space, newline, VERTICAL TAB
+                                  // (0x0B — in Java's \s but NOT RE2's;
+                                  // the explicit class keeps both
+                                  // engines splitting on it), trailing
+      Tuple1("  x"),              // leading run
+      Tuple1("a b c"))            // control: single spaces
       .toDF("text")
       .select(Dsir.grams(col("text")).as("g"))
       .collect().map(_.getSeq[String](0))

@@ -47,6 +47,19 @@ class UrlsSpec extends AnyFunSuite {
       "https://example.com" -> "https://example.com")
   }
 
+  test("userinfo is preserved case-sensitively; host rules skip it") {
+    norm(
+      // host rules (www strip, port, lowercase) apply to the HOST even
+      // with userinfo present — and never touch the userinfo itself
+      "https://User@www.Example.com:443/a" -> "https://User@example.com/a",
+      "https://www.pw@example.com/a" -> "https://www.pw@example.com/a",
+      // the real site www.com keeps its host: stripping would conflate
+      // it with a nonexistent host 'com'
+      "https://www.com/x" -> "https://www.com/x",
+      "https://WWW.COM/x" -> "https://www.com/x",
+      "https://www.example.com/x" -> "https://example.com/x")
+  }
+
   test("query parameters sort; empty query drops its '?'") {
     norm(
       "https://example.com/a?b=2&a=1" -> "https://example.com/a?a=1&b=2",
