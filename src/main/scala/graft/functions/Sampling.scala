@@ -88,6 +88,44 @@ object Sampling {
       .select(idCol, tokensCol, "shuffle_key", "cum_tokens")
   }
 
+  /** Deterministic per-key document cap — the anti-domination stage
+    * (C4 keeps at most N pages per domain; Dolma and RefinedWeb run
+    * equivalents): within each `keyCol` group (typically
+    * [[Urls.urlHost]]) keep the `cap` documents with the SMALLEST
+    * md5(id) — a pure function of the ids, so reruns and engines agree,
+    * and uncorrelated with crawl order (which would bias toward a
+    * site's oldest pages).
+    *
+    * Scale shape — two passes so the window never touches the corpus:
+    * a map-side-combinable groupBy counts documents per key; keys AT OR
+    * UNDER the cap (the overwhelming majority of domains) bypass
+    * wholesale via one keyed semi-join — no window, no per-key sort.
+    * Only rows of OVER-cap keys (few keys, each large) enter the
+    * row_number window. A pathological single-domain crawl still funnels
+    * that one domain through one window partition — the exact-k-smallest
+    * contract needs a per-key total order somewhere; cap the damage
+    * upstream with a rate-based [[sampleKeep]] pre-pass if one domain is
+    * a meaningful fraction of the corpus.
+    *
+    * Output: the input columns + `key_docs` (the key's total document
+    * count); over-cap keys keep exactly `cap` rows.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("key_docs"))
+    val joined = df.join(counts, col(keyCol) <=> col("__k")).drop("__k")
+    val under = joined.filter(col("key_docs") <= cap)
+    val over = joined.filter(col("key_docs") > cap)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(uniformHex(col(idCol)), col(idCol))))
+      .filter(col("__rk") <= cap).drop("__rk")
+    under.unionByName(over)
+  }
+
   /** Deterministic split assignment by cumulative rate bands, e.g.
     * Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)) — every key gets
     * exactly one label, the bands tile [0,1), and membership depends only

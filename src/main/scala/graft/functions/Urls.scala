@@ -78,6 +78,62 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), auth, path, queryPart))
   }
 
+  /** The host of a URL, normalized like [[normalizeUrl]]'s authority
+    * rules (lowercase, userinfo and port dropped, conditional www
+    * strip) — the key for blocklists and per-domain caps. Non-URL
+    * strings yield the empty string; NULL stays NULL. */
+  def urlHost(url: Column): Column = {
+    val u = trim(url)
+    val authRaw = regexp_extract(u, UrlRe, 2)
+    val hostPort = lower(regexp_replace(authRaw, "^[^@]*@", ""))
+    val host = regexp_replace(hostPort, ":[0-9]*$", "")
+    when(u.isNull, lit(null).cast("string"))
+      .when(host.rlike("^www\\..+\\."), regexp_replace(host, "^www\\.", ""))
+      .otherwise(host)
+  }
+
+  /** URL filtering — the stage crawl pipelines run BEFORE URL dedup
+    * (RefinedWeb §3.1.1's three-part filter; C4 and Dolma run
+    * equivalents): an exact domain blocklist plus a soft word score
+    * over the URL string. Appends three columns:
+    *
+    *   - `url_host`: the normalized host ([[urlHost]]);
+    *   - `url_word_score`: Σ weight over `scoredWords` whose word
+    *     occurs (case-insensitive substring) in the URL — the
+    *     RefinedWeb soft score that catches adult/spam URLs whose
+    *     domain isn't blocklisted;
+    *   - `url_keep`: host not on the blocklist (exact match OR a
+    *     subdomain of a blocked domain) AND word score < `maxScore`.
+    *     TOTAL: a NULL url scores 0 and is kept=false (no NULL keep).
+    *
+    * The blocklist and word table ride the PLAN as literals — both are
+    * bounded by contract (thousands of entries; the published UT1-style
+    * lists are host SETS, for which a broadcast join on url_host is the
+    * 100 TB shape — use that form when the list outgrows a literal:
+    * `df.join(broadcast(blocked), Seq("url_host"), "left_anti")`). The
+    * scoring itself is pure codegen string expressions, zero shuffle.
+    */
+  def urlFilter(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String], scoredWords: Seq[(String, Int)],
+      maxScore: Int): DataFrame = {
+    require(blockedDomains.nonEmpty || scoredWords.nonEmpty,
+      "urlFilter with no blocklist and no scored words keeps everything")
+    val host = urlHost(col(urlCol))
+    val lowered = lower(coalesce(trim(col(urlCol)), lit("")))
+    val score = scoredWords
+      .map { case (w, wt) =>
+        when(lowered.contains(w.toLowerCase), lit(wt)).otherwise(lit(0)) }
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val blocked = blockedDomains
+      .map(b => host === b.toLowerCase ||
+        host.endsWith("." + b.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn("url_host", host)
+      .withColumn("url_word_score", score)
+      .withColumn("url_keep",
+        coalesce(!blocked && score < maxScore, lit(false)))
+  }
+
   /** Exact dedup keyed on the NORMALIZED URL: every row gets its
     * group's canonical (min-id) row and the group size. Output: the
     * input columns + (url_norm, canonical_id, n_copies); a row is the

@@ -1638,6 +1638,84 @@ object TrainingData {
           g.n_copies
         FROM norm JOIN g USING (url_norm) ORDER BY doc_id""")),
 
+    // URL filtering (RefinedWeb §3.1.1 — runs BEFORE URL dedup): exact
+    // domain blocklist (including subdomains) + a soft word score over
+    // the URL string, with a TOTAL keep (NULL-free). Fixture rotates
+    // clean / blocked-subdomain / over-score / under-score URLs; the
+    // oracle replays host extraction, the subdomain test, the word
+    // weights, and the keep decision.
+    Q("td_filter_url",
+      (s, dir) => {
+        import graft.functions.Urls
+        val k = floor(col("doc_id") / 4).cast("long").cast("string")
+        val v = pmod(col("doc_id"), lit(4))
+        val url = when(v === 0, concat(lit("https://good.example.org/page"), k))
+          .when(v === 1, concat(lit("https://ads.tracker.net/x"), k))
+          .when(v === 2, concat(lit("https://example.com/free-casino-"), k))
+          .otherwise(concat(lit("https://example.com/article-"), k,
+            lit("?ref=free")))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+        Urls.urlFilter(docs, "url",
+            blockedDomains = Seq("tracker.net", "spam.example"),
+            scoredWords = Seq(("casino", 60), ("free", 30)), maxScore = 50)
+          .select("doc_id", "url", "url_host", "url_word_score", "url_keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'https://good.example.org/page' || CAST(doc_id // 4 AS VARCHAR)
+            WHEN 1 THEN 'https://ads.tracker.net/x' || CAST(doc_id // 4 AS VARCHAR)
+            WHEN 2 THEN 'https://example.com/free-casino-' || CAST(doc_id // 4 AS VARCHAR)
+            ELSE 'https://example.com/article-' || CAST(doc_id // 4 AS VARCHAR) || '?ref=free'
+          END AS url FROM documents),
+        h0 AS (SELECT doc_id, url,
+          lower(regexp_replace(regexp_replace(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2),
+            '^[^@]*@', ''), ':[0-9]*$', '')) AS hp FROM u),
+        h AS (SELECT doc_id, url,
+          CASE WHEN regexp_matches(hp, '^www\..+\.')
+               THEN regexp_replace(hp, '^www\.', '') ELSE hp END AS url_host
+          FROM h0),
+        sc AS (SELECT doc_id, url, url_host,
+          (CASE WHEN contains(lower(url), 'casino') THEN 60 ELSE 0 END +
+           CASE WHEN contains(lower(url), 'free') THEN 30 ELSE 0 END)
+            AS url_word_score FROM h)
+        SELECT doc_id, url, url_host, url_word_score,
+          (NOT (url_host = 'tracker.net' OR url_host LIKE '%.tracker.net'
+             OR url_host = 'spam.example' OR url_host LIKE '%.spam.example')
+           AND url_word_score < 50) AS url_keep
+        FROM sc ORDER BY doc_id""")),
+
+    // Deterministic per-domain document cap (C4's anti-domination
+    // stage): solo-{id} keys (one doc each, always under cap) bypass
+    // via the count semi-path; 'big.com' carries 3/4 of the corpus and
+    // keeps exactly its 10 smallest-md5(id) docs through the window
+    // path. The oracle replays the count, the md5 order, the id
+    // tie-break, and both paths — a wrong order, an off-by-one cap, or
+    // a lost under-cap row all hash-mismatch.
+    Q("td_sample_domain_cap",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("solo-"), col("doc_id").cast("string")))
+            .otherwise(lit("big.com")).as("host"))
+        Sampling.capPerKey(docs, "doc_id", "host", cap = 10)
+          .select("doc_id", "host", "key_docs")
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN 'solo-' || CAST(doc_id AS VARCHAR)
+               ELSE 'big.com' END AS host FROM documents),
+        c AS (SELECT host, count(*) AS key_docs FROM k GROUP BY host),
+        r AS (SELECT k.doc_id, k.host, c.key_docs,
+            row_number() OVER (PARTITION BY k.host
+              ORDER BY substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8),
+                k.doc_id) AS rk
+          FROM k JOIN c USING (host))
+        SELECT doc_id, host, key_docs FROM r
+        WHERE key_docs <= 10 OR rk <= 10 ORDER BY doc_id""")),
+
     // Deterministic token-budget cut: md5(id) IS the training-order
     // shuffle, the running total is the two-pass distributed prefix
     // sum, and the cut is a pure function of the ids — the oracle

@@ -115,6 +115,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq == out.map(_._1).sorted.toSeq)
   }
 
+  test("capPerKey: exact cap via md5 order; under-cap keys bypass whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one dominating key (40 docs), two small keys (3 and 1)
+    val rows = ((1L to 40L).map(i => (i, "big")) ++
+      Seq((100L, "s1"), (101L, "s1"), (102L, "s1"), (200L, "s2")))
+      .toDF("doc_id", "host").repartition(5)
+    val out = graft.functions.Sampling.capPerKey(rows, "doc_id", "host", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // under-cap keys keep every row with their true count attached
+    assert(out.count(_._2 == "s1") == 3 && out.count(_._2 == "s2") == 1)
+    assert(out.filter(_._2 == "s1").forall(_._3 == 3L))
+    // the dominating key keeps EXACTLY cap rows — the 10 smallest
+    // md5(id), matching a driver-side replay of the same order
+    val bigKept = out.filter(_._2 == "big").map(_._1).toSet
+    assert(bigKept.size == 10)
+    val expect = (1L to 40L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+        .take(8), i))
+      .take(10).toSet
+    assert(bigKept == expect)
+    // deterministic across partitionings
+    val again = graft.functions.Sampling
+      .capPerKey(rows.repartition(2), "doc_id", "host", 10)
+      .filter(col("host") === "big")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == expect)
+  }
+
   test("split membership is insertion-stable: adding rows never moves one") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))

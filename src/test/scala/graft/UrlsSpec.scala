@@ -78,6 +78,38 @@ class UrlsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("urlFilter: blocklist (incl. subdomains), word score, total keep") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://good.example.org/a"),          // clean
+      (2L, "https://tracker.net/x"),               // blocked exact
+      (3L, "https://ads.tracker.net/x"),           // blocked subdomain
+      (4L, "https://nottracker.net/x"),            // NOT a subdomain
+      (5L, "https://example.com/FREE-CASINO"),     // 90 >= 50 → drop
+      (6L, "https://example.com/a?ref=free"),      // 30 < 50 → keep
+      (7L, null.asInstanceOf[String]))             // NULL → kept=false
+      .toDF("doc_id", "url")
+    val out = Urls.urlFilter(rows, "url",
+        blockedDomains = Seq("tracker.net"),
+        scoredWords = Seq(("casino", 60), ("free", 30)), maxScore = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(r.fieldIndex("url_word_score")),
+          r.getBoolean(r.fieldIndex("url_keep"))))).toMap
+    assert(out(1L) == ((0, true)))
+    assert(out(2L) == ((0, false)) && out(3L) == ((0, false)))
+    assert(out(4L) == ((0, true)))   // suffix test is dot-anchored
+    assert(out(5L) == ((90, false))) // case-insensitive match
+    assert(out(6L) == ((30, true)))
+    assert(out(7L) == ((0, false)))  // total: never a NULL keep
+    // urlHost: userinfo/port dropped, conditional www strip
+    val hosts = Seq(
+      "https://u:p@WWW.Example.com:8443/x" -> "example.com",
+      "https://www.com/x" -> "www.com",
+      "not a url" -> "").map(_._1).map(Tuple1(_)).toDF("u")
+      .select(Urls.urlHost(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("example.com", "www.com", ""))
+  }
+
   test("dedupByUrl groups all spellings of one page; min-id canonical") {
     import spark.implicits._
     val rows = Seq(
