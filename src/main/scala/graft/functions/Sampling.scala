@@ -96,16 +96,19 @@ object Sampling {
     * and uncorrelated with crawl order (which would bias toward a
     * site's oldest pages).
     *
-    * Scale shape — two passes so the window never touches the corpus:
-    * a map-side-combinable groupBy counts documents per key; keys AT OR
-    * UNDER the cap (the overwhelming majority of domains) bypass
-    * wholesale via one keyed semi-join — no window, no per-key sort.
-    * Only rows of OVER-cap keys (few keys, each large) enter the
-    * row_number window. A pathological single-domain crawl still funnels
-    * that one domain through one window partition — the exact-k-smallest
-    * contract needs a per-key total order somewhere; cap the damage
-    * upstream with a rate-based [[sampleKeep]] pre-pass if one domain is
-    * a meaningful fraction of the corpus.
+    * Scale shape: one map-side-combinable count aggregate, one keyed
+    * count-attach join, and ONE window pass over a SYNTHETIC partition
+    * key — over-cap keys window on the real key, under-cap rows window
+    * on their own id (a unique partition each, so they rank 1 and pass
+    * untouched). The corpus is scanned twice (the aggregate and the
+    * join probe) and shuffled twice (count key, window key); the window
+    * never builds a per-key sort for the overwhelming majority of
+    * domains, only for genuinely over-cap keys. A pathological
+    * single-domain crawl still funnels that one domain through one
+    * window partition — the exact-k-smallest contract needs a per-key
+    * total order somewhere; cap the damage upstream with a rate-based
+    * [[sampleKeep]] pre-pass if one domain is a meaningful fraction of
+    * the corpus.
     *
     * Output: the input columns + `key_docs` (the key's total document
     * count); over-cap keys keep exactly `cap` rows.
@@ -113,17 +116,25 @@ object Sampling {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    val clash = df.columns.toSet.intersect(Set("key_docs", "__k", "__wk", "__rk"))
+    require(clash.isEmpty,
+      s"capPerKey appends key_docs (and uses __k/__wk/__rk internally); " +
+        s"the input already carries ${clash.mkString(", ")} — rename first")
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("key_docs"))
-    val joined = df.join(counts, col(keyCol) <=> col("__k")).drop("__k")
-    val under = joined.filter(col("key_docs") <= cap)
-    val over = joined.filter(col("key_docs") > cap)
+    df.join(counts, col(keyCol) <=> col("__k")).drop("__k")
+      // disjoint prefixes: an over-cap key can never collide with an
+      // under-cap row's synthetic per-id partition (NULL keys coalesce
+      // to a sentinel so they form one partition like any other key)
+      .withColumn("__wk",
+        when(col("key_docs") > cap,
+          concat(lit("k:"), coalesce(col(keyCol).cast("string"), lit(" "))))
+          .otherwise(concat(lit("u:"), col(idCol).cast("string"))))
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(keyCol))
+        Window.partitionBy(col("__wk"))
           .orderBy(uniformHex(col(idCol)), col(idCol))))
-      .filter(col("__rk") <= cap).drop("__rk")
-    under.unionByName(over)
+      .filter(col("__rk") <= cap).drop("__wk", "__rk")
   }
 
   /** Deterministic split assignment by cumulative rate bands, e.g.

@@ -47,24 +47,32 @@ object Urls {
     * trimmed-only (a relative path or a bare host is not rewritten);
     * NULL stays NULL.
     */
+  /** Lowercased host[:port] of a raw authority — userinfo ("user:pass@",
+    * case-SENSITIVE per RFC 3986 §6.2.2.1) stripped, never lowercased or
+    * www-stripped. Shared by [[normalizeUrl]] and [[urlHost]] so the
+    * dedup key and the blocklist key can never drift apart. */
+  private def hostPortOf(authRaw: Column): Column =
+    lower(regexp_replace(authRaw, "^[^@]*@", ""))
+
+  /** Strip a leading `www.` only when a dotted domain remains:
+    * www.example.com → example.com, but the REAL site www.com keeps its
+    * host (stripping would conflate it with a nonexistent host 'com').
+    * Spelled as a conditional match instead of a lookahead because RE2
+    * (the DuckDB oracles) has no lookahead. */
+  private def stripWww(host: Column): Column =
+    when(host.rlike("^www\\..+\\."),
+      regexp_replace(host, "^www\\.", "")).otherwise(host)
+
   def normalizeUrl(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, UrlRe, 1))
     val authRaw = regexp_extract(u, UrlRe, 2)
-    // userinfo ("user:pass@") is case-SENSITIVE per RFC 3986 §6.2.2.1 —
-    // split it off before lowercasing, and never apply the host rules
-    // (www strip, default ports) to it: 'www.pw@example.com' must keep
-    // its userinfo intact and 'user@www.example.com' must still lose
-    // the host's www
+    // split userinfo off before lowercasing, and never apply the host
+    // rules (www strip, default ports) to it: 'www.pw@example.com' must
+    // keep its userinfo intact and 'user@www.example.com' must still
+    // lose the host's www
     val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
-    val hostPort = lower(regexp_replace(authRaw, "^[^@]*@", ""))
-    // strip www. only when a dotted domain remains: www.example.com →
-    // example.com, but the REAL site www.com keeps its host (stripping
-    // would conflate it with a nonexistent host 'com'). Spelled as a
-    // conditional match instead of a lookahead because RE2 (the DuckDB
-    // oracle) has no lookahead.
-    val hostNoWww = when(hostPort.rlike("^www\\..+\\."),
-      regexp_replace(hostPort, "^www\\.", "")).otherwise(hostPort)
+    val hostNoWww = stripWww(hostPortOf(authRaw))
     val auth = concat(userinfo,
       when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
         .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
@@ -84,12 +92,9 @@ object Urls {
     * strings yield the empty string; NULL stays NULL. */
   def urlHost(url: Column): Column = {
     val u = trim(url)
-    val authRaw = regexp_extract(u, UrlRe, 2)
-    val hostPort = lower(regexp_replace(authRaw, "^[^@]*@", ""))
-    val host = regexp_replace(hostPort, ":[0-9]*$", "")
-    when(u.isNull, lit(null).cast("string"))
-      .when(host.rlike("^www\\..+\\."), regexp_replace(host, "^www\\.", ""))
-      .otherwise(host)
+    val host = regexp_replace(
+      hostPortOf(regexp_extract(u, UrlRe, 2)), ":[0-9]*$", "")
+    when(u.isNull, lit(null).cast("string")).otherwise(stripWww(host))
   }
 
   /** URL filtering — the stage crawl pipelines run BEFORE URL dedup
@@ -118,20 +123,34 @@ object Urls {
       maxScore: Int): DataFrame = {
     require(blockedDomains.nonEmpty || scoredWords.nonEmpty,
       "urlFilter with no blocklist and no scored words keeps everything")
-    val host = urlHost(col(urlCol))
+    val clash = df.columns.toSet
+      .intersect(Set("url_host", "url_word_score", "url_keep"))
+    require(clash.isEmpty,
+      s"urlFilter appends url_host/url_word_score/url_keep; the input " +
+        s"already carries ${clash.mkString(", ")} — rename before filtering")
+    // Locale.ROOT: a Turkish-locale JVM lowercases "CASINO" to "casıno"
+    // (dotless ı) under the default toLowerCase, silently un-matching it
+    // against Spark's locale-agnostic lower() — list entries must
+    // lowercase the same way the columns do
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val lowered = lower(coalesce(trim(col(urlCol)), lit("")))
     val score = scoredWords
       .map { case (w, wt) =>
-        when(lowered.contains(w.toLowerCase), lit(wt)).otherwise(lit(0)) }
+        when(lowered.contains(lc(w)), lit(wt)).otherwise(lit(0)) }
       .reduceOption(_ + _).getOrElse(lit(0))
-    val blocked = blockedDomains
-      .map(b => host === b.toLowerCase ||
-        host.endsWith("." + b.toLowerCase))
+    // blocklist and keep reference the APPENDED url_host column, not a
+    // fresh urlHost(...) expression per comparison: the host tree is
+    // ~50 nodes, and a thousand-domain blocklist would otherwise embed
+    // thousands of copies of it in one projection (analyzer blowup +
+    // codegen fallback)
+    def blockedOf(host: Column) = blockedDomains
+      .map(b => host === lc(b) || host.endsWith("." + lc(b)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    df.withColumn("url_host", host)
+    df.withColumn("url_host", urlHost(col(urlCol)))
       .withColumn("url_word_score", score)
       .withColumn("url_keep",
-        coalesce(!blocked && score < maxScore, lit(false)))
+        coalesce(!blockedOf(col("url_host")) &&
+          col("url_word_score") < maxScore, lit(false)))
   }
 
   /** Exact dedup keyed on the NORMALIZED URL: every row gets its
