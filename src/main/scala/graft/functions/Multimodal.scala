@@ -487,6 +487,16 @@ object Multimodal {
     * all sums are exact longs), median = the 32nd-smallest (lower
     * median) of the 64 block coefficients, bit k·8+l set iff
     * C(k)(l) > median. None for undecodable payloads.
+    *
+    * The DC coefficient (k=l=0, bit 0) is DELIBERATELY included in both
+    * the median and the output bits, where the classical construction
+    * excludes it: keeping it makes the hash a total function of the
+    * 8×8 block with no special-cased index, at the cost that a uniform
+    * brightness shift can flip bit 0 and nudge the median — so
+    * brightness invariance is approximate (within the banded-Hamming
+    * budget, as the gamma-curve fixture pins), not exact. The DuckDB
+    * oracle replays the same inclusion, so engine/oracle parity is
+    * unaffected either way.
     */
   def pHash64(payload: Array[Byte]): Option[Long] = {
     val fmt = sniffFormat(payload)

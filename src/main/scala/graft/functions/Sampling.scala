@@ -112,6 +112,16 @@ object Sampling {
     *
     * Output: the input columns + `key_docs` (the key's total document
     * count); over-cap keys keep exactly `cap` rows.
+    *
+    * NULL handling: NULL keys form one group like any other (their own
+    * `n:` window namespace — a real key whose string value collides
+    * with any sentinel still gets a distinct partition). Rows with a
+    * NULL id route through their KEY's window rather than a synthetic
+    * per-id partition (concat with a NULL id would merge every such row
+    * into one shared partition and silently over-drop); within an
+    * over-cap key, NULL ids sort first (md5 of NULL is NULL) and ties
+    * among multiple NULL-id rows are arbitrary — ids are the
+    * determinism contract, so give documents ids.
     */
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       cap: Int): DataFrame = {
@@ -124,12 +134,16 @@ object Sampling {
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("key_docs"))
     df.join(counts, col(keyCol) <=> col("__k")).drop("__k")
-      // disjoint prefixes: an over-cap key can never collide with an
-      // under-cap row's synthetic per-id partition (NULL keys coalesce
-      // to a sentinel so they form one partition like any other key)
+      // disjoint namespaces: over-cap keys window on "k:"+key, NULL keys
+      // on their own "n:" (never a "k:" collision with a real key), and
+      // under-cap non-null-id rows on "u:"+id (unique partition each —
+      // rank 1, pass untouched). NULL-id rows always take the key
+      // window: their key partition holds at most key_docs rows, so for
+      // an under-cap key they all rank <= key_docs <= cap and pass.
       .withColumn("__wk",
-        when(col("key_docs") > cap,
-          concat(lit("k:"), coalesce(col(keyCol).cast("string"), lit(" "))))
+        when(col("key_docs") > cap || col(idCol).isNull,
+          when(col(keyCol).isNull, lit("n:"))
+            .otherwise(concat(lit("k:"), col(keyCol).cast("string"))))
           .otherwise(concat(lit("u:"), col(idCol).cast("string"))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__wk"))

@@ -137,7 +137,14 @@ object TrainingData {
           UNION ALL
           SELECT CAST(1 AS INT), l, r, cnt FROM r2
           UNION ALL
-          SELECT CAST(2 AS INT), l, r, cnt FROM r3)
+          -- r3's candidate set is derived assuming r2's winner is
+          -- (aa,aa); if a histogram change ever flips that race the
+          -- guard poisons the row so the gate FAILS instead of silently
+          -- modeling the wrong round-3 state
+          SELECT CAST(2 AS INT),
+            CASE WHEN (SELECT l FROM r2) = 'aa' AND (SELECT r FROM r2) = 'aa'
+                 THEN l ELSE 'ORACLE-R2-ASSUMPTION-VIOLATED' END, r, cnt
+          FROM r3)
         ORDER BY merge_rank""")),
 
     Q("td_quality_langid",

@@ -145,6 +145,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == expect)
   }
 
+  test("capPerKey: NULL keys get their own window; a real ' ' key never " +
+      "merges with them; NULL-id rows of under-cap keys all survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 15 NULL-key docs and 15 docs whose key IS the single-space string —
+    // both over cap 10; a shared sentinel would merge them into one
+    // 30-row window keeping 10 total instead of 10 each
+    val rows = ((1L to 15L).map(i => (i, Option.empty[String])) ++
+      (101L to 115L).map(i => (i, Some(" "))))
+      .toDF("doc_id", "host").repartition(3)
+    val out = Sampling.capPerKey(rows, "doc_id", "host", 10)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.count(_._2.isEmpty) == 10, "NULL-key group keeps cap rows")
+    assert(out.count(_._2.contains(" ")) == 10, "' '-key group keeps cap rows")
+    // NULL-id rows: three under-cap keys, each with two NULL-id docs —
+    // a shared NULL synthetic partition would rank the later keys' rows
+    // past cap=2 and drop them even though every key is under cap
+    val nid = (Seq(("a", Some(1L)), ("a", None), ("a", None),
+      ("b", Some(2L)), ("b", None), ("b", None),
+      ("c", Some(3L)), ("c", None), ("c", None)))
+      .toDF("host", "doc_id").repartition(4)
+    val kept = Sampling.capPerKey(nid, "doc_id", "host", 2)
+    // cap 2 < 3 docs per key → over-cap: each key keeps exactly 2
+    assert(kept.groupBy("host").count().collect()
+      .forall(_.getLong(1) == 2L))
+    val under = Sampling.capPerKey(nid, "doc_id", "host", 5)
+    assert(under.count() == 9, "under-cap keys keep ALL rows incl. NULL ids")
+  }
+
   test("split membership is insertion-stable: adding rows never moves one") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
