@@ -56,7 +56,14 @@ object Bench {
     // any stage or in their join shape shows up here). The fixed-fixture
     // rows (td_mm_imagedup_phash, td_token_bpe_learn's 9-word multiset)
     // stay out: no corpus scaling to track.
-    "td_dedup_url", "td_pipeline_ccnet")
+    "td_dedup_url", "td_pipeline_ccnet",
+    // round-17 additions: the full RefinedWeb-order composed pipeline
+    // (url filter/dedup + langid + gopher rails + near-dup + substr
+    // dedup + domain cap + budget cut — the priciest row in the set and
+    // the one a regression in ANY stage moves) and paragraph-level
+    // fuzzy dedup (paragraph explode + collapse + banded LSH — the
+    // family's newest corpus-keyed shuffle chain).
+    "td_pipeline_refinedweb", "td_dedup_para")
 
   /** EL ingest throughput headlines (VERDICT r9 item 2): the product's
     * core extract-load path had correctness coverage but no tracked

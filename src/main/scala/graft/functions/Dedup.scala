@@ -170,6 +170,53 @@ object Dedup {
     verifyPairs(cands, sets, threshold).unionByName(star)
   }
 
+  /** Paragraph-granularity fuzzy dedup (RefinedWeb §3.2 / Dolma run
+    * MinHash at BOTH document and paragraph level — boilerplate
+    * paragraphs repeat across pages whose full texts are nowhere near
+    * duplicates): explode `paraDelim`-separated paragraphs and run the
+    * document-level [[nearDupPairs]] machinery (identical-text
+    * collapse, banded LSH, exact verify) over (doc, paragraph-index)
+    * units. Empty paragraphs (split artifacts from doubled delimiters)
+    * are dropped BEFORE pairing — unlike [[nearDupPairs]]' null-text
+    * star policy there is nothing to pair; indices still count the raw
+    * split positions, so kept paragraphs keep their original offsets.
+    *
+    * Unit ids pack (doc, index) into one long — doc << 20 | index —
+    * so the collapse/band/verify pipeline runs unchanged; ids are
+    * range-guarded (doc in [0, 2^43), index < 2^20) and the packing is
+    * exact bit arithmetic, never a double round-trip. Scale shape is
+    * [[nearDupPairs]] on the paragraph multiset: corpus-linear explode,
+    * one collapse groupBy (which absorbs the web's giant repeated-
+    * boilerplate groups as stars), banded join over representatives.
+    *
+    * Output: (doc_a, para_a, doc_b, para_b, jaccard) with
+    * (doc_a, para_a) < (doc_b, para_b); jaccard >= threshold.
+    */
+  def paraNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, paraDelim: String = "\n", n: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val paras = df
+      .select(col(idCol).cast("long").as("__doc"),
+        posexplode(split(col(textCol), paraDelim)).as(Seq("__pidx", "__p")))
+      .filter(col("__p") =!= "")
+    val units = paras.select(
+      when(col("__doc") < 0 || col("__doc") >= (1L << 43) ||
+          col("__pidx") >= (1 << 20),
+        raise_error(concat(
+          lit("paraNearDupPairs: need 0 <= doc id < 2^43 and < 2^20 " +
+            "paragraphs per doc, got doc="), col("__doc"),
+          lit(" para="), col("__pidx"))))
+        .otherwise(shiftleft(col("__doc"), 20) + col("__pidx"))
+        .as("__pid"),
+      col("__p"))
+    nearDupPairs(units, "__pid", "__p", threshold, n, bands, rowsPerBand)
+      .select(shiftright(col("id_a"), 20).as("doc_a"),
+        col("id_a").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("para_a"),
+        shiftright(col("id_b"), 20).as("doc_b"),
+        col("id_b").bitwiseAND(lit((1L << 20) - 1)).cast("int").as("para_b"),
+        col("jaccard"))
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
     * full shingle sets — shared by the LSH and prefix-filter generators. */
   private def verifyPairs(cands: DataFrame, sets: DataFrame,
@@ -455,46 +502,81 @@ object Dedup {
     * duplicate cluster). This is the step that turns pairwise dedup output
     * into per-document keep/drop decisions.
     *
-    * Algorithm: hash-to-min label propagation — each iteration every node
-    * takes the min of its own label and its neighbors', via one join +
-    * keyed aggregation. Iterations needed = O(component diameter); dedup
-    * clusters are shallow (near-clique), so 2-3 rounds in practice. Each
-    * round is shuffle-on-node-id, never pairwise; `localCheckpoint` cuts
-    * the iterative lineage so plans stay bounded. Convergence = zero rows
-    * changed their label this round — an exact test (labels only
-    * decrease, so "no row changed" IS the fixpoint) at the same cost as
-    * any other whole-frame aggregate.
-    * At 1000-executor scale the same loop holds — the state per round is
-    * one (node, label) row per node; for graphs with giant high-diameter
-    * components switch to alternating large-star/small-star, which this
-    * corpus shape does not need.
+    * Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — the published
+    * replacement for min-label propagation on high-diameter graphs).
+    * Each round rewrites the EDGE SET:
+    *
+    *   large-star: every node links its LARGER neighbors to the minimum
+    *   of its closed neighborhood — long paths fold toward local minima;
+    *   small-star: every node (now pointing only at smaller ids) relinks
+    *   its smaller neighbors AND itself to that minimum — stars merge.
+    *
+    * The edge set converges to one star per component (every non-min
+    * node → component min) in O(log) rounds REGARDLESS of diameter —
+    * a k-node chain closes in ~log2(k) rounds where min-propagation
+    * needs k (ConnectedComponentsSpec pins a 50-chain at <= 10 rounds;
+    * dedup's near-clique components still close in 2-3). Each half-round
+    * is one groupBy(min) + one keyed join on node id over the current
+    * edges — never pairwise, AQE-splittable on skewed hubs; edge count
+    * is bounded (large-star only reorients/contracts, duplicates drop
+    * per round) and `localCheckpoint` cuts the iterative lineage.
+    * Convergence = the round leaves the edge set unchanged, which is
+    * exactly the all-stars fixpoint of the paper.
     */
   def connectedComponents(edges: DataFrame, ids: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame = ccAlternating(edges, ids, idCol)._1
+
+  /** [[connectedComponents]] plus the number of alternation rounds run —
+    * exposed so the spec can pin convergence cost on adversarial shapes. */
+  private[graft] def ccAlternating(edges: DataFrame, ids: DataFrame,
+      idCol: String): (DataFrame, Int) = {
     val nodes = ids.select(col(idCol).cast("long").as("__id")).distinct()
-    val sym = edges.select(col("id_a").cast("long").as("__u"),
+    var e = edges.select(col("id_a").cast("long").as("__u"),
         col("id_b").cast("long").as("__v"))
-      .unionAll(edges.select(col("id_b").cast("long").as("__u"),
-        col("id_a").cast("long").as("__v")))
-    var labels = nodes.select(col("__id"), col("__id").as("__lbl"))
+      .filter(col("__u") =!= col("__v"))
+      .select(greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+      .distinct()
       .localCheckpoint(true)
-    var converged = false
+    var rounds = 0
+    var converged = e.isEmpty
     while (!converged) {
-      val nb = sym.join(labels, sym("__v") === labels("__id"))
-        .groupBy("__u").agg(min("__lbl").as("__nl"))
-      // carry the old label through the checkpoint so the convergence
-      // probe (count of changed rows) reads the materialized frame
-      // instead of re-running the round's join
-      val stepped = labels.alias("l")
-        .join(nb.alias("n"), col("l.__id") === col("n.__u"), "left")
-        .select(col("l.__id"), col("l.__lbl").as("__old"),
-          least(col("l.__lbl"), coalesce(col("n.__nl"), col("l.__lbl")))
-            .as("__lbl"))
+      rounds += 1
+      // large-star over the SYMMETRIC neighborhood: m = min(N(u) ∪ {u});
+      // (v, m) for v > u. Every emitted edge has bigger-id on the left.
+      val sym = e.unionAll(
+        e.select(col("__v").as("__u"), col("__u").as("__v")))
+      val lsMin = sym.groupBy("__u").agg(min("__v").as("__mn"))
+        .select(col("__u"), least(col("__u"), col("__mn")).as("__m"))
+      val ls = sym.join(lsMin, "__u")
+        .filter(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .filter(col("__u") =!= col("__v"))
+        .distinct()
+      // small-star over the smaller-neighbor lists ls leaves behind:
+      // m = min(N⁻(u) ∪ {u}); every smaller neighbor AND u link to m
+      val ssMin = ls.groupBy("__u").agg(min("__v").as("__m"))
+      val stepped = ls.join(ssMin, "__u")
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .unionAll(ssMin.select(col("__u"), col("__m").as("__v")))
+        .filter(col("__u") =!= col("__v"))
+        .select(greatest(col("__u"), col("__v")).as("__u"),
+          least(col("__u"), col("__v")).as("__v"))
+        .distinct()
         .localCheckpoint(true)
-      converged = stepped.filter(col("__lbl") =!= col("__old")).isEmpty
-      labels = stepped.select("__id", "__lbl")
+      // fixpoint = the round left the edge set unchanged (both steps
+      // only ever emit (node, smaller-reachable-id) pairs, so set
+      // equality is the paper's all-stars termination test)
+      converged = stepped.count() == e.count() &&
+        stepped.unionAll(e).distinct().count() == e.count()
+      e = stepped
     }
-    labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
+    val roots = e.groupBy("__u").agg(min("__v").as("__root"))
+    val labels = nodes.join(roots, nodes("__id") === roots("__u"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__root"), col("__id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Shared first-occurrence window-dedup engine behind

@@ -925,6 +925,150 @@ object Integration {
           .load(graft.repl.SuiteMatrix.resourceSuite()).map(_.name).sorted
         val values = names.map(n => s"('$n', 1)").mkString(", ")
         s"SELECT * FROM (VALUES $values) AS t(scenario, passed) ORDER BY scenario"
-      })
+      }),
+
+    // Pipeline step files end-to-end (VERDICT r16 #6: the step executor
+    // was unit-only): a pipeline whose steps MATERIALIZE a verifiable
+    // table — log, Spark-SQL query steps (view + CTAS to parquet), a
+    // state-backed check, write/list/loop-copy with single_file, and a
+    // final listed-count check. The gated result is the table the
+    // pipeline itself built; the filesystem side effects are asserted
+    // in-row (a failed step aborts the run, so any step regression
+    // surfaces as an err on this row).
+    Q("op_pipeline_steps",
+      (s, dir) => {
+        val base = scratch("pipeline_steps", dir)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        s.sql("DROP TABLE IF EXISTS pipe_os_tbl")
+        Tables(s, dir, "nation").createOrReplaceTempView("pipe_os_nation")
+        val yaml =
+          s"""steps:
+             |  - type: log
+             |    message: starting pipeline over nation
+             |  - type: query
+             |    sql: CREATE OR REPLACE TEMP VIEW pipe_os_agg AS SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name FROM pipe_os_nation GROUP BY n_regionkey
+             |  - type: check
+             |    expression: (SELECT count(*) FROM pipe_os_agg) = 5
+             |  - type: query
+             |    sql: CREATE TABLE pipe_os_tbl USING parquet LOCATION '$base/tbl' AS SELECT * FROM pipe_os_agg
+             |  - type: write
+             |    to: local/$base/files/a.csv
+             |    content: "id\\n1\\n"
+             |  - type: list
+             |    id: found
+             |    location: local/$base/files/*.csv
+             |    only: files
+             |  - type: group
+             |    loop: state.found.result
+             |    steps:
+             |      - type: copy
+             |        from: "{loop.value.location}"
+             |        to: local/$base/out/{loop.value.name}
+             |        single_file: true
+             |  - type: list
+             |    id: verify
+             |    location: local/$base/out/
+             |    only: files
+             |  - type: log
+             |    message: "outputs: {state.verify.result}"
+             |""".stripMargin
+        val results = graft.repl.Pipeline.run(s, yaml)
+        require(results.forall(_.ok),
+          results.filterNot(_.ok).map(_.detail).mkString("; "))
+        require(results.last.detail.contains(s"$base/out/a.csv"),
+          s"loop-copy lost the exact destination: ${results.last.detail}")
+        require(fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$base/out/a.csv")).isFile,
+          "single_file copy produced a directory (suite.cli id=82 regression)")
+        s.read.parquet(s"$base/tbl").orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+          min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // Hook executor end-to-end (VERDICT r16 #6): query/check/log/command
+    // hooks run for real — the query hook materializes a temp view the
+    // verification row then reads, the command hook execs a process and
+    // captures stdout, warn-policy failures record instead of aborting.
+    // The gated result is the exact (kind, ok, detail) ledger plus the
+    // hook-built aggregate — every detail string is deterministic, so
+    // the oracle pins them as literals joined to the live aggregate.
+    Q("op_hooks",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "region").createOrReplaceTempView("hooks_or_region")
+        val results = graft.repl.Hooks.run(s, Seq(
+          graft.repl.Hooks.Hook("log", "auditing region load"),
+          graft.repl.Hooks.Hook("query",
+            "CREATE OR REPLACE TEMP VIEW hooks_or_agg AS " +
+              "SELECT r_regionkey, count(*) AS n FROM hooks_or_region " +
+              "GROUP BY r_regionkey"),
+          graft.repl.Hooks.Hook("check",
+            "(SELECT count(*) FROM hooks_or_agg) = 5"),
+          graft.repl.Hooks.Hook("check",
+            "(SELECT count(*) FROM hooks_or_agg) = 999", onFailure = "warn"),
+          graft.repl.Hooks.Hook("command", "printf region-hook-done")))
+        val ledger = results.zipWithIndex.map { case (r, i) =>
+          (i, r.hook.kind, r.ok, r.detail)
+        }.toDF("step", "kind", "ok", "detail")
+        val agg = s.table("hooks_or_agg")
+        ledger.join(agg, ledger("step") === agg("r_regionkey"), "left")
+          .select(col("step"), col("kind"), col("ok"), col("detail"),
+            col("n"))
+          .orderBy("step")
+      },
+      Some("""SELECT t.step, t.kind, t.ok, t.detail, a.n
+        FROM (VALUES
+          (0, 'log', TRUE, 'auditing region load'),
+          (1, 'query', TRUE, 'query ok'),
+          (2, 'check', TRUE, 'check ok'),
+          (3, 'check', FALSE,
+            'check failed: (SELECT count(*) FROM hooks_or_agg) = 999 (warn)'),
+          (4, 'command', TRUE, 'region-hook-done')) AS t(step, kind, ok, detail)
+        LEFT JOIN (SELECT r_regionkey, count(*) AS n FROM region
+                   GROUP BY r_regionkey) a ON t.step = a.r_regionkey
+        ORDER BY t.step""")),
+
+    // stdout write render path (VERDICT r16 #6): the distributed
+    // to_csv/to_json rendering that streams to the console, gated
+    // against a DuckDB replay of the exact line bytes — including the
+    // RFC-4180 quote-when-needed path (a planted comma column) and the
+    // header. The driver-relay part (toLocalIterator) is exercised for
+    // real into an in-memory sink.
+    Q("op_stdout_write",
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"),
+            concat(col("n_name"), lit(",x")).as("mark"))
+          .orderBy("n_nationkey")
+        val csvBuf = new java.io.ByteArrayOutputStream()
+        val nCsv = graft.write.StdoutWriter.csv(df, csvBuf)
+        val jsonBuf = new java.io.ByteArrayOutputStream()
+        val nJson = graft.write.StdoutWriter.jsonl(df, jsonBuf)
+        require(nCsv == nJson && nCsv == df.count(),
+          s"row counts diverged: csv=$nCsv json=$nJson")
+        val csvLines = new String(csvBuf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).dropRight(1)
+        val jsonLines = new String(jsonBuf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).dropRight(1)
+        val rows = csvLines.zipWithIndex.map { case (l, i) =>
+          (i, l, if (i == 0) null else jsonLines(i - 1))
+        }.toSeq
+        rows.toDF("line_no", "csv_line", "json_line").orderBy("line_no")
+      },
+      Some("""SELECT * FROM (
+          SELECT 0 AS line_no, 'n_nationkey,n_name,mark' AS csv_line,
+            CAST(NULL AS VARCHAR) AS json_line
+          UNION ALL
+          SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INT),
+            CAST(n_nationkey AS VARCHAR) || ',' || n_name ||
+              ',"' || n_name || ',x"',
+            '{"n_nationkey":' || CAST(n_nationkey AS VARCHAR) ||
+              ',"n_name":"' || n_name || '","mark":"' || n_name || ',x"}'
+          FROM nation)
+        ORDER BY line_no"""))
   )
 }

@@ -563,6 +563,75 @@ object TrainingData {
               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
         ORDER BY id_a, id_b""")),
 
+    // Paragraph-granularity fuzzy dedup (RefinedWeb/Dolma dedup at doc
+    // AND paragraph level). Fixture paragraphs per doc: a corpus-wide
+    // identical boilerplate header (500-member collapse group → star
+    // edges), an id-prefixed slice of the doc's own text (background
+    // jaccard provably <= ~0.73, below the 0.8 threshold), an EMPTY
+    // paragraph for doc_id%13==0 (dropped, but later indices keep their
+    // raw split offsets), and two planted cross-doc duplicate families
+    // (doc_id%10==0 / ==5) whose representatives pair at J = 10/11 —
+    // high enough that 16x4 LSH recall is ~1-1e-8, so the exact-jaccard
+    // oracle must match pair-for-pair.
+    Q("td_dedup_para",
+      (s, dir) => {
+        val id = col("doc_id")
+        val p0 = lit("common boilerplate license header shared across this crawl corpus")
+        val p1 = concat(lit("p"), id.cast("string"), lit(" "),
+          array_join(slice(split(col("text"), " "), 1, 10), " "))
+        val gap = when(pmod(id, lit(13)) === 0, lit(""))
+          .otherwise(lit(null).cast("string"))
+        val planted = when(pmod(id, lit(10)) === 0,
+            lit("planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta"))
+          .when(pmod(id, lit(10)) === 5,
+            lit("planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta iota"))
+          .otherwise(lit(null).cast("string"))
+        val docs = Tables(s, dir, "documents")
+          .select(id, concat_ws("\n", p0, gap, p1, planted).as("__t"))
+        Dedup.paraNearDupPairs(docs, "doc_id", "__t", threshold = 0.8)
+          .orderBy("doc_a", "para_a", "doc_b", "para_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        par AS (SELECT doc_id,
+          (CASE WHEN doc_id % 13 = 0
+            THEN ['common boilerplate license header shared across this crawl corpus',
+                  '',
+                  'p' || CAST(doc_id AS VARCHAR) || ' ' || array_to_string(t[1:10], ' ')]
+            ELSE ['common boilerplate license header shared across this crawl corpus',
+                  'p' || CAST(doc_id AS VARCHAR) || ' ' || array_to_string(t[1:10], ' ')]
+           END) ||
+          (CASE doc_id % 10
+            WHEN 0 THEN ['planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta']
+            WHEN 5 THEN ['planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta iota']
+            ELSE []::VARCHAR[] END) AS ps
+          FROM base),
+        u0 AS (SELECT doc_id,
+            unnest([{'i': i - 1, 'p': ps[i]} for i in range(1, len(ps) + 1)]) AS e
+          FROM par),
+        pid AS (SELECT doc_id * 1048576 + e.i AS pid, e.p AS p
+          FROM u0 WHERE e.p <> ''),
+        grp AS (SELECT pid, p, min(pid) OVER (PARTITION BY p) AS rep FROM pid),
+        sh AS (SELECT pid,
+            list_distinct([tt[i]||' '||tt[i+1]||' '||tt[i+2]
+              for i in range(1, len(tt) - 1)]) AS s
+          FROM (SELECT pid, string_split(p, ' ') AS tt
+                FROM grp WHERE pid = rep)),
+        pairs AS (SELECT a.pid AS pa, b.pid AS pb,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.pid < b.pid
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        allp AS (
+          SELECT rep AS pa, pid AS pb, CAST(1.0 AS DOUBLE) AS j
+          FROM grp WHERE pid <> rep
+          UNION ALL
+          SELECT pa, pb, j FROM pairs)
+        SELECT pa // 1048576 AS doc_a, CAST(pa % 1048576 AS INT) AS para_a,
+          pb // 1048576 AS doc_b, CAST(pb % 1048576 AS INT) AS para_b,
+          j AS jaccard
+        FROM allp ORDER BY doc_a, para_a, doc_b, para_b""")),
+
     // n-gram Jaccard dedup, EXACT: prefix-filtered set-similarity join
     // (All-Pairs/PPJoin principle) — complete recall by construction, so
     // the O(n²) oracle must match pair-for-pair. Lower threshold than
@@ -1940,6 +2009,272 @@ object TrainingData {
         LEFT JOIN l_best ON l_best.doc_id = d.doc_id
         LEFT JOIN p_res ON p_res.doc_id = d.doc_id
         LEFT JOIN q_res ON q_res.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // Full RefinedWeb-order crawl-curation macro-pipeline (Penedo et al.
+    // 2023 §3, stage for stage) as ONE hash-gated row: URL filter
+    // (blocklist + word score) → URL dedup (normalized, min-id
+    // canonical) → language ID → repetition/quality rails (Gopher top-
+    // bigram/dup-trigram + C4 doc gate) → document-level fuzzy dedup
+    // (MinHash-LSH, drop the larger id of every qualifying pair) →
+    // exact-substring dedup (w=8 token windows, first occurrence keeps)
+    // → per-domain cap (8 docs/host by md5 order) → token-budget cut
+    // (5000-token md5-order prefix). Every stage is individually
+    // oracle-verified elsewhere; THIS row pins the composition — which
+    // survivor set each stage sees, column interactions between the
+    // appended stage outputs, and flag totality (every input doc gets a
+    // row with total booleans; substr stats stay NULL for docs that
+    // never reach that stage). The fixture plants URL threats/variant
+    // groups, non-en marker prefixes, repetition spam, lorem-ipsum,
+    // exact+near duplicate families, and a cross-doc verbatim sentence,
+    // so EVERY stage drops or rewrites someone at sf0.001 AND sf0.01.
+    // Fuzzy dedup runs at bands=32 so LSH recall at the J=0.8 boundary
+    // is 1-5e-8 — the exact-jaccard oracle must match pair-for-pair.
+    Q("td_pipeline_refinedweb",
+      (s, dir) => {
+        import graft.functions.Urls
+        val id = col("doc_id")
+        val constA = "nearly identical mirrored article body token01 " +
+          "token02 token03 token04 token05 token06 token07 token08 " +
+          "token09 token10 token11 token12 token13 token14 token15 " +
+          "token16 token17 token18"
+        val k10 = floor(id / 10).cast("long").cast("string")
+        val v = pmod(id, lit(10))
+        val url = when(v === 0,
+            concat(lit("https://ads.tracker.net/x"), id.cast("string")))
+          .when(v === 1,
+            concat(lit("https://example.com/casino-free-"), id.cast("string")))
+          .when(v === 2, concat(lit("https://Big.example.com/page"), k10))
+          .when(v === 3,
+            concat(lit("https://big.example.com:443/page"), k10, lit("/")))
+          .when(v.isin(4, 5, 6),
+            concat(lit("https://w"), pmod(id, lit(7)).cast("string"),
+              lit(".example.org/a"), id.cast("string")))
+          .otherwise(concat(lit("https://s"), id.cast("string"),
+            lit(".example.net/a"), id.cast("string")))
+        val txt = concat(
+          when(pmod(id, lit(11)) === 3,
+            lit("le la et les des le la et les des ")).otherwise(lit("")),
+          when(pmod(id, lit(23)) === 7,
+            lit("identical duplicate page body repeated verbatim across many crawled mirrors tonight"))
+            .when(pmod(id, lit(23)) === 8, lit(constA))
+            .when(pmod(id, lit(23)) === 9, lit(constA + " extratoken"))
+            .otherwise(col("text")),
+          when(pmod(id, lit(9)) === 4, repeat(lit(" buy now"), 40))
+            .otherwise(lit("")),
+          when(pmod(id, lit(17)) === 6, lit(" lorem ipsum")).otherwise(lit("")),
+          when(pmod(id, lit(13)) === 11,
+            lit(" shared verbatim boilerplate sentence spanning twelve whole tokens for substring dedup"))
+            .otherwise(lit("")))
+        val docs = Tables(s, dir, "documents")
+          .select(id, url.as("url"), txt.as("txt"))
+        val f = Urls.urlFilter(docs, "url",
+          blockedDomains = Seq("tracker.net"),
+          scoredWords = Seq(("casino", 30), ("free", 25)), maxScore = 50)
+        val enriched = f
+          .withColumn("pred_lang", TA.langId(col("txt")))
+          .withColumn("qual_ok",
+            TA.topNgramFraction(col("txt"), 2) < 0.18 &&
+              TA.dupNgramFraction(col("txt"), 3) < 0.30 &&
+              TA.c4DocKeep(col("txt")))
+        val s1 = enriched.filter(col("url_keep"))
+        val s2 = Urls.dedupByUrl(s1, "doc_id", "url")
+          .filter(col("canonical_id") === col("doc_id"))
+        val s4 = s2.filter(col("pred_lang") === "en" && col("qual_ok"))
+        val pairs = Dedup.nearDupPairs(s4.select(col("doc_id"), col("txt")),
+          "doc_id", "txt", threshold = 0.8, bands = 32)
+        val s5 = s4.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val sub = Dedup.exactSubstrDedup(s5.select(col("doc_id"), col("txt")),
+            "doc_id", "txt", w = 8)
+          .select(col("doc_id"), col("dup_windows"), col("removed_tokens"),
+            when(col("kept_text") === "", lit(0))
+              .otherwise(size(split(col("kept_text"), " ")))
+              .cast("int").as("n_tokens"))
+        val s6 = s5.select("doc_id", "url_host").join(sub, "doc_id")
+        val s7 = Sampling.capPerKey(s6, "doc_id", "url_host", cap = 8)
+        val s8 = Sampling.budgetSelect(
+          s7.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budgetTokens = 5000L)
+        def member(dfm: org.apache.spark.sql.DataFrame, name: String) =
+          dfm.select(col("doc_id")).withColumn(name, lit(true))
+        enriched
+          .select(col("doc_id"), col("url_keep"), col("pred_lang"),
+            col("qual_ok"))
+          .join(member(s2, "__canon"), Seq("doc_id"), "left")
+          .join(member(s5, "__nd"), Seq("doc_id"), "left")
+          .join(sub, Seq("doc_id"), "left")
+          .join(member(s7, "__cap"), Seq("doc_id"), "left")
+          .join(member(s8, "__bud"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("url_keep"),
+            (col("url_keep") && coalesce(col("__canon"), lit(false)))
+              .as("canon_ok"),
+            col("pred_lang"), col("qual_ok"),
+            coalesce(col("__nd"), lit(false)).as("neardup_ok"),
+            col("dup_windows"), col("removed_tokens"), col("n_tokens"),
+            coalesce(col("__cap"), lit(false)).as("cap_ok"),
+            coalesce(col("__bud"), lit(false)).as("budget_ok"),
+            coalesce(col("__bud"), lit(false)).as("keep_final"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fx AS (SELECT doc_id,
+          CASE doc_id % 10
+            WHEN 0 THEN 'https://ads.tracker.net/x' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'https://example.com/casino-free-' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN 'https://Big.example.com/page' || CAST(doc_id // 10 AS VARCHAR)
+            WHEN 3 THEN 'https://big.example.com:443/page' || CAST(doc_id // 10 AS VARCHAR) || '/'
+            WHEN 4 THEN 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a' || CAST(doc_id AS VARCHAR)
+            WHEN 5 THEN 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a' || CAST(doc_id AS VARCHAR)
+            WHEN 6 THEN 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://s' || CAST(doc_id AS VARCHAR) || '.example.net/a' || CAST(doc_id AS VARCHAR)
+          END AS url,
+          (CASE WHEN doc_id % 11 = 3 THEN 'le la et les des le la et les des ' ELSE '' END) ||
+          (CASE WHEN doc_id % 23 = 7 THEN 'identical duplicate page body repeated verbatim across many crawled mirrors tonight'
+                WHEN doc_id % 23 = 8 THEN 'nearly identical mirrored article body token01 token02 token03 token04 token05 token06 token07 token08 token09 token10 token11 token12 token13 token14 token15 token16 token17 token18'
+                WHEN doc_id % 23 = 9 THEN 'nearly identical mirrored article body token01 token02 token03 token04 token05 token06 token07 token08 token09 token10 token11 token12 token13 token14 token15 token16 token17 token18 extratoken'
+                ELSE text END) ||
+          (CASE WHEN doc_id % 9 = 4 THEN repeat(' buy now', 40) ELSE '' END) ||
+          (CASE WHEN doc_id % 17 = 6 THEN ' lorem ipsum' ELSE '' END) ||
+          (CASE WHEN doc_id % 13 = 11 THEN ' shared verbatim boilerplate sentence spanning twelve whole tokens for substring dedup' ELSE '' END)
+            AS txt
+        FROM documents),
+        uf AS (SELECT doc_id, url, txt,
+          (CASE WHEN regexp_matches(hp, '^www\..+\.')
+                THEN regexp_replace(hp, '^www\.', '') ELSE hp END) AS url_host,
+          (CASE WHEN contains(lower(url), 'casino') THEN 30 ELSE 0 END +
+           CASE WHEN contains(lower(url), 'free') THEN 25 ELSE 0 END) AS url_word_score
+          FROM (SELECT *, lower(regexp_replace(regexp_replace(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2),
+            '^[^@]*@', ''), ':[0-9]*$', '')) AS hp FROM fx)),
+        ufk AS (SELECT *,
+          (NOT (url_host = 'tracker.net' OR url_host LIKE '%.tracker.net')
+           AND url_word_score < 50) AS url_keep
+          FROM uf),
+        s1 AS (SELECT * FROM ufk WHERE url_keep),
+        un0 AS (SELECT doc_id, url,
+          lower(regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS sch,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2) AS a0,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS p0,
+          regexp_extract(url,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q0
+          FROM s1),
+        un1 AS (SELECT doc_id, url, sch, p0, q0,
+          regexp_extract(a0, '^([^@]*@)', 1) AS ui,
+          lower(regexp_replace(a0, '^[^@]*@', '')) AS hp FROM un0),
+        un2 AS (SELECT doc_id, sch, p0, q0, ui,
+          CASE WHEN regexp_matches(hp, '^www\..+\.')
+               THEN regexp_replace(hp, '^www\.', '') ELSE hp END AS hw FROM un1),
+        un AS (SELECT un0.doc_id,
+          CASE WHEN un0.sch = '' THEN trim(un0.url)
+               ELSE un0.sch || '://' ||
+                 un2.ui || (CASE WHEN un0.sch = 'http' THEN regexp_replace(un2.hw, ':80$', '')
+                            WHEN un0.sch = 'https' THEN regexp_replace(un2.hw, ':443$', '')
+                            ELSE un2.hw END) ||
+                 regexp_replace(un0.p0, '/+$', '') ||
+                 (CASE WHEN un0.q0 = '' THEN ''
+                       ELSE '?' || array_to_string(list_sort(string_split(un0.q0, '&')), '&') END)
+          END AS url_norm
+          FROM un0 JOIN un2 ON un0.doc_id = un2.doc_id),
+        ucan AS (SELECT url_norm, min(doc_id) AS canonical_id FROM un GROUP BY url_norm),
+        s2 AS (SELECT s1.doc_id FROM s1
+          JOIN un USING (doc_id) JOIN ucan USING (url_norm)
+          WHERE canonical_id = doc_id),
+        lid AS (SELECT doc_id,
+          CASE WHEN s_zh > greatest(s_en, s_fr, s_es, s_de) THEN 'zh'
+               WHEN s_de > greatest(s_en, s_fr, s_es) THEN 'de'
+               WHEN s_es > greatest(s_en, s_fr) THEN 'es'
+               WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS pred_lang
+          FROM (SELECT doc_id,
+              len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) s_en,
+              len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) s_fr,
+              len(list_filter(tk, x -> x IN ('el','los','las','una','y'))) s_es,
+              len(list_filter(tk, x -> x IN ('der','die','das','und','ein'))) s_de,
+              len(list_filter(tk, x -> x IN ('的','是','了','在','和'))) s_zh
+            FROM (SELECT doc_id, string_split(txt, ' ') tk FROM fx))),
+        gq AS (SELECT doc_id,
+          (CASE WHEN len(bg) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+            ELSE 0.0 END < 0.18
+           AND
+           CASE WHEN len(tg) > 0 THEN
+              CAST(len(list_filter(tg, x -> len(list_filter(tg, y -> y = x)) > 1))
+                AS DOUBLE) / len(tg)
+            ELSE 0.0 END < 0.30
+           AND NOT contains(lower(txt), 'lorem ipsum')
+           AND NOT contains(txt, '{')) AS qual_ok
+          FROM (SELECT doc_id, txt,
+              [tk[i]||' '||tk[i+1] for i in range(1, len(tk))] bg,
+              [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-1)] tg
+            FROM (SELECT doc_id, txt, string_split(txt, ' ') tk FROM fx))),
+        s4 AS (SELECT s2.doc_id, fx.txt FROM s2
+          JOIN fx USING (doc_id) JOIN lid USING (doc_id) JOIN gq USING (doc_id)
+          WHERE pred_lang = 'en' AND qual_ok),
+        ndg AS (SELECT doc_id, txt, min(doc_id) OVER (PARTITION BY md5(txt)) AS rep
+          FROM s4),
+        ndsh AS (SELECT doc_id,
+            list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+              for i in range(1, len(t) - 1)]) sh
+          FROM (SELECT doc_id, string_split(txt, ' ') t FROM ndg WHERE doc_id = rep)),
+        nddrop AS (
+          SELECT doc_id AS d FROM ndg WHERE doc_id <> rep
+          UNION
+          SELECT b.doc_id FROM ndsh a JOIN ndsh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT d FROM nddrop)),
+        sdu AS (SELECT doc_id, tk, len(tk) AS nt FROM
+          (SELECT doc_id, string_split(txt, ' ') tk FROM s5)),
+        sdw AS (SELECT doc_id, e.pos AS pos, e.w AS w FROM
+          (SELECT doc_id, unnest(CASE WHEN nt >= 8 THEN
+              [{'pos': i - 1, 'w': array_to_string(tk[i:i+7], ' ')}
+               for i in range(1, nt - 6)]
+            ELSE [] END) AS e FROM sdu)),
+        sdf AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+          FROM sdw),
+        sdd AS (SELECT doc_id,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+            list_distinct(flatten(list(CASE WHEN rn > 1
+              THEN [j for j in range(pos, pos + 8)] ELSE [] END))) AS rm
+          FROM sdf GROUP BY doc_id),
+        s6 AS (SELECT sdu.doc_id,
+            coalesce(sdd.dup_windows, 0) AS dup_windows,
+            CAST(coalesce(len(sdd.rm), 0) AS INT) AS removed_tokens,
+            CAST(len([x for x in range(0, sdu.nt)
+              if NOT list_contains(coalesce(sdd.rm, []), x)]) AS INT) AS n_tokens
+          FROM sdu LEFT JOIN sdd USING (doc_id)),
+        cp0 AS (SELECT s6.doc_id, s6.n_tokens, ufk.url_host,
+            count(*) OVER (PARTITION BY ufk.url_host) AS key_docs
+          FROM s6 JOIN ufk USING (doc_id)),
+        cpr AS (SELECT *, row_number() OVER (PARTITION BY url_host
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+          FROM cp0),
+        s7 AS (SELECT doc_id, n_tokens FROM cpr WHERE key_docs <= 8 OR rk <= 8),
+        b0 AS (SELECT doc_id,
+            sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS cum
+          FROM s7),
+        s8 AS (SELECT doc_id FROM b0 WHERE cum <= 5000)
+        SELECT d.doc_id, ufk.url_keep,
+          (ufk.url_keep AND s2.doc_id IS NOT NULL) AS canon_ok,
+          lid.pred_lang, gq.qual_ok,
+          (s5.doc_id IS NOT NULL) AS neardup_ok,
+          s6.dup_windows, s6.removed_tokens, s6.n_tokens,
+          (s7.doc_id IS NOT NULL) AS cap_ok,
+          (s8.doc_id IS NOT NULL) AS budget_ok,
+          (s8.doc_id IS NOT NULL) AS keep_final
+        FROM documents d
+        JOIN ufk ON ufk.doc_id = d.doc_id
+        LEFT JOIN s2 ON s2.doc_id = d.doc_id
+        JOIN lid ON lid.doc_id = d.doc_id
+        JOIN gq ON gq.doc_id = d.doc_id
+        LEFT JOIN s5 ON s5.doc_id = d.doc_id
+        LEFT JOIN s6 ON s6.doc_id = d.doc_id
+        LEFT JOIN s7 ON s7.doc_id = d.doc_id
+        LEFT JOIN s8 ON s8.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 
     // End-to-end curation pipeline — the composition a real pre-training

@@ -113,6 +113,35 @@ object TdScaleProbe {
       graft.functions.Bpe.learnDistributed(fx, "t", numMerges = 3)
     }
 
+    // round-17 additions: URL filtering (pure codegen scoring — the
+    // zero-shuffle claim is the thing to evidence), the per-domain cap
+    // on an even key mix, and the cap's worst-case skew shape (6/7 of
+    // the corpus on ONE domain) demonstrating that the Partial
+    // WindowGroupLimit truncates the mega-key map-side instead of
+    // funneling its full row set through one window partition sort.
+    out("url_filter") = med3 {
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://w"), pmod(col("doc_id"), lit(997)).cast("string"),
+          lit(".example.org/a"), col("doc_id").cast("string")).as("url"))
+      noop(graft.functions.Urls.urlFilter(urls, "url",
+        blockedDomains = Seq("ads.example.org", "tracker.net"),
+        scoredWords = Seq(("casino", 60), ("free", 30), ("spam", 50)),
+        maxScore = 50))
+    }
+    out("cap_per_key") = med3 {
+      val hosts = docs.select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(200)).cast("string"))
+          .as("host"))
+      noop(Sampling.capPerKey(hosts, "doc_id", "host", cap = 10))
+    }
+    out("cap_per_key_skew") = med3 {
+      val hosts = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("h"), col("doc_id").cast("string")))
+          .otherwise(lit("mega.com")).as("host"))
+      noop(Sampling.capPerKey(hosts, "doc_id", "host", cap = 10))
+    }
+
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"td_scale","docs":$nDocs,"probes":$qs,"sf":"$sfDir"}""")

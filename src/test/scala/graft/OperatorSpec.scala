@@ -341,6 +341,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(repPair.head._3 > 0.7)
   }
 
+  test("paragraph near-dup: cross-doc duplicate paragraphs pair; empty " +
+      "paragraphs drop but indices keep raw split offsets") {
+    import spark.implicits._
+    val boiler = "common header one two three four five six seven"
+    val uniq = (d: Long) => s"unique$d a$d b$d c$d d$d e$d f$d g$d"
+    // doc 1: boiler, empty (doubled delimiter), own para
+    // doc 2: own para, boiler           doc 3: own para only
+    val docs = Seq(
+      (1L, s"$boiler\n\n${uniq(1)}"),
+      (2L, s"${uniq(2)}\n$boiler"),
+      (3L, uniq(3))).toDF("doc_id", "text")
+    val out = Dedup.paraNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    // the boilerplate paragraph collapses to (doc1, para0); doc2's copy
+    // sits at raw index 1 — the dropped empty paragraph in doc 1 does
+    // NOT shift doc 1's own para away from index 2
+    assert(out == Set((1L, 0, 2L, 1, 1.0)), out.toString)
+    // the surviving unit universe keeps raw offsets: rerun with doc 1's
+    // own para duplicated into doc 3 to see index 2 appear
+    val docs2 = Seq(
+      (1L, s"$boiler\n\n${uniq(1)}"),
+      (3L, s"${uniq(3)}\n${uniq(1)}")).toDF("doc_id", "text")
+    val out2 = Dedup.paraNearDupPairs(docs2, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out2 == Set((1L, 2, 3L, 1)), out2.toString)
+    // range guard: a negative doc id must fail loudly, not wrap into
+    // another document's packed id space
+    val bad = Seq((-1L, "a b c d")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.paraNearDupPairs(bad, "doc_id", "text", 0.8).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
     import spark.implicits._
     val history = Seq("seen one", "seen two").toDF("text")

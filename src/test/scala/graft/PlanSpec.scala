@@ -143,6 +143,34 @@ class PlanSpec extends AnyFunSuite {
     assert(out.getString(1) == "naive")
   }
 
+  test("capPerKey plans one window pass with a pushed WindowGroupLimit " +
+      "and no union/double-scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("solo-"), col("doc_id").cast("string")))
+          .otherwise(lit("big.com")).as("host"))
+    val plan = formatted(
+      graft.functions.Sampling.capPerKey(docs, "doc_id", "host", 10))
+    // the per-key top-k must truncate MAP-SIDE before the window
+    // exchange: a Partial WindowGroupLimit caps every task's output at
+    // `cap` rows per synthetic key, so a mega-domain ships `cap` rows
+    // per map task, not its whole partition
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    // exactly one Window pass over ONE synthetic key — the pre-r16
+    // two-branch shape unioned an under-cap scan with an over-cap
+    // window and read the corpus four times
+    assert(!plan.contains("Union"), plan)
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(plan).length == 1, plan)
+    // formatted mode prints each node in the tree AND the detail list;
+    // "(N) Scan parquet" appears once per node, in the details only
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"capPerKey reads the corpus twice (count agg + probe), got $scans:\n$plan")
+  }
+
   test("ivf plan size stays flat as nlist grows (broadcast centroids, " +
       "not plan literals)") {
     import org.apache.spark.sql.functions._
