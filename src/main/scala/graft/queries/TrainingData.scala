@@ -2071,28 +2071,39 @@ object TrainingData {
         val f = Urls.urlFilter(docs, "url",
           blockedDomains = Seq("tracker.net"),
           scoredWords = Seq(("casino", 30), ("free", 25)), maxScore = 50)
+        // every stage output below is localCheckpoint-materialized: each
+        // feeds 2-3 downstream subtrees (the next stage plus the final
+        // membership flags), and a real curation run persists stage
+        // outputs between passes too — without the cut, the audit row's
+        // plan re-derives the whole upstream funnel once per consumer
+        // (53 corpus scans at this row's first uncut EXPLAIN)
         val enriched = f
           .withColumn("pred_lang", TA.langId(col("txt")))
           .withColumn("qual_ok",
             TA.topNgramFraction(col("txt"), 2) < 0.18 &&
               TA.dupNgramFraction(col("txt"), 3) < 0.30 &&
               TA.c4DocKeep(col("txt")))
+          .localCheckpoint()
         val s1 = enriched.filter(col("url_keep"))
         val s2 = Urls.dedupByUrl(s1, "doc_id", "url")
           .filter(col("canonical_id") === col("doc_id"))
+          .localCheckpoint()
         val s4 = s2.filter(col("pred_lang") === "en" && col("qual_ok"))
         val pairs = Dedup.nearDupPairs(s4.select(col("doc_id"), col("txt")),
           "doc_id", "txt", threshold = 0.8, bands = 32)
         val s5 = s4.join(pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         val sub = Dedup.exactSubstrDedup(s5.select(col("doc_id"), col("txt")),
             "doc_id", "txt", w = 8)
           .select(col("doc_id"), col("dup_windows"), col("removed_tokens"),
             when(col("kept_text") === "", lit(0))
               .otherwise(size(split(col("kept_text"), " ")))
               .cast("int").as("n_tokens"))
+          .localCheckpoint()
         val s6 = s5.select("doc_id", "url_host").join(sub, "doc_id")
         val s7 = Sampling.capPerKey(s6, "doc_id", "url_host", cap = 8)
+          .localCheckpoint()
         val s8 = Sampling.budgetSelect(
           s7.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budgetTokens = 5000L)
