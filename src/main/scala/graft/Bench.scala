@@ -134,7 +134,11 @@ object Bench {
     // ~30% normalized on this DUP-FREE corpus, the documented insurance
     // premium. Reference moved 1.65 → 2.22 to track the operator as
     // shipped.
-    "td_dedup_near" -> 2.22, "td_sim_topk" -> 1.45,
+    // r17 re-read (VERDICT r16 #4): 2.70 on the round's all-gates-clean
+    // run vs 2.22-2.28 across r16 — ref moved to the midpoint of the
+    // clean readings; the collapse-prepass premium is stable, the drift
+    // is box noise on a 2-3 s query.
+    "td_dedup_near" -> 2.46, "td_sim_topk" -> 1.45,
     "td_dedup_ngram" -> 4.40, "op_delta_skipping" -> 1.19,
     "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
     "bench_ingest_db" -> 3.10,
@@ -165,7 +169,17 @@ object Bench {
     // full-run readings (0.62 all-gates-clean morning, 1.10 on the noisy
     // afternoon host) — a sub-second query's relative jitter is too wide
     // for a single-reading band; re-read next idle round.
-    "td_dedup_url" -> 0.86, "td_pipeline_ccnet" -> 9.14)
+    // td_dedup_url re-read on the r17 clean run: 0.824 — lands on the
+    // r16 midpoint, band no longer provisional.
+    "td_dedup_url" -> 0.82, "td_pipeline_ccnet" -> 9.14,
+    // round-17 additions (all-gates-clean run 2026-08-16 23:08): the
+    // composed RefinedWeb row is the set's priciest by design — eight
+    // chained stages with per-stage checkpoints; priced AFTER the
+    // Gopher sorted-run-aggregate fix (its first reading, 211 s, was
+    // the O(n³) captured-lambda expression form — see BASELINE.md
+    // round-17). td_dedup_para is the paragraph explode + collapse +
+    // banded LSH chain over ~4x the unit count of the doc-level row.
+    "td_pipeline_refinedweb" -> 16.64, "td_dedup_para" -> 3.08)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2
   def CalibSparkRefSec: Double = (CalibSparkRefBand._1 + CalibSparkRefBand._2) / 2
