@@ -90,8 +90,9 @@ object TextAnalysis {
     *     all n-gram occurrences (boilerplate detector);
     *   - duplicate n-gram fraction: share of n-gram occurrences whose gram
     *     appears more than once (loop/spam detector).
-    * Pure codegen expressions — per-row O(distinct·total) on short docs;
-    * both fold to exact INT/INT divisions, so the oracle matches bitwise.
+    * Pure expressions — per-row O(n log n) via [[runStats]]' sorted-run
+    * aggregate; both fold to exact INT/INT divisions, so the oracle
+    * matches bitwise.
     */
   /** Run-length stats of a gram array via ONE aggregate over its sorted
     * form: (top multiplicity, count of grams occurring exactly once).
@@ -143,11 +144,13 @@ object TextAnalysis {
     * [[topNgramFraction]]/[[dupNgramFraction]], different plan shape):
     * explode n-gram occurrences → `groupBy(doc, gram).count` → one
     * aggregation per doc. Linear in total occurrences with two keyed,
-    * map-side-combined shuffles — the expression form is per-row
-    * O(distinct·total), which on a 100k-token document is ~10¹⁰
-    * comparisons inside ONE task with no way to parallelize within the
-    * row. Use this form when documents can be long; the expression form
-    * remains the shuffle-free fast path for short-doc corpora.
+    * map-side-combined shuffles. The expression form is per-row
+    * O(n log n) since the r17 sorted-run rebuild, but it still sorts and
+    * folds a 100k-token document's gram array inside ONE task with
+    * interpreted per-element lambda cost and no way to parallelize
+    * within the row — use this form when documents can be long; the
+    * expression form remains the shuffle-free fast path for short-doc
+    * corpora.
     *
     * Output: one row per input row — (idCol, top_ngram_frac,
     * dup_ngram_frac), 0.0 for documents with no n-grams.
@@ -189,9 +192,10 @@ object TextAnalysis {
     * public entry point so the 100k-token failure mode can't be selected
     * by accident. A cheap probe — approximate p99 of text length in
     * chars — picks the plan:
-    *   - short-doc corpora take the shuffle-free codegen expression form
-    *     ([[topNgramFraction]]/[[dupNgramFraction]] are per-row
-    *     O(distinct·total), fine under ~1k tokens);
+    *   - short-doc corpora take the shuffle-free expression form
+    *     ([[topNgramFraction]]/[[dupNgramFraction]] — per-row
+    *     O(n log n) sorted-run aggregates since r17, cheap under ~1k
+    *     tokens);
     *   - anything longer takes [[gopherMetrics]]'s explode→groupBy form
     *     (linear in occurrences, parallel WITHIN a document).
     * The probe costs one scan of the text lengths; the wrong plan on a

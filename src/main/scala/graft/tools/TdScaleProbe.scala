@@ -142,6 +142,27 @@ object TdScaleProbe {
       noop(Sampling.capPerKey(hosts, "doc_id", "host", cap = 10))
     }
 
+    // round-17: the alternating-star connected components, probed on
+    // its two extreme shapes — a corpus-length CHAIN (worst diameter;
+    // the shape min-label propagation could not close in bounded
+    // rounds) and a star-group forest (the dedup-cluster common case).
+    // Chain rounds grow like log2(n), so the 10x ratio carries one
+    // extra ~3 rounds of fixed per-round cost, not 10x the work.
+    val ccIds = docs.select(col("doc_id"))
+    out("cc_chain") = med3 {
+      noop(Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b")).filter(col("id_b") < nDocs),
+        ccIds, "doc_id"))
+    }
+    out("cc_groups") = med3 {
+      noop(Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id_a"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5))).as("id_b"))
+          .filter(col("id_a") =!= col("id_b")),
+        ccIds, "doc_id"))
+    }
+
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"td_scale","docs":$nDocs,"probes":$qs,"sf":"$sfDir"}""")
