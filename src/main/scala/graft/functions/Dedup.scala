@@ -197,14 +197,24 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val paras = df
       .select(col(idCol).cast("long").as("__doc"),
-        posexplode(split(col(textCol), paraDelim)).as(Seq("__pidx", "__p")))
+        // quote the delimiter: split() takes a Java regex, and a caller
+        // passing "|" or "." as a LITERAL separator would otherwise
+        // explode the text into per-character garbage paragraphs
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(paraDelim))).as(Seq("__pidx", "__p")))
       .filter(col("__p") =!= "")
     val units = paras.select(
-      when(col("__doc") < 0 || col("__doc") >= (1L << 43) ||
-          col("__pidx") >= (1 << 20),
+      // NULL guard too: a NULL id (or a non-numeric string id nulled by
+      // the long cast) would make the range condition NULL, skip the
+      // raise, and pack every paragraph under a NULL pid — which the
+      // collapse's non-null-safe rep filter then silently drops,
+      // reporting an empty pair list instead of failing loudly
+      when(col("__doc").isNull || col("__doc") < 0 ||
+          col("__doc") >= (1L << 43) || col("__pidx") >= (1 << 20),
         raise_error(concat(
-          lit("paraNearDupPairs: need 0 <= doc id < 2^43 and < 2^20 " +
-            "paragraphs per doc, got doc="), col("__doc"),
+          lit("paraNearDupPairs: need a non-null long-castable doc id in " +
+            "[0, 2^43) and < 2^20 paragraphs per doc, got doc="),
+          coalesce(col("__doc").cast("string"), lit("NULL")),
           lit(" para="), col("__pidx"))))
         .otherwise(shiftleft(col("__doc"), 20) + col("__pidx"))
         .as("__pid"),
@@ -540,7 +550,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var rounds = 0
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged) {
       rounds += 1
       // large-star over the SYMMETRIC neighborhood: m = min(N(u) ∪ {u});
@@ -567,10 +578,14 @@ object Dedup {
         .localCheckpoint(true)
       // fixpoint = the round left the edge set unchanged (both steps
       // only ever emit (node, smaller-reachable-id) pairs, so set
-      // equality is the paper's all-stars termination test)
-      converged = stepped.count() == e.count() &&
-        stepped.unionAll(e).distinct().count() == e.count()
+      // equality is the paper's all-stars termination test). The old
+      // count rides along from last round's probe — one count + one
+      // union-distinct job per round, not three.
+      val steppedCount = stepped.count()
+      converged = steppedCount == eCount &&
+        stepped.unionAll(e).distinct().count() == eCount
       e = stepped
+      eCount = steppedCount
     }
     val roots = e.groupBy("__u").agg(min("__v").as("__root"))
     val labels = nodes.join(roots, nodes("__id") === roots("__u"), "left")

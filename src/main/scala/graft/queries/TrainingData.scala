@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Dsir, Multimodal, Packing, Sampling, Similarity, TextAnalysis => TA}
@@ -2031,103 +2032,8 @@ object TrainingData {
     // Fuzzy dedup runs at bands=32 so LSH recall at the J=0.8 boundary
     // is 1-5e-8 — the exact-jaccard oracle must match pair-for-pair.
     Q("td_pipeline_refinedweb",
-      (s, dir) => {
-        import graft.functions.Urls
-        val id = col("doc_id")
-        val constA = "nearly identical mirrored article body token01 " +
-          "token02 token03 token04 token05 token06 token07 token08 " +
-          "token09 token10 token11 token12 token13 token14 token15 " +
-          "token16 token17 token18"
-        val k10 = floor(id / 10).cast("long").cast("string")
-        val v = pmod(id, lit(10))
-        val url = when(v === 0,
-            concat(lit("https://ads.tracker.net/x"), id.cast("string")))
-          .when(v === 1,
-            concat(lit("https://example.com/casino-free-"), id.cast("string")))
-          .when(v === 2, concat(lit("https://Big.example.com/page"), k10))
-          .when(v === 3,
-            concat(lit("https://big.example.com:443/page"), k10, lit("/")))
-          .when(v.isin(4, 5, 6),
-            concat(lit("https://w"), pmod(id, lit(7)).cast("string"),
-              lit(".example.org/a"), id.cast("string")))
-          .otherwise(concat(lit("https://s"), id.cast("string"),
-            lit(".example.net/a"), id.cast("string")))
-        val txt = concat(
-          when(pmod(id, lit(11)) === 3,
-            lit("le la et les des le la et les des ")).otherwise(lit("")),
-          when(pmod(id, lit(23)) === 7,
-            lit("identical duplicate page body repeated verbatim across many crawled mirrors tonight"))
-            .when(pmod(id, lit(23)) === 8, lit(constA))
-            .when(pmod(id, lit(23)) === 9, lit(constA + " extratoken"))
-            .otherwise(col("text")),
-          when(pmod(id, lit(9)) === 4, repeat(lit(" buy now"), 40))
-            .otherwise(lit("")),
-          when(pmod(id, lit(17)) === 6, lit(" lorem ipsum")).otherwise(lit("")),
-          when(pmod(id, lit(13)) === 11,
-            lit(" shared verbatim boilerplate sentence spanning twelve whole tokens for substring dedup"))
-            .otherwise(lit("")))
-        val docs = Tables(s, dir, "documents")
-          .select(id, url.as("url"), txt.as("txt"))
-        val f = Urls.urlFilter(docs, "url",
-          blockedDomains = Seq("tracker.net"),
-          scoredWords = Seq(("casino", 30), ("free", 25)), maxScore = 50)
-        // every stage output below is localCheckpoint-materialized: each
-        // feeds 2-3 downstream subtrees (the next stage plus the final
-        // membership flags), and a real curation run persists stage
-        // outputs between passes too — without the cut, the audit row's
-        // plan re-derives the whole upstream funnel once per consumer
-        // (53 corpus scans at this row's first uncut EXPLAIN)
-        val enriched = f
-          .withColumn("pred_lang", TA.langId(col("txt")))
-          .withColumn("qual_ok",
-            TA.topNgramFraction(col("txt"), 2) < 0.18 &&
-              TA.dupNgramFraction(col("txt"), 3) < 0.30 &&
-              TA.c4DocKeep(col("txt")))
-          .localCheckpoint()
-        val s1 = enriched.filter(col("url_keep"))
-        val s2 = Urls.dedupByUrl(s1, "doc_id", "url")
-          .filter(col("canonical_id") === col("doc_id"))
-          .localCheckpoint()
-        val s4 = s2.filter(col("pred_lang") === "en" && col("qual_ok"))
-        val pairs = Dedup.nearDupPairs(s4.select(col("doc_id"), col("txt")),
-          "doc_id", "txt", threshold = 0.8, bands = 32)
-        val s5 = s4.join(pairs.select(col("id_b").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        val sub = Dedup.exactSubstrDedup(s5.select(col("doc_id"), col("txt")),
-            "doc_id", "txt", w = 8)
-          .select(col("doc_id"), col("dup_windows"), col("removed_tokens"),
-            when(col("kept_text") === "", lit(0))
-              .otherwise(size(split(col("kept_text"), " ")))
-              .cast("int").as("n_tokens"))
-          .localCheckpoint()
-        val s6 = s5.select("doc_id", "url_host").join(sub, "doc_id")
-        val s7 = Sampling.capPerKey(s6, "doc_id", "url_host", cap = 8)
-          .localCheckpoint()
-        val s8 = Sampling.budgetSelect(
-          s7.select(col("doc_id"), col("n_tokens")),
-          "doc_id", "n_tokens", budgetTokens = 5000L)
-        def member(dfm: org.apache.spark.sql.DataFrame, name: String) =
-          dfm.select(col("doc_id")).withColumn(name, lit(true))
-        enriched
-          .select(col("doc_id"), col("url_keep"), col("pred_lang"),
-            col("qual_ok"))
-          .join(member(s2, "__canon"), Seq("doc_id"), "left")
-          .join(member(s5, "__nd"), Seq("doc_id"), "left")
-          .join(sub, Seq("doc_id"), "left")
-          .join(member(s7, "__cap"), Seq("doc_id"), "left")
-          .join(member(s8, "__bud"), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("url_keep"),
-            (col("url_keep") && coalesce(col("__canon"), lit(false)))
-              .as("canon_ok"),
-            col("pred_lang"), col("qual_ok"),
-            coalesce(col("__nd"), lit(false)).as("neardup_ok"),
-            col("dup_windows"), col("removed_tokens"), col("n_tokens"),
-            coalesce(col("__cap"), lit(false)).as("cap_ok"),
-            coalesce(col("__bud"), lit(false)).as("budget_ok"),
-            coalesce(col("__bud"), lit(false)).as("keep_final"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => refinedWebPipeline(
+        refinedWebFixture(Tables(s, dir, "documents"))).orderBy("doc_id"),
       Some("""WITH fx AS (SELECT doc_id,
           CASE doc_id % 10
             WHEN 0 THEN 'https://ads.tracker.net/x' || CAST(doc_id AS VARCHAR)
@@ -2334,6 +2240,122 @@ object TrainingData {
           ((cum - 1) // 256) - ((cum - n_tokens) // 256) + 1 AS n_seqs
         FROM c ORDER BY doc_id"""))
   )
+
+  /** The td_pipeline_refinedweb FIXTURE, shared with
+    * [[graft.tools.RwProfile]] — one definition so the stage profiler
+    * can never silently measure a different corpus than the gated row
+    * prices. Plants URL threats/variant groups, non-en marker prefixes,
+    * repetition spam, lorem-ipsum, exact+near duplicate families, and a
+    * cross-document verbatim sentence, keyed on doc_id mods. */
+  private[graft] def refinedWebFixture(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val constA = "nearly identical mirrored article body token01 " +
+      "token02 token03 token04 token05 token06 token07 token08 " +
+      "token09 token10 token11 token12 token13 token14 token15 " +
+      "token16 token17 token18"
+    val k10 = floor(id / 10).cast("long").cast("string")
+    val v = pmod(id, lit(10))
+    val url = when(v === 0,
+        concat(lit("https://ads.tracker.net/x"), id.cast("string")))
+      .when(v === 1,
+        concat(lit("https://example.com/casino-free-"), id.cast("string")))
+      .when(v === 2, concat(lit("https://Big.example.com/page"), k10))
+      .when(v === 3,
+        concat(lit("https://big.example.com:443/page"), k10, lit("/")))
+      .when(v.isin(4, 5, 6),
+        concat(lit("https://w"), pmod(id, lit(7)).cast("string"),
+          lit(".example.org/a"), id.cast("string")))
+      .otherwise(concat(lit("https://s"), id.cast("string"),
+        lit(".example.net/a"), id.cast("string")))
+    val txt = concat(
+      when(pmod(id, lit(11)) === 3,
+        lit("le la et les des le la et les des ")).otherwise(lit("")),
+      when(pmod(id, lit(23)) === 7,
+        lit("identical duplicate page body repeated verbatim across many crawled mirrors tonight"))
+        .when(pmod(id, lit(23)) === 8, lit(constA))
+        .when(pmod(id, lit(23)) === 9, lit(constA + " extratoken"))
+        .otherwise(col("text")),
+      when(pmod(id, lit(9)) === 4, repeat(lit(" buy now"), 40))
+        .otherwise(lit("")),
+      when(pmod(id, lit(17)) === 6, lit(" lorem ipsum")).otherwise(lit("")),
+      when(pmod(id, lit(13)) === 11,
+        lit(" shared verbatim boilerplate sentence spanning twelve whole tokens for substring dedup"))
+        .otherwise(lit("")))
+    documents.select(id, url.as("url"), txt.as("txt"))
+  }
+
+  /** The eight-stage RefinedWeb composition over a (doc_id, url, txt)
+    * frame, shared with [[graft.tools.RwProfile]]. `tap` wraps each
+    * named stage's construction — the gated row uses the identity
+    * pass-through; the profiler times/materializes there. Every stage
+    * output is localCheckpoint-materialized: each feeds 2-3 downstream
+    * subtrees (the next stage plus the final membership flags), and a
+    * real curation run persists stage outputs between passes too —
+    * without the cut, the audit row's plan re-derived the whole
+    * upstream funnel once per consumer (53 corpus scans at the first
+    * uncut EXPLAIN). */
+  private[graft] def refinedWebPipeline(docs: DataFrame,
+      tap: (String, () => DataFrame) => DataFrame =
+        (_, f) => f()): DataFrame = {
+    import graft.functions.Urls
+    val enriched = tap("enrich", () =>
+      Urls.urlFilter(docs, "url",
+          blockedDomains = Seq("tracker.net"),
+          scoredWords = Seq(("casino", 30), ("free", 25)), maxScore = 50)
+        .withColumn("pred_lang", TA.langId(col("txt")))
+        .withColumn("qual_ok",
+          TA.topNgramFraction(col("txt"), 2) < 0.18 &&
+            TA.dupNgramFraction(col("txt"), 3) < 0.30 &&
+            TA.c4DocKeep(col("txt")))
+        .localCheckpoint())
+    val s2 = tap("url_dedup", () =>
+      Urls.dedupByUrl(enriched.filter(col("url_keep")), "doc_id", "url")
+        .filter(col("canonical_id") === col("doc_id"))
+        .localCheckpoint())
+    val s4 = s2.filter(col("pred_lang") === "en" && col("qual_ok"))
+    val pairs = tap("near_dup", () =>
+      Dedup.nearDupPairs(s4.select(col("doc_id"), col("txt")),
+        "doc_id", "txt", threshold = 0.8, bands = 32))
+    val s5 = tap("drop_pairs", () =>
+      s4.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .localCheckpoint())
+    val sub = tap("substr", () =>
+      Dedup.exactSubstrDedup(s5.select(col("doc_id"), col("txt")),
+          "doc_id", "txt", w = 8)
+        .select(col("doc_id"), col("dup_windows"), col("removed_tokens"),
+          when(col("kept_text") === "", lit(0))
+            .otherwise(size(split(col("kept_text"), " ")))
+            .cast("int").as("n_tokens"))
+        .localCheckpoint())
+    val s7 = tap("cap", () =>
+      Sampling.capPerKey(
+        s5.select("doc_id", "url_host").join(sub, "doc_id"),
+        "doc_id", "url_host", cap = 8)
+        .localCheckpoint())
+    val s8 = tap("budget", () =>
+      Sampling.budgetSelect(s7.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 5000L))
+    def member(dfm: DataFrame, name: String) =
+      dfm.select(col("doc_id")).withColumn(name, lit(true))
+    enriched
+      .select(col("doc_id"), col("url_keep"), col("pred_lang"),
+        col("qual_ok"))
+      .join(member(s2, "__canon"), Seq("doc_id"), "left")
+      .join(member(s5, "__nd"), Seq("doc_id"), "left")
+      .join(sub, Seq("doc_id"), "left")
+      .join(member(s7, "__cap"), Seq("doc_id"), "left")
+      .join(member(s8, "__bud"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url_keep"),
+        (col("url_keep") && coalesce(col("__canon"), lit(false)))
+          .as("canon_ok"),
+        col("pred_lang"), col("qual_ok"),
+        coalesce(col("__nd"), lit(false)).as("neardup_ok"),
+        col("dup_windows"), col("removed_tokens"), col("n_tokens"),
+        coalesce(col("__cap"), lit(false)).as("cap_ok"),
+        coalesce(col("__bud"), lit(false)).as("budget_ok"),
+        coalesce(col("__bud"), lit(false)).as("keep_final"))
+  }
 
   /** Square-wave WAVs cycling the sample format by doc_id: 8-bit PCM,
     * 24-bit PCM, float32 — amplitudes chosen so rms/peak are exact in
