@@ -38,8 +38,18 @@ object LeakProbe {
       val now = spark.conf.getAll
       val changed = (now.keySet ++ baseline.keySet).filter(k => now.get(k) != baseline.get(k))
       if (changed.nonEmpty) {
+        // save/restore code written as getOption-then-set materializes a
+        // conf's DEFAULT as an explicit entry (getOption resolves
+        // defaults for registered confs): the value never changed, but
+        // getAll starts reporting the key. Resolve each changed key
+        // against a fresh child session (same context, clean conf) and
+        // label value==default diffs as benign so a real leak stands out.
+        val fresh = spark.newSession()
         changed.toSeq.sorted.foreach { k =>
-          println(s"[probe] AFTER $name conf $k: ${baseline.get(k)} -> ${now.get(k)}")
+          val default = scala.util.Try(fresh.conf.get(k)).toOption
+          val benign = now.get(k).isDefined && now.get(k) == default
+          val tag = if (benign) " (= default, benign materialization)" else ""
+          println(s"[probe] AFTER $name conf $k: ${baseline.get(k)} -> ${now.get(k)}$tag")
         }
         baseline = now
       }

@@ -376,6 +376,24 @@ class OperatorSpec extends AnyFunSuite {
       Dedup.paraNearDupPairs(bad, "doc_id", "text", 0.8).collect()
     }
     assert(ex.getMessage != null)
+    // NULL ids raise too — the long cast nulls them, and a NULL packed
+    // id would otherwise make the collapse silently drop every
+    // paragraph and report an empty pair list
+    val nullId = Seq((Option.empty[Long], "a b c d"),
+      (Some(1L), "a b c d")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      Dedup.paraNearDupPairs(nullId, "doc_id", "text", 0.8).collect()
+    }
+    assert(ex2.getMessage != null)
+    // the delimiter is a LITERAL, not a regex: '|' as a separator must
+    // split on pipes, not on the empty match at every position
+    val piped = Seq((1L, s"$boiler|${uniq(1)}"),
+      (2L, s"${uniq(2)}|$boiler")).toDF("doc_id", "text")
+    val out3 = Dedup.paraNearDupPairs(piped, "doc_id", "text", 0.8,
+        paraDelim = "|")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out3 == Set((1L, 0, 2L, 1)), out3.toString)
   }
 
   test("dedupAgainstHistory: exact anti-join result, bloom-bounded verify") {
