@@ -183,8 +183,12 @@ object Dedup {
     *
     * Unit ids pack (doc, index) into one long — doc << 20 | index —
     * so the collapse/band/verify pipeline runs unchanged; ids are
-    * range-guarded (doc in [0, 2^43), index < 2^20) and the packing is
-    * exact bit arithmetic, never a double round-trip. Scale shape is
+    * range-guarded (non-null, doc in [0, 2^43), index < 2^20) and the
+    * packing is exact bit arithmetic, never a double round-trip. Doc
+    * ids must be UNIQUE, like every id-keyed operator in this module
+    * (duplicate ids collide in the packed space and attribute pairs to
+    * whichever row wins — uniqueness is the corpus contract, not
+    * re-checked per operator). Scale shape is
     * [[nearDupPairs]] on the paragraph multiset: corpus-linear explode,
     * one collapse groupBy (which absorbs the web's giant repeated-
     * boilerplate groups as stars), banded join over representatives.

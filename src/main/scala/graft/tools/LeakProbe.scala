@@ -26,6 +26,9 @@ object LeakProbe {
       catch { case e: Throwable => s"READ-FAIL: ${e.getMessage.take(120)}" }
 
     var baseline = spark.conf.getAll
+    // default-resolution oracle for the benign-materialization label:
+    // one child session (same context, clean conf), built once
+    val fresh = spark.newSession()
     println(s"[probe] initial ts type: ${tsType()}")
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
@@ -41,13 +44,14 @@ object LeakProbe {
         // save/restore code written as getOption-then-set materializes a
         // conf's DEFAULT as an explicit entry (getOption resolves
         // defaults for registered confs): the value never changed, but
-        // getAll starts reporting the key. Resolve each changed key
-        // against a fresh child session (same context, clean conf) and
-        // label value==default diffs as benign so a real leak stands out.
-        val fresh = spark.newSession()
+        // getAll starts reporting the key. Label ONLY the
+        // None -> Some(default) shape as benign — a Some(custom) ->
+        // Some(default) transition is a real restore and must not be
+        // skimmed past under the benign tag.
         changed.toSeq.sorted.foreach { k =>
           val default = scala.util.Try(fresh.conf.get(k)).toOption
-          val benign = now.get(k).isDefined && now.get(k) == default
+          val benign = baseline.get(k).isEmpty &&
+            now.get(k).isDefined && now.get(k) == default
           val tag = if (benign) " (= default, benign materialization)" else ""
           println(s"[probe] AFTER $name conf $k: ${baseline.get(k)} -> ${now.get(k)}$tag")
         }

@@ -38,6 +38,30 @@ object RwProfile {
 
     val docs = TrainingData.refinedWebFixture(
       Tables(spark, sfDir, "documents")).localCheckpoint()
+
+    // per-primitive timings of the enrich stage's expressions — the
+    // granularity that isolated the r17 Gopher O(n³) regression: a slow
+    // aggregated "enrich" below points HERE to name the culprit
+    {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextAnalysis => TA, Urls}
+      def prim(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[rw] p_$name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      prim("urlfilter")(Urls.urlFilter(docs, "url",
+        blockedDomains = Seq("tracker.net"),
+        scoredWords = Seq(("casino", 30), ("free", 25)), maxScore = 50))
+      prim("langid")(docs.select(col("doc_id"),
+        TA.langId(col("txt")).as("v")))
+      prim("top2")(docs.select(col("doc_id"),
+        TA.topNgramFraction(col("txt"), 2).as("v")))
+      prim("dup3")(docs.select(col("doc_id"),
+        TA.dupNgramFraction(col("txt"), 3).as("v")))
+      prim("c4")(docs.select(col("doc_id"), TA.c4DocKeep(col("txt")).as("v")))
+    }
+
     val t0 = System.nanoTime()
     TrainingData.refinedWebPipeline(docs, tap)
       .write.format("noop").mode("overwrite").save()

@@ -375,7 +375,8 @@ class OperatorSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       Dedup.paraNearDupPairs(bad, "doc_id", "text", 0.8).collect()
     }
-    assert(ex.getMessage != null)
+    // pin the GUARD's raise, not just any exception from collect()
+    assert(ex.getMessage.contains("paraNearDupPairs"), ex.getMessage)
     // NULL ids raise too — the long cast nulls them, and a NULL packed
     // id would otherwise make the collapse silently drop every
     // paragraph and report an empty pair list
@@ -384,7 +385,7 @@ class OperatorSpec extends AnyFunSuite {
     val ex2 = intercept[Exception] {
       Dedup.paraNearDupPairs(nullId, "doc_id", "text", 0.8).collect()
     }
-    assert(ex2.getMessage != null)
+    assert(ex2.getMessage.contains("paraNearDupPairs"), ex2.getMessage)
     // the delimiter is a LITERAL, not a regex: '|' as a separator must
     // split on pipes, not on the empty match at every position
     val piped = Seq((1L, s"$boiler|${uniq(1)}"),
