@@ -343,12 +343,12 @@ object Bench {
 
     // One full measurement pass: calibration, round-robin sampling,
     // ingest rounds, metrics. Returns (flagged, inbandLedgerEntry,
-    // jsonLine) so the ledger guard below can re-run a contended /
-    // out-of-band pass instead of committing it (VERDICT r10 item 5 —
-    // the closing artifact must be an in-band run whenever the box
-    // allows one) and persist a clean pass's medians for later flagged
-    // artifacts to reference.
-    def attemptRun(attempt: Int): (Boolean, String, String) = {
+    // compactJsonLine, diagJson) so the ledger guard below can re-run a
+    // contended / out-of-band pass instead of committing it (VERDICT
+    // r10 item 5 — the closing artifact must be an in-band run whenever
+    // the box allows one) and persist a clean pass's medians for later
+    // flagged artifacts to reference.
+    def attemptRun(attempt: Int): (Boolean, String, String, String) = {
     // calibration before the measured queries (post-warm-up, so JIT and
     // Spark session startup don't pollute it); spark calib is median-of-5
     // after one discarded warm run (VERDICT r9 item 6)
@@ -496,10 +496,20 @@ object Bench {
       f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
     // the full gate (VERDICT r12 item 3): calibration bands (slow side)
     // AND the spread detector AND the per-query reference bands — a
-    // pass ships clean only when all three agree it was a measurement
+    // pass ships clean only when all three agree it was a measurement.
+    //
+    // EMIT SPLIT (VERDICT r17 item 1, two rounds of `parsed: null`): the
+    // old single stdout line carried every diagnostic map and outgrew
+    // the driver's bounded tail capture, so no complete JSON line ever
+    // survived to parse. The stdout line is now the COMPACT contract
+    // (metric/value/unit/queries/sf + the headline gates, ~1.5 KB); the
+    // full diagnostics ship as a second element, written to the sidecar
+    // file and stderr by the emitter below — nothing is dropped, it
+    // just no longer rides the parsed line.
     (contended || polluted != "[]" || bandOut.nonEmpty,
       inbandEntry,
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"polluted":$polluted,"band_out":$bandOutJson,"resampled":$resampledJson,"band_hi_factor":$BandHiFactor%.2f,"ingest":$ingestRates,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_spark_sec":$calibSparkSec%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","contended":$contended,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"round-robin median (rounds: $fastIters%d, slow>=${fastCutoffSec}%.0fs stop at $iters%d)","attempt":$attempt,"queries":$qs,"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"calib_cpu_sec":$calibCpuStart%.3f,"calib_spark_sec":$calibSparkSec%.3f,"polluted":$polluted,"band_out":$bandOutJson,"contended":$contended,"sf":"$sfDir"}""",
+      f"""{"attempt":$attempt,"queries_min":$mins,"queries_norm":$qsNorm,"iters":$ns,"spread":$spreadJson,"resampled":$resampledJson,"band_hi_factor":$BandHiFactor%.2f,"ingest":$ingestRates,"calib_cpu_end_sec":$calibCpuEnd%.3f,"calib_cpu_band":[${CalibCpuRefBand._1}%.2f,${CalibCpuRefBand._2}%.2f],"calib_spark_band":[${CalibSparkRefBand._1}%.2f,${CalibSparkRefBand._2}%.2f],"calib_out_of_band":$outOfBand,"calib_dev":$calibDev%.3f,"wall_sec":$wallSec%.1f,"proc_cpu_sec":$cpuSec%.1f,"cpu_wall_ratio":$ratio%.2f,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
     )
     }
 
@@ -537,37 +547,51 @@ object Bench {
       }
     }
     val fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
+    // full diagnostics sidecar (VERDICT r17 item 1): everything the old
+    // oversized stdout line carried beyond the contract fields
+    val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG",
+      "/root/repo/bench_diag.json")
+    def emit(json: String, diag: String): Unit = {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(diagPath),
+        (diag + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] diag sidecar write failed: $e") }
+      System.err.println(s"[bench] diag: $diag")
+      println(json)
+    }
     var attempt = 0
     var emitted = false
     while (!emitted) {
       attempt += 1
-      val (flagged, inband, json) = attemptRun(attempt)
+      val (flagged, inband, json, diag) = attemptRun(attempt)
       if (flagged && attempt < maxAttempts) {
         System.err.println(s"[bench] attempt $attempt contended/out-of-band" +
           s" (loadavg $loadavg) — waiting for the box to drain, then re-running")
         coolDown()
       } else if (flagged) {
         // attempts exhausted while flagged: emit the honest flagged line
-        // WITH the ledger's last all-gates-clean medians inline, so the
-        // artifact of record adjudicates itself (VERDICT r15 item 1).
-        // Embed ONLY when the reference is comparable: this must be a
-        // full run (a subset's totals mean nothing next to a full
+        // WITH the ledger's last all-gates-clean medians inline (in the
+        // DIAG sidecar — the compact line carries its total only), so
+        // the artifact of record adjudicates itself (VERDICT r15 item
+        // 1). Embed ONLY when the reference is comparable: this must be
+        // a full run (a subset's totals mean nothing next to a full
         // pass's) at the same scale dir the ledger entry was recorded
         // on — an sf mismatch or subset run emits without a reference
         // rather than with an incomparable one.
         System.err.println(
           s"[bench] WARNING: all $attempt attempts flagged — emitting a " +
             "CONTENDED ledger line; re-run on an idle box before committing")
-        val withRef = readLedger() match {
+        val (jsonRef, diagRef) = readLedger() match {
           case Some(entry) if fullRun && entry.contains(s""""sf":"$sfDir"""") =>
-            json.dropRight(1) + s""","last_inband":$entry}"""
-          case _ => json
+            (json.dropRight(1) + s""","has_last_inband":true}""",
+              diag.dropRight(1) + s""","last_inband":$entry}""")
+          case _ => (json, diag)
         }
-        println(withRef)
+        emit(jsonRef, diagRef)
         emitted = true
       } else {
         if (fullRun) writeLedger(inband)
-        println(json)
+        emit(json, diag)
         emitted = true
       }
     }

@@ -47,15 +47,17 @@ object Dedup {
     if (estParts < target) df.repartition(target) else df
   }
 
-  /** Distinct token n-gram shingles of a whitespace-tokenized text column. */
-  def shingleCol(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(text))
-  }
+  /** Distinct token n-gram shingles of a whitespace-tokenized text column.
+    * Compiled single-pass kernel ([[graft.functions.expressions.TextGrams
+    * .shingles]]) since r18 — the old `array_distinct(transform(sequence,
+    * i => concat_ws(" ", slice(toks, i+1, n))))` HOF form evaluated
+    * interpreted with an O(n·gram) slice+join walk per position; the
+    * kernel exploits that single-space-split tokens are contiguous byte
+    * ranges of the text, so each gram is one byte-range slice. Identical
+    * output: first-occurrence-order distinct grams, whole-text fallback
+    * (including NULL → [NULL]) below n tokens (guide §4). */
+  def shingleCol(text: Column, n: Int): Column =
+    graft.functions.expressions.TextGrams.shingles(text, n)
 
   /** Exact dedup: canonical (min id) doc per content hash + dup count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -192,6 +194,12 @@ object Dedup {
     * [[nearDupPairs]] on the paragraph multiset: corpus-linear explode,
     * one collapse groupBy (which absorbs the web's giant repeated-
     * boilerplate groups as stars), banded join over representatives.
+    *
+    * NULL-text documents are DROPPED silently (split(NULL) yields a NULL
+    * array, so posexplode emits no paragraph rows): unlike
+    * [[nearDupPairs]]' null-text star policy there are no units to pair,
+    * the same treatment empty paragraphs get. Coalesce NULL text
+    * upstream if such documents must participate.
     *
     * Output: (doc_a, para_a, doc_b, para_b, jaccard) with
     * (doc_a, para_a) < (doc_b, para_b); jaccard >= threshold.
@@ -537,6 +545,14 @@ object Dedup {
     * per round) and `localCheckpoint` cuts the iterative lineage.
     * Convergence = the round leaves the edge set unchanged, which is
     * exactly the all-stars fixpoint of the paper.
+    *
+    * Edge endpoints must be drawn from `ids`: the alternating rewrite
+    * PROPAGATES through out-of-universe endpoints (they relay
+    * connectivity like any node) and the component minimum may be such
+    * an id — labels can then name a cluster_id absent from `ids`.
+    * Filter edges to the id universe first if foreign ids must not leak
+    * into labels (the old min-label propagation silently ignored them,
+    * which also meant it missed real transitive closure through them).
     */
   def connectedComponents(edges: DataFrame, ids: DataFrame,
       idCol: String): DataFrame = ccAlternating(edges, ids, idCol)._1
@@ -615,10 +631,15 @@ object Dedup {
     val units = df.select(col(idCol).as("__id"),
       split(col(textCol), delim).as("__us"))
     val wins = units.select(col("__id"),
-      posexplode(when(size(col("__us")) >= n,
-        transform(sequence(lit(0), size(col("__us")) - n),
-          i => xxhash64(concat_ws(delim, slice(col("__us"), i + 1, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("__pos", "__h")))
+      // compiled fused window-join + xxhash64 (seed 42, identical to the
+      // builtin over the joined string) — the old transform(...) form
+      // evaluated interpreted with a slice+concat_ws+hash walk per
+      // position. < n units → empty (kernel); NULL unit array (NULL
+      // text) → coalesced to empty like the old when/otherwise (guide §4)
+      posexplode(coalesce(
+        graft.functions.expressions.TextGrams
+          .sliding_join_hash(col("__us"), n, delim),
+        array().cast("array<bigint>"))).as(Seq("__pos", "__h")))
     val flagged = wins.withColumn("__f",
         min(struct(col("__id"), col("__pos"))).over(Window.partitionBy("__h")))
       .withColumn("__dup",
@@ -640,9 +661,13 @@ object Dedup {
         .as("__rm"))
     units.join(perDoc, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        array_join(filter(col("__us"),
-          (_, i) => !array_contains(coalesce(col("__rm"),
-            array().cast("array<int>")), i)), delim).as("kept_text"),
+        // compiled index-excluding join (O(units + rm) hash-set pass) —
+        // the old filter((_, i) => !array_contains(__rm, i)) HOF was
+        // interpreted AND O(units · rm); array_join semantics preserved
+        // exactly (guide §4)
+        graft.functions.expressions.TextGrams.join_excluding_indices(
+          col("__us"), coalesce(col("__rm"), array().cast("array<int>")),
+          delim).as("kept_text"),
         coalesce(col(nName), lit(0L)).as(nName),
         coalesce(col(dupName), lit(0L)).as(dupName),
         coalesce(size(col("__rm")), lit(0)).as(rmName))

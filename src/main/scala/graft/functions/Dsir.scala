@@ -46,7 +46,12 @@ object Dsir {
     * (split and filter propagate).
     */
   private[functions] def tokens(text: Column): Column =
-    filter(split(text, "[ \\t\\n\\x0B\\f\\r]+"), t => t =!= lit(""))
+    // compiled whitespace-run tokenizer ([[expressions.WsTokens]]) —
+    // byte-level maximal runs over the same six ASCII whitespace chars,
+    // identical to the regex split + interpreted filter() it replaces
+    // (the five class chars never occur inside a UTF-8 multibyte
+    // sequence); NULL stays NULL (guide §4)
+    graft.functions.expressions.TextGrams.ws_tokens(text)
 
   /** Unigrams + bigrams of whitespace tokens, as one array (occurrence
     * bag, not a set — DSIR counts occurrences).
@@ -62,16 +67,13 @@ object Dsir {
     * With every `toks` reference outside a lambda, codegen CSE computes
     * the split once per row.
     */
-  def grams(text: Column): Column = {
-    val toks = tokens(text)
-    // n-1 element slices offset by one: pairs (toks[i], toks[i+1]);
-    // greatest(...) keeps the slice length legal for 0/1-token rows
-    val bl = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(toks, lit(1), bl), slice(toks, lit(2), bl),
-      (a, b) => concat(a, lit(" "), b))
-    concat(toks, bigrams)
-  }
+  def grams(text: Column): Column =
+    // compiled unigram+bigram bag ([[expressions.UnigramsBigrams]]) — one
+    // pass over the token array, identical output to the r16 zip_with-of-
+    // slices form (n unigrams then n−1 single-space-joined bigrams; NULL
+    // input → NULL) without the per-element interpreted-lambda cost
+    // (guide §4)
+    graft.functions.expressions.TextGrams.unigrams_bigrams(tokens(text))
 
   /** Hash bucket for a gram: first 4 hex chars of md5 as a 16-bit value,
     * mod `nBuckets` (so nBuckets <= 65536; non-power-of-two sizes get the
@@ -82,11 +84,13 @@ object Dsir {
     * the same md5 prefix (see the td_dsir_weights oracle) — the VALUE is
     * the contract, not the expression shape.
     */
-  def gramBucket(gram: Column, nBuckets: Int): Column = {
-    require(nBuckets > 0 && nBuckets <= 65536,
-      s"nBuckets must be in (0, 65536], got $nBuckets")
-    pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast("int"), lit(nBuckets))
-  }
+  def gramBucket(gram: Column, nBuckets: Int): Column =
+    // compiled kernel ([[expressions.GramBuckets.gram_bucket]]): reads
+    // the two digest bytes directly instead of rendering the 32-char hex
+    // string, substringing, and re-parsing base-16 per gram — the VALUE
+    // (pmod(conv(substring(md5(g),1,4),16,10),n)) is unchanged and stays
+    // the cross-engine contract (guide §4)
+    graft.functions.expressions.GramBuckets.gram_bucket(gram, nBuckets)
 
   /** Per-bucket gram-OCCURRENCE counts over `df`'s text column. The
     * aggregate output is bounded by `nBuckets` (never by the corpus);
@@ -181,9 +185,12 @@ object Dsir {
       .select(col(idCol), grams(col(textCol)).as("__gs"), col("__lrm"))
       .select(col(idCol),
         size(col("__gs")).cast("long").as("n_grams"),
-        aggregate(
-          transform(col("__gs"),
-            g => element_at(col("__lrm"), gramBucket(g, nBuckets) + 1)),
-          lit(0L), (acc, v) => acc + v).as("weight_micro"))
+        // compiled md5-bucket weight fold ([[expressions.GramBuckets
+        // .bucket_weight_sum]]) — the old aggregate(transform(...)) HOF
+        // re-ran the interpreted md5→substring→conv→pmod chain per gram;
+        // same buckets, same integer sum, same null semantics (guide §4)
+        graft.functions.expressions.GramBuckets
+          .bucket_weight_sum(col("__gs"), col("__lrm"), nBuckets)
+          .as("weight_micro"))
   }
 }

@@ -32,12 +32,18 @@ import org.apache.spark.sql.functions._
 object LangIdNgram {
 
   /** Sliding character n-grams of `text` (character-based positions, so
-    * multi-byte code points count as one). Empty array below n chars. */
+    * multi-byte code points count as one). Empty array below n chars.
+    * Compiled single-pass kernel ([[graft.functions.expressions.TextGrams
+    * .char_ngrams]]) since r18: the old `transform(sequence(...), i =>
+    * text.substr(i, n))` evaluated interpreted AND each substr seeks to
+    * char i from the string start — O(len²) per row; the kernel computes
+    * the char-offset table once and slices byte ranges, O(len). NULL
+    * text → the old `when` fell through to the empty branch, restored by
+    * the coalesce (guide §4). */
   def charGrams(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      transform(sequence(lit(1), length(text) - n + 1),
-        i => text.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      graft.functions.expressions.TextGrams.char_ngrams(text, n),
+      array().cast("array<string>"))
 
   /** One language profile row: gram + its 1-based frequency rank. */
   final case class ProfileEntry(lang: String, gram: String, rank: Int)

@@ -67,10 +67,13 @@ object QualityModel {
       .select(col(idCol), Dsir.grams(col(textCol)).as("__gs"), col("__w"))
       .select(col(idCol),
         coalesce(size(col("__gs")).cast("long"), lit(0L)).as("n_grams"),
-        coalesce(aggregate(
-          transform(col("__gs"),
-            g => element_at(col("__w"), Dsir.gramBucket(g, nBuckets) + 1)),
-          lit(0L), (acc, v) => acc + v), lit(0L)).as("score_micro"))
+        // compiled md5-bucket weight fold (same kernel as
+        // [[Dsir.importanceWeights]]'s scoring pass) — identical buckets,
+        // integer sum, and null semantics as the old interpreted
+        // aggregate(transform(...)) chain (guide §4)
+        coalesce(graft.functions.expressions.GramBuckets
+          .bucket_weight_sum(col("__gs"), col("__w"), nBuckets),
+          lit(0L)).as("score_micro"))
       .withColumn("keep",
         col("score_micro") >= col("n_grams") * lit(thresholdMicroPerGram))
   }

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold double dot product of two float vectors — bit-identical
-    * across engines that fold left-to-right.
+    * across engines that fold left-to-right. Runs as the compiled
+    * [[graft.functions.expressions.ArrayFold.fold_dot]] kernel since r18:
+    * the `aggregate(zip_with(...))` HOF form evaluated interpreted (per
+    * element: lambda binding + an expression-tree walk + an intermediate
+    * product array per row); the kernel folds the same IEEE operations in
+    * the same order, so results are bit-identical (guide §4).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.ArrayFold.fold_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -244,10 +248,10 @@ object Similarity {
     val cbRow = codebookRow(corpus.sparkSession, cb)
 
     def subVec(v: Column, mi: Int): Column = slice(v, mi * ds + 1, ds)
+    // compiled L2² kernel — same fold order/ops as the old
+    // aggregate(zip_with(...)) HOF form, bit-identical (guide §4)
     def l2sqCol(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.expressions.ArrayFold.fold_l2sq(a, b)
     // argmin-L2 code for subspace mi: sort (d2, j) structs, take j
     def codeFor(v: Column, mi: Int): Column =
       element_at(array_sort(transform(element_at(col("__cb"), mi + 1),
@@ -371,10 +375,10 @@ object Similarity {
     val cbRow = codebookRow(spark, cb)
 
     def subVec(v: Column, mi: Int): Column = slice(v, mi * ds + 1, ds)
+    // compiled L2² kernel — same fold order/ops as the old
+    // aggregate(zip_with(...)) HOF form, bit-identical (guide §4)
     def l2sqCol(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.expressions.ArrayFold.fold_l2sq(a, b)
     def centVec(cell: Column): Column =
       element_at(col("__cents"), cell).getField("cvec")
     def residual(v: Column, cell: Column): Column =

@@ -48,18 +48,16 @@ object TextAnalysis {
     * the declaration order as tie-break. The standard n-gram-profile method
     * reduced to its word-marker form so it's a pure expression.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, markers) =>
-      val stops = array(markers.map(lit): _*)
-      lang -> size(filter(tokens(text), t => array_contains(stops, t)))
-    }
-    // argmax, ties resolved by declaration order (strictly-greater chain)
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
-  }
+  def langId(text: Column): Column =
+    // compiled one-pass marker count + argmax ([[expressions.MarkerBestLang]])
+    // — the old form ran 5 interpreted `filter(tokens, array_contains)`
+    // HOFs per row (each re-walking every token); same strictly-greater
+    // argmax chain, same declaration-order tie-break, and NULL text
+    // coalesces to the first language exactly as the old null-blind
+    // `when` chain did (guide §4)
+    coalesce(
+      graft.functions.expressions.TextGrams.marker_best_lang(text, langMarkers),
+      lit(langMarkers.head._1))
 
   /** Normalization-based content fingerprint (lowercased, whitespace
     * collapsed, md5) — the cheap exact-fingerprint; see [[Dedup]] for
@@ -76,13 +74,16 @@ object TextAnalysis {
 
   /** Word n-gram OCCURRENCES (not deduped — repetition metrics need the
     * multiset, unlike [[Dedup.shingleCol]]). Empty array below n tokens. */
-  def ngramOccurrences(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramOccurrences(text: Column, n: Int): Column =
+    // compiled sliding-window join ([[expressions.SlidingJoin]]) — the old
+    // `transform(sequence(...), i => concat_ws(" ", slice(toks, i+1, n)))`
+    // evaluated interpreted with a slice+concat walk per position; the
+    // kernel emits the identical gram strings in one pass. < n tokens →
+    // empty array (kernel behavior); NULL text → the old `when` fell
+    // through to the empty branch, restored by the coalesce (guide §4)
+    coalesce(
+      graft.functions.expressions.TextGrams.sliding_join(tokens(text), n, " "),
+      array().cast("array<string>"))
 
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
     * filters, re-expressed over word n-grams):
@@ -106,21 +107,11 @@ object TextAnalysis {
     * per row, still a pure expression — no shuffle, no UDF.
     */
   private def runStats(grams: Column): Column =
-    aggregate(array_sort(grams),
-      struct(lit(null).cast("string").as("prev"), lit(0).as("cur"),
-        lit(0).as("top"), lit(0).as("uniq")),
-      (acc, g) => {
-        val same = acc.getField("prev") <=> g
-        val cur2 = when(same, acc.getField("cur") + 1).otherwise(lit(1))
-        struct(g.as("prev"), cur2.as("cur"),
-          greatest(acc.getField("top"), cur2).as("top"),
-          (acc.getField("uniq") +
-            when(!same && acc.getField("cur") === 1, 1).otherwise(0))
-            .as("uniq"))
-      },
-      acc => struct(acc.getField("top").as("top"),
-        (acc.getField("uniq") +
-          when(acc.getField("cur") === 1, 1).otherwise(0)).as("uniq")))
+    // compiled sort + single-pass run fold ([[expressions.RunTopUniq]]) —
+    // identical binary sort order, null-safe run equality, and integer
+    // outputs as the r17 aggregate() form, minus the per-element
+    // interpreted-lambda cost (guide §4)
+    graft.functions.expressions.TextGrams.run_top_uniq(grams)
 
   def topNgramFraction(text: Column, n: Int): Column = {
     val grams = ngramOccurrences(text, n)
@@ -168,10 +159,13 @@ object TextAnalysis {
       val toked = df.select(col(idCol).as("__id"),
         split(col(textCol), " ").as("__tk"))
       toked.select(col("__id"),
-          explode(when(size(col("__tk")) >= n,
-            transform(sequence(lit(0), size(col("__tk")) - n),
-              i => concat_ws(" ", slice(col("__tk"), i + 1, lit(n)))))
-            .otherwise(array().cast("array<string>"))).as("__g"))
+          // compiled sliding-window join (same kernel as
+          // [[ngramOccurrences]]) — < n tokens → empty, NULL token array
+          // → coalesced to empty like the old when/otherwise (guide §4)
+          explode(coalesce(
+            graft.functions.expressions.TextGrams
+              .sliding_join(col("__tk"), n, " "),
+            array().cast("array<string>"))).as("__g"))
         .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
     }
     val top = gramCounts(topN).groupBy("__id").agg(
@@ -219,7 +213,9 @@ object TextAnalysis {
     * keep band for English). */
   def meanWordLength(text: Column): Column = {
     val toks = tokens(text)
-    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+    // compiled char-length sum ([[expressions.SumCharLen]]) — same
+    // left-to-right integer fold as the old aggregate() HOF (guide §4)
+    graft.functions.expressions.TextGrams.sum_char_len(toks).cast("double") /
       size(toks).cast("double")
   }
 

@@ -982,7 +982,15 @@ object Integration {
         require(fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$base/out/a.csv")).isFile,
           "single_file copy produced a directory (suite.cli id=82 regression)")
-        s.read.parquet(s"$base/tbl").orderBy("n_regionkey")
+        // state-neutral exit (ADVICE r17): the result frame reads the
+        // parquet PATH, so the catalog table and temp views the steps
+        // created can drop here instead of leaking into the session
+        // until the next run's opening DROP
+        val out = s.read.parquet(s"$base/tbl").orderBy("n_regionkey")
+        s.sql("DROP TABLE IF EXISTS pipe_os_tbl")
+        s.catalog.dropTempView("pipe_os_nation")
+        s.catalog.dropTempView("pipe_os_agg")
+        out
       },
       Some("""SELECT n_regionkey, count(*) AS n_nations,
           min(n_name) AS first_name

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.{ArrayFold, GramBuckets, TextGrams}
+
+/** Pins every r18 compiled kernel to its original higher-order-function
+  * expression form: both are evaluated side by side over adversarial
+  * inputs (NULLs, empties, unicode multibyte, whitespace variants,
+  * duplicate-heavy arrays) and must collect EXACTLY equal values. The
+  * kernels exist purely for speed (interpreted HOF → compiled loop,
+  * guide §4); any semantic divergence is a correctness bug, and these
+  * tests are the local gate ahead of the DuckDB oracle.
+  */
+class KernelEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def texts: DataFrame = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                       // heavy duplication
+      "",                                // empty
+      " leading and trailing ",          // empty split tokens
+      "a  b   c",                        // doubled/tripled spaces
+      "één żółć 中文 字 中文 字 tokens",   // multibyte
+      "one\ntwo\tthreefour\ffive\rsix", // every ws class char
+      "short",
+      "x y",
+      "tie tie alpha alpha beta"         // run ties
+    ).toDF("text")
+      .unionByName(Seq(Option.empty[String]).toDF("text")) // NULL row
+  }
+
+  /** Collects both columns and asserts row-wise exact equality. */
+  private def assertSame(df: DataFrame, oldCol: Column, newCol: Column): Unit = {
+    val rows = df.select(oldCol.as("o"), newCol.as("n")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.get(0) == r.get(1), s"row $i: old=${r.get(0)} new=${r.get(1)}")
+    }
+  }
+
+  test("char_ngrams == transform(sequence, substr) form") {
+    val t = col("text")
+    for (n <- Seq(1, 3, 7))
+      assertSame(texts,
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - n + 1),
+            i => t.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>")),
+        coalesce(TextGrams.char_ngrams(t, n),
+          array().cast("array<string>")))
+  }
+
+  test("sliding_join == transform(sequence, concat_ws(slice)) form") {
+    val toks = split(col("text"), " ")
+    for (n <- Seq(1, 2, 3))
+      assertSame(texts,
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")),
+        coalesce(TextGrams.sliding_join(toks, n, " "),
+          array().cast("array<string>")))
+  }
+
+  test("sliding_join_hash == xxhash64 over the joined window, incl. null units") {
+    import spark.implicits._
+    // arrays WITH null elements (concat_ws skips them without doubling
+    // the separator) — firstOccurrenceDedup's units never carry nulls,
+    // but the kernel must still match the builtin on them
+    val arrs = Seq(
+      Seq[String]("a", "b", "c", "d"),
+      Seq[String]("a", null, "b"),
+      Seq[String](null, null),
+      Seq[String]("solo"),
+      Seq[String]()
+    ).toDF("us").unionByName(
+      Seq(Option.empty[Seq[String]]).toDF("us"))
+    val us = col("us")
+    for (n <- Seq(1, 2, 3); delim <- Seq(" ", "\n"))
+      assertSame(arrs,
+        when(size(us) >= n,
+          transform(sequence(lit(0), size(us) - n),
+            i => xxhash64(concat_ws(delim, slice(us, i + 1, lit(n))))))
+          .otherwise(array().cast("array<bigint>")),
+        coalesce(TextGrams.sliding_join_hash(us, n, delim),
+          array().cast("array<bigint>")))
+  }
+
+  test("shingles == array_distinct(transform) with whole-text fallback") {
+    val t = col("text")
+    for (n <- Seq(2, 3, 5)) {
+      val toks = split(t, " ")
+      assertSame(texts,
+        when(size(toks) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array(t)),
+        TextGrams.shingles(t, n))
+    }
+  }
+
+  test("run_top_uniq == sorted-run aggregate over gram arrays") {
+    val toks = split(col("text"), " ")
+    val grams = coalesce(TextGrams.sliding_join(toks, 2, " "),
+      array().cast("array<string>"))
+    val oldStats = aggregate(array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("cur"),
+        lit(0).as("top"), lit(0).as("uniq")),
+      (acc, g) => {
+        val same = acc.getField("prev") <=> g
+        val cur2 = when(same, acc.getField("cur") + 1).otherwise(lit(1))
+        struct(g.as("prev"), cur2.as("cur"),
+          greatest(acc.getField("top"), cur2).as("top"),
+          (acc.getField("uniq") +
+            when(!same && acc.getField("cur") === 1, 1).otherwise(0))
+            .as("uniq"))
+      },
+      acc => struct(acc.getField("top").as("top"),
+        (acc.getField("uniq") +
+          when(acc.getField("cur") === 1, 1).otherwise(0)).as("uniq")))
+    assertSame(texts, oldStats, TextGrams.run_top_uniq(grams))
+  }
+
+  test("ws_tokens == filter(split('[ \\t\\n\\x0B\\f\\r]+'), _ != '')") {
+    val t = col("text")
+    assertSame(texts,
+      filter(split(t, "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= lit("")),
+      TextGrams.ws_tokens(t))
+  }
+
+  test("unigrams_bigrams == concat(toks, zip_with(slice, slice, concat))") {
+    val toks = TextGrams.ws_tokens(col("text"))
+    val bl = greatest(size(toks) - 1, lit(0))
+    assertSame(texts,
+      concat(toks, zip_with(slice(toks, lit(1), bl), slice(toks, lit(2), bl),
+        (a, b) => concat(a, lit(" "), b))),
+      TextGrams.unigrams_bigrams(toks))
+  }
+
+  test("marker_best_lang == strictly-greater argmax over marker counts") {
+    import graft.functions.TextAnalysis
+    val t = col("text")
+    val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      val stops = array(markers.map(lit): _*)
+      lang -> size(filter(split(t, " "), x => array_contains(stops, x)))
+    }
+    val oldLang = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+    // fr/es markers planted so non-first languages win; ties keep "en"
+    import spark.implicits._
+    val langTexts = texts.unionByName(Seq(
+      "le la et le chat", "el los las y", "the der the der",
+      "的 是 了").toDF("text"))
+    assertSame(langTexts, oldLang,
+      coalesce(TextGrams.marker_best_lang(t, TextAnalysis.langMarkers),
+        lit(TextAnalysis.langMarkers.head._1)))
+  }
+
+  test("join_excluding_indices == array_join(filter(!array_contains)) form") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq("a", "b", "c", "d", "e"), Seq(1, 3)),
+      (Seq("a", "b"), Seq[Int]()),
+      (Seq("x"), Seq(0)),
+      (Seq[String](), Seq[Int]()),
+      (Seq("k", "l", "m"), Seq(0, 1, 2))
+    ).toDF("us", "rm")
+    for (delim <- Seq(" ", "\n"))
+      assertSame(rows,
+        array_join(filter(col("us"),
+          (_, i) => !array_contains(col("rm"), i)), delim),
+        TextGrams.join_excluding_indices(col("us"), col("rm"), delim))
+  }
+
+  test("sum_char_len == aggregate(toks, 0, acc + length(t))") {
+    val toks = split(col("text"), " ")
+    assertSame(texts,
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)),
+      TextGrams.sum_char_len(toks))
+  }
+
+  test("fold_dot / fold_l2sq == aggregate(zip_with(...)) folds, float and double") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Seq(1.0f, 2.0f, -3.5f, 0.25f), Seq(0.5, -1.25, 2.0, 8.0)),
+      (Seq(0.0f, 0.0f, 0.0f, 0.0f), Seq(1.0, 1.0, 1.0, 1.0)),
+      (Seq(1e30f, -1e30f, 3.0f, 1.5f), Seq(1e-30, 1e30, -2.0, 0.1))
+    ).toDF("a", "b")
+      .unionByName(Seq((Option.empty[Seq[Float]], Some(Seq(1.0, 2.0, 3.0, 4.0))))
+        .toDF("a", "b"))
+    val (a, b) = (col("a"), col("b"))
+    assertSame(vecs,
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v),
+      ArrayFold.fold_dot(a, b))
+    assertSame(vecs,
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v),
+      ArrayFold.fold_l2sq(a, b))
+    // length-mismatched arrays → NULL (zip_with pads with NULL, the fold
+    // poisons) — the kernels must agree
+    val mism = Seq((Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assertSame(mism,
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v),
+      ArrayFold.fold_dot(a, b))
+  }
+
+  test("gram_bucket / bucket_weight_sum == md5-hex-conv chain and its fold") {
+    import graft.functions.Dsir
+    val nBuckets = 1024
+    val g = col("g")
+    val oldBucket =
+      pmod(conv(substring(md5(g), 1, 4), 16, 10).cast("int"), lit(nBuckets))
+    import spark.implicits._
+    val grams = Seq("the", "a b", "中文 字", "", "één",
+      "the quick brown").toDF("g")
+      .unionByName(Seq(Option.empty[String]).toDF("g"))
+    assertSame(grams, oldBucket, GramBuckets.gram_bucket(g, nBuckets))
+
+    // the fold over a weights table: both forms on the same gram arrays
+    val w = typedLit((0 until nBuckets).map(i => (i * 2654435761L) % 1000 - 500))
+    val arrs = texts.select(
+      Dsir.grams(col("text")).as("gs"))
+    assertSame(arrs,
+      aggregate(
+        transform(col("gs"),
+          x => element_at(w, Dsir.gramBucket(x, nBuckets) + 1)),
+        lit(0L), (acc, v) => acc + v),
+      GramBuckets.bucket_weight_sum(col("gs"), w, nBuckets))
+  }
+}
