@@ -90,17 +90,19 @@ object Similarity {
         .as("__cents")))
   }
 
-  /** (-sim, cell) structs for every centroid; ascending array_sort puts
-    * the best cell first, ties to the lowest cell id (the same choice
-    * array_position-of-max made). */
-  private def negSimCells(v: Column): Column =
-    transform(col("__cents"), c =>
-      struct((-(dot(v, c.getField("cvec")) /
-        (norm(v) * c.getField("cnorm")))).as("negs"),
-        c.getField("cell").as("cell")))
+  /** Centroid cells sorted by cosine rank (best first, ties to the
+    * lowest cell id — the same order the old `array_sort` over
+    * (-sim, cell) structs produced). Compiled kernel
+    * ([[graft.functions.expressions.VectorCells.sorted_cells]]) since
+    * r18: the old transform-lambda form evaluated interpreted per
+    * centroid AND re-computed `norm(v)` per centroid (captured
+    * expressions re-evaluate inside lambdas); same IEEE ops and Spark
+    * double ordering, so the ranking is bit-identical (guide §4). */
+  private def rankedCells(v: Column): Column =
+    graft.functions.expressions.VectorCells.sorted_cells(v, col("__cents"))
 
   private[functions] def bestCellCol(v: Column): Column =
-    element_at(array_sort(negSimCells(v)), 1).getField("cell")
+    element_at(rankedCells(v), 1)
 
   /** First `n` vectors by id as driver-side doubles — the bounded sample
     * every trainer here starts from. The cast makes element type
@@ -158,8 +160,7 @@ object Similarity {
     val cRow = centroidsRow(corpus.sparkSession, cents)
     // top-nprobe cell ids per query: sort (-sim, cell) structs, take n
     def probeCells(v: Column): Column =
-      slice(transform(array_sort(negSimCells(v)), x => x.getField("cell")),
-        1, nprobe)
+      slice(rankedCells(v), 1, nprobe)
     val indexed = corpus.crossJoin(cRow).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), bestCellCol(col(vecCol)).cast("int").as("__cell"))
     val probes = broadcast(queries.crossJoin(cRow).select(col(idCol).as("query_id"),
@@ -252,11 +253,12 @@ object Similarity {
     // aggregate(zip_with(...)) HOF form, bit-identical (guide §4)
     def l2sqCol(a: Column, b: Column): Column =
       graft.functions.expressions.ArrayFold.fold_l2sq(a, b)
-    // argmin-L2 code for subspace mi: sort (d2, j) structs, take j
+    // argmin-L2 code for subspace mi — compiled kernel (same (d2, j)
+    // ascending order and lowest-j tie-break as the old sort-and-take-
+    // head form, guide §4)
     def codeFor(v: Column, mi: Int): Column =
-      element_at(array_sort(transform(element_at(col("__cb"), mi + 1),
-        (cent, j) => struct(l2sqCol(subVec(v, mi), cent).as("d2"),
-          j.as("j")))), 1).getField("j")
+      graft.functions.expressions.VectorCells.arg_min_l2(
+        subVec(v, mi), element_at(col("__cb"), mi + 1))
 
     val coded = corpus.crossJoin(cbRow).select(
       col(idCol).as("neighbor_id"),
@@ -383,10 +385,10 @@ object Similarity {
       element_at(col("__cents"), cell).getField("cvec")
     def residual(v: Column, cell: Column): Column =
       zip_with(v, centVec(cell), (x, c) => x.cast("double") - c)
+    // compiled argmin-L2 kernel — same ascending (d2, j) head (guide §4)
     def codeFor(r: Column, mi: Int): Column =
-      element_at(array_sort(transform(element_at(col("__cb"), mi + 1),
-        (cent, j) => struct(l2sqCol(slice(r, mi * ds + 1, ds), cent).as("d2"),
-          j.as("j")))), 1).getField("j")
+      graft.functions.expressions.VectorCells.arg_min_l2(
+        slice(r, mi * ds + 1, ds), element_at(col("__cb"), mi + 1))
 
     // ENCODE: one corpus pass → (neighbor_id, __cell, __code[m])
     val coded = corpus.crossJoin(cRow).crossJoin(cbRow)
@@ -398,8 +400,7 @@ object Similarity {
     // PROBE side: nprobe cells per query, dot(q, centroid) per probed
     // cell, and the residual LUT — all broadcast, never plan literals
     def probeCells(v: Column): Column =
-      slice(transform(array_sort(negSimCells(v)), x => x.getField("cell")),
-        1, nprobe)
+      slice(rankedCells(v), 1, nprobe)
     val probes = broadcast(queries.crossJoin(cRow).crossJoin(cbRow)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col("__cents"),

@@ -220,6 +220,58 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       ArrayFold.fold_dot(a, b))
   }
 
+  test("arg_min_l2 == head of ascending (d2, j) struct sort over a codebook") {
+    import spark.implicits._
+    import graft.functions.expressions.VectorCells
+    // codebook with an exact-tie pair (entries 1 and 2 identical) so the
+    // lowest-j tie-break is exercised, plus a NaN entry (sorts last)
+    val cb = Seq(Seq(
+      Seq(1.0, 0.0), Seq(0.5, 0.5), Seq(0.5, 0.5),
+      Seq(Double.NaN, 0.0), Seq(0.0, 0.0)))
+    val vecs = Seq(
+      (Seq(0.5f, 0.5f), cb.head), (Seq(0.0f, 0.0f), cb.head),
+      (Seq(1.0f, 0.0f), cb.head), (Seq(Float.NaN, 0.0f), cb.head)
+    ).toDF("v", "cb")
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val oldCode = element_at(array_sort(transform(col("cb"),
+      (cent, j) => struct(l2(col("v"), cent).as("d2"), j.as("j")))),
+      1).getField("j")
+    assertSame(vecs, oldCode, VectorCells.arg_min_l2(col("v"), col("cb")))
+  }
+
+  test("sorted_cells == array_sort over (-cosine, cell) structs") {
+    import spark.implicits._
+    import graft.functions.expressions.VectorCells
+    import graft.functions.Similarity
+    // centroid set with a duplicate direction (cells 2 and 3 — cosine
+    // tie, cell asc breaks it); the NaN path rides a NaN vector element
+    // (zero norms are OUTSIDE the domain: under ANSI — Spark 4's
+    // default — the old form's divide raises on a 0 divisor, so the
+    // operator contract excludes zero vectors/centroids; the fixtures
+    // carry none)
+    def cents(rows: Seq[(Int, Seq[Double])]) =
+      rows.map { case (c, v) => (c, v, math.sqrt(v.map(x => x * x).sum)) }
+    val cs = cents(Seq(
+      1 -> Seq(1.0, 0.0), 2 -> Seq(0.0, 1.0), 3 -> Seq(0.0, 2.0),
+      5 -> Seq(-1.0, 0.0)))
+    val vecs = Seq(
+      Seq(0.7f, 0.7f), Seq(1.0f, 0.0f), Seq(0.0f, -1.0f),
+      Seq(Float.NaN, 1.0f))
+    val df = vecs.map(v => (v, cs)).toDF("v", "__cents")
+    val oldSorted = transform(array_sort(transform(col("__cents"), c =>
+      struct((-(Similarity.dot(col("v"), c.getField("_2")) /
+        (Similarity.norm(col("v")) * c.getField("_3")))).as("negs"),
+        c.getField("_1").as("cell")))), x => x.getField("cell"))
+    // rebuild the struct shape sorted_cells expects (cell, cvec, cnorm)
+    val centsCol = transform(col("__cents"), c =>
+      struct(c.getField("_1").as("cell"), c.getField("_2").as("cvec"),
+        c.getField("_3").as("cnorm")))
+    assertSame(df, oldSorted, VectorCells.sorted_cells(col("v"), centsCol))
+  }
+
   test("gram_bucket / bucket_weight_sum == md5-hex-conv chain and its fold") {
     import graft.functions.Dsir
     val nBuckets = 1024
