@@ -64,36 +64,33 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures banded for LSH: (id, band_0..band_{b-1}).
+  /** MinHash LSH band hashes per doc: (id, __bands: array<bigint>).
     *
     * Each shingle string is hashed ONCE; the k per-permutation hashes are
     * xxhash64 over that fixed-width long (a few ns each, vs k full string
-    * hashes) — cuts the signature stage ~7x at corpus scale. One explode +
-    * one groupBy(id) with k min-aggregates (map-side partial min).
+    * hashes).
     *
-    * Measured note: the shuffle-free alternative — k×
-    * `array_min(transform(__hs, h => xxhash64(h, i)))` in one projection —
-    * is 1.7x SLOWER at sf0.1 (6.6s vs 3.8s): 64 array-loop expressions in
-    * one operator overflow the codegen method-size limit and the whole
-    * stage falls back to interpreted eval. The explode+groupBy form keeps
-    * every expression small and codegen'd; its shuffle is the k-column
-    * pre-aggregated signature set (|docs| rows), not the shingle rows.
+    * Measured history of this stage's shape: r15 tried k separate
+    * `array_min(transform(__hs, h => xxhash64(h, i)))` projection columns
+    * — 1.7x SLOWER at sf0.1 (6.6s vs 3.8s) because 64 array-loop
+    * expressions in one operator overflow the codegen method-size limit
+    * and the stage fell back to interpreted eval; r15-r17 shipped
+    * explode → groupBy(id) with k min-aggregates (codegen'd, but k
+    * agg-buffer updates per shingle + one Exchange of the k-column
+    * signature set); r18's single fused kernel call has neither the
+    * method-size blowup nor the Exchange.
     */
   private def signatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val exploded = df.select(col(idCol).as("__id"),
-        explode(shingleCol(col(textCol), n)).as("__s"))
-      .withColumn("__h", xxhash64(col("__s")))
-    val minCols = (0 until k).map(i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sigs = exploded.groupBy("__id").agg(minCols.head, minCols.tail: _*)
-    val bandCols = (0 until bands).map { bnd =>
-      xxhash64((0 until rowsPerBand).map(j => col(s"__m${bnd * rowsPerBand + j}")): _*)
-        .as(s"__band_$bnd")
-    }
-    sigs.select(col("__id") +: bandCols: _*)
-  }
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    // fused compiled kernel ([[graft.functions.expressions.MinHashBands]])
+    // since r18: same per-permutation minima and band hashes, term for
+    // term, computed in ONE projection — the explode → groupBy(__id)
+    // with k min-aggregates shape this replaces paid k agg-buffer
+    // updates per shingle AND one Exchange of the |docs|·k signature
+    // columns; the kernel removes that Exchange outright (guide §2.4)
+    df.select(col(idCol).as("__id"),
+      graft.functions.expressions.MinHashBands.minhash_bands(
+        shingleCol(col(textCol), n), bands, rowsPerBand).as("__bands"))
 
   /** Near-duplicate pairs with exact Jaccard >= threshold, found via
     * MinHash-LSH candidate generation then exact verification.
@@ -159,8 +156,8 @@ object Dedup {
     val star = starBase.withColumn("jaccard", lit(1.0))
     val reps = repRows.select(col("__id").as(idCol), col("__t").as(textCol))
     val sig = signatures(reps, idCol, textCol, n, bands, rowsPerBand)
-    val bandStruct = posexplode(array((0 until bands).map(b => col(s"__band_$b")): _*))
-    val buckets = sig.select(col("__id"), bandStruct.as(Seq("__band_idx", "__band_hash")))
+    val buckets = sig.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__band_idx", "__band_hash")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.__band_idx") === col("b.__band_idx") &&
           col("a.__band_hash") === col("b.__band_hash") &&

@@ -19,23 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** One RFC-3986-shaped pattern: scheme://authority path ?query #frag.
-    * Group 1 = scheme, 2 = authority, 3 = path, 4 = query (no '?'). */
-  private val UrlRe =
-    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
-
-  /** Canonical form of a URL, as a pure column expression. The rule set
-    * (each a published crawl-pipeline normalization; all are
-    * equivalence-preserving for HTTP semantics except the www/query
-    * rules, which encode the crawl convention that those variants serve
-    * the same page):
+  /** Canonical form of a URL. The rule set (each a published
+    * crawl-pipeline normalization; all are equivalence-preserving for
+    * HTTP semantics except the www/query rules, which encode the crawl
+    * convention that those variants serve the same page):
     *
     *   1. trim surrounding whitespace;
     *   2. scheme and host[:port] lowercase (RFC 3986 §6.2.2.1 — path,
     *      query, and userinfo stay case-sensitive);
     *   3. leading `www.` stripped from the HOST (never from userinfo),
     *      and only when a dotted domain remains — `www.example.com` →
-    *      `example.com`, but the real site `www.com` keeps its host;
+    *      `example.com`, but the real site `www.com` keeps its host
+    *      (spelled as a conditional match, not a lookahead, because RE2
+    *      — the DuckDB oracles — has no lookahead);
     *   4. default port stripped (`:80` for http, `:443` for https);
     *   5. fragment dropped (never sent to the server);
     *   6. query parameters sorted bytewise (`?b=2&a=1` ≡ `?a=1&b=2`);
@@ -45,57 +41,33 @@ object Urls {
     *
     * Strings that don't parse as scheme://... URLs pass through
     * trimmed-only (a relative path or a bare host is not rewritten);
-    * NULL stays NULL.
+    * NULL stays NULL. The RFC pattern and the per-rule regexes live in
+    * [[graft.functions.expressions.UrlKernels]]; the old pure-Column
+    * form is preserved verbatim in KernelEquivalenceSpec as the
+    * equivalence reference.
     */
-  /** Lowercased host[:port] of a raw authority — userinfo ("user:pass@",
-    * case-SENSITIVE per RFC 3986 §6.2.2.1) stripped, never lowercased or
-    * www-stripped. Shared by [[normalizeUrl]] and [[urlHost]] so the
-    * dedup key and the blocklist key can never drift apart. */
-  private def hostPortOf(authRaw: Column): Column =
-    lower(regexp_replace(authRaw, "^[^@]*@", ""))
-
-  /** Strip a leading `www.` only when a dotted domain remains:
-    * www.example.com → example.com, but the REAL site www.com keeps its
-    * host (stripping would conflate it with a nonexistent host 'com').
-    * Spelled as a conditional match instead of a lookahead because RE2
-    * (the DuckDB oracles) has no lookahead. */
-  private def stripWww(host: Column): Column =
-    when(host.rlike("^www\\..+\\."),
-      regexp_replace(host, "^www\\.", "")).otherwise(host)
-
-  def normalizeUrl(url: Column): Column = {
-    val u = trim(url)
-    val scheme = lower(regexp_extract(u, UrlRe, 1))
-    val authRaw = regexp_extract(u, UrlRe, 2)
-    // split userinfo off before lowercasing, and never apply the host
-    // rules (www strip, default ports) to it: 'www.pw@example.com' must
-    // keep its userinfo intact and 'user@www.example.com' must still
-    // lose the host's www
-    val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
-    val hostNoWww = stripWww(hostPortOf(authRaw))
-    val auth = concat(userinfo,
-      when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
-        .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
-        .otherwise(hostNoWww))
-    val path = regexp_replace(regexp_extract(u, UrlRe, 3), "/+$", "")
-    val query = regexp_extract(u, UrlRe, 4)
-    val queryPart = when(query === "", lit(""))
-      .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
-    when(u.isNull, lit(null).cast("string"))
-      .when(scheme === "", u) // not a scheme://… URL: trimmed passthrough
-      .otherwise(concat(scheme, lit("://"), auth, path, queryPart))
-  }
+  def normalizeUrl(url: Column): Column =
+    // compiled single-pass kernel ([[graft.functions.expressions
+    // .UrlKernels]]) since r18: the Column form matched the RFC pattern
+    // four times (one regexp_extract per group) plus userinfo/www/port/
+    // path/query passes — ~11 regex executions and as many
+    // UTF8String→String decodes per row. The kernel runs the SAME
+    // java.util.regex Patterns, UTF8String.toLowerCase/trim, and
+    // binary-order query sort once each, so every rule (userinfo
+    // case-sensitivity, conditional www strip, default-port strip,
+    // fragment drop, bytewise query sort, trailing-slash strip,
+    // trimmed passthrough for non-URLs, NULL → NULL) is inherited
+    // verbatim (guide §4).
+    graft.functions.expressions.UrlKernels.normalize_url(url)
 
   /** The host of a URL, normalized like [[normalizeUrl]]'s authority
     * rules (lowercase, userinfo and port dropped, conditional www
     * strip) — the key for blocklists and per-domain caps. Non-URL
     * strings yield the empty string; NULL stays NULL. */
-  def urlHost(url: Column): Column = {
-    val u = trim(url)
-    val host = regexp_replace(
-      hostPortOf(regexp_extract(u, UrlRe, 2)), ":[0-9]*$", "")
-    when(u.isNull, lit(null).cast("string")).otherwise(stripWww(host))
-  }
+  def urlHost(url: Column): Column =
+    // compiled single-pass kernel — same Patterns and rule chain as the
+    // old Column form (see [[normalizeUrl]]); NULL → NULL, non-URL → ""
+    graft.functions.expressions.UrlKernels.url_host(url)
 
   /** URL filtering — the stage crawl pipelines run BEFORE URL dedup
     * (RefinedWeb §3.1.1's three-part filter; C4 and Dolma run

@@ -272,6 +272,97 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assertSame(df, oldSorted, VectorCells.sorted_cells(col("v"), centsCol))
   }
 
+  test("normalize_url / url_host == the r17 pure-Column regex chains") {
+    import spark.implicits._
+    import graft.functions.expressions.UrlKernels
+    // the r17 Column forms, verbatim — the reference the kernels must
+    // match byte for byte
+    val UrlRe =
+      "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    def hostPortOf(authRaw: Column): Column =
+      lower(regexp_replace(authRaw, "^[^@]*@", ""))
+    def stripWww(host: Column): Column =
+      when(host.rlike("^www\\..+\\."),
+        regexp_replace(host, "^www\\.", "")).otherwise(host)
+    def oldNormalize(url: Column): Column = {
+      val u = trim(url)
+      val scheme = lower(regexp_extract(u, UrlRe, 1))
+      val authRaw = regexp_extract(u, UrlRe, 2)
+      val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
+      val hostNoWww = stripWww(hostPortOf(authRaw))
+      val auth = concat(userinfo,
+        when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+          .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+          .otherwise(hostNoWww))
+      val path = regexp_replace(regexp_extract(u, UrlRe, 3), "/+$", "")
+      val query = regexp_extract(u, UrlRe, 4)
+      val queryPart = when(query === "", lit(""))
+        .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+      when(u.isNull, lit(null).cast("string"))
+        .when(scheme === "", u)
+        .otherwise(concat(scheme, lit("://"), auth, path, queryPart))
+    }
+    def oldHost(url: Column): Column = {
+      val u = trim(url)
+      val host = regexp_replace(
+        hostPortOf(regexp_extract(u, UrlRe, 2)), ":[0-9]*$", "")
+      when(u.isNull, lit(null).cast("string")).otherwise(stripWww(host))
+    }
+    val urls = Seq(
+      "https://Big.Example.COM:443/Page/",
+      "http://example.com:80/a",
+      "http://example.com:8080/a",
+      "  https://www.example.com/x?b=2&a=1#frag  ",
+      "https://www.com/keep-www-host",
+      "https://www.pw@example.com/u",          // userinfo with www
+      "user:PASS@CASE@https-nonsense",          // non-URL passthrough
+      "ftp://Host:21/Dir//",
+      "https://h/?",                            // empty query drops ?
+      "https://h/?only=1",
+      "https://a@b@c/path",                     // @ in host remainder
+      "relative/path?x=1",
+      "HTTPS://UPPER.host/P?z=9&y=8&y=7",
+      "https://www.x./trailing-dot-host",
+      "https://host:???",                       // port garbage
+      "https://héT.Com/Ü?é=1&À=2",              // non-ASCII case fold
+      "http://www.a/nodot",                     // www. but no later dot
+      "",
+      "   ") // whitespace-only → trimmed empty passthrough
+      .toDF("u").unionByName(Seq(Option.empty[String]).toDF("u"))
+    assertSame(urls, oldNormalize(col("u")), UrlKernels.normalize_url(col("u")))
+    assertSame(urls, oldHost(col("u")), UrlKernels.url_host(col("u")))
+  }
+
+  test("minhash_bands == explode + groupBy with k min(xxhash64) aggregates") {
+    import spark.implicits._
+    import graft.functions.Dedup
+    import graft.functions.expressions.MinHashBands
+    val (bands, rpb) = (4, 3)
+    val k = bands * rpb
+    val df = texts.filter(col("text").isNotNull)
+      .withColumn("id", monotonically_increasing_id())
+    // old shape, verbatim from r17 signatures()
+    val exploded = df.select(col("id"),
+        explode(Dedup.shingleCol(col("text"), 3)).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+    val minCols = (0 until k).map(i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((0 until rpb).map(j => col(s"__m${b * rpb + j}")): _*)
+        .as(s"__band_$b")
+    }
+    val oldBands = sigs.select(col("id"),
+      array(bandCols: _*).as("o")).orderBy("id").collect()
+    val newBands = df.select(col("id"),
+      MinHashBands.minhash_bands(Dedup.shingleCol(col("text"), 3),
+        bands, rpb).as("n")).orderBy("id").collect()
+    assert(oldBands.length == newBands.length)
+    oldBands.zip(newBands).foreach { case (o, nw) =>
+      assert(o.get(1) == nw.get(1), s"id ${o.get(0)}: ${o.get(1)} vs ${nw.get(1)}")
+    }
+  }
+
   test("gram_bucket / bucket_weight_sum == md5-hex-conv chain and its fold") {
     import graft.functions.Dsir
     val nBuckets = 1024
