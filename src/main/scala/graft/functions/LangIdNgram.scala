@@ -86,14 +86,20 @@ object LangIdNgram {
       profiles.map(p => (p.lang, p.gram, p.rank)).toDF("__lang", "__g", "__lr"))
     val langsDf = broadcast(
       profiles.map(_.lang).distinct.toDF("__lang"))
-    val docProf = df
-      .select(col(idCol).as("__id"),
-        explode(charGrams(col(textCol), n)).as("__g"))
-      .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
-      .withColumn("__dr", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__c").desc, col("__g"))))
-      .filter(col("__dr") <= k)
-    val nDoc = docProf.groupBy("__id").agg(count(lit(1)).as("__ng"))
+    // per-doc top-k gram profile as ONE compiled per-row pass
+    // ([[graft.functions.expressions.TopKCharGrams]]) — the r17 shape
+    // exploded every gram occurrence through a groupBy(doc, gram) and a
+    // per-doc ranking window, i.e. two corpus-gram Exchanges for a
+    // quantity that depends only on the document's own text; the kernel
+    // removes both (guide §2.4) with the identical (count desc, gram
+    // binary asc) ranking. Docs shorter than n chars yield an empty
+    // profile array, which inline() drops like the old explode did.
+    val prof = df.select(col(idCol).as("__id"),
+      graft.functions.expressions.TopKCharGrams
+        .top_k_char_grams(col(textCol), n, k).as("__prof"))
+    val docProf = prof.select(col("__id"), inline(col("__prof")))
+    val nDoc = prof.filter(size(col("__prof")) > 0)
+      .select(col("__id"), size(col("__prof")).cast("long").as("__ng"))
     val bonus = docProf.join(profDf, "__g")
       .groupBy("__id", "__lang")
       .agg(sum(lit(k.toLong) - abs(col("__dr") - col("__lr"))).as("__bonus"))

@@ -272,6 +272,30 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assertSame(df, oldSorted, VectorCells.sorted_cells(col("v"), centsCol))
   }
 
+  test("top_k_char_grams == explode + groupBy + ranking window profile") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.TopKCharGrams
+    val (n, k) = (3, 5)
+    val df = texts.filter(col("text").isNotNull)
+      .withColumn("id", monotonically_increasing_id())
+    val grams = coalesce(TextGrams.char_ngrams(col("text"), n),
+      array().cast("array<string>"))
+    val old = df.select(col("id"), explode(grams).as("__g"))
+      .groupBy("id", "__g").agg(count(lit(1)).as("__c"))
+      .withColumn("__dr", row_number().over(
+        Window.partitionBy("id").orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__dr") <= k)
+      .select(col("id"), col("__g"), col("__dr"))
+      .orderBy("id", "__dr").collect()
+    val neu = df.select(col("id"),
+        inline(TopKCharGrams.top_k_char_grams(col("text"), n, k)))
+      .orderBy("id", "__dr").collect()
+    assert(old.length == neu.length, s"${old.length} vs ${neu.length}")
+    old.zip(neu).foreach { case (o, nn) =>
+      assert(o.toSeq == nn.toSeq, s"$o vs $nn") }
+  }
+
   test("normalize_url / url_host == the r17 pure-Column regex chains") {
     import spark.implicits._
     import graft.functions.expressions.UrlKernels
