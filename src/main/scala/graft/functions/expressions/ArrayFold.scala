@@ -76,10 +76,11 @@ case class FoldDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("foldDot", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = $ref.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
     """)
   }
 
@@ -119,10 +120,11 @@ case class FoldL2Sq(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("foldL2Sq", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = $ref.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
     """)
   }
 

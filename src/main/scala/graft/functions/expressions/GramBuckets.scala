@@ -108,10 +108,11 @@ case class BucketWeightSum(left: Expression, right: Expression, nBuckets: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bucketWeightSum", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = $ref.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }
+      java.lang.Long $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }
     """)
   }
 

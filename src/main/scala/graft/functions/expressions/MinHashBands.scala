@@ -96,11 +96,12 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minHashBands", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }
     """)
   }
 

@@ -602,10 +602,11 @@ case class SumCharLen(child: Expression) extends UnaryExpression {
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sumCharLen", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Integer r = $ref.compute($c);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.intValue(); }
+      java.lang.Integer $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.intValue(); }
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): SumCharLen =

@@ -110,10 +110,11 @@ case class ArgMinL2(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("argMinL2", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Integer r = $ref.compute($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.intValue(); }
+      java.lang.Integer $r = $ref.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.intValue(); }
     """)
   }
 
