@@ -14,6 +14,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked child's stdout RAW to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which is exactly what kept the driver's bench-artifact parse failing
+// (BENCH_r14..r18 all carry `parsed: null` — the JSON contract line never
+// appeared unprefixed). With StdoutOutput the bench's one-line JSON lands
+// bare on stdout. UNSCOPED on purpose: `runMain` (how the driver invokes
+// the bench) does not delegate to `run / outputStrategy` — the bare key is
+// in every fork task's delegation chain.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

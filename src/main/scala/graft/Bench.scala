@@ -530,14 +530,26 @@ object Bench {
     }
     val fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
     // full diagnostics sidecar (VERDICT r17 item 1): everything the old
-    // oversized stdout line carried beyond the contract fields
+    // oversized stdout line carried beyond the contract fields. Default
+    // paths derive from the working directory, not an absolute literal
+    // (ADVICE r18 #4), so the artifacts land next to the ledger on any
+    // checkout.
     val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG",
-      "/root/repo/bench_diag.json")
+      new java.io.File("bench_diag.json").getAbsolutePath)
+    // belt-and-braces copy of the stdout contract line (VERDICT r18 item
+    // 2): if anything between the forked JVM and the driver's tail capture
+    // mangles stdout again, the identical line is read back from this file
+    val linePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE",
+      new java.io.File("BENCH_LINE.json").getAbsolutePath)
     def emit(json: String, diag: String): Unit = {
       try java.nio.file.Files.write(java.nio.file.Paths.get(diagPath),
         (diag + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] diag sidecar write failed: $e") }
+      try java.nio.file.Files.write(java.nio.file.Paths.get(linePath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] line artifact write failed: $e") }
       System.err.println(s"[bench] diag: $diag")
       println(json)
     }

@@ -87,10 +87,18 @@ object Dedup {
     // term, computed in ONE projection — the explode → groupBy(__id)
     // with k min-aggregates shape this replaces paid k agg-buffer
     // updates per shingle AND one Exchange of the |docs|·k signature
-    // columns; the kernel removes that Exchange outright (guide §2.4)
+    // columns; the kernel removes that Exchange outright (guide §2.4).
+    // Opaque-wrapped since r19: the posexplode consumer above makes
+    // InferFiltersFromGenerate add `size(__bands) > 0 AND isnotnull`,
+    // and predicate pushdown substituted the alias — the FULL signature
+    // kernel ran once in the Filter condition and again in this Project
+    // (r18 after-plans, both banded-join sides). The barrier keeps the
+    // guard on the cheap attribute, so the kernel runs once per row
+    // (guide §4.4).
     df.select(col(idCol).as("__id"),
-      graft.functions.expressions.MinHashBands.minhash_bands(
-        shingleCol(col(textCol), n), bands, rowsPerBand).as("__bands"))
+      graft.functions.expressions.Opaque.opaque(
+        graft.functions.expressions.MinHashBands.minhash_bands(
+          shingleCol(col(textCol), n), bands, rowsPerBand)).as("__bands"))
 
   /** Near-duplicate pairs with exact Jaccard >= threshold, found via
     * MinHash-LSH candidate generation then exact verification.
@@ -268,8 +276,15 @@ object Dedup {
   def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val df = widen(df0)
+    // Opaque since r19: the explicit size guard (plus the explode's
+    // inferred one) was pushed through this projection, so the shingle
+    // kernel ran TWICE per row in each of the four consuming subtrees
+    // (r18 plan: `size(shingles(...)) >= 1` in the Filter condition AND
+    // `shingles(...)` in the Project output, ×4 scans) — the barrier
+    // keeps the guards on the attribute (guide §4.4)
     val sets = df.select(col(idCol).as("__id"),
-        shingleCol(col(textCol), n).as("__sh"))
+        graft.functions.expressions.Opaque.opaque(
+          shingleCol(col(textCol), n)).as("__sh"))
       .filter(size(col("__sh")) >= 1)
     val ex = sets.select(col("__id"), size(col("__sh")).as("__sz"),
       explode(col("__sh")).as("__g"))
@@ -404,8 +419,12 @@ object Dedup {
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val (repRows, starBase) = collapseByKey(rows, "__v")
     val star = starBase.withColumn("cosine", lit(1.0))
+    // postings in their own Opaque-guarded projection below the explode
+    // (same §4.4 guard-duplication fix as the MinHash signature stage)
     val posts = repRows.select(col("__id"), col("__v"),
-      explode(Similarity.lshPostings(col("__v"), bits, tables)).as("__p"))
+        graft.functions.expressions.Opaque.opaque(
+          Similarity.lshPostings(col("__v"), bits, tables)).as("__posts"))
+      .select(col("__id"), col("__v"), explode(col("__posts")).as("__p"))
     posts.as("a").join(posts.as("b"),
         col("a.__p") === col("b.__p") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
@@ -552,20 +571,39 @@ object Dedup {
     * which also meant it missed real transitive closure through them).
     */
   def connectedComponents(edges: DataFrame, ids: DataFrame,
-      idCol: String): DataFrame = ccAlternating(edges, ids, idCol)._1
+      idCol: String, checkpointDir: Option[String] = None): DataFrame =
+    ccAlternating(edges, ids, idCol, checkpointDir)._1
 
   /** [[connectedComponents]] plus the number of alternation rounds run —
-    * exposed so the spec can pin convergence cost on adversarial shapes. */
+    * exposed so the spec can pin convergence cost on adversarial shapes.
+    *
+    * `checkpointDir`: per-round lineage cuts default to
+    * `localCheckpoint(true)` — right for local/bench runs (no
+    * distributed store needed, blocks vanish with the app) but it PINS
+    * the executors holding the blocks and loses them on executor death,
+    * which on a multi-hour 100 TB run means restarting the whole
+    * iteration. Passing a reliable store path (HDFS/object store)
+    * switches every cut to a RELIABLE `checkpoint(true)` under that
+    * directory: executor loss recovers from storage and dynamic
+    * allocation may release workers between rounds (guide §5 —
+    * localCheckpoint trades fault tolerance for speed; make the trade
+    * explicit at scale). */
   private[graft] def ccAlternating(edges: DataFrame, ids: DataFrame,
-      idCol: String): (DataFrame, Int) = {
+      idCol: String, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
     val nodes = ids.select(col(idCol).cast("long").as("__id")).distinct()
-    var e = edges.select(col("id_a").cast("long").as("__u"),
+    var e = cut(edges.select(col("id_a").cast("long").as("__u"),
         col("id_b").cast("long").as("__v"))
       .filter(col("__u") =!= col("__v"))
       .select(greatest(col("__u"), col("__v")).as("__u"),
         least(col("__u"), col("__v")).as("__v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var rounds = 0
     var eCount = e.count()
     var converged = eCount == 0L
@@ -585,14 +623,13 @@ object Dedup {
       // small-star over the smaller-neighbor lists ls leaves behind:
       // m = min(N⁻(u) ∪ {u}); every smaller neighbor AND u link to m
       val ssMin = ls.groupBy("__u").agg(min("__v").as("__m"))
-      val stepped = ls.join(ssMin, "__u")
+      val stepped = cut(ls.join(ssMin, "__u")
         .select(col("__v").as("__u"), col("__m").as("__v"))
         .unionAll(ssMin.select(col("__u"), col("__m").as("__v")))
         .filter(col("__u") =!= col("__v"))
         .select(greatest(col("__u"), col("__v")).as("__u"),
           least(col("__u"), col("__v")).as("__v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // fixpoint = the round left the edge set unchanged (both steps
       // only ever emit (node, smaller-reachable-id) pairs, so set
       // equality is the paper's all-stars termination test). The old

@@ -94,12 +94,25 @@ object LangIdNgram {
     // removes both (guide §2.4) with the identical (count desc, gram
     // binary asc) ranking. Docs shorter than n chars yield an empty
     // profile array, which inline() drops like the old explode did.
+    //
+    // r19 evaluation-count fix: the kernel used to run FOUR times per
+    // document — the r18 after-plans show it in the Filter condition AND
+    // the Project output of BOTH the docProf subtree (the inline()
+    // Generate's inferred `size > 0` guard was pushed through the
+    // projection) and the separate nDoc subtree. Opaque blocks the
+    // guard substitution (guide §4.4), and __ng is recovered from the
+    // exploded profile itself — inline() emits exactly size(__prof)
+    // rows per doc and only for docs with a non-empty profile, so
+    // groupBy(count) is the old `filter(size > 0).select(size)` row for
+    // row. One kernel evaluation per document; the added doc-keyed
+    // aggregation is map-side combinable over ≤ k rows per doc.
     val prof = df.select(col(idCol).as("__id"),
-      graft.functions.expressions.TopKCharGrams
-        .top_k_char_grams(col(textCol), n, k).as("__prof"))
+      graft.functions.expressions.Opaque.opaque(
+        graft.functions.expressions.TopKCharGrams
+          .top_k_char_grams(col(textCol), n, k)).as("__prof"))
     val docProf = prof.select(col("__id"), inline(col("__prof")))
-    val nDoc = prof.filter(size(col("__prof")) > 0)
-      .select(col("__id"), size(col("__prof")).cast("long").as("__ng"))
+    val nDoc = docProf.groupBy("__id")
+      .agg(count(lit(1)).as("__ng"))
     val bonus = docProf.join(profDf, "__g")
       .groupBy("__id", "__lang")
       .agg(sum(lit(k.toLong) - abs(col("__dr") - col("__lr"))).as("__bonus"))

@@ -57,10 +57,18 @@ object NgramLm {
     val uni = toks.select(explode(col("__tk")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
       .localCheckpoint()
-    val bi = toks.filter(size(col("__tk")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("__tk")) - 1),
-        i => struct(element_at(col("__tk"), i).as("__w1"),
-          element_at(col("__tk"), i + 1).as("__w2")))).as("__b"))
+    // compiled transition kernel ([[expressions.TextGrams.bigram_pairs]])
+    // since r19 — the old interpreted `transform(sequence(...),
+    // element_at...)` built each pair through a per-transition lambda;
+    // the kernel emits the identical (w1, w2) structs in one pass, and
+    // its empty-array result for < 2 tokens subsumes the old
+    // `filter(size >= 2)` row for row. Opaque keeps the Generate's
+    // inferred size-guard on the attribute (guide §4.4).
+    val bi = toks
+      .select(graft.functions.expressions.Opaque.opaque(
+        graft.functions.expressions.TextGrams.bigram_pairs(col("__tk")))
+        .as("__bp"))
+      .select(explode(col("__bp")).as("__b"))
       .select(col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
       .localCheckpoint()
@@ -91,15 +99,17 @@ object NgramLm {
     */
   def score(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
+    // compiled transition kernel — identical pair stream to the old
+    // `when(size >= 2, transform(...)).otherwise(empty)` (the kernel's
+    // empty-array result covers both the < 2-token and NULL-token-array
+    // branches); Opaque keeps the explode's inferred guard on the
+    // attribute so the tokenize+pair pass runs once per row (guide §4.4)
     val trans = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__tk"))
-      .select(col("__id"),
-        explode(when(size(col("__tk")) >= 2,
-          transform(sequence(lit(1), size(col("__tk")) - 1),
-            i => struct(element_at(col("__tk"), i).as("__w1"),
-              element_at(col("__tk"), i + 1).as("__w2"))))
-          .otherwise(array().cast("array<struct<__w1:string,__w2:string>>")))
-          .as("__b"))
+      .select(col(idCol).as("__id"),
+        graft.functions.expressions.Opaque.opaque(
+          graft.functions.expressions.TextGrams.bigram_pairs(
+            tokens(col(textCol)))).as("__bp"))
+      .select(col("__id"), explode(col("__bp")).as("__b"))
       .select(col("__id"), col("__b.__w1").as("__w1"),
         col("__b.__w2").as("__w2"))
     val scored = trans

@@ -54,8 +54,12 @@ object Similarity {
   /** Sign-random-projection bucket id (`bits`-bit code) for LSH table
     * `table`. Vectors in the same bucket of any table are ANN candidates;
     * probing cost is O(bucket), not O(corpus).
+    *
+    * REFERENCE FORM ONLY since r19 — kept verbatim so
+    * KernelEquivalenceSpec can pin [[lshPostings]]'s compiled kernel
+    * against it; the query paths all go through [[lshPostings]].
     */
-  def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
+  private[graft] def lshBucket(vec: Column, bits: Int, table: Int = 0): Column = {
     val code = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -68,10 +72,15 @@ object Similarity {
 
   /** All LSH (table, bucket) postings for a vector — `tables` independent
     * hash tables; recall grows as 1-(1-p^bits)^tables.
+    *
+    * Compiled kernel ([[graft.functions.expressions.LshVec]]) since r19:
+    * the old per-(table, bit) `aggregate(zip_with(...))` folds evaluated
+    * interpreted, re-walking the vector tables·bits times per row; the
+    * kernel computes every projection in one pass with the identical
+    * hash chain, fold order and `> 0` bit rule (guide §4).
     */
   def lshPostings(vec: Column, bits: Int, tables: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(vec, bits, t).as("b"))): _*)
+    graft.functions.expressions.LshVec.lsh_postings(vec, bits, tables)
 
   /** 1-row broadcast relation carrying the centroid set as
     * `__cents: array<struct<cell, cvec, cnorm>>`. Centroids travel in the
@@ -383,8 +392,15 @@ object Similarity {
       graft.functions.expressions.ArrayFold.fold_l2sq(a, b)
     def centVec(cell: Column): Column =
       element_at(col("__cents"), cell).getField("cvec")
+    // compiled residual kernel ([[expressions.LshVec.vec_residual]]) —
+    // the old zip_with lambda evaluated interpreted AND re-ran the
+    // captured centroid lookup per ELEMENT (captured non-attribute
+    // expressions get no CSE inside lambdas); the kernel binds the
+    // centroid once per row and does the identical per-element
+    // cast-to-double subtraction with zip_with null/padding semantics
+    // (guide §4)
     def residual(v: Column, cell: Column): Column =
-      zip_with(v, centVec(cell), (x, c) => x.cast("double") - c)
+      graft.functions.expressions.LshVec.vec_residual(v, centVec(cell))
     // compiled argmin-L2 kernel — same ascending (d2, j) head (guide §4)
     def codeFor(r: Column, mi: Int): Column =
       graft.functions.expressions.VectorCells.arg_min_l2(
@@ -445,10 +461,17 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bits: Int = 4, tables: Int = 16): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(lshPostings(col(vecCol), bits, tables)).as("__p")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      explode(lshPostings(col(vecCol), bits, tables)).as("__p"))
+    // postings materialize in their own Opaque-guarded projection below
+    // the explode so the Generate's inferred `size > 0` guard evaluates
+    // the attribute, not a second kernel run (guide §4.4); the corpus
+    // side is the one that matters at scale, the query side is bounded
+    def postings(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec),
+          graft.functions.expressions.Opaque.opaque(
+            lshPostings(col(vecCol), bits, tables)).as("__posts"))
+        .select(col(outId), col(outVec), explode(col("__posts")).as("__p"))
+    val q = broadcast(postings(queries, "query_id", "__qv"))
+    val c = postings(corpus, "neighbor_id", "__cv")
     val cand = q.join(c, Seq("__p"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "__qv", "neighbor_id", "__cv")

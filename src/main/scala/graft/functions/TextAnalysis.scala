@@ -15,14 +15,19 @@ object TextAnalysis {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** Count of tokens found in a stopword list. Compiled kernel
+    * ([[graft.functions.expressions.TextGrams.count_in]]) since r19 —
+    * the old `size(filter(tokens, t => array_contains(stops, t)))`
+    * walked every token through an interpreted filter lambda; identical
+    * count and NULL-text → NULL semantics (guide §4). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.expressions.TextGrams.count_in(tokens(text), stopwords)
+
   /** Fraction of tokens found in a stopword list — a standard quality /
     * natural-language signal.
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val stops = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stops, t))).cast("double") /
-      size(tokens(text))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords).cast("double") / size(tokens(text))
 
   /** Composite quality score in [0,1]: mean-word-length band + stopword
     * presence + type-token ratio. Deterministic double arithmetic.
@@ -278,15 +283,28 @@ object TextAnalysis {
 
   /** C4 clean of a newline-delimited document: the text with only the
     * kept lines (joined with newlines), plus kept/dropped line counts —
-    * per-row expressions, no shuffle, scan-speed over a 100 TB corpus. */
+    * per-row expressions, no shuffle, scan-speed over a 100 TB corpus.
+    *
+    * Compiled one-pass kernel ([[graft.functions.expressions.C4Lines]])
+    * since r19: the old per-helper `filter(split(text, "\n"),
+    * c4LineKeep)` HOFs evaluated interpreted per line AND each of the
+    * three helpers re-split and re-filtered the document; the kernel
+    * computes all three fields in one pass and identical expressions in
+    * one projection collapse to a single evaluation (guide §4).
+    * [[c4LineKeep]] stays as the per-line reference form the
+    * equivalence spec pins the kernel against. */
   def c4CleanedText(text: Column, minWords: Int = 5): Column =
-    array_join(filter(split(text, "\n"), l => c4LineKeep(l, minWords)), "\n")
+    graft.functions.expressions.C4Lines.c4_line_stats(text, minWords)
+      .getField("kept")
 
   def c4KeptLines(text: Column, minWords: Int = 5): Column =
-    size(filter(split(text, "\n"), l => c4LineKeep(l, minWords)))
+    graft.functions.expressions.C4Lines.c4_line_stats(text, minWords)
+      .getField("n_kept")
 
-  def c4DroppedLines(text: Column, minWords: Int = 5): Column =
-    size(split(text, "\n")) - c4KeptLines(text, minWords)
+  def c4DroppedLines(text: Column, minWords: Int = 5): Column = {
+    val st = graft.functions.expressions.C4Lines.c4_line_stats(text, minWords)
+    st.getField("n_total") - st.getField("n_kept")
+  }
 
   /** C4's cross-document span dedup (Raffel et al. 2020 §2.2): any
     * `n`-sentence span occurring more than once in the corpus keeps only

@@ -94,6 +94,9 @@ case class BucketWeightSum(left: Expression, right: Expression, nBuckets: Int)
     while (i < n) {
       if (grams.isNullAt(i)) return null
       val b = GramBuckets.bucketOf(grams.getUTF8String(i), nBuckets)
+      // contract violation (weights shorter than nBuckets): the old
+      // element_at chain returned NULL, never AIOOBE — preserve that
+      if (b >= weights.numElements()) return null
       if (weights.isNullAt(b)) return null
       acc += weights.getLong(b)
       i += 1

@@ -49,6 +49,14 @@ object TextGrams {
     GraftColumnBridge.column(
       UnigramsBigrams(GraftColumnBridge.expression(tokens)))
 
+  def bigram_pairs(tokens: Column): Column =
+    GraftColumnBridge.column(
+      BigramPairs(GraftColumnBridge.expression(tokens)))
+
+  def count_in(tokens: Column, set: Seq[String]): Column =
+    GraftColumnBridge.column(
+      CountInSet(GraftColumnBridge.expression(tokens), set))
+
   def marker_best_lang(text: Column,
       markers: Seq[(String, Seq[String])]): Column =
     GraftColumnBridge.column(
@@ -374,7 +382,7 @@ case class RunTopUniq(child: Expression) extends UnaryExpression {
 
 /** Whitespace-run tokenization — the compiled form of
   * `filter(split(text, "[ \\t\\n\\x0B\\f\\r]+"), t => t =!= "")`:
-  * maximal runs of non-whitespace bytes (the five ASCII whitespace
+  * maximal runs of non-whitespace bytes (the six ASCII whitespace
   * chars never occur inside a UTF-8 multibyte sequence). NULL → NULL. */
 case class WsTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -610,5 +618,101 @@ case class SumCharLen(child: Expression) extends UnaryExpression {
     """)
   }
   override protected def withNewChildInternal(newChild: Expression): SumCharLen =
+    copy(child = newChild)
+}
+
+/** The bigram-transition pair list of a token array — the compiled form
+  * of [[graft.functions.NgramLm]]'s
+  * {{{
+  *   when(size(tk) >= 2, transform(sequence(1, size(tk) - 1),
+  *     i => struct(element_at(tk, i) as __w1, element_at(tk, i + 1) as __w2)))
+  *     .otherwise(array().cast("array<struct<__w1:string,__w2:string>>"))
+  * }}}
+  * The transform evaluated interpreted per transition. Identical output:
+  * (tk(i), tk(i+1)) pairs in order; fewer than 2 tokens OR a NULL token
+  * array → EMPTY array (size(NULL) is NULL, so the `when` fell through
+  * to the empty branch) — hence never NULL. NULL token elements pass
+  * through as NULL struct fields like element_at did. */
+case class BigramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("__w1", StringType), StructField("__w2", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  def compute(arr: ArrayData): ArrayData = {
+    if (arr == null) return TextGrams.EmptyStringArray
+    val n = arr.numElements()
+    if (n < 2) return TextGrams.EmptyStringArray
+    val out = new Array[Any](n - 1)
+    var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // result is defined (empty) for a NULL child — no null-intolerant
+  // shortcut
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    compute(if (v == null) null else v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("bigramPairs", this)
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute(
+            ${c.isNull} ? null :
+              (org.apache.spark.sql.catalyst.util.ArrayData) ${c.value});
+      """, isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramPairs =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a fixed string set — the
+  * compiled form of `size(filter(toks, t => array_contains(set, t)))`.
+  * The filter HOF walked every token through an interpreted
+  * array_contains of the literal array. Identical semantics: NULL
+  * array → NULL (size(NULL) with legacy sizeOfNull off); NULL elements
+  * never match (array_contains yields NULL, filter keeps only true). */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSet", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
     copy(child = newChild)
 }

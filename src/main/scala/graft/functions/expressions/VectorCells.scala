@@ -88,6 +88,12 @@ case class ArgMinL2(left: Expression, right: Expression)
     var j = 0
     while (j < k) {
       val cent = cb.getArray(j)
+      // dimension contract (a shorter entry threw a bare AIOOBE, a
+      // longer one silently truncated — the old zip_with form produced a
+      // deterministic NULL-d2 sort instead): fail loudly with the name
+      assert(cent.numElements() == x.length,
+        s"ArgMinL2: codebook entry $j has dim ${cent.numElements()}, " +
+          s"subvector has dim ${x.length}")
       var acc = 0.0
       var i = 0
       while (i < x.length) {
@@ -148,6 +154,11 @@ case class SortedCells(left: Expression, right: Expression)
     while (j < k) {
       val st = cents.getStruct(j, 3)
       cells(j) = st.getInt(0)
+      // dimension contract: fail loudly naming the centroid, not with a
+      // bare AIOOBE (or a silent truncation for longer entries)
+      assert(st.getArray(1).numElements() == x.length,
+        s"SortedCells: centroid cell ${st.getInt(0)} has dim " +
+          s"${st.getArray(1).numElements()}, vector has dim ${x.length}")
       negs(j) = -(VectorCells.dot(x, st.getArray(1)) / (normv * st.getDouble(2)))
       j += 1
     }

@@ -23,8 +23,7 @@ object TrainingData {
         TA.tokenCount(col("text")).as("n_tokens"),
         TA.distinctTokenCount(col("text")).as("n_distinct"),
         length(col("text")).as("n_chars_calc"),
-        size(filter(TA.tokens(col("text")),
-          t => array_contains(array(stops.map(lit): _*), t))).as("stop_cnt"),
+        TA.stopwordCount(col("text"), stops).as("stop_cnt"),
         (TA.distinctTokenCount(col("text")).cast("double") /
           TA.tokenCount(col("text"))).as("ttr"))
         .orderBy("doc_id"),
@@ -2336,16 +2335,45 @@ object TrainingData {
     val s8 = tap("budget", () =>
       Sampling.budgetSelect(s7.select(col("doc_id"), col("n_tokens")),
         "doc_id", "n_tokens", budgetTokens = 5000L))
-    def member(dfm: DataFrame, name: String) =
-      dfm.select(col("doc_id")).withColumn(name, lit(true))
+    // Final membership assembly, restructured in r19 (guide §2.4 — fewer
+    // shuffles): the old shape LEFT-JOINED enriched against five
+    // doc-keyed frames (four membership flags + the substr columns) —
+    // five sort-merge joins, each with its own Exchange+Sort. Every
+    // source frame carries at most ONE row per doc_id (s2 keeps only
+    // canonical rows, s5/s7/s8 are row subsets of the unique-doc s4/s5
+    // funnel, sub emits one row per doc), so a LEFT join is row-for-row
+    // a tag-union + per-doc fold: union the five frames with a source
+    // tag (sub's payload columns null-padded on the flag frames), ONE
+    // map-side-combinable groupBy(doc_id), ONE join back to enriched.
+    // max(__src = tag) reproduces join-hit-or-NULL→coalesce(false);
+    // the when/max over sub's columns reproduces sub's LEFT-join payload
+    // (at most one "sub" row per doc, so the fold is deterministic).
+    val subPayload = sub.schema.fields.filter(_.name != "doc_id")
+    def memberRow(dfm: DataFrame, tag: String) =
+      dfm.select(col("doc_id") +:
+        subPayload.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+        lit(tag).as("__src"): _*)
+    val folded = memberRow(s2, "canon")
+      .unionByName(memberRow(s5, "nd"))
+      .unionByName(memberRow(s7, "cap"))
+      .unionByName(memberRow(s8, "bud"))
+      .unionByName(sub.withColumn("__src", lit("sub")))
+      .groupBy("doc_id")
+      .agg(
+        max(col("__src") === "canon").as("__canon"),
+        max(col("__src") === "nd").as("__nd"),
+        max(col("__src") === "cap").as("__cap"),
+        max(col("__src") === "bud").as("__bud"),
+        first(when(col("__src") === "sub", col("dup_windows")),
+          ignoreNulls = true).as("dup_windows"),
+        first(when(col("__src") === "sub", col("removed_tokens")),
+          ignoreNulls = true).as("removed_tokens"),
+        first(when(col("__src") === "sub", col("n_tokens")),
+          ignoreNulls = true).as("n_tokens"))
     enriched
       .select(col("doc_id"), col("url_keep"), col("pred_lang"),
         col("qual_ok"))
-      .join(member(s2, "__canon"), Seq("doc_id"), "left")
-      .join(member(s5, "__nd"), Seq("doc_id"), "left")
-      .join(sub, Seq("doc_id"), "left")
-      .join(member(s7, "__cap"), Seq("doc_id"), "left")
-      .join(member(s8, "__bud"), Seq("doc_id"), "left")
+      .join(folded, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url_keep"),
         (col("url_keep") && coalesce(col("__canon"), lit(false)))
           .as("canon_ok"),

@@ -70,4 +70,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((3L, 3L), (7L, 7L), (9L, 9L)))
   }
+
+  test("reliable checkpointDir option: same labels, cuts land in the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val ids = (0L to 20L).toDF("doc_id")
+    val es = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (local, _) = Dedup.ccAlternating(es, ids, "doc_id")
+    val (reliable, _) = Dedup.ccAlternating(es, ids, "doc_id", Some(dir))
+    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the reliable path must actually have written checkpoint data
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
 }

@@ -39,11 +39,16 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       .unionByName(Seq(Option.empty[String]).toDF("text")) // NULL row
   }
 
-  /** Collects both columns and asserts row-wise exact equality. */
+  /** Collects both columns and asserts row-wise exact equality. A
+    * same-position NaN pair counts as equal (primitive NaN == NaN is
+    * false, but the VALUES agree — compared via the string form, which
+    * also distinguishes -0.0 from 0.0). */
   private def assertSame(df: DataFrame, oldCol: Column, newCol: Column): Unit = {
     val rows = df.select(oldCol.as("o"), newCol.as("n")).collect()
     rows.zipWithIndex.foreach { case (r, i) =>
-      assert(r.get(0) == r.get(1), s"row $i: old=${r.get(0)} new=${r.get(1)}")
+      val same = r.get(0) == r.get(1) ||
+        String.valueOf(r.get(0)) == String.valueOf(r.get(1))
+      assert(same, s"row $i: old=${r.get(0)} new=${r.get(1)}")
     }
   }
 
@@ -409,5 +414,161 @@ class KernelEquivalenceSpec extends AnyFunSuite {
           x => element_at(w, Dsir.gramBucket(x, nBuckets) + 1)),
         lit(0L), (acc, v) => acc + v),
       GramBuckets.bucket_weight_sum(col("gs"), w, nBuckets))
+  }
+
+  test("lsh_postings == per-(table,bit) aggregate(zip_with) sign projections") {
+    import spark.implicits._
+    import graft.functions.expressions.LshVec
+    // the r18 interpreted form, verbatim (Similarity.lshBucket reference)
+    def planeComponent(bit: Int, dim: Column): Column =
+      (xxhash64(lit(bit), dim).cast("double") / lit(Long.MaxValue.toDouble))
+    def lshBucketOld(vec: Column, bits: Int, table: Int): Column = {
+      val code = (0 until bits).map { b =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(table * bits + b, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      }
+      code.reduce(_.bitwiseOR(_))
+    }
+    def oldPosts(vec: Column, bits: Int, tables: Int): Column =
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucketOld(vec, bits, t).as("b"))): _*)
+
+    val fvecs = Seq(
+      Seq(1.0f, -2.0f, 3.5f, 0.25f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),          // all-zero: proj 0, no bit
+      Seq(-1.5f, -0.5f),
+      Seq(Float.NaN, 1.0f),                  // NaN poisons every proj
+      Seq(1e30f, -1e30f, 1e-30f),
+      Seq.empty[Float]                       // empty: null-padded fold
+    ).map(Option(_)).toDF("v")
+      .unionByName(Seq(Option.empty[Seq[Float]]).toDF("v"))
+    for ((bits, tables) <- Seq((4, 16), (1, 1), (8, 2)))
+      assertSame(fvecs, oldPosts(col("v"), bits, tables),
+        LshVec.lsh_postings(col("v"), bits, tables))
+    // null ELEMENT poisons the fold to bucket 0 on every table
+    val nullElem = Seq(Seq(Some(1.0), None, Some(2.0))).toDF("v")
+    assertSame(nullElem, oldPosts(col("v"), 4, 3),
+      LshVec.lsh_postings(col("v"), 4, 3))
+    // double element type
+    val dvecs = Seq(Seq(0.1, -0.9, 2.2), Seq(5.0, 5.0, 5.0)).toDF("v")
+    assertSame(dvecs, oldPosts(col("v"), 6, 4),
+      LshVec.lsh_postings(col("v"), 6, 4))
+  }
+
+  test("vec_residual == zip_with(v, c, x.cast(double) - c)") {
+    import spark.implicits._
+    import graft.functions.expressions.LshVec
+    val rows = Seq(
+      (Some(Seq(Option(1.0f), Option(2.5f), Option(-3.0f))),
+        Some(Seq(Option(0.5), Option(0.5), Option(0.5)))),
+      (Some(Seq(Option(1.0f), None, Option(2.0f))),     // null element
+        Some(Seq(Option(1.0), Option(1.0), Option(1.0)))),
+      (Some(Seq(Option(1.0f))),                          // shorter left
+        Some(Seq(Option(1.0), Option(2.0)))),
+      (Some(Seq(Option(1.0f), Option(2.0f))),            // shorter right
+        Some(Seq(Option(3.0)))),
+      (Some(Seq(Option(Float.NaN), Option(0.0f))),
+        Some(Seq(Option(1.0), Option(Double.NaN)))),
+      (None, Some(Seq(Option(1.0)))),                    // NULL left
+      (Some(Seq(Option(1.0f))), None)                    // NULL right
+    ).toDF("a", "b")
+    assertSame(rows,
+      zip_with(col("a"), col("b"), (x, c) => x.cast("double") - c),
+      LshVec.vec_residual(col("a"), col("b")))
+  }
+
+  test("bigram_pairs == when(size >= 2, transform(element_at pairs)).otherwise(empty)") {
+    import spark.implicits._
+    val toks = Seq(
+      Seq[String]("a", "b", "c", "d"),
+      Seq[String]("one", "two"),
+      Seq[String]("lonely"),
+      Seq.empty[String],
+      Seq[String]("x", null, "y"),          // null token elements
+      Seq[String]("中文", "字", "één")
+    ).map(Option(_)).toDF("tk")
+      .unionByName(Seq(Option.empty[Seq[String]]).toDF("tk"))
+    val tk = col("tk")
+    assertSame(toks,
+      when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("__w1"),
+            element_at(tk, i + 1).as("__w2"))))
+        .otherwise(array().cast("array<struct<__w1:string,__w2:string>>")),
+      TextGrams.bigram_pairs(tk))
+  }
+
+  test("count_in == size(filter(toks, array_contains(set, t)))") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of", "and", "is")
+    val stopsArr = array(stops.map(lit): _*)
+    val toks = split(col("text"), " ")
+    assertSame(texts,
+      size(filter(toks, t => array_contains(stopsArr, t))),
+      TextGrams.count_in(toks, stops))
+    // null elements never match; empty-string tokens only if in the set
+    val arrs = Seq(
+      Seq[String]("the", null, "a", "", "THE"),
+      Seq.empty[String]
+    ).map(Option(_)).toDF("tk")
+      .unionByName(Seq(Option.empty[Seq[String]]).toDF("tk"))
+    assertSame(arrs,
+      size(filter(col("tk"), t => array_contains(stopsArr, t))),
+      TextGrams.count_in(col("tk"), stops))
+  }
+
+  test("c4_line_stats == filter(split, c4LineKeep) cleaned/kept/dropped") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    import graft.functions.expressions.C4Lines
+    val docs = Seq(
+      "good line with five words.\nshort.\nno terminal punct here at all",
+      "please enable javascript to continue.\nJAVASCRIPT in caps five words.",
+      "ends with a double quote here\"\nends with bang five words go!",
+      "one two three four five.\r\nsix seven eight nine ten.",  // \r before $
+      "",
+      "\n\n",
+      "tabs\tdo not split words here.",
+      "één żółć 中文 字 multibyte five.",
+      "exactly four words here.",
+      "trailing newline line with five words.\n"
+    ).toDF("text")
+      .unionByName(Seq(Option.empty[String]).toDF("text"))
+    val t = col("text")
+    for (minWords <- Seq(1, 5)) {
+      val keptOld = filter(split(t, "\n"),
+        l => TextAnalysis.c4LineKeep(l, minWords))
+      assertSame(docs, array_join(keptOld, "\n"),
+        C4Lines.c4_line_stats(t, minWords).getField("kept"))
+      assertSame(docs, size(keptOld),
+        C4Lines.c4_line_stats(t, minWords).getField("n_kept"))
+      assertSame(docs, size(split(t, "\n")) - size(keptOld),
+        C4Lines.c4_line_stats(t, minWords).getField("n_total") -
+          C4Lines.c4_line_stats(t, minWords).getField("n_kept"))
+    }
+  }
+
+  test("opaque is a value-level identity (deterministic child, any consumer shape)") {
+    import spark.implicits._
+    import graft.functions.expressions.{MinHashBands, Opaque, TextGrams}
+    // raw values pass through unchanged
+    assertSame(texts,
+      MinHashBands.minhash_bands(TextGrams.shingles(col("text"), 3), 16, 4),
+      Opaque.opaque(
+        MinHashBands.minhash_bands(TextGrams.shingles(col("text"), 3), 16, 4)))
+    // and through the filter + explode pipeline shape the query paths
+    // use (the optimizer treats the wrapped field as nondeterministic,
+    // which must not change WHAT is computed)
+    def pipeline(wrap: Column => Column) =
+      texts.withColumn("__id", monotonically_increasing_id())
+        .select(col("__id"),
+          wrap(MinHashBands.minhash_bands(
+            TextGrams.shingles(col("text"), 3), 16, 4)).as("__bands"))
+        .select(col("__id"), posexplode(col("__bands")))
+        .collect().map(_.toString).sorted.toSeq
+    assert(pipeline(identity) == pipeline(Opaque.opaque))
   }
 }
