@@ -282,6 +282,10 @@ object Dedup {
     // (r18 plan: `size(shingles(...)) >= 1` in the Filter condition AND
     // `shingles(...)` in the Project output, ×4 scans) — the barrier
     // keeps the guards on the attribute (guide §4.4)
+    // NOT materialized, by measurement: sets feeds four subtrees (the
+    // explode twice, both verify broadcast sides), but a localCheckpoint
+    // here benched SLOWER (r19: 2.50 vs 2.21 norm) — the compiled
+    // shingle recompute is cheaper than writing/reading the gram arrays
     val sets = df.select(col(idCol).as("__id"),
         graft.functions.expressions.Opaque.opaque(
           shingleCol(col(textCol), n)).as("__sh"))
@@ -413,9 +417,13 @@ object Dedup {
     // either (the NaN similarity failed every threshold), and
     // star-collapsing them would fabricate 1.0 similarities between
     // unrelated documents and delete real data downstream
+    // compiled gate ([[expressions.LshVec.any_nonzero]]) since r19 — the
+    // `exists(vec, x =!= 0.0f)` HOF walked every vector interpreted;
+    // identical exists semantics (true on any non-zero incl. NaN, null
+    // if only nulls remain, -0.0 counts as zero) (guide §4)
     val rows = df
       .filter(col(vecCol).isNotNull &&
-        exists(col(vecCol), x => x =!= lit(0.0f)))
+        graft.functions.expressions.LshVec.any_nonzero(col(vecCol)))
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val (repRows, starBase) = collapseByKey(rows, "__v")
     val star = starBase.withColumn("cosine", lit(1.0))

@@ -110,7 +110,17 @@ object LangIdNgram {
       graft.functions.expressions.Opaque.opaque(
         graft.functions.expressions.TopKCharGrams
           .top_k_char_grams(col(textCol), n, k)).as("__prof"))
+    // ONE explicit __id exchange under both consumers: nDoc's count and
+    // bonus's (id, lang) aggregation each only require clustering on a
+    // key set CONTAINING __id, so hashpartitioning(__id) satisfies both
+    // and neither plans its own Exchange — and the two identical
+    // repartition subtrees collapse into one via exchange reuse, so the
+    // profile kernel + explode physically run ONCE per corpus pass
+    // (without this, each consumer re-derived docProf from the scan:
+    // two kernel evaluations). Shuffled rows are the exploded profiles,
+    // ≤ k small rows per doc (guide §2.4).
     val docProf = prof.select(col("__id"), inline(col("__prof")))
+      .repartition(col("__id"))
     val nDoc = docProf.groupBy("__id")
       .agg(count(lit(1)).as("__ng"))
     val bonus = docProf.join(profDf, "__g")

@@ -56,6 +56,9 @@ object LshVec {
   def vec_residual(vec: Column, cent: Column): Column =
     GraftColumnBridge.column(VecResidual(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cent)))
+
+  def any_nonzero(vec: Column): Column =
+    GraftColumnBridge.column(AnyNonZero(GraftColumnBridge.expression(vec)))
 }
 
 case class LshPostingsExpr(child: Expression, bits: Int, tables: Int)
@@ -199,4 +202,50 @@ case class VecResidual(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecResidual =
     copy(left = newLeft, right = newRight)
+}
+
+/** TRUE iff any element differs from 0.0f — the compiled form of
+  * `exists(vec, x => x =!= lit(0.0f))` (the degenerate-embedding gate).
+  * Exists semantics preserved exactly: any non-zero element → TRUE
+  * (NaN counts — Spark's EqualTo never equates NaN with 0, and -0.0
+  * equals 0.0 in both engines' float semantics); otherwise NULL if any
+  * element was NULL, else FALSE; NULL array → NULL. */
+case class AnyNonZero(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  private lazy val elemFloat = ArrayFold.isFloatElem(child)
+
+  def compute(arr: ArrayData): java.lang.Boolean = {
+    val n = arr.numElements()
+    var sawNull = false
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) sawNull = true
+      else {
+        val x = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // x != 0.0 is true for NaN and false for -0.0 — both match the
+        // builtin comparison
+        if (x != 0.0) return java.lang.Boolean.TRUE
+      }
+      i += 1
+    }
+    if (sawNull) null else java.lang.Boolean.FALSE
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = compute(v.asInstanceOf[ArrayData])
+    if (r == null) null else r.booleanValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anyNonZero", this)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Boolean $r = $ref.compute($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.booleanValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AnyNonZero =
+    copy(child = newChild)
 }

@@ -163,6 +163,42 @@ object TdScaleProbe {
         ccIds, "doc_id"))
     }
 
+    // round-19: the kernel-era shapes VERDICT r18 item 6 asked fresh sf1
+    // rows for — every r17-era row above predates the compiled kernels.
+    // Paragraph-level minhash (explode + collapse + fused banding), the
+    // IVF-PQ encode+probe chain (VecResidual/ArgMinL2/SortedCells
+    // kernels), and the sign-LSH postings kernel behind embedding dedup.
+    out("dedup_para") = med3 {
+      // the td_dedup_para fixture shape: boilerplate + per-doc paragraph
+      // (+ planted near-dups on id mods), newline-delimited
+      val id = col("doc_id")
+      val paraDocs = docs.select(id, concat_ws("\n",
+        lit("common boilerplate license header shared across this crawl corpus"),
+        when(pmod(id, lit(13)) === 0, lit(""))
+          .otherwise(lit(null).cast("string")),
+        concat(lit("p"), id.cast("string"), lit(" "),
+          array_join(slice(split(col("text"), " "), 1, 10), " ")),
+        when(pmod(id, lit(10)) === 0,
+          lit("planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta"))
+          .when(pmod(id, lit(10)) === 5,
+            lit("planted near duplicate paragraph alpha beta gamma delta epsilon zeta eta theta iota"))
+          .otherwise(lit(null).cast("string"))).as("__t"))
+      noop(graft.functions.Dedup.paraNearDupPairs(paraDocs,
+        "doc_id", "__t", threshold = 0.8))
+    }
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    out("sim_ivfpq") = med3 {
+      val qs = emb.filter(col("vec_id") < 20)
+      noop(graft.functions.Similarity.ivfpqTopK(qs, emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6, m = 8,
+        ksub = 32, kmeansIters = 3, refine = 16))
+    }
+    out("dedup_embed") = med3 {
+      noop(graft.functions.Dedup.embedNearDupPairs(emb,
+        "vec_id", "embedding", threshold = 0.95))
+    }
+
     val qs = out.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"td_scale","docs":$nDocs,"probes":$qs,"sf":"$sfDir"}""")

@@ -571,4 +571,22 @@ class KernelEquivalenceSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
     assert(pipeline(identity) == pipeline(Opaque.opaque))
   }
+
+  test("any_nonzero == exists(vec, x =!= 0.0f)") {
+    import spark.implicits._
+    import graft.functions.expressions.LshVec
+    val rows = Seq(
+      Seq(Option(0.0f), Option(0.0f)),
+      Seq(Option(0.0f), Option(1.5f)),
+      Seq(Option(-0.0f)),                         // -0.0 counts as zero
+      Seq(Option(Float.NaN)),                     // NaN =!= 0 is TRUE
+      Seq(Option(0.0f), None),                    // nulls-only remainder
+      Seq(None, Option(2.0f)),                    // true beats null
+      Seq.empty[Option[Float]]
+    ).map(Option(_)).toDF("v")
+      .unionByName(Seq(Option.empty[Seq[Option[Float]]]).toDF("v"))
+    assertSame(rows,
+      exists(col("v"), x => x =!= lit(0.0f)),
+      LshVec.any_nonzero(col("v")))
+  }
 }
