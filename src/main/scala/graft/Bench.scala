@@ -124,7 +124,7 @@ object Bench {
     "q4_window_topn" -> 0.48, "q5_topk" -> 0.18, "q13_custom_sql" -> 0.87,
     "mode_upsert" -> 1.02, "mode_cdc_apply" -> 1.38, "t_asof_join" -> 1.04,
     "t_sessionize" -> 0.62, "t_stream_window" -> 1.51,
-    "td_text_stats" -> 0.34,
+    "td_text_stats" -> 0.30, // r19 re-pin: CountInSet kernel (see below)
     // td_dedup_near gained the identical-text collapse in r15 (one
     // md5-keyed groupBy+join ahead of the signatures — the prepass that
     // caps N identical docs at O(N) output instead of C(N,2)).
@@ -148,19 +148,30 @@ object Bench {
     // a single noisy reading; the operator now has a fresh clean-run
     // anchor (1.74) entirely below the old band.
     "td_dedup_near" -> 1.74, "td_sim_topk" -> 0.56,
-    "td_dedup_ngram" -> 3.42, "op_delta_skipping" -> 1.19,
+    // --- r19 re-pin (optimization round 2): queries the r19 changes
+    // moved (guard-deduplication Opaque barriers, LshPostings/
+    // BigramPairs/VecResidual/CountInSet/C4Lines kernels, langid
+    // one-exchange profile, RefinedWeb union-fold assembly) re-anchor
+    // DOWN to the round's all-gates-clean full-run medians (2026-08-18
+    // 06:57, calib_spark 0.415, attempt 1, band_out/polluted empty) so
+    // the bands guard the optimized shapes; everything else keeps its
+    // existing (tighter) anchor. td_dedup_near/para read flat at sf0.1
+    // (overhead-bound; the halved per-row signature work shows at
+    // scale, not here) and keep their r18 anchors.
+    // (moved refs are the MAX of the round's two all-gates-clean full
+    // runs — 06:57 calib 0.415 and the closing 07:45 calib 0.451 — so
+    // they guard the optimized shape while tolerating clean-run
+    // variance; queries this round did not move keep their r18 anchors)
+    "td_dedup_ngram" -> 2.77, "op_delta_skipping" -> 1.19,
     "bench_ingest_csv" -> 1.95, "bench_ingest_parquet" -> 2.10,
     "bench_ingest_db" -> 3.10,
-    "td_decontaminate" -> 0.65, "td_sim_ivfpq" -> 2.79,
+    "td_decontaminate" -> 0.65, "td_sim_ivfpq" -> 2.36,
     "td_token_bpe" -> 0.27, "td_quality_c4_spans" -> 0.71,
     "td_dedup_substr" -> 0.62, "td_pack_sequences" -> 0.36,
     "td_dsir_weights" -> 1.04,
-    "td_quality_model" -> 0.90, "td_quality_langid_ngram" -> 3.43,
-    // ppl gate: touched only via the shared tokenizer kernel; its clean
-    // r18 reading (1.91) sits ABOVE the r16/r17 anchor on a slower box,
-    // so the tighter 1.65 ref stays (ceiling 2.64 still passed)
-    "td_quality_ppl" -> 1.65,
-    "td_dedup_url" -> 0.51, "td_pipeline_ccnet" -> 4.37,
+    "td_quality_model" -> 0.90, "td_quality_langid_ngram" -> 1.85,
+    "td_quality_ppl" -> 1.00,
+    "td_dedup_url" -> 0.51, "td_pipeline_ccnet" -> 2.94,
     "td_pipeline_refinedweb" -> 3.97, "td_dedup_para" -> 2.15)
   val BandHiFactor = 1.6
   def CalibCpuRefSec: Double = (CalibCpuRefBand._1 + CalibCpuRefBand._2) / 2

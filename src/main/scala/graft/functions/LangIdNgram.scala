@@ -121,8 +121,19 @@ object LangIdNgram {
     // ≤ k small rows per doc (guide §2.4).
     val docProf = prof.select(col("__id"), inline(col("__prof")))
       .repartition(col("__id"))
+    // prune-anchor: the two coalesce(… * 0) terms are constant 0 — they
+    // exist only to REFERENCE first(__g)/first(__dr) inside __ng in a
+    // form no optimizer rule can remove (x * 0 is not foldable under
+    // nulls; equal-branch when() and count(non-nullable) both got
+    // simplified away when tried). Without them ColumnPruning inserts a
+    // narrower Project under this side's exchange, the two exchange
+    // subtrees stop canonicalizing equal, and exchange reuse — the
+    // thing that makes the profile kernel + explode physically run
+    // ONCE — never fires.
     val nDoc = docProf.groupBy("__id")
-      .agg(count(lit(1)).as("__ng"))
+      .agg((count(lit(1)) +
+        coalesce(length(first(col("__g"))).cast("long") * 0L, lit(0L)) +
+        coalesce(first(col("__dr")).cast("long") * 0L, lit(0L))).as("__ng"))
     val bonus = docProf.join(profDf, "__g")
       .groupBy("__id", "__lang")
       .agg(sum(lit(k.toLong) - abs(col("__dr") - col("__lr"))).as("__bonus"))
