@@ -486,7 +486,7 @@ object Bench {
     // the ledger entry this pass would record if it ships clean: the
     // normalized medians that next round's flagged artifacts fall back to
     val inbandEntry =
-      f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
+      f"""{"total_legacy16":$legacyTotal%.3f,"total_norm":$totalNorm%.3f,"queries_norm":$qsNorm,"calib_spark_sec":$calibSparkSec%.3f,"cpus":$cpus,"sf":"$sfDir","ts":"${java.time.Instant.now()}"}"""
     // the full gate (VERDICT r12 item 3): calibration bands (slow side)
     // AND the spread detector AND the per-query reference bands — a
     // pass ships clean only when all three agree it was a measurement.
@@ -595,7 +595,17 @@ object Bench {
         emit(jsonRef, diagRef)
         emitted = true
       } else {
-        if (fullRun) writeLedger(inband)
+        // never let a DIFFERENT-core-count clean run clobber the ledger
+        // the round-over-round comparison anchors on (the driver also
+        // runs a low-core pass; found in r19 when an 8-core full run
+        // overwrote the 32-core closing entry). Same cpus — or a legacy
+        // entry without the field, or no ledger — still writes.
+        val cpusOk = readLedger() match {
+          case Some(prev) if prev.contains("\"cpus\":") =>
+            prev.contains(s""""cpus":$cpus,""")
+          case _ => true
+        }
+        if (fullRun && cpusOk) writeLedger(inband)
         emit(json, diag)
         emitted = true
       }
