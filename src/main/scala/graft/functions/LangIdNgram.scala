@@ -104,8 +104,8 @@ object LangIdNgram {
     // exploded profile itself — inline() emits exactly size(__prof)
     // rows per doc and only for docs with a non-empty profile, so
     // groupBy(count) is the old `filter(size > 0).select(size)` row for
-    // row. One kernel evaluation per document; the added doc-keyed
-    // aggregation is map-side combinable over ≤ k rows per doc.
+    // row. Combined with the shared exchange below, ONE kernel
+    // evaluation per document.
     val prof = df.select(col(idCol).as("__id"),
       graft.functions.expressions.Opaque.opaque(
         graft.functions.expressions.TopKCharGrams
